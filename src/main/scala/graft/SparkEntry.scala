@@ -1,13 +1,632 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sql.Macros
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Numeric-parity rules used throughout (the DuckDB oracle compares
+  * value hashes, so results must be BIT-equal, not approximately
+  * equal):
+  *   - Aggregated doubles are summed as exact DECIMAL and only then
+  *     cast to double — decimal addition is associative, so the result
+  *     is independent of Spark's partitioning and matches DuckDB's
+  *     sequential sum exactly.
+  *   - Per-row scalar arithmetic (casts, ratios, cosines on DOUBLE)
+  *     uses the same IEEE-754 operation sequence in both engines.
+  *   - Every query ORDER BYs a unique key so row order matches.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ======================================================== §2.2 relational
+
+  /** TPC-H-Q1-style pricing summary: S7 aggregates over lineitem.
+    * One hash aggregation — partial agg map-side, 4-group output.
+    */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in any order
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double")
+          .as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S7 global (no GROUP BY) aggregates with order-independent
+    * stddev_pop derived from exact decimal moments.
+    */
+  private def q2GlobalStats(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val qDec = col("l_quantity").cast("decimal(18,2)")
+    val sumQ = sum(qDec).cast("double")
+    val sumQ2 = sum(qDec * qDec).cast("double")
+    val n = count(lit(1)).cast("double")
+    li.agg(
+      (sumQ / n).as("avg_qty"),
+      sqrt(sumQ2 / n - (sumQ / n) * (sumQ / n)).as("stddev_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n_rows"),
+    )
+  }
+
+  private val q2Oracle =
+    """SELECT
+      |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  sqrt(CAST(sum(q*q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |       - (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |         * (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS stddev_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  count(*) AS n_rows
+      |FROM (SELECT l_quantity, l_extendedprice, CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)""".stripMargin
+
+  /** S5/S6: the reference's `scaling_params` table macro
+    * (test/sql/autompg.sql:4-10) over lineitem numerics.
+    */
+  private def q3ScalingParams(s: SparkSession, dir: String): DataFrame =
+    Macros.scalingParams(
+      load(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    )
+
+  private val q3Oracle = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val exprs = cols.flatMap { c =>
+      Seq(
+        s"min($c) AS min_$c",
+        s"max($c) AS max_$c",
+        s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_$c",
+      )
+    }
+    s"SELECT ${exprs.mkString(", ")} FROM lineitem"
+  }
+
+  /** S4 + S10 + S11: `min_max_scaler` macro applied through a
+    * broadcast cross join of the 1-row params relation
+    * (reference test/sql/autompg.sql:60-72).
+    */
+  private def q4MinMaxScaled(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val params = li.agg(
+      min("l_quantity").as("mn_q"),
+      max("l_quantity").as("mx_q"),
+      min("l_extendedprice").as("mn_p"),
+      max("l_extendedprice").as("mx_p"),
+    )
+    li.crossJoin(broadcast(params))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        Macros.minMaxScaler(col("l_quantity"), col("mn_q"), col("mx_q")).as("q_scaled"),
+        Macros.minMaxScaler(col("l_extendedprice"), col("mn_p"), col("mx_p")).as("p_scaled"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q4Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_quantity - mn_q) / nullif(mx_q - mn_q, 0) AS q_scaled,
+      |  (l_extendedprice - mn_p) / nullif(mx_p - mn_p, 0) AS p_scaled
+      |FROM lineitem CROSS JOIN (
+      |  SELECT min(l_quantity) mn_q, max(l_quantity) mx_q,
+      |         min(l_extendedprice) mn_p, max(l_extendedprice) mx_p
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S9/S2/S8: CTE + join + group — the identical SQL text runs on
+    * both engines (Spark SQL's declarative surface IS the operator
+    * here).
+    */
+  private val q5Sql =
+    """WITH order_totals AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c.c_custkey, c.c_name, CAST(t.tot AS DOUBLE) AS total_spent
+      |FROM customer c JOIN order_totals t ON c.c_custkey = t.o_custkey
+      |ORDER BY total_spent DESC, c_custkey LIMIT 100""".stripMargin
+
+  private def q5TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q5Sql)
+  }
+
+  /** S3: `SELECT *,` extra derived columns. */
+  private def q6RegionStar(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "region")
+      .select(col("*"), upper(col("r_name")).as("r_name_upper"), length(col("r_name")).as("r_name_len"))
+      .orderBy("r_regionkey")
+
+  private val q6Oracle =
+    """SELECT *, upper(r_name) AS r_name_upper, length(r_name) AS r_name_len
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
+  /** S12/S13/S14: array literal, 1-based indexing, ::float casts. */
+  private def q7ArrayOps(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        array(
+          col("l_quantity").cast("float"),
+          col("l_discount").cast("float"),
+          col("l_tax").cast("float"),
+        ).as("feats"),
+      )
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        element_at(col("feats"), 1).as("f1"),
+        element_at(col("feats"), 3).as("f3"),
+        size(col("feats")).as("n_feats"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q7Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  ([l_quantity::FLOAT, l_discount::FLOAT, l_tax::FLOAT])[1] AS f1,
+      |  ([l_quantity::FLOAT, l_discount::FLOAT, l_tax::FLOAT])[3] AS f3,
+      |  len([l_quantity, l_discount, l_tax]) AS n_feats
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S15: struct literal → JSON cast. */
+  private def q8StructJson(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation")
+      .select(
+        col("n_nationkey"),
+        to_json(struct(col("n_nationkey").as("key"), col("n_name").as("name"))).as("as_json"),
+      )
+      .orderBy("n_nationkey")
+
+  private val q8Oracle =
+    """SELECT n_nationkey,
+      |  concat('{"key":', n_nationkey, ',"name":"', n_name, '"}') AS as_json
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** S17/S18: range() generator (random() excluded from compare —
+    * nondeterministic by definition; exercised in tests instead).
+    */
+  private def q9RangeGen(s: SparkSession, dir: String): DataFrame =
+    s.range(1000)
+      .select(
+        col("id"),
+        (col("id") * 2).as("doubled"),
+        (col("id") % 7).as("mod7"),
+      )
+      .orderBy("id")
+
+  private val q9Oracle =
+    """SELECT range AS id, range * 2 AS doubled, range % 7 AS mod7
+      |FROM range(1000) ORDER BY id""".stripMargin
+
+  /** S11: nullif as div-by-zero guard over real data. */
+  private def q10NullifGuard(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") / nullif(col("l_discount"), lit(0.0))).as("price_per_disc"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q10Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice / nullif(l_discount, 0.0) AS price_per_disc
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Multi-way dimension join rollup — nation/region are tiny and
+    * broadcast; only customer streams.
+    */
+  private def q11JoinRollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"),
+      )
+      .orderBy("r_name")
+
+  private val q11Oracle =
+    """SELECT r_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ========================================================== events/streams
+
+  /** Sessionization (batch form of the streaming operator): window
+    * lag + running sum, integer output only.
+    */
+  private def q12Sessions(s: SparkSession, dir: String): DataFrame =
+    EventStreams
+      .sessionize(load(s, dir, "events"), gapSeconds = 1800L)
+      .select("event_id", "user_id", "session_seq")
+      .orderBy("event_id")
+
+  private val q12Oracle =
+    """SELECT event_id, user_id,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS UNBOUNDED PRECEDING) AS session_seq
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(CAST(ts AS TIMESTAMP))
+      |              - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Hourly rollup (shared batch/stream aggregation). */
+  private def q13EventsHourly(s: SparkSession, dir: String): DataFrame =
+    EventStreams
+      .hourlyRollup(load(s, dir, "events"))
+      .select(
+        col("hour"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+      )
+      .orderBy("hour", "event_type")
+
+  private val q13Oracle =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** JSON property extraction from the events props column. */
+  private def q14EventsJson(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+      )
+      .orderBy("event_id")
+
+  private val q14Oracle =
+    """SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ============================================================ dedup suite
+
+  private def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exactDedup(load(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "content_hash", "canonical_id", "group_size", "is_canonical")
+      .orderBy("doc_id")
+
+  private val q15Oracle =
+    """SELECT d.doc_id, md5(d.text) AS content_hash, g.canonical_id,
+      |  g.group_size, d.doc_id = g.canonical_id AS is_canonical
+      |FROM documents d
+      |JOIN (SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS group_size
+      |      FROM documents GROUP BY 1) g
+      |  ON md5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin
+
+  private def q16DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minHashDedup(load(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+      .orderBy("id")
+
+  private def q17DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simHashDedup(load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id")
+
+  /** N-gram Jaccard near-dup pairs — exact-verified, ORACLE-checkable
+    * (DuckDB recomputes the same shingle sets with list functions).
+    */
+  private def q18DedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  private val q18Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   for i in range(1, len(w) - 1)]) AS grams
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |                                   x -> x <> '') AS w
+      |        FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(a.grams || b.grams)) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(a.grams || b.grams)) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding near-dup pairs, exact (brute-force) — oracle-checkable
+    * because both engines accumulate the cosine in DOUBLE in the same
+    * order. The LSH scale path is q20.
+    */
+  private def q19NeardupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineCol(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= 0.3)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  private val q19Oracle =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Same operator through the SRP-LSH scale path (approximate —
+    * rows-only check; recall asserted in ScalaTest vs q19).
+    */
+  private def q20NeardupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    Dedup
+      .embeddingNearDupPairs(e, "vec_id", "embedding", dim = 64, threshold = 0.3,
+        numBits = 64, bands = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ====================================================== similarity search
+
+  private def q21SimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    Similarity
+      .bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private val q21Oracle =
+    """SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                           CAST(q.embedding AS DOUBLE[])) AS cosine,
+      |    row_number() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                      CAST(q.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings c
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  WHERE c.vec_id <> q.vec_id)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF ANN variant (approximate — rows-only; recall vs q21 asserted
+    * in ScalaTest).
+    */
+  private def q22SimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val model = Similarity.trainIvf(e, "embedding", nlist = 16)
+    Similarity
+      .ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 10, model, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  // =========================================================== text analysis
+
+  private def q23TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .qualityScore(load(s, dir, "documents"), "text")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+        col("punct_ratio"),
+        col("digit_ratio"),
+        col("upper_ratio"),
+        col("mean_token_len"),
+        col("stopword_ratio"),
+        col("quality_score"),
+      )
+      .orderBy("doc_id")
+
+  private val q23Oracle = {
+    val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens,
+       |  greatest(n_tokens, CAST(ceil(CAST(nws_chars AS DOUBLE) / 4) AS INT)) + punct_all AS bpe_tokens,
+       |  punct / safe_chars AS punct_ratio,
+       |  digits / safe_chars AS digit_ratio,
+       |  uppers / safe_chars AS upper_ratio,
+       |  CASE WHEN n_tokens = 0 THEN 0.0
+       |       ELSE CAST(nws_chars AS DOUBLE) / n_tokens END AS mean_token_len,
+       |  CASE WHEN n_tokens = 0 THEN 0.0
+       |       ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+       |    * (1.0 - least(punct / safe_chars * 4.0, 1.0) * 0.5)
+       |    * (1.0 - least(digits / safe_chars * 4.0, 1.0) * 0.5)
+       |    * (0.5 + least(CASE WHEN n_tokens = 0 THEN 0.0
+       |                        ELSE CAST(stop_hits AS DOUBLE) / n_tokens END * 3.0, 1.0) * 0.5)
+       |    AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS nws_chars,
+       |    length(regexp_replace(text, '[\\p{L}\\p{N}\\s]+', '', 'g')) AS punct_all,
+       |    CAST(greatest(length(text), 1) AS DOUBLE) AS safe_chars,
+       |    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers,
+       |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                    x -> list_contains($stop, x))) AS stop_hits
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def q24LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withLangId(load(s, dir, "documents"), "text")
+      .select("doc_id", "lang", "lang_pred")
+      .orderBy("doc_id")
+
+  private def q25Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withFingerprints(load(s, dir, "documents"), "text")
+      .select(
+        col("doc_id"),
+        col("fingerprint"),
+        size(col("winnow_sig")).as("n_winnow"),
+      )
+      .orderBy("doc_id")
+
+  // ============================================================= multimodal
+
+  private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "utf-8"))
+    Multimodal
+      .withDecodedMeta(docs, "payload")
+      .withColumn("n_frames", size(Multimodal.frameSampleUdf(64, 2)(col("payload"))))
+      .withColumn("media_vec", Multimodal.embedMediaUdf(16)(col("payload")))
+      .select(
+        col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("n_frames"),
+        size(col("media_vec")).as("vec_dim"),
+      )
+      .orderBy("doc_id")
+  }
+
+  // ============================================================== ml surface
+
+  private def q27MlTrainPred(s: SparkSession, dir: String): DataFrame = {
+    MlFunctions.create(
+      s,
+      "q27_model",
+      """{"layers":[{"in":3,"out":16,"activation":"relu"},{"in":16,"out":1}]}""",
+    )
+    val li = load(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      array(
+        col("l_quantity").cast("float"),
+        col("l_discount").cast("float"),
+        col("l_tax").cast("float"),
+      ).as("features"),
+      array((col("l_extendedprice") / lit(10000.0)).cast("float")).as("targets"),
+    )
+    MlFunctions
+      .train(
+        li,
+        "q27_model",
+        col("features"),
+        col("targets"),
+        """{"epochs":3,"batch_size":256,"seed":42}""",
+        orderBy = Seq(col("l_orderkey"), col("l_linenumber")),
+        trainFraction = 1.0,
+        log = _ => (),
+      )
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        element_at(col("prediction"), 1).as("yhat"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ================================================================ exports
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_global_stats" -> (q2GlobalStats _),
+    "q3_scaling_params" -> (q3ScalingParams _),
+    "q4_minmax_scaled" -> (q4MinMaxScaled _),
+    "q5_top_customers" -> (q5TopCustomers _),
+    "q6_region_star" -> (q6RegionStar _),
+    "q7_array_ops" -> (q7ArrayOps _),
+    "q8_struct_json" -> (q8StructJson _),
+    "q9_range_gen" -> (q9RangeGen _),
+    "q10_nullif_guard" -> (q10NullifGuard _),
+    "q11_join_rollup" -> (q11JoinRollup _),
+    "q12_sessions" -> (q12Sessions _),
+    "q13_events_hourly" -> (q13EventsHourly _),
+    "q14_events_json" -> (q14EventsJson _),
+    "q15_dedup_exact" -> (q15DedupExact _),
+    "q16_dedup_minhash" -> (q16DedupMinhash _),
+    "q17_dedup_simhash" -> (q17DedupSimhash _),
+    "q18_dedup_ngram" -> (q18DedupNgram _),
+    "q19_neardup_embedding" -> (q19NeardupEmbedding _),
+    "q20_neardup_embedding_lsh" -> (q20NeardupEmbeddingLsh _),
+    "q21_sim_topk" -> (q21SimTopk _),
+    "q22_sim_ivf" -> (q22SimIvf _),
+    "q23_text_stats" -> (q23TextStats _),
+    "q24_lang_id" -> (q24LangId _),
+    "q25_fingerprint" -> (q25Fingerprint _),
+    "q26_multimodal" -> (q26Multimodal _),
+    "q27_ml_train_pred" -> (q27MlTrainPred _),
+  )
+
+  /** DuckDB oracles for every SQL-expressible query above. Omitted
+    * (→ rows-only check): q16/q17 (MinHash/SimHash signatures are
+    * engine-internal hash functions), q20/q22 (approximate by design),
+    * q24/q25 (heuristic UDFs), q26 (stubbed decode), q27 (ML output —
+    * validated by shape + loss in tests per SURVEY §5).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q2_global_stats" -> q2Oracle,
+    "q3_scaling_params" -> q3Oracle,
+    "q4_minmax_scaled" -> q4Oracle,
+    "q5_top_customers" -> q5Sql,
+    "q6_region_star" -> q6Oracle,
+    "q7_array_ops" -> q7Oracle,
+    "q8_struct_json" -> q8Oracle,
+    "q9_range_gen" -> q9Oracle,
+    "q10_nullif_guard" -> q10Oracle,
+    "q11_join_rollup" -> q11Oracle,
+    "q12_sessions" -> q12Oracle,
+    "q13_events_hourly" -> q13Oracle,
+    "q14_events_json" -> q14Oracle,
+    "q15_dedup_exact" -> q15Oracle,
+    "q18_dedup_ngram" -> q18Oracle,
+    "q19_neardup_embedding" -> q19Oracle,
+    "q21_sim_topk" -> q21Oracle,
+    "q23_text_stats" -> q23Oracle,
+  )
 }

@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the whole point at 100 TB):
+  *   - Nothing here is quadratic. Every near-dup variant is
+  *     signature → band/bucket explode → self-join ON bucket →
+  *     verify-on-candidates. The only shuffles are hash-partitioned
+  *     joins/aggregations on bucket keys, and candidate verification
+  *     touches only pairs that share a bucket.
+  *   - Buckets with pathological populations (a boilerplate shingle
+  *     shared by millions of docs) are capped via `maxBucketSize` —
+  *     the standard skew guard; dropped buckets are the duplicate-
+  *     EVERYTHING buckets whose pairs other buckets still cover.
+  *   - Signatures are computed in one scan by deterministic scalar
+  *     UDFs; no driver-side state, no collect.
+  */
+object Dedup {
+
+  // ----------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one hash-aggregation, keep the
+    * minimum id per group. Emits every input row with its canonical
+    * (keeper) id and group size — filter `is_canonical` to dedupe.
+    * Hashing first means the wide text column never shuffles.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.withColumn("content_hash", md5(col(textCol)))
+    val groups = hashed
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed
+      .join(groups, "content_hash")
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
+  // ---------------------------------------------------------- minhash + lsh
+
+  /** MinHash signature over word-`shingleSize` shingles; `numHashes`
+    * permutations approximated by seeded multiply-xor mixes of a base
+    * 64-bit shingle hash (standard one-hash + H mixers construction).
+    */
+  def minHashUdf(numHashes: Int, shingleSize: Int) = udf { (text: String) =>
+    val shingles = wordShingles(text, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val base = fnv64(sh)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Candidate pairs whose MinHash signatures collide in ≥1 of
+    * `bands` bands (r = numHashes/bands rows per band), verified with
+    * exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigDf = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minHashUdf(numHashes, shingleSize)(col("text")))
+    // band key = hash of the band's slice of the signature
+    val banded = sigDf.select(
+      col("id"),
+      col("text"),
+      explode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
+      ).as("bucket"),
+    )
+    val pairs = bucketedCandidatePairs(banded.select(col("id"), col("bucket")), maxBucketSize)
+    val texts = sigDf.select(col("id"), col("text"))
+    val jac = jaccardUdf(shingleSize)
+    pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-document near-dup summary from [[minHashNearDupPairs]]: every
+    * doc with the count of its near-duplicates and its canonical id
+    * (min id among partners∪self — keep-first semantics). Total rows =
+    * input rows, so downstream row-count checks are stable even when
+    * zero duplicates exist.
+    */
+  def minHashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+  ): DataFrame = {
+    val pairs = minHashNearDupPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+    perDocSummary(df, idCol, pairs)
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word unigrams (token-frequency weighted). */
+  val simHashUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val counts = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length)
+      val acc = new Array[Int](64)
+      counts.foreach { case (tok, w) =>
+        val h = fnv64(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Candidates via the pigeonhole trick: split the 64-bit hash into
+    * `maxHamming+1` chunks — any pair within distance k agrees on ≥1
+    * chunk, so an equi-join per chunk finds all of them without a
+    * cartesian product.
+    */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("simhash"))
+    val banded = sigs.select(
+      col("id"),
+      col("simhash"),
+      explode(
+        expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
+          s"concat_ws(':', c, (simhash >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))"),
+      ).as("bucket"),
+    )
+    val pairs = bucketedCandidatePairs(banded.select(col("id"), col("bucket")), maxBucketSize)
+    val h = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "sim_a")
+    val h2 = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "sim_b")
+    pairs
+      .join(h, "id_a")
+      .join(h2, "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    perDocSummary(df, idCol, simHashNearDupPairs(df, idCol, textCol, maxHamming))
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /** Exact word-n-gram Jaccard similarity of two texts. */
+  def jaccardUdf(n: Int) = udf { (a: String, b: String) =>
+    val sa = wordShingles(a, n).toSet
+    val sb = wordShingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** N-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * candidates share ≥1 rare shingle (document-frequency-capped by
+    * `maxBucketSize` — frequent shingles can't discriminate and only
+    * produce quadratic bucket blowup), verified exactly. This is the
+    * exact-verification sibling of [[minHashNearDupPairs]]: cheaper
+    * signatures, more candidates; prefer MinHash when shingle sets are
+    * large, this when docs are short.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 200,
+  ): DataFrame = {
+    val shingleUdf = udf((t: String) => wordShingles(t, n).distinct)
+    val exploded = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("bucket", explode(shingleUdf(col("text"))))
+    val pairs = bucketedCandidatePairs(exploded.select(col("id"), col("bucket")), maxBucketSize)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccardUdf(n)(col("text_a"), col("text_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Signed-random-projection LSH signature for cosine similarity:
+    * `numBits` hyperplanes drawn from a seeded RNG (shipped to
+    * executors as plain closure data — a few KB), signature bit b =
+    * sign(v·plane_b). P(bits agree) = 1 - θ/π.
+    */
+  def srpSignatureUdf(dim: Int, numBits: Int, seed: Long) = {
+    val planes = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(numBits, dim)((rng.nextGaussian()).toFloat)
+    }
+    udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var b = 0
+      while (b < numBits) {
+        val p = planes(b)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(p.length, v.length)
+        while (i < n) { dot += v(i) * p(i); i += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
+  /** Embedding near-dup pairs with cosine ≥ `threshold`, candidates
+    * from banded SRP signatures (same band-join shape as MinHash —
+    * linear in candidates, never quadratic in corpus).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      numBits: Int = 32,
+      bands: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    require(numBits % bands == 0 && numBits <= 64)
+    val bitsPer = numBits / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      srpSignatureUdf(dim, numBits, seed)(col(vecCol)).as("srp"),
+    )
+    val banded = sigs.select(
+      col("id"),
+      explode(
+        expr(s"transform(sequence(0, ${bands - 1}), c -> " +
+          s"concat_ws(':', c, (srp >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))"),
+      ).as("bucket"),
+    )
+    val pairs = bucketedCandidatePairs(banded, maxBucketSize)
+    val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .withColumn("cosine", Similarity.cosineCol(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  // ----------------------------------------------------------- shared bits
+
+  /** All unordered id pairs co-occurring in a bucket, skew-capped.
+    * One shuffle (groupBy bucket), pair expansion bounded by
+    * maxBucketSize², distinct to merge pairs found in several buckets.
+    */
+  private[operators] def bucketedCandidatePairs(
+      idBucket: DataFrame, // columns: id, bucket
+      maxBucketSize: Int,
+  ): DataFrame = {
+    val ids = idBucket
+      .groupBy("bucket")
+      .agg(collect_set("id").as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(sort_array(col("ids")).as("ids"))
+    ids
+      .select(explode(pairExpr(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+  }
+
+  private def pairExpr(ids: Column): Column = {
+    val pairUdf = udf { (xs: Seq[Long]) =>
+      val b = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < xs.length) {
+        var j = i + 1
+        while (j < xs.length) { b += ((xs(i), xs(j))); j += 1 }
+        i += 1
+      }
+      b.result()
+    }
+    pairUdf(ids)
+  }
+
+  private def perDocSummary(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val partners = pairs
+      .select(col("id_a").as("id"), col("id_b").as("partner"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("partner")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("near_dup_count"), min("partner").as("min_partner"))
+    df.select(col(idCol).as("id"))
+      .join(partners, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("near_dup_count"), lit(0L)).as("near_dup_count"),
+        least(col("id"), coalesce(col("min_partner"), col("id"))).as("canonical_id"),
+      )
+  }
+
+  private[operators] def wordShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
+    } else {
+      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+    }
+  }
+
+  private[operators] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap independent hash family generator. */
+  private[operators] def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+
+/** Approximate- and exact-nearest-neighbor search over an embedding
+  * column (`array<float>`).
+  *
+  * Scale design: scoring is a broadcast of the (small) query set
+  * against the (huge) corpus — map-side only; the top-k reduction is a
+  * typed [[Aggregator]] with a bounded heap, so partial (map-side)
+  * aggregation shrinks each partition to ≤k rows per query BEFORE the
+  * shuffle. The shuffle moves O(queries × k × partitions) rows, never
+  * O(corpus). The IVF variant additionally prunes scoring itself to
+  * `nprobe/nlist` of the corpus via a centroid equi-join.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float arrays as a codegen'd column
+    * expression (functions.zip_with + aggregate — no UDF).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Dot product as a column expression. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  // ------------------------------------------------------- top-k aggregator
+
+  /** Bounded top-k heap over (score, id), merged associatively —
+    * Spark runs it as ObjectHashAggregate with partial aggregation, so
+    * each map task emits at most k candidates per group.
+    */
+  private final class TopK(k: Int)
+      extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+    // buffer kept sorted ascending by (score, -id); index 0 = weakest
+    override def zero: Array[(Double, Long)] = Array.empty
+
+    private def insert(buf: Array[(Double, Long)], e: (Double, Long)): Array[(Double, Long)] =
+      if (buf.length < k) (buf :+ e).sortBy(t => (t._1, -t._2))
+      else if (e._1 > buf(0)._1 || (e._1 == buf(0)._1 && e._2 < buf(0)._2)) {
+        buf(0) = e
+        buf.sortBy(t => (t._1, -t._2))
+      } else buf
+
+    override def reduce(buf: Array[(Double, Long)], e: (Double, Long)): Array[(Double, Long)] =
+      insert(buf, e)
+    override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] =
+      buf.sortBy(t => (-t._1, t._2)) // best first, id tiebreak
+    override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+      Encoders.kryo[Array[(Double, Long)]]
+    override def outputEncoder: Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+  }
+
+  private def topKUdaf(k: Int) = udaf(new TopK(k))
+
+  // --------------------------------------------------------- brute force knn
+
+  /** Exact top-k cosine neighbors of each query vector against the
+    * whole corpus. Queries are broadcast; corpus is scanned once.
+    *
+    * Output: (query_id, neighbor_id, rank 1..k, cosine), excludes
+    * self-matches. Ties broken by neighbor_id ascending.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineCol(col("cvec"), col("qvec")).as("cosine"),
+      )
+    topKReduce(scored, k)
+  }
+
+  /** Shared bounded-heap reduction: (query_id, neighbor_id, cosine) →
+    * top-k per query with ranks.
+    */
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame = {
+    val agg = topKUdaf(k)
+    scored
+      .groupBy("query_id")
+      .agg(agg(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        col("entry._2").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("entry._1").as("cosine"),
+      )
+  }
+
+  // ------------------------------------------------------------------- ivf
+
+  /** IVF (inverted-file) ANN index descriptor: centroids trained
+    * driver-side on a bounded sample (k-means, few iterations — the
+    * sample and centroid set are tiny next to the corpus; the corpus
+    * itself is only ever scanned to ASSIGN, one pass, no shuffle wider
+    * than a groupless map).
+    */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def nearestCentroid(v: Seq[Float]): Int = IvfModel.nearest(centroids, v)
+    def nearestCentroids(v: Seq[Float], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .map(i => (IvfModel.negCos(centroids(i), v), i))
+        .sorted
+        .take(nprobe)
+        .map(_._2)
+  }
+
+  object IvfModel {
+    private[operators] def negCos(c: Array[Float], v: Seq[Float]): Double = {
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var i = 0
+      val n = math.min(c.length, v.length)
+      while (i < n) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
+      if (nc == 0 || nv == 0) 0.0 else -dot / math.sqrt(nc * nv)
+    }
+    private[operators] def nearest(cs: Array[Array[Float]], v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = negCos(cs(i), v)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** Train IVF centroids on ≤ `sampleRows` vectors (Lloyd's k-means,
+    * cosine-normalized, seeded/deterministic).
+    */
+  def trainIvf(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleRows: Int = 20000,
+      iterations: Int = 8,
+      seed: Long = 42L,
+  ): IvfModel = {
+    val n = df.count()
+    val frac = math.min(1.0, sampleRows.toDouble / math.max(1, n))
+    val sample = df
+      .sample(withReplacement = false, frac, seed)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivf sample is empty")
+    val dim = sample.head.length
+    val normed = sample.map(normalize)
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.fill(math.min(nlist, normed.length))(
+      normed(rng.nextInt(normed.length)).clone(),
+    )
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      normed.foreach { v =>
+        val c = IvfModel.nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else normalize(sums(c).map(x => (x / counts(c)).toFloat))
+      }.toArray
+      it += 1
+    }
+    IvfModel(centroids)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var ss = 0.0
+    v.foreach(x => ss += x.toDouble * x)
+    val n = math.sqrt(ss)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** ANN top-k via IVF: corpus rows join only the `nprobe` probed
+    * cells per query (equi-join on cell id — hash join, no cartesian),
+    * then the same bounded-heap top-k. Recall < 1 by construction;
+    * raise nprobe to trade cost for recall.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: IvfModel,
+      nprobe: Int = 4,
+  ): DataFrame = {
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    val probeUdf = udf { (v: Seq[Float]) =>
+      IvfModel(bcCentroids.value).nearestCentroids(v, nprobe)
+    }
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"),
+      assignUdf(col(vecCol)).as("cell"),
+    )
+    val probed = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      explode(probeUdf(col(vecCol))).as("cell"),
+    )
+    val scored = assigned
+      .join(broadcast(probed), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineCol(col("cvec"), col("qvec")).as("cosine"),
+      )
+    topKReduce(scored, k)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All per-row and shuffle-free: they compile to
+  * whole-stage-codegen'd expressions or deterministic scalar UDFs, so
+  * they scan-scale linearly to any input size.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Whitespace token count, codegen-friendly (no UDF). Empty/blank
+    * text counts 0.
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: splits on word/number/punct
+    * boundaries like a GPT-2-style pre-tokenizer (letters runs, digit
+    * runs, single punct marks), then charges ~1 token per 4 chars of
+    * each long word run. Pure expression arithmetic — an upper-bound
+    * estimator without a vocab file.
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val words = size(split(trim(text), "\\s+"))
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    // letters beyond 4 per word cost extra subword tokens; punct runs split
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]+", ""))
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(greatest(words, ceil(chars.cast("double") / 4).cast("int")) + punct)
+  }
+
+  // --------------------------------------------------------- quality score
+
+  /** Per-document quality statistics (length, punctuation/digit/upper
+    * ratios, mean token length, stopword ratio) — the classic cheap
+    * heuristics used to filter web-scale corpora. All built-in
+    * expressions; emitted as separate columns so downstream filters
+    * prune on whichever they need.
+    */
+  def qualityStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val safeChars = greatest(nChars, lit(1)).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    val digits = length(regexp_replace(t, "[^0-9]", ""))
+    val uppers = length(regexp_replace(t, "[^A-Z]", ""))
+    val stopHits = size(
+      filter(
+        split(lower(trim(t)), "\\s+"),
+        w => w.isInCollection(EnStopwords),
+      ),
+    )
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio", punct / safeChars)
+      .withColumn("digit_ratio", digits / safeChars)
+      .withColumn("upper_ratio", uppers / safeChars)
+      .withColumn(
+        "mean_token_len",
+        when(nTokens === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens),
+      )
+      .withColumn(
+        "stopword_ratio",
+        when(nTokens === 0, lit(0.0)).otherwise(stopHits.cast("double") / nTokens),
+      )
+  }
+
+  /** Composite [0,1] quality score from [[qualityStats]] columns —
+    * monotone penalties for extreme length, punctuation soup, digit
+    * soup, and stopword-free (likely non-prose) text.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val s = qualityStats(df, textCol)
+    val lenScore = least(col("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctPenalty = least(col("punct_ratio") * 4.0, lit(1.0))
+    val digitPenalty = least(col("digit_ratio") * 4.0, lit(1.0))
+    val stopScore = least(col("stopword_ratio") * 3.0, lit(1.0))
+    s.withColumn(
+      "quality_score",
+      (lenScore * (lit(1.0) - punctPenalty * 0.5) * (lit(1.0) - digitPenalty * 0.5) *
+        (lit(0.5) + stopScore * 0.5)),
+    )
+  }
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "this", "that", "these", "those", "not", "no", "he", "she",
+    "they", "we", "you", "i",
+  )
+
+  // ------------------------------------------------------------ language ID
+
+  private val stopwordProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "on", "are", "with", "as", "his", "they", "at", "be", "this", "have",
+      "from", "or", "had", "by", "not", "but", "what", "all", "were", "we"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ich", "nicht", "sie", "du",
+      "wir", "ein", "eine", "mit", "für", "auf", "den", "dem", "des", "im",
+      "zu", "von", "sich", "auch", "als", "es", "an", "werden", "aus", "er"),
+    "fr" -> Set("le", "la", "les", "de", "des", "un", "une", "et", "est", "en",
+      "que", "qui", "dans", "pour", "pas", "sur", "avec", "il", "elle",
+      "nous", "vous", "ils", "au", "aux", "ce", "cette", "son", "ses", "mais"),
+    "es" -> Set("el", "la", "los", "las", "de", "del", "un", "una", "y", "es",
+      "en", "que", "por", "para", "con", "no", "se", "su", "al", "lo", "como",
+      "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque"),
+    "it" -> Set("il", "lo", "la", "gli", "le", "di", "che", "è", "e", "un",
+      "una", "per", "con", "non", "si", "da", "come", "anche", "ma", "del",
+      "della", "nel", "alla", "più", "sono", "questo", "questa", "ha", "io"),
+    "pt" -> Set("o", "a", "os", "as", "de", "do", "da", "dos", "das", "um",
+      "uma", "e", "é", "em", "que", "para", "com", "não", "se", "por", "mais",
+      "como", "mas", "foi", "ao", "ele", "sua", "seu", "está", "são"),
+  )
+
+  /** Heuristic language ID: script detection first (CJK/kana/hangul/
+    * cyrillic by Unicode block ratio), then best stopword-profile hit
+    * for Latin scripts; "und" when nothing scores. Deterministic scalar
+    * UDF — no shuffle, no external model.
+    */
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.trim.isEmpty) "und"
+    else {
+      var cjk = 0; var kana = 0; var hangul = 0; var cyr = 0; var letters = 0
+      text.foreach { ch =>
+        val b = Character.UnicodeBlock.of(ch)
+        if (Character.isLetter(ch)) {
+          letters += 1
+          if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) cjk += 1
+          else if (b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA) kana += 1
+          else if (b == Character.UnicodeBlock.HANGUL_SYLLABLES) hangul += 1
+          else if (b == Character.UnicodeBlock.CYRILLIC) cyr += 1
+        }
+      }
+      if (letters == 0) "und"
+      else if (kana.toDouble / letters > 0.1) "ja"
+      else if (cjk.toDouble / letters > 0.3) "zh"
+      else if (hangul.toDouble / letters > 0.3) "ko"
+      else if (cyr.toDouble / letters > 0.3) "ru"
+      else {
+        val tokens = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (tokens.isEmpty) "und"
+        else {
+          val scores = stopwordProfiles.view.mapValues { sw =>
+            tokens.count(sw.contains).toDouble / tokens.length
+          }.toMap
+          val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+          if (score < 0.03) "und" else best
+        }
+      }
+    }
+  }
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", langIdUdf(col(textCol)))
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** 64-bit content fingerprint: FNV-1a over whitespace-normalized
+    * text. Equal fingerprint ⇒ (near-certainly) equal normalized
+    * content — the cheap exact-dup key that avoids shuffling full text.
+    */
+  val contentFingerprintUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val norm = text.trim.replaceAll("\\s+", " ")
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < norm.length) {
+        h ^= norm.charAt(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * polynomial hash over character k-grams, minimum per window of w —
+    * a sparse, position-robust signature set for near-dup and overlap
+    * detection. Returns a sorted distinct LongArray; ~2/(w+1) density.
+    */
+  def winnowingUdf(k: Int = 8, w: Int = 4) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      if (norm.length < k) Array.empty[Long]
+      else {
+        val n = norm.length - k + 1
+        val hashes = new Array[Long](n)
+        val B = 1000003L
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow *= B; i += 1 }
+        var h = 0L
+        i = 0
+        while (i < k) { h = h * B + norm.charAt(i); i += 1 }
+        hashes(0) = h
+        i = 1
+        while (i < n) {
+          h = (h - norm.charAt(i - 1) * pow) * B + norm.charAt(i + k - 1)
+          hashes(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.SortedSet.empty[Long]
+        var s = 0
+        val win = math.max(1, w)
+        while (s + win <= n) {
+          var mn = hashes(s)
+          var j = s + 1
+          while (j < s + win) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+          out += mn
+          s += 1
+        }
+        out.toArray
+      }
+    }
+  }
+
+  def withFingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", contentFingerprintUdf(col(textCol)))
+      .withColumn("winnow_sig", winnowingUdf()(col(textCol)))
+}

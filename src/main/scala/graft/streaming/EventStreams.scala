@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform is written against a plain DataFrame so the SAME
+  * code runs in batch (for the DuckDB-oracle correctness gate) and
+  * under Structured Streaming (`spark.readStream` — tested with the
+  * file source). Watermarks gate state growth; sessionization uses
+  * typed state with an idle timeout so state size is O(active users),
+  * not O(events).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. On a stream, add
+    * `.withWatermark("ts", ...)` upstream; the aggregation itself is
+    * identical. Decimal sum keeps the result order-independent (bit-
+    * equal under any partitioning).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"),
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+      )
+
+  /** Streaming flavor with watermarked window (late data beyond the
+    * watermark dropped; state pruned continuously).
+    */
+  def hourlyRollupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+      )
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+      )
+
+  /** Batch sessionization: a session breaks after `gapSeconds` of user
+    * inactivity. Window-function formulation (lag + running sum) —
+    * one shuffle on user_id; session_id is deterministic
+    * (user_id, session ordinal).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ms").isNull ||
+            (unix_millis(col("ts")) - col("prev_ms")) > gapSeconds * 1000,
+          1,
+        ).otherwise(0),
+      )
+      .withColumn("session_seq", sum("new_session").over(byUser))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("session_seq"),
+      )
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(sessionSeq: Long, lastMs: Long, count: Long)
+  final case class SessionAssignment(event_id: Long, user_id: Long, session_seq: Long)
+
+  /** Streaming sessionization via typed per-user state
+    * (`flatMapGroupsWithState`): state = (current session ordinal,
+    * last-seen time), pruned by processing-time timeout. Semantics
+    * match [[sessionize]] when events arrive in ts order per user.
+    */
+  def sessionizeStream(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+  ): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              val ms = e.ts.getTime
+              s =
+                if (s.lastMs == Long.MinValue || ms - s.lastMs > gapSeconds * 1000)
+                  SessionState(s.sessionSeq + 1, ms, 1L)
+                else SessionState(s.sessionSeq, ms, s.count + 1)
+              SessionAssignment(e.event_id, userId, s.sessionSeq)
+            }
+            state.update(s)
+            state.setTimeoutDuration(s"${gapSeconds * 2} seconds")
+            out.iterator
+          }
+        },
+      )
+  }
+
+  /** Score a stream of feature arrays with a registered model — the
+    * streaming face of `ml_pred`: the same broadcast-snapshot UDF works
+    * unchanged because it is stateless per row.
+    */
+  def scoreStream(spark: SparkSession, events: DataFrame, modelName: String, features: org.apache.spark.sql.Column): DataFrame =
+    events.withColumn("prediction", graft.MlFunctions.predictCol(spark, modelName, features))
+}
