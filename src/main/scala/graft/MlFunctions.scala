@@ -132,12 +132,16 @@ object MlFunctions {
       configJson: String = "",
       maxRows: Long = 1000000L,
       seed: Long = 42L,
+      trainFraction: Double = 1.0,
   ): DataFrame = {
     val n = df.count()
     val sampled =
       if (n <= maxRows) df
       else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
-    train(sampled, name, features, targets, configJson)
+    // fit on the bounded sample; predictions over the FULL relation
+    train(sampled, name, features, targets, configJson, orderBy = Nil,
+      trainFraction = trainFraction, log = _ => ())
+    df.withColumn("prediction", predictCol(df.sparkSession, name, features))
   }
 
   /** Prediction column bound to the CURRENT snapshot of `name`'s

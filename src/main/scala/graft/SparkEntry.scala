@@ -378,16 +378,10 @@ object SparkEntry {
     * because both engines accumulate the cosine in DOUBLE in the same
     * order. The LSH scale path is q20.
     */
-  private def q19NeardupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosineCol(col("vec_a"), col("vec_b")))
-      .where(col("cosine") >= 0.3)
-      .select("id_a", "id_b", "cosine")
+  private def q19NeardupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bruteForceNearDupPairs(load(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
-  }
 
   private val q19Oracle =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -551,16 +545,17 @@ object SparkEntry {
       ).as("features"),
       array((col("l_extendedprice") / lit(10000.0)).cast("float")).as("targets"),
     )
+    // sample-bounded training (the 100 TB scale path: the driver never
+    // collects more than maxRows regardless of input size), then
+    // distributed inference over the full relation
     MlFunctions
-      .train(
+      .trainSampled(
         li,
         "q27_model",
         col("features"),
         col("targets"),
         """{"epochs":3,"batch_size":256,"seed":42}""",
-        orderBy = Seq(col("l_orderkey"), col("l_linenumber")),
-        trainFraction = 1.0,
-        log = _ => (),
+        maxRows = 100000L,
       )
       .select(
         col("l_orderkey"),

@@ -193,13 +193,27 @@ object Dedup {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
-  /** N-gram-Jaccard near-dup pairs via an inverted shingle index:
-    * candidates share ≥1 rare shingle (document-frequency-capped by
-    * `maxBucketSize` — frequent shingles can't discriminate and only
-    * produce quadratic bucket blowup), verified exactly. This is the
-    * exact-verification sibling of [[minHashNearDupPairs]]: cheaper
-    * signatures, more candidates; prefer MinHash when shingle sets are
-    * large, this when docs are short.
+  /** N-gram-Jaccard near-dup pairs with PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07): each doc's
+    * distinct shingles are put in a globally consistent total order
+    * and only the first `|S| - ⌈t·|S|⌉ + 1` of them (the "prefix") are
+    * indexed. Any pair with Jaccard ≥ t MUST share a prefix shingle
+    * (if all |A∩B| ≥ t·|A∪B| ≥ t·|A| common shingles sat in A's last
+    * ⌈t·|A|⌉-1 positions there would be too few of them), so candidate
+    * generation is exact-complete while the inverted index only
+    * contains a (1-t) slice of every document — near-linear candidates
+    * instead of quadratic on corpora with heavy shingle reuse.
+    *
+    * The canonical order is by shingle HASH, computed inside the
+    * signature UDF: zero extra shuffles. (Ordering by ascending global
+    * document frequency yields fewer candidates but costs a df
+    * aggregation + a per-doc window; hash order is the standard
+    * shuffle-free variant and the bucket-size cap absorbs the
+    * difference.)
+    *
+    * Verification recomputes exact Jaccard from the pre-computed
+    * distinct shingle arrays via codegen'd array_intersect/array_union
+    * (no text re-parse on the pair path).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -207,18 +221,30 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 200,
+      maxBucketSize: Int = 1000,
   ): DataFrame = {
     val shingleUdf = udf((t: String) => wordShingles(t, n).distinct)
-    val exploded = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("bucket", explode(shingleUdf(col("text"))))
-    val pairs = bucketedCandidatePairs(exploded.select(col("id"), col("bucket")), maxBucketSize)
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val prefixUdf = udf { (grams: Seq[String]) =>
+      val sz = grams.length
+      val k = math.min(sz, sz - math.ceil(threshold * sz).toInt + 1)
+      grams.sortBy(g => mix64(fnv64(g))).take(math.max(k, 1))
+    }
+    val sets = df
+      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("grams"))
+      .persist()
+    val prefixes = sets
+      .select(col("id"), explode(prefixUdf(col("grams"))).as("bucket"))
+    val pairs = bucketedCandidatePairs(prefixes, maxBucketSize)
+    val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"))
+    val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"))
     pairs
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jaccardUdf(n)(col("text_a"), col("text_b")))
+      .join(ga, "id_a")
+      .join(gb, "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))),
+      )
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -281,12 +307,25 @@ object Dedup {
       ).as("bucket"),
     )
     val pairs = bucketedCandidatePairs(banded, maxBucketSize)
-    val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    // primitive dot + precomputed norms on the verify path (interpreted
+    // higher-order functions are ~10× slower per candidate)
+    val va = sigs.select(
+      col("id").as("id_a"),
+      col("vec").as("vec_a"),
+      Similarity.normCol(col("vec")).as("norm_a"),
+    )
+    val vb = sigs.select(
+      col("id").as("id_b"),
+      col("vec").as("vec_b"),
+      Similarity.normCol(col("vec")).as("norm_b"),
+    )
     pairs
       .join(va, "id_a")
       .join(vb, "id_b")
-      .withColumn("cosine", Similarity.cosineCol(col("vec_a"), col("vec_b")))
+      .withColumn(
+        "cosine",
+        Similarity.dotUdf(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")),
+      )
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

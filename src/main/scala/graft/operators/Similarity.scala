@@ -39,6 +39,29 @@ object Similarity {
       (acc, v) => acc + v,
     )
 
+  /** Dot product as a primitive-loop UDF. Spark's higher-order
+    * functions (zip_with/aggregate) are interpreted per element; on
+    * all-pairs hot paths this tight loop is several times faster while
+    * producing the bit-identical left-to-right double accumulation.
+    */
+  val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** sqrt(Σx²) with the same accumulation order as [[cosineCol]]. */
+  val normUdf = udf { (a: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def normCol(a: Column): Column = normUdf(a)
+
   // ------------------------------------------------------- top-k aggregator
 
   /** Bounded top-k heap over (score, id), merged associatively —
@@ -71,6 +94,72 @@ object Similarity {
 
   private def topKUdaf(k: Int) = udaf(new TopK(k))
 
+  // ------------------------------------------------- all-pairs near-dup
+
+  /** Exact all-pairs cosine near-dup (id_a < id_b, cosine ≥ threshold)
+    * via a broadcast self-block: the corpus block (id, vec, norm) is
+    * broadcast once, each partition streams its rows against it in a
+    * primitive loop and emits ONLY the matching pairs — the O(n²)
+    * score work never materializes as rows, no shuffle at all until
+    * the (tiny) result. This is the single-block case of the standard
+    * blocked all-pairs scheme; at corpus sizes beyond one broadcast
+    * block, split the smaller side into B broadcast blocks and union B
+    * passes (cost O(n²/B) memory, same total compute), or switch to
+    * the SRP-LSH variant in [[graft.operators.Dedup.embeddingNearDupPairs]].
+    *
+    * Accumulates dot/norms in DOUBLE left-to-right — bit-equal to the
+    * DuckDB oracle's list_cosine_similarity on DOUBLE[].
+    */
+  def bruteForceNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val block = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val ids = block.map(_._1)
+    val vecs = block.map(_._2)
+    val norms = vecs.map { v =>
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(ss)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val idIndex = ids.zipWithIndex.toMap
+    val bcIdx = spark.sparkContext.broadcast(idIndex)
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        val (bIds, bVecs, bNorms) = bc.value
+        val selfIdx = bcIdx.value(id)
+        var myNorm = 0.0
+        var i = 0
+        while (i < vec.length) { myNorm += vec(i).toDouble * vec(i).toDouble; i += 1 }
+        myNorm = math.sqrt(myNorm)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = selfIdx + 1
+        while (j < bIds.length) {
+          val other = bVecs(j)
+          var dot = 0.0
+          var k = 0
+          val n = math.min(vec.length, other.length)
+          while (k < n) { dot += vec(k).toDouble * other(k).toDouble; k += 1 }
+          val cos = dot / (myNorm * bNorms(j))
+          if (cos >= threshold) out += ((id, bIds(j), cos))
+          j += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   // --------------------------------------------------------- brute force knn
 
   /** Exact top-k cosine neighbors of each query vector against the
@@ -86,15 +175,23 @@ object Similarity {
       vecCol: String,
       k: Int,
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"),
+      normUdf(col(vecCol)).as("cnorm"),
+    )
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      normUdf(col(vecCol)).as("qnorm"),
+    )
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosineCol(col("cvec"), col("qvec")).as("cosine"),
+        (dotUdf(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))).as("cosine"),
       )
     topKReduce(scored, k)
   }

@@ -86,19 +86,28 @@ object EventStreams {
 
   /** Streaming sessionization via typed per-user state
     * (`flatMapGroupsWithState`): state = (current session ordinal,
-    * last-seen time), pruned by processing-time timeout. Semantics
-    * match [[sessionize]] when events arrive in ts order per user.
+    * last-seen time). Semantics match [[sessionize]] when events
+    * arrive in ts order per user.
+    *
+    * `expireState = true` (production default) prunes idle users with
+    * a processing-time timeout so state stays O(active users); note
+    * that timeouts make the engine schedule periodic empty batches, so
+    * bounded-input tests that wait for quiescence should pass `false`.
     */
   def sessionizeStream(
       events: Dataset[Event],
       gapSeconds: Long = 1800L,
+      expireState: Boolean = true,
   ): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
+    val timeoutKind =
+      if (expireState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutKind)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
+          if (expireState && state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
@@ -112,7 +121,7 @@ object EventStreams {
               SessionAssignment(e.event_id, userId, s.sessionSeq)
             }
             state.update(s)
-            state.setTimeoutDuration(s"${gapSeconds * 2} seconds")
+            if (expireState) state.setTimeoutDuration(s"${gapSeconds * 2} seconds")
             out.iterator
           }
         },

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill in the afternoon sun and birds sing in the garden trees near the old stone wall"
+  private val nearDup = base.replace("afternoon", "morning") // 1-token change
+  private val unrelated =
+    "completely different content about database engines shuffle partitions broadcast joins and columnar storage formats with vectorized execution pipelines running on large clusters"
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, nearDup),
+    (3L, unrelated),
+    (4L, base), // exact dup of 1
+    (5L, "tiny"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts, keeps min id as canonical") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("canonical_id") == 1L)
+    assert(byId(4L).getAs[Long]("canonical_id") == 1L)
+    assert(byId(4L).getAs[Long]("group_size") == 2L)
+    assert(!byId(4L).getAs[Boolean]("is_canonical"))
+    assert(byId(3L).getAs[Boolean]("is_canonical"))
+  }
+
+  test("minhash LSH finds planted near-dup, not unrelated text") {
+    val pairs = Dedup
+      .minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)), "exact dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
+  test("simhash: near-dup within hamming 3, unrelated far") {
+    val pairs = Dedup
+      .simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"simhash missed near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs: exact values, planted pair high") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    val m = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(m.get((1L, 4L)).contains(1.0), "exact dup must have jaccard 1.0")
+    assert(m.getOrElse((1L, 2L), 0.0) > 0.8)
+  }
+
+  test("embedding near-dup LSH recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(7)
+    // 20 cluster centers, 5 jittered members each → near-dups within cluster
+    val vecs = (0 until 20).flatMap { c =>
+      val center = Array.fill(16)(rng.nextGaussian().toFloat)
+      (0 until 5).map { m =>
+        val v = center.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+        (c * 5L + m, v.toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = df
+      .as("a")
+      .crossJoin(df.as("b"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.cosineCol($"a.embedding", $"b.embedding"))
+      .where($"cos" >= 0.95)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", dim = 16, threshold = 0.95,
+        numBits = 64, bands = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(exact.nonEmpty, "test setup: clusters must create near-dup pairs")
+    assert(lsh.subsetOf(exact), "LSH must not emit pairs below threshold (verification step)")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.9, s"recall $recall too low (found ${lsh.size}/${exact.size})")
+  }
+
+  test("bucket skew cap drops oversized buckets instead of exploding") {
+    // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
+    val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3, threshold = 0.1, maxBucketSize = 10)
+    assert(pairs.count() == 0L)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.ModelRegistry
+import graft.sql.Macros
+
+/** Mirrors of the reference's sqllogictest corpus
+  * (test/sql/functions.test, test/sql/autompg.test, and the
+  * test/sql/autompg.sql demo pipeline) driven through the Spark SQL
+  * surface.
+  */
+class MlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val autoMpgCsv = "/root/reference/test/auto_mpg.csv"
+
+  test("functions.test mirror: create → list → train(1 sample) → pred over range+random") {
+    MlFunctions.registerAll(spark)
+    // ml_create (functions.test:4)
+    val status = MlFunctions.create(
+      spark,
+      "m1",
+      """{"layers":[{"in":2,"out":8,"activation":"relu"},{"in":8,"out":1}]}""",
+    )
+    assert(status == "Ok")
+    // ml_list (functions.test:7) via the ml_models view
+    val listed = spark.sql("SELECT model, json FROM ml_models WHERE model = 'm1'").collect()
+    assert(listed.length == 1)
+    assert(listed.head.getString(1).contains("\"in\":2"))
+    // ml_train on a single literal sample (functions.test:10) — empty
+    // train split (30% of 1 = 0 rows) must not crash
+    val one = Seq((Seq(0f, 0f), Seq(0f))).toDF("f", "t")
+    val trained = MlFunctions.train(one, "m1", $"f", $"t")
+    assert(trained.select("prediction").head().getSeq[Float](0).length == 1)
+    // ml_pred over range(3) with random() features (functions.test:13-14,
+    // S17+S18) — nondeterministic input, so assert shape only
+    val preds = spark
+      .sql("SELECT ml_pred('m1', array(CAST(random() AS FLOAT), CAST(random() AS FLOAT))) AS p FROM range(3)")
+      .collect()
+    assert(preds.length == 3)
+    assert(preds.forall(_.getSeq[Float](0).length == 1))
+  }
+
+  test("autompg pipeline mirror: CSV scan, scaling macros, train, in-SQL predict") {
+    // S1: CSV scan with header + inference (autompg.sql:12)
+    val autompg = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(autoMpgCsv)
+    assert(autompg.count() == 392)
+    val featureCols = Seq("cylinders", "displacement", "horsepower", "weight", "acceleration")
+
+    // scaling_params + min_max_scaler macros (autompg.sql:4-16) over
+    // features AND target, as the demo does (autompg.sql:60-72)
+    val scaled = Macros.minMaxScale(autompg, featureCols :+ "mpg")
+    val mn = scaled.agg(min("weight"), max("weight")).head()
+    assert(mn.getDouble(0) >= 0.0 && mn.getDouble(1) <= 1.0)
+
+    // 5→64→32→1 relu net (autompg.sql:18-23)
+    MlFunctions.create(
+      spark,
+      "mpg_reg",
+      """{"layers":[
+        |{"in":5,"out":64,"activation":"relu"},
+        |{"in":64,"out":32,"activation":"relu"},
+        |{"in":32,"out":1}]}""".stripMargin,
+    )
+    val withArrays = scaled.select(
+      array(featureCols.map(c => col(c).cast("float")): _*).as("features"),
+      array(col("mpg").cast("float")).as("targets"),
+      col("weight"),
+    )
+    // heavy test config (autompg.test:22), whole-input training
+    MlFunctions.train(
+      withArrays,
+      "mpg_reg",
+      $"features",
+      $"targets",
+      """{"epochs":60,"learning_rate":0.003,"batch_size":32,"seed":42}""",
+      orderBy = Seq($"weight", $"features"(0)),
+      trainFraction = 1.0,
+      log = _ => (),
+    )
+    val stats = MlFunctions.lastStats.get
+    assert(stats.epochTrainMse.last < 0.03,
+      s"scaled-mpg MSE should drop well below variance: ${stats.epochTrainMse.last}")
+    assert(stats.epochTrainMse.last < stats.epochTrainMse.head,
+      "loss must decrease over training")
+
+    // in-SQL inference over the scaled relation (autompg.test:19)
+    withArrays.createOrReplaceTempView("autompg_scaled")
+    MlFunctions.publish(spark)
+    val preds = spark.sql(
+      "SELECT ml_pred('mpg_reg', features) AS p FROM autompg_scaled",
+    )
+    assert(preds.where(size($"p") === 1).count() == 392)
+  }
+
+  test("ml_create with weightsPath restores saved weights (fixed 3-arg semantics)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wp").toString
+    MlFunctions.create(spark, "wp_model", """{"layers":[{"in":2,"out":1}]}""")
+    val m = ModelRegistry.get("wp_model").get
+    ModelRegistry.saveWeights(m, tmp)
+    ModelRegistry.remove("wp_model")
+    assert(MlFunctions.create(spark, "wp_model", "", weightsPath = Some(tmp)) == "Ok")
+    val restored = ModelRegistry.get("wp_model").get
+    assert(restored.predict(Array(1f, 2f)).sameElements(m.predict(Array(1f, 2f))))
+  }
+
+  test("ml_pred snapshot isolation: retraining does not change published plan until re-publish") {
+    MlFunctions.create(spark, "snap", """{"layers":[{"in":1,"out":1}]}""")
+    val df = Seq(Tuple1(Seq(2f))).toDF("f")
+    val col1 = MlFunctions.predictCol(spark, "snap", $"f")
+    val before = df.select(col1).head().getSeq[Float](0)
+    // mutate registry directly (bypassing publish)
+    val m = ModelRegistry.get("snap").get
+    m.layers.head.w(0) += 10f
+    ModelRegistry.put(m)
+    val after = df.select(col1).head().getSeq[Float](0)
+    assert(before == after, "captured snapshot must be immutable")
+    val fresh = df.select(MlFunctions.predictCol(spark, "snap", $"f")).head().getSeq[Float](0)
+    assert(fresh != before, "new predictCol must bind the updated weights")
+  }
+}

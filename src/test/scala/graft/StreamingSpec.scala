@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Events re-encoded with µs timestamps so the file stream source
+    * sees a plain TimestampType schema.
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-events").toString
+    Tables.events(spark, Sf0001).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly rollup equals batch rollup on bounded input") {
+    val batch = EventStreams
+      .hourlyRollup(Tables.events(spark, Sf0001))
+      .select($"hour", $"event_type", $"n_events", $"sum_value".cast("string").as("sum_value"))
+      .collect()
+      .map(_.toSeq)
+      .toSet
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val q = EventStreams
+      .hourlyRollupStream(stream, watermark = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("hourly_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("hourly_stream")
+        .select($"hour", $"event_type", $"n_events", $"sum_value".cast("string").as("sum_value"))
+        .collect()
+        .map(_.toSeq)
+        .toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization equals batch sessionize (single microbatch)") {
+    val batch = EventStreams
+      .sessionize(Tables.events(spark, Sf0001))
+      .select($"event_id", $"session_seq")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams
+      .sessionizeStream(stream, expireState = false) // bounded input: quiesce for processAllAvailable
+      .writeStream
+      .format("memory")
+      .queryName("sessions_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("sessions_stream")
+        .select($"event_id", $"session_seq")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming ml_pred scoring produces per-row predictions") {
+    MlFunctions.create(
+      spark,
+      "stream_model",
+      """{"layers":[{"in":1,"out":4,"activation":"relu"},{"in":4,"out":1}]}""",
+    )
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val scored = EventStreams.scoreStream(
+      spark,
+      stream,
+      "stream_model",
+      array($"value".cast("float")),
+    )
+    val q = scored
+      .select($"event_id", $"prediction")
+      .writeStream
+      .format("memory")
+      .queryName("scored_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("scored_stream").where(size($"prediction") === 1).count()
+      assert(n == spark.read.parquet(eventsDir).count())
+    } finally q.stop()
+  }
+}
