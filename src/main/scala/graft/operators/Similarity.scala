@@ -39,28 +39,15 @@ object Similarity {
       (acc, v) => acc + v,
     )
 
-  /** Dot product as a primitive-loop UDF. Spark's higher-order
-    * functions (zip_with/aggregate) are interpreted per element; on
-    * all-pairs hot paths this tight loop is several times faster while
-    * producing the bit-identical left-to-right double accumulation.
+  /** Dot product — native codegen'd Catalyst expression
+    * ([[graft.functions.FloatVectorDot]]): primitive float loop inside
+    * whole-stage codegen, bit-identical index-ascending double
+    * accumulation (same numeric contract as the DuckDB oracle).
     */
-  val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
+  def dotUdf(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecDot(a, b)
 
-  /** sqrt(Σx²) with the same accumulation order as [[cosineCol]]. */
-  val normUdf = udf { (a: Seq[Float]) =>
-    var acc = 0.0
-    var i = 0
-    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(acc)
-  }
-
-  def normCol(a: Column): Column = normUdf(a)
+  /** sqrt(Σx²), codegen'd ([[graft.functions.FloatVectorNorm]]). */
+  def normCol(a: Column): Column = graft.functions.VectorExpressions.vecNorm(a)
 
   // ------------------------------------------------------- top-k aggregator
 
@@ -178,12 +165,12 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"),
-      normUdf(col(vecCol)).as("cnorm"),
+      normCol(col(vecCol)).as("cnorm"),
     )
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).as("qvec"),
-      normUdf(col(vecCol)).as("qnorm"),
+      normCol(col(vecCol)).as("qnorm"),
     )
     val scored = c
       .crossJoin(broadcast(q))
@@ -337,7 +324,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosineCol(col("cvec"), col("qvec")).as("cosine"),
+        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
       )
     topKReduce(scored, k)
   }

@@ -1,0 +1,221 @@
+/*
+ * Hosted under org.apache.spark.sql because Catalyst's expression
+ * plumbing (AbstractDataType, ExpressionUtils.column) is private[sql];
+ * this is the conventional packaging for third-party native
+ * expressions. Public API surface: graft.functions.VectorExpressions.
+ */
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression,
+}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expressions for the embedding hot paths.
+  *
+  * Rationale (SURVEY §7.3): Spark's `zip_with`/`aggregate` higher-order
+  * functions evaluate an interpreted lambda per element, and a Scala
+  * UDF pays serializer boxing per call. A codegen'd expression runs a
+  * primitive float loop inside whole-stage codegen — no allocation, no
+  * virtual calls — which is what an all-pairs similarity scan spends
+  * its time in. Accumulation is DOUBLE, index-ascending, matching the
+  * DuckDB oracle's semantics bit-for-bit.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression,
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ x_i²) over an array<float>, double accumulation. */
+case class FloatVectorNorm(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |double $acc = 0.0;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $x.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass cosine similarity (dot and both norms in a single loop). */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $x.getFloat($i);
+         |  double $yv = (double) $y.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression,
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-DSL faces (no registry lookup needed). */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+    )
+  def vecNorm(a: Column): Column =
+    ExpressionUtils.column(FloatVectorNorm(ExpressionUtils.expression(a)))
+  def vecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVectorCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+    )
+
+  /** SQL registration for the current session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_norm", es => FloatVectorNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+  }
+}
+
+/** Session extension wiring — `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions.GraftExtensions`
+  * gives pure-SQL users `vec_dot`/`vec_norm`/`vec_cosine`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[FloatVectorDot].getName, null, "vec_dot"),
+        (es: Seq[Expression]) => FloatVectorDot(es(0), es(1)),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_norm"),
+        new ExpressionInfo(classOf[FloatVectorNorm].getName, null, "vec_norm"),
+        (es: Seq[Expression]) => FloatVectorNorm(es.head),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_cosine"),
+        new ExpressionInfo(classOf[FloatVectorCosine].getName, null, "vec_cosine"),
+        (es: Seq[Expression]) => FloatVectorCosine(es(0), es(1)),
+      ),
+    )
+  }
+}
