@@ -144,6 +144,127 @@ object MlFunctions {
     df.withColumn("prediction", predictCol(df.sparkSession, name, features))
   }
 
+  /** Distributed data-parallel training — the 100 TB path where even a
+    * sample can't fit on the driver. Per epoch, every partition
+    * computes the gradient of the batch-mean MSE over its rows in
+    * `batch_size` minibatch chunks against a broadcast weight
+    * snapshot; the driver sums the per-partition gradient sums in
+    * partition order (deterministic given partitioning) and applies
+    * ONE Adam step per epoch.
+    *
+    * Semantics note (documented divergence, SURVEY §7.3): this is
+    * synchronous full-batch Adam, not the reference's sequential
+    * minibatch Adam — the distributed-equivalent formulation; loss
+    * still decreases monotonically on the same problems, and the
+    * driver only ever holds one gradient-sized buffer (≈ model size ×
+    * partitions during collect, model size after the fold).
+    *
+    * The input relation is scanned once per epoch (cache it upstream
+    * for multi-epoch runs on real clusters).
+    */
+  def trainDistributed(
+      df: DataFrame,
+      name: String,
+      features: Column,
+      targets: Column,
+      configJson: String = "",
+      log: String => Unit = m => Console.err.println(m),
+  ): DataFrame = {
+    import graft.ml.Mlp
+    val spark = df.sparkSession
+    val cfg = TrainConfig.parse(configJson)
+    val model = ModelRegistry
+      .get(name)
+      .getOrElse(throw new IllegalArgumentException(s"model '$name' not found — ml_create first"))
+    val inDim = model.inputDim
+    val outDim = model.outputDim
+
+    val data = df
+      .select(
+        features.cast(ArrayType(FloatType)).as("f"),
+        targets.cast(ArrayType(FloatType)).as("t"),
+      )
+      .persist()
+    val adam = model.newAdamStates()
+    var t = 0
+    var epoch = 0
+    while (epoch < cfg.epochs) {
+      val bcModel = spark.sparkContext.broadcast(model.copyOf())
+      val epochSeed = cfg.seed ^ (epoch.toLong << 17)
+      val perPartition: Array[(Int, Array[Array[Float]], Long)] = data.rdd
+        .mapPartitionsWithIndex { (pid, rows) =>
+          val local = bcModel.value.copyOf()
+          val rng = new scala.util.Random(epochSeed ^ pid.toLong)
+          var sum: Array[Array[Float]] = null
+          var count = 0L
+          val it = rows.grouped(cfg.batchSize)
+          while (it.hasNext) {
+            val chunk = it.next()
+            val n = chunk.length
+            val xb = new Array[Float](n * inDim)
+            val yb = new Array[Float](n * outDim)
+            var r = 0
+            chunk.foreach { row =>
+              val f = row.getSeq[Float](0)
+              val tg = row.getSeq[Float](1)
+              require(f.length == inDim && tg.length == outDim,
+                s"row width (${f.length},${tg.length}) != model ($inDim,$outDim)")
+              var i = 0
+              while (i < inDim) { xb(r * inDim + i) = f(i); i += 1 }
+              i = 0
+              while (i < outDim) { yb(r * outDim + i) = tg(i); i += 1 }
+              r += 1
+            }
+            // minibatch-mean gradient × n = row-sum gradient
+            val g = local.backwardBatch(xb, yb, n, rng)
+            if (sum == null) sum = g.map(_.clone().map(_ * n))
+            else {
+              var ti = 0
+              while (ti < sum.length) {
+                val s = sum(ti); val gg = g(ti)
+                var i = 0
+                while (i < s.length) { s(i) += gg(i) * n; i += 1 }
+                ti += 1
+              }
+            }
+            count += n
+          }
+          if (sum == null) Iterator.empty
+          else Iterator.single((pid, sum, count))
+        }
+        .collect()
+        .sortBy(_._1)
+
+      val totalRows = perPartition.map(_._3).sum
+      if (totalRows > 0) {
+        val folded = perPartition.map(_._2).reduce { (a, b) =>
+          var ti = 0
+          while (ti < a.length) {
+            val x = a(ti); val y = b(ti)
+            var i = 0
+            while (i < x.length) { x(i) += y(i); i += 1 }
+            ti += 1
+          }
+          a
+        }
+        folded.foreach { tArr =>
+          var i = 0
+          while (i < tArr.length) { tArr(i) /= totalRows; i += 1 }
+        }
+        t += 1
+        model.applyGrads(folded, adam, t, cfg.learningRate)
+      }
+      bcModel.unpersist(blocking = false)
+      log(s"[trainDistributed] model=$name epoch=${epoch + 1}/${cfg.epochs} rows=$totalRows")
+      epoch += 1
+    }
+    data.unpersist(blocking = false)
+    ModelRegistry.put(model)
+    ModelRegistry.saveWeights(model)
+    publish(spark)
+    df.withColumn("prediction", predictCol(spark, name, features))
+  }
+
   /** Prediction column bound to the CURRENT snapshot of `name`'s
     * weights (broadcast). Codegen-friendly scalar path; stays inside
     * whole-stage codegen as a deterministic Scala UDF.

@@ -275,10 +275,7 @@ final class Mlp(
     val testIdx = (splitAt until n).toArray
 
     val rng = new Random(cfg.seed)
-    val adam = layers.flatMap { l =>
-      Seq(new AdamState(l.w.length), new AdamState(l.b.length)) ++
-        l.bn.toSeq.flatMap(bn => Seq(new AdamState(bn.gamma.length), new AdamState(bn.beta.length)))
-    }
+    val adam = newAdamStates()
     var t = 0 // Adam timestep
 
     val trainMse = new Array[Double](cfg.epochs)
@@ -359,6 +356,30 @@ final class Mlp(
       t: Int,
       rng: Random,
   ): Unit = {
+    val grads = backwardBatch(xb, yb, rows, rng)
+    applyGrads(grads, adam, t, lr)
+  }
+
+  /** Adam state tensors in canonical order (per layer: w, b, then
+    * gamma, beta when batch-normed) — the same order
+    * [[backwardBatch]] emits gradients in.
+    */
+  private[graft] def newAdamStates(): Array[AdamState] = layers.flatMap { l =>
+    Seq(new AdamState(l.w.length), new AdamState(l.b.length)) ++
+      l.bn.toSeq.flatMap(bn => Seq(new AdamState(bn.gamma.length), new AdamState(bn.beta.length)))
+  }
+
+  /** Gradients of the batch-mean MSE w.r.t. every parameter tensor, in
+    * canonical tensor order. Pure w.r.t. parameters (does NOT update
+    * them); BatchNorm running statistics are updated as a forward-pass
+    * side effect, as in eager training.
+    */
+  private[graft] def backwardBatch(
+      xb: Array[Float],
+      yb: Array[Float],
+      rows: Int,
+      rng: Random,
+  ): Array[Array[Float]] = {
     val tapes = forwardTrain(xb, rows, rng)
     val last = tapes.last
     val outW = layers.last.out
@@ -368,7 +389,7 @@ final class Mlp(
     var i = 0
     while (i < dY.length) { dY(i) = scale * (last.y(i) - yb(i)); i += 1 }
 
-    var adamIdx = adam.length
+    val perLayer = new Array[Array[Array[Float]]](layers.length)
     var li = layers.length - 1
     while (li >= 0) {
       val l = layers(li)
@@ -472,21 +493,32 @@ final class Mlp(
         d
       } else null
 
-      // Adam updates — states were appended per layer in forward order:
-      // [w, b, (gamma, beta)?]; walk backwards.
-      l.bn.foreach { bn =>
-        adamIdx -= 1
-        adamUpdate(bn.beta, dBeta, adam(adamIdx), lr, t)
-        adamIdx -= 1
-        adamUpdate(bn.gamma, dGamma, adam(adamIdx), lr, t)
-      }
-      adamIdx -= 1
-      adamUpdate(l.b, dB, adam(adamIdx), lr, t)
-      adamIdx -= 1
-      adamUpdate(l.w, dW, adam(adamIdx), lr, t)
+      perLayer(li) =
+        if (l.bn.isDefined) Array(dW, dB, dGamma, dBeta)
+        else Array(dW, dB)
 
       dY = dX
       li -= 1
+    }
+    perLayer.flatten
+  }
+
+  /** Apply one Adam step from gradients in canonical tensor order. */
+  private[graft] def applyGrads(
+      grads: Array[Array[Float]],
+      adam: Array[AdamState],
+      t: Int,
+      lr: Float,
+  ): Unit = {
+    require(grads.length == adam.length, s"${grads.length} grad tensors vs ${adam.length} states")
+    var gi = 0
+    layers.foreach { l =>
+      adamUpdate(l.w, grads(gi), adam(gi), lr, t); gi += 1
+      adamUpdate(l.b, grads(gi), adam(gi), lr, t); gi += 1
+      l.bn.foreach { bn =>
+        adamUpdate(bn.gamma, grads(gi), adam(gi), lr, t); gi += 1
+        adamUpdate(bn.beta, grads(gi), adam(gi), lr, t); gi += 1
+      }
     }
   }
 

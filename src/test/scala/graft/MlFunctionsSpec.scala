@@ -108,6 +108,38 @@ class MlFunctionsSpec extends SparkTestBase {
     assert(restored.predict(Array(1f, 2f)).sameElements(m.predict(Array(1f, 2f))))
   }
 
+  test("trainDistributed: loss decreases, deterministic under fixed partitioning") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 2000).map { _ =>
+      val f = Seq.fill(3)(rng.nextFloat() * 2 - 1)
+      (f, Seq(0.4f * f(0) - 0.2f * f(1) + 0.1f * f(2) + 0.05f))
+    }
+    val df = rows.toDF("f", "t").repartition(4)
+
+    def run(name: String): (Array[Float], Double) = {
+      MlFunctions.create(
+        spark,
+        name,
+        """{"layers":[{"in":3,"out":16,"activation":"tanh"},{"in":16,"out":1}]}""",
+      )
+      val out = MlFunctions.trainDistributed(
+        df, name, $"f", $"t",
+        """{"epochs":200,"learning_rate":0.05,"seed":42}""",
+        log = _ => (),
+      )
+      val mse = out
+        .select(avg(pow(element_at($"prediction", 1) - element_at($"t", 1), 2)))
+        .as[Double]
+        .head()
+      (graft.ml.ModelRegistry.get(name).get.layers.head.w.clone(), mse)
+    }
+    val (w1, mse1) = run("dist_model")
+    val (w2, mse2) = run("dist_model") // re-created: same name → same seeded init
+    assert(mse1 < 0.005, s"distributed full-batch Adam should fit a linear map: mse=$mse1")
+    assert(mse1 == mse2, "same partitioning + seed must reproduce identical loss")
+    assert(w1.sameElements(w2), "weights must be bit-identical across runs")
+  }
+
   test("ml_pred snapshot isolation: retraining does not change published plan until re-publish") {
     MlFunctions.create(spark, "snap", """{"layers":[{"in":1,"out":1}]}""")
     val df = Seq(Tuple1(Seq(2f))).toDF("f")
