@@ -302,6 +302,74 @@ object MlFunctions {
       else model.predict(seqToFloats(feats, "features"))
     }
 
+  /** SQL-callable whole-relation training: `ml_train(name, feats,
+    * tgts[, cfg])` as an AGGREGATE function — `SELECT ml_train('m',
+    * features, targets) FROM t` trains once on all rows and returns
+    * "Ok" (one row). This is the Aggregator formulation from SURVEY
+    * §2.1 row 3: partial buffers collect (features, targets) pairs,
+    * the final merge trains.
+    *
+    * Caveats (documented): the merged row order follows partition
+    * order, so set a seed and expect scan-order sensitivity (the
+    * reference has the same property — it trains in chunk order); the
+    * final merge runs in the reducer task, so the registry update is
+    * only visible in local mode — cluster deployments use
+    * [[train]]/[[trainDistributed]]. Unlike the reference, predictions
+    * are not returned inline (an aggregate yields one row); follow
+    * with `ml_pred` after re-publish.
+    */
+  private type TrainBuf = (String, String, List[(Seq[Float], Seq[Float])])
+
+  private def finishTrain(b: TrainBuf): String = {
+    val (name, cfg, rows) = b
+    if (name.isEmpty) "Err: no rows"
+    else {
+      val model = ModelRegistry
+        .get(name)
+        .getOrElse(throw new IllegalArgumentException(s"ml_train: model '$name' not found"))
+      val ordered = rows.reverse
+      model.fit(
+        ordered.map(r => r._1.toArray).toArray,
+        ordered.map(r => r._2.toArray).toArray,
+        TrainConfig.parse(cfg),
+        trainFraction = 0.3, // reference-observed split (src/nn/mod.rs:104-109)
+      )
+      ModelRegistry.put(model)
+      "Ok"
+    }
+  }
+
+  private def mergeBuf(a: TrainBuf, b: TrainBuf): TrainBuf =
+    (if (a._1.nonEmpty) a._1 else b._1, if (a._2.nonEmpty) a._2 else b._2, a._3 ::: b._3)
+
+  /** 3-arg form — reference default config (functions.test:10). */
+  private final class TrainAgg3
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Seq[Float], Seq[Float]), TrainBuf, String,
+      ] {
+    override def zero: TrainBuf = ("", "", Nil)
+    override def reduce(b: TrainBuf, row: (String, Seq[Float], Seq[Float])): TrainBuf =
+      (row._1, b._2, (row._2, row._3) :: b._3)
+    override def merge(a: TrainBuf, b: TrainBuf): TrainBuf = mergeBuf(a, b)
+    override def finish(b: TrainBuf): String = finishTrain(b)
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[TrainBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** 4-arg form with a JSON config (autompg.test:22). */
+  private final class TrainAgg4
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Seq[Float], Seq[Float], String), TrainBuf, String,
+      ] {
+    override def zero: TrainBuf = ("", "", Nil)
+    override def reduce(b: TrainBuf, row: (String, Seq[Float], Seq[Float], String)): TrainBuf =
+      (row._1, row._4, (row._2, row._3) :: b._3)
+    override def merge(a: TrainBuf, b: TrainBuf): TrainBuf = mergeBuf(a, b)
+    override def finish(b: TrainBuf): String = finishTrain(b)
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[TrainBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.STRING
+  }
+
   /** Register the SQL-compat surface on a fresh session:
     *   - `ml_pred(name, feats)` — distributed, broadcast-bound.
     *   - `ml_create(name, spec)` — registered for sqllogictest-mirror
@@ -317,6 +385,8 @@ object MlFunctions {
       "Ok"
     }.asNondeterministic()
     spark.udf.register("ml_create", createFn)
+    spark.udf.register("ml_train", udaf(new TrainAgg3))
+    spark.udf.register("ml_train_cfg", udaf(new TrainAgg4))
     publish(spark)
   }
 

@@ -66,8 +66,18 @@ object Smoke {
     )
     trained.select("features", "targets", "prediction").show(5, truncate = false)
 
-    // ml_pred via SQL over a fresh view (reference test/sql/autompg.test:19)
+    // SQL-surface whole-relation training (reference test/sql/autompg.test:16
+    // form): aggregate ml_train over the relation, then predict
     li.createOrReplaceTempView("li_feats")
+    val sqlTrainStatus = spark
+      .sql("""SELECT ml_train_cfg('mpg_model', features, targets,
+             |'{"epochs":2,"batch_size":128}') AS s FROM li_feats""".stripMargin)
+      .head()
+      .getString(0)
+    println(s"SQL ml_train → $sqlTrainStatus")
+    MlFunctions.publish(spark)
+
+    // ml_pred via SQL over a fresh view (reference test/sql/autompg.test:19)
     val preds = spark.sql(
       "SELECT ml_pred('mpg_model', features) AS yhat FROM li_feats",
     )

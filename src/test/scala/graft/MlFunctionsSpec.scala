@@ -97,6 +97,37 @@ class MlFunctionsSpec extends SparkTestBase {
     assert(preds.where(size($"p") === 1).count() == 392)
   }
 
+  test("SQL ml_train aggregate: trains whole relation from pure SQL (functions.test:10 form)") {
+    MlFunctions.registerAll(spark)
+    MlFunctions.create(
+      spark,
+      "sqltrain",
+      """{"layers":[{"in":2,"out":8,"activation":"relu"},{"in":8,"out":1}]}""",
+    )
+    Seq(
+      (Seq(0f, 0f), Seq(0f)),
+      (Seq(1f, 0f), Seq(1f)),
+      (Seq(0f, 1f), Seq(1f)),
+      (Seq(1f, 1f), Seq(2f)),
+    ).toDF("f", "t").createOrReplaceTempView("xor_ish")
+    // 3-arg default-config form
+    val ok = spark.sql("SELECT ml_train('sqltrain', f, t) AS status FROM xor_ish").head().getString(0)
+    assert(ok == "Ok")
+    // 4-arg config form
+    val ok2 = spark
+      .sql("""SELECT ml_train_cfg('sqltrain', f, t, '{"epochs":20,"seed":7}') FROM xor_ish""")
+      .head()
+      .getString(0)
+    assert(ok2 == "Ok")
+    // trained weights visible to subsequent ml_pred after re-publish
+    MlFunctions.publish(spark)
+    val p = spark
+      .sql("SELECT ml_pred('sqltrain', array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS p")
+      .head()
+      .getSeq[Float](0)
+    assert(p.length == 1 && !p.head.isNaN)
+  }
+
   test("ml_create with weightsPath restores saved weights (fixed 3-arg semantics)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-wp").toString
     MlFunctions.create(spark, "wp_model", """{"layers":[{"in":2,"out":1}]}""")
