@@ -267,6 +267,33 @@ object SparkEntry {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** 3-way fact⋈dim⋈dim join rollup over part + supplier (broadcast
+    * both dims; only lineitem streams — the canonical star-join shape).
+    */
+  private def q28BrandRevenue(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .join(broadcast(load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double")
+          .as("revenue"),
+        max(col("p_retailprice")).as("max_retail"),
+      )
+      .orderBy("p_brand", "s_name")
+
+  private val q28Oracle =
+    """SELECT p_brand, s_name, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  max(p_retailprice) AS max_retail
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand, s_name
+      |ORDER BY p_brand, s_name""".stripMargin
+
   // ========================================================== events/streams
 
   /** Sessionization (batch form of the streaming operator): window
@@ -595,6 +622,7 @@ object SparkEntry {
     "q25_fingerprint" -> (q25Fingerprint _),
     "q26_multimodal" -> (q26Multimodal _),
     "q27_ml_train_pred" -> (q27MlTrainPred _),
+    "q28_brand_revenue" -> (q28BrandRevenue _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -623,5 +651,6 @@ object SparkEntry {
     "q19_neardup_embedding" -> q19Oracle,
     "q21_sim_topk" -> q21Oracle,
     "q23_text_stats" -> q23Oracle,
+    "q28_brand_revenue" -> q28Oracle,
   )
 }
