@@ -223,28 +223,32 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    val shingleUdf = udf((t: String) => wordShingles(t, n).distinct)
-    val prefixUdf = udf { (grams: Seq[String]) =>
-      val sz = grams.length
-      val k = math.min(sz, sz - math.ceil(threshold * sz).toInt + 1)
-      grams.sortBy(g => mix64(fnv64(g))).take(math.max(k, 1))
+    // shingle sets as SORTED DISTINCT 64-bit hashes: set algebra on
+    // longs is ~5× cheaper than on strings at verify time, the prefix
+    // (canonical hash order) is just take(k) of the sorted array, and
+    // a 64-bit collision altering a Jaccard value is ~2⁻⁵⁰ per corpus
+    val shingleHashUdf = udf { (t: String) =>
+      wordShingles(t, n).map(s => mix64(fnv64(s))).distinct.sorted
     }
     val sets = df
-      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("grams"))
+      .select(col(idCol).as("id"), shingleHashUdf(col(textCol)).as("grams"))
       .persist()
+    // prefix filter (see scaladoc above): first |S|-⌈t|S|⌉+1 in hash order
+    val prefixLen = greatest(
+      lit(1),
+      (size(col("grams")) - ceil(size(col("grams")) * threshold) + 1).cast("int"),
+    )
     val prefixes = sets
-      .select(col("id"), explode(prefixUdf(col("grams"))).as("bucket"))
+      .select(col("id"), explode(slice(col("grams"), lit(1), prefixLen)).as("bucket"))
     val pairs = bucketedCandidatePairs(prefixes, maxBucketSize)
-    val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"))
-    val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
+    val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
     pairs
       .join(ga, "id_a")
       .join(gb, "id_b")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))),
-      )
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      // |A∪B| = |A|+|B|-|A∩B| — saves the second full set operation
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -336,7 +340,7 @@ object Dedup {
     * One shuffle (groupBy bucket), pair expansion bounded by
     * maxBucketSize², distinct to merge pairs found in several buckets.
     */
-  private[operators] def bucketedCandidatePairs(
+  private[graft] def bucketedCandidatePairs(
       idBucket: DataFrame, // columns: id, bucket
       maxBucketSize: Int,
   ): DataFrame = {
@@ -380,7 +384,7 @@ object Dedup {
       )
   }
 
-  private[operators] def wordShingles(text: String, n: Int): Array[String] = {
+  private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     if (toks.length < n) {
@@ -390,7 +394,7 @@ object Dedup {
     }
   }
 
-  private[operators] def fnv64(s: String): Long = {
+  private[graft] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -402,7 +406,7 @@ object Dedup {
   }
 
   /** splitmix64 finalizer — cheap independent hash family generator. */
-  private[operators] def mix64(x0: Long): Long = {
+  private[graft] def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
