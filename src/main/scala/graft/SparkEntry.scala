@@ -535,6 +535,29 @@ object SparkEntry {
 
   // ============================================================= multimodal
 
+  /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
+    * per-doc summary keeps row counts stable when no overlaps exist.
+    */
+  private def q29DedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val pairs = Dedup
+      .winnowingNearDupPairs(docs, "doc_id", "text", minOverlap = 0.4)
+      .select(col("id_a"), col("id_b"), col("overlap"))
+    docs
+      .select(col("doc_id").as("id"))
+      .join(
+        pairs
+          .select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("overlap_partners")),
+        Seq("id"),
+        "left",
+      )
+      .select(col("id"), coalesce(col("overlap_partners"), lit(0L)).as("overlap_partners"))
+      .orderBy("id")
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -623,6 +646,7 @@ object SparkEntry {
     "q26_multimodal" -> (q26Multimodal _),
     "q27_ml_train_pred" -> (q27MlTrainPred _),
     "q28_brand_revenue" -> (q28BrandRevenue _),
+    "q29_dedup_winnow" -> (q29DedupWinnow _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

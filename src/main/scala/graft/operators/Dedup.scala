@@ -253,6 +253,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------- winnowing overlap
+
+  /** Near-dup/overlap pairs from winnowing fingerprints (Schleimer et
+    * al., SIGMOD'03 — the MOSS scheme): documents sharing ≥1 selected
+    * fingerprint are candidates (inverted index over the sparse
+    * signature, ~2/(w+1) of k-gram density), verified by containment
+    * `|A∩B| / min(|A|,|B|)` ≥ `minOverlap` — containment, not Jaccard,
+    * so a short document embedded verbatim in a long one still scores
+    * 1.0. Catches copied PASSAGES that whole-document shingle Jaccard
+    * dilutes away.
+    */
+  def winnowingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minOverlap: Double = 0.5,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val sigUdf = TextAnalysis.winnowingUdf(k, w)
+    val sets = df
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .where(size(col("sig")) > 0)
+      .persist()
+    val buckets = sets.select(col("id"), explode(col("sig")).as("bucket"))
+    val pairs = bucketedCandidatePairs(buckets, maxBucketSize)
+    val sa = sets.select(col("id").as("id_a"), col("sig").as("sig_a"), size(col("sig")).as("sz_a"))
+    val sb = sets.select(col("id").as("id_b"), col("sig").as("sig_b"), size(col("sig")).as("sz_b"))
+    pairs
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .withColumn(
+        "overlap",
+        size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+          least(col("sz_a"), col("sz_b")),
+      )
+      .where(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("overlap"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Signed-random-projection LSH signature for cosine similarity:

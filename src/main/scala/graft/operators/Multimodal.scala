@@ -31,26 +31,53 @@ object Multimodal {
     ),
   )
 
-  /** Sniff media format from magic numbers (real logic) and derive a
-    * deterministic pseudo width/height from the payload hash (STUB for
-    * a real header parse).
+  /** Decode media headers: REAL parsing for PNG (IHDR), JPEG (SOF
+    * scan), GIF (logical screen) and WAV (fmt chunk — width carries
+    * sample rate, height carries channel count); unknown payloads get
+    * a deterministic pseudo-geometry (the stand-in for formats this
+    * container can't decode — swap in a real codec here).
     */
   private[operators] def decodeOne(bytes: Array[Byte]): (String, Int, Int, Long) = {
     if (bytes == null || bytes.isEmpty) return ("empty", 0, 0, 0L)
-    val fmt =
-      if (bytes.length >= 8 &&
-        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
-      else if (bytes.length >= 3 &&
-        (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
-      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
-      else "bin"
-    // STUB geometry: deterministic function of content hash, stands in
-    // for the header's real dimensions.
-    var h = 0xcbf29ce484222325L
-    bytes.take(64).foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-    val w = 64 + (math.abs(h) % 1024).toInt
-    val ht = 64 + (math.abs(h >> 20) % 1024).toInt
-    (fmt, w, ht, bytes.length.toLong)
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+
+    val n = bytes.length
+    if (n >= 24 && u8(0) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      // IHDR is always the first chunk: width/height big-endian at 16/20
+      ("png", be32(16), be32(20), n.toLong)
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk segments to the first SOFn (baseline/progressive frame header)
+      var i = 2
+      var w = 0
+      var h = 0
+      var done = false
+      while (!done && i + 9 < n) {
+        if (u8(i) != 0xff) { i += 1 }
+        else {
+          val marker = u8(i + 1)
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            h = be16(i + 5); w = be16(i + 7); done = true
+          } else i += 2 + be16(i + 2) // skip segment by declared length
+        }
+      }
+      ("jpeg", w, h, n.toLong)
+    } else if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') {
+      ("gif", le16(6), le16(8), n.toLong)
+    } else if (n >= 28 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      // fmt chunk normally at offset 12: channels LE16@22, sampleRate LE32@24
+      ("wav", le32(24), le16(22), n.toLong)
+    } else {
+      // STUB geometry for undecodable payloads: deterministic content hash
+      var h = 0xcbf29ce484222325L
+      bytes.take(64).foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      ("bin", 64 + (math.abs(h) % 1024).toInt, 64 + (math.abs(h >> 20) % 1024).toInt, n.toLong)
+    }
   }
 
   /** Add a `media_meta` struct decoded from `binCol`. Batch-shaped:

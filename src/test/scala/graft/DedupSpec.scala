@@ -94,6 +94,23 @@ class DedupSpec extends SparkTestBase {
     assert(recall > 0.9, s"recall $recall too low (found ${lsh.size}/${exact.size})")
   }
 
+  test("winnowing overlap: verbatim passage in a longer doc scores ~1.0 containment") {
+    val passage = "the quick brown fox jumps over the lazy dog while birds sing in the garden"
+    val docsW = Seq(
+      (1L, passage),
+      (2L, s"unrelated preamble text about storage engines and shuffles. $passage and then some closing remarks about clusters"),
+      (3L, "completely different content with no shared passages at all in any form whatsoever"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .winnowingNearDupPairs(docsW, "doc_id", "text", minOverlap = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("overlap"))
+      .toMap
+    assert(pairs.contains((1L, 2L)), s"embedded passage missed: $pairs")
+    assert(pairs((1L, 2L)) > 0.8, s"containment should be near 1: ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("bucket skew cap drops oversized buckets instead of exploding") {
     // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
     val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")

@@ -79,18 +79,39 @@ class TextAnalysisSpec extends SparkTestBase {
       "near-identical docs share most winnow fingerprints")
   }
 
-  test("multimodal: magic-number sniffing + stub plumbing shapes") {
-    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ Array.fill[Byte](100)(7)
-    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](50)(3)
-    val df = Seq((1L, png), (2L, jpeg), (3L, "plain".getBytes)).toDF("id", "payload")
+  test("multimodal: real header decode (png IHDR, jpeg SOF, gif, wav) + stub plumbing shapes") {
+    // real 640×480 PNG header: magic + IHDR chunk
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, // width 640
+      0, 0, 0x01, 0xe0.toByte, // height 480
+      8, 6, 0, 0, 0) ++ Array.fill[Byte](80)(7)
+    // minimal JPEG: SOI, APP0 (len 4), SOF0 with height 100 width 200
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 0, 0, // APP0, skipped by length
+      0xff.toByte, 0xc0.toByte, 0, 11, 8,
+      0, 100, // height
+      0, 200.toByte, // width
+      1, 1, 0x11, 0) ++ Array.fill[Byte](40)(3)
+    val gif = "GIF89a".getBytes ++ Array[Byte](64, 0, 32, 0, 0, 0, 0) // 64×32 LE
+    val wav = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0, 2, 0, // 2 channels
+        0x44, 0xac.toByte, 0, 0) ++ Array.fill[Byte](8)(0) // 44100 Hz
+    val df = Seq((1L, png), (2L, jpeg), (3L, "plain".getBytes), (4L, gif), (5L, wav))
+      .toDF("id", "payload")
     val out = Multimodal.withDecodedMeta(df, "payload")
-      .select($"id", $"media_meta.format".as("fmt"), $"media_meta.n_bytes".as("nb"))
+      .select($"id", $"media_meta.format".as("fmt"), $"media_meta.width".as("w"),
+        $"media_meta.height".as("h"), $"media_meta.n_bytes".as("nb"))
       .collect()
-      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("fmt"), r.getAs[Long]("nb")))
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("fmt"), r.getAs[Int]("w"), r.getAs[Int]("h"), r.getAs[Long]("nb")))
       .toMap
-    assert(out(1L)._1 == "png" && out(1L)._2 == 108L)
-    assert(out(2L)._1 == "jpeg")
+    assert(out(1L)._1 == "png" && out(1L)._2 == 640 && out(1L)._3 == 480)
+    assert(out(1L)._4 == png.length.toLong)
+    assert(out(2L)._1 == "jpeg" && out(2L)._2 == 200 && out(2L)._3 == 100)
     assert(out(3L)._1 == "bin")
+    assert(out(4L)._1 == "gif" && out(4L)._2 == 64 && out(4L)._3 == 32)
+    assert(out(5L)._1 == "wav" && out(5L)._2 == 44100 && out(5L)._3 == 2)
     val resized = df.select(Multimodal.resizeStubUdf(64)($"payload").as("r"))
       .select(length($"r")).as[Int].collect()
     assert(resized.forall(_ == 64))
