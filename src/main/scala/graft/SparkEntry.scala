@@ -165,7 +165,7 @@ object SparkEntry {
   /** S3: `SELECT *,` extra derived columns. */
   private def q6RegionStar(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "region")
-      .select(col("*"), upper(col("r_name")).as("r_name_upper"), length(col("r_name")).as("r_name_len"))
+      .select(col("*"), upper(col("r_name")).as("r_name_upper"), length(col("r_name")).cast("bigint").as("r_name_len"))
       .orderBy("r_regionkey")
 
   private val q6Oracle =
@@ -189,7 +189,7 @@ object SparkEntry {
         col("l_linenumber"),
         element_at(col("feats"), 1).as("f1"),
         element_at(col("feats"), 3).as("f3"),
-        size(col("feats")).as("n_feats"),
+        size(col("feats")).cast("bigint").as("n_feats"),
       )
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -307,8 +307,8 @@ object SparkEntry {
 
   private val q12Oracle =
     """SELECT event_id, user_id,
-      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                         ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |FROM (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -473,8 +473,8 @@ object SparkEntry {
       .qualityScore(load(s, dir, "documents"), "text")
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).cast("bigint").as("bpe_tokens"),
         col("punct_ratio"),
         col("digit_ratio"),
         col("upper_ratio"),

@@ -195,7 +195,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("entry._2").as("neighbor_id"),
-        (col("pos") + 1).as("rank"),
+        (col("pos") + 1).cast("bigint").as("rank"), // DuckDB row_number() is BIGINT
         col("entry._1").as("cosine"),
       )
   }

@@ -60,6 +60,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ spark={spark_cols} oracle={ocols}")
             failures += 1
             continue
+        # dtype drift is a warning: value-hash parity may still hold, but
+        # a type-sensitive comparator would flag it
+        stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
+        otypes = dict(zip(ocols_orig, [str(t) for t in oracle_rel.types]))
+        for c in spark_cols:
+            if stypes.get(c) != otypes.get(c):
+                print(f"WARN {name}: dtype {c}: spark={stypes.get(c)} oracle={otypes.get(c)}")
         if len(spark_rows) != len(oracle_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} oracle={len(oracle_rows)}")
             failures += 1
