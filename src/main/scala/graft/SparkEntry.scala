@@ -337,6 +337,42 @@ object SparkEntry {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Event-time session windows (native `session_window` aggregation,
+    * the same code path Structured Streaming runs) — oracle rebuilt in
+    * DuckDB from the lag/cumsum sessionization.
+    */
+  private def q30SessionWindows(s: SparkSession, dir: String): DataFrame =
+    EventStreams
+      .sessionWindows(load(s, dir, "events"), gap = "30 minutes", watermark = None)
+      .select(
+        col("user_id"),
+        col("session_start"),
+        col("session_end"),
+        col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+      )
+      .orderBy("user_id", "session_start")
+
+  private val q30Oracle =
+    """WITH assigned AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |      CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |             OR epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM assigned
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** JSON property extraction from the events props column. */
   private def q14EventsJson(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
@@ -647,6 +683,7 @@ object SparkEntry {
     "q27_ml_train_pred" -> (q27MlTrainPred _),
     "q28_brand_revenue" -> (q28BrandRevenue _),
     "q29_dedup_winnow" -> (q29DedupWinnow _),
+    "q30_session_windows" -> (q30SessionWindows _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -676,5 +713,6 @@ object SparkEntry {
     "q21_sim_topk" -> q21Oracle,
     "q23_text_stats" -> q23Oracle,
     "q28_brand_revenue" -> q28Oracle,
+    "q30_session_windows" -> q30Oracle,
   )
 }

@@ -128,6 +128,38 @@ object EventStreams {
       )
   }
 
+  /** Event-time sessionization: watermark-driven session WINDOWS via
+    * `session_window` — Spark's native gap-based session aggregation.
+    * Emits one row per closed session (user, start, end, event count,
+    * value sum) once the watermark passes the session gap; state is
+    * pruned by event time, so late-data handling and state size are
+    * governed by `watermark`, not wall clock. Works identically in
+    * batch mode (no watermark needed) for oracle-style checks.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = Some("1 hour"),
+  ): DataFrame = {
+    val base = watermark match {
+      case Some(w) if events.isStreaming => events.withWatermark("ts", w)
+      case _                             => events
+    }
+    base
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+      )
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("sum_value"),
+      )
+  }
+
   /** Score a stream of feature arrays with a registered model — the
     * streaming face of `ml_pred`: the same broadcast-snapshot UDF works
     * unchanged because it is stateless per row.

@@ -82,6 +82,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
+    val batchSessions = EventStreams
+      .sessionWindows(Tables.events(spark, Sf0001), watermark = None)
+      .select($"user_id", $"session_start", $"n_events")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val q = EventStreams
+      .sessionWindows(stream, watermark = Some("10 minutes"))
+      .writeStream
+      .format("memory")
+      .queryName("session_windows_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("session_windows_stream")
+        .select($"user_id", $"session_start", $"n_events")
+        .collect()
+        .map(_.toSeq)
+        .toSet
+      assert(streamed == batchSessions, s"stream=${streamed.size} batch=${batchSessions.size}")
+      // total sessions agree with the lag/cumsum formulation
+      val lagSessions = EventStreams
+        .sessionize(Tables.events(spark, Sf0001))
+        .groupBy($"user_id")
+        .agg(max($"session_seq").as("n"))
+        .agg(sum($"n"))
+        .head()
+        .getLong(0)
+      assert(batchSessions.size.toLong == lagSessions,
+        s"window sessions=${batchSessions.size} lag sessions=$lagSessions")
+    } finally q.stop()
+  }
+
   test("streaming ml_pred scoring produces per-row predictions") {
     MlFunctions.create(
       spark,
