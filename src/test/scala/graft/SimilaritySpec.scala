@@ -25,7 +25,7 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy("rank")
       .collect()
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
-    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
     val cosines = out.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sorted.reverse))
