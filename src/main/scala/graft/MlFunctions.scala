@@ -266,19 +266,18 @@ object MlFunctions {
   }
 
   /** Prediction column bound to the CURRENT snapshot of `name`'s
-    * weights (broadcast). Codegen-friendly scalar path; stays inside
-    * whole-stage codegen as a deterministic Scala UDF.
+    * weights, as a native codegen expression
+    * ([[org.apache.spark.sql.graftext.MlpPredict]]): the KB-sized
+    * weight snapshot is captured immutably in the plan (clone-out
+    * semantics), inputs are read as primitive float arrays — no UDF
+    * encoder boxing on the inference hot path.
     */
   def predictCol(spark: SparkSession, name: String, features: Column): Column = {
     val model = ModelRegistry
       .get(name)
       .getOrElse(throw new IllegalArgumentException(s"model '$name' not found"))
-    val bc = spark.sparkContext.broadcast(model)
-    val fn = udf { (feats: Seq[Float]) =>
-      if (feats == null) null
-      else bc.value.predict(seqToFloats(feats, "features"))
-    }
-    fn(features.cast(ArrayType(FloatType)))
+    org.apache.spark.sql.graftext.MlpPredict
+      .column(features.cast(ArrayType(FloatType)), model)
   }
 
   /** Re-broadcast the registry and (re)bind the SQL UDF surface to the

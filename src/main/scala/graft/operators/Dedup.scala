@@ -375,6 +375,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ------------------------------------------------------------ pipeline
+
+  /** One-call corpus cleaning — the composition a training-data
+    * pipeline actually runs: exact dedup (keep min-id per identical
+    * content), then MinHash near-dup removal (keep the canonical
+    * member of each near-dup pair). Returns the surviving rows of
+    * `df` unchanged in schema.
+    *
+    * Near-dup removal uses one-step canonicalization (drop any doc
+    * whose id is the larger member of a verified pair) — for chains
+    * a~b~c without a~c this keeps a and drops b,c, which is the
+    * standard keep-first approximation; a full connected-components
+    * pass (iterative) is deliberately out of scope for one call.
+    */
+  def cleanCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+  ): DataFrame = {
+    val exact = exactDedup(df, idCol, textCol)
+      .where(col("is_canonical"))
+      .select(df.columns.map(col): _*)
+    val nearDupLosers = minHashNearDupPairs(exact, idCol, textCol, threshold = jaccardThreshold)
+      .select(col("id_b").as("loser"))
+      .distinct()
+    exact.join(
+      nearDupLosers,
+      exact(idCol) === nearDupLosers("loser"),
+      "left_anti",
+    )
+  }
+
   // ----------------------------------------------------------- shared bits
 
   /** All unordered id pairs co-occurring in a bucket, skew-capped.

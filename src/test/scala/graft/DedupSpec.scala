@@ -111,6 +111,17 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cleanCorpus: exact dups and near-dup losers removed, canonicals survive") {
+    val cleaned = Dedup
+      .cleanCorpus(docs, "doc_id", "text", jaccardThreshold = 0.6)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // 4 is an exact dup of 1; 2 is a near-dup of 1 → only 1, 3, 5 survive
+    assert(cleaned == Set(1L, 3L, 5L), s"survivors: $cleaned")
+  }
+
   test("bucket skew cap drops oversized buckets instead of exploding") {
     // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
     val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")
