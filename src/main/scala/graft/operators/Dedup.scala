@@ -375,6 +375,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Transitive duplicate groups: min-label propagation over the
+    * verified near-dup pair graph. Input: (id_a, id_b) pairs; output:
+    * (id, component) where component = min id reachable through any
+    * chain of pairs.
+    *
+    * Each iteration is one hash join + one aggregation; convergence
+    * needs O(graph diameter) iterations, and dedup graphs are
+    * shallow (chains of boilerplate variants), so `maxIterations`
+    * is a safety bound, not a typical cost. Labels are persisted and
+    * materialized per round to keep lineage flat — this is the
+    * standard large-graph CC formulation (GraphX-free, pure
+    * DataFrame), valid at any scale the pair join itself survives.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    labels.count()
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
+        )
+        .persist()
+      val changed = updated
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist(blocking = false)
+      labels = updated
+      labels.count() // materialize: flat lineage per round
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // ------------------------------------------------------------ pipeline
 
   /** One-call corpus cleaning — the composition a training-data
@@ -394,13 +449,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       jaccardThreshold: Double = 0.8,
+      transitive: Boolean = false,
   ): DataFrame = {
     val exact = exactDedup(df, idCol, textCol)
       .where(col("is_canonical"))
       .select(df.columns.map(col): _*)
-    val nearDupLosers = minHashNearDupPairs(exact, idCol, textCol, threshold = jaccardThreshold)
-      .select(col("id_b").as("loser"))
-      .distinct()
+    val pairs = minHashNearDupPairs(exact, idCol, textCol, threshold = jaccardThreshold)
+    val nearDupLosers =
+      if (transitive)
+        // full connected components: drop every non-minimum member of
+        // each transitive group (handles a~b~c chains without a~c)
+        connectedComponents(pairs)
+          .where(col("id") =!= col("component"))
+          .select(col("id").as("loser"))
+      else
+        pairs.select(col("id_b").as("loser")).distinct()
     exact.join(
       nearDupLosers,
       exact(idCol) === nearDupLosers("loser"),

@@ -122,6 +122,41 @@ class DedupSpec extends SparkTestBase {
     assert(cleaned == Set(1L, 3L, 5L), s"survivors: $cleaned")
   }
 
+  test("connectedComponents: chains collapse to min id, disjoint groups stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L), comp.toString)
+  }
+
+  test("cleanCorpus transitive: a~b~c chain keeps only the minimum even without a~c") {
+    // b shares a long prefix with a AND a long suffix with c; a and c
+    // share nothing above threshold
+    val blockA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val blockC = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val chain = Seq(
+      (1L, blockA + " one two three"),
+      (2L, blockA + " " + blockC), // near a (prefix) and near c (suffix)
+      (3L, blockC + " four five six"),
+    ).toDF("doc_id", "text")
+    val thr = 0.35
+    val pairs = Dedup
+      .minHashNearDupPairs(chain, "doc_id", "text", threshold = thr)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assume(pairs == Set((1L, 2L), (2L, 3L)), s"fixture should form a chain: $pairs")
+    val oneStep = Dedup.cleanCorpus(chain, "doc_id", "text", jaccardThreshold = thr)
+      .select("doc_id").as[Long].collect().toSet
+    val transitive = Dedup.cleanCorpus(chain, "doc_id", "text", jaccardThreshold = thr, transitive = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneStep == Set(1L), "one-step also drops 2 and 3 here (both are id_b of some pair)")
+    assert(transitive == Set(1L), s"transitive keeps only the component minimum: $transitive")
+  }
+
   test("bucket skew cap drops oversized buckets instead of exploding") {
     // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
     val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")
