@@ -351,7 +351,10 @@ object Dedup {
           s"concat_ws(':', c, (srp >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))"),
       ).as("bucket"),
     )
-    val pairs = bucketedCandidatePairs(banded, maxBucketSize)
+    // keep band-duplicate candidates and dedupe AFTER the threshold
+    // filter: a native dot per duplicate candidate is cheaper than a
+    // 2M-row distinct shuffle, and both vector joins are broadcasts
+    val pairs = bucketedCandidatePairsRaw(banded, maxBucketSize)
     // primitive dot + precomputed norms on the verify path (interpreted
     // higher-order functions are ~10× slower per candidate)
     val va = sigs.select(
@@ -373,6 +376,7 @@ object Dedup {
       )
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   // ------------------------------------------------- connected components
@@ -480,6 +484,17 @@ object Dedup {
   private[graft] def bucketedCandidatePairs(
       idBucket: DataFrame, // columns: id, bucket
       maxBucketSize: Int,
+  ): DataFrame =
+    bucketedCandidatePairsRaw(idBucket, maxBucketSize).distinct()
+
+  /** Same, WITHOUT the distinct — pairs co-occurring in several
+    * buckets appear several times. Use when the downstream verify is
+    * cheaper per candidate than a full-candidate-set shuffle and
+    * dedupe after the (selective) verify filter instead.
+    */
+  private[graft] def bucketedCandidatePairsRaw(
+      idBucket: DataFrame,
+      maxBucketSize: Int,
   ): DataFrame = {
     val ids = idBucket
       .groupBy("bucket")
@@ -489,7 +504,6 @@ object Dedup {
     ids
       .select(explode(pairExpr(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .distinct()
   }
 
   private def pairExpr(ids: Column): Column = {
