@@ -27,7 +27,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (clean line — build.sbt routes forked output straight
+    // through, no [info] prefix) AND a file: BENCH_r01 was "parsed":
+    // null because the driver could not machine-read the wrapped line
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
   }
 }

@@ -109,7 +109,22 @@ object MlFunctions {
       .collect()
     val feats = rows.map(r => seqToFloats(r.getSeq[Float](0), "features"))
     val tgts = rows.map(r => seqToFloats(r.getSeq[Float](1), "targets"))
+    fitRows(spark, name, feats, tgts, cfg, trainFraction, log)
+    df.withColumn("prediction", predictCol(spark, name, features))
+  }
 
+  /** Shared tail of every train path: fit the registered model on the
+    * collected rows, re-register, checkpoint weights, re-publish.
+    */
+  private def fitRows(
+      spark: SparkSession,
+      name: String,
+      feats: Array[Array[Float]],
+      tgts: Array[Array[Float]],
+      cfg: TrainConfig,
+      trainFraction: Double,
+      log: String => Unit,
+  ): Unit = {
     val model = ModelRegistry
       .get(name)
       .getOrElse(throw new IllegalArgumentException(s"model '$name' not found — ml_create first"))
@@ -117,12 +132,16 @@ object MlFunctions {
     ModelRegistry.put(model)
     ModelRegistry.saveWeights(model)
     publish(spark)
-    df.withColumn("prediction", predictCol(spark, name, features))
   }
 
-  /** Scale path for huge inputs: train on a bounded deterministic
-    * sample instead of the full relation. Sample fraction chosen so at
-    * most `maxRows` reach the driver.
+  /** Scale path for huge inputs: train on a bounded sample collected
+    * in ONE scan — an Algorithm-R reservoir of ≈ maxRows/partitions
+    * rows per partition (deterministic given seed + partitioning). No
+    * count() pre-pass: at 100 TB an extra full scan just to pick a
+    * sample fraction is a real cost. Partitions with more rows than
+    * average are slightly under-sampled relative to a global reservoir
+    * — irrelevant for a training sample (the reference itself trains
+    * on an order-biased first-30% split).
     */
   def trainSampled(
       df: DataFrame,
@@ -134,14 +153,39 @@ object MlFunctions {
       seed: Long = 42L,
       trainFraction: Double = 1.0,
   ): DataFrame = {
-    val n = df.count()
-    val sampled =
-      if (n <= maxRows) df
-      else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
-    // fit on the bounded sample; predictions over the FULL relation
-    train(sampled, name, features, targets, configJson, orderBy = Nil,
-      trainFraction = trainFraction, log = _ => ())
-    df.withColumn("prediction", predictCol(df.sparkSession, name, features))
+    val spark = df.sparkSession
+    val cfg = TrainConfig.parse(configJson)
+    val projected = df.select(
+      features.cast(ArrayType(FloatType)).as("f"),
+      targets.cast(ArrayType(FloatType)).as("t"),
+    )
+    val numPart = math.max(1, projected.rdd.getNumPartitions)
+    val perPartition = math.max(1L, maxRows / numPart).toInt
+    val rows = projected.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rng = new scala.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+        val res = new scala.collection.mutable.ArrayBuffer[(Array[Float], Array[Float])](
+          math.min(perPartition, 1024),
+        )
+        var seen = 0L
+        it.foreach { row =>
+          val tup = (
+            seqToFloats(row.getSeq[Float](0), "features"),
+            seqToFloats(row.getSeq[Float](1), "targets"),
+          )
+          if (res.length < perPartition) res += tup
+          else {
+            val j = (rng.nextLong() & Long.MaxValue) % (seen + 1)
+            if (j < perPartition) res(j.toInt) = tup
+          }
+          seen += 1
+        }
+        res.iterator
+      }
+      .collect()
+    fitRows(spark, name, rows.map(_._1), rows.map(_._2), cfg, trainFraction, log = _ => ())
+    // predictions over the FULL relation with the freshly fit weights
+    df.withColumn("prediction", predictCol(spark, name, features))
   }
 
   /** Distributed data-parallel training — the 100 TB path where even a
@@ -150,7 +194,11 @@ object MlFunctions {
     * `batch_size` minibatch chunks against a broadcast weight
     * snapshot; the driver sums the per-partition gradient sums in
     * partition order (deterministic given partitioning) and applies
-    * ONE Adam step per epoch.
+    * ONE Adam step per epoch. BatchNorm running statistics are folded
+    * back each epoch as the row-count-weighted mean of the
+    * per-partition estimates (executors update only local copies, so
+    * without the fold eval-mode inference would normalize with the
+    * init stats).
     *
     * Semantics note (documented divergence, SURVEY §7.3): this is
     * synchronous full-batch Adam, not the reference's sequential
@@ -191,49 +239,57 @@ object MlFunctions {
     while (epoch < cfg.epochs) {
       val bcModel = spark.sparkContext.broadcast(model.copyOf())
       val epochSeed = cfg.seed ^ (epoch.toLong << 17)
-      val perPartition: Array[(Int, Array[Array[Float]], Long)] = data.rdd
-        .mapPartitionsWithIndex { (pid, rows) =>
-          val local = bcModel.value.copyOf()
-          val rng = new scala.util.Random(epochSeed ^ pid.toLong)
-          var sum: Array[Array[Float]] = null
-          var count = 0L
-          val it = rows.grouped(cfg.batchSize)
-          while (it.hasNext) {
-            val chunk = it.next()
-            val n = chunk.length
-            val xb = new Array[Float](n * inDim)
-            val yb = new Array[Float](n * outDim)
-            var r = 0
-            chunk.foreach { row =>
-              val f = row.getSeq[Float](0)
-              val tg = row.getSeq[Float](1)
-              require(f.length == inDim && tg.length == outDim,
-                s"row width (${f.length},${tg.length}) != model ($inDim,$outDim)")
-              var i = 0
-              while (i < inDim) { xb(r * inDim + i) = f(i); i += 1 }
-              i = 0
-              while (i < outDim) { yb(r * outDim + i) = tg(i); i += 1 }
-              r += 1
-            }
-            // minibatch-mean gradient × n = row-sum gradient
-            val g = local.backwardBatch(xb, yb, n, rng)
-            if (sum == null) sum = g.map(_.clone().map(_ * n))
-            else {
-              var ti = 0
-              while (ti < sum.length) {
-                val s = sum(ti); val gg = g(ti)
+      val perPartition: Array[(Int, Array[Array[Float]], Long, Array[(Array[Float], Array[Float])])] =
+        data.rdd
+          .mapPartitionsWithIndex { (pid, rows) =>
+            val local = bcModel.value.copyOf()
+            val rng = new scala.util.Random(epochSeed ^ pid.toLong)
+            var sum: Array[Array[Float]] = null
+            var count = 0L
+            val it = rows.grouped(cfg.batchSize)
+            while (it.hasNext) {
+              val chunk = it.next()
+              val n = chunk.length
+              val xb = new Array[Float](n * inDim)
+              val yb = new Array[Float](n * outDim)
+              var r = 0
+              chunk.foreach { row =>
+                val f = row.getSeq[Float](0)
+                val tg = row.getSeq[Float](1)
+                require(f.length == inDim && tg.length == outDim,
+                  s"row width (${f.length},${tg.length}) != model ($inDim,$outDim)")
                 var i = 0
-                while (i < s.length) { s(i) += gg(i) * n; i += 1 }
-                ti += 1
+                while (i < inDim) { xb(r * inDim + i) = f(i); i += 1 }
+                i = 0
+                while (i < outDim) { yb(r * outDim + i) = tg(i); i += 1 }
+                r += 1
               }
+              // minibatch-mean gradient × n = row-sum gradient
+              val g = local.backwardBatch(xb, yb, n, rng)
+              if (sum == null) sum = g.map(_.clone().map(_ * n))
+              else {
+                var ti = 0
+                while (ti < sum.length) {
+                  val s = sum(ti); val gg = g(ti)
+                  var i = 0
+                  while (i < s.length) { s(i) += gg(i) * n; i += 1 }
+                  ti += 1
+                }
+              }
+              count += n
             }
-            count += n
+            if (sum == null) Iterator.empty
+            else {
+              // BatchNorm running statistics only exist on this local
+              // copy (forward-pass side effect) — ship them back so the
+              // driver model doesn't silently keep its init stats
+              val bnStats = local.layers.flatMap(_.bn.toSeq)
+                .map(bn => (bn.runningMean.clone(), bn.runningVar.clone()))
+              Iterator.single((pid, sum, count, bnStats))
+            }
           }
-          if (sum == null) Iterator.empty
-          else Iterator.single((pid, sum, count))
-        }
-        .collect()
-        .sortBy(_._1)
+          .collect()
+          .sortBy(_._1)
 
       val totalRows = perPartition.map(_._3).sum
       if (totalRows > 0) {
@@ -253,6 +309,29 @@ object MlFunctions {
         }
         t += 1
         model.applyGrads(folded, adam, t, cfg.learningRate)
+        // fold BatchNorm running stats: row-count-weighted mean of the
+        // per-partition estimates (each partition EMA'd through its own
+        // minibatches starting from this epoch's broadcast stats)
+        val bnLayers = model.layers.flatMap(_.bn.toSeq)
+        if (bnLayers.nonEmpty) {
+          bnLayers.indices.foreach { bi =>
+            val dim = bnLayers(bi).dim
+            val meanAcc = new Array[Double](dim)
+            val varAcc = new Array[Double](dim)
+            perPartition.foreach { case (_, _, cnt, bns) =>
+              val (m, v) = bns(bi)
+              var i = 0
+              while (i < dim) { meanAcc(i) += m(i) * cnt; varAcc(i) += v(i) * cnt; i += 1 }
+            }
+            val bn = bnLayers(bi)
+            var i = 0
+            while (i < dim) {
+              bn.runningMean(i) = (meanAcc(i) / totalRows).toFloat
+              bn.runningVar(i) = (varAcc(i) / totalRows).toFloat
+              i += 1
+            }
+          }
+        }
       }
       bcModel.unpersist(blocking = false)
       log(s"[trainDistributed] model=$name epoch=${epoch + 1}/${cfg.epochs} rows=$totalRows")
@@ -369,21 +448,62 @@ object MlFunctions {
     override def outputEncoder = org.apache.spark.sql.Encoders.STRING
   }
 
+  /** SQL-surface training that ends in PER-ROW predictions — the
+    * reference's `SELECT ml_train('m', feats, tgts) FROM t` returns
+    * one prediction list per input row (src/lib.rs:175-176, exercised
+    * by test/sql/autompg.test:16,22). On Spark an aggregate yields one
+    * row, so this helper runs the `ml_train`/`ml_train_cfg` aggregate
+    * (trains on the whole relation), re-publishes the fresh snapshot,
+    * and projects `ml_pred` over the same relation — same rows, same
+    * shape as the reference call.
+    */
+  def trainSql(
+      spark: SparkSession,
+      name: String,
+      table: String,
+      featuresExpr: String,
+      targetsExpr: String,
+      configJson: String = "",
+  ): DataFrame = {
+    val trainCall =
+      if (configJson.isEmpty) s"ml_train('$name', $featuresExpr, $targetsExpr)"
+      else s"ml_train_cfg('$name', $featuresExpr, $targetsExpr, '$configJson')"
+    val status = spark.sql(s"SELECT $trainCall AS status FROM $table").collect()
+    require(
+      status.headOption.exists(_.getString(0) == "Ok"),
+      s"ml_train failed: ${status.mkString(",")}",
+    )
+    publish(spark) // rebind ml_pred to the freshly trained snapshot
+    spark.sql(s"SELECT ml_pred('$name', $featuresExpr) AS prediction FROM $table")
+  }
+
   /** Register the SQL-compat surface on a fresh session:
     *   - `ml_pred(name, feats)` — distributed, broadcast-bound.
-    *   - `ml_create(name, spec)` — registered for sqllogictest-mirror
-    *     compat; the UDF body runs on an executor thread, which only
-    *     aliases the driver registry in local mode. Cluster code should
-    *     call [[create]]. Marked nondeterministic so Catalyst cannot
-    *     collapse/reorder/re-execute it (SURVEY §4).
+    *   - `ml_create(name, spec)` AND `ml_create(name, spec,
+    *     weightsPath)` — both reference arities (src/lib.rs:23-86) on
+    *     one name via an arity-dispatching builder; the 3-arg form
+    *     restores the newest checkpoint under weightsPath. UDF bodies
+    *     run on an executor thread, which only aliases the driver
+    *     registry in local mode. Cluster code should call [[create]].
+    *     Marked nondeterministic so Catalyst cannot collapse/reorder/
+    *     re-execute them (SURVEY §4).
     *   - view `ml_models` — `ml_list()` equivalent.
     */
   def registerAll(spark: SparkSession): Unit = {
-    val createFn = udf { (name: String, spec: String) =>
+    val create2 = udf { (name: String, spec: String) =>
       ModelRegistry.put(Mlp.fromSpec(name, spec))
       "Ok"
     }.asNondeterministic()
-    spark.udf.register("ml_create", createFn)
+    val create3 = udf { (name: String, spec: String, weightsPath: String) =>
+      val loaded = ModelRegistry
+        .loadLatest(name, weightsPath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no saved weights for '$name' under $weightsPath"))
+      ModelRegistry.put(loaded)
+      "Ok"
+    }.asNondeterministic()
+    org.apache.spark.sql.graftext.FunctionRegistration
+      .registerOverloaded(spark, "ml_create", Map(2 -> create2, 3 -> create3))
     spark.udf.register("ml_train", udaf(new TrainAgg3))
     spark.udf.register("ml_train_cfg", udaf(new TrainAgg4))
     publish(spark)

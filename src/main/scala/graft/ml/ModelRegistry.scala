@@ -49,30 +49,41 @@ object ModelRegistry {
   private val mapper = new ObjectMapper()
   private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss").withZone(ZoneOffset.UTC)
 
-  /** Save weights under `<root>/<name>/<UTC yyyyMMdd_HHmmss>/`, wiping
-    * the model's directory first — path contract per reference
-    * src/nn/mod.rs:112-117 and src/nn/train.rs:32-36. Format is JSON
-    * (the reference's MessagePack encoding is a Burn implementation
-    * detail, not part of the contract — SURVEY §2.1 row 8).
+  /** Save weights under `<root>/<name>/<UTC yyyyMMdd_HHmmss>/` — path
+    * contract per reference src/nn/mod.rs:112-117. Matching the
+    * reference's create_artifact_dir (src/nn/train.rs:32-36), only the
+    * NEW timestamped directory is wiped (same-second re-save); prior
+    * checkpoints are retained as history. The write stages into a temp
+    * dir and renames into place, so an interrupted save can never
+    * destroy an existing checkpoint. Format is JSON (the reference's
+    * MessagePack encoding is a Burn implementation detail, not part of
+    * the contract — SURVEY §2.1 row 8).
     *
     * Returns the directory written.
     */
   def saveWeights(model: Mlp, root: String = "models"): Path = {
-    val dir = Paths.get(root, model.name, tsFmt.format(java.time.Instant.now()))
+    val ts = tsFmt.format(java.time.Instant.now())
     val modelRoot = Paths.get(root, model.name)
-    if (Files.exists(modelRoot)) {
-      Files
-        .walk(modelRoot)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(Files.deleteIfExists(_))
+    val dir = modelRoot.resolve(ts)
+    Files.createDirectories(modelRoot)
+    val tmp = Files.createTempDirectory(modelRoot, s".tmp-$ts-")
+    Files.writeString(tmp.resolve("config.json"), model.specJson)
+    Files.writeString(tmp.resolve("weights.json"), toJson(model))
+    if (Files.exists(dir)) deleteRecursively(dir)
+    try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException => Files.move(tmp, dir)
     }
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("config.json"), model.specJson)
-    Files.writeString(dir.resolve("weights.json"), toJson(model))
     dir
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files
+      .walk(p)
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator()
+      .asScala
+      .foreach(Files.deleteIfExists(_))
 
   def toJson(model: Mlp): String = {
     val root = mapper.createObjectNode()
@@ -128,6 +139,8 @@ object ModelRegistry {
       .iterator()
       .asScala
       .filter(Files.isDirectory(_))
+      // only finished checkpoints — skips in-flight/orphaned .tmp-* dirs
+      .filter(_.getFileName.toString.matches("\\d{8}_\\d{6}"))
       .toSeq
       .sortBy(_.getFileName.toString)
       .lastOption

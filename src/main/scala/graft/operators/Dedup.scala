@@ -15,8 +15,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     touches only pairs that share a bucket.
   *   - Buckets with pathological populations (a boilerplate shingle
   *     shared by millions of docs) are capped via `maxBucketSize` —
-  *     the standard skew guard; dropped buckets are the duplicate-
-  *     EVERYTHING buckets whose pairs other buckets still cover.
+  *     the standard skew guard. The cap LOSES RECALL on skewed
+  *     corpora (a pair whose only shared bucket is oversized is
+  *     dropped); [[droppedBucketStats]] quantifies the truncation.
   *   - Signatures are computed in one scan by deterministic scalar
   *     UDFs; no driver-side state, no collect.
   */
@@ -60,11 +61,40 @@ object Dedup {
     sig
   }
 
+  /** One-scan prep for [[minHashNearDupPairs]]: the MinHash signature
+    * AND the sorted distinct 64-bit shingle-hash set from a single
+    * tokenize/shingle pass, so candidate generation bands the
+    * signature while verification does exact set algebra on the
+    * precomputed hashes — text is parsed exactly once and the wide
+    * text column never joins or shuffles again.
+    */
+  private def minHashPrepUdf(numHashes: Int, shingleSize: Int) =
+    udf { (text: String) =>
+      val bases = wordShingles(text, shingleSize).map(fnv64)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      bases.foreach { base =>
+        var i = 0
+        while (i < numHashes) {
+          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      (sig, bases.map(mix64).distinct.sorted)
+    }
+
   /** Candidate pairs whose MinHash signatures collide in ≥1 of
     * `bands` bands (r = numHashes/bands rows per band), verified with
-    * exact shingle-set Jaccard ≥ `threshold`.
+    * exact shingle-set Jaccard ≥ `threshold` over precomputed sorted
+    * shingle-hash arrays (codegen'd array_intersect — no text
+    * re-parse on the pair path).
     *
-    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * Documents with fewer than `shingleSize` tokens have no shingles
+    * (same semantics as the q18 oracle) and can never pair.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. The returned
+    * DataFrame is materialized + persisted (small: verified pairs
+    * only); callers may `unpersist` it when done.
     */
   def minHashNearDupPairs(
       df: DataFrame,
@@ -78,27 +108,30 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigDf = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minHashUdf(numHashes, shingleSize)(col("text")))
+    val sets = df
+      .select(col(idCol).as("id"), minHashPrepUdf(numHashes, shingleSize)(col(textCol)).as("p"))
+      .select(col("id"), col("p._1").as("sig"), col("p._2").as("grams"))
+      .where(size(col("grams")) > 0)
+      .persist()
     // band key = hash of the band's slice of the signature
-    val banded = sigDf.select(
+    val banded = sets.select(
       col("id"),
-      col("text"),
       explode(
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
       ).as("bucket"),
     )
-    val pairs = bucketedCandidatePairs(banded.select(col("id"), col("bucket")), maxBucketSize)
-    val texts = sigDf.select(col("id"), col("text"))
-    val jac = jaccardUdf(shingleSize)
-    pairs
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+    val (pairs, bucketHandle) = bucketedCandidatePairs(banded, maxBucketSize)
+    val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
+    val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
+    val out = pairs
+      .join(ga, "id_a")
+      .join(gb, "id_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(out, sets, bucketHandle)
   }
 
   /** Per-document near-dup summary from [[minHashNearDupPairs]]: every
@@ -159,24 +192,26 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"), simHashUdf(col(textCol)).as("simhash"))
+    val sigs = df
+      .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("simhash"))
+      .persist()
     val banded = sigs.select(
       col("id"),
-      col("simhash"),
       explode(
         expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
           s"concat_ws(':', c, (simhash >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))"),
       ).as("bucket"),
     )
-    val pairs = bucketedCandidatePairs(banded.select(col("id"), col("bucket")), maxBucketSize)
+    val (pairs, bucketHandle) = bucketedCandidatePairs(banded, maxBucketSize)
     val h = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "sim_a")
     val h2 = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "sim_b")
-    pairs
+    val out = pairs
       .join(h, "id_a")
       .join(h2, "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    materializeAndRelease(out, sigs, bucketHandle)
   }
 
   def simHashDedup(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
@@ -240,10 +275,10 @@ object Dedup {
     )
     val prefixes = sets
       .select(col("id"), explode(slice(col("grams"), lit(1), prefixLen)).as("bucket"))
-    val pairs = bucketedCandidatePairs(prefixes, maxBucketSize)
+    val (pairs, bucketHandle) = bucketedCandidatePairs(prefixes, maxBucketSize)
     val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
     val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
-    pairs
+    val out = pairs
       .join(ga, "id_a")
       .join(gb, "id_b")
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
@@ -251,6 +286,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(out, sets, bucketHandle)
   }
 
   // ------------------------------------------------- winnowing overlap
@@ -264,6 +300,16 @@ object Dedup {
     * 1.0. Catches copied PASSAGES that whole-document shingle Jaccard
     * dilutes away.
     */
+  /** `maxBucketSize` here is a DOCUMENT-FREQUENCY cap on fingerprints,
+    * and it defaults much lower than the shingle operators' caps: a
+    * winnowing fingerprint shared by hundreds of documents is template
+    * boilerplate, not evidence of copied passages, yet each such
+    * bucket contributes O(df²) candidate pairs (measured at sf0.1:
+    * df≤1000 admits ~70 M raw candidates from 5 000 docs — nearly the
+    * complete pair matrix; df≤100 admits ~1 M). True overlapping
+    * passages share runs of RARE fingerprints, which survive any
+    * sane cap.
+    */
   def winnowingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -271,7 +317,7 @@ object Dedup {
       k: Int = 8,
       w: Int = 4,
       minOverlap: Double = 0.5,
-      maxBucketSize: Int = 1000,
+      maxBucketSize: Int = 100,
   ): DataFrame = {
     val sigUdf = TextAnalysis.winnowingUdf(k, w)
     val sets = df
@@ -279,10 +325,10 @@ object Dedup {
       .where(size(col("sig")) > 0)
       .persist()
     val buckets = sets.select(col("id"), explode(col("sig")).as("bucket"))
-    val pairs = bucketedCandidatePairs(buckets, maxBucketSize)
+    val (pairs, bucketHandle) = bucketedCandidatePairs(buckets, maxBucketSize)
     val sa = sets.select(col("id").as("id_a"), col("sig").as("sig_a"), size(col("sig")).as("sz_a"))
     val sb = sets.select(col("id").as("id_b"), col("sig").as("sig_b"), size(col("sig")).as("sz_b"))
-    pairs
+    val out = pairs
       .join(sa, "id_a")
       .join(sb, "id_b")
       .withColumn(
@@ -292,6 +338,7 @@ object Dedup {
       )
       .where(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("overlap"))
+    materializeAndRelease(out, sets, bucketHandle)
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -354,7 +401,7 @@ object Dedup {
     // keep band-duplicate candidates and dedupe AFTER the threshold
     // filter: a native dot per duplicate candidate is cheaper than a
     // 2M-row distinct shuffle, and both vector joins are broadcasts
-    val pairs = bucketedCandidatePairsRaw(banded, maxBucketSize)
+    val (pairs, bucketHandle) = bucketedCandidatePairsRaw(banded, maxBucketSize)
     // primitive dot + precomputed norms on the verify path (interpreted
     // higher-order functions are ~10× slower per candidate)
     val va = sigs.select(
@@ -367,7 +414,7 @@ object Dedup {
       col("vec").as("vec_b"),
       Similarity.normCol(col("vec")).as("norm_b"),
     )
-    pairs
+    val out = pairs
       .join(va, "id_a")
       .join(vb, "id_b")
       .withColumn(
@@ -377,6 +424,7 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
+    materializeAndRelease(out, bucketHandle)
   }
 
   // ------------------------------------------------- connected components
@@ -478,47 +526,77 @@ object Dedup {
   // ----------------------------------------------------------- shared bits
 
   /** All unordered id pairs co-occurring in a bucket, skew-capped.
-    * One shuffle (groupBy bucket), pair expansion bounded by
-    * maxBucketSize², distinct to merge pairs found in several buckets.
+    * Distinct merges pairs found in several buckets. Returns
+    * (pairs, cacheHandle) — the handle is the persisted (id, bucket)
+    * frame backing the three uses below; callers release it via
+    * [[materializeAndRelease]] once the verified result is
+    * materialized.
     */
   private[graft] def bucketedCandidatePairs(
       idBucket: DataFrame, // columns: id, bucket
       maxBucketSize: Int,
-  ): DataFrame =
-    bucketedCandidatePairsRaw(idBucket, maxBucketSize).distinct()
+  ): (DataFrame, DataFrame) = {
+    val (raw, handle) = bucketedCandidatePairsRaw(idBucket, maxBucketSize)
+    (raw.distinct(), handle)
+  }
 
   /** Same, WITHOUT the distinct — pairs co-occurring in several
     * buckets appear several times. Use when the downstream verify is
     * cheaper per candidate than a full-candidate-set shuffle and
     * dedupe after the (selective) verify filter instead.
+    *
+    * Skew safety (the 100 TB property): bucket populations are first
+    * aggregated as plain COUNTS — map-side partial aggregation,
+    * constant memory per bucket — and oversized buckets are dropped
+    * before any id list exists anywhere. Pair expansion is then a
+    * self-equi-join ON bucket, which streams pairs out of each bucket
+    * in parallel instead of exploding a driver-sized array out of a
+    * single aggregation row. No task ever holds a whole bucket.
+    *
+    * The (id, bucket) frame feeds three plan subtrees (the count
+    * aggregation + both self-join sides), so it is persisted here —
+    * signature/banding UDFs upstream run once, not three times (AQE
+    * does not reliably reuse the exchanges). Returned as the second
+    * element for the caller to release.
+    *
+    * NOTE the cap is a RECALL-LOSING approximation on skewed corpora:
+    * a qualifying pair whose only shared bucket is oversized (e.g.
+    * its sole common shingle is boilerplate shared by millions of
+    * docs) is silently lost. Use [[droppedBucketStats]] to observe how
+    * much the cap is discarding on a given corpus.
     */
   private[graft] def bucketedCandidatePairsRaw(
       idBucket: DataFrame,
       maxBucketSize: Int,
-  ): DataFrame = {
-    val ids = idBucket
-      .groupBy("bucket")
-      .agg(collect_set("id").as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
-      .select(sort_array(col("ids")).as("ids"))
-    ids
-      .select(explode(pairExpr(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+  ): (DataFrame, DataFrame) = {
+    val b = idBucket.persist()
+    // every generator in this file emits DISTINCT (id, bucket) rows,
+    // so count(*) per bucket == distinct-id count per bucket
+    val kept = b.join(
+      b.groupBy("bucket")
+        .agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n").between(2L, maxBucketSize.toLong))
+        .select("bucket"),
+      "bucket",
+    )
+    val pairs = kept
+      .select(col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("bucket"), col("id").as("id_b")), "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    (pairs, b)
   }
 
-  private def pairExpr(ids: Column): Column = {
-    val pairUdf = udf { (xs: Seq[Long]) =>
-      val b = Seq.newBuilder[(Long, Long)]
-      var i = 0
-      while (i < xs.length) {
-        var j = i + 1
-        while (j < xs.length) { b += ((xs(i), xs(j))); j += 1 }
-        i += 1
-      }
-      b.result()
-    }
-    pairUdf(ids)
-  }
+  /** Observability for the skew cap: one row per OVERSIZED bucket
+    * (`bucket`, `bucket_n`) that [[bucketedCandidatePairsRaw]] would
+    * drop at `maxBucketSize`. Aggregate or count it alongside a dedup
+    * job to quantify the recall loss on a skewed corpus.
+    */
+  def droppedBucketStats(idBucket: DataFrame, maxBucketSize: Int): DataFrame =
+    idBucket
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
 
   private def perDocSummary(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val partners = pairs
@@ -535,14 +613,30 @@ object Dedup {
       )
   }
 
+  /** Word n-gram shingles. Documents with fewer than `n` tokens yield
+    * NO shingles — same semantics as the q18 DuckDB oracle's
+    * `range(1, len(w)-1)` gram construction, which produces an empty
+    * set for sub-n-token documents (so short docs never pair in either
+    * engine).
+    */
   private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
     val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
-    if (toks.length < n) {
-      if (toks.isEmpty) Array.empty else Array(toks.mkString(" "))
-    } else {
-      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
-    }
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** Persist + force `result`, then release the (wide) intermediate
+    * handles so repeated operator invocations in a long-lived session
+    * don't accumulate executor storage. The returned pair set stays
+    * cached (it is small — verified pairs only); callers may
+    * `unpersist` it when done.
+    */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   private[graft] def fnv64(s: String): Long = {

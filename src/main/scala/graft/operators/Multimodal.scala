@@ -2,23 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 /** Multimodal (image/audio/video) column handling.
   *
   * Contract: media travel as opaque `binary` columns plus a typed
-  * metadata struct; decode / feature-extract / resize / frame-sample
-  * run batch-at-a-time inside `mapPartitions` so per-partition decoder
-  * initialization (the expensive part with real codecs) is amortized
-  * across rows — the Scala analog of `mapInPandas` batching.
+  * metadata struct; per-row transforms are scalar UDFs so scans stay
+  * columnar (Tungsten + column pruning), and anything needing an
+  * expensive per-partition decoder context would drop to
+  * `mapPartitions` — none of the current decoders do (javax.imageio
+  * readers are cheap to obtain).
   *
-  * The actual byte-level decoders are STUBBED with deterministic fakes
-  * (this container has no image/audio libraries): `decodeMeta` parses
-  * only real magic numbers + a deterministic pseudo-geometry, and
-  * `embedMedia` hashes bytes into a fixed-dim vector. The Spark-side
-  * plumbing — schemas, batching, null handling, partition sizing — is
-  * real and tested; swapping a real decoder in changes only the
-  * function bodies marked STUB.
+  * Decode reality: PNG/JPEG/GIF/BMP get REAL pixel-level decode via
+  * the JDK's built-in `javax.imageio` (no external codec needed) —
+  * `embedMediaUdf` and `imageResizeUdf` operate on actual pixels.
+  * Header metadata additionally parses WAV fmt chunks. Only the VIDEO
+  * frame sampler remains a labelled deterministic STUB (no container
+  * demuxer in the JDK); its plumbing — `array<binary>` out, explicit
+  * explode fan-out — is real and tested.
   */
 object Multimodal {
 
@@ -80,51 +81,137 @@ object Multimodal {
     }
   }
 
-  /** Add a `media_meta` struct decoded from `binCol`. Batch-shaped:
-    * one "decoder" per partition, rows streamed through it.
+  /** Typed metadata row for `media_meta` (field names match
+    * [[mediaMetaSchema]]).
+    */
+  final case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)
+
+  /** Add a `media_meta` struct decoded from `binCol`. A
+    * struct-returning scalar UDF — the scan stays columnar (no RDD
+    * boundary, column pruning and whole-stage codegen intact); the
+    * byte-parse needs no per-partition decoder context, so
+    * mapPartitions batching would buy nothing.
     */
   def withDecodedMeta(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields :+ StructField("media_meta", mediaMetaSchema))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // real codecs would init a decoder context here, once per partition
-      rows.map { r =>
-        val (fmt, w, h, n) = decodeOne(r.get(binIdx) match {
-          case b: Array[Byte] => b
-          case null           => null
-        })
-        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, n))
-      }
+    val metaUdf = udf { (bytes: Array[Byte]) =>
+      val (fmt, w, h, n) = decodeOne(bytes)
+      MediaMeta(fmt, w, h, n)
     }
-    spark.createDataFrame(rdd, outSchema)
+    df.withColumn("media_meta", metaUdf(col(binCol)))
   }
 
-  /** Deterministic pseudo-embedding of media bytes (STUB for a real
-    * vision/audio encoder): byte-histogram + hash mixing → `dim`
-    * floats. Codegen-friendly scalar UDF; the real version would be a
-    * batched model call inside mapPartitions.
+  /** REAL pixel decode via the JDK's javax.imageio (PNG, JPEG, GIF,
+    * BMP): grayscale (BT.601 luma) pixels in [0,1], row-major, plus
+    * dims. None for undecodable payloads. A cheap magic-number check
+    * runs first so non-image bytes never pay the ImageIO reader
+    * lookup.
+    */
+  private[graft] def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 4) return None
+    val magicOk =
+      ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') || // png
+        ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) || // jpeg
+        (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') || // gif
+        (bytes(0) == 'B' && bytes(1) == 'M') // bmp
+    if (!magicOk) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Float](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            px(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Media embedding: for ImageIO-decodable images this is a REAL
+    * pixel-content feature — an L2-normalized `dim`-bin luminance
+    * histogram (deterministic, content-sensitive: recolored or
+    * re-exposed images land elsewhere). Undecodable payloads (audio
+    * beyond headers, opaque blobs) fall back to the deterministic
+    * byte-histogram hash — the labelled stand-in for a learned
+    * encoder. Scalar UDF either way: shuffle-free, scan-scaled.
     */
   def embedMediaUdf(dim: Int = 16) = udf { (bytes: Array[Byte]) =>
-    val v = new Array[Float](dim)
-    if (bytes != null && bytes.nonEmpty) {
-      var i = 0
-      while (i < bytes.length) {
-        val d = Dedup.mix64(bytes(i).toLong * 31 + i)
-        v((d % dim).toInt.abs) += 1f / (1 + (i % 7))
-        i += 1
-      }
-      var ss = 0.0
-      v.foreach(x => ss += x * x)
-      val nrm = math.sqrt(ss)
-      if (nrm > 0) { var j = 0; while (j < dim) { v(j) = (v(j) / nrm).toFloat; j += 1 } }
+    decodePixels(bytes) match {
+      case Some((_, _, px)) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < px.length) {
+          val b = math.min(dim - 1, (px(i) * dim).toInt)
+          v(b) += 1f
+          i += 1
+        }
+        l2NormalizeInPlace(v)
+        v
+      case None =>
+        val v = new Array[Float](dim)
+        if (bytes != null && bytes.nonEmpty) {
+          var i = 0
+          while (i < bytes.length) {
+            val d = Dedup.mix64(bytes(i).toLong * 31 + i)
+            v((d % dim).toInt.abs) += 1f / (1 + (i % 7))
+            i += 1
+          }
+          l2NormalizeInPlace(v)
+        }
+        v
     }
-    v
   }
 
-  /** STUB resize: real impl decodes, scales, re-encodes; the stub
-    * truncates/pads deterministically so plumbing (binary in → binary
-    * out, same partitioning) is exercised.
+  private def l2NormalizeInPlace(v: Array[Float]): Unit = {
+    var ss = 0.0
+    v.foreach(x => ss += x.toDouble * x)
+    val nrm = math.sqrt(ss)
+    if (nrm > 0) { var j = 0; while (j < v.length) { v(j) = (v(j) / nrm).toFloat; j += 1 } }
+  }
+
+  /** REAL image resize: decode (javax.imageio), bilinear-scale to
+    * `targetW`×`targetH`, re-encode as PNG. Undecodable payloads pass
+    * through unchanged (resize of non-image bytes is undefined —
+    * filter on `media_meta.format` upstream to control this).
+    */
+  def imageResizeUdf(targetW: Int, targetH: Int) = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) bytes
+        else {
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          baos.toByteArray
+        }
+      } catch { case _: Exception => bytes }
+    }
+  }
+
+  /** Deterministic truncate/pad to `targetBytes` — byte-level
+    * normalization for OPAQUE payloads (kept for plumbing tests and
+    * fixed-width sketches; real image resizing is [[imageResizeUdf]]).
     */
   def resizeStubUdf(targetBytes: Int) = udf { (bytes: Array[Byte]) =>
     if (bytes == null) null

@@ -84,67 +84,79 @@ object Similarity {
   // ------------------------------------------------- all-pairs near-dup
 
   /** Exact all-pairs cosine near-dup (id_a < id_b, cosine ≥ threshold)
-    * via a broadcast self-block: the corpus block (id, vec, norm) is
-    * broadcast once, each partition streams its rows against it in a
-    * primitive loop and emits ONLY the matching pairs — the O(n²)
-    * score work never materializes as rows, no shuffle at all until
-    * the (tiny) result. This is the single-block case of the standard
-    * blocked all-pairs scheme; at corpus sizes beyond one broadcast
-    * block, split the smaller side into B broadcast blocks and union B
-    * passes (cost O(n²/B) memory, same total compute), or switch to
-    * the SRP-LSH variant in [[graft.operators.Dedup.embeddingNearDupPairs]].
+    * via BLOCKED broadcast passes — the standard blocked all-pairs
+    * scheme: the corpus is split into B = ⌈n / maxBlockRows⌉ blocks by
+    * id modulo; pass j broadcasts block j's (id, vec, norm) triples
+    * (≈ n/B rows — bounded driver/executor memory regardless of corpus
+    * size) and streams the FULL corpus against it in a primitive loop,
+    * emitting only the matching pairs. A pair (a < b) is produced
+    * exactly once, in the pass owning b's block. The O(n²) score work
+    * never materializes as rows and there is no shuffle until the
+    * (tiny) verified result; total cost is B corpus scans + the same
+    * O(n²) flops as any exact method. For corpora where even B passes
+    * are too hot, the scale default is the SRP-LSH variant in
+    * [[graft.operators.Dedup.embeddingNearDupPairs]].
     *
     * Accumulates dot/norms in DOUBLE left-to-right — bit-equal to the
-    * DuckDB oracle's list_cosine_similarity on DOUBLE[].
+    * DuckDB oracle's list_cosine_similarity on DOUBLE[] (the blocking
+    * never changes per-pair operation order).
     */
   def bruteForceNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
+      maxBlockRows: Int = 1 << 20,
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val block = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
-    val ids = block.map(_._1)
-    val vecs = block.map(_._2)
-    val norms = vecs.map { v =>
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(ss)
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val idIndex = ids.zipWithIndex.toMap
-    val bcIdx = spark.sparkContext.broadcast(idIndex)
-    corpus
+    val src = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, vec) =>
+    val n = src.count()
+    val numBlocks = math.max(1L, (n + maxBlockRows - 1) / maxBlockRows).toInt
+    val typed = src.as[(Long, Array[Float])]
+    val passes = (0 until numBlocks).map { blockIdx =>
+      val block = typed
+        .filter(pmod(col("id"), lit(numBlocks)) === blockIdx)
+        .collect()
+        .sortBy(_._1)
+      val ids = block.map(_._1)
+      val vecs = block.map(_._2)
+      val norms = vecs.map { v =>
+        var ss = 0.0; var i = 0
+        while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(ss)
+      }
+      val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+      typed.flatMap { case (id, vec) =>
         val (bIds, bVecs, bNorms) = bc.value
-        val selfIdx = bcIdx.value(id)
+        // first block slot with a LARGER id (ids sorted): binary search
+        var lo = 0
+        var hi = bIds.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bIds(mid) <= id) lo = mid + 1 else hi = mid
+        }
         var myNorm = 0.0
         var i = 0
         while (i < vec.length) { myNorm += vec(i).toDouble * vec(i).toDouble; i += 1 }
         myNorm = math.sqrt(myNorm)
         val out = Seq.newBuilder[(Long, Long, Double)]
-        var j = selfIdx + 1
+        var j = lo
         while (j < bIds.length) {
           val other = bVecs(j)
           var dot = 0.0
           var k = 0
-          val n = math.min(vec.length, other.length)
-          while (k < n) { dot += vec(k).toDouble * other(k).toDouble; k += 1 }
+          val m = math.min(vec.length, other.length)
+          while (k < m) { dot += vec(k).toDouble * other(k).toDouble; k += 1 }
           val cos = dot / (myNorm * bNorms(j))
           if (cos >= threshold) out += ((id, bIds(j), cos))
           j += 1
         }
         out.result()
       }
-      .toDF("id_a", "id_b", "cosine")
+    }
+    passes.reduce(_ union _).toDF("id_a", "id_b", "cosine")
   }
 
   // --------------------------------------------------------- brute force knn
@@ -211,11 +223,7 @@ object Similarity {
   final case class IvfModel(centroids: Array[Array[Float]]) {
     def nearestCentroid(v: Seq[Float]): Int = IvfModel.nearest(centroids, v)
     def nearestCentroids(v: Seq[Float], nprobe: Int): Seq[Int] =
-      centroids.indices
-        .map(i => (IvfModel.negCos(centroids(i), v), i))
-        .sorted
-        .take(nprobe)
-        .map(_._2)
+      IvfModel.nearestK(centroids, v, nprobe)
   }
 
   object IvfModel {
@@ -236,6 +244,16 @@ object Similarity {
       }
       best
     }
+
+    /** The `k` nearest centroid indices by cosine — static so per-row
+      * probing allocates no model wrapper.
+      */
+    private[operators] def nearestK(cs: Array[Array[Float]], v: Seq[Float], k: Int): Seq[Int] =
+      cs.indices
+        .map(i => (negCos(cs(i), v), i))
+        .sorted
+        .take(k)
+        .map(_._2)
   }
 
   /** Train IVF centroids on ≤ `sampleRows` vectors (Lloyd's k-means,
@@ -293,6 +311,13 @@ object Similarity {
     * cells per query (equi-join on cell id — hash join, no cartesian),
     * then the same bounded-heap top-k. Recall < 1 by construction;
     * raise nprobe to trade cost for recall.
+    *
+    * `broadcastQueries = true` (default) broadcasts the probed query
+    * set — right whenever queries ≪ corpus. For HUGE query sets (a
+    * full corpus-vs-corpus kNN) pass `false`: both sides then
+    * hash-partition BY CELL and the join is shuffle-local, so neither
+    * side needs to fit in one executor — the last broadcast bound on
+    * this path is gone.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -302,11 +327,12 @@ object Similarity {
       k: Int,
       model: IvfModel,
       nprobe: Int = 4,
+      broadcastQueries: Boolean = true,
   ): DataFrame = {
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
     val probeUdf = udf { (v: Seq[Float]) =>
-      IvfModel(bcCentroids.value).nearestCentroids(v, nprobe)
+      IvfModel.nearestK(bcCentroids.value, v, nprobe)
     }
     val assigned = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -318,8 +344,10 @@ object Similarity {
       col(vecCol).as("qvec"),
       explode(probeUdf(col(vecCol))).as("cell"),
     )
-    val scored = assigned
-      .join(broadcast(probed), "cell")
+    val joined =
+      if (broadcastQueries) assigned.join(broadcast(probed), "cell")
+      else assigned.repartition(col("cell")).join(probed.repartition(col("cell")), "cell")
+    val scored = joined
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),

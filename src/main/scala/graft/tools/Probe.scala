@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc perf probe: time a subset of SparkEntry queries, or stage
+  * breakdowns of operator internals (local iteration only; the
+  * driver-facing bench is [[graft.Bench]]).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.entry(spark).count() // warm-up
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    if (names.contains("mh_stages")) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val numHashes = 128; val bands = 32; val shingleSize = 3
+      val r = numHashes / bands
+      val prep = udf { (text: String) =>
+        val bases = graft.operators.Dedup.wordShingles(text, shingleSize)
+          .map(graft.operators.Dedup.fnv64)
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        bases.foreach { base =>
+          var i = 0
+          while (i < numHashes) {
+            val h = graft.operators.Dedup.mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (sig, bases.map(graft.operators.Dedup.mix64).distinct.sorted)
+      }
+      val sets = docs
+        .select(col("doc_id").as("id"), prep(col("text")).as("p"))
+        .select(col("id"), col("p._1").as("sig"), col("p._2").as("grams"))
+        .where(size(col("grams")) > 0)
+        .persist()
+      timed("prep+persist")(sets.count())
+      val banded = sets.select(
+        col("id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))")).as("bucket"))
+      timed("banded count")(println("[probe] banded=" + banded.count()))
+      val counts = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
+      val keptB = counts.where(col("n").between(2, 1000)).select("bucket")
+      val kept = banded.join(keptB, "bucket")
+      val raw = kept.select(col("bucket"), col("id").as("id_a"))
+        .join(kept.select(col("bucket"), col("id").as("id_b")), "bucket")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      timed("raw pairs")(println("[probe] raw=" + raw.count()))
+      val pairs = raw.distinct()
+      timed("distinct pairs")(println("[probe] distinct=" + pairs.count()))
+      val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
+      val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
+      val out = pairs.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+        .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .where(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      timed("verify")(println("[probe] verified=" + out.count()))
+      spark.stop()
+      return
+    }
+
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .foreach { case (name, fn) =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $name: best=${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      }
+    spark.stop()
+  }
+}

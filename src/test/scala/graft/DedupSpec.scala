@@ -163,4 +163,37 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3, threshold = 0.1, maxBucketSize = 10)
     assert(pairs.count() == 0L)
   }
+
+  test("mega-bucket: oversized bucket never materializes, other buckets still pair") {
+    // one boilerplate sentence shared by EVERY doc → its shingle buckets
+    // are far over the cap (the 100 TB skew scenario: with the old
+    // collect_set path this built a 2000-id array in one agg buffer);
+    // docs 1 and 2 are identical beyond the boilerplate, so their pair
+    // must still surface through their OTHER (small) shared buckets.
+    val boiler = "this content is provided as is without warranty of any kind either express or implied"
+    val unique = "zebra quokka wombat numbat dingo bilby kookaburra platypus echidna bandicoot"
+    val docs = (1L to 2000L).map {
+      case i if i <= 2 => (i, s"$boiler $unique")
+      case i           => (i, s"$boiler only$i filler$i words$i")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, maxBucketSize = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"identical pair lost to the skew cap: $pairs")
+    // observability: the cap must be reporting the dropped boilerplate buckets
+    val shingleHash = org.apache.spark.sql.functions.udf { (t: String) =>
+      Dedup.wordShingles(t, 3).map(s => Dedup.mix64(Dedup.fnv64(s))).distinct.sorted
+    }
+    val buckets = docs.select(col("doc_id").as("id"), explode(shingleHash(col("text"))).as("bucket"))
+    assert(Dedup.droppedBucketStats(buckets, 50).count() > 0)
+  }
+
+  test("short documents (< n tokens) have no shingles and never pair") {
+    val shorts = Seq((1L, "hello world"), (2L, "hello world"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text", n = 3, threshold = 0.1).count() == 0L)
+    assert(Dedup.minHashNearDupPairs(shorts, "doc_id", "text", threshold = 0.1).count() == 0L)
+    assert(Dedup.wordShingles("a b", 3).isEmpty)
+  }
 }

@@ -128,6 +128,99 @@ class MlFunctionsSpec extends SparkTestBase {
     assert(p.length == 1 && !p.head.isNaN)
   }
 
+  test("autompg.test SQL shape verbatim: ml_train over the relation yields 392 arity-1 prediction rows") {
+    MlFunctions.registerAll(spark)
+    val autompg = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(autoMpgCsv)
+    val featureCols = Seq("cylinders", "displacement", "horsepower", "weight", "acceleration")
+    Macros.minMaxScale(autompg, featureCols :+ "mpg")
+      .select(
+        array(featureCols.map(c => col(c).cast("float")): _*).as("features"),
+        array(col("mpg").cast("float")).as("targets"),
+      )
+      .createOrReplaceTempView("train_data")
+    spark.sql(
+      """SELECT ml_create('mpg_sql', '{"layers":[{"in":5,"out":16,"activation":"relu"},{"in":16,"out":1}]}')""",
+    ).collect()
+    // the reference's SELECT ml_train(...) FROM train_data returns one
+    // prediction list PER ROW (src/lib.rs:175-176, autompg.test:16,22);
+    // trainSql reproduces that shape: aggregate-train → republish → ml_pred
+    val preds = MlFunctions.trainSql(
+      spark, "mpg_sql", "train_data", "features", "targets",
+      configJson = """{"epochs":5,"seed":42}""",
+    ).collect()
+    assert(preds.length == 392, s"expected 392 prediction rows, got ${preds.length}")
+    assert(preds.forall(r => r.getSeq[Float](0).length == 1), "each prediction must be arity 1")
+    assert(preds.forall(r => !r.getSeq[Float](0).head.isNaN))
+  }
+
+  test("SQL 3-arg ml_create restores saved weights from pure SQL (reference src/lib.rs:76-83)") {
+    MlFunctions.registerAll(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sqlwp").toString
+    MlFunctions.create(spark, "sqlwp", """{"layers":[{"in":2,"out":1}]}""")
+    val m = ModelRegistry.get("sqlwp").get
+    ModelRegistry.saveWeights(m, tmp)
+    ModelRegistry.remove("sqlwp")
+    val ok = spark.sql(s"SELECT ml_create('sqlwp', '', '$tmp') AS s").head().getString(0)
+    assert(ok == "Ok")
+    val restored = ModelRegistry.get("sqlwp").get
+    assert(restored.predict(Array(1f, 2f)).sameElements(m.predict(Array(1f, 2f))))
+    // 2-arg form still dispatches through the same registered name
+    val ok2 = spark
+      .sql("""SELECT ml_create('sqlwp2', '{"layers":[{"in":1,"out":1}]}') AS s""")
+      .head()
+      .getString(0)
+    assert(ok2 == "Ok" && ModelRegistry.get("sqlwp2").isDefined)
+  }
+
+  test("saveWeights retains prior checkpoints; loadLatest picks the newest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    MlFunctions.create(spark, "hist_model", """{"layers":[{"in":1,"out":1}]}""")
+    val m1 = ModelRegistry.get("hist_model").get
+    val d1 = ModelRegistry.saveWeights(m1, tmp)
+    // mutate and save again under a later timestamp
+    val m2 = m1.copyOf()
+    m2.layers.head.w(0) += 5f
+    Thread.sleep(1100) // timestamp resolution is seconds
+    val d2 = ModelRegistry.saveWeights(m2, tmp)
+    assert(java.nio.file.Files.exists(d1.resolve("weights.json")), "history must be retained")
+    assert(java.nio.file.Files.exists(d2.resolve("weights.json")))
+    assert(d1 != d2)
+    val loaded = ModelRegistry.loadLatest("hist_model", tmp).get
+    assert(loaded.predict(Array(3f)).sameElements(m2.predict(Array(3f))), "newest wins")
+  }
+
+  test("trainDistributed propagates BatchNorm running stats (eval-mode inference works)") {
+    val rng = new scala.util.Random(29)
+    // feature scale deliberately far from N(0,1) so init running stats
+    // (mean 0, var 1) produce garbage if not propagated
+    val rows = (0 until 2000).map { _ =>
+      val f = Seq.fill(3)(50f + 10f * rng.nextFloat())
+      (f, Seq(0.02f * f(0) - 0.01f * f(1) + 0.005f * f(2)))
+    }
+    val df = rows.toDF("f", "t").repartition(4)
+    MlFunctions.create(
+      spark,
+      "bn_dist",
+      """{"layers":[{"in":3,"out":16,"activation":"relu","batch_norm":true},{"in":16,"out":1}]}""",
+    )
+    val out = MlFunctions.trainDistributed(
+      df, "bn_dist", $"f", $"t",
+      """{"epochs":150,"learning_rate":0.02,"seed":42}""",
+      log = _ => (),
+    )
+    val mse = out
+      .select(avg(pow(element_at($"prediction", 1) - element_at($"t", 1), 2)))
+      .as[Double]
+      .head()
+    val bn = ModelRegistry.get("bn_dist").get.layers.head.bn.get
+    assert(bn.runningMean.exists(m => math.abs(m) > 1.0),
+      "running mean must reflect the (shifted) data, not init zeros")
+    assert(mse < 0.05, s"eval-mode BN inference should fit after stats fold: mse=$mse")
+  }
+
   test("ml_create with weightsPath restores saved weights (fixed 3-arg semantics)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-wp").toString
     MlFunctions.create(spark, "wp_model", """{"layers":[{"in":2,"out":1}]}""")

