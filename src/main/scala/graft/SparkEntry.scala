@@ -569,6 +569,86 @@ object SparkEntry {
       )
       .orderBy("doc_id")
 
+  /** PII redaction over documents — oracle-checkable because the
+    * patterns are restricted to Java-regex/RE2-identical syntax.
+    */
+  private def q31PiiRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .redactPii(load(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("redacted"), col("pii_found"))
+      .orderBy("doc_id")
+
+  private val q31Oracle = {
+    val e = TextAnalysis.EmailRe
+    val i = TextAnalysis.Ipv4Re
+    val p = TextAnalysis.PhoneRe
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '[EMAIL]', 'g'),
+       |    '$i', '[IP]', 'g'),
+       |    '$p', '[PHONE]', 'g') AS redacted,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '[EMAIL]', 'g'),
+       |    '$i', '[IP]', 'g'),
+       |    '$p', '[PHONE]', 'g') <> text AS pii_found
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Context-window chunking (64-token windows, stride 48) — the
+    * pre-training segmentation fan-out, fully codegen (no UDF).
+    */
+  private def q32ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .chunkTokens(load(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q32Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    unnest(range(0, CASE WHEN len(w) = 0 THEN 0 ELSE (len(w) - 1) // 48 + 1 END)) AS i
+      |  FROM t)
+      |SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(w[(i*48 + 1):least(i*48 + 64, len(w))], ' ') AS chunk_text,
+      |  least(i*48 + 64, len(w)) - i*48 AS n_chunk_tokens
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Deterministic content-addressed sample (md5 prefix '0' ≈ 1/16)
+    * with a per-language rollup — reproducible-subcorpus primitive.
+    */
+  private def q33ContentSample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .contentSample(load(s, dir, "documents"), "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  private val q33Oracle =
+    """SELECT lang, count(*) AS n_docs
+      |FROM documents
+      |WHERE substr(md5(text), 1, 1) = '0'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-language corpus statistics rollup — the corpus report. */
+  private def q34CorpusStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .corpusStats(load(s, dir, "documents"), "text", Seq("lang"))
+      .orderBy("lang")
+
+  private val q34Oracle =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END) AS BIGINT)
+      |    AS total_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) END) AS DOUBLE)
+      |    / count(*) AS mean_tokens_per_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -684,6 +764,10 @@ object SparkEntry {
     "q28_brand_revenue" -> (q28BrandRevenue _),
     "q29_dedup_winnow" -> (q29DedupWinnow _),
     "q30_session_windows" -> (q30SessionWindows _),
+    "q31_pii_redact" -> (q31PiiRedact _),
+    "q32_chunk_windows" -> (q32ChunkWindows _),
+    "q33_content_sample" -> (q33ContentSample _),
+    "q34_corpus_stats" -> (q34CorpusStats _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -714,5 +798,9 @@ object SparkEntry {
     "q23_text_stats" -> q23Oracle,
     "q28_brand_revenue" -> q28Oracle,
     "q30_session_windows" -> q30Oracle,
+    "q31_pii_redact" -> q31Oracle,
+    "q32_chunk_windows" -> q32Oracle,
+    "q33_content_sample" -> q33Oracle,
+    "q34_corpus_stats" -> q34Oracle,
   )
 }

@@ -67,20 +67,44 @@ object Dedup {
     * signature while verification does exact set algebra on the
     * precomputed hashes — text is parsed exactly once and the wide
     * text column never joins or shuffles again.
+    *
+    * The signature is ONE-PERMUTATION hashing with rotation
+    * densification (Li/Owen/Zhang NIPS'12; Shrivastava's densified
+    * OPH): each shingle is hashed ONCE and routed to bucket
+    * `h mod numHashes`, keeping the per-bucket minimum; empty buckets
+    * borrow (rotationally) from the next non-empty one so banding
+    * never sees sentinel values. Same collision statistics as classic
+    * k-permutation MinHash for banding purposes at 1/numHashes of the
+    * hashing cost — the signature pass IS the dominant cost of this
+    * operator at corpus scale, and any false positives the
+    * densification adds are killed by the exact-Jaccard verify.
     */
   private def minHashPrepUdf(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
-      val bases = wordShingles(text, shingleSize).map(fnv64)
+      val grams = wordShingles(text, shingleSize).map(s => mix64(fnv64(s))).distinct.sorted
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      bases.foreach { base =>
-        var i = 0
-        while (i < numHashes) {
-          val h = mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
-          if (h < sig(i)) sig(i) = h
-          i += 1
+      var i = 0
+      while (i < grams.length) {
+        val h = grams(i)
+        val bin = java.lang.Long.remainderUnsigned(h, numHashes).toInt
+        if (h < sig(bin)) sig(bin) = h
+        i += 1
+      }
+      // rotation densification: empty bins copy the next filled bin
+      // (mixed with the hop distance so distinct gaps stay distinct)
+      if (grams.nonEmpty) {
+        var b = 0
+        while (b < numHashes) {
+          if (sig(b) == Long.MaxValue) {
+            var hops = 1
+            var j = (b + 1) % numHashes
+            while (sig(j) == Long.MaxValue) { j = (j + 1) % numHashes; hops += 1 }
+            sig(b) = mix64(sig(j) + hops)
+          }
+          b += 1
         }
       }
-      (sig, bases.map(mix64).distinct.sorted)
+      (sig, grams)
     }
 
   /** Candidate pairs whose MinHash signatures collide in ≥1 of

@@ -209,6 +209,98 @@ object Multimodal {
     }
   }
 
+  /** Typed audio features row (nullable column when undecodable). */
+  final case class AudioMeta(
+      sample_rate: Int,
+      channels: Int,
+      duration_sec: Double,
+      rms: Double,
+      zero_cross_rate: Double,
+      peak: Double,
+  )
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * PCM — no external codec): format header + signal statistics of
+    * the first channel (RMS level, zero-crossing rate ≈ 2·f/sr for a
+    * tone, peak amplitude), samples normalized to [-1, 1]. Frames
+    * processed are capped at `maxFrames` so a pathological payload
+    * cannot stall a task. None for undecodable payloads (magic-number
+    * fast-path first).
+    */
+  private[graft] def decodeAudioStats(
+      bytes: Array[Byte],
+      maxFrames: Int = 1 << 22,
+  ): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    val riff = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
+    val aiff = bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M'
+    val au = bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'
+    if (!riff && !aiff && !au) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if ((bits != 16 && bits != 8) ||
+        (!signed && fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED))
+        return None
+      val channels = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      val totalFrames = in.getFrameLength
+      val framesToRead = math.min(totalFrames, maxFrames.toLong).toInt
+      val buf = new Array[Byte](framesToRead * frameSize)
+      var off = 0
+      var eof = false
+      while (off < buf.length && !eof) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n <= 0) eof = true else off += n
+      }
+      val frames = off / frameSize
+      val big = fmt.isBigEndian
+      var sumSq = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      var f = 0
+      while (f < frames) {
+        val base = f * frameSize // channel 0 sample leads each frame
+        val sample =
+          if (bits == 16) {
+            val lo = buf(base + (if (big) 1 else 0)) & 0xff
+            val hi = buf(base + (if (big) 0 else 1))
+            ((hi << 8) | lo).toShort / 32768.0
+          } else {
+            if (signed) buf(base) / 128.0 else ((buf(base) & 0xff) - 128) / 128.0
+          }
+        sumSq += sample * sample
+        val a = math.abs(sample)
+        if (a > peak) peak = a
+        val sign = if (sample > 0) 1 else if (sample < 0) -1 else prevSign
+        if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        f += 1
+      }
+      if (frames == 0) return None
+      Some(AudioMeta(
+        fmt.getSampleRate.toInt,
+        channels,
+        totalFrames / fmt.getSampleRate.toDouble,
+        math.sqrt(sumSq / frames),
+        crossings.toDouble / frames,
+        peak,
+      ))
+    } catch { case _: Exception => None }
+  }
+
+  /** Add a nullable `audio_meta` struct decoded from `binCol` —
+    * scalar UDF, scan stays columnar; null for non-audio payloads.
+    */
+  def withAudioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val audioUdf = udf { (bytes: Array[Byte]) => decodeAudioStats(bytes) }
+    df.withColumn("audio_meta", audioUdf(col(binCol)))
+  }
+
   /** Deterministic truncate/pad to `targetBytes` — byte-level
     * normalization for OPAQUE payloads (kept for plumbing tests and
     * fixed-width sketches; real image resizing is [[imageResizeUdf]]).

@@ -227,4 +227,114 @@ object TextAnalysis {
   def withFingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", contentFingerprintUdf(col(textCol)))
       .withColumn("winnow_sig", winnowingUdf()(col(textCol)))
+
+  // ----------------------------------------------------------- pii redaction
+
+  /** PII patterns restricted to syntax whose semantics are IDENTICAL
+    * in Java regex (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded/greedy quantifiers, `\b`, `\d` — no lookaround,
+    * no backrefs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d\\b"
+
+  /** PII redaction — the standard pre-training scrub: emails, IPv4
+    * addresses, then phone-like digit runs replaced by typed
+    * placeholders (order matters and is part of the contract: IPs are
+    * redacted before the phone pass can eat their digits). Pure
+    * codegen regexp_replace, shuffle-free, scan-scaled.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val r = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+    df.withColumn("redacted", r).withColumn("pii_found", r =!= col(textCol))
+  }
+
+  // --------------------------------------------------------------- chunking
+
+  /** Context-window chunking: each document becomes token windows of
+    * `window` whitespace tokens advancing by `stride` (overlapping
+    * when stride < window) — the standard pre-training segmentation.
+    * All codegen expressions (split/sequence/transform/slice — no
+    * UDF); fan-out is explicit via posexplode so downstream row
+    * counts are plannable. Output: (id, chunk_idx, chunk_text,
+    * n_chunk_tokens); the final (possibly short) window starts at the
+    * last stride offset < token count.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int,
+  ): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(
+        col(idCol),
+        expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x != '')").as("w"),
+      )
+      .withColumn(
+        "nchunks",
+        when(size(col("w")) === 0, lit(0))
+          .otherwise(expr(s"(size(w) - 1) div $stride").cast("int") + 1),
+      )
+      .select(
+        col(idCol),
+        col("w"),
+        posexplode(
+          expr(
+            s"""CASE WHEN nchunks = 0 THEN CAST(array() AS array<string>)
+               |ELSE transform(sequence(0, nchunks - 1),
+               |  i -> array_join(slice(w, i * $stride + 1, least($window, size(w) - i * $stride)), ' '))
+               |END""".stripMargin,
+          ),
+        ).as(Seq("chunk_idx", "chunk_text")),
+      )
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("chunk_text"),
+        least(lit(window), size(col("w")) - col("chunk_idx") * stride)
+          .cast("bigint")
+          .as("n_chunk_tokens"),
+      )
+  }
+
+  // ------------------------------------------------------- content sampling
+
+  /** Deterministic content-addressed Bernoulli sample: keep rows whose
+    * md5(text) starts with one of `keepPrefixes` (fraction =
+    * |prefixes|/16 per hex char). Unlike `rand(seed)` this is stable
+    * across engines, partitionings, reruns and cluster sizes — the
+    * reproducible-subcorpus primitive for ablation runs. Filter
+    * pushes to the scan; no shuffle.
+    */
+  def contentSample(
+      df: DataFrame,
+      textCol: String,
+      keepPrefixes: Seq[String] = Seq("0"),
+  ): DataFrame =
+    df.where(substring(md5(col(textCol)), 1, 1).isInCollection(keepPrefixes))
+
+  // --------------------------------------------------------- corpus rollup
+
+  /** Per-group corpus statistics (docs, tokens, chars, mean doc
+    * length) — the corpus report a data pipeline emits per language /
+    * source / shard. One hash aggregation with map-side partials;
+    * decimal-free (counts and integer sums are order-independent as
+    * is, the one ratio is computed from exact sums).
+    */
+  def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("bigint")).as("total_tokens"),
+        sum(length(col(textCol)).cast("bigint")).as("total_chars"),
+        (sum(tokenCount(col(textCol)).cast("bigint")).cast("double") / count(lit(1)))
+          .as("mean_tokens_per_doc"),
+      )
 }

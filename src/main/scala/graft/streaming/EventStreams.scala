@@ -128,6 +128,50 @@ object EventStreams {
       )
   }
 
+  /** Event-time (watermark-driven) flavor of [[sessionizeStream]]:
+    * identical session assignment, but idle state expires when the
+    * WATERMARK passes lastSeen + gap, not after wall-clock idleness —
+    * so replaying historical data cannot mass-expire live sessions,
+    * bounded inputs quiesce cleanly (no processing-time re-batches),
+    * and state size is governed by event-time progress. The watermark
+    * is applied here on `ts` with `watermarkDelay` lateness.
+    */
+  def sessionizeStreamEventTime(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              val ms = e.ts.getTime
+              s =
+                if (s.lastMs == Long.MinValue || ms - s.lastMs > gapSeconds * 1000)
+                  SessionState(s.sessionSeq + 1, ms, 1L)
+                else SessionState(s.sessionSeq, ms, s.count + 1)
+              SessionAssignment(e.event_id, userId, s.sessionSeq)
+            }
+            state.update(s)
+            // expire once the watermark passes the session gap; the
+            // timestamp must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapSeconds * 1000, state.getCurrentWatermarkMs + 1),
+            )
+            out.iterator
+          }
+        },
+      )
+  }
+
   /** Event-time sessionization: watermark-driven session WINDOWS via
     * `session_window` — Spark's native gap-based session aggregation.
     * Emits one row per closed session (user, start, end, event count,

@@ -82,6 +82,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization equals batch (state pruned by watermark, not wall clock)") {
+    val batch = EventStreams
+      .sessionize(Tables.events(spark, Sf0001))
+      .select($"event_id", $"session_seq")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams
+      .sessionizeStreamEventTime(stream, watermarkDelay = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("sessions_et_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("sessions_et_stream")
+        .select($"event_id", $"session_seq")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
     val batchSessions = EventStreams
       .sessionWindows(Tables.events(spark, Sf0001), watermark = None)

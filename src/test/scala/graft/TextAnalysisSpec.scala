@@ -79,6 +79,67 @@ class TextAnalysisSpec extends SparkTestBase {
       "near-identical docs share most winnow fingerprints")
   }
 
+  test("redactPii: emails, IPs, phone runs replaced; clean prose untouched") {
+    val df = Seq(
+      (1L, "contact alice.smith+spam@example-corp.co.uk for details"),
+      (2L, "server at 192.168.1.254 responded"),
+      (3L, "call +1 (555) 123-4567 or 020 7946 0958 today"),
+      (4L, "perfectly ordinary prose without identifiers"),
+      (5L, "mixed: bob@test.io from 10.0.0.1 dialed 5551234567"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "redacted", "pii_found")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._1 == "contact [EMAIL] for details", out(1L)._1)
+    assert(out(2L)._1 == "server at [IP] responded", out(2L)._1)
+    assert(out(3L)._1.contains("[PHONE]") && !out(3L)._1.exists(_.isDigit), out(3L)._1)
+    assert(out(4L) == ("perfectly ordinary prose without identifiers", false))
+    assert(out(5L)._1 == "mixed: [EMAIL] from [IP] dialed [PHONE]", out(5L)._1)
+    assert(out.filterKeys(_ != 4L).values.forall(_._2), "pii_found must flag redacted rows")
+  }
+
+  test("chunkTokens: overlapping windows cover every token, last chunk short") {
+    // 10 tokens, window 4, stride 3 → starts 1,4,7,10 → 4 chunks, sizes 4,4,4,1
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "only two")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 4, d1.mkString("; "))
+    assert(d1(0)._3 == "t1 t2 t3 t4" && d1(0)._4 == 4L)
+    assert(d1(1)._3 == "t4 t5 t6 t7", "stride 3 < window 4 must overlap one token")
+    assert(d1(3)._3 == "t10" && d1(3)._4 == 1L, "short tail chunk")
+    assert(!out.exists(_._1 == 2L), "empty doc yields no chunks")
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("only two"))
+  }
+
+  test("contentSample: deterministic, fraction ≈ prefixes/16, stable across reruns") {
+    val df = (1 to 1600).map(i => (i.toLong, s"document number $i with some content")).toDF("doc_id", "text")
+    val once = TextAnalysis.contentSample(df, "text").select("doc_id").as[Long].collect().toSet
+    val twice = TextAnalysis.contentSample(df, "text").select("doc_id").as[Long].collect().toSet
+    assert(once == twice, "content sample must be deterministic")
+    assert(once.size > 40 && once.size < 160, s"~1/16 of 1600 expected, got ${once.size}")
+    val half = TextAnalysis.contentSample(df, "text", keepPrefixes = "01234567".map(_.toString))
+    assert(math.abs(half.count() - 800L) < 120, "8/16 prefixes ≈ half")
+  }
+
+  test("corpusStats: per-group token/char totals with exact mean") {
+    val df = Seq(
+      ("en", "one two three"),
+      ("en", "four five"),
+      ("de", "eins"),
+    ).toDF("lang", "text")
+    val out = TextAnalysis.corpusStats(df, "text", Seq("lang"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("en") == ((2L, 5L, 22L, 2.5)), out("en").toString)
+    assert(out("de") == ((1L, 1L, 4L, 1.0)))
+  }
+
   test("multimodal: real header decode (png IHDR, jpeg SOF, gif, wav) + stub plumbing shapes") {
     // real 640×480 PNG header: magic + IHDR chunk
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
@@ -163,5 +224,44 @@ class TextAnalysisSpec extends SparkTestBase {
     // no RDD scan boundary: the plan stays columnar (VERDICT r01 item 8)
     val plan = Multimodal.withDecodedMeta(df, "payload").queryExecution.executedPlan.toString
     assert(!plan.contains("ExistingRDD"), s"expected no RDD boundary in:\n$plan")
+  }
+
+  /** 16-bit mono PCM WAV of a sine tone, via the JDK encoder. */
+  private def wavBytes(sampleRate: Int, seconds: Double, freq: Double, amp: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toInt.toShort
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("multimodal real audio: WAV PCM decodes to physical signal statistics") {
+    val tone = wavBytes(8000, 0.25, freq = 440.0, amp = 0.5)
+    val Some(m) = Multimodal.decodeAudioStats(tone)
+    assert(m.sample_rate == 8000 && m.channels == 1)
+    assert(math.abs(m.duration_sec - 0.25) < 0.01, s"duration ${m.duration_sec}")
+    // sine RMS = amp/√2; zero crossings = 2 per period → 2·f/sr
+    assert(math.abs(m.rms - 0.5 / math.sqrt(2)) < 0.02, s"rms ${m.rms}")
+    assert(math.abs(m.zero_cross_rate - 2 * 440.0 / 8000) < 0.02, s"zcr ${m.zero_cross_rate}")
+    assert(math.abs(m.peak - 0.5) < 0.02, s"peak ${m.peak}")
+    // distributed path: audio rows get the struct, non-audio rows null
+    val df = Seq((1L, tone), (2L, "not audio at all".getBytes)).toDF("id", "payload")
+    val out = Multimodal.withAudioFeatures(df, "payload")
+      .select($"id", $"audio_meta.sample_rate".as("sr"), $"audio_meta".isNull.as("is_null"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((8000, false)))
+    assert(out(2L)._2, "non-audio payload must decode to null")
   }
 }
