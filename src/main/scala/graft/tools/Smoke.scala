@@ -90,6 +90,23 @@ object Smoke {
       .collect()
       .head
     println(f"full-relation train MSE: $mse%.6f")
+
+    // trainSql: the reference's per-row ml_train return shape — one
+    // prediction list per input row out of a pure-SQL flow
+    val sqlPreds = MlFunctions
+      .trainSql(spark, "mpg_model", "li_feats", "features", "targets",
+        configJson = """{"epochs":1,"batch_size":256}""")
+      .where(size(col("prediction")) === 1)
+      .count()
+    println(s"trainSql per-row predictions: $sqlPreds")
+
+    // pipeline-operator sweep over documents (the q31-q34 surface)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val redacted = graft.operators.TextAnalysis.redactPii(docs, "text").where(col("pii_found")).count()
+    val chunks = graft.operators.TextAnalysis.chunkTokens(docs, "doc_id", "text", 64, 48).count()
+    val sampled = graft.operators.TextAnalysis.contentSample(docs, "text").count()
+    val langs = graft.operators.TextAnalysis.corpusStats(docs, "text", Seq("lang")).count()
+    println(s"pipeline sweep: pii_rows=$redacted chunks=$chunks sampled=$sampled lang_groups=$langs")
     spark.stop()
   }
 }
