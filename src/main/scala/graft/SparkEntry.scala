@@ -649,6 +649,26 @@ object SparkEntry {
       |    / count(*) AS mean_tokens_per_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Full corpus-preparation composition (filter → redact → dedup →
+    * chunk) — rows-only (MinHash stage is engine-internal); stage
+    * semantics are each oracle-checked individually (q15/q18/q23/q31/
+    * q32) and the composition is asserted in CorpusPipelineSpec.
+    */
+  private def q35CorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline
+      .prepare(
+        load(s, dir, "documents"),
+        "doc_id",
+        "text",
+        langs = Seq("en", "de", "fr", "es", "it"),
+        langCol = Some("lang"),
+        minQuality = 0.2,
+        jaccardThreshold = 0.7,
+        window = 128,
+        stride = 128,
+      )
+      .orderBy("doc_id", "chunk_idx")
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -768,6 +788,7 @@ object SparkEntry {
     "q32_chunk_windows" -> (q32ChunkWindows _),
     "q33_content_sample" -> (q33ContentSample _),
     "q34_corpus_stats" -> (q34CorpusStats _),
+    "q35_corpus_pipeline" -> (q35CorpusPipeline _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val prose =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill " +
+      "in the afternoon sun and birds sing in the garden trees near the old stone wall today"
+
+  test("prepare: filters, redacts, dedups, chunks — only clean canonical content survives") {
+    val docs = Seq(
+      (1L, prose), // keeper
+      (2L, prose), // exact dup of 1 → dropped
+      (3L, prose.replace("afternoon", "morning")), // near-dup of 1 → dropped
+      (4L, "der hund und die katze sind nicht mit dem mann im haus heute hier"), // non-en → dropped
+      (5L, "123 456 789 012 345 678 901 234 567 890 111 222 333 444"), // digit soup → dropped
+      (6L, "write to agent.k@example.com when the river boats arrive at the northern harbor " +
+        "carrying crates of winter apples and the merchants open their stalls before sunrise " +
+        "to trade with travelers from the eastern villages"), // keeper, PII redacted
+    ).toDF("doc_id", "text")
+
+    val out = CorpusPipeline
+      .prepare(docs, "doc_id", "text", langs = Seq("en"), minQuality = 0.3,
+        jaccardThreshold = 0.6, window = 16, stride = 16)
+      .collect()
+
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(1L, 6L), s"survivors: ${byDoc.keySet}")
+    val allText = out.map(_.getString(2)).mkString(" ")
+    assert(!allText.contains("agent.k@example.com"), "PII must be redacted")
+    assert(allText.contains("[EMAIL]"))
+    // chunking contract: every chunk ≤ window tokens, indexes contiguous
+    assert(out.forall(_.getLong(3) <= 16L))
+    byDoc.values.foreach { chunks =>
+      val idx = chunks.map(_.getLong(1)).sorted
+      assert(idx.sameElements(idx.indices.map(_.toLong)), "chunk indexes contiguous from 0")
+    }
+    // doc 1's prose is 34 tokens → two full 16-token chunks + 2-token tail
+    assert(byDoc(1L).map(_.getLong(3)).sorted.sameElements(Array(2L, 16L, 16L)))
+  }
+
+  test("prepare with predicted language (no label column) keeps english prose") {
+    val docs = Seq(
+      (1L, prose),
+      (2L, "el perro y el gato están en la casa con una mujer y no hay más aquí hoy"),
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline
+      .prepare(docs, "doc_id", "text", langs = Seq("en"), minQuality = 0.2,
+        window = 64, stride = 64)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+}

@@ -130,6 +130,13 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
       .toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L), comp.toString)
+    // the distributed label-propagation fallback must agree exactly
+    val dist = Dedup
+      .distributedConnectedComponents(pairs)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(dist == comp, "driver union-find and distributed propagation must agree")
   }
 
   test("cleanCorpus transitive: a~b~c chain keeps only the minimum even without a~c") {

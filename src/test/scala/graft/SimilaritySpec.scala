@@ -50,6 +50,13 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = approx2.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.8, s"clustered-data recall@5 with nprobe=2: $recall")
+    // the huge-query-set path (shuffle join by cell, no broadcast) is
+    // the SAME computation — results must be identical, per (q, n) pair
+    val partitioned = Similarity
+      .ivfTopK(df, queries, "vec_id", "embedding", k = 5, model, nprobe = 2,
+        broadcastQueries = false)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partitioned == approx2, "partitioned-query IVF must equal the broadcast path")
   }
 
   test("topk aggregator: deterministic tie-break by id") {
