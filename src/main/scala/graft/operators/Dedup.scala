@@ -451,6 +451,40 @@ object Dedup {
     materializeAndRelease(out, bucketHandle)
   }
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Incremental exact-dedup: keep only the rows of `newDf` whose
+    * content does NOT already appear in `corpusDf` — WITHOUT joining
+    * the corpus. The corpus side is reduced in one pass to a Bloom
+    * filter over 64-bit content fingerprints (a mergeable sketch,
+    * built with map-side partials) and broadcast; the new batch is
+    * then a shuffle-free filtered scan. This is the shape that works
+    * when the existing corpus is 100 TB and the incoming batch is
+    * GBs: ~1.2 GB of broadcast bits covers 10⁹ documents at fpp 1%.
+    *
+    * Guarantees: no false negatives (a true duplicate can never
+    * survive); ~`fpp` of genuinely-new documents are dropped as
+    * collateral (tunable). Fingerprints are whitespace-normalized
+    * content hashes ([[TextAnalysis.contentFingerprintUdf]]).
+    */
+  def newDocsOnly(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      textCol: String,
+      expectedCorpusDocs: Long,
+      fpp: Double = 0.01,
+  ): DataFrame = {
+    val fp = TextAnalysis.contentFingerprintUdf
+    val bloom = corpusDf.stat.bloomFilter(
+      fp(col(textCol)),
+      math.max(1L, expectedCorpusDocs),
+      fpp,
+    )
+    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
+    val seen = udf { (f: Long) => bc.value.mightContainLong(f) }
+    newDf.where(!seen(fp(col(textCol))))
+  }
+
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =

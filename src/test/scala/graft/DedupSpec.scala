@@ -197,6 +197,21 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.droppedBucketStats(buckets, 50).count() > 0)
   }
 
+  test("newDocsOnly: bloom-filtered incremental dedup drops known content without a join") {
+    val corpus = (1L to 500L).map(i => (i, s"corpus document number $i about topic ${i % 7}")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1001L, "corpus document number 42 about topic 0"), // dup of corpus doc 42
+      (1002L, "corpus  document   number 42 about topic 0"), // whitespace variant → same fingerprint
+      (1003L, "an entirely new document about fresh topics"),
+      (1004L, "another genuinely new document with novel content"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.newDocsOnly(batch, corpus, "text", expectedCorpusDocs = 500L, fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1001L), "exact duplicate must never survive (no false negatives)")
+    assert(!kept.contains(1002L), "whitespace-normalized duplicate must be caught")
+    assert(kept == Set(1003L, 1004L), s"new docs survive: $kept")
+  }
+
   test("short documents (< n tokens) have no shingles and never pair") {
     val shorts = Seq((1L, "hello world"), (2L, "hello world"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text", n = 3, threshold = 0.1).count() == 0L)
