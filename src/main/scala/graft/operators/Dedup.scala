@@ -42,25 +42,6 @@ object Dedup {
 
   // ---------------------------------------------------------- minhash + lsh
 
-  /** MinHash signature over word-`shingleSize` shingles; `numHashes`
-    * permutations approximated by seeded multiply-xor mixes of a base
-    * 64-bit shingle hash (standard one-hash + H mixers construction).
-    */
-  def minHashUdf(numHashes: Int, shingleSize: Int) = udf { (text: String) =>
-    val shingles = wordShingles(text, shingleSize)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { sh =>
-      val base = fnv64(sh)
-      var i = 0
-      while (i < numHashes) {
-        val h = mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-    }
-    sig
-  }
-
   /** One-scan prep for [[minHashNearDupPairs]]: the MinHash signature
     * AND the sorted distinct 64-bit shingle-hash set from a single
     * tokenize/shingle pass, so candidate generation bands the
@@ -242,15 +223,6 @@ object Dedup {
     perDocSummary(df, idCol, simHashNearDupPairs(df, idCol, textCol, maxHamming))
 
   // ----------------------------------------------------- n-gram jaccard
-
-  /** Exact word-n-gram Jaccard similarity of two texts. */
-  def jaccardUdf(n: Int) = udf { (a: String, b: String) =>
-    val sa = wordShingles(a, n).toSet
-    val sb = wordShingles(b, n).toSet
-    if (sa.isEmpty && sb.isEmpty) 1.0
-    else if (sa.isEmpty || sb.isEmpty) 0.0
-    else sa.intersect(sb).size.toDouble / sa.union(sb).size
-  }
 
   /** N-gram-Jaccard near-dup pairs with PREFIX FILTERING (the
     * AllPairs/PPJoin family, Bayardo et al. WWW'07): each doc's

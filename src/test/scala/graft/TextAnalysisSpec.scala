@@ -116,6 +116,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("only two"))
   }
 
+  test("chunkTokens invariants over a (window, stride, length) grid") {
+    val lengths = Seq(1, 2, 3, 5, 16, 17, 63, 64, 65, 100)
+    val df = lengths.zipWithIndex
+      .map { case (len, i) => (i.toLong, (1 to len).map(t => s"w$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val byId = lengths.zipWithIndex.map { case (len, i) => i.toLong -> len }.toMap
+    for ((window, stride) <- Seq((4, 3), (4, 4), (16, 8), (64, 64), (7, 2))) {
+      val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val grouped = chunks.groupBy(_._1)
+      byId.foreach { case (id, len) =>
+        val cs = grouped(id).sortBy(_._2)
+        // chunk count formula
+        assert(cs.length == (len - 1) / stride + 1, s"w=$window s=$stride len=$len")
+        // every token appears in at least one chunk (stride ≤ window)
+        val covered = cs.flatMap(_._3.split(" ")).toSet
+        assert(covered.size == len, s"coverage w=$window s=$stride len=$len")
+        // sizes: all but the tail are full or bounded by remaining tokens
+        cs.foreach { case (_, idx, text, n) =>
+          assert(text.split(" ").length.toLong == n)
+          assert(n == math.min(window.toLong, len - idx * stride))
+        }
+        // non-overlapping when stride == window: sizes sum to len
+        if (stride == window) assert(cs.map(_._4).sum == len.toLong)
+      }
+    }
+  }
+
   test("contentSample: deterministic, fraction ≈ prefixes/16, stable across reruns") {
     val df = (1 to 1600).map(i => (i.toLong, s"document number $i with some content")).toDF("doc_id", "text")
     val once = TextAnalysis.contentSample(df, "text").select("doc_id").as[Long].collect().toSet
