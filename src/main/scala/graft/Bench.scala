@@ -20,7 +20,18 @@ object Bench {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Inter-query hygiene (outside the timed window): operators
+        // persist their small verified results ("caller may
+        // unpersist") and CacheManager entries pin whole plan trees —
+        // including closure-captured broadcast blocks — for the rest
+        // of the JVM. Across 35 queries × 2 runs that pinned state
+        // fills the heap and GC thrash inflated later queries 5-17×
+        // vs isolated runs (BENCH_r02: q29 48 s vs 2.7 s isolated).
+        // Each query is an independent job; clear between them.
+        spark.catalog.clearCache()
+        System.gc() // lets ContextCleaner reap unreferenced broadcasts
+        dt
       }
       name -> times.min
     }

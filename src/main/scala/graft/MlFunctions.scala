@@ -315,21 +315,14 @@ object MlFunctions {
         val bnLayers = model.layers.flatMap(_.bn.toSeq)
         if (bnLayers.nonEmpty) {
           bnLayers.indices.foreach { bi =>
-            val dim = bnLayers(bi).dim
-            val meanAcc = new Array[Double](dim)
-            val varAcc = new Array[Double](dim)
-            perPartition.foreach { case (_, _, cnt, bns) =>
-              val (m, v) = bns(bi)
-              var i = 0
-              while (i < dim) { meanAcc(i) += m(i) * cnt; varAcc(i) += v(i) * cnt; i += 1 }
-            }
             val bn = bnLayers(bi)
-            var i = 0
-            while (i < dim) {
-              bn.runningMean(i) = (meanAcc(i) / totalRows).toFloat
-              bn.runningVar(i) = (varAcc(i) / totalRows).toFloat
-              i += 1
-            }
+            val (fm, fv) = foldRunningStats(
+              perPartition.toSeq.map { case (_, _, cnt, bns) =>
+                val (m, v) = bns(bi); (m, v, cnt)
+              },
+            )
+            System.arraycopy(fm, 0, bn.runningMean, 0, bn.dim)
+            System.arraycopy(fv, 0, bn.runningVar, 0, bn.dim)
           }
         }
       }
@@ -465,16 +458,29 @@ object MlFunctions {
       targetsExpr: String,
       configJson: String = "",
   ): DataFrame = {
+    // name/configJson are DATA, not SQL — embed as proper string
+    // literals (quote-doubling per the SQL standard) so a quote in a
+    // model name or a JSON config (single-quoted strings are
+    // plausible) neither breaks the statement nor injects SQL.
+    // `table` must be a plain (possibly qualified) identifier;
+    // featuresExpr/targetsExpr are intentionally raw SQL expressions —
+    // that is this API's contract, mirroring the reference's SQL
+    // surface where the caller writes the projection themselves.
+    require(
+      table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"not a valid table identifier: $table",
+    )
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val trainCall =
-      if (configJson.isEmpty) s"ml_train('$name', $featuresExpr, $targetsExpr)"
-      else s"ml_train_cfg('$name', $featuresExpr, $targetsExpr, '$configJson')"
+      if (configJson.isEmpty) s"ml_train(${lit(name)}, $featuresExpr, $targetsExpr)"
+      else s"ml_train_cfg(${lit(name)}, $featuresExpr, $targetsExpr, ${lit(configJson)})"
     val status = spark.sql(s"SELECT $trainCall AS status FROM $table").collect()
     require(
       status.headOption.exists(_.getString(0) == "Ok"),
       s"ml_train failed: ${status.mkString(",")}",
     )
     publish(spark) // rebind ml_pred to the freshly trained snapshot
-    spark.sql(s"SELECT ml_pred('$name', $featuresExpr) AS prediction FROM $table")
+    spark.sql(s"SELECT ml_pred(${lit(name)}, $featuresExpr) AS prediction FROM $table")
   }
 
   /** Register the SQL-compat surface on a fresh session:
@@ -507,6 +513,45 @@ object MlFunctions {
     spark.udf.register("ml_train", udaf(new TrainAgg3))
     spark.udf.register("ml_train_cfg", udaf(new TrainAgg4))
     publish(spark)
+  }
+
+  /** Weight-fold per-partition BatchNorm running (mean, var) estimates
+    * into global ones by the LAW OF TOTAL VARIANCE:
+    *   mean = Σw·m_p / W
+    *   var  = Σw·(v_p + m_p²) / W − mean²   (= E[x²] − E[x]²)
+    * A plain weighted mean of the variances drops the between-
+    * partition mean-spread term, underestimating global variance
+    * whenever data is partition-correlated (input clustered/sorted by
+    * a feature) — eval-mode inference then normalizes by too-small
+    * var. The E[x²] fold is exact for any partition layout.
+    */
+  private[graft] def foldRunningStats(
+      stats: Seq[(Array[Float], Array[Float], Long)],
+  ): (Array[Float], Array[Float]) = {
+    require(stats.nonEmpty, "no partition stats to fold")
+    val dim = stats.head._1.length
+    val total = stats.map(_._3).sum.toDouble
+    require(total > 0, "zero total rows in BatchNorm fold")
+    val meanAcc = new Array[Double](dim)
+    val m2Acc = new Array[Double](dim)
+    stats.foreach { case (m, v, cnt) =>
+      var i = 0
+      while (i < dim) {
+        meanAcc(i) += m(i).toDouble * cnt
+        m2Acc(i) += (v(i).toDouble + m(i).toDouble * m(i).toDouble) * cnt
+        i += 1
+      }
+    }
+    val mean = new Array[Float](dim)
+    val variance = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val mu = meanAcc(i) / total
+      mean(i) = mu.toFloat
+      variance(i) = math.max(0.0, m2Acc(i) / total - mu * mu).toFloat
+      i += 1
+    }
+    (mean, variance)
   }
 
   private def seqToFloats(s: Seq[Float], what: String): Array[Float] = {

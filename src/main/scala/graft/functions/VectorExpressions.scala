@@ -15,6 +15,8 @@ object VectorExpressions {
     org.apache.spark.sql.graftext.VectorExpressions.vecNorm(a)
   def vecCosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftext.VectorExpressions.vecCosine(a, b)
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.sortedIntersectCount(a, b)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftext.VectorExpressions.register(spark)
 }

@@ -91,8 +91,8 @@ object Dedup {
   /** Candidate pairs whose MinHash signatures collide in ≥1 of
     * `bands` bands (r = numHashes/bands rows per band), verified with
     * exact shingle-set Jaccard ≥ `threshold` over precomputed sorted
-    * shingle-hash arrays (codegen'd array_intersect — no text
-    * re-parse on the pair path).
+    * shingle-hash arrays (native two-pointer intersect count — no
+    * text re-parse on the pair path).
     *
     * Documents with fewer than `shingleSize` tokens have no shingles
     * (same semantics as the q18 oracle) and can never pair.
@@ -132,7 +132,10 @@ object Dedup {
     val out = pairs
       .join(ga, "id_a")
       .join(gb, "id_b")
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      // sorted-distinct hash arrays → two-pointer native intersect
+      // count (codegen), not array_intersect's per-row hash set
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams_a"), col("grams_b")))
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -243,8 +246,8 @@ object Dedup {
     * difference.)
     *
     * Verification recomputes exact Jaccard from the pre-computed
-    * distinct shingle arrays via codegen'd array_intersect/array_union
-    * (no text re-parse on the pair path).
+    * sorted distinct shingle-hash arrays via the native two-pointer
+    * intersect count (no text re-parse on the pair path).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -277,7 +280,8 @@ object Dedup {
     val out = pairs
       .join(ga, "id_a")
       .join(gb, "id_b")
-      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams_a"), col("grams_b")))
       // |A∪B| = |A|+|B|-|A∩B| — saves the second full set operation
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -329,7 +333,8 @@ object Dedup {
       .join(sb, "id_b")
       .withColumn(
         "overlap",
-        size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+        graft.functions.VectorExpressions
+          .sortedIntersectCount(col("sig_a"), col("sig_b")).cast("double") /
           least(col("sz_a"), col("sz_b")),
       )
       .where(col("overlap") >= minOverlap)
@@ -445,7 +450,36 @@ object Dedup {
       textCol: String,
       expectedCorpusDocs: Long,
       fpp: Double = 0.01,
-  ): DataFrame = {
+  ): DataFrame =
+    newDocsOnlyWithHandle(newDf, corpusDf, textCol, expectedCorpusDocs, fpp).result
+
+  /** Lifecycle/observability handle for [[newDocsOnly]]:
+    *   - `actualFpp` is the FILTER'S OWN estimate after insertion
+    *     (`BloomFilter.expectedFpp()`): if `expectedCorpusDocs` was
+    *     set too low the filter saturates and this climbs well above
+    *     the requested `fpp` — every point of it is genuinely-new
+    *     documents silently dropped, so alert on it.
+    *   - `release()` destroys the broadcast bits (~1.2 GB at 10⁹ docs
+    *     / 1% fpp). Call it once the result is fully materialized
+    *     (written/collected); the filter is NOT rebuildable after
+    *     release, so a re-computation of an unmaterialized `result`
+    *     would fail — that is the caller's trade to make, which is
+    *     why the library does not destroy it implicitly.
+    */
+  final case class BloomDedupHandle(
+      result: DataFrame,
+      bitSize: Long,
+      actualFpp: Double,
+      release: () => Unit,
+  )
+
+  def newDocsOnlyWithHandle(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      textCol: String,
+      expectedCorpusDocs: Long,
+      fpp: Double = 0.01,
+  ): BloomDedupHandle = {
     val fp = TextAnalysis.contentFingerprintUdf
     val bloom = corpusDf.stat.bloomFilter(
       fp(col(textCol)),
@@ -454,57 +488,110 @@ object Dedup {
     )
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
     val seen = udf { (f: Long) => bc.value.mightContainLong(f) }
-    newDf.where(!seen(fp(col(textCol))))
+    BloomDedupHandle(
+      result = newDf.where(!seen(fp(col(textCol)))),
+      bitSize = bloom.bitSize(),
+      actualFpp = bloom.expectedFpp(),
+      release = () => bc.destroy(),
+    )
   }
 
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =
-    * min id reachable through any chain of pairs.
+    * min id reachable through any chain of pairs. Both execution
+    * branches return the SAME schema: `id` and `component` keep the
+    * input's `id_a` type untouched.
     *
     * Hybrid execution: the input here is the VERIFIED near-dup pair
     * set, which is orders of magnitude smaller than the corpus — up
-    * to `driverMaxPairs` pairs (~16 B/pair) it is collected and
-    * solved exactly with union-find, which costs one job instead of
-    * O(diameter) iterative join rounds (each round is several fixed-
-    * overhead stages — the iterative path was 10+ seconds of pure
-    * stage latency on a 300-pair graph). Beyond the threshold it
-    * falls back to distributed min-label propagation.
+    * to `driverMaxPairs` pairs it is collected and solved exactly
+    * with a dense primitive-int union-find (ids of ANY Catalyst
+    * orderable type are dictionary-encoded to ints first; no numeric
+    * cast, no boxed maps on the hot path), which costs one job
+    * instead of O(diameter) iterative join rounds (each round is
+    * several fixed-overhead stages — the iterative path was 10+
+    * seconds of pure stage latency on a 300-pair graph). Driver cost
+    * at the default cap: 1 M collected Rows transiently (~100-200 MB)
+    * plus 8 B/node of union-find state — sized so the collect stays
+    * well under typical driver heads-room; beyond the threshold it
+    * falls back to distributed min-label propagation, which never
+    * collects.
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 10,
-      driverMaxPairs: Long = 5000000L,
+      driverMaxPairs: Long = 1000000L,
   ): DataFrame = {
     val spark = pairs.sparkSession
     val n = pairs.count()
     if (n <= driverMaxPairs) {
-      val edges = pairs
-        .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
+      val idType = pairs.schema("id_a").dataType
+      require(
+        pairs.schema("id_b").dataType == idType,
+        s"id_a/id_b types differ: $idType vs ${pairs.schema("id_b").dataType}",
+      )
+      val edges = pairs.select(col("id_a"), col("id_b")).collect()
+      // dictionary-encode ids to dense ints: primitive union-find,
+      // original values (any type) kept for the output
+      val index = new java.util.HashMap[Any, Integer]()
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def idx(v: Any): Int = {
+        val e = index.get(v)
+        if (e != null) e.intValue()
+        else {
+          val i = ids.length
+          index.put(v, Integer.valueOf(i))
+          ids += v
+          i
+        }
       }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val ra = find(a)
-        val rb = find(b)
+      val ea = new Array[Int](edges.length)
+      val eb = new Array[Int](edges.length)
+      var i = 0
+      while (i < edges.length) {
+        ea(i) = idx(edges(i).get(0))
+        eb(i) = idx(edges(i).get(1))
+        i += 1
+      }
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) } // path halving
+        x
+      }
+      i = 0
+      while (i < edges.length) {
+        val ra = find(ea(i))
+        val rb = find(eb(i))
         if (ra != rb) parent(ra) = rb
+        i += 1
       }
-      val members = parent.keys.toSeq.groupBy(find)
-      val rows = members.toSeq.flatMap { case (_, ids) =>
-        val canonical = ids.min
-        ids.map(id => (id, canonical))
+      // component label = minimum member id (same semantics as the
+      // distributed min-label propagation). Catalyst orderable ids
+      // surface as Comparable JVM values (numbers, strings, decimals,
+      // timestamps), so compare them directly.
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val minIdx = Array.tabulate(ids.length)(identity)
+      i = 0
+      while (i < ids.length) {
+        val r = find(i)
+        if (lt(ids(i), ids(minIdx(r)))) minIdx(r) = i
+        i += 1
       }
-      import spark.implicits._
-      return rows.toDF("id", "component")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      i = 0
+      while (i < ids.length) {
+        rows.add(org.apache.spark.sql.Row(ids(i), ids(minIdx(find(i)))))
+        i += 1
+      }
+      // nullability mirrors the input so both branches agree exactly
+      val nullable = pairs.schema("id_a").nullable || pairs.schema("id_b").nullable
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable),
+        org.apache.spark.sql.types.StructField("component", idType, nullable),
+      ))
+      return spark.createDataFrame(rows, schema)
     }
     distributedConnectedComponents(pairs, maxIterations)
   }
@@ -574,6 +661,12 @@ object Dedup {
     * a~b~c without a~c this keeps a and drops b,c, which is the
     * standard keep-first approximation; a full connected-components
     * pass (iterative) is deliberately out of scope for one call.
+    *
+    * The returned survivor frame is materialized + persisted
+    * (MEMORY_AND_DISK — a pipeline-stage boundary: downstream stages
+    * like chunking consume it immediately and the upstream
+    * filter/redact/dedup chain must not re-execute per consumer);
+    * callers may `unpersist` it once written out.
     */
   def cleanCorpus(
       df: DataFrame,
@@ -582,9 +675,15 @@ object Dedup {
       jaccardThreshold: Double = 0.8,
       transitive: Boolean = false,
   ): DataFrame = {
+    // the exact-dedup survivor set feeds BOTH the near-dup signature
+    // pass and the final anti-join (and, through the returned frame,
+    // whatever the caller does next) — persist it so the upstream
+    // chain (often filter/redact UDFs in a pipeline) runs once, not
+    // once per consumer; released after the result is materialized
     val exact = exactDedup(df, idCol, textCol)
       .where(col("is_canonical"))
       .select(df.columns.map(col): _*)
+      .persist()
     val pairs = minHashNearDupPairs(exact, idCol, textCol, threshold = jaccardThreshold)
     val nearDupLosers =
       if (transitive)
@@ -595,11 +694,12 @@ object Dedup {
           .select(col("id").as("loser"))
       else
         pairs.select(col("id_b").as("loser")).distinct()
-    exact.join(
+    val out = exact.join(
       nearDupLosers,
       exact(idCol) === nearDupLosers("loser"),
       "left_anti",
     )
+    materializeAndRelease(out, exact, pairs)
   }
 
   // ----------------------------------------------------------- shared bits

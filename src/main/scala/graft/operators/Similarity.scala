@@ -97,6 +97,15 @@ object Similarity {
     * are too hot, the scale default is the SRP-LSH variant in
     * [[graft.operators.Dedup.embeddingNearDupPairs]].
     *
+    * Passes execute ONE AT A TIME: each pass's matches are
+    * materialized (persisted + counted) and its broadcast destroyed
+    * before the next block is even collected, so peak footprint is
+    * one block's broadcast + the verified pairs — not B live
+    * broadcasts at once. Caveat: because the broadcasts are gone,
+    * recomputing a pass after storage loss (executor death evicting
+    * both memory and disk replicas) fails rather than silently
+    * re-running; rerun the operator in that case.
+    *
     * Accumulates dot/norms in DOUBLE left-to-right — bit-equal to the
     * DuckDB oracle's list_cosine_similarity on DOUBLE[] (the blocking
     * never changes per-pair operation order).
@@ -128,7 +137,7 @@ object Similarity {
         math.sqrt(ss)
       }
       val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-      typed.flatMap { case (id, vec) =>
+      val matches = typed.flatMap { case (id, vec) =>
         val (bIds, bVecs, bNorms) = bc.value
         // first block slot with a LARGER id (ids sorted): binary search
         var lo = 0
@@ -155,8 +164,17 @@ object Similarity {
         }
         out.result()
       }
+      // materialize THIS pass, then free its broadcast before the
+      // next pass allocates one — footprint stays one block, not B
+      val persisted = matches.persist()
+      persisted.count()
+      bc.destroy()
+      persisted
     }
-    passes.reduce(_ union _).toDF("id_a", "id_b", "cosine")
+    val out = passes.reduce(_ union _).toDF("id_a", "id_b", "cosine").persist()
+    out.count()
+    passes.foreach(_.unpersist(blocking = false))
+    out
   }
 
   // --------------------------------------------------------- brute force knn

@@ -13,7 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{
 }
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{
+  AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType,
+}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expressions for the embedding hot paths.
@@ -168,6 +170,73 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| for two SORTED DISTINCT array<long> columns — two-pointer
+  * merge, no hash set, no output array. This is the dedup-verify hot
+  * path: every candidate pair (millions per corpus slice) computes an
+  * intersection size between precomputed sorted shingle/fingerprint
+  * hash arrays; Spark's `size(array_intersect(a, b))` allocates an
+  * OpenHashSet AND materializes the intersection array per row, where
+  * this expression is a pure primitive loop inside whole-stage
+  * codegen. Returns the exact same value as size(array_intersect)
+  * whenever both inputs are sorted ascending with distinct elements
+  * (which every signature builder in [[graft.operators.Dedup]]
+  * guarantees); unsorted input is the caller's bug.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements(), $ny = $y.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression,
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-DSL faces (no registry lookup needed). */
   def vecDot(a: Column, b: Column): Column =
@@ -180,6 +249,10 @@ object VectorExpressions {
     ExpressionUtils.column(
       FloatVectorCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
     )
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+    )
 
   /** SQL registration for the current session. */
   def register(spark: SparkSession): Unit = {
@@ -187,6 +260,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVectorNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count", es => SortedLongIntersectCount(es(0), es(1)), "scala_udf")
   }
 }
 
@@ -215,6 +290,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("vec_cosine"),
         new ExpressionInfo(classOf[FloatVectorCosine].getName, null, "vec_cosine"),
         (es: Seq[Expression]) => FloatVectorCosine(es(0), es(1)),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(
+          classOf[SortedLongIntersectCount].getName, null, "sorted_intersect_count"),
+        (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1)),
       ),
     )
   }

@@ -212,6 +212,37 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(1003L, 1004L), s"new docs survive: $kept")
   }
 
+  test("connectedComponents driver path: non-numeric ids work and schema matches the distributed branch") {
+    val pairs = Seq(("docA", "docB"), ("docB", "docC"), ("docX", "docY")).toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs) // tiny → driver union-find
+    val dist = Dedup.distributedConnectedComponents(pairs)
+    assert(driver.schema == dist.schema,
+      s"branches must return the same schema: ${driver.schema} vs ${dist.schema}")
+    val dMap = driver.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val pMap = dist.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dMap == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"), dMap.toString)
+    assert(dMap == pMap, "string-id components must agree across branches")
+  }
+
+  test("newDocsOnlyWithHandle: exposes filter saturation stats and a release hook") {
+    val corpus = (1L to 300L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = Seq((9001L, "corpus doc 7"), (9002L, "brand new doc")).toDF("doc_id", "text")
+    // grossly under-specified capacity → the filter's own fpp estimate
+    // must climb far above the requested 1% (the saturation signal)
+    val tight = Dedup.newDocsOnlyWithHandle(batch, corpus, "text",
+      expectedCorpusDocs = 10L, fpp = 0.01)
+    assert(tight.actualFpp > 0.05, s"saturated filter should self-report: ${tight.actualFpp}")
+    val sized = Dedup.newDocsOnlyWithHandle(batch, corpus, "text",
+      expectedCorpusDocs = 300L, fpp = 0.01)
+    assert(sized.actualFpp <= 0.02, s"well-sized filter stays near requested fpp: ${sized.actualFpp}")
+    assert(sized.bitSize > 0)
+    val kept = sized.result.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(9002L), s"dup dropped, new doc kept: $kept")
+    sized.release() // after materialization: frees the broadcast bits
+    tight.release()
+  }
+
   test("short documents (< n tokens) have no shingles and never pair") {
     val shorts = Seq((1L, "hello world"), (2L, "hello world"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text", n = 3, threshold = 0.1).count() == 0L)

@@ -264,6 +264,44 @@ class MlFunctionsSpec extends SparkTestBase {
     assert(w1.sameElements(w2), "weights must be bit-identical across runs")
   }
 
+  test("foldRunningStats: law of total variance — partition-correlated data folds exactly") {
+    // two partitions with very different means but zero within-partition
+    // variance: a plain weighted mean of variances would report var=0;
+    // the E[x²] fold must recover the full between-partition spread
+    val stats = Seq(
+      (Array(0f), Array(0f), 100L), // all values = 0
+      (Array(10f), Array(0f), 100L), // all values = 10
+    )
+    val (mean, variance) = MlFunctions.foldRunningStats(stats)
+    assert(mean(0) == 5f, s"mean: ${mean(0)}")
+    assert(variance(0) == 25f, s"global var must include mean spread: ${variance(0)}")
+    // weighted general case: E[x²]−E[x]² against hand-computed values
+    val (m2, v2) = MlFunctions.foldRunningStats(Seq(
+      (Array(1f), Array(4f), 300L),
+      (Array(3f), Array(1f), 100L),
+    ))
+    assert(math.abs(m2(0) - 1.5f) < 1e-6)
+    // E[x²] = (300*(4+1) + 100*(1+9))/400 = 6.25; var = 6.25 − 2.25 = 4.0
+    assert(math.abs(v2(0) - 4.0f) < 1e-6, s"var: ${v2(0)}")
+  }
+
+  test("trainSql: quotes in model name and config are data, not SQL") {
+    MlFunctions.registerAll(spark)
+    Seq((Seq(0.1f), Seq(0.2f)), (Seq(0.3f), Seq(0.4f)))
+      .toDF("features", "targets")
+      .createOrReplaceTempView("quoted_train")
+    val name = "it's-a-model"
+    MlFunctions.create(spark, name, """{"layers":[{"in":1,"out":1}]}""")
+    val preds = MlFunctions.trainSql(
+      spark, name, "quoted_train", "features", "targets",
+      configJson = """{"epochs":1,"seed":42,"note":"don't break"}""",
+    ).collect()
+    assert(preds.length == 2)
+    intercept[IllegalArgumentException] {
+      MlFunctions.trainSql(spark, name, "quoted_train; DROP TABLE x", "features", "targets")
+    }
+  }
+
   test("ml_pred snapshot isolation: retraining does not change published plan until re-publish") {
     MlFunctions.create(spark, "snap", """{"layers":[{"in":1,"out":1}]}""")
     val df = Seq(Tuple1(Seq(2f))).toDF("f")

@@ -64,6 +64,30 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(out == 11.0)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted-distinct arrays") {
+    // deterministic pseudo-random sorted distinct long sets, incl. the
+    // edge shapes: empty×empty, empty×full, disjoint, identical
+    val rng = new scala.util.Random(7)
+    val cases = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 5L, 9L)),
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(Long.MinValue, -7L, 0L, Long.MaxValue), Array(-7L, Long.MaxValue)),
+    ) ++ (1 to 20).map { _ =>
+      def gen() = Array.fill(rng.nextInt(50))(rng.nextInt(60).toLong).distinct.sorted
+      (gen(), gen())
+    }
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.sortedIntersectCount($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin"),
+    ).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$r"))
+    val withNull = Seq((Option.empty[Seq[Long]], Seq(1L))).toDF("a", "b")
+    assert(withNull.select(VectorExpressions.sortedIntersectCount($"a", $"b")).head().isNullAt(0))
+  }
+
   test("expressions run inside whole-stage codegen on a realistic plan") {
     val e = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     val plan = e
