@@ -669,6 +669,103 @@ object SparkEntry {
       )
       .orderBy("doc_id", "chunk_idx")
 
+  // ==================================================== temporal + sampling
+
+  /** As-of join: every purchase event annotated with the user's most
+    * recent prior (or simultaneous) 'view' event — the point-in-time
+    * feature-lookup primitive. Union + one window shuffle (see
+    * [[graft.operators.AsofJoin]]); oracle is DuckDB's native
+    * ASOF LEFT JOIN over the identically pre-deduped right side.
+    */
+  private def q36AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // dedupe right side to one row per (user, ts) — deterministic
+    // as-of ties in both engines (keep max event_id's row)
+    val views = e
+      .where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"), max_by(col("value"), col("event_id")).as("value"))
+    graft.operators.AsofJoin
+      .asofBackward(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_ts").as("asof_view_ts"),
+        col("asof_event_id").as("asof_view_event_id"),
+        col("asof_value").as("asof_view_value"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val q36Oracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       v.ts AS asof_view_ts, v.event_id AS asof_view_event_id,
+      |       v.value AS asof_view_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Corpus token vocabulary (term + document frequency) — the
+    * vocabulary-building scan; tokenization identical to the dedup
+    * operators and the q18 oracle.
+    */
+  private def q37TokenVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .tokenVocabulary(load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("token")
+
+  private val q37Oracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM toks GROUP BY token ORDER BY token""".stripMargin
+
+  /** Exact proportional stratified sample (20% per language, md5-of-id
+    * order) — deterministic subcorpus with per-stratum quotas.
+    */
+  private def q38StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedSample(load(s, dir, "documents"), "lang", "doc_id", 0.2)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val q38Oracle =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |WHERE rn <= ceil(n * 0.2)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test split by md5 bucket —
+    * shuffle-free projection; rollup proves the assignment.
+    */
+  private def q39HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .hashSplit(load(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1),
+        Seq("train", "val", "test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
+  private val q39Oracle = {
+    val splitCase = graft.operators.Sampling
+      .hashSplitSql("doc_id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    s"""SELECT split, count(*) AS n_docs
+       |FROM (SELECT $splitCase AS split FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -789,6 +886,10 @@ object SparkEntry {
     "q33_content_sample" -> (q33ContentSample _),
     "q34_corpus_stats" -> (q34CorpusStats _),
     "q35_corpus_pipeline" -> (q35CorpusPipeline _),
+    "q36_asof_join" -> (q36AsofJoin _),
+    "q37_token_vocab" -> (q37TokenVocab _),
+    "q38_stratified_sample" -> (q38StratifiedSample _),
+    "q39_hash_split" -> (q39HashSplit _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -823,5 +924,9 @@ object SparkEntry {
     "q32_chunk_windows" -> q32Oracle,
     "q33_content_sample" -> q33Oracle,
     "q34_corpus_stats" -> q34Oracle,
+    "q36_asof_join" -> q36Oracle,
+    "q37_token_vocab" -> q37Oracle,
+    "q38_stratified_sample" -> q38Oracle,
+    "q39_hash_split" -> q39Oracle,
   )
 }

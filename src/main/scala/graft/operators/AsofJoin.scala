@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Point-in-time (as-of) join: for every left row, attach the LATEST
+  * right row with `right.ts <= left.ts` (backward direction; strict
+  * `<` optional) sharing the join keys — the temporal-join primitive
+  * behind feature lookups ("state of the user profile when the event
+  * happened"), sessionized attribution, and slowly-changing-dimension
+  * reads.
+  *
+  * Spark-first scale design — the UNION + WINDOW formulation, not a
+  * range join:
+  *   - Tag left and right rows, union them, and run ONE window
+  *     (`partitionBy(keys) orderBy(ts, side, payload)`) taking the
+  *     running `last(right_payload, ignoreNulls)`; left rows then
+  *     carry exactly their as-of match. Total cost: ONE shuffle of
+  *     |L| + |R| rows and a per-key sort — no range-condition
+  *     explosion (a naive `l JOIN r ON key AND r.ts <= l.ts` is
+  *     O(|L| × matching-|R|) rows BEFORE the per-row max, which is
+  *     quadratic per key at 100 TB), no broadcast bound on either
+  *     side, and AQE-managed partitioning by key.
+  *   - Skew: bounded by rows per join key (a user's event history),
+  *     the same bound any per-key sessionization already carries.
+  *   - Ties: right rows are ordered (ts, side, payload struct), so at
+  *     equal timestamps the LARGEST payload struct wins
+  *     deterministically; callers wanting a specific tie-break rule
+  *     pre-dedupe the right side (one map-side-combinable aggregate).
+  *
+  * Output: every left column, then `asof_ts` (matched right
+  * timestamp) and `asof_<payload>` for each requested right column —
+  * all NULL when no right row qualifies (left-join semantics).
+  */
+object AsofJoin {
+
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String],
+      inclusive: Boolean = true,
+      toleranceMicros: Option[Long] = None,
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "asof join needs at least one equi-key")
+    val leftCols = left.columns.toSeq
+    val outNames = "asof_ts" +: rightPayloadCols.map("asof_" + _)
+    require(
+      !leftCols.exists(outNames.contains),
+      s"left columns collide with as-of output names: ${leftCols.intersect(outNames).mkString(",")}",
+    )
+    // at equal ts: inclusive → right sorts BEFORE left (match visible),
+    // strict → right sorts AFTER left (match invisible)
+    val rightSide = if (inclusive) 0 else 2
+    val rStruct = struct(
+      col(rightTsCol).as("__ats") +: rightPayloadCols.map(col): _*,
+    )
+    val rStructType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val lStruct = struct(leftCols.map(col): _*)
+    val lStructType = left.select(lStruct.as("__l")).schema("__l").dataType
+
+    val taggedL = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(rStructType).as("__r"),
+        lStruct.as("__l"),
+      ): _*,
+    )
+    val taggedR = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"),
+        lit(rightSide).as("__side"),
+        rStruct.as("__r"),
+        lit(null).cast(lStructType).as("__l"),
+      ): _*,
+    )
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
+    val withMatch = taggedL
+      .unionByName(taggedR)
+      .withColumn("__m", matchedCol)
+      .where(col("__side") === 1)
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        withMatch.withColumn(
+          "__m",
+          when(
+            unix_micros(col("__ts")) - unix_micros(col("__m.__ats")) <= tol,
+            col("__m"),
+          ), // else NULL: match older than the tolerance window
+        )
+      case None => withMatch
+    }
+    bounded.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        (col("__m.__ats").as("asof_ts") +:
+          rightPayloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))): _*,
+    )
+  }
+}

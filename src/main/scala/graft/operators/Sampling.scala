@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, content/id-addressed sampling primitives for corpus
+  * curation: the same row set comes back on every run, on any cluster
+  * layout, with no RNG state — reproducibility is the point (published
+  * dataset recipes, ablation reruns, incremental refreshes).
+  *
+  * Scale shapes:
+  *   - [[hashSplit]] is a pure projection — shuffle-free, streams at
+  *     scan speed, works identically on 100 TB.
+  *   - [[stratifiedSample]] takes exact per-stratum quotas, which
+  *     requires a per-stratum order — ONE window shuffle, sort bounded
+  *     by stratum size. For huge strata where an exact quota isn't
+  *     worth a sort, the shuffle-free alternative is a hash-threshold
+  *     filter (see [[TextAnalysis.contentSample]]) whose sample size
+  *     is only binomially-approximate.
+  */
+object Sampling {
+
+  /** Exact proportional stratified sample: ⌈frac · |stratum|⌉ rows
+    * from every stratum, chosen by md5 order of the id column —
+    * deterministic, uniform w.r.t. content-independent ids, stable
+    * under corpus growth within unchanged strata prefixes.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      frac: Double,
+  ): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1]: $frac")
+    val order = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(idCol))
+    val n = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .where(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
+  /** Deterministic train/val/test (or any K-way) split by md5 bucket
+    * of `keyCol`: 65 536 hex buckets are carved into contiguous
+    * ranges proportional to `weights`, and each row's 4-hex-char md5
+    * prefix selects its range lexicographically. Pure projection —
+    * no shuffle, no RNG, stable across runs and engines (any system
+    * with md5 + substr reproduces the assignment bit-for-bit).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[Double],
+      labels: Seq[String],
+      splitCol: String = "split",
+  ): DataFrame =
+    df.withColumn(splitCol, hashSplitColumn(col(keyCol), weights, labels))
+
+  /** The split-assignment expression alone (compose into any plan). */
+  def hashSplitColumn(key: Column, weights: Seq[Double], labels: Seq[String]): Column = {
+    require(weights.length == labels.length && weights.nonEmpty, "weights/labels mismatch")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    // cumulative upper bounds as 4-hex-char strings (exclusive)
+    val bounds = weights
+      .scanLeft(0.0)(_ + _)
+      .tail
+      .map(c => math.round(c / total * 65536.0).toInt)
+    val prefix = substring(md5(key.cast("string")), 1, 4)
+    val assigned = labels.zip(bounds).init.foldRight(lit(labels.last)) {
+      case ((label, bound), rest) =>
+        when(prefix < lit(f"$bound%04x"), lit(label)).otherwise(rest)
+    }
+    assigned
+  }
+
+  /** The same bounds as SQL text, for oracle/portability parity:
+    * CASE WHEN substr(md5(CAST(key AS VARCHAR)),1,4) < 'xxxx' THEN …
+    */
+  def hashSplitSql(keyExpr: String, weights: Seq[Double], labels: Seq[String]): String = {
+    val total = weights.sum
+    val bounds = weights
+      .scanLeft(0.0)(_ + _)
+      .tail
+      .map(c => math.round(c / total * 65536.0).toInt)
+    val prefix = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
+    val whens = labels.zip(bounds).init
+      .map { case (label, bound) => s"WHEN $prefix < '${f"$bound%04x"}' THEN '$label'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${labels.last}' END"
+  }
+}

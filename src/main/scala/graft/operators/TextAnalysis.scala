@@ -20,6 +20,26 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Corpus token vocabulary: one row per distinct token with its
+    * term frequency and document frequency — the vocabulary-building
+    * scan every tokenizer/filter-list pipeline starts from.
+    * Tokenization matches the dedup operators (lowercase, split on
+    * non-word runs, drop empties).
+    *
+    * Scale shape: explode → two-phase aggregate. `tf` partial-
+    * aggregates map-side (skewed common tokens combine before the
+    * shuffle); exact `df` expands to distinct (token, doc) pairs
+    * first — the standard exact-distinct plan, whose shuffle width is
+    * the distinct pair count, not the token stream.
+    */
+  def tokenVocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("__doc"),
+      explode(filter(split(lower(col(textCol)), "\\W+"), t => t =!= lit(""))).as("token"),
+    )
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
+
   /** BPE-ish subword token count: splits on word/number/punct
     * boundaries like a GPT-2-style pre-tokenizer (letters runs, digit
     * runs, single punct marks), then charges ~1 token per 4 chars of

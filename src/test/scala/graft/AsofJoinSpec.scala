@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:00:10"), 101.0),
+    (3L, "B", ts("2024-01-01 10:00:03"), 50.0),
+    (4L, "C", ts("2024-01-01 10:00:01"), 7.0), // no quote for C at all
+  ).toDF("trade_id", "sym", "t", "price")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 99.0),
+    ("A", ts("2024-01-01 10:00:05"), 99.5), // == trade 1's ts
+    ("A", ts("2024-01-01 10:00:09"), 99.9),
+    ("B", ts("2024-01-01 10:00:04"), 48.0), // after B's only trade
+  ).toDF("sym", "qt", "bid")
+
+  test("backward inclusive: latest right row at-or-before each left row; unmatched → null") {
+    val out = AsofJoin
+      .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
+      .orderBy("trade_id")
+      .collect()
+    assert(out.length == 4, "every left row survives (left-join semantics)")
+    assert(out(0).getAs[Double]("asof_bid") == 99.5, "equal ts matches when inclusive")
+    assert(out(1).getAs[Double]("asof_bid") == 99.9)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_bid")), "B's quote is after its trade")
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_bid")), "C has no quotes")
+    // left columns pass through untouched
+    assert(out(0).getAs[Double]("price") == 100.0 && out(0).getAs[String]("sym") == "A")
+  }
+
+  test("strict (exclusive): simultaneous right rows are invisible") {
+    val out = AsofJoin
+      .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"), inclusive = false)
+      .orderBy("trade_id")
+      .collect()
+    assert(out(0).getAs[Double]("asof_bid") == 99.0, "10:00:05 quote excluded under strict <")
+    assert(out(1).getAs[Double]("asof_bid") == 99.9)
+  }
+
+  test("tolerance bounds the lookback window") {
+    val out = AsofJoin
+      .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"),
+        toleranceMicros = Some(2L * 1000000L))
+      .orderBy("trade_id")
+      .collect()
+    assert(out(0).getAs[Double]("asof_bid") == 99.5, "0s gap within 2s tolerance")
+    assert(out(1).getAs[Double]("asof_bid") == 99.9, "1s gap within 2s tolerance")
+    val wide = AsofJoin
+      .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"),
+        toleranceMicros = Some(0L))
+      .orderBy("trade_id")
+      .collect()
+    assert(wide(1).isNullAt(wide(1).fieldIndex("asof_bid")), "1s gap fails 0s tolerance")
+    assert(wide(0).getAs[Double]("asof_bid") == 99.5, "exact-ts match passes 0 tolerance")
+  }
+
+  test("ties at equal right ts resolve deterministically (largest payload struct wins)") {
+    val dup = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 99.5),
+      ("A", ts("2024-01-01 10:00:05"), 99.7),
+    ).toDF("sym", "qt", "bid")
+    val got = (1 to 3).map { _ =>
+      AsofJoin
+        .asofBackward(trades.where($"trade_id" === 1), dup, Seq("sym"), "t", "qt", Seq("bid"))
+        .head()
+        .getAs[Double]("asof_bid")
+    }
+    assert(got.distinct == Seq(99.7), s"max struct must win every run: $got")
+  }
+
+  test("plan shape: exactly one exchange — no range-join explosion") {
+    val plan = AsofJoin
+      .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
+      .queryExecution
+      .executedPlan
+      .toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected the single union+window shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

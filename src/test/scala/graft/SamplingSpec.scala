@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 1000L)
+    .map(i => (i, if (i % 4 == 0) "de" else "en"))
+    .toDF("doc_id", "lang")
+
+  test("stratifiedSample: exact ceil(frac·n) quota per stratum, deterministic") {
+    val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("en") == 75, s"ceil(750·0.1): $counts") // 750 en docs
+    assert(counts("de") == 25, s"ceil(250·0.1): $counts")
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted
+    val ids2 = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids1.sameElements(ids2), "same rows on every run")
+    // monotone: a bigger fraction contains the smaller sample
+    val ids3 = Sampling.stratifiedSample(docs, "lang", "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.forall(ids3.contains), "frac=0.1 sample ⊂ frac=0.2 sample")
+  }
+
+  test("hashSplit: total partition, roughly proportional, deterministic, schema preserved") {
+    val split = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    assert(split.columns.toSeq == Seq("doc_id", "lang", "split"))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000, "every row gets exactly one label")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700 && counts("train") < 900, s"~80%: $counts")
+    assert(counts("val") > 50 && counts("val") < 160, s"~10%: $counts")
+    // same assignment every run (content-addressed, no RNG)
+    val a = split.where($"split" === "val").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .where($"split" === "val").select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("hashSplit SQL text agrees with the Column expression row-for-row") {
+    docs.createOrReplaceTempView("split_docs")
+    val viaSql = spark
+      .sql(s"SELECT doc_id, ${Sampling.hashSplitSql("doc_id", Seq(0.5, 0.5), Seq("a", "b"))
+          .replace("VARCHAR", "STRING")} AS split FROM split_docs")
+      .as[(Long, String)].collect().toMap
+    val viaCol = Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.5), Seq("a", "b"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("hashSplit: shuffle-free plan (pure projection)") {
+    val plan = Sampling
+      .hashSplit(docs, "doc_id", Seq(0.9, 0.1), Seq("train", "test"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+}
