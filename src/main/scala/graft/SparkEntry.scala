@@ -766,6 +766,54 @@ object SparkEntry {
        |GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Interval (range) join rollup: every purchase with the count/sum
+    * of the same user's clicks in the preceding 10 minutes — bin-
+    * bucketed equi-join ([[graft.operators.RangeJoin]]), never the
+    * quadratic same-key inequality join the oracle runs.
+    */
+  private def q40RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+    val pairs = graft.operators.RangeJoin.intervalJoin(
+      purchases, clicks, Seq("user_id"), "ts", "ts",
+      lowerMicros = -600L * 1000000L, upperMicros = 0L,
+      rightPayloadCols = Seq("click_id", "value"),
+    )
+    val rollup = pairs
+      .groupBy(col("event_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(col("right_value").cast("decimal(18,6)")).cast("double").as("sum_click_value"),
+      )
+    purchases
+      .join(rollup, Seq("event_id"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        col("sum_click_value"), // NULL when no clicks — matches SQL sum
+      )
+      .orderBy("event_id")
+  }
+
+  private val q40Oracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  count(c.ts) AS n_clicks,
+      |  CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_click_value
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -890,6 +938,7 @@ object SparkEntry {
     "q37_token_vocab" -> (q37TokenVocab _),
     "q38_stratified_sample" -> (q38StratifiedSample _),
     "q39_hash_split" -> (q39HashSplit _),
+    "q40_range_join" -> (q40RangeJoin _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -928,5 +977,6 @@ object SparkEntry {
     "q37_token_vocab" -> q37Oracle,
     "q38_stratified_sample" -> q38Oracle,
     "q39_hash_split" -> q39Oracle,
+    "q40_range_join" -> q40Oracle,
   )
 }

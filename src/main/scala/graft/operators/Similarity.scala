@@ -164,17 +164,19 @@ object Similarity {
         }
         out.result()
       }
-      // materialize THIS pass, then free its broadcast before the
-      // next pass allocates one — footprint stays one block, not B
-      val persisted = matches.persist()
-      persisted.count()
+      // materialize THIS pass and TRUNCATE ITS LINEAGE
+      // (localCheckpoint) before destroying the broadcast: a plain
+      // persist keeps the flatMap closure — and through it the
+      // broadcast — in the task lineage, so any recomputation or
+      // same-plan cache reuse after destroy() dies with
+      // INTERNAL_ERROR_BROADCAST at task serialization. Checkpointed
+      // partitions reference no closure; the broadcast is then truly
+      // free. Footprint stays one block's broadcast at a time.
+      val snapped = matches.localCheckpoint(true)
       bc.destroy()
-      persisted
+      snapped
     }
-    val out = passes.reduce(_ union _).toDF("id_a", "id_b", "cosine").persist()
-    out.count()
-    passes.foreach(_.unpersist(blocking = false))
-    out
+    passes.reduce(_ union _).toDF("id_a", "id_b", "cosine")
   }
 
   // --------------------------------------------------------- brute force knn
