@@ -204,6 +204,51 @@ object EventStreams {
       )
   }
 
+  /** Streaming exact dedup by content fingerprint: keeps the FIRST
+    * document seen per (whitespace-normalized) content within the
+    * watermark horizon — the streaming face of
+    * [[graft.operators.Dedup.exactDedup]] for continuous ingestion.
+    *
+    * State design: `dropDuplicatesWithinWatermark` keys state by the
+    * 8-byte fingerprint (never the text) and evicts each entry once
+    * the watermark passes its event time + delay, so state is
+    * O(distinct docs per watermark window) — bounded by ingest rate ×
+    * horizon, independent of total corpus size. Duplicates arriving
+    * FARTHER apart than the horizon are the Bloom-filter path's job
+    * ([[graft.operators.Dedup.newDocsOnly]] against the standing
+    * corpus); the two compose: stream-dedup the firehose, bloom-check
+    * survivors against history.
+    *
+    * In batch mode the same call keeps the EARLIEST row (by `tsCol`)
+    * per fingerprint — the deterministic equivalent of streaming
+    * first-arrival when input order follows event time.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String = "10 minutes",
+  ): DataFrame = {
+    val withFp = docs.withColumn(
+      "content_fp",
+      graft.operators.TextAnalysis.contentFingerprintUdf(col(textCol)),
+    )
+    if (docs.isStreaming)
+      withFp
+        .withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark("content_fp")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      withFp
+        .withColumn(
+          "__rn",
+          row_number().over(Window.partitionBy("content_fp").orderBy(col(tsCol))),
+        )
+        .where(col("__rn") === 1)
+        .drop("__rn")
+    }
+  }
+
   /** Score a stream of feature arrays with a registered model — the
     * streaming face of `ml_pred`: the same broadcast-snapshot UDF works
     * unchanged because it is stateless per row.

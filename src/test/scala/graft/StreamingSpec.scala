@@ -155,6 +155,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first doc per content within the watermark; equals batch") {
+    // docs-as-stream: (doc_id, ts, text) with exact + whitespace-variant
+    // dups arriving later than their originals
+    val docsDir = Files.createTempDirectory("graft-docs-stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(t0), "alpha beta gamma"),
+      (2L, new java.sql.Timestamp(t0 + 1000), "delta epsilon zeta"),
+      (3L, new java.sql.Timestamp(t0 + 2000), "alpha  beta   gamma"), // ws-variant of 1
+      (4L, new java.sql.Timestamp(t0 + 3000), "unique fresh content"),
+      (5L, new java.sql.Timestamp(t0 + 4000), "delta epsilon zeta"), // dup of 2
+    )
+    rows.toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(docsDir)
+
+    val batchKept = EventStreams
+      .dedupStream(spark.read.parquet(docsDir), "ts", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 2L, 4L), s"batch: $batchKept")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
+    val q = EventStreams
+      .dedupStream(stream, "ts", "text", watermarkDelay = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+    } finally q.stop()
+  }
+
   test("streaming ml_pred scoring produces per-row predictions") {
     MlFunctions.create(
       spark,
