@@ -814,6 +814,62 @@ object SparkEntry {
       |GROUP BY p.event_id, p.user_id, p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Benchmark decontamination: corpus docs scored by 5-gram overlap
+    * with a benchmark pool (docs where doc_id % 50 = 0 play the held-
+    * out eval set) — broadcast pool + shuffle-free scan
+    * ([[graft.operators.Dedup.decontaminate]]); the oracle recomputes
+    * the same pool intersection with DuckDB list algebra on STRING
+    * shingles (engine uses 64-bit hashes internally; counts agree
+    * unless a 2⁻⁵⁰ collision).
+    */
+  private def q41Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    Dedup
+      .decontaminate(docs.where(col("doc_id") % 50 =!= 0), bench, "text", "text", n = 5)
+      .select(
+        col("doc_id"),
+        col("n_contaminated_grams").cast("bigint").as("n_contaminated_grams"),
+        col("is_clean"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val q41Oracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |                   for i in range(1, len(w) - 3)]) AS grams
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |                                   x -> x <> '') AS w
+      |        FROM documents)),
+      |plist AS (SELECT list(DISTINCT gram) AS pl
+      |          FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0))
+      |SELECT g.doc_id,
+      |  len(list_intersect(g.grams, plist.pl)) AS n_contaminated_grams,
+      |  len(list_intersect(g.grams, plist.pl)) = 0 AS is_clean
+      |FROM g, plist
+      |WHERE g.doc_id % 50 <> 0
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Per-source cap (each source keeps ≤10 docs by md5-of-id order) —
+    * the domain-balancing primitive.
+    */
+  private def q42SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .capPerStratum(load(s, dir, "documents"), "source", "doc_id", maxRows = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  private val q42Oracle =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10
+      |ORDER BY doc_id""".stripMargin
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -939,6 +995,8 @@ object SparkEntry {
     "q38_stratified_sample" -> (q38StratifiedSample _),
     "q39_hash_split" -> (q39HashSplit _),
     "q40_range_join" -> (q40RangeJoin _),
+    "q41_decontaminate" -> (q41Decontaminate _),
+    "q42_source_cap" -> (q42SourceCap _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -978,5 +1036,7 @@ object SparkEntry {
     "q38_stratified_sample" -> q38Oracle,
     "q39_hash_split" -> q39Oracle,
     "q40_range_join" -> q40Oracle,
+    "q41_decontaminate" -> q41Oracle,
+    "q42_source_cap" -> q42Oracle,
   )
 }

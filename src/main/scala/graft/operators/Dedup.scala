@@ -496,6 +496,60 @@ object Dedup {
     )
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the "don't train on the test set"
+    * stage: for every corpus doc, count its word `n`-gram shingles
+    * that appear ANYWHERE in the benchmark pool (the union of all
+    * benchmark docs' shingles — standard n-gram-pool semantics), and
+    * flag docs with more than `maxSharedShingles` as contaminated.
+    *
+    * Scale design: benchmarks are tiny next to the corpus (thousands
+    * of eval docs vs billions of training docs), so the pool's
+    * distinct 64-bit shingle hashes are collected and BROADCAST as
+    * one sorted array (8 B per distinct benchmark shingle — a few MB
+    * for every public benchmark together); the corpus side is then a
+    * single shuffle-free scan with a binary-search membership count
+    * per shingle. No join, no shuffle, no corpus-side state.
+    *
+    * Output: every corpus row + `n_contaminated_grams` +
+    * `is_clean`; filter on `is_clean` to drop.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 5,
+      maxSharedShingles: Int = 0,
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val shingleHash = udf { (t: String) =>
+      wordShingles(t, n).map(s => mix64(fnv64(s))).distinct
+    }
+    val pool: Array[Long] = benchmark
+      .select(explode(shingleHash(col(benchTextCol))).as("g"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val bc = spark.sparkContext.broadcast(pool)
+    val countShared = udf { (t: String) =>
+      val p = bc.value
+      var c = 0
+      val grams = wordShingles(t, n).map(s => mix64(fnv64(s))).distinct
+      var i = 0
+      while (i < grams.length) {
+        if (java.util.Arrays.binarySearch(p, grams(i)) >= 0) c += 1
+        i += 1
+      }
+      c
+    }
+    corpus
+      .withColumn("n_contaminated_grams", countShared(col(textCol)))
+      .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
+  }
+
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =

@@ -42,6 +42,27 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Cap every stratum at `maxRows` rows (md5-of-id order) — the
+    * per-domain/per-source cap that stops a single crawl domain from
+    * dominating a training mix. Deterministic (same survivors every
+    * run); one window shuffle, sort bounded by stratum size; strata
+    * already under the cap pass through complete.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      maxRows: Int,
+  ): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
+    val w = Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxRows)
+      .drop("__rn")
+  }
+
   /** Deterministic train/val/test (or any K-way) split by md5 bucket
     * of `keyCol`: 65 536 hex buckets are carved into contiguous
     * ranges proportional to `weights`, and each row's 4-hex-char md5

@@ -243,6 +243,29 @@ class DedupSpec extends SparkTestBase {
     tight.release()
   }
 
+  test("decontaminate: benchmark n-gram pool flags verbatim passages, leaves clean docs") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (11L, "completely unrelated content about databases and distributed query engines here"),
+      (12L, "tiny doc"), // < n tokens → no shingles → clean
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .decontaminate(corpus, bench, "text", "text", n = 5)
+      .select("doc_id", "n_contaminated_grams", "is_clean")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    assert(out(10L)._1 >= 5 && !out(10L)._2, s"embedded passage must flag: ${out(10L)}")
+    assert(out(11L) == ((0, true)))
+    assert(out(12L) == ((0, true)))
+    // threshold loosening: the same corpus passes with a high allowance
+    val loose = Dedup.decontaminate(corpus, bench, "text", "text", n = 5, maxSharedShingles = 100)
+    assert(loose.where(!col("is_clean")).count() == 0)
+  }
+
   test("short documents (< n tokens) have no shingles and never pair") {
     val shorts = Seq((1L, "hello world"), (2L, "hello world"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text", n = 3, threshold = 0.1).count() == 0L)

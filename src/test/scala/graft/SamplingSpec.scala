@@ -52,6 +52,19 @@ class SamplingSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("capPerStratum: oversized strata truncated deterministically, small strata intact") {
+    val mixed = ((1L to 100L).map(i => (i, "big")) ++ (101L to 105L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val capped = Sampling.capPerStratum(mixed, "source", "doc_id", maxRows = 10)
+    val counts = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 10L, "small" -> 5L), counts.toString)
+    val ids1 = capped.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.capPerStratum(mixed, "source", "doc_id", maxRows = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2, "same survivors every run")
+    assert(capped.columns.toSeq == Seq("doc_id", "source"), "schema preserved")
+  }
+
   test("hashSplit: shuffle-free plan (pure projection)") {
     val plan = Sampling
       .hashSplit(docs, "doc_id", Seq(0.9, 0.1), Seq("train", "test"))
