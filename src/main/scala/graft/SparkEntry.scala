@@ -870,6 +870,27 @@ object SparkEntry {
       |WHERE rn <= 10
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic mixture rebalancing (per-language keep fractions,
+    * md5-threshold) — shuffle-free domain-mix primitive; the rollup
+    * proves the realized mix.
+    */
+  private val q43Fractions =
+    Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0, "it" -> 0.0)
+
+  private def q43MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .mixtureSample(load(s, dir, "documents"), "lang", "doc_id", q43Fractions)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  private val q43Oracle = {
+    val pred = graft.operators.Sampling.mixtureSampleSql("lang", "doc_id", q43Fractions)
+    s"""SELECT lang, count(*) AS n_docs
+       |FROM documents WHERE $pred
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -997,6 +1018,7 @@ object SparkEntry {
     "q40_range_join" -> (q40RangeJoin _),
     "q41_decontaminate" -> (q41Decontaminate _),
     "q42_source_cap" -> (q42SourceCap _),
+    "q43_mixture_sample" -> (q43MixtureSample _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1038,5 +1060,6 @@ object SparkEntry {
     "q40_range_join" -> q40Oracle,
     "q41_decontaminate" -> q41Oracle,
     "q42_source_cap" -> q42Oracle,
+    "q43_mixture_sample" -> q43Oracle,
   )
 }

@@ -63,6 +63,40 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic mixture downsampling: keep a per-stratum FRACTION
+    * (e.g. rebalance web/books/code domains to a target mix) by md5
+    * threshold of the id — pure projection + filter, shuffle-free at
+    * any scale (the exact-quota alternative is [[stratifiedSample]] /
+    * [[capPerStratum]], which pay one window shuffle). Strata absent
+    * from `fractions` keep `defaultFraction` (default: dropped).
+    * Sample size per stratum is binomial around n·frac, not exact —
+    * the price of zero shuffles; assignments are stable under corpus
+    * growth (a kept row stays kept when new rows arrive).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+  ): DataFrame = {
+    require(
+      (fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions",
+    )
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
+    // "g" sorts above every hex digit → frac 1.0 keeps all rows
+    // (the %04x form would yield 5-char "10000", which sorts BELOW
+    // "ffff" lexicographically and would drop everything)
+    def bound(f: Double) =
+      if (f >= 1.0) "g" else f"${math.round(f * 65536.0).toInt}%04x"
+    val threshold = fractions.foldRight(lit(bound(defaultFraction))) {
+      case ((stratum, f), rest) =>
+        when(col(stratumCol) === stratum, lit(bound(f))).otherwise(rest)
+    }
+    df.where(prefix < threshold)
+  }
+
   /** Deterministic train/val/test (or any K-way) split by md5 bucket
     * of `keyCol`: 65 536 hex buckets are carved into contiguous
     * ranges proportional to `weights`, and each row's 4-hex-char md5
@@ -95,6 +129,24 @@ object Sampling {
         when(prefix < lit(f"$bound%04x"), lit(label)).otherwise(rest)
     }
     assigned
+  }
+
+  /** [[mixtureSample]]'s predicate as SQL text (oracle/portability
+    * parity — any engine with md5 + substr reproduces the row set).
+    */
+  def mixtureSampleSql(
+      stratumExpr: String,
+      keyExpr: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+  ): String = {
+    def bound(f: Double) =
+      if (f >= 1.0) "g" else f"${math.round(f * 65536.0).toInt}%04x"
+    val whens = fractions.toSeq
+      .map { case (s, f) => s"WHEN '$s' THEN '${bound(f)}'" }
+      .mkString(" ")
+    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
+      s"(CASE $stratumExpr $whens ELSE '${bound(defaultFraction)}' END)"
   }
 
   /** The same bounds as SQL text, for oracle/portability parity:

@@ -110,6 +110,55 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher/C4-style repetition statistics — the boilerplate/spam
+    * signals length-and-punctuation heuristics miss:
+    *   - `dup_line_ratio`: fraction of lines that repeat an earlier
+    *     line (0 for single-line docs)
+    *   - `top_bigram_ratio`: share of all word bigrams taken by the
+    *     single most frequent bigram (high → "buy now buy now …")
+    *   - `max_char_run`: longest run of one repeated character
+    * Per-row scalar UDF, shuffle-free; compose with
+    * [[qualityStats]]/[[qualityScore]] filters.
+    */
+  val repetitionStatsUdf = udf { (text: String) =>
+    if (text == null || text.trim.isEmpty) (0.0, 0.0, 0)
+    else {
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      val dupLines =
+        if (lines.length <= 1) 0.0
+        else (lines.length - lines.distinct.length).toDouble / lines.length
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val topBigram =
+        if (toks.length < 2) 0.0
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Int]
+          var i = 0
+          while (i < toks.length - 1) {
+            val k = toks(i) + " " + toks(i + 1)
+            counts.update(k, counts.getOrElse(k, 0) + 1)
+            i += 1
+          }
+          counts.values.max.toDouble / (toks.length - 1)
+        }
+      var maxRun = 1
+      var run = 1
+      var i = 1
+      while (i < text.length) {
+        if (text.charAt(i) == text.charAt(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+        else run = 1
+        i += 1
+      }
+      (dupLines, topBigram, maxRun)
+    }
+  }
+
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__rep", repetitionStatsUdf(col(textCol)))
+      .withColumn("dup_line_ratio", col("__rep._1"))
+      .withColumn("top_bigram_ratio", col("__rep._2"))
+      .withColumn("max_char_run", col("__rep._3"))
+      .drop("__rep")
+
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at",
     "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",

@@ -65,6 +65,24 @@ class SamplingSpec extends SparkTestBase {
     assert(capped.columns.toSeq == Seq("doc_id", "source"), "schema preserved")
   }
 
+  test("mixtureSample: per-stratum fractions, 1.0 keeps all, 0.0/default drops all, stable subset") {
+    val mixed = ((1L to 400L).map(i => (i, "web")) ++ (401L to 500L).map(i => (i, "books"))
+      ++ (501L to 520L).map(i => (i, "junk"))).toDF("doc_id", "domain")
+    val out = Sampling.mixtureSample(mixed, "domain", "doc_id",
+      Map("web" -> 0.25, "books" -> 1.0))
+    val counts = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(counts("books") == 100L, "frac 1.0 must keep every row")
+    assert(!counts.contains("junk"), "default fraction 0 drops unlisted strata")
+    assert(counts("web") > 60 && counts("web") < 140, s"~25% of 400: $counts")
+    // kept set is a stable function of id: halving the fraction yields a subset
+    val half = Sampling.mixtureSample(mixed, "domain", "doc_id", Map("web" -> 0.125))
+      .select("doc_id").as[Long].collect().toSet
+    val full = out.where($"domain" === "web").select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(full), "smaller fraction ⊂ larger fraction")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture filter must not shuffle:\n$plan")
+  }
+
   test("hashSplit: shuffle-free plan (pure projection)") {
     val plan = Sampling
       .hashSplit(docs, "doc_id", Seq(0.9, 0.1), Seq("train", "test"))

@@ -169,6 +169,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("de") == ((1L, 1L, 4L, 1.0)))
   }
 
+  test("repetitionStats: duplicate lines, dominant bigram, char runs") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "line one\nline two\nline one\nline two"),
+      (3L, "a perfectly normal sentence with varied words throughout"),
+      (4L, "loooooooool"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .withRepetitionStats(docs, "text")
+      .select("doc_id", "dup_line_ratio", "top_bigram_ratio", "max_char_run")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(out(1L)._2 > 0.4, s"'buy now' dominates: ${out(1L)}") // 4/7 bigrams
+    assert(out(2L)._1 == 0.5, s"2 of 4 lines repeat: ${out(2L)}")
+    assert(out(3L)._1 == 0.0 && out(3L)._2 < 0.2)
+    assert(out(4L)._3 == 9, s"9 o's: ${out(4L)}")
+    assert(out(5L) == ((0.0, 0.0, 0)))
+  }
+
   test("multimodal: real header decode (png IHDR, jpeg SOF, gif, wav) + stub plumbing shapes") {
     // real 640×480 PNG header: magic + IHDR chunk
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
