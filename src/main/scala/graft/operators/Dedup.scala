@@ -62,7 +62,7 @@ object Dedup {
     */
   private def minHashPrepUdf(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
-      val grams = wordShingles(text, shingleSize).map(s => mix64(fnv64(s))).distinct.sorted
+      val grams = hashedShingles(text, shingleSize).map(mix64).distinct.sorted
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < grams.length) {
@@ -167,7 +167,7 @@ object Dedup {
   val simHashUdf = udf { (text: String) =>
     if (text == null) 0L
     else {
-      val counts = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val counts = tokenize(text)
         .groupBy(identity).view.mapValues(_.length)
       val acc = new Array[Int](64)
       counts.foreach { case (tok, w) =>
@@ -262,7 +262,7 @@ object Dedup {
     // (canonical hash order) is just take(k) of the sorted array, and
     // a 64-bit collision altering a Jaccard value is ~2⁻⁵⁰ per corpus
     val shingleHashUdf = udf { (t: String) =>
-      wordShingles(t, n).map(s => mix64(fnv64(s))).distinct.sorted
+      hashedShingles(t, n).map(mix64).distinct.sorted
     }
     val sets = df
       .select(col(idCol).as("id"), shingleHashUdf(col(textCol)).as("grams"))
@@ -525,7 +525,7 @@ object Dedup {
   ): DataFrame = {
     val spark = corpus.sparkSession
     val shingleHash = udf { (t: String) =>
-      wordShingles(t, n).map(s => mix64(fnv64(s))).distinct
+      hashedShingles(t, n).map(mix64).distinct
     }
     val pool: Array[Long] = benchmark
       .select(explode(shingleHash(col(benchTextCol))).as("g"))
@@ -537,7 +537,7 @@ object Dedup {
     val countShared = udf { (t: String) =>
       val p = bc.value
       var c = 0
-      val grams = wordShingles(t, n).map(s => mix64(fnv64(s))).distinct
+      val grams = hashedShingles(t, n).map(mix64).distinct
       var i = 0
       while (i < grams.length) {
         if (java.util.Arrays.binarySearch(p, grams(i)) >= 0) c += 1
@@ -854,9 +854,62 @@ object Dedup {
     */
   private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
-    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val toks = tokenize(text)
     if (toks.length < n) Array.empty
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** `lower(text).split("\\W+").filter(_.nonEmpty)` without the regex
+    * engine: one scan over the chars with the exact Java `\w` class
+    * (`[A-Za-z0-9_]` — ASCII, matching the RE2 `\W+` the DuckDB
+    * oracles use). The signature UDFs run this once per document per
+    * operator, so at corpus scale the regex engine was measurable
+    * pure overhead.
+    */
+  private[graft] def tokenize(text: String): Array[String] = {
+    val s = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && !isWordChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && isWordChar(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** `wordShingles(text, n).map(fnv64)` WITHOUT materializing the
+    * shingle strings: the FNV-1a stream of `"tok_i tok_i+1 … tok_i+n-1"`
+    * is fed char-by-char straight from the token array (hash values
+    * are bit-identical to hashing the joined string, so oracle-parity
+    * verification counts are unchanged). Shingle-string allocation was
+    * the dominant signature-UDF cost after tokenization.
+    */
+  private[graft] def hashedShingles(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) { h ^= t.charAt(k); h *= 0x100000001b3L; k += 1 }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
   }
 
   /** Persist + force `result`, then release the (wide) intermediate

@@ -266,6 +266,30 @@ class DedupSpec extends SparkTestBase {
     assert(loose.where(!col("is_clean")).count() == 0)
   }
 
+  test("scanner tokenize/hashedShingles ≡ regex split + string-shingle fnv64 (oracle parity)") {
+    val fixtures = Seq(
+      "hello world foo bar",
+      "  leading and trailing  separators!! ",
+      "under_scores and digits 42 mix_3d in",
+      "punct,only;text:with?marks",
+      "unicode héllo wörld — em-dash",
+      "tabs\tand\nnewlines\r\nmixed",
+      "a",
+      "",
+      "ALL CAPS BECOME lower case",
+      "repeat repeat repeat repeat",
+    )
+    fixtures.foreach { t =>
+      val viaRegex = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      assert(Dedup.tokenize(t).toSeq == viaRegex, s"tokenize mismatch on: '$t'")
+      (1 to 4).foreach { n =>
+        val viaStrings = Dedup.wordShingles(t, n).map(Dedup.fnv64).toSeq
+        assert(Dedup.hashedShingles(t, n).toSeq == viaStrings,
+          s"hash-stream mismatch on: '$t' n=$n")
+      }
+    }
+  }
+
   test("short documents (< n tokens) have no shingles and never pair") {
     val shorts = Seq((1L, "hello world"), (2L, "hello world"), (3L, "one"), (4L, "")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text", n = 3, threshold = 0.1).count() == 0L)
