@@ -550,6 +550,47 @@ object Dedup {
       .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
   }
 
+  /** [[decontaminate]] for benchmark pools too large to broadcast as
+    * an exact array: the pool is reduced to a Bloom filter (mergeable
+    * sketch, built with map-side partials — the benchmark side also
+    * never collects raw) and membership tests overcount at ~`fpp`, so
+    * `n_contaminated_grams` is an UPPER bound and `is_clean` can only
+    * err toward dropping a clean doc (never toward keeping a
+    * contaminated one) — the safe direction for decontamination.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      expectedPoolShingles: Long,
+      n: Int = 5,
+      maxSharedShingles: Int = 0,
+      fpp: Double = 0.001,
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val shingleHash = udf { (t: String) => hashedShingles(t, n).map(mix64).distinct }
+    val bloom = benchmark
+      .select(explode(shingleHash(col(benchTextCol))).as("g"))
+      .stat
+      .bloomFilter("g", math.max(1L, expectedPoolShingles), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val countShared = udf { (t: String) =>
+      val f = bc.value
+      var c = 0
+      val grams = hashedShingles(t, n).map(mix64).distinct
+      var i = 0
+      while (i < grams.length) {
+        if (f.mightContainLong(grams(i))) c += 1
+        i += 1
+      }
+      c
+    }
+    corpus
+      .withColumn("n_contaminated_grams", countShared(col(textCol)))
+      .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
+  }
+
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =

@@ -277,7 +277,11 @@ object Similarity {
   }
 
   /** Train IVF centroids on ≤ `sampleRows` vectors (Lloyd's k-means,
-    * cosine-normalized, seeded/deterministic).
+    * cosine-normalized, seeded/deterministic). The sample is a
+    * per-partition Algorithm-R reservoir collected in ONE scan — no
+    * `count()` pre-pass (at 100 TB a full scan just to pick a sample
+    * fraction is a real cost; same rationale as
+    * [[graft.MlFunctions.trainSampled]]).
     */
   def trainIvf(
       df: DataFrame,
@@ -287,13 +291,28 @@ object Similarity {
       iterations: Int = 8,
       seed: Long = 42L,
   ): IvfModel = {
-    val n = df.count()
-    val frac = math.min(1.0, sampleRows.toDouble / math.max(1, n))
-    val sample = df
-      .sample(withReplacement = false, frac, seed)
-      .select(col(vecCol))
+    val projected = df.select(col(vecCol))
+    val numPart = math.max(1, projected.rdd.getNumPartitions)
+    val perPartition = math.max(1, sampleRows / numPart)
+    val sample: Array[Array[Float]] = projected.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rng = new scala.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+        val res = new scala.collection.mutable.ArrayBuffer[Array[Float]](
+          math.min(perPartition, 1024),
+        )
+        var seen = 0L
+        it.foreach { row =>
+          val v = row.getSeq[Float](0).toArray
+          if (res.length < perPartition) res += v
+          else {
+            val j = (rng.nextLong() & Long.MaxValue) % (seen + 1)
+            if (j < perPartition) res(j.toInt) = v
+          }
+          seen += 1
+        }
+        res.iterator
+      }
       .collect()
-      .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "ivf sample is empty")
     val dim = sample.head.length
     val normed = sample.map(normalize)

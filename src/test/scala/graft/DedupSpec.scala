@@ -266,6 +266,26 @@ class DedupSpec extends SparkTestBase {
     assert(loose.where(!col("is_clean")).count() == 0)
   }
 
+  test("decontaminateBloom: agrees with exact on flagged docs; errs only toward dropping") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (11L, "completely unrelated content about databases and distributed query engines here"),
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "text", "text", n = 5)
+      .select("doc_id", "n_contaminated_grams").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "text", "text",
+      expectedPoolShingles = 100L, n = 5)
+      .select("doc_id", "n_contaminated_grams").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // upper bound, and at fpp=0.001 on tiny pools: equal
+    corpus.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(bloom(id) >= exact(id), s"bloom must never undercount: $id")
+    }
+    assert(bloom(10L) >= 5, "contaminated doc flagged through the sketch")
+  }
+
   test("scanner tokenize/hashedShingles ≡ regex split + string-shingle fnv64 (oracle parity)") {
     val fixtures = Seq(
       "hello world foo bar",
