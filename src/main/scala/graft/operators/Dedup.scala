@@ -63,30 +63,39 @@ object Dedup {
   private def minHashPrepUdf(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
       val grams = hashedShingles(text, shingleSize).map(mix64).distinct.sorted
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < grams.length) {
-        val h = grams(i)
-        val bin = java.lang.Long.remainderUnsigned(h, numHashes).toInt
-        if (h < sig(bin)) sig(bin) = h
-        i += 1
-      }
-      // rotation densification: empty bins copy the next filled bin
-      // (mixed with the hop distance so distinct gaps stay distinct)
-      if (grams.nonEmpty) {
-        var b = 0
-        while (b < numHashes) {
-          if (sig(b) == Long.MaxValue) {
-            var hops = 1
-            var j = (b + 1) % numHashes
-            while (sig(j) == Long.MaxValue) { j = (j + 1) % numHashes; hops += 1 }
-            sig(b) = mix64(sig(j) + hops)
-          }
-          b += 1
-        }
-      }
-      (sig, grams)
+      (ophSignature(grams, numHashes), grams)
     }
+
+  /** The densified-OPH signature of a (distinct) shingle-hash set —
+    * shared by the batch banding path and the streaming near-dup
+    * state operator. Empty input → all-sentinel signature (callers
+    * filter shingle-less docs out).
+    */
+  private[graft] def ophSignature(grams: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < grams.length) {
+      val h = grams(i)
+      val bin = java.lang.Long.remainderUnsigned(h, numHashes).toInt
+      if (h < sig(bin)) sig(bin) = h
+      i += 1
+    }
+    // rotation densification: empty bins copy the next filled bin
+    // (mixed with the hop distance so distinct gaps stay distinct)
+    if (grams.nonEmpty) {
+      var b = 0
+      while (b < numHashes) {
+        if (sig(b) == Long.MaxValue) {
+          var hops = 1
+          var j = (b + 1) % numHashes
+          while (sig(j) == Long.MaxValue) { j = (j + 1) % numHashes; hops += 1 }
+          sig(b) = mix64(sig(j) + hops)
+        }
+        b += 1
+      }
+    }
+    sig
+  }
 
   /** Candidate pairs whose MinHash signatures collide in ≥1 of
     * `bands` bands (r = numHashes/bands rows per band), verified with

@@ -191,6 +191,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: banded minhash state finds planted pair, stream equals batch") {
+    val base = "the quick brown fox jumps over the lazy dog while seventy owls " +
+      "watch from nearby trees and comment on the unfolding chase below them"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(t0), base),
+      (2L, new java.sql.Timestamp(t0 + 5000), base + " tonight"), // near-dup of 1
+      (3L, new java.sql.Timestamp(t0 + 9000), "completely different content about " +
+        "distributed query engines shuffles partitions and adaptive execution plans"),
+    )
+    val batchDf = rows.toDF("doc_id", "ts", "text")
+    val batchPairs = graft.streaming.StreamingDedup
+      .nearDupHits(batchDf, "doc_id", "ts", "text", estThreshold = 0.5)
+      .select($"id_a", $"id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L)), s"batch: $batchPairs")
+
+    val dir = Files.createTempDirectory("graft-neardup-stream").toString
+    batchDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = graft.streaming.StreamingDedup
+      .nearDupHits(stream, "doc_id", "ts", "text", estThreshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamPairs = spark.table("neardup_stream")
+        .select($"id_a", $"id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(streamPairs == batchPairs, s"stream=$streamPairs batch=$batchPairs")
+    } finally q.stop()
+  }
+
   test("streaming ml_pred scoring produces per-row predictions") {
     MlFunctions.create(
       spark,
