@@ -298,6 +298,58 @@ object Dedup {
     materializeAndRelease(out, sets, bucketHandle)
   }
 
+  /** [[ngramJaccardPairs]] with DOCUMENT-FREQUENCY-ORDERED prefixes:
+    * the AllPairs prefix-filter guarantee holds under ANY globally
+    * consistent total order of shingles, and ordering by ascending
+    * corpus df puts each doc's RAREST shingles in its indexed prefix —
+    * rare shingles land in small buckets, so candidate volume on
+    * skewed/template-heavy corpora drops sharply (the classic
+    * AllPairs/PPJoin ordering). Price: one df aggregation + one join +
+    * one per-doc window more than the hash-ordered variant; buy it
+    * when boilerplate dominates, skip it when shingles are near-
+    * uniform. The verified pair set is IDENTICAL (both orders are
+    * complete; verification is unchanged).
+    */
+  def ngramJaccardPairsDfOrdered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val shingleHashUdf = udf { (t: String) =>
+      hashedShingles(t, n).map(mix64).distinct.sorted
+    }
+    val sets = df
+      .select(col(idCol).as("id"), shingleHashUdf(col(textCol)).as("grams"))
+      .persist()
+    val exploded = sets.select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
+    val gramDf = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val prefixLen = greatest(
+      lit(1),
+      (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"),
+    )
+    val w = Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    val prefixes = exploded
+      .join(gramDf, "g")
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= prefixLen)
+      .select(col("id"), col("g").as("bucket"))
+    val (pairs, bucketHandle) = bucketedCandidatePairs(prefixes, maxBucketSize)
+    val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
+    val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
+    val out = pairs
+      .join(ga, "id_a")
+      .join(gb, "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams_a"), col("grams_b")))
+      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(out, sets, bucketHandle)
+  }
+
   // ------------------------------------------------- winnowing overlap
 
   /** Near-dup/overlap pairs from winnowing fingerprints (Schleimer et

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -241,6 +242,28 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(9002L), s"dup dropped, new doc kept: $kept")
     sized.release() // after materialization: frees the broadcast bits
     tight.release()
+  }
+
+  test("df-ordered prefix variant: identical verified pairs; boilerplate survives the cap better") {
+    val boiler = "this content is provided as is without warranty of any kind either express"
+    val unique = "zebra quokka wombat numbat dingo bilby kookaburra platypus echidna bandicoot"
+    val docsSkewed = (1L to 300L).map {
+      case i if i <= 2 => (i, s"$boiler $unique")
+      case i           => (i, s"$boiler only$i filler$i words$i")
+    }.toDF("doc_id", "text")
+    def pairsOf(f: => DataFrame) =
+      f.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val hashOrdered = pairsOf(
+      Dedup.ngramJaccardPairs(docsSkewed, "doc_id", "text", n = 3, threshold = 0.5))
+    val dfOrdered = pairsOf(
+      Dedup.ngramJaccardPairsDfOrdered(docsSkewed, "doc_id", "text", n = 3, threshold = 0.5))
+    assert(dfOrdered == hashOrdered, s"orders must agree: $dfOrdered vs $hashOrdered")
+    assert(dfOrdered.contains((1L, 2L)))
+    // under a cap tight enough to threaten boilerplate buckets, the
+    // df-ordered prefixes index RARE shingles and still find the pair
+    val capped = pairsOf(Dedup.ngramJaccardPairsDfOrdered(
+      docsSkewed, "doc_id", "text", n = 3, threshold = 0.5, maxBucketSize = 20))
+    assert(capped.contains((1L, 2L)), "rare-shingle prefix must survive a tight cap")
   }
 
   test("decontaminate: benchmark n-gram pool flags verbatim passages, leaves clean docs") {
