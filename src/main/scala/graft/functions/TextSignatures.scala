@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public faces of the native text-signature expressions
+  * (implementation in [[org.apache.spark.sql.graftext]]; kernels in
+  * [[graft.textutil.TextHash]]). Semantics are bit-identical to the
+  * Scala-UDF formulations they replace — sorted distinct
+  * `mix64(fnv64(word-shingle))` sets, densified-OPH MinHash,
+  * frequency-weighted SimHash, winnowing fingerprints — without UDF
+  * serde on the per-document signature pass.
+  */
+object TextSignatures {
+  def shingleSet(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.shingleSet(text, n)
+  def minhashPrep(text: Column, n: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.minhashPrep(text, n, numHashes)
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.simhash64(text)
+  def winnowSignature(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.winnowSignature(text, k, w)
+}

@@ -60,42 +60,16 @@ object Dedup {
     * operator at corpus scale, and any false positives the
     * densification adds are killed by the exact-Jaccard verify.
     */
-  private def minHashPrepUdf(numHashes: Int, shingleSize: Int) =
-    udf { (text: String) =>
-      val grams = hashedShingles(text, shingleSize).map(mix64).distinct.sorted
-      (ophSignature(grams, numHashes), grams)
-    }
+  private def minHashPrep(text: Column, numHashes: Int, shingleSize: Int): Column =
+    graft.functions.TextSignatures.minhashPrep(text, shingleSize, numHashes)
 
   /** The densified-OPH signature of a (distinct) shingle-hash set —
     * shared by the batch banding path and the streaming near-dup
     * state operator. Empty input → all-sentinel signature (callers
     * filter shingle-less docs out).
     */
-  private[graft] def ophSignature(grams: Array[Long], numHashes: Int): Array[Long] = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < grams.length) {
-      val h = grams(i)
-      val bin = java.lang.Long.remainderUnsigned(h, numHashes).toInt
-      if (h < sig(bin)) sig(bin) = h
-      i += 1
-    }
-    // rotation densification: empty bins copy the next filled bin
-    // (mixed with the hop distance so distinct gaps stay distinct)
-    if (grams.nonEmpty) {
-      var b = 0
-      while (b < numHashes) {
-        if (sig(b) == Long.MaxValue) {
-          var hops = 1
-          var j = (b + 1) % numHashes
-          while (sig(j) == Long.MaxValue) { j = (j + 1) % numHashes; hops += 1 }
-          sig(b) = mix64(sig(j) + hops)
-        }
-        b += 1
-      }
-    }
-    sig
-  }
+  private[graft] def ophSignature(grams: Array[Long], numHashes: Int): Array[Long] =
+    graft.textutil.TextHash.ophSignature(grams, numHashes)
 
   /** Candidate pairs whose MinHash signatures collide in ≥1 of
     * `bands` bands (r = numHashes/bands rows per band), verified with
@@ -123,8 +97,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sets = df
-      .select(col(idCol).as("id"), minHashPrepUdf(numHashes, shingleSize)(col(textCol)).as("p"))
-      .select(col("id"), col("p._1").as("sig"), col("p._2").as("grams"))
+      .select(col(idCol).as("id"), minHashPrep(col(textCol), numHashes, shingleSize).as("p"))
+      .select(col("id"), col("p.sig").as("sig"), col("p.grams").as("grams"))
       .where(size(col("grams")) > 0)
       .persist()
     // band key = hash of the band's slice of the signature
@@ -172,27 +146,12 @@ object Dedup {
 
   // ----------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word unigrams (token-frequency weighted). */
-  val simHashUdf = udf { (text: String) =>
-    if (text == null) 0L
-    else {
-      val counts = tokenize(text)
-        .groupBy(identity).view.mapValues(_.length)
-      val acc = new Array[Int](64)
-      counts.foreach { case (tok, w) =>
-        val h = fnv64(tok)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
-          b += 1
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
-  }
+  /** 64-bit SimHash over word unigrams (token-frequency weighted) —
+    * native codegen expression; `coalesce` preserves the old UDF's
+    * null→0L convention so null-text docs still bucket together.
+    */
+  private def simHashCol(text: Column): Column =
+    coalesce(graft.functions.TextSignatures.simhash64(text), lit(0L))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     * Candidates via the pigeonhole trick: split the 64-bit hash into
@@ -210,7 +169,7 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = df
-      .select(col(idCol).as("id"), simHashUdf(col(textCol)).as("simhash"))
+      .select(col(idCol).as("id"), simHashCol(col(textCol)).as("simhash"))
       .persist()
     val banded = sigs.select(
       col("id"),
@@ -270,11 +229,9 @@ object Dedup {
     // longs is ~5× cheaper than on strings at verify time, the prefix
     // (canonical hash order) is just take(k) of the sorted array, and
     // a 64-bit collision altering a Jaccard value is ~2⁻⁵⁰ per corpus
-    val shingleHashUdf = udf { (t: String) =>
-      hashedShingles(t, n).map(mix64).distinct.sorted
-    }
     val sets = df
-      .select(col(idCol).as("id"), shingleHashUdf(col(textCol)).as("grams"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextSignatures.shingleSet(col(textCol), n).as("grams"))
       .persist()
     // prefix filter (see scaladoc above): first |S|-⌈t|S|⌉+1 in hash order
     val prefixLen = greatest(
@@ -318,11 +275,9 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    val shingleHashUdf = udf { (t: String) =>
-      hashedShingles(t, n).map(mix64).distinct.sorted
-    }
     val sets = df
-      .select(col(idCol).as("id"), shingleHashUdf(col(textCol)).as("grams"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextSignatures.shingleSet(col(textCol), n).as("grams"))
       .persist()
     val exploded = sets.select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("g"))
     val gramDf = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
@@ -380,9 +335,9 @@ object Dedup {
       minOverlap: Double = 0.5,
       maxBucketSize: Int = 100,
   ): DataFrame = {
-    val sigUdf = TextAnalysis.winnowingUdf(k, w)
     val sets = df
-      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextSignatures.winnowSignature(col(textCol), k, w).as("sig"))
       .where(size(col("sig")) > 0)
       .persist()
     val buckets = sets.select(col("id"), explode(col("sig")).as("bucket"))
@@ -968,51 +923,16 @@ object Dedup {
     * operator, so at corpus scale the regex engine was measurable
     * pure overhead.
     */
-  private[graft] def tokenize(text: String): Array[String] = {
-    val s = text.toLowerCase
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && !isWordChar(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && isWordChar(s.charAt(i))) i += 1
-      if (i > start) out += s.substring(start, i)
-    }
-    out.toArray
-  }
-
-  @inline private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  private[graft] def tokenize(text: String): Array[String] =
+    graft.textutil.TextHash.tokenize(text)
 
   /** `wordShingles(text, n).map(fnv64)` WITHOUT materializing the
-    * shingle strings: the FNV-1a stream of `"tok_i tok_i+1 … tok_i+n-1"`
-    * is fed char-by-char straight from the token array (hash values
-    * are bit-identical to hashing the joined string, so oracle-parity
-    * verification counts are unchanged). Shingle-string allocation was
-    * the dominant signature-UDF cost after tokenization.
+    * shingle strings — see [[graft.textutil.TextHash.hashedShingles]]
+    * (the implementation moved there so the native signature
+    * expressions and the streaming state operators share one kernel).
     */
-  private[graft] def hashedShingles(text: String, n: Int): Array[Long] = {
-    if (text == null) return Array.empty
-    val toks = tokenize(text)
-    if (toks.length < n) return Array.empty
-    val out = new Array[Long](toks.length - n + 1)
-    var i = 0
-    while (i < out.length) {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < n) {
-        if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
-        val t = toks(i + j)
-        var k = 0
-        while (k < t.length) { h ^= t.charAt(k); h *= 0x100000001b3L; k += 1 }
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
-    out
-  }
+  private[graft] def hashedShingles(text: String, n: Int): Array[Long] =
+    graft.textutil.TextHash.hashedShingles(text, n)
 
   /** Persist + force `result`, then release the (wide) intermediate
     * handles so repeated operator invocations in a long-lived session
@@ -1027,22 +947,8 @@ object Dedup {
     out
   }
 
-  private[graft] def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  private[graft] def fnv64(s: String): Long = graft.textutil.TextHash.fnv64(s)
 
   /** splitmix64 finalizer — cheap independent hash family generator. */
-  private[graft] def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private[graft] def mix64(x0: Long): Long = graft.textutil.TextHash.mix64(x0)
 }

@@ -258,44 +258,18 @@ object TextAnalysis {
     */
   def winnowingUdf(k: Int = 8, w: Int = 4) = udf { (text: String) =>
     if (text == null) Array.empty[Long]
-    else {
-      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
-      if (norm.length < k) Array.empty[Long]
-      else {
-        val n = norm.length - k + 1
-        val hashes = new Array[Long](n)
-        val B = 1000003L
-        var pow = 1L
-        var i = 0
-        while (i < k - 1) { pow *= B; i += 1 }
-        var h = 0L
-        i = 0
-        while (i < k) { h = h * B + norm.charAt(i); i += 1 }
-        hashes(0) = h
-        i = 1
-        while (i < n) {
-          h = (h - norm.charAt(i - 1) * pow) * B + norm.charAt(i + k - 1)
-          hashes(i) = h
-          i += 1
-        }
-        val out = scala.collection.mutable.SortedSet.empty[Long]
-        var s = 0
-        val win = math.max(1, w)
-        while (s + win <= n) {
-          var mn = hashes(s)
-          var j = s + 1
-          while (j < s + win) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
-          out += mn
-          s += 1
-        }
-        out.toArray
-      }
-    }
+    else graft.textutil.TextHash.winnowSignature(text, k, w)
   }
 
   def withFingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", contentFingerprintUdf(col(textCol)))
-      .withColumn("winnow_sig", winnowingUdf()(col(textCol)))
+      .withColumn(
+        "winnow_sig",
+        coalesce(
+          graft.functions.TextSignatures.winnowSignature(col(textCol), 8, 4),
+          typedLit(Array.empty[Long]),
+        ),
+      )
 
   // ----------------------------------------------------------- pii redaction
 

@@ -74,8 +74,8 @@ object StreamingDedup {
     import spark.implicits._
     val r = numHashes / bands
     val sigUdf = udf { (text: String) =>
-      val grams = Dedup.hashedShingles(text, shingleSize).map(Dedup.mix64).distinct.sorted
-      if (grams.isEmpty) null else Dedup.ophSignature(grams, numHashes)
+      val grams = graft.textutil.TextHash.sortedShingleSet(text, shingleSize)
+      if (grams.isEmpty) null else graft.textutil.TextHash.ophSignature(grams, numHashes)
     }
     val signed = docs
       .select(
