@@ -891,6 +891,64 @@ object SparkEntry {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Sequence-packing layout at a 512-token budget: where each
+    * document lands in the contiguous packed token stream. The Spark
+    * side runs the DISTRIBUTED prefix sum (range partitions + offset
+    * broadcast); the oracle is the equivalent single-window SQL —
+    * passing means the parallel decomposition is bit-exact.
+    */
+  private def q44SeqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.sequencePacking(load(s, dir, "documents"), "doc_id", "text", 512)
+
+  private val q44Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  start_offset // 512 AS pack_first,
+      |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+      |       ELSE start_offset // 512 END AS pack_last
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Exact-dup groups keeping the LONGEST copy (n_chars desc, id
+    * tiebreak) instead of the first — canonical-selection policy for
+    * truncated scrapes.
+    */
+  private def q45DupCanonical(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exactDedupBest(load(s, dir, "documents"), "doc_id", "text", Seq(col("n_chars").desc))
+      .select(col("doc_id"), col("content_hash"), col("group_size"), col("is_kept"))
+      .orderBy("doc_id")
+
+  private val q45Oracle =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+      |  ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |    ORDER BY n_chars DESC, doc_id) = 1 AS is_kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Seeded deterministic corpus interleave: reproducible global
+    * shuffle positions from md5(id:salt). Same distributed-prefix-sum
+    * machinery as q44, exercised over a hash order instead of id
+    * order.
+    */
+  private def q46Interleave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.deterministicShuffle(load(s, dir, "documents"), "doc_id", "s42")
+
+  private val q46Oracle =
+    """SELECT doc_id,
+      |  md5(CAST(doc_id AS VARCHAR) || ':s42') AS shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id)
+      |    AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1019,6 +1077,9 @@ object SparkEntry {
     "q41_decontaminate" -> (q41Decontaminate _),
     "q42_source_cap" -> (q42SourceCap _),
     "q43_mixture_sample" -> (q43MixtureSample _),
+    "q44_seq_pack" -> (q44SeqPack _),
+    "q45_dup_canonical" -> (q45DupCanonical _),
+    "q46_interleave" -> (q46Interleave _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1061,5 +1122,8 @@ object SparkEntry {
     "q41_decontaminate" -> q41Oracle,
     "q42_source_cap" -> q42Oracle,
     "q43_mixture_sample" -> q43Oracle,
+    "q44_seq_pack" -> q44Oracle,
+    "q45_dup_canonical" -> q45Oracle,
+    "q46_interleave" -> q46Oracle,
   )
 }

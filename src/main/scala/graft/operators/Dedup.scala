@@ -40,6 +40,32 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
+  /** Exact dedup with QUALITY-RANKED canonical selection: groups by
+    * content hash like [[exactDedup]], but the keeper is the best row
+    * under `prefer` (e.g. `Seq(col("n_chars").desc)` = keep the
+    * longest copy; ties broken by min id so the choice is total).
+    * "Keep first" is the wrong call when near-identical scrapes differ
+    * in truncation — rank by the signal you care about instead.
+    *
+    * Output: every input row + (content_hash, group_size, is_kept).
+    * Scale shape: one shuffle on content_hash for the window; group
+    * sizes are duplicate cardinalities, so no planning-relevant skew
+    * beyond what exact dedup itself has.
+    */
+  def exactDedupBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefer: Seq[Column],
+  ): DataFrame = {
+    val hashed = df.withColumn("content_hash", md5(col(textCol)))
+    val grp = Window.partitionBy(col("content_hash"))
+    val rank = grp.orderBy(prefer :+ col(idCol).asc: _*)
+    hashed
+      .withColumn("group_size", count(lit(1)).over(grp))
+      .withColumn("is_kept", row_number().over(rank) === 1)
+  }
+
   // ---------------------------------------------------------- minhash + lsh
 
   /** One-scan prep for [[minHashNearDupPairs]]: the MinHash signature

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Training-sequence layout operators: deterministic global ordering
+  * primitives a pre-training data pipeline runs after cleaning —
+  * sequence packing (where does each document land in the
+  * fixed-length token stream?) and seeded corpus interleave
+  * (a reproducible global shuffle).
+  *
+  * Both need a GLOBAL prefix over a total order, which naively is a
+  * single-partition window — the classic scale trap (`Window.orderBy`
+  * with no partition spec funnels 100 TB through one task). Instead
+  * [[withPrefixSum]] runs the textbook distributed prefix sum:
+  * range-partition on the order key, cumulate WITHIN partitions
+  * (parallel), cumulate the per-partition totals (one tiny
+  * single-partition window over #partitions rows), broadcast those
+  * offsets back. Results are bit-identical to the global window — the
+  * DuckDB oracles check exactly that — at every corpus size.
+  */
+object Packing {
+
+  /** Adds `outCol` = EXCLUSIVE prefix sum of `valueCol` over the total
+    * order `orderCols` (sum of all strictly-preceding rows; first row
+    * gets 0).
+    *
+    * The partition ids must be consistent between the offset
+    * aggregation and the final join, so the range-partitioned frame is
+    * persisted for the duration of the query (range boundaries come
+    * from sampling; two independent recomputations could disagree).
+    * Released once the caller materializes — pass the returned handle
+    * to [[Dedup.materializeAndRelease]]-style cleanup or unpersist
+    * after an action.
+    */
+  private[graft] def withPrefixSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      value: Column,
+      outCol: String,
+  ): (DataFrame, DataFrame) = {
+    val oc = orderCols.map(col)
+    val parted = df
+      .repartitionByRange(oc: _*)
+      .sortWithinPartitions(oc: _*)
+      .withColumn("__part", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .persist()
+    // one row per partition → single-partition window is FINE here
+    val offsets = parted
+      .groupBy(col("__part"))
+      .agg(sum(col("__v")).as("__psum"))
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__psum")).over(
+            Window.orderBy(col("__part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L),
+        ),
+      )
+      .select(col("__part"), col("__offset"))
+    val local = Window
+      .partitionBy(col("__part"))
+      .orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = parted
+      .join(broadcast(offsets), "__part")
+      .withColumn(outCol, coalesce(sum(col("__v")).over(local), lit(0L)) + col("__offset"))
+      .drop("__part", "__v")
+    (out, parted)
+  }
+
+  /** Sequence packing layout: documents are concatenated in `idCol`
+    * order into one token stream cut into fixed `seqLen`-token
+    * training sequences (GPT-style contiguous packing); each document
+    * reports the half-open token interval it occupies and the first /
+    * last sequence it lands in. Token counting matches the chunking
+    * oracle (`split(trim(text), '\s+')` non-empties).
+    *
+    * Output: (id, n_tokens, start_offset, pack_first, pack_last),
+    * ordered by id. Zero-token documents occupy no tokens and report
+    * the pack the stream cursor is currently in.
+    */
+  def sequencePacking(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = df.select(
+      col(idCol),
+      coalesce(
+        expr(s"size(filter(split(trim($textCol), '\\\\s+'), x -> x != ''))"),
+        lit(0),
+      ).cast("long").as("n_tokens"),
+    )
+    val (prefixed, handle) = withPrefixSum(toks, Seq(idCol), col("n_tokens"), "start_offset")
+    val out = prefixed
+      .withColumn("pack_first", expr(s"start_offset div $seqLen"))
+      .withColumn(
+        "pack_last",
+        when(col("n_tokens") > 0, expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+          .otherwise(col("pack_first")),
+      )
+      .select(col(idCol), col("n_tokens"), col("start_offset"), col("pack_first"), col("pack_last"))
+      .orderBy(idCol)
+      .persist()
+    out.count()
+    handle.unpersist(blocking = false)
+    out
+  }
+
+  /** Seeded deterministic corpus interleave — the reproducible global
+    * shuffle a training run needs for data ordering: every row gets a
+    * stable position `pos` (1-based) in the order of
+    * `md5(id || ':' || salt)`. Same salt → same order on any cluster
+    * layout; changing the salt is a fresh epoch-level reshuffle.
+    * Content-independent, so the order carries no length/quality bias.
+    *
+    * Output: (id, shuffle_key, pos) ordered by id. Position
+    * assignment is the distributed prefix sum of 1s — no global
+    * single-partition window, no zipWithIndex RDD round-trip.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val keyed = df.select(
+      col(idCol),
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))).as("shuffle_key"),
+    )
+    val (prefixed, handle) =
+      withPrefixSum(keyed, Seq("shuffle_key", idCol), lit(1L), "__pos0")
+    val out = prefixed
+      .withColumn("pos", col("__pos0") + 1L)
+      .select(col(idCol), col("shuffle_key"), col("pos"))
+      .orderBy(idCol)
+      .persist()
+    out.count()
+    handle.unpersist(blocking = false)
+    out
+  }
+}

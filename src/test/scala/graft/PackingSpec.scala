@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing}
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sequencePacking: hand-checked layout incl. zero-token and short docs") {
+    val df = Seq(
+      (1L, "a b c d e"), // 5 tokens, offsets [0,5)
+      (2L, ""), // 0 tokens at cursor 5
+      (3L, "one two three four"), // 4 tokens, [5,9) → crosses pack edge at 8
+      (4L, "x y z"), // 3 tokens, [9,12)
+    ).toDF("doc_id", "text")
+    val out = Packing
+      .sequencePacking(df, "doc_id", "text", seqLen = 8)
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(out == Seq(
+      (1L, 5L, 0L, 0L, 0L),
+      (2L, 0L, 5L, 0L, 0L),
+      (3L, 4L, 5L, 0L, 1L), // spans packs 0 and 1 (tokens 5..8)
+      (4L, 3L, 9L, 1L, 1L),
+    ))
+  }
+
+  test("distributed prefix sum ≡ global single-partition window, many partitions") {
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 3000L).map(i => (i, Seq.fill(rng.nextInt(20))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text").repartition(13)
+    val got = Packing.sequencePacking(df, "doc_id", "text", 64)
+    val tokens = df.select(
+      col("doc_id"),
+      coalesce(expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))"), lit(0))
+        .cast("long")
+        .as("n_tokens"),
+    )
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = tokens
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_first", expr("start_offset div 64"))
+      .withColumn(
+        "pack_last",
+        when(col("n_tokens") > 0, expr("(start_offset + n_tokens - 1) div 64"))
+          .otherwise(col("pack_first")),
+      )
+      .orderBy("doc_id")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    got.unpersist()
+  }
+
+  test("deterministicShuffle: valid permutation, salt-stable, salt-sensitive") {
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text").repartition(7)
+    val a = Packing.deterministicShuffle(df, "doc_id", "epoch1")
+    val b = Packing.deterministicShuffle(df, "doc_id", "epoch1")
+    val c = Packing.deterministicShuffle(df, "doc_id", "epoch2")
+    val posA = a.select("pos").as[Long].collect().sorted
+    assert(posA.toSeq == (1L to 500L)) // a permutation: every position exactly once
+    assert(a.collect().toSeq == b.collect().toSeq) // same salt → identical order
+    val ca = c.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val aa = a.select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(aa != ca, "different salt must reshuffle")
+    // order agrees with an explicit sort by the hash key
+    val byHash = a.orderBy("shuffle_key", "doc_id").select("pos").as[Long].collect()
+    assert(byHash.toSeq == (1L to 500L), "pos must rank by shuffle_key")
+    Seq(a, b, c).foreach(_.unpersist())
+  }
+
+  test("exactDedupBest keeps the preferred row per content group") {
+    val df = Seq(
+      (1L, "same text", 9L),
+      (2L, "same text", 20L), // longest copy → keeper despite higher id
+      (3L, "same text", 20L), // tie on length → loses to id 2
+      (4L, "unique", 6L),
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup
+      .exactDedupBest(df, "doc_id", "text", Seq(col("n_chars").desc))
+      .select("doc_id", "group_size", "is_kept")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(out == Seq((1L, 3L, false), (2L, 3L, true), (3L, 3L, false), (4L, 1L, true)))
+  }
+}
