@@ -949,6 +949,30 @@ object SparkEntry {
       |    AS BIGINT) AS pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup semantic dedup over embeddings: k-means cells + ε-ball
+    * collapse (keep lowest centroid-sim). Rows-only (k-means cells are
+    * engine-internal); DedupSpec-style properties in SimilaritySpec.
+    * ε matches q19's near-dup threshold so the pair universe is the
+    * same one the exact path oracles.
+    */
+  private def q47SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .semanticDedup(load(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16, eps = 0.3)
+      .select(col("id"), col("cell"), col("component"), col("is_kept"))
+      .orderBy("id")
+
+  /** PQ-ANN top-k (8-byte codes over 64-dim vectors, exact re-rank of
+    * the ADC shortlist). Rows-only (codebooks engine-internal);
+    * SimilaritySpec locks exhaustive-refine ≡ brute force + recall.
+    */
+  private def q48PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val model = Similarity.trainPq(e, "embedding", m = 8, ksub = 16)
+    Similarity
+      .pqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 10, model, refine = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1080,6 +1104,8 @@ object SparkEntry {
     "q44_seq_pack" -> (q44SeqPack _),
     "q45_dup_canonical" -> (q45DupCanonical _),
     "q46_interleave" -> (q46Interleave _),
+    "q47_semantic_dedup" -> (q47SemanticDedup _),
+    "q48_pq_ann" -> (q48PqAnn _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

@@ -17,6 +17,8 @@ object VectorExpressions {
     org.apache.spark.sql.graftext.VectorExpressions.vecCosine(a, b)
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftext.VectorExpressions.sortedIntersectCount(a, b)
+  def pqAdcScore(code: Column, lut: Column, ksub: Int): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.pqAdcScore(code, lut, ksub)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftext.VectorExpressions.register(spark)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 
@@ -283,18 +283,20 @@ object Similarity {
     * fraction is a real cost; same rationale as
     * [[graft.MlFunctions.trainSampled]]).
     */
-  def trainIvf(
+  /** Bounded per-partition Algorithm-R reservoir over a vector column,
+    * ONE scan, no `count()` pre-pass — shared by IVF and PQ codebook
+    * training.
+    */
+  private def sampleVectors(
       df: DataFrame,
       vecCol: String,
-      nlist: Int,
-      sampleRows: Int = 20000,
-      iterations: Int = 8,
-      seed: Long = 42L,
-  ): IvfModel = {
+      sampleRows: Int,
+      seed: Long,
+  ): Array[Array[Float]] = {
     val projected = df.select(col(vecCol))
     val numPart = math.max(1, projected.rdd.getNumPartitions)
     val perPartition = math.max(1, sampleRows / numPart)
-    val sample: Array[Array[Float]] = projected.rdd
+    projected.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val rng = new scala.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
         val res = new scala.collection.mutable.ArrayBuffer[Array[Float]](
@@ -313,6 +315,17 @@ object Similarity {
         res.iterator
       }
       .collect()
+  }
+
+  def trainIvf(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleRows: Int = 20000,
+      iterations: Int = 8,
+      seed: Long = 42L,
+  ): IvfModel = {
+    val sample = sampleVectors(df, vecCol, sampleRows, seed)
     require(sample.nonEmpty, "ivf sample is empty")
     val dim = sample.head.length
     val normed = sample.map(normalize)
@@ -344,6 +357,260 @@ object Similarity {
     v.foreach(x => ss += x.toDouble * x)
     val n = math.sqrt(ss)
     if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  // ------------------------------------------------ semantic dedup (SemDeDup)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then within
+    * each cluster collapse every ε-ball (cosine ≥ `eps`) to ONE
+    * representative — the member with the LOWEST cosine to its
+    * centroid (the paper's choice: keep the least prototypical copy,
+    * drop the redundant middle). Semantic near-dups (paraphrases,
+    * templated rewrites) that text shingling can't see collapse here.
+    *
+    * Scale shape: clustering replaces the quadratic corpus×corpus
+    * search with per-cluster blocks — candidate pairs come from the
+    * same count-capped self-join machinery as the text dedup family
+    * (no cluster's id list is ever materialized in one buffer), verify
+    * is a native cosine per candidate, and transitive ε-chains close
+    * via connected components. Cross-cluster near-dups are missed by
+    * construction (that's the approximation SemDeDup makes; raise
+    * `nlist` with corpus size so clusters stay bounded).
+    *
+    * Output: every input row as (id, cell, cent_sim, component,
+    * is_kept) — filter `is_kept` to dedupe.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 64,
+      eps: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      seed: Long = 42L,
+  ): DataFrame = {
+    val model = trainIvf(df, vecCol, nlist, seed = seed)
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bc.value, v))
+    val centSimUdf = udf((v: Seq[Float], c: Int) => -IvfModel.negCos(bc.value(c), v))
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+      .withColumn("cent_sim", centSimUdf(col("vec"), col("cell")))
+      .persist()
+    val (pairs, bucketHandle) =
+      Dedup.bucketedCandidatePairs(
+        assigned.select(col("id"), col("cell").as("bucket")), maxClusterSize)
+    val va = assigned.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = assigned.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val verified = pairs
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .where(
+        graft.functions.VectorExpressions.vecCosine(col("vec_a"), col("vec_b")) >= eps)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(verified) // (id, component)
+    val keepRank = Window
+      .partitionBy(col("component"))
+      .orderBy(col("cent_sim").asc, col("id").asc)
+    val ranked = comp
+      .join(assigned.select(col("id"), col("cent_sim")), "id")
+      .withColumn("is_kept", row_number().over(keepRank) === 1)
+      .select(col("id"), col("component"), col("is_kept"))
+    val out = assigned
+      .select(col("id"), col("cell"), col("cent_sim"))
+      .join(ranked, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("cell"),
+        col("cent_sim"),
+        coalesce(col("component"), col("id")).as("component"),
+        coalesce(col("is_kept"), lit(true)).as("is_kept"),
+      )
+      .persist()
+    out.count()
+    assigned.unpersist(blocking = false)
+    bucketHandle.unpersist(blocking = false)
+    out
+  }
+
+  // -------------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jégou et al. TPAMI'11): the
+    * (cosine-normalized) vector space is split into `m` subspaces of
+    * `dsub` dims, each with `ksub` k-means codewords; a vector encodes
+    * as `m` unsigned bytes. `codebooks` is flat
+    * `[(j·ksub + c)·dsub + i]` so broadcast + LUT math stay primitive.
+    * At 100 TB the point is storage/bandwidth: a 64-dim float vector
+    * (256 B) becomes an 8-byte code, so the ANN scan reads 32× less.
+    */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int, codebooks: Array[Float])
+
+  object PqModel {
+    /** Nearest codeword (L2 over the subspace) of normalized vector
+      * `v`'s j-th subvector — static, allocation-free.
+      */
+    private[operators] def nearestCode(
+        cb: Array[Float], j: Int, ksub: Int, dsub: Int, v: Array[Float]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v(j * dsub + i) - cb(base + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Train PQ codebooks on a reservoir sample (per-subspace Lloyd's
+    * k-means, seeded). Vectors are cosine-normalized first, so ADC
+    * dot-product sums approximate cosine similarity.
+    */
+  def trainPq(
+      df: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleRows: Int = 20000,
+      iterations: Int = 8,
+      seed: Long = 42L,
+  ): PqModel = {
+    require(ksub <= 256, "codes are single bytes: ksub ≤ 256")
+    val sample = sampleVectors(df, vecCol, sampleRows, seed)
+    require(sample.length >= ksub, s"pq needs ≥ ksub=$ksub sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val normed = sample.map(normalize)
+    val rng = new scala.util.Random(seed)
+    val cb = new Array[Float](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      // init with distinct random sample subvectors
+      var c = 0
+      while (c < ksub) {
+        val src = normed(rng.nextInt(normed.length))
+        System.arraycopy(src, j * dsub, cb, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      var it = 0
+      while (it < iterations) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        normed.foreach { v =>
+          val cc = PqModel.nearestCode(cb, j, ksub, dsub, v)
+          counts(cc) += 1
+          var i = 0
+          while (i < dsub) { sums(cc)(i) += v(j * dsub + i); i += 1 }
+        }
+        c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) {
+              cb((j * ksub + c) * dsub + i) = (sums(c)(i) / counts(c)).toFloat
+              i += 1
+            }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      j += 1
+    }
+    PqModel(m, ksub, dsub, cb)
+  }
+
+  /** PQ-ANN top-k: corpus rows carry only their m-byte codes through
+    * the scan; each query ships an m·ksub LUT of subspace dot
+    * products, scored by the codegen'd ADC expression; the ADC top
+    * `k·refine` candidates per query are then re-ranked with EXACT
+    * cosines. Same bounded-heap shuffle bound as [[bruteForceTopK]]
+    * (O(queries·k·refine·partitions)), but the scan touches m bytes
+    * per row instead of the full vector. `refine·k ≥ corpus` makes the
+    * result identical to brute force (SimilaritySpec locks that).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: PqModel,
+      refine: Int = 4,
+  ): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val mdl = bc.value
+      val x = normalize(v.toArray)
+      val out = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        out(j) = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, x).toByte
+        j += 1
+      }
+      out
+    }
+    val lutUdf = udf { (v: Seq[Float]) =>
+      val mdl = bc.value
+      val q = normalize(v.toArray)
+      val lut = new Array[Float](mdl.m * mdl.ksub)
+      var j = 0
+      while (j < mdl.m) {
+        var c = 0
+        while (c < mdl.ksub) {
+          val base = (j * mdl.ksub + c) * mdl.dsub
+          var dot = 0.0
+          var i = 0
+          while (i < mdl.dsub) { dot += q(j * mdl.dsub + i) * mdl.codebooks(base + i); i += 1 }
+          lut(j * mdl.ksub + c) = dot.toFloat
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+    val encoded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      encodeUdf(col(vecCol)).as("code"),
+    )
+    val probed = queries.select(
+      col(idCol).as("query_id"),
+      lutUdf(col(vecCol)).as("lut"),
+    )
+    val adc = encoded
+      .crossJoin(broadcast(probed))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorExpressions
+          .pqAdcScore(col("code"), col("lut"), model.ksub).as("cosine"),
+      )
+    val cands = topKReduce(adc, k * refine).select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the small candidate set
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        "query_id",
+      )
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
+      )
+    topKReduce(rescored, k)
   }
 
   /** ANN top-k via IVF: corpus rows join only the `nprobe` probed

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{
-  AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType,
+  AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType,
 }
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
@@ -237,6 +237,54 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   ): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score for product-quantized vectors:
+  * `Σ_j lut[j·ksub + code[j]]` over a BINARY code (one unsigned byte
+  * per subspace) and a per-query lookup table of subspace dot
+  * products. This is the inner loop of a PQ ANN scan — m byte loads
+  * and float adds per corpus row instead of a d-dimensional float
+  * product — so it must live inside whole-stage codegen; double
+  * accumulation, index-ascending, matching the eval path bit-for-bit.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var j = 0
+    while (j < code.length) {
+      acc += lut.getFloat(j * ksub + (code(j) & 0xff)).toDouble
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $c.length; $j++) {
+         |  $acc += (double) $l.getFloat($j * $ksub + ($c[$j] & 0xff));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression,
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-DSL faces (no registry lookup needed). */
   def vecDot(a: Column, b: Column): Column =
@@ -252,6 +300,10 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(
       SortedLongIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+    )
+  def pqAdcScore(code: Column, lut: Column, ksub: Int): Column =
+    ExpressionUtils.column(
+      PqAdcScore(ExpressionUtils.expression(code), ExpressionUtils.expression(lut), ksub),
     )
 
   /** SQL registration for the current session. */

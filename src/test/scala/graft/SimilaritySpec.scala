@@ -59,6 +59,89 @@ class SimilaritySpec extends SparkTestBase {
     assert(partitioned == approx2, "partitioned-query IVF must equal the broadcast path")
   }
 
+  test("semanticDedup: planted ε-balls collapse to one keeper, singletons survive") {
+    val rng = new scala.util.Random(5)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 40 well-separated singletons + 10 groups of 3 near-identical copies
+    val singles = (0 until 40).map(i => (i.toLong, unit(16).toSeq))
+    val groups = (0 until 10).flatMap { g =>
+      val base = unit(16)
+      (0 until 3).map { m =>
+        val noisy = base.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+        (100L + g * 10 + m, noisy.toSeq)
+      }
+    }
+    val df = (singles ++ groups).toDF("vec_id", "embedding").repartition(5)
+    val out = Similarity
+      .semanticDedup(df, "vec_id", "embedding", nlist = 6, eps = 0.99, seed = 9L)
+    val rows = out
+      .select("id", "component", "is_kept")
+      .as[(Long, Long, Boolean)]
+      .collect()
+    val kept = rows.filter(_._3).map(_._1).toSet
+    // every planted trio keeps exactly one member; all singletons survive
+    (0 until 10).foreach { g =>
+      val ids = Set(100L + g * 10, 101L + g * 10, 102L + g * 10)
+      assert(kept.intersect(ids).size == 1, s"group $g kept ${kept.intersect(ids)}")
+      val comps = rows.filter(r => ids.contains(r._1)).map(_._2).toSet
+      assert(comps.size == 1, s"group $g not one component: $comps")
+    }
+    assert((0L until 40L).forall(kept.contains), "singletons must all be kept")
+    // keeper = lowest centroid similarity in its component (the paper's rule)
+    val centSims = out.select("id", "component", "cent_sim", "is_kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    centSims.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val keeper = grp.filter(_._4)
+      assert(keeper.length == 1)
+      val minSim = grp.map(_._3).min
+      assert(keeper.head._3 == minSim, s"keeper must have min cent_sim in ${grp.toSeq}")
+    }
+    out.unpersist()
+  }
+
+  test("pq ANN: exhaustive refine equals brute force; tight refine keeps recall") {
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until 8).flatMap { c =>
+      val center = Array.fill(8)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val model = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // refine·k ≥ corpus → every row is re-ranked exactly → identical output
+    val full = Similarity.pqTopK(df, queries, "vec_id", "embedding", k = 5, model, refine = 40)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, "exhaustive-refine PQ must equal brute force")
+    val tight = Similarity.pqTopK(df, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = tight.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall > 0.8, s"clustered-data recall@5 with refine=4: $recall")
+  }
+
+  test("pq ADC expression: codegen score equals hand-computed LUT sum") {
+    val code = Array[Byte](0, 3, 255.toByte)
+    val ksub = 256
+    val lut = Array.tabulate(3 * ksub)(i => i * 0.5f)
+    val df = Seq((code, lut.toSeq)).toDF("code", "lut")
+    val got = df
+      .select(graft.functions.VectorExpressions.pqAdcScore($"code", $"lut", ksub).as("s"))
+      .as[Double]
+      .head()
+    val want = lut(0).toDouble + lut(ksub + 3).toDouble + lut(2 * ksub + 255).toDouble
+    assert(got == want, s"got $got want $want (byte 255 must read as unsigned)")
+  }
+
   test("topk aggregator: deterministic tie-break by id") {
     val df = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)), (9L, Seq(1f, 0f)),
