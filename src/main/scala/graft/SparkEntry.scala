@@ -973,6 +973,86 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** BPE subword tokenization: merges learned from a corpus sample,
+    * applied corpus-wide. Per-doc subword counts + compression vs
+    * whitespace tokens. Rows-only (learned merges are engine-internal;
+    * BpeSpec hand-checks the merge sequence and round-trip).
+    */
+  private def q49BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 200)
+    graft.operators.Bpe
+      .withBpeTokens(docs, "text", model)
+      .select(
+        col("doc_id"),
+        col("n_bpe_tokens"),
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> x != '')")).as("n_ws_tokens"),
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Misra-Gries heavy hitters over corpus tokens. Capacity exceeds
+    * the distinct-key count at test scale, so counts are provably
+    * EXACT and the oracle checks them; SketchesSpec covers the
+    * approximate (capacity < distinct) regime's guarantees.
+    */
+  private def q50HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents").select(
+      explode(filter(split(lower(col("text")), "\\W+"), t => t =!= lit(""))).as("key"),
+    )
+    graft.operators.Sketches.heavyHitters(toks, "key", capacity = 1000, topN = 20)
+  }
+
+  private val q50Oracle =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS key
+      |  FROM documents)
+      |SELECT key, count(*) AS approx_count FROM toks GROUP BY key
+      |ORDER BY approx_count DESC, key LIMIT 20""".stripMargin
+
+  /** Key-skew profile of lineitem.l_partkey — the pre-join skew
+    * diagnostic (share + ratio-to-uniform per heavy key).
+    */
+  private def q51KeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.keySkewProfile(load(s, dir, "lineitem"), "l_partkey", topN = 25)
+
+  private val q51Oracle =
+    """WITH c AS (
+      |  SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+      |SELECT key, cnt,
+      |  CAST(cnt AS DOUBLE) / total AS share,
+      |  CAST(cnt AS DOUBLE) * n_keys / total AS skew_factor
+      |FROM c, t ORDER BY cnt DESC, key LIMIT 25""".stripMargin
+
+  /** Z-order (Morton) clustering key for (l_orderkey, l_partkey) —
+    * the multi-column data-skipping layout. The oracle recomputes the
+    * bit interleave with naive shift/mask arithmetic, checking the
+    * magic-constant spreading bit-for-bit.
+    */
+  private def q52ZOrder(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        graft.operators.Layout.zValue(col("l_orderkey"), col("l_partkey")).as("z_value"),
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q52Oracle = {
+    val terms = (0 until 32).flatMap(i =>
+      Seq(
+        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})",
+      ))
+    s"""SELECT l_orderkey, l_linenumber, l_partkey,
+       |  (${terms.mkString(" | ")}) AS z_value
+       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1106,6 +1186,10 @@ object SparkEntry {
     "q46_interleave" -> (q46Interleave _),
     "q47_semantic_dedup" -> (q47SemanticDedup _),
     "q48_pq_ann" -> (q48PqAnn _),
+    "q49_bpe_tokens" -> (q49BpeTokens _),
+    "q50_heavy_hitters" -> (q50HeavyHitters _),
+    "q51_key_skew" -> (q51KeySkew _),
+    "q52_zorder" -> (q52ZOrder _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1151,5 +1235,8 @@ object SparkEntry {
     "q44_seq_pack" -> q44Oracle,
     "q45_dup_canonical" -> q45Oracle,
     "q46_interleave" -> q46Oracle,
+    "q50_heavy_hitters" -> q50Oracle,
+    "q51_key_skew" -> q51Oracle,
+    "q52_zorder" -> q52Oracle,
   )
 }

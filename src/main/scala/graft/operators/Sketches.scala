@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+
+/** Bounded-memory frequency sketches. At 100 TB "what are the heavy
+  * keys?" must be answerable WITHOUT a full groupBy — the profile
+  * feeds skew decisions (salting, broadcast thresholds, bucket caps)
+  * BEFORE the expensive job runs, so it can't itself be an expensive
+  * job. The sketch shuffles one `capacity`-sized summary per
+  * partition, never per-key rows.
+  */
+object Sketches {
+
+  /** Misra-Gries heavy-hitters summary (MG82; merge rule from Agarwal
+    * et al., "Mergeable Summaries", PODS'12): at most `capacity`
+    * counters; every reported count̂ satisfies
+    * `true − N/(capacity+1) ≤ count̂ ≤ true`, so any key with
+    * frequency > N/(capacity+1) is guaranteed present. With
+    * `capacity ≥ |distinct keys|` no decrement ever fires and counts
+    * are EXACT — the oracle-checked regime.
+    */
+  private final class MisraGries(capacity: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Array[(String, Long)]] {
+
+    override def zero: scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+
+    override def reduce(
+        m: scala.collection.mutable.HashMap[String, Long],
+        key: String,
+    ): scala.collection.mutable.HashMap[String, Long] = {
+      if (key != null) {
+        m.get(key) match {
+          case Some(c) => m.update(key, c + 1)
+          case None if m.size < capacity => m.update(key, 1L)
+          case None =>
+            // decrement-all; drop zeros (the classic MG step)
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (k, c) => if (c == 1) dead += k else m.update(k, c - 1) }
+            dead.foreach(m.remove)
+        }
+      }
+      m
+    }
+
+    override def merge(
+        a: scala.collection.mutable.HashMap[String, Long],
+        b: scala.collection.mutable.HashMap[String, Long],
+    ): scala.collection.mutable.HashMap[String, Long] = {
+      b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+      if (a.size > capacity) {
+        // subtract the (capacity+1)-th largest count from everything
+        val thresh = a.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        a.foreach { case (k, c) =>
+          if (c - thresh <= 0) dead += k else a.update(k, c - thresh)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+
+    override def finish(m: scala.collection.mutable.HashMap[String, Long]): Array[(String, Long)] =
+      m.toArray.sortBy { case (k, c) => (-c, k) }
+
+    override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
+      Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]
+    override def outputEncoder: Encoder[Array[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(String, Long)]]()
+  }
+
+  /** Top-`topN` heavy hitters of `keyCol`: (key, approx_count) sorted
+    * by count desc then key. One pass, one `capacity`-counter summary
+    * per partition merged map-side — the shuffle is O(partitions ×
+    * capacity) regardless of key cardinality.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int, topN: Int): DataFrame = {
+    require(capacity > 0 && topN > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new MisraGries(capacity))
+    df.select(col(keyCol).cast("string").as("key"))
+      .agg(agg(col("key")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("key"), col("e._2").as("approx_count"))
+      .orderBy(col("approx_count").desc, col("key"))
+      .limit(topN)
+  }
+
+  /** Key-distribution skew profile of `keyCol` — the exact diagnostic
+    * run before a join/groupBy at scale: top-`topN` heaviest keys with
+    * their share of all rows and the ratio to a uniform key's
+    * expected share (`skew_factor` ≫ 1 ⇒ salt this key or AQE will
+    * split it). Exact aggregation (it IS a groupBy — use
+    * [[heavyHitters]] when even that is too expensive); deterministic,
+    * oracle-checkable.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"),
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("key"),
+        col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"),
+        (col("cnt").cast("double") * col("n_keys") / col("total")).as("skew_factor"),
+      )
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("heavy hitters exact regime: capacity ≥ distinct ⇒ exact counts") {
+    val keys = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c") ++ Seq.fill(3)("d")
+    val df = scala.util.Random.shuffle(keys).map(Tuple1(_)).toDF("k").repartition(6)
+    val out = Sketches
+      .heavyHitters(df, "k", capacity = 100, topN = 10)
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+    assert(out == Seq(("a", 50L), ("b", 30L), ("c", 7L), ("d", 3L)))
+  }
+
+  test("heavy hitters approximate regime: MG guarantees under capacity pressure") {
+    // skewed stream: h1×500, h2×300, 700 distinct singletons; N = 1500
+    val keys = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++ (1 to 700).map(i => s"t$i")
+    val rng = new scala.util.Random(3)
+    val df = rng.shuffle(keys).map(Tuple1(_)).toDF("k").repartition(8)
+    val capacity = 10
+    val out = Sketches
+      .heavyHitters(df, "k", capacity, topN = capacity)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val n = keys.length
+    // merging P partition summaries can each lose up to N_p/(cap+1);
+    // the mergeable-summaries bound stays N/(capacity+1) TOTAL
+    val bound = n / (capacity + 1)
+    // guarantee 1: any key with true count > bound must be reported
+    assert(out.contains("h1") && out.contains("h2"), s"heavy keys missing: ${out.keys}")
+    // guarantee 2: counts never overestimate, and underestimate ≤ bound
+    assert(out("h1") <= 500 && out("h1") >= 500 - bound, s"h1=${out("h1")}")
+    assert(out("h2") <= 300 && out("h2") >= 300 - bound, s"h2=${out("h2")}")
+    // the two real heavy hitters outrank every singleton
+    val top2 = Sketches
+      .heavyHitters(df, "k", capacity, topN = 2)
+      .as[(String, Long)]
+      .collect()
+      .map(_._1)
+      .toSet
+    assert(top2 == Set("h1", "h2"), s"top2 = $top2")
+  }
+
+  test("keySkewProfile: shares and skew factors are exact") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .map(Tuple1(_))
+      .toDF("k")
+      .repartition(4)
+    val out = Sketches
+      .keySkewProfile(df, "k", topN = 3)
+      .as[(String, Long, Double, Double)]
+      .collect()
+      .toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("hot", 60L), ("warm", 30L), ("cold", 10L)))
+    val hot = out.head
+    assert(hot._3 == 0.6 && hot._4 == 1.8, s"hot share/skew: $hot") // 3 keys, uniform share 1/3
+  }
+}
