@@ -1053,6 +1053,43 @@ object SparkEntry {
        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** Symmetric int8 embedding quantization — byte codes + per-vector
+    * scale, all expression arithmetic, oracle-checked bit-for-bit.
+    */
+  private def q53Int8Quant(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize
+      .int8Symmetric(load(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("max_abs"), col("scale"), col("vec_q"))
+      .orderBy("vec_id")
+
+  private val q53Oracle =
+    """WITH t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM t),
+      |sc AS (
+      |  SELECT vec_id, v, max_abs,
+      |    CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale
+      |  FROM s)
+      |SELECT vec_id, max_abs, scale,
+      |  list_transform(v, x ->
+      |    CAST(GREATEST(-127, LEAST(127, FLOOR(x * scale + 0.5))) AS TINYINT)) AS vec_q
+      |FROM sc ORDER BY vec_id""".stripMargin
+
+  /** Full training-data layout: clean corpus → seqLen-token chunks →
+    * seeded global shuffle → packed-sequence intervals. Rows-only (the
+    * near-dup stage is approximate); layout invariants are locked by
+    * CorpusPipelineSpec.
+    */
+  private def q54TrainLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline
+      .prepareSequences(load(s, dir, "documents"), "doc_id", "text", seqLen = 64,
+        shuffleSalt = "r4")
+      .select(
+        col("chunk_id"), col("pos"), col("n_chunk_tokens"),
+        col("start_offset"), col("pack_first"), col("pack_last"))
+      .orderBy("pos")
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1190,6 +1227,8 @@ object SparkEntry {
     "q50_heavy_hitters" -> (q50HeavyHitters _),
     "q51_key_skew" -> (q51KeySkew _),
     "q52_zorder" -> (q52ZOrder _),
+    "q53_int8_quant" -> (q53Int8Quant _),
+    "q54_train_layout" -> (q54TrainLayout _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1238,5 +1277,6 @@ object SparkEntry {
     "q50_heavy_hitters" -> q50Oracle,
     "q51_key_skew" -> q51Oracle,
     "q52_zorder" -> q52Oracle,
+    "q53_int8_quant" -> q53Oracle,
   )
 }

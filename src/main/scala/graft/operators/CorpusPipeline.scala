@@ -51,4 +51,49 @@ object CorpusPipeline {
     val deduped = Dedup.cleanCorpus(redacted, idCol, textCol, jaccardThreshold, transitive)
     TextAnalysis.chunkTokens(deduped, idCol, textCol, window, stride)
   }
+
+  /** [[prepare]] continued to the training-ready layout: chunks get a
+    * seeded deterministic global shuffle position ([[Packing
+    * .deterministicShuffle]] — reproducible epoch order, no
+    * single-partition window), then the packed-sequence layout at
+    * `seqLen` tokens in that order ([[Packing.sequencePackingByCount]]
+    * over the chunk token counts). Output: one row per surviving
+    * chunk — (chunk_id, id, chunk_idx, chunk_text, n_chunk_tokens,
+    * pos, start_offset, pack_first, pack_last); `pack_first/last` are
+    * the training-sequence ids the chunk occupies.
+    */
+  def prepareSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int = 512,
+      shuffleSalt: String = "epoch0",
+      langs: Seq[String] = Seq("en"),
+      langCol: Option[String] = None,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+  ): DataFrame = {
+    val chunks = prepare(
+      df, idCol, textCol, langs, langCol, minQuality, jaccardThreshold,
+      transitive = true, window = seqLen, stride = seqLen)
+      .withColumn("chunk_id", concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
+      .persist()
+    val shuffled = Packing.deterministicShuffle(chunks, "chunk_id", shuffleSalt)
+    val packed = Packing.sequencePackingByCount(
+      shuffled.withColumnRenamed("pos", "__pos").select(col("chunk_id"), col("__pos")).join(
+        chunks.select(col("chunk_id"), col("n_chunk_tokens")), "chunk_id"),
+      "__pos", "n_chunk_tokens", seqLen)
+    val out = chunks
+      .join(shuffled.select(col("chunk_id"), col("pos")), "chunk_id")
+      .join(
+        packed.select(
+          col("__pos").as("pos"), col("start_offset"), col("pack_first"), col("pack_last")),
+        "pos")
+      .persist()
+    out.count()
+    chunks.unpersist(blocking = false)
+    shuffled.unpersist(blocking = false)
+    packed.unpersist(blocking = false)
+    out
+  }
 }

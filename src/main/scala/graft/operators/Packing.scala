@@ -88,7 +88,6 @@ object Packing {
       textCol: String,
       seqLen: Int,
   ): DataFrame = {
-    require(seqLen > 0, "seqLen must be positive")
     val toks = df.select(
       col(idCol),
       coalesce(
@@ -96,7 +95,22 @@ object Packing {
         lit(0),
       ).cast("long").as("n_tokens"),
     )
-    val (prefixed, handle) = withPrefixSum(toks, Seq(idCol), col("n_tokens"), "start_offset")
+    sequencePackingByCount(toks, idCol, "n_tokens", seqLen)
+  }
+
+  /** [[sequencePacking]] over a PRECOMPUTED per-row token count (e.g.
+    * chunk windows that already carry `n_chunk_tokens`), packing in
+    * `orderCols` order.
+    */
+  def sequencePackingByCount(
+      df: DataFrame,
+      orderCol: String,
+      countCol: String,
+      seqLen: Int,
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = df.select(col(orderCol), coalesce(col(countCol), lit(0L)).cast("long").as("n_tokens"))
+    val (prefixed, handle) = withPrefixSum(toks, Seq(orderCol), col("n_tokens"), "start_offset")
     val out = prefixed
       .withColumn("pack_first", expr(s"start_offset div $seqLen"))
       .withColumn(
@@ -104,8 +118,9 @@ object Packing {
         when(col("n_tokens") > 0, expr(s"(start_offset + n_tokens - 1) div $seqLen"))
           .otherwise(col("pack_first")),
       )
-      .select(col(idCol), col("n_tokens"), col("start_offset"), col("pack_first"), col("pack_last"))
-      .orderBy(idCol)
+      .select(
+        col(orderCol), col("n_tokens"), col("start_offset"), col("pack_first"), col("pack_last"))
+      .orderBy(orderCol)
       .persist()
     out.count()
     handle.unpersist(blocking = false)

@@ -306,14 +306,40 @@ object VectorExpressions {
       PqAdcScore(ExpressionUtils.expression(code), ExpressionUtils.expression(lut), ksub),
     )
 
-  /** SQL registration for the current session. */
+  /** SQL registration for the current session. Shape parameters of
+    * the parameterized expressions (shingle n, signature widths,
+    * PQ ksub) come in as literal arguments and must be plan-time
+    * constants — non-literals throw at registration-lookup time, not
+    * mid-query.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other =>
+        throw new IllegalArgumentException(s"$fn expects a literal int argument, got $other")
+    }
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVectorNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", es => SortedLongIntersectCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "pq_adc_score", es => PqAdcScore(es(0), es(1), intLit(es(2), "pq_adc_score")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "z_value", es => ZOrderValue(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_set", es => TextShingleSet(es(0), intLit(es(1), "shingle_set")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_prep",
+      es => MinHashPrep(es(0), intLit(es(1), "minhash_prep"), intLit(es(2), "minhash_prep")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "winnow_signature",
+      es =>
+        WinnowSignature(es(0), intLit(es(1), "winnow_signature"), intLit(es(2), "winnow_signature")),
+      "scala_udf")
   }
 }
 
@@ -350,6 +376,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(
           classOf[SortedLongIntersectCount].getName, null, "sorted_intersect_count"),
         (es: Seq[Expression]) => SortedLongIntersectCount(es(0), es(1)),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("z_value"),
+        new ExpressionInfo(classOf[ZOrderValue].getName, null, "z_value"),
+        (es: Seq[Expression]) => ZOrderValue(es(0), es(1)),
+      ),
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
+        (es: Seq[Expression]) => SimHash64(es.head),
       ),
     )
   }

@@ -41,6 +41,44 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(byDoc(1L).map(_.getLong(3)).sorted.sameElements(Array(2L, 16L, 16L)))
   }
 
+  test("prepareSequences: shuffle+pack layout conserves tokens and is salt-deterministic") {
+    val docs = (1L to 20L).map { i =>
+      (i, prose + s" unique marker token alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    }.toDF("doc_id", "text")
+    val out = CorpusPipeline
+      .prepareSequences(docs, "doc_id", "text", seqLen = 16, shuffleSalt = "e1",
+        jaccardThreshold = 0.99)
+    val rows = out
+      .select("chunk_id", "pos", "n_chunk_tokens", "start_offset", "pack_first", "pack_last")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._2)
+    assert(rows.nonEmpty)
+    // positions are a contiguous 1..n permutation
+    assert(rows.map(_._2).toSeq == (1L to rows.length))
+    // offsets are the running sum of counts in pos order (token conservation)
+    var expect = 0L
+    rows.foreach { case (cid, _, n, off, pf, pl) =>
+      assert(off == expect, s"$cid offset $off != $expect")
+      assert(pf == off / 16, s"$cid pack_first")
+      assert(pl == (if (n > 0) (off + n - 1) / 16 else off / 16), s"$cid pack_last")
+      expect += n
+    }
+    // same salt reproduces the layout exactly; different salt reorders
+    val again = CorpusPipeline
+      .prepareSequences(docs, "doc_id", "text", seqLen = 16, shuffleSalt = "e1",
+        jaccardThreshold = 0.99)
+      .select("chunk_id", "pos").as[(String, Long)].collect().toMap
+    rows.foreach { case (cid, pos, _, _, _, _) => assert(again(cid) == pos) }
+    val other = CorpusPipeline
+      .prepareSequences(docs, "doc_id", "text", seqLen = 16, shuffleSalt = "e2",
+        jaccardThreshold = 0.99)
+      .select("chunk_id", "pos").as[(String, Long)].collect().toMap
+    assert(rows.exists { case (cid, pos, _, _, _, _) => other(cid) != pos },
+      "different salt must reorder")
+    out.unpersist()
+  }
+
   test("prepare with predicted language (no label column) keeps english prose") {
     val docs = Seq(
       (1L, prose),
