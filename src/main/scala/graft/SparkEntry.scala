@@ -1083,7 +1083,7 @@ object SparkEntry {
     */
   private def q54TrainLayout(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
-      .prepareSequences(load(s, dir, "documents"), "doc_id", "text", seqLen = 64,
+      .prepareSequences(load(s, dir, "documents"), "doc_id", "text", seqLen = 512,
         shuffleSalt = "r4")
       .select(
         col("chunk_id"), col("pos"), col("n_chunk_tokens"),

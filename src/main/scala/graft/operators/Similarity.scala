@@ -326,7 +326,10 @@ object Similarity {
       seed: Long = 42L,
   ): IvfModel = {
     val sample = sampleVectors(df, vecCol, sampleRows, seed)
-    require(sample.nonEmpty, "ivf sample is empty")
+    // empty corpus → degenerate single-cell model: every operator built
+    // on top (assign/probe/dedup) then degrades to empty output instead
+    // of crashing — an empty slice is routine at scale, not an error
+    if (sample.isEmpty) return IvfModel(Array(Array(0f)))
     val dim = sample.head.length
     val normed = sample.map(normalize)
     val rng = new scala.util.Random(seed)
@@ -487,38 +490,41 @@ object Similarity {
   ): PqModel = {
     require(ksub <= 256, "codes are single bytes: ksub ≤ 256")
     val sample = sampleVectors(df, vecCol, sampleRows, seed)
-    require(sample.length >= ksub, s"pq needs ≥ ksub=$ksub sample vectors, got ${sample.length}")
+    // empty corpus → degenerate 1-subspace/1-codeword model (see
+    // trainIvf); a small sample just shrinks the codebook
+    if (sample.isEmpty) return PqModel(1, 1, 1, Array(0f))
+    val effKsub = math.min(ksub, sample.length)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val normed = sample.map(normalize)
     val rng = new scala.util.Random(seed)
-    val cb = new Array[Float](m * ksub * dsub)
+    val cb = new Array[Float](m * effKsub * dsub)
     var j = 0
     while (j < m) {
-      // init with distinct random sample subvectors
+      // init with random sample subvectors
       var c = 0
-      while (c < ksub) {
+      while (c < effKsub) {
         val src = normed(rng.nextInt(normed.length))
-        System.arraycopy(src, j * dsub, cb, (j * ksub + c) * dsub, dsub)
+        System.arraycopy(src, j * dsub, cb, (j * effKsub + c) * dsub, dsub)
         c += 1
       }
       var it = 0
       while (it < iterations) {
-        val sums = Array.fill(ksub)(new Array[Double](dsub))
-        val counts = new Array[Int](ksub)
+        val sums = Array.fill(effKsub)(new Array[Double](dsub))
+        val counts = new Array[Int](effKsub)
         normed.foreach { v =>
-          val cc = PqModel.nearestCode(cb, j, ksub, dsub, v)
+          val cc = PqModel.nearestCode(cb, j, effKsub, dsub, v)
           counts(cc) += 1
           var i = 0
           while (i < dsub) { sums(cc)(i) += v(j * dsub + i); i += 1 }
         }
         c = 0
-        while (c < ksub) {
+        while (c < effKsub) {
           if (counts(c) > 0) {
             var i = 0
             while (i < dsub) {
-              cb((j * ksub + c) * dsub + i) = (sums(c)(i) / counts(c)).toFloat
+              cb((j * effKsub + c) * dsub + i) = (sums(c)(i) / counts(c)).toFloat
               i += 1
             }
           }
@@ -528,7 +534,7 @@ object Similarity {
       }
       j += 1
     }
-    PqModel(m, ksub, dsub, cb)
+    PqModel(m, effKsub, dsub, cb)
   }
 
   /** PQ-ANN top-k: corpus rows carry only their m-byte codes through

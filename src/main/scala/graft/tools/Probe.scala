@@ -77,6 +77,38 @@ object Probe {
       return
     }
 
+    if (names.contains("seq_stages")) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val chunks = timed("prepare (q35 stage)") {
+        val c = graft.operators.CorpusPipeline
+          .prepare(docs, "doc_id", "text", window = 64, stride = 64)
+          .withColumn("chunk_id", concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx")))
+          .persist()
+        c.count()
+        c
+      }
+      val shuffled = timed("deterministicShuffle") {
+        graft.operators.Packing.deterministicShuffle(chunks, "chunk_id", "r4")
+      }
+      val packed = timed("sequencePackingByCount") {
+        graft.operators.Packing.sequencePackingByCount(
+          shuffled.withColumnRenamed("pos", "__pos").select(col("chunk_id"), col("__pos")).join(
+            chunks.select(col("chunk_id"), col("n_chunk_tokens")), "chunk_id"),
+          "__pos", "n_chunk_tokens", 64)
+      }
+      timed("final joins") {
+        val out = chunks
+          .join(shuffled.select(col("chunk_id"), col("pos")), "chunk_id")
+          .join(
+            packed.select(
+              col("__pos").as("pos"), col("start_offset"), col("pack_first"), col("pack_last")),
+            "pos")
+        println("[probe] rows=" + out.count())
+      }
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>
