@@ -78,22 +78,18 @@ object CorpusPipeline {
       transitive = true, window = seqLen, stride = seqLen)
       .withColumn("chunk_id", concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
       .persist()
-    val shuffled = Packing.deterministicShuffle(chunks, "chunk_id", shuffleSalt)
-    val packed = Packing.sequencePackingByCount(
-      shuffled.withColumnRenamed("pos", "__pos").select(col("chunk_id"), col("__pos")).join(
-        chunks.select(col("chunk_id"), col("n_chunk_tokens")), "chunk_id"),
-      "__pos", "n_chunk_tokens", seqLen)
+    val layout =
+      Packing.shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
     val out = chunks
-      .join(shuffled.select(col("chunk_id"), col("pos")), "chunk_id")
       .join(
-        packed.select(
-          col("__pos").as("pos"), col("start_offset"), col("pack_first"), col("pack_last")),
-        "pos")
+        layout.select(
+          col("chunk_id"), col("pos"), col("start_offset"),
+          col("pack_first"), col("pack_last")),
+        "chunk_id")
       .persist()
     out.count()
     chunks.unpersist(blocking = false)
-    shuffled.unpersist(blocking = false)
-    packed.unpersist(blocking = false)
+    layout.unpersist(blocking = false)
     out
   }
 }

@@ -127,6 +127,75 @@ object Packing {
     out
   }
 
+  /** Fused [[deterministicShuffle]] + [[sequencePackingByCount]]: the
+    * shuffle POSITION is a prefix COUNT and the pack OFFSET is a
+    * prefix SUM over the SAME seeded hash order, so both come out of
+    * ONE range exchange and one window pass (two running aggregates
+    * over one sort) — half the shuffles and materializations of
+    * composing the two operators, bit-identical output (locked by
+    * PackingSpec).
+    *
+    * Output: (id, shuffle_key, pos, n_tokens, start_offset,
+    * pack_first, pack_last) ordered by pos.
+    */
+  def shuffleAndPack(
+      df: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Int,
+      salt: String,
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val keyed = df.select(
+      col(idCol),
+      coalesce(col(countCol), lit(0L)).cast("long").as("n_tokens"),
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))).as("shuffle_key"),
+    )
+    val parted = keyed
+      .repartitionByRange(col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .withColumn("__part", spark_partition_id())
+      .persist()
+    val offsets = parted
+      .groupBy(col("__part"))
+      .agg(count(lit(1)).as("__nrows"), sum(col("n_tokens")).as("__ntoks"))
+      .withColumn(
+        "__row_off",
+        coalesce(
+          sum(col("__nrows")).over(
+            Window.orderBy(col("__part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(
+        "__tok_off",
+        coalesce(
+          sum(col("__ntoks")).over(
+            Window.orderBy(col("__part")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__part"), col("__row_off"), col("__tok_off"))
+    val w = Window.partitionBy(col("__part")).orderBy(col("shuffle_key"), col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val out = parted
+      .join(broadcast(offsets), "__part")
+      .withColumn("pos", row_number().over(w).cast("long") + col("__row_off"))
+      .withColumn(
+        "start_offset",
+        coalesce(sum(col("n_tokens")).over(wPrev), lit(0L)) + col("__tok_off"))
+      .withColumn("pack_first", expr(s"start_offset div $seqLen"))
+      .withColumn(
+        "pack_last",
+        when(col("n_tokens") > 0, expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+          .otherwise(col("pack_first")),
+      )
+      .select(
+        col(idCol), col("shuffle_key"), col("pos"), col("n_tokens"),
+        col("start_offset"), col("pack_first"), col("pack_last"))
+      .orderBy("pos")
+      .persist()
+    out.count()
+    parted.unpersist(blocking = false)
+    out
+  }
+
   /** Seeded deterministic corpus interleave — the reproducible global
     * shuffle a training run needs for data ordering: every row gets a
     * stable position `pos` (1-based) in the order of

@@ -70,6 +70,38 @@ class PackingSpec extends SparkTestBase {
     Seq(a, b, c).foreach(_.unpersist())
   }
 
+  test("shuffleAndPack ≡ deterministicShuffle then sequencePackingByCount") {
+    val rng = new scala.util.Random(23)
+    val df = (1L to 800L)
+      .map(i => (i, rng.nextInt(100).toLong))
+      .toDF("doc_id", "n_tokens")
+      .repartition(9)
+    val fused = Packing
+      .shuffleAndPack(df, "doc_id", "n_tokens", seqLen = 128, salt = "s")
+      .select("doc_id", "shuffle_key", "pos", "n_tokens", "start_offset", "pack_first", "pack_last")
+      .collect()
+      .toSeq
+    val shuffled = Packing.deterministicShuffle(df, "doc_id", "s")
+    val packed = Packing.sequencePackingByCount(
+      shuffled
+        .withColumnRenamed("pos", "__pos")
+        .join(df, "doc_id")
+        .select(col("__pos"), col("n_tokens")),
+      "__pos",
+      "n_tokens",
+      128,
+    )
+    val want = shuffled
+      .join(packed.withColumnRenamed("__pos", "pos").withColumnRenamed("n_tokens", "nt"), "pos")
+      .join(df, "doc_id")
+      .select("doc_id", "shuffle_key", "pos", "n_tokens", "start_offset", "pack_first", "pack_last")
+      .orderBy("pos")
+      .collect()
+      .toSeq
+    assert(fused == want)
+    Seq(shuffled, packed).foreach(_.unpersist())
+  }
+
   test("exactDedupBest keeps the preferred row per content group") {
     val df = Seq(
       (1L, "same text", 9L),
