@@ -16,10 +16,13 @@ import org.apache.spark.sql.DataFrame
   * Decode reality: PNG/JPEG/GIF/BMP get REAL pixel-level decode via
   * the JDK's built-in `javax.imageio` (no external codec needed) —
   * `embedMediaUdf` and `imageResizeUdf` operate on actual pixels.
-  * Header metadata additionally parses WAV fmt chunks. Only the VIDEO
-  * frame sampler remains a labelled deterministic STUB (no container
-  * demuxer in the JDK); its plumbing — `array<binary>` out, explicit
-  * explode fan-out — is real and tested.
+  * Header metadata additionally parses WAV fmt chunks and AVI main
+  * headers. VIDEO is real for AVI containers: [[aviFrames]] demuxes
+  * the RIFF chunk tree and MJPEG frame payloads decode through the
+  * same ImageIO path as stills (end-to-end pixel test in
+  * TextAnalysisSpec). Non-AVI video containers (no JDK demuxer) fall
+  * back to a labelled deterministic byte-chunk STUB so the
+  * `array<binary>` + explode plumbing still exercises.
   */
 object Multimodal {
 
@@ -73,6 +76,22 @@ object Multimodal {
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
       // fmt chunk normally at offset 12: channels LE16@22, sampleRate LE32@24
       ("wav", le32(24), le16(22), n.toLong)
+    } else if (n >= 72 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') {
+      // main header: find the avih chunk near the top (usually at 24);
+      // its data carries dwWidth@32, dwHeight@36
+      var i = 12
+      var w = 0
+      var h = 0
+      var found = false
+      while (!found && i + 48 <= math.min(n, 512)) {
+        if (bytes(i) == 'a' && bytes(i + 1) == 'v' && bytes(i + 2) == 'i' && bytes(i + 3) == 'h') {
+          w = le32(i + 8 + 32)
+          h = le32(i + 8 + 36)
+          found = true
+        } else i += 1
+      }
+      ("avi", w, h, n.toLong)
     } else {
       // STUB geometry for undecodable payloads: deterministic content hash
       var h = 0xcbf29ce484222325L
@@ -311,15 +330,69 @@ object Multimodal {
     else bytes ++ new Array[Byte](targetBytes - bytes.length)
   }
 
-  /** STUB frame sampler: every `stride`-th chunk of `frameBytes` as a
-    * "frame" (real impl: container demux + keyframe select). Output is
-    * `array<binary>` — one row per video, frames nested, so downstream
+  // ----------------------------------------------------------------- video
+
+  /** REAL AVI (RIFF) demux: walks the chunk tree into `LIST movi`
+    * (recursing through `LIST rec ` groupings) and returns the video
+    * stream's frame payloads — chunks whose fourcc is `##db`/`##dc`
+    * (uncompressed/compressed video). For MJPEG AVIs every payload is
+    * a complete JPEG, so [[decodePixels]]/[[embedMediaUdf]] decode the
+    * sampled frames to pixels with the same JDK ImageIO path as still
+    * images. Returns None for non-AVI bytes.
+    */
+  private[graft] def aviFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def fourcc(i: Int): String = new String(bytes.slice(i, i + 4), "ISO-8859-1")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isVideoChunk(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+        (cc.substring(2) == "db" || cc.substring(2) == "dc")
+    // walk the chunk list in [from, until); collect only inside movi
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val cc = fourcc(i)
+        val size = le32(i + 4)
+        val dataStart = i + 8
+        val dataEnd = math.min(until.toLong, dataStart + size).toInt
+        if (dataEnd < dataStart) return // corrupt size: stop
+        if (cc == "LIST" && dataEnd - dataStart >= 4) {
+          val listType = fourcc(dataStart)
+          walk(dataStart + 4, dataEnd, inMovi || listType == "movi" || listType == "rec ")
+        } else if (inMovi && isVideoChunk(cc) && dataEnd > dataStart) {
+          out += bytes.slice(dataStart, dataEnd)
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i = dataEnd + (size % 2).toInt
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    Some(out.toArray)
+  }
+
+  /** Frame sampler: REAL container demux for AVI payloads (every
+    * `stride`-th video frame, ≤ `maxFrames`); non-AVI payloads fall
+    * back to the labelled byte-chunk STUB (stride-th `frameBytes`
+    * slice) so the plumbing still exercises for formats without a JDK
+    * demuxer. Output `array<binary>`, one row per video — downstream
     * `explode` controls fan-out explicitly.
     */
-  def frameSampleUdf(frameBytes: Int, stride: Int) = udf { (bytes: Array[Byte]) =>
-    if (bytes == null) Array.empty[Array[Byte]]
-    else bytes.grouped(frameBytes).zipWithIndex.collect {
-      case (chunk, i) if i % stride == 0 => chunk
-    }.toArray
-  }
+  def frameSampleUdf(frameBytes: Int, stride: Int, maxFrames: Int = 64) =
+    udf { (bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[Array[Byte]]
+      else aviFrames(bytes) match {
+        case Some(frames) =>
+          frames.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => f
+          }.take(maxFrames)
+        case None => // STUB fallback for undemuxable containers
+          bytes.grouped(frameBytes).zipWithIndex.collect {
+            case (chunk, i) if i % stride == 0 => chunk
+          }.take(maxFrames).toArray
+      }
+    }
 }

@@ -314,4 +314,71 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) == ((8000, false)))
     assert(out(2L)._2, "non-audio payload must decode to null")
   }
+
+  /** Encode a solid-color image as real JPEG bytes via the JDK. */
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal spec-conformant MJPEG AVI: RIFF(AVI ) → LIST hdrl(avih
+    * with frames/width/height) → LIST movi(00dc = one JPEG per frame).
+    */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] =
+      cc.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      "LIST".getBytes ++ le32(4L + children.length) ++ typ.getBytes ++ children
+    val avih = new Array[Byte](56)
+    le32(frames.length).copyInto(avih, 16) // dwTotalFrames
+    le32(w).copyInto(avih, 32) // dwWidth
+    le32(h).copyInto(avih, 36) // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  implicit private class ByteArrayCopy(private val a: Array[Byte]) {
+    def copyInto(dst: Array[Byte], off: Int): Unit = System.arraycopy(a, 0, dst, off, a.length)
+  }
+
+  test("multimodal real video: MJPEG AVI demux + per-frame pixel decode") {
+    val shades = Seq(0x101010, 0x404040, 0x808080, 0xb0b0b0, 0xe0e0e0)
+    val frames = shades.map(jpegFrame(24, 16, _))
+    val avi = aviBytes(frames, 24, 16)
+    // demux recovers every frame byte-for-byte
+    val Some(demuxed) = Multimodal.aviFrames(avi)
+    assert(demuxed.length == 5)
+    demuxed.zip(frames).foreach { case (d, f) => assert(d.sameElements(f)) }
+    assert(Multimodal.aviFrames("not a video".getBytes).isEmpty)
+    // header metadata: real container geometry
+    val df = Seq((1L, avi)).toDF("id", "payload")
+    val meta = Multimodal.withDecodedMeta(df, "payload")
+      .select($"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .head()
+    assert(meta.getString(0) == "avi" && meta.getInt(1) == 24 && meta.getInt(2) == 16)
+    // distributed frame sampling: every 2nd frame, each a decodable JPEG
+    // whose luma tracks the encoded shade (REAL pixels end to end)
+    val sampled = df
+      .select(explode(Multimodal.frameSampleUdf(16, 2)($"payload")).as("frame"))
+      .as[Array[Byte]]
+      .collect()
+    assert(sampled.length == 3) // frames 0, 2, 4
+    val lumas = sampled.map { f =>
+      val Some((fw, fh, px)) = Multimodal.decodePixels(f)
+      assert(fw == 24 && fh == 16)
+      px.sum / px.length
+    }
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2),
+      s"sampled frame lumas must follow shades: ${lumas.toSeq}")
+  }
 }
