@@ -1090,6 +1090,38 @@ object SparkEntry {
         col("start_offset"), col("pack_first"), col("pack_last"))
       .orderBy("pos")
 
+  /** Per-source token-length quantiles (EXACT percentile, (n−1)·p
+    * linear interpolation — same definition as DuckDB quantile_cont,
+    * so values hash-match) — the length-distribution panel a curation
+    * run reads before choosing chunk/pack sizes.
+    */
+  private def q55TokenQuantiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(
+        col("source"),
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))").cast("double").as("n"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n, 0.5D)").as("p50"),
+        expr("percentile(n, 0.95D)").as("p95"),
+        expr("percentile(n, 0.99D)").as("p99"),
+      )
+      .orderBy("source")
+
+  private val q55Oracle =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      |      AS DOUBLE) AS n
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  quantile_cont(n, 0.5) AS p50,
+      |  quantile_cont(n, 0.95) AS p95,
+      |  quantile_cont(n, 0.99) AS p99
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1229,6 +1261,7 @@ object SparkEntry {
     "q52_zorder" -> (q52ZOrder _),
     "q53_int8_quant" -> (q53Int8Quant _),
     "q54_train_layout" -> (q54TrainLayout _),
+    "q55_token_quantiles" -> (q55TokenQuantiles _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1278,5 +1311,6 @@ object SparkEntry {
     "q51_key_skew" -> q51Oracle,
     "q52_zorder" -> q52Oracle,
     "q53_int8_quant" -> q53Oracle,
+    "q55_token_quantiles" -> q55Oracle,
   )
 }
