@@ -21,16 +21,14 @@ object Sketches {
     * `capacity ≥ |distinct keys|` no decrement ever fires and counts
     * are EXACT — the oracle-checked regime.
     */
-  private final class MisraGries(capacity: Int)
-      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Array[(String, Long)]] {
+  /** The MG update/merge kernels — shared by the batch Aggregator and
+    * the streaming state operator
+    * ([[graft.streaming.StreamingSketches]]).
+    */
+  private[graft] object Mg {
+    type Summary = scala.collection.mutable.HashMap[String, Long]
 
-    override def zero: scala.collection.mutable.HashMap[String, Long] =
-      scala.collection.mutable.HashMap.empty
-
-    override def reduce(
-        m: scala.collection.mutable.HashMap[String, Long],
-        key: String,
-    ): scala.collection.mutable.HashMap[String, Long] = {
+    def update(m: Summary, key: String, capacity: Int): Unit =
       if (key != null) {
         m.get(key) match {
           case Some(c) => m.update(key, c + 1)
@@ -42,16 +40,13 @@ object Sketches {
             dead.foreach(m.remove)
         }
       }
-      m
-    }
 
-    override def merge(
-        a: scala.collection.mutable.HashMap[String, Long],
-        b: scala.collection.mutable.HashMap[String, Long],
-    ): scala.collection.mutable.HashMap[String, Long] = {
+    /** Mergeable-summaries rule: add, then subtract the
+      * (capacity+1)-th largest count from everything.
+      */
+    def merge(a: Summary, b: Iterable[(String, Long)], capacity: Int): Summary = {
       b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
       if (a.size > capacity) {
-        // subtract the (capacity+1)-th largest count from everything
         val thresh = a.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
         val dead = scala.collection.mutable.ArrayBuffer.empty[String]
         a.foreach { case (k, c) =>
@@ -62,8 +57,31 @@ object Sketches {
       a
     }
 
-    override def finish(m: scala.collection.mutable.HashMap[String, Long]): Array[(String, Long)] =
+    def sorted(m: Summary): Array[(String, Long)] =
       m.toArray.sortBy { case (k, c) => (-c, k) }
+  }
+
+  private final class MisraGries(capacity: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Array[(String, Long)]] {
+
+    override def zero: scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+
+    override def reduce(
+        m: scala.collection.mutable.HashMap[String, Long],
+        key: String,
+    ): scala.collection.mutable.HashMap[String, Long] = {
+      Mg.update(m, key, capacity)
+      m
+    }
+
+    override def merge(
+        a: scala.collection.mutable.HashMap[String, Long],
+        b: scala.collection.mutable.HashMap[String, Long],
+    ): scala.collection.mutable.HashMap[String, Long] = Mg.merge(a, b, capacity)
+
+    override def finish(m: scala.collection.mutable.HashMap[String, Long]): Array[(String, Long)] =
+      Mg.sorted(m)
 
     override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
       Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]

@@ -249,4 +249,45 @@ class StreamingSpec extends SparkTestBase {
       assert(n == spark.read.parquet(eventsDir).count())
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: merged state equals batch sketch in the exact regime") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketches
+    // skewed key stream across two micro-batches
+    val b1 = Seq.fill(60)("hot") ++ Seq.fill(10)("warm") ++ (1 to 20).map(i => s"rare$i")
+    val b2 = Seq.fill(40)("hot") ++ Seq.fill(25)("cool") ++ (21 to 30).map(i => s"rare$i")
+    val mem = MemoryStream[String](spark)
+    val capacity = 64 // ≥ distinct keys per group → exact regime
+    val q = StreamingSketches
+      .heavyHittersStream(mem.toDF().withColumnRenamed("value", "k"), "k", capacity,
+        numGroups = 4)
+      .writeStream
+      .format("memory")
+      .queryName("hh_stream")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val updates = spark
+        .table("hh_stream")
+        .as[StreamingSketches.HeavyHittersUpdate]
+        .collect()
+        .toSeq
+      // state totals are exact counters across both batches
+      assert(updates.groupBy(_.group_id).values.map(_.last.total_seen).sum ==
+        (b1.length + b2.length))
+      val merged = StreamingSketches.mergeUpdates(updates, capacity, topN = 3)
+      assert(merged == Seq(("hot", 100L), ("cool", 25L), ("warm", 10L)), s"got $merged")
+      // cross-check against the batch operator over the union of batches
+      val batch = graft.operators.Sketches
+        .heavyHitters((b1 ++ b2).map(Tuple1(_)).toDF("k"), "k", capacity, topN = 3)
+        .as[(String, Long)]
+        .collect()
+        .toSeq
+      assert(merged == batch, s"stream=$merged batch=$batch")
+    } finally q.stop()
+  }
 }
