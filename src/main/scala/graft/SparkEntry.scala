@@ -1122,6 +1122,20 @@ object SparkEntry {
       |  quantile_cont(n, 0.99) AS p99
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** IVF-PQ ANN: probed cells bound the scan, byte codes bound what it
+    * reads, exact re-rank on the shortlist. Rows-only;
+    * SimilaritySpec locks full-probe+exhaustive-refine ≡ brute force.
+    */
+  private def q56IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val ivf = Similarity.trainIvf(e, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(e, "embedding", m = 8, ksub = 16)
+    Similarity
+      .ivfPqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 10, ivf, pq,
+        nprobe = 4, refine = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ============================================================= multimodal
 
   /** Winnowing-fingerprint passage-overlap pairs (containment ≥ 0.4) —
@@ -1262,6 +1276,7 @@ object SparkEntry {
     "q53_int8_quant" -> (q53Int8Quant _),
     "q54_train_layout" -> (q54TrainLayout _),
     "q55_token_quantiles" -> (q55TokenQuantiles _),
+    "q56_ivfpq_ann" -> (q56IvfPqAnn _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

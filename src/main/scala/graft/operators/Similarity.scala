@@ -619,6 +619,98 @@ object Similarity {
     topKReduce(rescored, k)
   }
 
+  /** IVF-PQ top-k — the standard billion-scale ANN composition
+    * (Jégou et al.): the IVF index prunes the SCAN to `nprobe/nlist`
+    * of the corpus (cell equi-join), PQ codes shrink what the scan
+    * READS to m bytes per row (codegen ADC scoring), and the ADC top
+    * `k·refine` per query re-ranks with exact cosines. With
+    * `nprobe = nlist` and `refine·k ≥ corpus` this is provably equal
+    * to brute force (spec-locked); between those extremes the two
+    * knobs trade recall for scan cost and bandwidth independently.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ivf: IvfModel,
+      pq: PqModel,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+  ): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val bcIvf = sc.broadcast(ivf.centroids)
+    val bcPq = sc.broadcast(pq)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val x = normalize(v.toArray)
+      val out = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        out(j) = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, x).toByte
+        j += 1
+      }
+      out
+    }
+    val lutUdf = udf { (v: Seq[Float]) =>
+      val mdl = bcPq.value
+      val q = normalize(v.toArray)
+      val lut = new Array[Float](mdl.m * mdl.ksub)
+      var j = 0
+      while (j < mdl.m) {
+        var c = 0
+        while (c < mdl.ksub) {
+          val base = (j * mdl.ksub + c) * mdl.dsub
+          var dot = 0.0
+          var i = 0
+          while (i < mdl.dsub) { dot += q(j * mdl.dsub + i) * mdl.codebooks(base + i); i += 1 }
+          lut(j * mdl.ksub + c) = dot.toFloat
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+    // one corpus scan produces (cell, code) — the ANN "index row"
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id"),
+      assignUdf(col(vecCol)).as("cell"),
+      encodeUdf(col(vecCol)).as("code"),
+    )
+    val probed = queries.select(
+      col(idCol).as("query_id"),
+      lutUdf(col(vecCol)).as("lut"),
+      explode(probeUdf(col(vecCol))).as("cell"),
+    )
+    val joined =
+      if (broadcastQueries) indexed.join(broadcast(probed), "cell")
+      else indexed.repartition(col("cell")).join(probed.repartition(col("cell")), "cell")
+    val adc = joined
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorExpressions.pqAdcScore(col("code"), col("lut"), pq.ksub).as("cosine"),
+      )
+    val cands = topKReduce(adc, k * refine).select(col("query_id"), col("neighbor_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        "query_id",
+      )
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
+      )
+    topKReduce(rescored, k)
+  }
+
   /** ANN top-k via IVF: corpus rows join only the `nprobe` probed
     * cells per query (equi-join on cell id — hash join, no cartesian),
     * then the same bounded-heap top-k. Recall < 1 by construction;

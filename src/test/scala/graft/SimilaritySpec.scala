@@ -142,6 +142,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, s"got $got want $want (byte 255 must read as unsigned)")
   }
 
+  test("ivf-pq ANN: full probe + exhaustive refine equals brute force; pruned keeps recall") {
+    val rng = new scala.util.Random(29)
+    val vecs = (0 until 8).flatMap { c =>
+      val center = Array.fill(8)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity
+      .ivfPqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, pq, nprobe = 8, refine = 40)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, "full-probe exhaustive-refine IVF-PQ must equal brute force")
+    val pruned = Similarity
+      .ivfPqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, pq, nprobe = 2, refine = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = pruned.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall > 0.7, s"clustered-data recall@5 nprobe=2 refine=4: $recall")
+    // partitioned-query path must equal the broadcast path
+    val parted = Similarity
+      .ivfPqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, pq, nprobe = 2, refine = 4,
+        broadcastQueries = false)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(parted == pruned)
+  }
+
   test("topk aggregator: deterministic tie-break by id") {
     val df = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)), (9L, Seq(1f, 0f)),
