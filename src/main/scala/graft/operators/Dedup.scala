@@ -25,18 +25,21 @@ object Dedup {
 
   // ----------------------------------------------------------------- exact
 
-  /** Exact dedup by content hash: one hash-aggregation, keep the
-    * minimum id per group. Emits every input row with its canonical
-    * (keeper) id and group size — filter `is_canonical` to dedupe.
-    * Hashing first means the wide text column never shuffles.
+  /** Exact dedup by content hash: keep the minimum id per group.
+    * Emits every input row with its canonical (keeper) id and group
+    * size — filter `is_canonical` to dedupe.
+    *
+    * Shape: a partition-only window over `content_hash` — ONE
+    * exchange of the full rows, canonical/size computed in place. The
+    * agg + join-back alternative costs a second exchange and, past
+    * the broadcast threshold (any real corpus), shuffles the wide
+    * text column a second time through a sort-merge join.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.withColumn("content_hash", md5(col(textCol)))
-    val groups = hashed
-      .groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    hashed
-      .join(groups, "content_hash")
+    val grp = Window.partitionBy(col("content_hash"))
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(grp))
+      .withColumn("group_size", count(lit(1)).over(grp))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
@@ -120,13 +123,33 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = df
       .select(col(idCol).as("id"), minHashPrep(col(textCol), numHashes, shingleSize).as("p"))
       .select(col("id"), col("p.sig").as("sig"), col("p.grams").as("grams"))
       .where(size(col("grams")) > 0)
       .persist()
+    val (out, bucketHandle) =
+      minHashPairsFromSets(sets, numHashes, bands, threshold, maxBucketSize)
+    materializeAndRelease(out, sets, bucketHandle)
+  }
+
+  /** Banding + exact-Jaccard verify over a PRECOMPUTED (id, sig,
+    * grams) frame — the core of [[minHashNearDupPairs]], split out so
+    * fused pipelines ([[cleanCorpus]]) can feed signatures computed in
+    * the same scan as other per-document work. `sets` is read three
+    * times (banding + both verify sides); callers persist it. Returns
+    * (pairs, bucketHandle) — pairs NOT yet materialized; release
+    * `bucketHandle` via [[materializeAndRelease]].
+    */
+  private def minHashPairsFromSets(
+      sets: DataFrame, // columns: id, sig, grams (persisted by caller)
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int,
+  ): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     // band key = hash of the band's slice of the signature
     val banded = sets.select(
       col("id"),
@@ -148,7 +171,7 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(out, sets, bucketHandle)
+    (out, bucketHandle)
   }
 
   /** Per-document near-dup summary from [[minHashNearDupPairs]]: every
@@ -811,17 +834,33 @@ object Dedup {
       textCol: String,
       jaccardThreshold: Double = 0.8,
       transitive: Boolean = false,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
   ): DataFrame = {
-    // the exact-dedup survivor set feeds BOTH the near-dup signature
-    // pass and the final anti-join (and, through the returned frame,
-    // whatever the caller does next) — persist it so the upstream
-    // chain (often filter/redact UDFs in a pipeline) runs once, not
-    // once per consumer; released after the result is materialized
-    val exact = exactDedup(df, idCol, textCol)
-      .where(col("is_canonical"))
-      .select(df.columns.map(col): _*)
+    // FUSED exact + near-dup pass: the exact-dedup window and the
+    // MinHash signature are computed around ONE exchange of the
+    // corpus — md5 upstream of the window, tokenize/shingle on the
+    // window's survivors in the same stage — and ONE persisted frame
+    // (survivor rows + signature struct) feeds banding, verification,
+    // and the final anti-join. The upstream chain (often filter/
+    // redact UDFs in a pipeline) runs exactly once; the unfused form
+    // paid a second text scan for the signature pass and a second
+    // persist of the survivor rows.
+    val grp = Window.partitionBy(col("__content_hash"))
+    val withSig = df
+      .withColumn("__content_hash", md5(col(textCol)))
+      .withColumn("__canonical_id", min(col(idCol)).over(grp))
+      .where(col(idCol) === col("__canonical_id"))
+      .select(df.columns.map(col) :+
+        minHashPrep(col(textCol), numHashes, shingleSize).as("__p"): _*)
       .persist()
-    val pairs = minHashNearDupPairs(exact, idCol, textCol, threshold = jaccardThreshold)
+    val sets = withSig
+      .select(col(idCol).as("id"), col("__p.sig").as("sig"), col("__p.grams").as("grams"))
+      .where(size(col("grams")) > 0)
+    val (pairs0, bucketHandle) =
+      minHashPairsFromSets(sets, numHashes, bands, jaccardThreshold, maxBucketSize = 1000)
+    val pairs = materializeAndRelease(pairs0, bucketHandle)
     val nearDupLosers =
       if (transitive)
         // full connected components: drop every non-minimum member of
@@ -831,12 +870,10 @@ object Dedup {
           .select(col("id").as("loser"))
       else
         pairs.select(col("id_b").as("loser")).distinct()
-    val out = exact.join(
-      nearDupLosers,
-      exact(idCol) === nearDupLosers("loser"),
-      "left_anti",
-    )
-    materializeAndRelease(out, exact, pairs)
+    val out = withSig
+      .join(nearDupLosers, withSig(idCol) === nearDupLosers("loser"), "left_anti")
+      .select(df.columns.map(col): _*)
+    materializeAndRelease(out, withSig, pairs)
   }
 
   // ----------------------------------------------------------- shared bits
