@@ -1122,6 +1122,43 @@ object SparkEntry {
       |  quantile_cont(n, 0.99) AS p99
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Gopher-style n-gram repetition signals (native one-pass
+    * expression, shuffle-free): token counts, top-token share,
+    * duplicate bigram/trigram occurrence fractions. Oracle-exact —
+    * the ratios are single int/int IEEE divisions over exact string
+    * identity.
+    */
+  private def q57NgramRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .withNgramRepetition(load(s, dir, "documents"), "text")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_token_frac"), col("dup_bigram_frac"), col("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  private val q57Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bg,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tg
+      |  FROM t)
+      |SELECT doc_id, n AS n_tokens,
+      |  len(list_distinct(w)) AS n_distinct_tokens,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE
+      |    list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) / n END AS top_token_frac,
+      |  CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+      |    (len(bg) - len(list_distinct(bg))) / len(bg) END AS dup_bigram_frac,
+      |  CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+      |    (len(tg) - len(list_distinct(tg))) / len(tg) END AS dup_trigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** IVF-PQ ANN: probed cells bound the scan, byte codes bound what it
     * reads, exact re-rank on the shortlist. Rows-only;
     * SimilaritySpec locks full-probe+exhaustive-refine ≡ brute force.
@@ -1277,6 +1314,7 @@ object SparkEntry {
     "q54_train_layout" -> (q54TrainLayout _),
     "q55_token_quantiles" -> (q55TokenQuantiles _),
     "q56_ivfpq_ann" -> (q56IvfPqAnn _),
+    "q57_ngram_repetition" -> (q57NgramRepetition _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1327,5 +1365,6 @@ object SparkEntry {
     "q52_zorder" -> q52Oracle,
     "q53_int8_quant" -> q53Oracle,
     "q55_token_quantiles" -> q55Oracle,
+    "q57_ngram_repetition" -> q57Oracle,
   )
 }

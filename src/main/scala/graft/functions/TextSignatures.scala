@@ -19,4 +19,6 @@ object TextSignatures {
     org.apache.spark.sql.graftext.TextSignatureExpressions.simhash64(text)
   def winnowSignature(text: Column, k: Int, w: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.winnowSignature(text, k, w)
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.repetitionStats(text)
 }

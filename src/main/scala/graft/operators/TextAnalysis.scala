@@ -159,6 +159,26 @@ object TextAnalysis {
       .withColumn("max_char_run", col("__rep._3"))
       .drop("__rep")
 
+  /** Word-level repetition signals as a NATIVE one-pass expression
+    * (no UDF serde, stays in whole-stage codegen): token counts,
+    * distinct-token count, most-frequent-token share, and the
+    * duplicate fraction of word bigram/trigram occurrences — the
+    * Gopher repetition filters over `\W+` tokens, exact string
+    * identity so the DuckDB oracle matches bit-for-bit. Shuffle-free;
+    * compose with [[qualityScore]] / [[withRepetitionStats]] (which
+    * adds the line- and char-level signals).
+    */
+  def withNgramRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val rs = graft.functions.TextSignatures.repetitionStats(col(textCol))
+    df.withColumn("__rs", rs)
+      .withColumn("n_tokens", col("__rs.n_tokens"))
+      .withColumn("n_distinct_tokens", col("__rs.n_distinct_tokens"))
+      .withColumn("top_token_frac", col("__rs.top_token_frac"))
+      .withColumn("dup_bigram_frac", col("__rs.dup_bigram_frac"))
+      .withColumn("dup_trigram_frac", col("__rs.dup_trigram_frac"))
+      .drop("__rs")
+  }
+
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at",
     "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",

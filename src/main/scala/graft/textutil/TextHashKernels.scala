@@ -33,6 +33,54 @@ object TextHashKernels {
 
   def simhash64(text: UTF8String): Long = TextHash.simhash64(text.toString)
 
+  /** struct(n_tokens, n_distinct_tokens, top_token_frac,
+    * dup_bigram_frac, dup_trigram_frac) — the Gopher-style
+    * within-document repetition signals, one tokenize pass, exact
+    * string identity (no hashing, so the DuckDB oracle is bit-exact).
+    * Ratios are single int/int IEEE divisions; empty denominators → 0.
+    */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val toks = TextHash.tokenize(text.toString)
+    val n = toks.length
+    val uni = new java.util.HashMap[String, Integer]()
+    var maxC = 0
+    var i = 0
+    while (i < n) {
+      val c = uni.merge(toks(i), Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    // duplicate fraction of word k-gram OCCURRENCES (1 - distinct/total)
+    def dupFrac(k: Int): Double = {
+      val m = n - k + 1
+      if (m <= 0) return 0.0
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      (m - seen.size).toDouble / m.toDouble
+    }
+    new GenericInternalRow(
+      Array[Any](
+        n.toLong,
+        uni.size.toLong,
+        if (n == 0) 0.0 else maxC.toDouble / n.toDouble,
+        dupFrac(2),
+        dupFrac(3),
+      ),
+    )
+  }
+
   def winnowSignature(text: UTF8String, k: Int, w: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(TextHash.winnowSignature(text.toString, k, w))
 }

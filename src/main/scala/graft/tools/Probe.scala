@@ -77,6 +77,33 @@ object Probe {
       return
     }
 
+    if (names.contains("q35_stages")) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val filtered = graft.operators.TextAnalysis
+        .qualityScore(docs, "text")
+        .where(col("lang").isInCollection(Seq("en", "de", "fr", "es", "it")) &&
+          col("quality_score") >= 0.2)
+        .select(docs.columns.map(col): _*)
+      val redacted = graft.operators.TextAnalysis
+        .redactPii(filtered, "text")
+        .withColumn("text", col("redacted"))
+        .drop("redacted", "pii_found")
+      timed("filter+redact scan")(println("[probe] redacted=" + redacted.count()))
+      val clean0 = timed("cleanCorpus transitive=false") {
+        graft.operators.Dedup.cleanCorpus(redacted, "doc_id", "text", 0.7, transitive = false)
+      }
+      println("[probe] survivors=" + clean0.count()); clean0.unpersist()
+      val clean1 = timed("cleanCorpus transitive=true") {
+        graft.operators.Dedup.cleanCorpus(redacted, "doc_id", "text", 0.7, transitive = true)
+      }
+      val chunked = timed("chunkTokens") {
+        val c = graft.operators.TextAnalysis.chunkTokens(clean1, "doc_id", "text", 128, 128)
+        println("[probe] chunks=" + c.count()); c
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("seq_stages")) {
       val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       val chunks = timed("prepare (q35 stage)") {

@@ -53,6 +53,8 @@ object TextSignatureExpressions {
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
   def winnowSignature(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowSignature(ExpressionUtils.expression(text), k, w))
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(TextRepetitionStats(ExpressionUtils.expression(text)))
 }
 
 /** One-scan MinHash prep: struct(sig: array<long>, grams: array<long>). */
@@ -75,6 +77,39 @@ case class MinHashPrep(child: Expression, n: Int, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.textutil.TextHashKernels.minhashPrep($t, $n, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gopher-style within-document repetition signals:
+  * struct(n_tokens, n_distinct_tokens, top_token_frac,
+  * dup_bigram_frac, dup_trigram_frac). Exact string identity — the
+  * SQL-oracle formulation (list_distinct over the token list) is
+  * bit-exact, not hash-approximate.
+  */
+case class TextRepetitionStats(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct_tokens", LongType, nullable = false),
+      StructField("top_token_frac", DoubleType, nullable = false),
+      StructField("dup_bigram_frac", DoubleType, nullable = false),
+      StructField("dup_trigram_frac", DoubleType, nullable = false),
+    ),
+  )
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    graft.textutil.TextHashKernels.repetitionStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.textutil.TextHashKernels.repetitionStats($t);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -336,6 +336,8 @@ object VectorExpressions {
       "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "repetition_stats", es => TextRepetitionStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "winnow_signature",
       es =>
         WinnowSignature(es(0), intLit(es(1), "winnow_signature"), intLit(es(2), "winnow_signature")),

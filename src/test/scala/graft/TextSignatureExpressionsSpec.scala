@@ -119,6 +119,33 @@ class TextSignatureExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionStats: hand-computed fixtures through the Catalyst path") {
+    val fix = Seq(
+      // "a a a b": 4 toks, 2 distinct, top=3/4; bigrams [a a, a a, a b]
+      // → 1 dup of 3; trigrams [a a a, a a b] → 0 dups of 2
+      ("a a a b", 4L, 2L, 3.0 / 4.0, 1.0 / 3.0, 0.0),
+      // bigrams [buy now, now buy, buy now, now buy, buy now] → 2
+      // distinct of 5; trigrams alternate between 2 patterns → 2 of 4
+      ("buy now buy now buy now", 6L, 2L, 3.0 / 6.0, 3.0 / 5.0, 2.0 / 4.0),
+      ("all distinct words here", 4L, 4L, 1.0 / 4.0, 0.0, 0.0),
+      ("word", 1L, 1L, 1.0, 0.0, 0.0),
+      ("", 0L, 0L, 0.0, 0.0, 0.0),
+      ("Case CASE case!", 3L, 1L, 1.0, 1.0 / 2.0, 0.0),
+    )
+    val got = fix.map(_._1).toDF("text")
+      .select(TextSignatures.repetitionStats($"text").as("r"))
+      .select("r.n_tokens", "r.n_distinct_tokens", "r.top_token_frac",
+        "r.dup_bigram_frac", "r.dup_trigram_frac")
+      .collect()
+    fix.zip(got).foreach { case ((t, n, d, top, bg, tg), row) =>
+      assert(row.getLong(0) == n, s"n_tokens on '$t'")
+      assert(row.getLong(1) == d, s"n_distinct on '$t'")
+      assert(row.getDouble(2) == top, s"top_token_frac on '$t'")
+      assert(row.getDouble(3) == bg, s"dup_bigram_frac on '$t'")
+      assert(row.getDouble(4) == tg, s"dup_trigram_frac on '$t'")
+    }
+  }
+
   test("null text → null through every expression (operators coalesce/filter)") {
     val nd = Seq[Option[String]](None, Some("hello world one two three")).toDF("text")
     val r = nd
