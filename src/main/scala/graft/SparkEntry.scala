@@ -1159,6 +1159,26 @@ object SparkEntry {
       |    (len(tg) - len(list_distinct(tg))) / len(tg) END AS dup_trigram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Distilled quality classifier: the heuristic score labels a
+    * training sample, a tiny MLP over hashed n-gram features learns
+    * it, and the whole corpus is scored as a shuffle-free map.
+    * Rows-only (ML output); QualityClassifierSpec locks separation on
+    * planted good/bad corpora.
+    */
+  private def q58QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val labeled = graft.operators.TextAnalysis
+      .qualityScore(docs, "text")
+      .withColumn("label", (col("quality_score") >= 0.5).cast("int"))
+    graft.operators.QualityClassifier
+      .train(labeled, "text", "label", "q58_quality", dim = 128, hidden = 16,
+        configJson = """{"epochs":20}""")
+    graft.operators.QualityClassifier
+      .score(docs, "text", "q58_quality", dim = 128)
+      .select(col("doc_id"), col("quality_prob"))
+      .orderBy("doc_id")
+  }
+
   /** IVF-PQ ANN: probed cells bound the scan, byte codes bound what it
     * reads, exact re-rank on the shortlist. Rows-only;
     * SimilaritySpec locks full-probe+exhaustive-refine ≡ brute force.
@@ -1315,6 +1335,7 @@ object SparkEntry {
     "q55_token_quantiles" -> (q55TokenQuantiles _),
     "q56_ivfpq_ann" -> (q56IvfPqAnn _),
     "q57_ngram_repetition" -> (q57NgramRepetition _),
+    "q58_quality_classifier" -> (q58QualityClassifier _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

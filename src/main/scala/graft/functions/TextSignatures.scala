@@ -21,4 +21,6 @@ object TextSignatures {
     org.apache.spark.sql.graftext.TextSignatureExpressions.winnowSignature(text, k, w)
   def repetitionStats(text: Column): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.repetitionStats(text)
+  def hashedNgramFeatures(text: Column, dim: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.hashedNgramFeatures(text, dim)
 }

@@ -184,6 +184,46 @@ object TextHash {
     if (wr + 1 == mins.length) mins else java.util.Arrays.copyOf(mins, wr + 1)
   }
 
+  /** Hashed bag of word {1,2}-gram counts folded into `dim` buckets
+    * (feature hashing / "hashing trick"), L2-normalized — the
+    * fastText-style featurization a distilled quality classifier
+    * scores the corpus with. One tokenize pass; bigram hashes are
+    * streamed FNV-1a of `"tokᵢ tokᵢ₊₁"` exactly like
+    * [[hashedShingles]], then splitmix-mixed before the modulo so
+    * bucket assignment is uniform.
+    */
+  def hashedNgramFeatures(text: String, dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    if (text == null) return acc
+    val toks = tokenize(text)
+    var i = 0
+    while (i < toks.length) {
+      acc(java.lang.Long.remainderUnsigned(mix64(fnv64(toks(i))), dim).toInt) += 1f
+      if (i + 1 < toks.length) {
+        var h = 0xcbf29ce484222325L
+        val a = toks(i)
+        var k = 0
+        while (k < a.length) { h ^= a.charAt(k); h *= 0x100000001b3L; k += 1 }
+        h ^= ' '
+        h *= 0x100000001b3L
+        val b = toks(i + 1)
+        k = 0
+        while (k < b.length) { h ^= b.charAt(k); h *= 0x100000001b3L; k += 1 }
+        acc(java.lang.Long.remainderUnsigned(mix64(h), dim).toInt) += 1f
+      }
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dim) { ss += acc(i).toDouble * acc(i); i += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < dim) { acc(i) = (acc(i) * inv).toFloat; i += 1 }
+    }
+    acc
+  }
+
   /** FNV-1a over the chars of `s`. */
   def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L

@@ -83,4 +83,7 @@ object TextHashKernels {
 
   def winnowSignature(text: UTF8String, k: Int, w: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(TextHash.winnowSignature(text.toString, k, w))
+
+  def hashedNgramFeatures(text: UTF8String, dim: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(TextHash.hashedNgramFeatures(text.toString, dim))
 }

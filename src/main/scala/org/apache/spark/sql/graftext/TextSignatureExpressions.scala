@@ -55,6 +55,8 @@ object TextSignatureExpressions {
     ExpressionUtils.column(WinnowSignature(ExpressionUtils.expression(text), k, w))
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(TextRepetitionStats(ExpressionUtils.expression(text)))
+  def hashedNgramFeatures(text: Column, dim: Int): Column =
+    ExpressionUtils.column(HashedNgramFeatures(ExpressionUtils.expression(text), dim))
 }
 
 /** One-scan MinHash prep: struct(sig: array<long>, grams: array<long>). */
@@ -110,6 +112,29 @@ case class TextRepetitionStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.textutil.TextHashKernels.repetitionStats($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed bag-of-{1,2}-gram features (hashing trick, L2-normalized)
+  * — the fastText-style featurization for distilled quality
+  * classifiers. array<float> of plan-time-constant width `dim`.
+  */
+case class HashedNgramFeatures(child: Expression, dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hashed_ngram_features"
+
+  override def nullSafeEval(t: Any): Any =
+    graft.textutil.TextHashKernels.hashedNgramFeatures(t.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.textutil.TextHashKernels.hashedNgramFeatures($t, $dim);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

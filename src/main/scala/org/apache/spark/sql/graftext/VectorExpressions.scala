@@ -338,6 +338,10 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "repetition_stats", es => TextRepetitionStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "hashed_ngram_features",
+      es => HashedNgramFeatures(es(0), intLit(es(1), "hashed_ngram_features")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "winnow_signature",
       es =>
         WinnowSignature(es(0), intLit(es(1), "winnow_signature"), intLit(es(2), "winnow_signature")),
