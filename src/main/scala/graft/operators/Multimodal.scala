@@ -17,12 +17,14 @@ import org.apache.spark.sql.DataFrame
   * the JDK's built-in `javax.imageio` (no external codec needed) —
   * `embedMediaUdf` and `imageResizeUdf` operate on actual pixels.
   * Header metadata additionally parses WAV fmt chunks and AVI main
-  * headers. VIDEO is real for AVI containers: [[aviFrames]] demuxes
-  * the RIFF chunk tree and MJPEG frame payloads decode through the
-  * same ImageIO path as stills (end-to-end pixel test in
-  * TextAnalysisSpec). Non-AVI video containers (no JDK demuxer) fall
-  * back to a labelled deterministic byte-chunk STUB so the
-  * `array<binary>` + explode plumbing still exercises.
+  * headers. VIDEO is real for AVI and MP4 containers: [[aviFrames]]
+  * demuxes the RIFF chunk tree and [[mp4Frames]] reconstructs sample
+  * byte ranges from the ISO BMFF sample tables (stsz/stsc/stco);
+  * MJPEG frame payloads decode through the same ImageIO path as
+  * stills (end-to-end pixel tests in TextAnalysisSpec). Remaining
+  * containers (Matroska/WebM — no walker yet) fall back to a
+  * labelled deterministic byte-chunk STUB so the `array<binary>` +
+  * explode plumbing still exercises.
   */
 object Multimodal {
 
@@ -92,6 +94,17 @@ object Multimodal {
         } else i += 1
       }
       ("avi", w, h, n.toLong)
+    } else if (n >= 16 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+      bytes(7) == 'p') {
+      // ISO BMFF: geometry lives deep in the trak headers; report the
+      // container + first demuxed frame's JPEG geometry when present
+      val wh = mp4Frames(bytes)
+        .flatMap(_.headOption)
+        .map(decodeOne)
+        .filter(_._1 == "jpeg")
+        .map(m => (m._2, m._3))
+        .getOrElse((0, 0))
+      ("mp4", wh._1, wh._2, n.toLong)
     } else {
       // STUB geometry for undecodable payloads: deterministic content hash
       var h = 0xcbf29ce484222325L
@@ -374,17 +387,123 @@ object Multimodal {
     Some(out.toArray)
   }
 
-  /** Frame sampler: REAL container demux for AVI payloads (every
-    * `stride`-th video frame, ≤ `maxFrames`); non-AVI payloads fall
-    * back to the labelled byte-chunk STUB (stride-th `frameBytes`
-    * slice) so the plumbing still exercises for formats without a JDK
-    * demuxer. Output `array<binary>`, one row per video — downstream
-    * `explode` controls fan-out explicitly.
+  /** REAL MP4 (ISO BMFF, ISO/IEC 14496-12) demux: walks the box tree
+    * into `moov`, picks the first `trak` whose `hdlr` handler is
+    * `vide`, and reconstructs every sample's absolute byte range from
+    * the sample tables — `stsz` (sizes), `stco`/`co64` (chunk
+    * offsets), `stsc` (sample-to-chunk runs). Samples are laid
+    * consecutively within each chunk starting at its offset, so the
+    * expansion is a single pass over the chunk list. For MJPEG-in-MP4
+    * (`jpeg` sample entries) every sample is a complete JPEG the
+    * ImageIO path decodes like a still. Returns None for non-MP4
+    * bytes or MP4s without a video track.
+    */
+  private[graft] def mp4Frames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxType(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
+    // children of [from, until): (type, payloadStart, payloadEnd)
+    def children(from: Long, until: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var i = from
+      while (i + 8 <= until) {
+        var size = be32(i.toInt)
+        var hdr = 8L
+        if (size == 1 && i + 16 <= until) { size = be64(i.toInt + 8); hdr = 16 }
+        else if (size == 0) size = until - i
+        if (size < hdr || i + size > until) return out.toSeq // corrupt: stop
+        out += ((boxType(i.toInt), i + hdr, i + size))
+        i += size
+      }
+      out.toSeq
+    }
+    def child(cs: Seq[(String, Long, Long)], tp: String): Option[(Long, Long)] =
+      cs.collectFirst { case (t, s, e) if t == tp => (s, e) }
+    val top = children(0, bytes.length.toLong)
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    def trackFrames(ts: Long, te: Long): Option[Array[Array[Byte]]] = {
+      val mc = child(children(ts, te), "mdia") match {
+        case Some((ms, me)) => children(ms, me)
+        case None => return None
+      }
+      val isVideo = child(mc, "hdlr").exists { case (hs, he) =>
+        // FullBox v+flags(4), pre_defined(4), then handler_type
+        he - hs >= 12 && boxType(hs.toInt + 4) == "vide"
+      }
+      if (!isVideo) return None
+      val sc = for {
+        minf <- child(mc, "minf")
+        stbl <- child(children(minf._1, minf._2), "stbl")
+      } yield children(stbl._1, stbl._2)
+      sc.flatMap { sc =>
+        for {
+          stsz <- child(sc, "stsz")
+          stsc <- child(sc, "stsc")
+          co <- child(sc, "stco").map((_, false)).orElse(child(sc, "co64").map((_, true)))
+        } yield {
+          val ((cs, _), is64) = co
+          val uniform = be32(stsz._1.toInt + 4)
+          val sampleCount = be32(stsz._1.toInt + 8).toInt
+          def sampleSize(s: Int): Long =
+            if (uniform != 0) uniform else be32(stsz._1.toInt + 12 + 4 * s)
+          val chunkCount = be32(cs.toInt + 4).toInt
+          def chunkOffset(c: Int): Long =
+            if (is64) be64(cs.toInt + 8 + 8 * c) else be32(cs.toInt + 8 + 4 * c)
+          val runCount = be32(stsc._1.toInt + 4).toInt
+          def run(r: Int): (Long, Long) = // (first_chunk 1-based, samples_per_chunk)
+            (be32(stsc._1.toInt + 8 + 12 * r), be32(stsc._1.toInt + 12 + 12 * r))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var sample = 0
+          var r = 0
+          var c = 0
+          while (c < chunkCount && sample < sampleCount) {
+            while (r + 1 < runCount && run(r + 1)._1 <= c + 1) r += 1
+            val spc = if (runCount == 0) 0L else run(r)._2
+            var off = chunkOffset(c)
+            var s = 0L
+            while (s < spc && sample < sampleCount) {
+              val sz = sampleSize(sample)
+              if (off >= 0 && sz > 0 && off + sz <= bytes.length)
+                out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+              off += sz
+              sample += 1
+              s += 1
+            }
+            c += 1
+          }
+          out.toArray
+        }
+      }
+    }
+    child(top, "moov").flatMap { case (ms, me) =>
+      children(ms, me).filter(_._1 == "trak")
+        .iterator
+        .map { case (_, ts, te) => trackFrames(ts, te) }
+        .collectFirst { case Some(f) => f }
+    }
+  }
+
+  /** Real container demux where a walker exists (AVI RIFF, MP4
+    * ISO BMFF); None otherwise.
+    */
+  private[graft] def demuxFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    aviFrames(bytes).orElse(mp4Frames(bytes))
+
+  /** Frame sampler: REAL container demux for AVI and MP4 payloads
+    * (every `stride`-th video frame, ≤ `maxFrames`); other payloads
+    * fall back to the labelled byte-chunk STUB (stride-th
+    * `frameBytes` slice) so the plumbing still exercises for formats
+    * without a demuxer (Matroska/WebM). Output `array<binary>`, one
+    * row per video — downstream `explode` controls fan-out
+    * explicitly.
     */
   def frameSampleUdf(frameBytes: Int, stride: Int, maxFrames: Int = 64) =
     udf { (bytes: Array[Byte]) =>
       if (bytes == null) Array.empty[Array[Byte]]
-      else aviFrames(bytes) match {
+      else demuxFrames(bytes) match {
         case Some(frames) =>
           frames.zipWithIndex.collect {
             case (f, i) if i % stride == 0 => f

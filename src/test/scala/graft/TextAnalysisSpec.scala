@@ -381,4 +381,68 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(lumas(0) < lumas(1) && lumas(1) < lumas(2),
       s"sampled frame lumas must follow shades: ${lumas.toSeq}")
   }
+
+  /** Minimal-but-valid ISO BMFF: ftyp, mdat (samples concatenated,
+    * split 2+rest across two chunks), moov with an audio trak FIRST
+    * (the walker must skip it) then the video trak whose
+    * stsz/stsc/stco tables address the mdat payload absolutely.
+    */
+  private def mp4Bytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ tp.getBytes("ISO-8859-1") ++ body
+    }
+    val full0 = be32(0) // FullBox version+flags
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val firstSample = ftyp.length + 8L // mdat payload starts after its header
+    val mdat = box("mdat", frames.flatten.toArray)
+    val o2 = firstSample + frames(0).length + frames(1).length
+    val stsd = box("stsd", full0, be32(1), box("jpeg", new Array[Byte](78)))
+    val stts = box("stts", full0, be32(1), be32(frames.length), be32(1))
+    val stsc = box("stsc", full0, be32(2),
+      be32(1), be32(2), be32(1), // chunk 1: two samples
+      be32(2), be32(frames.length - 2L), be32(1)) // chunk 2: the rest
+    val stsz = box("stsz", full0, be32(0), be32(frames.length),
+      frames.toArray.flatMap(f => be32(f.length)))
+    val stco = box("stco", full0, be32(2), be32(firstSample), be32(o2))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    def hdlr(kind: String) =
+      box("hdlr", full0, be32(0), kind.getBytes, new Array[Byte](12), Array(0.toByte))
+    val trakV = box("trak", box("mdia", hdlr("vide"), box("minf", stbl)))
+    val trakA = box("trak", box("mdia", hdlr("soun")))
+    ftyp ++ mdat ++ box("moov", trakA, trakV)
+  }
+
+  test("multimodal real video: MJPEG MP4 demux via sample tables + pixel decode") {
+    val shades = Seq(0x181818, 0x505050, 0x909090, 0xc0c0c0, 0xf0f0f0)
+    val frames = shades.map(jpegFrame(24, 16, _))
+    val mp4 = mp4Bytes(frames)
+    val Some(demuxed) = Multimodal.mp4Frames(mp4)
+    assert(demuxed.length == 5, s"demuxed ${demuxed.length} samples")
+    demuxed.zip(frames).foreach { case (d, f) => assert(d.sameElements(f)) }
+    assert(Multimodal.mp4Frames("not an mp4 at all but long enough".getBytes).isEmpty)
+    assert(Multimodal.mp4Frames(aviBytes(frames, 24, 16)).isEmpty, "AVI is not BMFF")
+    // metadata: container recognized, geometry from the first demuxed frame
+    val meta = Multimodal
+      .withDecodedMeta(Seq((1L, mp4)).toDF("id", "payload"), "payload")
+      .select($"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .head()
+    assert(meta.getString(0) == "mp4" && meta.getInt(1) == 24 && meta.getInt(2) == 16)
+    // the shared sampler routes through the MP4 walker (not the stub)
+    val df = Seq((1L, mp4)).toDF("id", "payload")
+    val sampled = df
+      .select(explode(Multimodal.frameSampleUdf(16, 2)($"payload")).as("frame"))
+      .as[Array[Byte]]
+      .collect()
+    assert(sampled.length == 3) // samples 0, 2, 4
+    val lumas = sampled.map { f =>
+      val Some((fw, fh, px)) = Multimodal.decodePixels(f)
+      assert(fw == 24 && fh == 16)
+      px.sum / px.length
+    }
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2),
+      s"sampled frame lumas must follow shades: ${lumas.toSeq}")
+  }
 }
