@@ -753,17 +753,99 @@ object Dedup {
       ))
       return spark.createDataFrame(rows, schema)
     }
-    distributedConnectedComponents(pairs, maxIterations)
+    alternatingConnectedComponents(pairs)
   }
 
-  /** Distributed min-label propagation — the fallback when the pair
-    * graph itself is too large to collect. Each iteration is one hash
-    * join + one aggregation; convergence needs O(graph diameter)
-    * iterations, and dedup graphs are shallow (chains of boilerplate
-    * variants), so `maxIterations` is a safety bound. Labels are
-    * persisted and materialized per round to keep lineage flat —
-    * the standard large-graph CC formulation (GraphX-free, pure
-    * DataFrame), valid at any scale the pair join itself survives.
+  /** Distributed CC by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale fallback when the pair graph is
+    * too large to collect.
+    *
+    * Why not min-label propagation: propagation needs O(graph
+    * diameter) join rounds, and adversarial dedup graphs have long
+    * chains (boilerplate a~b~c~… with no shortcut edges) — a 10 M-doc
+    * chain would need 10 M rounds, so any fixed iteration cap
+    * silently mislabels. The alternating algorithm contracts
+    * components in O(log n) rounds REGARDLESS of diameter:
+    *   - large-star: every node links its strictly-LARGER neighbors
+    *     to the minimum of its closed neighborhood
+    *   - small-star: every node links its smaller neighbors and
+    *     itself to that minimum
+    * Each round is one shuffle-agg (per-node min) + one join, on an
+    * edge set that only shrinks toward the per-component star. At the
+    * fixed point every edge is (member, component-min) — exactly the
+    * label set. Ids of any orderable Catalyst type work (only
+    * least/greatest/min are used; no numeric casts).
+    */
+  private[graft] def alternatingConnectedComponents(
+      pairs: DataFrame,
+      maxIterations: Int = 30,
+  ): DataFrame = {
+    // canonical directed edges hi→lo; self-loops gone, set semantics.
+    // Each round references the previous round's frame ~5 times (the
+    // symmetric view alone doubles it), so persist+count is NOT
+    // enough — the LOGICAL plan would still grow ~5^rounds and the
+    // driver chokes walking it. localCheckpoint truncates lineage to
+    // a LogicalRDD: O(1) plan per round, the required shape for any
+    // iterative DataFrame algorithm.
+    var edges = pairs
+      .select(
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"),
+      )
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var i = 0
+    while (i < maxIterations && !converged) {
+      // large-star over the symmetric neighbor view
+      val sym = edges
+        .select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym
+        .groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym
+        .join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star over the directed hi→lo edges
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = large
+        .join(smins, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(smins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      val newCount = small.count()
+      converged = newCount == edgeCount &&
+        small.exceptAll(edges).limit(1).count() == 0L
+      edges.unpersist(blocking = false)
+      edges = small
+      edgeCount = newCount
+      i += 1
+    }
+    if (!converged && edgeCount > 0L)
+      Console.err.println(
+        s"[graft] alternatingConnectedComponents: not converged after $maxIterations rounds")
+    // fixed point = per-component star: hi is the member, lo the min
+    val labels = edges
+      .select(col("hi").as("id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("component")).distinct())
+    labels
+  }
+
+  /** Distributed min-label propagation — kept as the reference
+    * formulation the alternating algorithm is spec-checked against
+    * (and for callers who KNOW their graph is shallow). Each
+    * iteration is one hash join + one aggregation; convergence needs
+    * O(graph diameter) iterations. Labels are persisted and
+    * materialized per round to keep lineage flat.
     */
   private[graft] def distributedConnectedComponents(
       pairs: DataFrame,

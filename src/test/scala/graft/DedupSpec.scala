@@ -226,6 +226,34 @@ class DedupSpec extends SparkTestBase {
     assert(dMap == pMap, "string-id components must agree across branches")
   }
 
+  test("alternating CC: diameter-300 chain converges in O(log n) rounds, ≡ union-find") {
+    // a pure path graph — the adversarial case for min-label
+    // propagation (needs diameter rounds; its default cap of 10 would
+    // silently mislabel). Shuffled ids so the chain order and the id
+    // order disagree.
+    val rng = new scala.util.Random(11)
+    val perm = rng.shuffle((0L until 300L).toVector)
+    val pairs = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val alt = Dedup.alternatingConnectedComponents(pairs, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt.size == 300)
+    assert(alt.values.toSet == Set(0L), s"one chain → every node labels to min id 0")
+    // equivalence with the exact driver union-find on a random graph
+    val edges = (0 until 400).map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val want = Dedup.connectedComponents(edges) // tiny → driver union-find
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.alternatingConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "alternating must equal exact union-find labels")
+    // string ids: only orderable semantics are assumed
+    val s = Seq(("docA", "docB"), ("docB", "docC"), ("docX", "docY")).toDF("id_a", "id_b")
+    val sm = Dedup.alternatingConnectedComponents(s)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sm == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"), sm.toString)
+  }
+
   test("newDocsOnlyWithHandle: exposes filter saturation stats and a release hook") {
     val corpus = (1L to 300L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
     val batch = Seq((9001L, "corpus doc 7"), (9002L, "brand new doc")).toDF("doc_id", "text")
