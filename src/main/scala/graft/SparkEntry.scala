@@ -1179,6 +1179,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality scoring: bigram LM trained on the corpus
+    * (stand-in for the reference corpus), every doc scored by mean
+    * bigram log-prob. Rows-only (model output); LmQualitySpec locks
+    * hand-computed probabilities and in-domain/gibberish separation.
+    */
+  private def q59LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val lm = graft.operators.LmQuality.train(docs, "text", vocabSize = 5000)
+    graft.operators.LmQuality
+      .score(docs, "text", lm)
+      .select(col("doc_id"), col("avg_logprob"), col("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** IVF-PQ ANN: probed cells bound the scan, byte codes bound what it
     * reads, exact re-rank on the shortlist. Rows-only;
     * SimilaritySpec locks full-probe+exhaustive-refine ≡ brute force.
@@ -1336,6 +1350,7 @@ object SparkEntry {
     "q56_ivfpq_ann" -> (q56IvfPqAnn _),
     "q57_ngram_repetition" -> (q57NgramRepetition _),
     "q58_quality_classifier" -> (q58QualityClassifier _),
+    "q59_lm_quality" -> (q59LmQuality _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
