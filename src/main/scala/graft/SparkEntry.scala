@@ -1179,6 +1179,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Training-shard sink: the q54 packed layout written as
+    * pack-range shards + manifest; the query returns the manifest
+    * (deterministic content-addressed checksums — stable across
+    * partitionings and reruns). Rows-only; ShardSinkSpec locks
+    * totals, pruned reads, and checksum determinism.
+    */
+  private def q60ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.CorpusPipeline
+      .prepareSequences(load(s, dir, "documents"), "doc_id", "text", seqLen = 512,
+        shuffleSalt = "r4")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.sources.ShardSink
+      .writeShards(layout, "chunk_id", "n_chunk_tokens", "pack_first", out,
+        packsPerShard = 64)
+      .orderBy("shard")
+  }
+
   /** CCNet-style LM quality scoring: bigram LM trained on the corpus
     * (stand-in for the reference corpus), every doc scored by mean
     * bigram log-prob. Rows-only (model output); LmQualitySpec locks
@@ -1351,6 +1368,7 @@ object SparkEntry {
     "q57_ngram_repetition" -> (q57NgramRepetition _),
     "q58_quality_classifier" -> (q58QualityClassifier _),
     "q59_lm_quality" -> (q59LmQuality _),
+    "q60_shard_manifest" -> (q60ShardManifest _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
