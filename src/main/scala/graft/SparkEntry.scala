@@ -1179,6 +1179,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** C4-style exact span dedup: every 8-token span that repeats
+    * verbatim anywhere in the corpus keeps only its first occurrence;
+    * docs are rebuilt from surviving tokens. Oracle-exact (pure
+    * string/integer semantics; the oracle groups on full span text,
+    * so agreement doubles as the hash-collision check).
+    */
+  private def q61SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .spanDedup(load(s, dir, "documents"), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val q61Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
+      |  FROM t, unnest(CASE WHEN len(w) >= 8
+      |    THEN generate_series(1, len(w)-7) ELSE [] END) AS u(i)),
+      |winners AS (
+      |  SELECT span, min(struct_pack(d := doc_id, i := i)) AS keep
+      |  FROM spans GROUP BY span HAVING count(*) > 1),
+      |removed AS (
+      |  SELECT DISTINCT s.doc_id, p
+      |  FROM spans s JOIN winners w USING (span),
+      |       unnest(generate_series(s.i, s.i+7)) AS g(p)
+      |  WHERE struct_pack(d := s.doc_id, i := s.i) <> w.keep),
+      |toks AS (
+      |  SELECT doc_id, p, w[CAST(p AS BIGINT)] AS tok
+      |  FROM t, unnest(CASE WHEN len(w) >= 1
+      |    THEN generate_series(1, len(w)) ELSE [] END) AS u(p)),
+      |kept AS (
+      |  SELECT k.doc_id, k.p, k.tok FROM toks k
+      |  ANTI JOIN removed r ON k.doc_id = r.doc_id AND k.p = r.p)
+      |SELECT d.doc_id,
+      |  coalesce((SELECT string_agg(tok, ' ' ORDER BY p)
+      |    FROM kept WHERE kept.doc_id = d.doc_id), '') AS clean_text,
+      |  coalesce((SELECT count(*)
+      |    FROM kept WHERE kept.doc_id = d.doc_id), 0) AS n_kept_tokens
+      |FROM documents d ORDER BY doc_id""".stripMargin
+
   /** Training-shard sink: the q54 packed layout written as
     * pack-range shards + manifest; the query returns the manifest
     * (deterministic content-addressed checksums — stable across
@@ -1369,6 +1412,7 @@ object SparkEntry {
     "q58_quality_classifier" -> (q58QualityClassifier _),
     "q59_lm_quality" -> (q59LmQuality _),
     "q60_shard_manifest" -> (q60ShardManifest _),
+    "q61_span_dedup" -> (q61SpanDedup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1420,5 +1464,6 @@ object SparkEntry {
     "q53_int8_quant" -> q53Oracle,
     "q55_token_quantiles" -> q55Oracle,
     "q57_ngram_repetition" -> q57Oracle,
+    "q61_span_dedup" -> q61Oracle,
   )
 }

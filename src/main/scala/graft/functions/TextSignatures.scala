@@ -13,6 +13,8 @@ import org.apache.spark.sql.Column
 object TextSignatures {
   def shingleSet(text: Column, n: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.shingleSet(text, n)
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.shingleHashes(text, n)
   def minhashPrep(text: Column, n: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.minhashPrep(text, n, numHashes)
   def simhash64(text: Column): Column =

@@ -656,6 +656,91 @@ object Dedup {
       .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
   }
 
+  // ----------------------------------------------------------- span dedup
+
+  /** C4-style EXACT span dedup: any `k`-token span whose verbatim
+    * text occurs elsewhere in the corpus keeps only its FIRST
+    * occurrence (minimum (doc, position) lexicographically); every
+    * other occurrence's token positions are dropped and each document
+    * is reassembled from its surviving tokens. This removes repeated
+    * boilerplate (headers, license blocks, navigation) at
+    * sub-document granularity — document-level dedup never sees it.
+    *
+    * Semantics (locked by the DuckDB oracle, q61 — pure
+    * string/integer ops, so the cross-engine comparison is exact):
+    *   - tokens = `lower(text)` split on `\W+`, empties dropped
+    *   - spans = every consecutive `k`-token window (docs with < k
+    *     tokens have none and pass through)
+    *   - a position is dropped iff covered by ANY non-first
+    *     occurrence of a duplicated span (the kept occurrence does
+    *     not shield overlapping drops — simplest total rule)
+    *   - output text = surviving tokens joined by one space
+    *
+    * Scale shape: one explode to k-gram spans (linear ×1 rows — the
+    * span STRING is never materialized; spans group on a 64-bit
+    * streamed hash), one aggregation for first-occurrence winners
+    * (map-side partial min), one join back, one per-doc rebuild
+    * aggregation. Hash collisions across distinct span texts are the
+    * usual 2⁻⁶⁴ near-impossibility (and would only drop an extra
+    * span); the ORACLE groups on full span text — agreement at test
+    * scale is itself the collision check.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+  ): DataFrame = {
+    require(k >= 1, "span length must be ≥ 1")
+    val toks = df.select(
+      col(idCol).as("id"),
+      expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')").as("w"),
+    )
+    // (id, pos, spanHash) — streamed hash of each k-token window,
+    // never the span string (native expression whose tokenization is
+    // spec-locked ≡ the `w` split above, so positions align)
+    val spans = df
+      .select(
+        col(idCol).as("id"),
+        posexplode(graft.functions.TextSignatures.shingleHashes(col(textCol), k)),
+      )
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "span")
+    val winners = spans
+      .groupBy("span")
+      .agg(min(struct(col("id"), col("i"))).as("keep"), count(lit(1)).as("occ"))
+      .where(col("occ") > 1) // unique spans never drop anything
+      .select(col("span"), col("keep"))
+    val removed = spans
+      .join(winners, "span")
+      .where(struct(col("id"), col("i")) =!= col("keep"))
+      .select(col("id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("p"))
+      .distinct()
+    val kept = toks
+      .select(col("id"), posexplode(col("w")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "tok")
+      .join(removed, Seq("id", "p"), "left_anti")
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        concat_ws(
+          " ",
+          expr("transform(array_sort(collect_list(struct(p, tok))), s -> s.tok)"),
+        ).as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"),
+      )
+    // every input doc surfaces — fully-dropped or token-less docs
+    // come back empty, not missing
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+      )
+  }
+
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =

@@ -17,6 +17,13 @@ object TextHashKernels {
   def shingleSet(text: UTF8String, n: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(TextHash.sortedShingleSet(text.toString, n))
 
+  /** POSITIONAL shingle hashes: element i = streamed FNV-1a of the
+    * k-token window starting at token i (order kept, duplicates
+    * kept) — the span-dedup primitive.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(TextHash.hashedShingles(text.toString, n))
+
   /** struct(sig: array<long>, grams: array<long>) — the one-scan
     * MinHash prep (densified-OPH signature + the exact shingle set the
     * verify path intersects).

@@ -43,10 +43,34 @@ case class TextShingleSet(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional shingle hashes (order kept, duplicates kept) — element
+  * i hashes the k-token window starting at token i.
+  */
+case class TextShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    graft.textutil.TextHashKernels.shingleHashes(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.textutil.TextHashKernels.shingleHashes($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextSignatureExpressions {
   /** Column-DSL faces (shape params are plan-time constants). */
   def shingleSet(text: Column, n: Int): Column =
     ExpressionUtils.column(TextShingleSet(ExpressionUtils.expression(text), n))
+  def shingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(TextShingleHashes(ExpressionUtils.expression(text), n))
   def minhashPrep(text: Column, n: Int, numHashes: Int): Column =
     ExpressionUtils.column(MinHashPrep(ExpressionUtils.expression(text), n, numHashes))
   def simhash64(text: Column): Column =

@@ -331,6 +331,9 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "shingle_set", es => TextShingleSet(es(0), intLit(es(1), "shingle_set")), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "shingle_hashes", es => TextShingleHashes(es(0), intLit(es(1), "shingle_hashes")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "minhash_prep",
       es => MinHashPrep(es(0), intLit(es(1), "minhash_prep"), intLit(es(2), "minhash_prep")),
       "scala_udf")

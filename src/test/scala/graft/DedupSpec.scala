@@ -226,6 +226,23 @@ class DedupSpec extends SparkTestBase {
     assert(dMap == pMap, "string-id components must agree across branches")
   }
 
+  test("spanDedup: repeated spans keep first occurrence only; short/empty docs pass through") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lazy dogs and the quick brown fox jumps high today"),
+      (3L, "the quick brown fox jumps high"),
+      (4L, "tiny"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("the quick brown fox jumps high", 6L), "first occurrence untouched")
+    assert(got(2L) == ("lazy dogs and today", 4L), "embedded copy excised")
+    assert(got(3L) == ("", 0L), "verbatim duplicate doc fully dropped")
+    assert(got(4L) == ("tiny", 1L), "sub-span docs pass through")
+    assert(got(5L) == ("", 0L), "empty text stays an empty row, not a missing one")
+  }
+
   test("alternating CC: diameter-300 chain converges in O(log n) rounds, ≡ union-find") {
     // a pure path graph — the adversarial case for min-label
     // propagation (needs diameter rounds; its default cap of 10 would
