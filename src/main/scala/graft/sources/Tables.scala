@@ -25,4 +25,29 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
+
+  /** JSONL corpus reader — the LLM-pipeline interchange format (one
+    * JSON document per line, optionally .gz/.zst per Hadoop codecs;
+    * compressed files are NOT splittable, so shard the files
+    * themselves at scale). An explicit schema skips Spark's
+    * whole-file inference scan — always pass one in production; the
+    * schemaless overload is for exploration.
+    */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+  ): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** JSONL corpus writer (one doc per line) — `compression` e.g.
+    * "gzip"; shard count = the frame's partitioning, so
+    * `repartition(n)` first to control file sizes.
+    */
+  def writeJsonl(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
 }

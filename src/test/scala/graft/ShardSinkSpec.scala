@@ -49,6 +49,24 @@ class ShardSinkSpec extends SparkTestBase {
     assert(one.count() == manifest.find(_.getLong(0) == 2L).get.getLong(1))
   }
 
+  test("jsonl round trip: gzip compressed, schema-pinned read, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/docs"
+    val docs = Seq(
+      (1L, "plain prose", "en"),
+      (2L, "quotes \" and \\ backslashes\nsurvive", "de"),
+    ).toDF("doc_id", "text", "lang")
+    graft.sources.Tables.writeJsonl(docs.repartition(1), dir, Some("gzip"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = graft.sources.Tables
+      .readJsonl(spark, dir, Some(docs.schema))
+      .orderBy("doc_id")
+      .collect()
+    assert(back.length == 2)
+    assert(back(1).getString(1) == "quotes \" and \\ backslashes\nsurvive")
+    assert(back(0).getString(2) == "en")
+  }
+
   test("writeShards is deterministic: same layout → same checksums, any partitioning") {
     val d1 = java.nio.file.Files.createTempDirectory("shards1").toString
     val d2 = java.nio.file.Files.createTempDirectory("shards2").toString

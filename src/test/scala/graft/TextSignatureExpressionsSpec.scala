@@ -37,6 +37,15 @@ class TextSignatureExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("shingleHashes ≡ hashedShingles (positions, duplicates, order all kept)") {
+    val got = df.select(TextSignatures.shingleHashes($"text", 3).as("g"))
+      .as[Array[Long]].collect()
+    val want = texts.map(t => TextHash.hashedShingles(t, 3))
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g.toSeq == w.toSeq, s"shingleHashes mismatch on: '${t.take(40)}'")
+    }
+  }
+
   test("minhashPrep sig/grams ≡ ophSignature over the sorted shingle set") {
     val got = df
       .select(TextSignatures.minhashPrep($"text", 3, 64).as("p"))
