@@ -17,12 +17,13 @@ import org.apache.spark.sql.DataFrame
   * the JDK's built-in `javax.imageio` (no external codec needed) —
   * `embedMediaUdf` and `imageResizeUdf` operate on actual pixels.
   * Header metadata additionally parses WAV fmt chunks and AVI main
-  * headers. VIDEO is real for AVI and MP4 containers: [[aviFrames]]
-  * demuxes the RIFF chunk tree and [[mp4Frames]] reconstructs sample
-  * byte ranges from the ISO BMFF sample tables (stsz/stsc/stco);
-  * MJPEG frame payloads decode through the same ImageIO path as
-  * stills (end-to-end pixel tests in TextAnalysisSpec). Remaining
-  * containers (Matroska/WebM — no walker yet) fall back to a
+  * headers. VIDEO is real for AVI, MP4, and Matroska/WebM:
+  * [[aviFrames]] demuxes the RIFF chunk tree, [[mp4Frames]]
+  * reconstructs sample byte ranges from the ISO BMFF sample tables
+  * (stsz/stsc/stco), and [[mkvFrames]] walks the EBML element tree
+  * to the video track's blocks; MJPEG frame payloads decode through
+  * the same ImageIO path as stills (end-to-end pixel tests in
+  * TextAnalysisSpec). Unrecognized containers fall back to a
   * labelled deterministic byte-chunk STUB so the `array<binary>` +
   * explode plumbing still exercises.
   */
@@ -105,6 +106,14 @@ object Multimodal {
         .map(m => (m._2, m._3))
         .getOrElse((0, 0))
       ("mp4", wh._1, wh._2, n.toLong)
+    } else if (n >= 16 && u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3) {
+      val wh = mkvFrames(bytes)
+        .flatMap(_.headOption)
+        .map(decodeOne)
+        .filter(_._1 == "jpeg")
+        .map(m => (m._2, m._3))
+        .getOrElse((0, 0))
+      ("mkv", wh._1, wh._2, n.toLong)
     } else {
       // STUB geometry for undecodable payloads: deterministic content hash
       var h = 0xcbf29ce484222325L
@@ -486,19 +495,108 @@ object Multimodal {
     }
   }
 
+  /** REAL Matroska/WebM (EBML) demux: parses the VINT element tree —
+    * Segment → Tracks → TrackEntry to find the first video track
+    * (TrackType 1), then Cluster → SimpleBlock / BlockGroup→Block
+    * payloads for that track. Unlaced blocks only (lacing flags ≠ 0
+    * are skipped — MJPEG and test content never lace). Returns None
+    * for non-EBML bytes or files without a video track.
+    */
+  private[graft] def mkvFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 8) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (!(u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3)) return None
+    // EBML VINT: leading-zero count of the first byte gives the
+    // width; ids keep the marker bit, sizes drop it
+    def vintWidth(i: Int): Int = {
+      val b0 = u8(i)
+      if (b0 == 0) -1 else java.lang.Integer.numberOfLeadingZeros(b0) - 23
+    }
+    def vintId(i: Int, w: Int): Long = {
+      var v = 0L
+      var j = 0
+      while (j < w) { v = (v << 8) | u8(i + j); j += 1 }
+      v
+    }
+    def vintSize(i: Int, w: Int): Long = {
+      var v = (u8(i) & (0xff >>> w)).toLong
+      val allOnes = (1L << (7 * w)) - 1
+      var j = 1
+      while (j < w) { v = (v << 8) | u8(i + j); j += 1 }
+      if (v == allOnes) -1L else v // -1 = unknown size (to end)
+    }
+    final case class El(id: Long, payloadStart: Int, payloadEnd: Int)
+    def children(from: Int, until: Int): Seq[El] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[El]
+      var i = from
+      while (i < until) {
+        val iw = vintWidth(i)
+        if (iw < 1 || iw > 4 || i + iw >= until) return out.toSeq
+        val id = vintId(i, iw)
+        val sw = vintWidth(i + iw)
+        if (sw < 1 || sw > 8 || i + iw + sw > until) return out.toSeq
+        val sz = vintSize(i + iw, sw)
+        val ps = i + iw + sw
+        val pe = if (sz < 0) until else math.min(until.toLong, ps + sz).toInt
+        if (pe < ps) return out.toSeq
+        out += El(id, ps, pe)
+        i = pe
+      }
+      out.toSeq
+    }
+    def uint(e: El): Long = {
+      var v = 0L
+      var i = e.payloadStart
+      while (i < e.payloadEnd) { v = (v << 8) | u8(i); i += 1 }
+      v
+    }
+    val top = children(0, bytes.length)
+    val seg = top.find(_.id == 0x18538067L).getOrElse(return None)
+    val segKids = children(seg.payloadStart, seg.payloadEnd)
+    // pass 1: the first TrackEntry with TrackType == 1 (video)
+    val videoTrack = (for {
+      tracks <- segKids.filter(_.id == 0x1654ae6bL)
+      entry <- children(tracks.payloadStart, tracks.payloadEnd).filter(_.id == 0xaeL)
+      kids = children(entry.payloadStart, entry.payloadEnd)
+      if kids.exists(k => k.id == 0x83L && uint(k) == 1L)
+      num <- kids.find(_.id == 0xd7L).map(uint)
+    } yield num).headOption.getOrElse(return None)
+    // pass 2: block payloads for that track
+    def blockFrame(e: El): Option[Array[Byte]] = {
+      val tw = vintWidth(e.payloadStart)
+      if (tw < 1 || e.payloadStart + tw + 3 > e.payloadEnd) return None
+      val track = vintSize(e.payloadStart, tw)
+      val flags = u8(e.payloadStart + tw + 2)
+      if (track != videoTrack || (flags & 0x06) != 0) None
+      else Some(java.util.Arrays.copyOfRange(bytes, e.payloadStart + tw + 3, e.payloadEnd))
+    }
+    val frames = for {
+      cluster <- segKids.filter(_.id == 0x1f43b675L)
+      el <- children(cluster.payloadStart, cluster.payloadEnd)
+      frame <- el.id match {
+        case 0xa3L => blockFrame(el).toSeq // SimpleBlock
+        case 0xa0L => // BlockGroup → Block
+          children(el.payloadStart, el.payloadEnd)
+            .filter(_.id == 0xa1L).flatMap(blockFrame)
+        case _ => Nil
+      }
+    } yield frame
+    Some(frames.toArray)
+  }
+
   /** Real container demux where a walker exists (AVI RIFF, MP4
-    * ISO BMFF); None otherwise.
+    * ISO BMFF, Matroska/WebM EBML); None otherwise.
     */
   private[graft] def demuxFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
-    aviFrames(bytes).orElse(mp4Frames(bytes))
+    aviFrames(bytes).orElse(mp4Frames(bytes)).orElse(mkvFrames(bytes))
 
-  /** Frame sampler: REAL container demux for AVI and MP4 payloads
-    * (every `stride`-th video frame, ≤ `maxFrames`); other payloads
-    * fall back to the labelled byte-chunk STUB (stride-th
-    * `frameBytes` slice) so the plumbing still exercises for formats
-    * without a demuxer (Matroska/WebM). Output `array<binary>`, one
-    * row per video — downstream `explode` controls fan-out
-    * explicitly.
+  /** Frame sampler: REAL container demux for AVI, MP4, and
+    * Matroska/WebM payloads (every `stride`-th video frame, ≤
+    * `maxFrames`); payloads no walker recognizes fall back to the
+    * labelled byte-chunk STUB (stride-th `frameBytes` slice) so the
+    * plumbing still exercises for exotic containers. Output
+    * `array<binary>`, one row per video — downstream `explode`
+    * controls fan-out explicitly.
     */
   def frameSampleUdf(frameBytes: Int, stride: Int, maxFrames: Int = 64) =
     udf { (bytes: Array[Byte]) =>

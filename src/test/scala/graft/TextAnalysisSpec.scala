@@ -415,6 +415,63 @@ class TextAnalysisSpec extends SparkTestBase {
     ftyp ++ mdat ++ box("moov", trakA, trakV)
   }
 
+  /** Minimal-but-valid Matroska: EBML header, Segment with Tracks
+    * (audio entry FIRST — the walker must pick the video one), then
+    * two Clusters mixing video SimpleBlocks, an audio block to skip,
+    * and one BlockGroup→Block.
+    */
+  private def mkvBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def el(id: Seq[Int], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      val size =
+        if (body.length < 127) Array((0x80 | body.length).toByte)
+        else Array((0x40 | (body.length >> 8)).toByte, (body.length & 0xff).toByte)
+      id.map(_.toByte).toArray ++ size ++ body
+    }
+    def blockPayload(track: Int, data: Array[Byte]): Array[Byte] =
+      Array((0x80 | track).toByte, 0.toByte, 0.toByte, 0.toByte) ++ data
+    def simpleBlock(track: Int, data: Array[Byte]) = el(Seq(0xa3), blockPayload(track, data))
+    val trackVideo = el(Seq(0xae),
+      el(Seq(0xd7), Array(1.toByte)), el(Seq(0x83), Array(1.toByte)))
+    val trackAudio = el(Seq(0xae),
+      el(Seq(0xd7), Array(2.toByte)), el(Seq(0x83), Array(2.toByte)))
+    val tracks = el(Seq(0x16, 0x54, 0xae, 0x6b), trackAudio, trackVideo)
+    val cluster1 = el(Seq(0x1f, 0x43, 0xb6, 0x75),
+      simpleBlock(1, frames(0)),
+      simpleBlock(2, Array.fill(16)(0x55.toByte)), // audio junk: skipped
+      simpleBlock(1, frames(1)))
+    val cluster2 = el(Seq(0x1f, 0x43, 0xb6, 0x75),
+      el(Seq(0xa0), el(Seq(0xa1), blockPayload(1, frames(2)))) +:
+        frames.drop(3).map(simpleBlock(1, _)): _*)
+    val segment = el(Seq(0x18, 0x53, 0x80, 0x67), tracks, cluster1, cluster2)
+    el(Seq(0x1a, 0x45, 0xdf, 0xa3)) ++ segment
+  }
+
+  test("multimodal real video: MJPEG Matroska demux (EBML walk) + pixel decode") {
+    val shades = Seq(0x202020, 0x606060, 0xa0a0a0, 0xd0d0d0)
+    val frames = shades.map(jpegFrame(24, 16, _))
+    val mkv = mkvBytes(frames)
+    val Some(demuxed) = Multimodal.mkvFrames(mkv)
+    assert(demuxed.length == 4, s"demuxed ${demuxed.length} blocks")
+    demuxed.zip(frames).foreach { case (d, f) => assert(d.sameElements(f)) }
+    assert(Multimodal.mkvFrames("utterly not matroska content".getBytes).isEmpty)
+    val meta = Multimodal
+      .withDecodedMeta(Seq((1L, mkv)).toDF("id", "payload"), "payload")
+      .select($"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .head()
+    assert(meta.getString(0) == "mkv" && meta.getInt(1) == 24 && meta.getInt(2) == 16)
+    // sampler routes through the EBML walker: every 2nd frame decodes
+    val sampled = Seq((1L, mkv)).toDF("id", "payload")
+      .select(explode(Multimodal.frameSampleUdf(16, 2)($"payload")).as("frame"))
+      .as[Array[Byte]]
+      .collect()
+    assert(sampled.length == 2) // frames 0, 2
+    sampled.foreach { f =>
+      val Some((fw, fh, _)) = Multimodal.decodePixels(f)
+      assert(fw == 24 && fh == 16)
+    }
+  }
+
   test("multimodal real video: MJPEG MP4 demux via sample tables + pixel decode") {
     val shades = Seq(0x181818, 0x505050, 0x909090, 0xc0c0c0, 0xf0f0f0)
     val frames = shades.map(jpegFrame(24, 16, _))
