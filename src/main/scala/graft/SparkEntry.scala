@@ -1229,12 +1229,18 @@ object SparkEntry {
     * totals, pruned reads, and checksum determinism.
     */
   private def q60ShardManifest(s: SparkSession, dir: String): DataFrame = {
-    val layout = graft.operators.CorpusPipeline
-      .prepareSequences(load(s, dir, "documents"), "doc_id", "text", seqLen = 512,
-        shuffleSalt = "r4")
+    // the SINK is the unit under test — feed it the direct
+    // chunk→shuffle→pack layout (q54 already covers the full
+    // clean/dedup pipeline upstream of it)
+    val chunks = graft.operators.TextAnalysis
+      .chunkTokens(load(s, dir, "documents"), "doc_id", "text", 512, 512)
+      .withColumn("chunk_id",
+        concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx")))
+    val layout = graft.operators.Packing
+      .shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", 512, "r4")
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
     graft.sources.ShardSink
-      .writeShards(layout, "chunk_id", "n_chunk_tokens", "pack_first", out,
+      .writeShards(layout, "chunk_id", "n_tokens", "pack_first", out,
         packsPerShard = 64)
       .orderBy("shard")
   }
