@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LmQuality, QualityClassifier, TextAnalysis}
+
+/** Plan-SHAPE regression tests: the 100 TB properties SCALE.md claims
+  * (shuffle-free per-row operators, single-exchange dedup, broadcast
+  * star joins, parquet pushdown) asserted against the actual physical
+  * plans, so a future edit that silently adds an exchange or defeats
+  * pushdown fails here rather than in production.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def shuffles(p: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p).size
+
+  private lazy val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+
+  test("per-row text operators stay shuffle-free") {
+    val reps = TextAnalysis.withNgramRepetition(docs, "text")
+    assert(shuffles(plan(reps)) == 0, s"repetition stats must not shuffle:\n${plan(reps)}")
+    val quality = TextAnalysis.qualityScore(docs, "text")
+    assert(shuffles(plan(quality)) == 0, "quality score must not shuffle")
+    val redacted = TextAnalysis.redactPii(docs, "text")
+    assert(shuffles(plan(redacted)) == 0, "PII redaction must not shuffle")
+  }
+
+  test("model scoring is a pure map (broadcast model, no shuffle)") {
+    QualityClassifier.train(
+      docs.withColumn("label", lit(1)).limit(50), "text", "label", "plan_q", dim = 32,
+      hidden = 4, configJson = """{"epochs":1}""")
+    val scored = QualityClassifier.score(docs, "text", "plan_q", dim = 32)
+    assert(shuffles(plan(scored)) == 0, "classifier scoring must not shuffle")
+    val lm = LmQuality.train(docs.limit(50), "text", vocabSize = 100)
+    val lmScored = LmQuality.score(docs, "text", lm)
+    assert(shuffles(plan(lmScored)) == 0, "LM scoring must not shuffle")
+  }
+
+  test("exact dedup costs exactly one exchange (the window)") {
+    val p = plan(Dedup.exactDedup(docs, "doc_id", "text"))
+    assert(shuffles(p) == 1, s"exactDedup must shuffle exactly once:\n$p")
+  }
+
+  test("star joins broadcast the dimensions — no sort-merge join") {
+    val region = graft.sources.Tables.load(spark, Sf0001, "region")
+    val nation = graft.sources.Tables.load(spark, Sf0001, "nation")
+    val customer = graft.sources.Tables.load(spark, Sf0001, "customer")
+    val star = customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val p = plan(star)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not sort-merge:\n$p")
+    assert(shuffles(p) == 0, "broadcast star join must not shuffle rows")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val li = graft.sources.Tables.load(spark, Sf0001, "lineitem")
+    val q = li.where(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,"),
+      s"filter must push to the scan:\n$p")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"),
+      s"projection must prune unread columns: $readSchema")
+  }
+
+  test("span dedup and candidate generation never go cartesian") {
+    val p1 = plan(Dedup.spanDedup(docs.limit(50), "doc_id", "text", k = 8))
+    assert(!p1.contains("CartesianProduct"), "spanDedup must stay equi-join")
+    val p2 = plan(Dedup.minHashNearDupPairs(docs.limit(50), "doc_id", "text"))
+    assert(!p2.contains("CartesianProduct"), "LSH candidates must stay equi-join")
+  }
+}
