@@ -1179,6 +1179,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Greedy token-budget selection: longest documents first until the
+    * 20k-token budget fills. Oracle-exact (integer running sum over a
+    * total order).
+    */
+  private def q62TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").withColumn(
+      "n_tokens",
+      expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))").cast("long"),
+    )
+    graft.operators.Sampling
+      .tokenBudgetSelect(docs, "doc_id", "n_tokens",
+        Seq(col("n_chars").desc), budget = 20000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q62Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -1419,6 +1449,7 @@ object SparkEntry {
     "q59_lm_quality" -> (q59LmQuality _),
     "q60_shard_manifest" -> (q60ShardManifest _),
     "q61_span_dedup" -> (q61SpanDedup _),
+    "q62_token_budget" -> (q62TokenBudget _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1471,5 +1502,6 @@ object SparkEntry {
     "q55_token_quantiles" -> q55Oracle,
     "q57_ngram_repetition" -> q57Oracle,
     "q61_span_dedup" -> q61Oracle,
+    "q62_token_budget" -> q62Oracle,
   )
 }

@@ -149,6 +149,39 @@ object Sampling {
       s"(CASE $stratumExpr $whens ELSE '${bound(defaultFraction)}' END)"
   }
 
+  /** Greedy token-budget selection: rank every row by `prefer`
+    * (best first; ties broken by `idCol` so the order is total), keep
+    * rows while the RUNNING token total stays ≤ `budget` — the
+    * "best docs that fit the training budget" curation step. A row
+    * that would cross the budget is dropped but scanning continues
+    * conceptually; since the running sum is monotone, dropping
+    * everything past the crossing point is equivalent (standard
+    * prefix-budget semantics, matches the SQL-window oracle exactly —
+    * integer arithmetic only).
+    *
+    * Scale shape: one global sort (range exchange) for the running
+    * sum — unavoidable for exact prefix semantics. For approximate
+    * selection at extreme scale, bucket `prefer` first and take whole
+    * buckets until the budget nears, then exact-select only the
+    * boundary bucket.
+    *
+    * Output: the kept rows + `cum_tokens` (running total including
+    * the row itself).
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      prefer: Seq[Column],
+      budget: Long,
+  ): DataFrame = {
+    val w = Window
+      .orderBy(prefer :+ col(idCol).asc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** The same bounds as SQL text, for oracle/portability parity:
     * CASE WHEN substr(md5(CAST(key AS VARCHAR)),1,4) < 'xxxx' THEN …
     */

@@ -89,4 +89,21 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  test("tokenBudgetSelect: best-first prefix under budget, boundary row dropped") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, 10L, 5L), // (id, tokens, quality)
+      (2L, 10L, 9L),
+      (3L, 10L, 7L),
+      (4L, 10L, 9L), // ties with id 2 → id order breaks the tie
+      (5L, 25L, 6L),
+    ).toDF("id", "n_tokens", "quality")
+    // order: q9(id2,10) q9(id4,20) q7(id3,30) q6(id5,55>40 dropped) q5(id1,40)
+    val got = graft.operators.Sampling
+      .tokenBudgetSelect(rows, "id", "n_tokens", Seq(col("quality").desc), budget = 40L)
+      .select("id", "cum_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 10L, 4L -> 20L, 3L -> 30L), got.toString)
+  }
 }
