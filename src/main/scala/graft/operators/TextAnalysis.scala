@@ -400,4 +400,35 @@ object TextAnalysis {
         (sum(tokenCount(col(textCol)).cast("bigint")).cast("double") / count(lit(1)))
           .as("mean_tokens_per_doc"),
       )
+
+  /** Per-group token-length quantiles with BOUNDED aggregation state —
+    * the unbounded-group companion to q55's exact `percentile` (which
+    * holds a whole group's values in one buffer). `approx_percentile`
+    * (Greenwald-Khanna) keeps O(1/ε) state per group regardless of
+    * group size; `accuracy` is Spark's 1/ε knob (10000 ≈ rank error
+    * ≤ 0.01%). Use the exact form when group cardinality is small and
+    * bounded (per-source panels), this one when groups can be
+    * arbitrarily large (per-domain over the open web).
+    */
+  def tokenQuantilesApprox(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      accuracy: Int = 10000,
+  ): DataFrame = {
+    val pList = percentiles.mkString("array(", ", ", ")")
+    df.select(groupCols.map(col) :+ tokenCount(col(textCol)).cast("double").as("__n"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(__n, $pList, $accuracy)").as("__qs"),
+      )
+      .select(
+        groupCols.map(col) ++ Seq(col("n_docs")) ++
+          percentiles.zipWithIndex.map { case (p, i) =>
+            element_at(col("__qs"), i + 1).as(s"p${(p * 100).round}")
+          }: _*
+      )
+  }
 }

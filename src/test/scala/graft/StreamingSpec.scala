@@ -250,6 +250,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless curation operators stream as-is: quality + repetition + LM ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and carefully",
+      "buy now buy now buy now buy now",
+      "short",
+    )
+    val batchDf = texts.toDF("text")
+    val lm = graft.operators.LmQuality.train(batchDf, "text", vocabSize = 100)
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val q = graft.operators.TextAnalysis.qualityScore(df, "text")
+      val r = graft.operators.TextAnalysis.withNgramRepetition(q, "text")
+      graft.operators.LmQuality.score(r, "text", lm)
+        .select($"text", $"quality_score", $"dup_bigram_frac", $"avg_logprob")
+    }
+    val mem = MemoryStream[String](spark)
+    val q = curate(mem.toDF().withColumnRenamed("value", "text"))
+      .writeStream.format("memory").queryName("curate_stream").outputMode("append").start()
+    try {
+      mem.addData(texts: _*)
+      q.processAllAvailable()
+      val stream = spark.table("curate_stream").collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      val batch = curate(batchDf).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(stream == batch, "streaming curation must equal the batch pass bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: merged state equals batch sketch in the exact regime") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSketches

@@ -382,6 +382,26 @@ class TextAnalysisSpec extends SparkTestBase {
       s"sampled frame lumas must follow shades: ${lumas.toSeq}")
   }
 
+  test("tokenQuantilesApprox: tracks the exact percentiles; bounded state by design") {
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val approx = graft.operators.TextAnalysis
+      .tokenQuantilesApprox(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = docs
+      .select($"source",
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))").cast("double").as("n"))
+      .groupBy("source")
+      .agg(expr("percentile(n, 0.5D)").as("p50"), expr("percentile(n, 0.95D)").as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, (p50, p95)) =>
+      // GK at accuracy 10000 over these group sizes returns an actual
+      // sample value within a tight rank band of the true quantile
+      assert(math.abs(approx(src)._1 - p50) <= math.max(2.0, p50 * 0.05), s"$src p50")
+      assert(math.abs(approx(src)._2 - p95) <= math.max(2.0, p95 * 0.05), s"$src p95")
+    }
+  }
+
   /** Minimal-but-valid ISO BMFF: ftyp, mdat (samples concatenated,
     * split 2+rest across two chunks), moov with an audio trak FIRST
     * (the walker must skip it) then the video trak whose
