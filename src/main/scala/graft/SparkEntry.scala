@@ -1132,7 +1132,7 @@ object SparkEntry {
     graft.operators.TextAnalysis
       .withNgramRepetition(load(s, dir, "documents"), "text")
       .select(
-        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("doc_id"), col("n_word_tokens"), col("n_distinct_words"),
         col("top_token_frac"), col("dup_bigram_frac"), col("dup_trigram_frac"))
       .orderBy("doc_id")
 
@@ -1148,8 +1148,8 @@ object SparkEntry {
       |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tg
       |  FROM t)
-      |SELECT doc_id, n AS n_tokens,
-      |  len(list_distinct(w)) AS n_distinct_tokens,
+      |SELECT doc_id, n AS n_word_tokens,
+      |  len(list_distinct(w)) AS n_distinct_words,
       |  CASE WHEN n = 0 THEN 0.0 ELSE
       |    list_max(list_transform(list_distinct(w),
       |      x -> len(list_filter(w, y -> y = x)))) / n END AS top_token_frac,
@@ -1268,7 +1268,9 @@ object SparkEntry {
         concat(col("doc_id").cast("string"), lit("#"), col("chunk_idx")))
     val layout = graft.operators.Packing
       .shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", 512, "r4")
-    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    // fixed path + Overwrite: repeated bench/verify runs reuse one
+    // directory instead of leaking a corpus copy per invocation
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_shards_q60").toString
     graft.sources.ShardSink
       .writeShards(layout, "chunk_id", "n_tokens", "pack_first", out,
         packsPerShard = 64)

@@ -692,18 +692,21 @@ object Dedup {
       k: Int = 8,
   ): DataFrame = {
     require(k >= 1, "span length must be ≥ 1")
-    val toks = df.select(
-      col(idCol).as("id"),
-      expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')").as("w"),
-    )
-    // (id, pos, spanHash) — streamed hash of each k-token window,
-    // never the span string (native expression whose tokenization is
-    // spec-locked ≡ the `w` split above, so positions align)
-    val spans = df
+    // ONE scan tokenizes and hashes; spans, token positions, and the
+    // final id frame all project from this persisted base, so an
+    // upstream filter/redact pipeline executes once (the span-hash
+    // expression's tokenization is spec-locked ≡ the `w` split, so
+    // positions align)
+    val base = df
       .select(
         col(idCol).as("id"),
-        posexplode(graft.functions.TextSignatures.shingleHashes(col(textCol), k)),
+        expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')").as("w"),
+        graft.functions.TextSignatures.shingleHashes(col(textCol), k).as("hashes"),
       )
+      .persist()
+    val toks = base.select(col("id"), col("w"))
+    val spans = base
+      .select(col("id"), posexplode(col("hashes")))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "span")
     val winners = spans
@@ -732,13 +735,15 @@ object Dedup {
       )
     // every input doc surfaces — fully-dropped or token-less docs
     // come back empty, not missing
-    df.select(col(idCol).as("id"))
+    val out = base
+      .select(col("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(
         col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
       )
+    materializeAndRelease(out, base)
   }
 
   // ------------------------------------------------- connected components
@@ -765,7 +770,7 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIterations: Int = 10,
+      maxIterations: Int = 30,
       driverMaxPairs: Long = 1000000L,
   ): DataFrame = {
     val spark = pairs.sparkSession
@@ -838,7 +843,7 @@ object Dedup {
       ))
       return spark.createDataFrame(rows, schema)
     }
-    alternatingConnectedComponents(pairs)
+    alternatingConnectedComponents(pairs, maxIterations)
   }
 
   /** Distributed CC by ALTERNATING large-star / small-star rounds

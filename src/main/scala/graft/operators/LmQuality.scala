@@ -72,10 +72,11 @@ object LmQuality {
   ): BigramLm = {
     val spark = ref.sparkSession
     import spark.implicits._
-    val toks = ref
-      .select(col(textCol).as("t"))
-      .as[String]
-      .flatMap(t => TextHash.tokenize(if (t == null) "" else t))
+    // both passes (vocabulary, bigrams) read the tokenized reference —
+    // persist the narrow text projection so an upstream filter/redact
+    // pipeline executes once, not twice
+    val text = ref.select(col(textCol).as("t")).as[String].persist()
+    val toks = text.flatMap(t => TextHash.tokenize(if (t == null) "" else t))
     val vocab = toks
       .groupByKey(identity)
       .count()
@@ -89,9 +90,7 @@ object LmQuality {
       .toMap
     val bcVocab = spark.sparkContext.broadcast(vocab)
     val oovId = vocab.size
-    val pairs = ref
-      .select(col(textCol).as("t"))
-      .as[String]
+    val pairs = text
       .flatMap { t =>
         val v = bcVocab.value
         val ts = TextHash.tokenize(if (t == null) "" else t)
@@ -102,6 +101,7 @@ object LmQuality {
         }
       }
     val bigrams = pairs.groupByKey(identity).count().collect().toMap
+    text.unpersist(blocking = false)
     bcVocab.destroy()
     val contexts = bigrams.toSeq
       .groupBy { case (k, _) => (k >> 32).toInt }

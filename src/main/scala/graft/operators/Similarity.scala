@@ -697,12 +697,13 @@ object Similarity {
         graft.functions.VectorExpressions.pqAdcScore(col("code"), col("lut"), pq.ksub).as("cosine"),
       )
     val cands = topKReduce(adc, k * refine).select(col("query_id"), col("neighbor_id"))
+    // the re-rank must honor the same bound as the probe join: with
+    // broadcastQueries=false the query set is too big to broadcast
+    // ANYWHERE, so fetch qvecs through a shuffle join instead
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val rescored = cands
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
-      .join(
-        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
-        "query_id",
-      )
+      .join(if (broadcastQueries) broadcast(qvecs) else qvecs, "query_id")
       .select(
         col("query_id"),
         col("neighbor_id"),

@@ -170,9 +170,12 @@ object TextAnalysis {
     */
   def withNgramRepetition(df: DataFrame, textCol: String): DataFrame = {
     val rs = graft.functions.TextSignatures.repetitionStats(col(textCol))
+    // word-scoped names (\W+ tokens) — never collides with the
+    // whitespace-token n_tokens from qualityStats, so the two
+    // operators compose in either order
     df.withColumn("__rs", rs)
-      .withColumn("n_tokens", col("__rs.n_tokens"))
-      .withColumn("n_distinct_tokens", col("__rs.n_distinct_tokens"))
+      .withColumn("n_word_tokens", col("__rs.n_word_tokens"))
+      .withColumn("n_distinct_words", col("__rs.n_distinct_words"))
       .withColumn("top_token_frac", col("__rs.top_token_frac"))
       .withColumn("dup_bigram_frac", col("__rs.dup_bigram_frac"))
       .withColumn("dup_trigram_frac", col("__rs.dup_trigram_frac"))

@@ -63,14 +63,21 @@ object ShardSink {
           .cast("decimal(38,0)")).as("checksum"),
       )
       .orderBy("shard")
-    val rows = manifest.toJSON.collect() // #shards rows — driver-safe
+    // collect ONCE (#shards rows — driver-safe), then hand back a
+    // LOCAL frame: returning the lazy plan after the unpersist below
+    // would re-run the whole upstream layout on every downstream
+    // action
+    val collected = manifest.collect()
     sharded.unpersist(blocking = false)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), manifest.schema)
+    val rows = local.toJSON.collect()
     val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    manifest
+    local
   }
 
   /** Read shards back (the loader face): `shards` = specific shard

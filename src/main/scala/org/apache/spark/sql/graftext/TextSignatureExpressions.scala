@@ -119,10 +119,13 @@ case class TextRepetitionStats(child: Expression)
     with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // "word"-scoped names: \W+ tokens, deliberately DISTINCT from the
+  // whitespace-token `n_tokens` that qualityStats emits — composing
+  // the two operators must not silently redefine a column
   override def dataType: DataType = StructType(
     Seq(
-      StructField("n_tokens", LongType, nullable = false),
-      StructField("n_distinct_tokens", LongType, nullable = false),
+      StructField("n_word_tokens", LongType, nullable = false),
+      StructField("n_distinct_words", LongType, nullable = false),
       StructField("top_token_frac", DoubleType, nullable = false),
       StructField("dup_bigram_frac", DoubleType, nullable = false),
       StructField("dup_trigram_frac", DoubleType, nullable = false),

@@ -143,7 +143,7 @@ class TextSignatureExpressionsSpec extends SparkTestBase {
     )
     val got = fix.map(_._1).toDF("text")
       .select(TextSignatures.repetitionStats($"text").as("r"))
-      .select("r.n_tokens", "r.n_distinct_tokens", "r.top_token_frac",
+      .select("r.n_word_tokens", "r.n_distinct_words", "r.top_token_frac",
         "r.dup_bigram_frac", "r.dup_trigram_frac")
       .collect()
     fix.zip(got).foreach { case ((t, n, d, top, bg, tg), row) =>
