@@ -498,9 +498,10 @@ object Multimodal {
   /** REAL Matroska/WebM (EBML) demux: parses the VINT element tree —
     * Segment → Tracks → TrackEntry to find the first video track
     * (TrackType 1), then Cluster → SimpleBlock / BlockGroup→Block
-    * payloads for that track. Unlaced blocks only (lacing flags ≠ 0
-    * are skipped — MJPEG and test content never lace). Returns None
-    * for non-EBML bytes or files without a video track.
+    * payloads for that track, expanding all three lacing schemes
+    * (Xiph 255-run sizes, fixed equal split, EBML signed-VINT
+    * deltas). Returns None for non-EBML bytes or files without a
+    * video track.
     */
   private[graft] def mkvFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
     if (bytes == null || bytes.length < 8) return None
@@ -561,23 +562,82 @@ object Multimodal {
       if kids.exists(k => k.id == 0x83L && uint(k) == 1L)
       num <- kids.find(_.id == 0xd7L).map(uint)
     } yield num).headOption.getOrElse(return None)
-    // pass 2: block payloads for that track
-    def blockFrame(e: El): Option[Array[Byte]] = {
+    // pass 2: block payloads for that track. Lacing (flags bits
+    // 0x06): 0 = none, 01 = Xiph (255-run size bytes), 10 = fixed
+    // (equal split), 11 = EBML (VINT first size, signed-VINT deltas)
+    def blockFrames(e: El): Seq[Array[Byte]] = {
       val tw = vintWidth(e.payloadStart)
-      if (tw < 1 || e.payloadStart + tw + 3 > e.payloadEnd) return None
+      if (tw < 1 || e.payloadStart + tw + 3 > e.payloadEnd) return Nil
       val track = vintSize(e.payloadStart, tw)
+      if (track != videoTrack) return Nil
       val flags = u8(e.payloadStart + tw + 2)
-      if (track != videoTrack || (flags & 0x06) != 0) None
-      else Some(java.util.Arrays.copyOfRange(bytes, e.payloadStart + tw + 3, e.payloadEnd))
+      val dataStart = e.payloadStart + tw + 3
+      (flags & 0x06) match {
+        case 0x00 =>
+          Seq(java.util.Arrays.copyOfRange(bytes, dataStart, e.payloadEnd))
+        case lacing =>
+          if (dataStart >= e.payloadEnd) return Nil
+          val nFrames = u8(dataStart) + 1
+          var i = dataStart + 1
+          val sizes = new Array[Int](nFrames)
+          lacing match {
+            case 0x02 => // Xiph: per frame (except last), bytes summing until a byte < 255
+              var f = 0
+              while (f < nFrames - 1) {
+                var s = 0
+                var b = 255
+                while (b == 255 && i < e.payloadEnd) { b = u8(i); s += b; i += 1 }
+                sizes(f) = s
+                f += 1
+              }
+            case 0x04 => // fixed: equal split of the remaining payload
+              val each = (e.payloadEnd - i) / nFrames
+              java.util.Arrays.fill(sizes, each)
+            case _ => // 0x06 EBML: first absolute VINT, then signed-VINT deltas
+              val w0 = vintWidth(i)
+              if (w0 < 1 || i + w0 > e.payloadEnd) return Nil
+              var prev = vintSize(i, w0).toInt
+              i += w0
+              sizes(0) = prev
+              var f = 1
+              while (f < nFrames - 1) {
+                val w = vintWidth(i)
+                if (w < 1 || i + w > e.payloadEnd) return Nil
+                // signed VINT: unsigned value minus (2^(7w-1) - 1)
+                val delta = vintSize(i, w) - ((1L << (7 * w - 1)) - 1)
+                i += w
+                prev = (prev + delta).toInt
+                sizes(f) = prev
+                f += 1
+              }
+          }
+          // last frame (all schemes): the remainder
+          if (nFrames >= 1 && (lacing == 0x02 || lacing == 0x06)) {
+            val used = sizes.take(nFrames - 1).map(_.toLong).sum
+            sizes(nFrames - 1) = (e.payloadEnd - i - used).toInt
+          }
+          // frames are concatenated right after the size table
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var off = i.toLong
+          var f = 0
+          while (f < nFrames) {
+            val sz = sizes(f)
+            if (sz < 0 || off + sz > e.payloadEnd) return out.toSeq
+            out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+            off += sz
+            f += 1
+          }
+          out.toSeq
+      }
     }
     val frames = for {
       cluster <- segKids.filter(_.id == 0x1f43b675L)
       el <- children(cluster.payloadStart, cluster.payloadEnd)
       frame <- el.id match {
-        case 0xa3L => blockFrame(el).toSeq // SimpleBlock
+        case 0xa3L => blockFrames(el) // SimpleBlock
         case 0xa0L => // BlockGroup → Block
           children(el.payloadStart, el.payloadEnd)
-            .filter(_.id == 0xa1L).flatMap(blockFrame)
+            .filter(_.id == 0xa1L).flatMap(blockFrames)
         case _ => Nil
       }
     } yield frame

@@ -492,6 +492,40 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("mkv lacing: Xiph, EBML, and fixed-laced blocks demux frame-exact") {
+    def el(id: Seq[Int], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      val size =
+        if (body.length < 127) Array((0x80 | body.length).toByte)
+        else Array((0x40 | (body.length >> 8)).toByte, (body.length & 0xff).toByte)
+      id.map(_.toByte).toArray ++ size ++ body
+    }
+    def frame(len: Int, fill: Int): Array[Byte] = Array.fill(len)(fill.toByte)
+    def xiphSize(s: Int): Array[Byte] =
+      Array.fill(s / 255)(255.toByte) :+ (s % 255).toByte
+    def vint2(v: Int): Array[Byte] = Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+    val (a, b, c) = (frame(517, 1), frame(130, 2), frame(260, 3))
+    val (d, e, f) = (frame(300, 4), frame(280, 5), frame(310, 6))
+    val g = frame(128, 7)
+    val header = Array(0x81.toByte, 0.toByte, 0.toByte) // track 1 + timecode
+    val xiph = el(Seq(0xa3), header, Array(0x02.toByte, 2.toByte),
+      xiphSize(a.length), xiphSize(b.length), a, b, c)
+    val ebml = el(Seq(0xa3), header, Array(0x06.toByte, 2.toByte),
+      vint2(d.length), vint2(e.length - d.length + 8191), d, e, f)
+    val fixed = el(Seq(0xa3), header, Array(0x04.toByte, 1.toByte), g, g)
+    val track = el(Seq(0xae), el(Seq(0xd7), Array(1.toByte)), el(Seq(0x83), Array(1.toByte)))
+    val mkv = el(Seq(0x1a, 0x45, 0xdf, 0xa3)) ++
+      el(Seq(0x18, 0x53, 0x80, 0x67),
+        el(Seq(0x16, 0x54, 0xae, 0x6b), track),
+        el(Seq(0x1f, 0x43, 0xb6, 0x75), xiph, ebml, fixed))
+    val Some(got) = Multimodal.mkvFrames(mkv)
+    val want = Seq(a, b, c, d, e, f, g, g)
+    assert(got.length == want.length, s"got ${got.map(_.length).toSeq}")
+    got.zip(want).zipWithIndex.foreach { case ((gf, wf), i) =>
+      assert(gf.sameElements(wf), s"frame $i: got len ${gf.length}, want ${wf.length}")
+    }
+  }
+
   test("multimodal real video: MJPEG MP4 demux via sample tables + pixel decode") {
     val shades = Seq(0x181818, 0x505050, 0x909090, 0xc0c0c0, 0xf0f0f0)
     val frames = shades.map(jpegFrame(24, 16, _))
