@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval over a document corpus — the BM25
+  * complement to [[Similarity]]'s embedding search. The reference
+  * engine's users run both lexical and vector retrieval over the same
+  * tables; this gives the lexical half the same distributed shape:
+  * a posting-list scan bounded by the query's terms, never a corpus
+  * pass per query term.
+  *
+  * Tokenization matches the rest of the text stack (lowercase, split
+  * on `\W+`, drop empties) so term statistics compose with
+  * [[TextAnalysis.tokenVocabulary]] and the dedup shingle kernels.
+  */
+object Lexical {
+
+  private def tokens(textCol: String) =
+    filter(split(lower(col(textCol)), "\\W+"), t => t =!= lit(""))
+
+  /** Exact per-(document, term) retrieval statistics for a fixed term
+    * set: term frequency `tf`, corpus-wide document frequency `df`,
+    * and document length `dl` (total `\W+` tokens). These are the
+    * integer inputs BM25/TF-IDF scoring is computed from — kept as a
+    * separate face because they are exactly reproducible in any SQL
+    * engine (pure counts, no logarithms), so correctness of the whole
+    * retrieval pipeline below the scoring arithmetic oracle-checks.
+    *
+    * Scale shape: the corpus scan keeps only query-term postings
+    * (`array_intersect` against a literal array prunes before the
+    * explode, so the exploded stream is |docs| × |query terms| at
+    * worst, not the token stream); `df` is one aggregation over that
+    * same narrow stream joined back by term — text never shuffles.
+    * Emits only documents containing at least one query term.
+    */
+  def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
+    val toks = tokens(textCol)
+    val perDoc = df
+      .select(
+        col(idCol).as("doc_id"),
+        size(toks).as("dl"),
+        explode(array_intersect(array_distinct(toks), qTerms)).as("term"),
+        toks.as("__toks"),
+      )
+      .withColumn("tf", size(filter(col("__toks"), t => t === col("term"))).cast("bigint"))
+      .drop("__toks")
+    val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    perDoc
+      .join(termDf, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl").cast("bigint").as("dl"))
+  }
+
+  /** BM25 top-k document retrieval for one query (a bag of terms).
+    * Okapi BM25 with the standard Robertson/Sparck-Jones idf
+    * (`ln(1 + (N - df + 0.5)/(df + 0.5))`, always positive), k1/b
+    * defaults per Robertson & Zaragoza 2009.
+    *
+    * Scale shape: [[termStats]]'s pruned posting scan, a broadcast of
+    * the (|query terms|)-row df table, one per-doc sum, then
+    * `TakeOrderedAndProject` for the global top-k — the driver sees k
+    * rows, executors each sort only their partition's candidates.
+    * Scoring arithmetic is floating-point (ln), so the exact-integer
+    * [[termStats]] face is the oracle surface, not the score.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    val toks = tokens(textCol)
+    val corpusAgg = df.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(toks).cast("double")).as("avgdl"),
+    )
+    val stats = termStats(df, idCol, textCol, terms)
+    val scored = stats
+      .crossJoin(broadcast(corpusAgg))
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
+      )
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+      )
+    scored
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

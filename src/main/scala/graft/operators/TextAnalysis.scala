@@ -434,4 +434,62 @@ object TextAnalysis {
           }: _*
       )
   }
+
+  // ------------------------------------------- cross-document n-grams
+
+  /** Distinct textual word n-grams of a document as an array column —
+    * lowercase `\W+` tokens, grams joined with single spaces; sub-n
+    * token docs yield an EMPTY array (same contract as the dedup
+    * shingle kernels and the q18 oracle's `range(1, len(w)-1)`). Pure
+    * built-in expressions: stays in whole-stage codegen and is exactly
+    * reproducible in any SQL engine with list comprehensions.
+    */
+  def distinctWordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = filter(split(lower(text), "\\W+"), t => t =!= lit(""))
+    // sequence(0, negative) generates a DESCENDING range in Spark —
+    // guard short docs explicitly instead
+    when(
+      size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, n)))),
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document n-gram commonality — the boilerplate-contamination
+    * signal (RefinedWeb/Dolma-style): for each document, how many of
+    * its distinct n-grams also occur in at least `minDf` documents
+    * corpus-wide, and the document frequency of its most widely shared
+    * n-gram. High `common_frac` flags template/boilerplate text that
+    * within-document repetition stats ([[withNgramRepetition]]) cannot
+    * see.
+    *
+    * Scale shape: explode distinct (doc, gram) pairs → one hash
+    * aggregation keyed by gram (map-side partials absorb the skew of
+    * ubiquitous grams) → equi-join the per-gram document frequency
+    * back onto the narrow (doc, gram) stream (both sides hash-partition
+    * by gram; text never shuffles) → one aggregation keyed by doc.
+    * All counts exact — the whole output oracle-checks.
+    */
+  def commonNgramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDf: Long = 2L,
+  ): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(distinctWordNgrams(col(textCol), n)).as("gram"))
+    // grams are distinct per doc, so count(*) per gram IS the document frequency
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    grams
+      .join(gramDf, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") >= minDf, 1L).otherwise(0L)).as("n_common"),
+        max(col("gram_df")).as("max_gram_df"),
+      )
+      .withColumn("common_frac", col("n_common").cast("double") / col("n_grams"))
+  }
 }
