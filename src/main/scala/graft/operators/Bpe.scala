@@ -132,13 +132,14 @@ object Bpe {
     udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
-        val ranks = BpeEncoderCache.ranksFor(merges)
+        val (fp, ranks) = BpeEncoderCache.ranksFor(merges)
         val cache = BpeEncoderCache.wordCache
         TextHash.tokenize(text).flatMap { w =>
-          var enc = cache.get(w)
+          val key = (fp, w)
+          var enc = cache.get(key)
           if (enc == null) {
             enc = encodeWord(w, ranks)
-            if (cache.size < 200000) cache.put(w, enc)
+            if (cache.size < 200000) cache.put(key, enc)
           }
           enc
         }
@@ -186,31 +187,42 @@ object Bpe {
   }
 }
 
-/** Executor-local memo state for the BPE encoder UDF: the ranks map is
-  * rebuilt once per executor per merge table (keyed by identity of the
-  * deserialized array), the word cache is shared across tasks.
+/** Executor-local memo state for the BPE encoder UDF. Every cache is
+  * keyed by a FULL-content fingerprint of the merge table (FNV-1a over
+  * every pair, not a head/last sketch), so two models that happen to
+  * share length + first + last merge can never collide, and concurrent
+  * jobs running DIFFERENT models on one executor each hit their own
+  * entries — no clear()-on-switch, hence no check-then-act race
+  * repopulating a cleared cache with stale entries.
   */
 private[operators] object BpeEncoderCache {
-  val wordCache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  @volatile private var cachedKey: Seq[Any] = _
-  @volatile private var cachedRanks: Map[(String, String), Int] = _
+  /** (model fingerprint, word) → encoded symbols; bounded globally. */
+  val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
+  private val ranksCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Map[(String, String), Int]]()
 
-  /** Content fingerprint, NOT identity — every task deserializes its
-    * own closure copy of the merge array, so identity would rebuild
-    * and clear per task.
+  /** FNV-1a over every merge pair, with a separator mix per symbol so
+    * ("ab","c") and ("a","bc") hash differently. Content fingerprint,
+    * NOT identity — every task deserializes its own closure copy of
+    * the merge array, so identity would rebuild per task.
     */
-  private def keyOf(merges: Array[(String, String)]): Seq[Any] =
-    Seq(merges.length, merges.headOption, merges.lastOption)
-
-  def ranksFor(merges: Array[(String, String)]): Map[(String, String), Int] = {
-    val k = keyOf(merges)
-    if (cachedKey != k) synchronized {
-      if (cachedKey != k) {
-        cachedRanks = merges.zipWithIndex.toMap
-        wordCache.clear() // new merge table invalidates encodings
-        cachedKey = k
-      }
+  private[operators] def fingerprint(merges: Array[(String, String)]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h ^= 0x1fL
+      h *= 0x100000001b3L
     }
-    cachedRanks
+    merges.foreach { case (a, b) => mix(a); mix(b) }
+    h
+  }
+
+  def ranksFor(merges: Array[(String, String)]): (Long, Map[(String, String), Int]) = {
+    // long-lived executors across many retrains: bound the model count
+    if (ranksCache.size > 8) { ranksCache.clear(); wordCache.clear() }
+    val fp = fingerprint(merges)
+    (fp, ranksCache.computeIfAbsent(fp, _ => merges.zipWithIndex.toMap))
   }
 }

@@ -920,14 +920,22 @@ object Dedup {
       edgeCount = newCount
       i += 1
     }
-    if (!converged && edgeCount > 0L)
-      Console.err.println(
-        s"[graft] alternatingConnectedComponents: not converged after $maxIterations rounds")
     // fixed point = per-component star: hi is the member, lo the min
     val labels = edges
       .select(col("hi").as("id"), col("lo").as("component"))
       .union(edges.select(col("lo").as("id"), col("lo").as("component")).distinct())
-    labels
+    if (!converged && edgeCount > 0L) {
+      // a non-fixed-point edge set can carry MULTIPLE labels per id;
+      // downstream joins (dedup group ranking) would silently duplicate
+      // rows and crown several keepers per group. Collapse to one label
+      // per id — labels stay correct-but-coarser (a component may split
+      // into several, never merge wrongly, since every emitted label is
+      // a reachable member).
+      Console.err.println(
+        s"[graft] alternatingConnectedComponents: not converged after $maxIterations rounds; " +
+          "collapsing to one min-label per id (components may be split, never merged)")
+      labels.groupBy("id").agg(min("component").as("component"))
+    } else labels
   }
 
   /** Distributed min-label propagation — kept as the reference

@@ -39,8 +39,21 @@ object Packing {
       orderCols: Seq[String],
       value: Column,
       outCol: String,
+  ): (DataFrame, DataFrame) =
+    withPrefixSumOrdered(df, orderCols.map(col), value, outCol)
+
+  /** [[withPrefixSum]] over arbitrary sort EXPRESSIONS (may carry
+    * `.desc`, e.g. quality-first token-budget selection) — the range
+    * partitioner, within-partition sort, and window all honor the sort
+    * direction, and partition ids follow the range order, so the
+    * offset cumulation by `__part` ascending remains the global prefix.
+    */
+  private[graft] def withPrefixSumOrdered(
+      df: DataFrame,
+      oc: Seq[Column],
+      value: Column,
+      outCol: String,
   ): (DataFrame, DataFrame) = {
-    val oc = orderCols.map(col)
     val parted = df
       .repartitionByRange(oc: _*)
       .sortWithinPartitions(oc: _*)

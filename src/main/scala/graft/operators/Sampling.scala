@@ -159,11 +159,13 @@ object Sampling {
     * prefix-budget semantics, matches the SQL-window oracle exactly —
     * integer arithmetic only).
     *
-    * Scale shape: one global sort (range exchange) for the running
-    * sum — unavoidable for exact prefix semantics. For approximate
-    * selection at extreme scale, bucket `prefer` first and take whole
-    * buckets until the budget nears, then exact-select only the
-    * boundary bucket.
+    * Scale shape: the running sum is [[Packing.withPrefixSumOrdered]]'s
+    * distributed prefix sum — range-partition on the preference order,
+    * cumulate within partitions in parallel, add per-partition offsets
+    * from a #partitions-row summary. NO single-partition window over
+    * the corpus (the naive `Window.orderBy` with no partition spec
+    * would funnel 100 TB through one task); bit-identical to the
+    * global-window oracle at every scale.
     *
     * Output: the kept rows + `cum_tokens` (running total including
     * the row itself).
@@ -175,11 +177,21 @@ object Sampling {
       prefer: Seq[Column],
       budget: Long,
   ): DataFrame = {
-    val w = Window
-      .orderBy(prefer :+ col(idCol).asc: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+    val order = prefer :+ col(idCol).asc
+    val (prefixed, handle) = Packing.withPrefixSumOrdered(
+      df.withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L))),
+      order,
+      col("__tok"),
+      "__before",
+    )
+    val out = prefixed
+      .withColumn("cum_tokens", col("__before") + col("__tok"))
       .where(col("cum_tokens") <= budget)
+      .drop("__before", "__tok")
+      .persist()
+    out.count()
+    handle.unpersist(blocking = false)
+    out
   }
 
   /** The same bounds as SQL text, for oracle/portability parity:

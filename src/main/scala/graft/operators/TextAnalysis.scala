@@ -452,7 +452,7 @@ object TextAnalysis {
     when(
       size(w) >= n,
       array_distinct(
-        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, n)))),
+        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n))))),
     ).otherwise(array().cast("array<string>"))
   }
 

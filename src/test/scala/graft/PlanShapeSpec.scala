@@ -71,6 +71,44 @@ class PlanShapeSpec extends SparkTestBase {
       s"projection must prune unread columns: $readSchema")
   }
 
+  test("token-budget selection never funnels the corpus through one window task") {
+    import graft.operators.{Packing, Sampling}
+    val toks = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_tokens"))
+    // probe the pre-persist plan: the operator itself materializes, so
+    // inspect withPrefixSumOrdered's output frame directly
+    val (prefixed, handle) = Packing.withPrefixSumOrdered(
+      toks, Seq(col("n_tokens").desc, col("doc_id").asc), col("n_tokens"), "__before")
+    val p = plan(prefixed)
+    // the ONLY single-partition exchange allowed is the #partitions-row
+    // offsets summary; the corpus itself moves through a range exchange
+    // and a window PARTITIONED by __part
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      s"at most the tiny offsets summary may single-partition:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"prefix sum must range-partition the corpus:\n$p")
+    assert(p.contains("Window") && p.contains("__part"),
+      s"running sum must be partitioned by __part:\n$p")
+    handle.unpersist(blocking = false)
+    // end-to-end: the public operator returns the same rows as a
+    // global-window reference on this small fixture
+    val got = Sampling
+      .tokenBudgetSelect(toks, "doc_id", "n_tokens", Seq(col("n_tokens").desc), 5000L)
+      .select("doc_id", "cum_tokens")
+    val ref = toks
+      .withColumn(
+        "cum_tokens",
+        sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_tokens").desc, col("doc_id").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(col("cum_tokens") <= 5000L)
+      .select("doc_id", "cum_tokens")
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
+      "distributed prefix sum must be bit-identical to the global window")
+    got.unpersist(blocking = false)
+  }
+
   test("span dedup and candidate generation never go cartesian") {
     val p1 = plan(Dedup.spanDedup(docs.limit(50), "doc_id", "text", k = 8))
     assert(!p1.contains("CartesianProduct"), "spanDedup must stay equi-join")
