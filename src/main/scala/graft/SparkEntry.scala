@@ -1055,12 +1055,18 @@ object SparkEntry {
 
   /** Symmetric int8 embedding quantization — byte codes + per-vector
     * scale, all expression arithmetic, oracle-checked bit-for-bit.
+    * Compared output is posexploded to scalar (vec_id, idx, q) rows —
+    * the driver comparator cannot sort ARRAY cells.
     */
   private def q53Int8Quant(s: SparkSession, dir: String): DataFrame =
     graft.operators.Quantize
       .int8Symmetric(load(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("max_abs"), col("scale"), col("vec_q"))
-      .orderBy("vec_id")
+      .select(
+        col("vec_id"),
+        col("max_abs"),
+        col("scale"),
+        posexplode(col("vec_q")).as(Seq("idx", "q")))
+      .orderBy("vec_id", "idx")
 
   private val q53Oracle =
     """WITH t AS (
@@ -1070,11 +1076,15 @@ object SparkEntry {
       |sc AS (
       |  SELECT vec_id, v, max_abs,
       |    CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale
-      |  FROM s)
-      |SELECT vec_id, max_abs, scale,
-      |  list_transform(v, x ->
-      |    CAST(GREATEST(-127, LEAST(127, FLOOR(x * scale + 0.5))) AS TINYINT)) AS vec_q
-      |FROM sc ORDER BY vec_id""".stripMargin
+      |  FROM s),
+      |e AS (
+      |  SELECT vec_id, max_abs, scale,
+      |    unnest(generate_series(0, len(v) - 1)) AS idx,
+      |    unnest(list_transform(v, x ->
+      |      CAST(GREATEST(-127, LEAST(127, FLOOR(x * scale + 0.5))) AS TINYINT))) AS q
+      |  FROM sc)
+      |SELECT vec_id, max_abs, scale, CAST(idx AS INT) AS idx, q
+      |FROM e ORDER BY vec_id, idx""".stripMargin
 
   /** Full training-data layout: clean corpus → seqLen-token chunks →
     * seeded global shuffle → packed-sequence intervals. Rows-only (the
@@ -1208,6 +1218,146 @@ object SparkEntry {
       |  FROM t)
       |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+
+  /** Lexical retrieval statistics for a fixed query-term set: exact
+    * per-(doc, term) tf, corpus df, and doc length — the integer
+    * inputs BM25 is computed from, oracle-checked bit-for-bit (pure
+    * counts, no logarithms). The float BM25 scoring over the same
+    * stats is q65 (rows-only).
+    */
+  private def q63TermStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexical
+      .termStats(load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "window", "vector"))
+      .orderBy("doc_id", "term")
+
+  private val q63Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term,
+      |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+      |  FROM t, unnest(list_intersect(list_distinct(w),
+      |    ['spark', 'hash', 'window', 'vector'])) AS u(term)),
+      |d AS (SELECT term, count(*) AS df FROM p GROUP BY term)
+      |SELECT p.doc_id, p.term, p.tf, d.df, p.dl
+      |FROM p JOIN d USING (term) ORDER BY doc_id, term""".stripMargin
+
+  /** Cross-document n-gram commonality (boilerplate-contamination
+    * signal): per doc, distinct trigram count, how many of them occur
+    * in ≥2 docs corpus-wide, and the df of the most shared one. All
+    * exact counts — full oracle.
+    */
+  private def q64CommonNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .commonNgramStats(load(s, dir, "documents"), "doc_id", "text", n = 3, minDf = 2L)
+      .orderBy("doc_id")
+
+  private val q64Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)) AS gram
+      |  FROM t),
+      |d AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY gram)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN d.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  max(d.gram_df) AS max_gram_df,
+      |  CAST(sum(CASE WHEN d.gram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS common_frac
+      |FROM g JOIN d USING (gram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** BM25 top-k over the same term set as q63 — rows-only (the idf/tf
+    * saturation arithmetic is `ln`-based, not portable bit-for-bit);
+    * LexicalSpec locks the scoring against a hand-computed fixture and
+    * the q63 stats are the oracle-checked integer substrate.
+    */
+  private def q65Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexical
+      .bm25TopK(load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "window", "vector"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Planted-recall gate for the MinHash-OPH/LSH near-dup path (q16's
+    * scale face, which is otherwise rows-only — signature values are
+    * engine-internal): every 10th document gets a deterministic
+    * near-duplicate (one appended token; shingle Jaccard ≥ 8/9 even
+    * for the shortest 10-token docs, above the 0.8 verify threshold),
+    * and the query reports per planted pair whether the banded
+    * pipeline recovered it. The oracle is the full planted pair list
+    * with recovered = true, so any candidate-generation or verify
+    * regression flips a row to false and hash-fails the driver gate.
+    */
+  private def q66MinhashPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" graftplant")).as("text"))
+    val pairs =
+      Dedup.minHashNearDupPairs(docs.unionByName(copies), "doc_id", "text", threshold = 0.8)
+    val planted = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(1000000L)).as("id_b"))
+    val out = planted
+      .join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("recovered")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  private val q66Oracle =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, true AS recovered
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""".stripMargin
+
+  /** Same planted-recall construction for the SRP-LSH embedding
+    * near-dup path (q20's scale face): copies perturb one vector
+    * component by +0.01 (cosine ≈ 1 ≫ the 0.3 threshold; at most a
+    * couple of the 64 SRP bits flip, so ≥1 of the 16 bands still
+    * collides). Oracle = all planted pairs recovered.
+    */
+  private def q67EmbeddingLshPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(emb.unionByName(copies), "vec_id", "embedding",
+      dim = 64, threshold = 0.3, numBits = 64, bands = 16)
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + lit(1000000L)).as("id_b"))
+    val out = planted
+      .join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("recovered")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  private val q67Oracle =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, true AS recovered
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin
 
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
@@ -1452,13 +1602,21 @@ object SparkEntry {
     "q60_shard_manifest" -> (q60ShardManifest _),
     "q61_span_dedup" -> (q61SpanDedup _),
     "q62_token_budget" -> (q62TokenBudget _),
+    "q63_term_stats" -> (q63TermStats _),
+    "q64_common_ngrams" -> (q64CommonNgrams _),
+    "q65_bm25_topk" -> (q65Bm25TopK _),
+    "q66_minhash_planted" -> (q66MinhashPlanted _),
+    "q67_embedding_lsh_planted" -> (q67EmbeddingLshPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
     * (→ rows-only check): q16/q17 (MinHash/SimHash signatures are
-    * engine-internal hash functions), q20/q22 (approximate by design),
-    * q24/q25 (heuristic UDFs), q26 (stubbed decode), q27 (ML output —
-    * validated by shape + loss in tests per SURVEY §5).
+    * engine-internal hash functions — but q66/q67's planted-recall
+    * companions pin the q16/q20 pipelines hash-exactly), q20/q22
+    * (approximate by design), q24/q25 (heuristic UDFs), q26 (stubbed
+    * decode), q27 (ML output — validated by shape + loss in tests per
+    * SURVEY §5), q65 (ln-based BM25 arithmetic; its exact integer
+    * substrate is oracle-checked as q63).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -1505,5 +1663,9 @@ object SparkEntry {
     "q57_ngram_repetition" -> q57Oracle,
     "q61_span_dedup" -> q61Oracle,
     "q62_token_budget" -> q62Oracle,
+    "q63_term_stats" -> q63Oracle,
+    "q64_common_ngrams" -> q64Oracle,
+    "q66_minhash_planted" -> q66Oracle,
+    "q67_embedding_lsh_planted" -> q67Oracle,
   )
 }

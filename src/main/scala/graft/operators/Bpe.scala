@@ -125,24 +125,18 @@ object Bpe {
 
   /** Subword-encoding UDF: text → token array. The merge table rides
     * the closure (a few hundred KB — plain task broadcast); encoded
-    * words memoize in a bounded per-executor cache.
+    * words memoize in a bounded per-model, per-executor cache. Per-row
+    * cost of model resolution is a single reference compare (see
+    * [[BpeEncoderCache]]) — the full merge-table fingerprint is hashed
+    * once per task, not once per row.
     */
   def encodeUdf(model: BpeModel): UserDefinedFunction = {
     val merges = model.merges
     udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
-        val (fp, ranks) = BpeEncoderCache.ranksFor(merges)
-        val cache = BpeEncoderCache.wordCache
-        TextHash.tokenize(text).flatMap { w =>
-          val key = (fp, w)
-          var enc = cache.get(key)
-          if (enc == null) {
-            enc = encodeWord(w, ranks)
-            if (cache.size < 200000) cache.put(key, enc)
-          }
-          enc
-        }
+        val entry = BpeEncoderCache.entryFor(merges)
+        TextHash.tokenize(text).flatMap(entry.encode)
       }
     }
   }
@@ -187,25 +181,48 @@ object Bpe {
   }
 }
 
-/** Executor-local memo state for the BPE encoder UDF. Every cache is
-  * keyed by a FULL-content fingerprint of the merge table (FNV-1a over
-  * every pair, not a head/last sketch), so two models that happen to
-  * share length + first + last merge can never collide, and concurrent
-  * jobs running DIFFERENT models on one executor each hit their own
-  * entries — no clear()-on-switch, hence no check-then-act race
-  * repopulating a cleared cache with stale entries.
+/** Executor-local memo state for the BPE encoder UDF.
+  *
+  * Models are identified by a FULL-content fingerprint of the merge
+  * table (FNV-1a over every pair, not a head/last sketch), so two
+  * models that happen to share length + first + last merge can never
+  * collide. The fingerprint is only COMPUTED once per task, though: a
+  * single-slot thread-local memo keyed on the merge-array REFERENCE
+  * resolves the model with one `eq` compare per row (the UDF closure
+  * deserializes once per task, so the reference is stable across all
+  * rows a task encodes — a fresh task pays one fingerprint hash, not
+  * one per row).
+  *
+  * Each model owns its own bounded word cache, so concurrent jobs
+  * running DIFFERENT models on one executor never evict or starve
+  * each other; the model table itself is a small access-order LRU —
+  * a long-lived executor that sees many retrains drops the
+  * least-recently-used model (and its word cache) one at a time
+  * instead of clear-all thrash.
   */
 private[operators] object BpeEncoderCache {
-  /** (model fingerprint, word) → encoded symbols; bounded globally. */
-  val wordCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
-  private val ranksCache =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Map[(String, String), Int]]()
+  private val MaxModels = 8
+  private val MaxWordsPerModel = 50000
+
+  /** One resolved model: ranked merges + its private word memo. */
+  private[operators] final class Entry(val fp: Long, val ranks: Map[(String, String), Int]) {
+    private val wordCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    private[operators] def cachedWords: Int = wordCache.size
+    def encode(w: String): Array[String] = {
+      var enc = wordCache.get(w)
+      if (enc == null) {
+        enc = Bpe.encodeWord(w, ranks)
+        // Zipf makes the frequency head carry the hit rate; past the
+        // cap new rare words just encode uncached — no eviction scan.
+        if (wordCache.size < MaxWordsPerModel) wordCache.put(w, enc)
+      }
+      enc
+    }
+  }
 
   /** FNV-1a over every merge pair, with a separator mix per symbol so
-    * ("ab","c") and ("a","bc") hash differently. Content fingerprint,
-    * NOT identity — every task deserializes its own closure copy of
-    * the merge array, so identity would rebuild per task.
+    * ("ab","c") and ("a","bc") hash differently.
     */
   private[operators] def fingerprint(merges: Array[(String, String)]): Long = {
     var h = 0xcbf29ce484222325L
@@ -219,10 +236,31 @@ private[operators] object BpeEncoderCache {
     h
   }
 
-  def ranksFor(merges: Array[(String, String)]): (Long, Map[(String, String), Int]) = {
-    // long-lived executors across many retrains: bound the model count
-    if (ranksCache.size > 8) { ranksCache.clear(); wordCache.clear() }
-    val fp = fingerprint(merges)
-    (fp, ranksCache.computeIfAbsent(fp, _ => merges.zipWithIndex.toMap))
+  // access-order LRU over models; `synchronized` is fine — touched
+  // once per (task, model), never per row
+  private val models =
+    new java.util.LinkedHashMap[java.lang.Long, Entry](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, Entry]): Boolean =
+        size() > MaxModels
+    }
+
+  private val slot = new ThreadLocal[(Array[(String, String)], Entry)]
+
+  def entryFor(merges: Array[(String, String)]): Entry = {
+    val memo = slot.get()
+    if (memo != null && (memo._1 eq merges)) memo._2
+    else {
+      val fp = java.lang.Long.valueOf(fingerprint(merges))
+      val e = models.synchronized {
+        var cur = models.get(fp)
+        if (cur == null) {
+          cur = new Entry(fp, merges.zipWithIndex.toMap)
+          models.put(fp, cur)
+        }
+        cur
+      }
+      slot.set((merges, e))
+      e
+    }
   }
 }

@@ -61,14 +61,28 @@ object LmQuality {
     }
   }
 
-  /** Train on `ref` (the reference corpus — keep it sample-sized; the
-    * model collects to the driver). Vocabulary = top `vocabSize`
-    * tokens by frequency, ties broken by token for determinism.
+  /** Train on `ref` (the reference corpus). Vocabulary = top
+    * `vocabSize` tokens by frequency, ties broken by token for
+    * determinism.
+    *
+    * The driver never sees the raw bigram stream: counting is one
+    * distributed hash aggregation (map-side partials combine the
+    * token-stream-sized input down to distinct bigrams), and what is
+    * COLLECTED is bounded twice — bigrams below `minCount` are pruned
+    * (add-one smoothing absorbs them: a dropped count-1 bigram scores
+    * (0+1)/(ctx+V) instead of (1+1)/(ctx+V)), and a `maxBigrams` hard
+    * cap keeps the frequency head (count desc, key asc — deterministic)
+    * even on a reference corpus whose distinct-bigram count grows
+    * toward vocab². Context totals `c(a·)` are computed from the FULL
+    * unpruned aggregate (one ≤V+1-row follow-up aggregation), so
+    * pruning never skews the denominator.
     */
   def train(
       ref: DataFrame,
       textCol: String,
       vocabSize: Int = 50000,
+      minCount: Long = 1L,
+      maxBigrams: Int = 2000000,
   ): BigramLm = {
     val spark = ref.sparkSession
     import spark.implicits._
@@ -100,12 +114,25 @@ object LmQuality {
           (a.toLong << 32) | (b.toLong & 0xffffffffL)
         }
       }
-    val bigrams = pairs.groupByKey(identity).count().collect().toMap
+    // distinct-bigram counts stay distributed; only the bounded head
+    // and the ≤V+1-row context summary ever reach the driver
+    val counted = pairs.toDF("k").groupBy("k").agg(count(lit(1)).as("c")).persist()
+    val contexts = counted
+      .groupBy(shiftright(col("k"), 32).cast("int").as("ctx"))
+      .agg(sum(col("c")).as("n"))
+      .as[(Int, Long)]
+      .collect()
+      .toMap
+    val bigrams = counted
+      .where(col("c") >= minCount)
+      .orderBy(col("c").desc, col("k"))
+      .limit(maxBigrams)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    counted.unpersist(blocking = false)
     text.unpersist(blocking = false)
     bcVocab.destroy()
-    val contexts = bigrams.toSeq
-      .groupBy { case (k, _) => (k >> 32).toInt }
-      .map { case (ctx, kvs) => ctx -> kvs.map(_._2).sum }
     BigramLm(vocab, contexts, bigrams)
   }
 

@@ -167,8 +167,19 @@ object Sampling {
     * would funnel 100 TB through one task); bit-identical to the
     * global-window oracle at every scale.
     *
+    * NULL `tokenCol` rows count as 0 tokens: they are kept (they never
+    * cross the budget) and leave the running total unchanged — exactly
+    * what a SQL window `sum` (which skips NULLs) produces, so the
+    * window oracle and this operator agree row-for-row; the row's own
+    * `tokenCol` value passes through un-coalesced.
+    *
     * Output: the kept rows + `cum_tokens` (running total including
-    * the row itself).
+    * the row itself). The result is eagerly materialized via
+    * `localCheckpoint` so the intermediate prefix-sum cache can be
+    * released HERE — callers owe no `unpersist`; checkpoint blocks are
+    * reference-tracked and freed once the returned frame is dropped
+    * (a `persist` would pin a CacheManager entry forever in a
+    * long-lived session).
     */
   def tokenBudgetSelect(
       df: DataFrame,
@@ -188,8 +199,7 @@ object Sampling {
       .withColumn("cum_tokens", col("__before") + col("__tok"))
       .where(col("cum_tokens") <= budget)
       .drop("__before", "__tok")
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     handle.unpersist(blocking = false)
     out
   }

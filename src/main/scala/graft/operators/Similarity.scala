@@ -109,6 +109,13 @@ object Similarity {
     * Accumulates dot/norms in DOUBLE left-to-right — bit-equal to the
     * DuckDB oracle's list_cosine_similarity on DOUBLE[] (the blocking
     * never changes per-pair operation order).
+    *
+    * Past `maxDriverRows` total corpus rows the driver-collected
+    * broadcast blocks are replaced by a fully DISTRIBUTED block
+    * equi-join ([[blockEquiJoinNearDupPairs]]) — no driver collect at
+    * any corpus size; same output bit-for-bit (the native
+    * `vec_cosine` expression shares the exact accumulation order of
+    * the broadcast path's primitive loop).
     */
   def bruteForceNearDupPairs(
       corpus: DataFrame,
@@ -116,6 +123,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       maxBlockRows: Int = 1 << 20,
+      maxDriverRows: Long = 1L << 20,
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -123,6 +131,8 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val n = src.count()
     val numBlocks = math.max(1L, (n + maxBlockRows - 1) / maxBlockRows).toInt
+    if (n > maxDriverRows)
+      return blockEquiJoinNearDupPairs(src, threshold, numBlocks)
     val typed = src.as[(Long, Array[Float])]
     val passes = (0 until numBlocks).map { blockIdx =>
       val block = typed
@@ -177,6 +187,52 @@ object Similarity {
       snapped
     }
     passes.reduce(_ union _).toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs as a pure shuffle join — the no-driver-collect
+    * fallback [[bruteForceNearDupPairs]] takes when the corpus exceeds
+    * `maxDriverRows`. Rows are blocked by `id mod B`; each row is
+    * replicated to every unordered block PAIR it participates in (a
+    * row in block b owns the left side of pairs (b, b..B−1) and the
+    * right side of (0..b, b)), and the equi-join on the pair key
+    * co-locates exactly the two blocks of each pair. A cross-block
+    * pair joins in exactly one orientation (the one whose LEFT block
+    * is smaller — possibly with the larger id on the left, hence the
+    * least/greatest canonicalization; `vec_cosine` is bit-symmetric,
+    * double multiply commutes); a same-block pair joins in both, and
+    * the `id_a < id_b` guard on the diagonal keeps one. Shuffle
+    * volume is O(n·B) vector copies against the unavoidable O(n²)
+    * flops; no executor ever holds more than two blocks' worth of one
+    * pair-key's partitions, and the driver holds nothing.
+    */
+  private def blockEquiJoinNearDupPairs(
+      src: DataFrame, // (id: long, vec: array<float>)
+      threshold: Double,
+      numBlocks: Int,
+  ): DataFrame = {
+    val b = math.max(1, numBlocks)
+    val withBlk = src.withColumn("__blk", pmod(col("id"), lit(b.toLong)).cast("int"))
+    val left = withBlk.select(
+      col("id").as("id_a"),
+      col("vec").as("vec_a"),
+      col("__blk").as("__bi"),
+      explode(sequence(col("__blk"), lit(b - 1))).as("__bj"),
+    )
+    val right = withBlk.select(
+      col("id").as("id_b"),
+      col("vec").as("vec_b"),
+      explode(sequence(lit(0), col("__blk"))).as("__bi"),
+      col("__blk").as("__bj"),
+    )
+    left
+      .join(right, Seq("__bi", "__bj"))
+      .where(col("__bi") =!= col("__bj") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        graft.functions.VectorExpressions.vecCosine(col("vec_a"), col("vec_b")).as("cosine"),
+      )
+      .where(col("id_a") =!= col("id_b") && col("cosine") >= threshold)
   }
 
   // --------------------------------------------------------- brute force knn
@@ -686,9 +742,12 @@ object Similarity {
       lutUdf(col(vecCol)).as("lut"),
       explode(probeUdf(col(vecCol))).as("cell"),
     )
+    // the merge hint FORBIDS broadcast (a bare repartition only
+    // suggests partitioning — Catalyst still broadcasts a
+    // small-looking side, defeating the huge-query-set contract)
     val joined =
       if (broadcastQueries) indexed.join(broadcast(probed), "cell")
-      else indexed.repartition(col("cell")).join(probed.repartition(col("cell")), "cell")
+      else indexed.join(probed.hint("merge"), "cell")
     val adc = joined
       .where(col("neighbor_id") =!= col("query_id"))
       .select(
@@ -703,7 +762,7 @@ object Similarity {
     val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val rescored = cands
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
-      .join(if (broadcastQueries) broadcast(qvecs) else qvecs, "query_id")
+      .join(if (broadcastQueries) broadcast(qvecs) else qvecs.hint("merge"), "query_id")
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -719,10 +778,10 @@ object Similarity {
     *
     * `broadcastQueries = true` (default) broadcasts the probed query
     * set — right whenever queries ≪ corpus. For HUGE query sets (a
-    * full corpus-vs-corpus kNN) pass `false`: both sides then
-    * hash-partition BY CELL and the join is shuffle-local, so neither
-    * side needs to fit in one executor — the last broadcast bound on
-    * this path is gone.
+    * full corpus-vs-corpus kNN) pass `false`: the probe join becomes
+    * a sort-merge join partitioned by cell, so neither side needs to
+    * fit in one executor — the last broadcast bound on this path is
+    * gone (PlanShapeSpec asserts no BroadcastExchange survives).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -749,9 +808,11 @@ object Similarity {
       col(vecCol).as("qvec"),
       explode(probeUdf(col(vecCol))).as("cell"),
     )
+    // merge hint, not a bare repartition: only the hint FORBIDS the
+    // planner from broadcasting a small-looking query side
     val joined =
       if (broadcastQueries) assigned.join(broadcast(probed), "cell")
-      else assigned.repartition(col("cell")).join(probed.repartition(col("cell")), "cell")
+      else assigned.join(probed.hint("merge"), "cell")
     val scored = joined
       .where(col("neighbor_id") =!= col("query_id"))
       .select(

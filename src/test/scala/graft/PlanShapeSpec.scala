@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, LmQuality, QualityClassifier, TextAnalysis}
+import graft.operators.{Dedup, LmQuality, QualityClassifier, Similarity, TextAnalysis}
 
 /** Plan-SHAPE regression tests: the 100 TB properties SCALE.md claims
   * (shuffle-free per-row operators, single-exchange dedup, broadcast
@@ -106,7 +106,24 @@ class PlanShapeSpec extends SparkTestBase {
       .select("doc_id", "cum_tokens")
     assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
       "distributed prefix sum must be bit-identical to the global window")
-    got.unpersist(blocking = false)
+    // tokenBudgetSelect returns a localCheckpoint-backed frame (no
+    // CacheManager entry) — nothing to unpersist here; blocks are
+    // reference-tracked and freed when `got` is collected by GC.
+  }
+
+  test("ivfTopK broadcastQueries=false never broadcasts the query side") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Similarity.trainIvf(df, "embedding", nlist = 4, seed = 1L)
+    val q = df.where(col("vec_id") < 5)
+    val bcast = plan(Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 5, model, nprobe = 2))
+    assert(bcast.contains("BroadcastExchange"),
+      s"default path broadcasts the probed queries:\n$bcast")
+    val parted = plan(Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 5, model,
+      nprobe = 2, broadcastQueries = false))
+    assert(!parted.contains("BroadcastExchange"),
+      s"huge-query-set path must not broadcast anything:\n$parted")
   }
 
   test("span dedup and candidate generation never go cartesian") {

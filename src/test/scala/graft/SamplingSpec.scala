@@ -106,4 +106,25 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(2L -> 10L, 4L -> 20L, 3L -> 30L), got.toString)
   }
+
+  test("tokenBudgetSelect: NULL tokens count as 0 — row kept, running total unchanged") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Some(10L), 9L),
+      (2L, None, 8L), // NULL tokens: kept, consumes nothing (SQL window sum skips NULLs)
+      (3L, Some(10L), 7L),
+      (4L, Some(10L), 6L), // 30 > 25 → dropped
+    ).toDF("id", "n_tokens", "quality")
+    val got = graft.operators.Sampling
+      .tokenBudgetSelect(rows, "id", "n_tokens", Seq(col("quality").desc), budget = 25L)
+      .select("id", "n_tokens", "cum_tokens")
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      1L -> ((Some(10L), 10L)),
+      2L -> ((None, 10L)), // n_tokens passes through un-coalesced; cum unchanged
+      3L -> ((Some(10L), 20L)),
+    ), got.toString)
+  }
 }

@@ -177,6 +177,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(parted == pruned)
   }
 
+  test("bruteForceNearDupPairs: distributed block equi-join ≡ driver-broadcast path bit-for-bit") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val driver = Similarity
+      .bruteForceNearDupPairs(df, "vec_id", "embedding", threshold = 0.3, maxBlockRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(driver.nonEmpty, "fixture must produce some near-dup pairs")
+    val dist = Similarity
+      .bruteForceNearDupPairs(df, "vec_id", "embedding", threshold = 0.3, maxBlockRows = 16,
+        maxDriverRows = 0L)
+    val p = dist.queryExecution.executedPlan.toString
+    assert(p.contains("Join"), s"fallback must be a join, not collected blocks:\n$p")
+    val got = dist.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cosines compare with == : both paths share the exact accumulation order
+    assert(got == driver, s"missing=${driver -- got} extra=${got -- driver}")
+  }
+
   test("topk aggregator: deterministic tie-break by id") {
     val df = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)), (9L, Seq(1f, 0f)),

@@ -556,4 +556,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(lumas(0) < lumas(1) && lumas(1) < lumas(2),
       s"sampled frame lumas must follow shades: ${lumas.toSeq}")
   }
+
+  test("commonNgramStats: shared-trigram counts exact, sub-n docs dropped") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // trigrams: tqb qbf bfj fjx(sic) — 3 distinct
+      (2L, "the quick brown cat sleeps"),
+      (3L, "entirely different words here now"),
+      (4L, "too short"), // < 3 tokens → no grams → absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .commonNgramStats(docs, "doc_id", "text", n = 3, minDf = 2L)
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    // docs 1 and 2 share exactly one trigram: "the quick brown"
+    assert(got.keySet == Set(1L, 2L, 3L), s"doc 4 has no trigrams: $got")
+    assert(got(1L) == ((3L, 1L, 2L, 1.0 / 3.0)), got(1L).toString)
+    assert(got(2L) == ((3L, 1L, 2L, 1.0 / 3.0)), got(2L).toString)
+    assert(got(3L) == ((3L, 0L, 1L, 0.0)), got(3L).toString)
+  }
 }
