@@ -1132,6 +1132,19 @@ object SparkEntry {
       |  quantile_cont(n, 0.99) AS p99
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** q55's unbounded-group scale face: Greenwald-Khanna
+    * `approx_percentile` keeps O(1/ε) state per group regardless of
+    * group size (the exact `percentile` buffers a whole group's
+    * values — fine for a bounded per-source panel, not for open-web
+    * domains). Rows-only (GK picks observed values, the exact form
+    * interpolates); TextAnalysisSpec locks it against the exact
+    * percentiles.
+    */
+  private def q68TokenQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .tokenQuantilesApprox(load(s, dir, "documents"), "text", Seq("source"))
+      .orderBy("source")
+
   /** Gopher-style n-gram repetition signals (native one-pass
     * expression, shuffle-free): token counts, top-token share,
     * duplicate bigram/trigram occurrence fractions. Oracle-exact —
@@ -1607,6 +1620,7 @@ object SparkEntry {
     "q65_bm25_topk" -> (q65Bm25TopK _),
     "q66_minhash_planted" -> (q66MinhashPlanted _),
     "q67_embedding_lsh_planted" -> (q67EmbeddingLshPlanted _),
+    "q68_token_quantiles_approx" -> (q68TokenQuantilesApprox _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

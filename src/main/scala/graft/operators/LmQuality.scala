@@ -123,13 +123,13 @@ object LmQuality {
       .as[(Int, Long)]
       .collect()
       .toMap
-    val bigrams = counted
-      .where(col("c") >= minCount)
-      .orderBy(col("c").desc, col("k"))
-      .limit(maxBigrams)
-      .as[(Long, Long)]
-      .collect()
-      .toMap
+    // global sort only when the cap actually binds — the common case
+    // (pruned set fits) collects straight off the persisted aggregate
+    val pruned = counted.where(col("c") >= minCount)
+    val head =
+      if (pruned.count() <= maxBigrams) pruned
+      else pruned.orderBy(col("c").desc, col("k")).limit(maxBigrams)
+    val bigrams = head.as[(Long, Long)].collect().toMap
     counted.unpersist(blocking = false)
     text.unpersist(blocking = false)
     bcVocab.destroy()
