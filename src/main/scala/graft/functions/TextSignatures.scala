@@ -15,6 +15,8 @@ object TextSignatures {
     org.apache.spark.sql.graftext.TextSignatureExpressions.shingleSet(text, n)
   def shingleHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.shingleHashes(text, n)
+  def distinctNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.TextSignatureExpressions.distinctNgrams(text, n)
   def minhashPrep(text: Column, n: Int, numHashes: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.minhashPrep(text, n, numHashes)
   def simhash64(text: Column): Column =

@@ -440,20 +440,18 @@ object TextAnalysis {
   /** Distinct textual word n-grams of a document as an array column —
     * lowercase `\W+` tokens, grams joined with single spaces; sub-n
     * token docs yield an EMPTY array (same contract as the dedup
-    * shingle kernels and the q18 oracle's `range(1, len(w)-1)`). Pure
-    * built-in expressions: stays in whole-stage codegen and is exactly
-    * reproducible in any SQL engine with list comprehensions.
+    * shingle kernels and the q18 oracle's `range(1, len(w)-1)`).
+    * Native codegen kernel, ONE tokenize pass per row — the
+    * equivalent built-in-HOF formulation
+    * (`array_distinct(transform(sequence…, i → concat_ws(slice(w…))))`)
+    * re-evaluates the `w` token array once PER GRAM and higher-order
+    * functions run interpreted: 10× slower in the q64 stage probe.
+    * Exactly reproducible in any SQL engine with list comprehensions
+    * (the q64 oracle recomputes it with DuckDB list functions).
     */
   def distinctWordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = filter(split(lower(text), "\\W+"), t => t =!= lit(""))
-    // sequence(0, negative) generates a DESCENDING range in Spark —
-    // guard short docs explicitly instead
-    when(
-      size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(w) - n), i => concat_ws(" ", slice(w, i + 1, lit(n))))),
-    ).otherwise(array().cast("array<string>"))
+    graft.functions.TextSignatures.distinctNgrams(text, n)
   }
 
   /** Cross-document n-gram commonality — the boilerplate-contamination

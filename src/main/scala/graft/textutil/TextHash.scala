@@ -36,6 +36,33 @@ object TextHash {
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
+  /** Distinct word n-gram STRINGS in first-occurrence order — one
+    * tokenize pass per document. Semantics identical to
+    * `array_distinct(transform(...))` over `lower/\W+` tokens (the
+    * HOF formulation re-tokenizes the text once PER GRAM and runs
+    * interpreted — this kernel replaced it after a 10× showing in the
+    * q64 stage probe). Sub-n-token docs yield an empty array.
+    */
+  def distinctWordNgrams(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** `wordShingles(text, n).map(fnv64)` WITHOUT materializing the
     * shingle strings: the FNV-1a stream of `"tok_i … tok_i+n-1"` is fed
     * char-by-char straight from the token array (bit-identical to

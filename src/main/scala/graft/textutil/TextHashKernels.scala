@@ -40,6 +40,17 @@ object TextHashKernels {
 
   def simhash64(text: UTF8String): Long = TextHash.simhash64(text.toString)
 
+  /** Distinct word n-gram strings (first-occurrence order) as
+    * Catalyst array data — the cross-document commonality primitive.
+    */
+  def distinctNgrams(text: UTF8String, n: Int): ArrayData = {
+    val grams = TextHash.distinctWordNgrams(text.toString, n)
+    val out = new Array[Any](grams.length)
+    var i = 0
+    while (i < grams.length) { out(i) = UTF8String.fromString(grams(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** struct(n_tokens, n_distinct_tokens, top_token_frac,
     * dup_bigram_frac, dup_trigram_frac) — the Gopher-style
     * within-document repetition signals, one tokenize pass, exact

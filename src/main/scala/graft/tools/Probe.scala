@@ -136,6 +136,28 @@ object Probe {
       return
     }
 
+    if (names.contains("q64_stages")) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val grams = docs.select(
+        col("doc_id"),
+        explode(graft.operators.TextAnalysis.distinctWordNgrams(col("text"), 3)).as("gram"))
+      timed("explode grams")(println("[probe] grams=" + grams.count()))
+      val gp = grams.persist()
+      timed("grams persist")(gp.count())
+      val gramDf = gp.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+      timed("gram df agg")(println("[probe] distinct grams=" + gramDf.count()))
+      val out = gp.join(gramDf, "gram").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_common"),
+          max(col("gram_df")).as("max_gram_df"))
+      timed("join-back + doc agg")(println("[probe] out=" + out.count()))
+      gp.unpersist()
+      timed("full operator (unpersisted grams)")(println("[probe] rows=" +
+        graft.operators.TextAnalysis.commonNgramStats(docs, "doc_id", "text").count()))
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>

@@ -65,10 +65,37 @@ case class TextShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-grams of a document as `array<string>` — one
+  * tokenize pass per row in a primitive kernel. The equivalent
+  * built-in HOF (`array_distinct(transform(sequence…, i →
+  * concat_ws(slice(w…))))`) re-evaluates the token array once per
+  * gram AND runs interpreted; this stays in whole-stage codegen.
+  */
+case class TextDistinctNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_ngrams"
+
+  override def nullSafeEval(t: Any): Any =
+    graft.textutil.TextHashKernels.distinctNgrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.textutil.TextHashKernels.distinctNgrams($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextSignatureExpressions {
   /** Column-DSL faces (shape params are plan-time constants). */
   def shingleSet(text: Column, n: Int): Column =
     ExpressionUtils.column(TextShingleSet(ExpressionUtils.expression(text), n))
+  def distinctNgrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(TextDistinctNgrams(ExpressionUtils.expression(text), n))
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(TextShingleHashes(ExpressionUtils.expression(text), n))
   def minhashPrep(text: Column, n: Int, numHashes: Int): Column =
