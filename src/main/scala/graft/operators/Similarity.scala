@@ -477,6 +477,11 @@ object Similarity {
       .join(assigned.select(col("id"), col("cent_sim")), "id")
       .withColumn("is_kept", row_number().over(keepRank) === 1)
       .select(col("id"), col("component"), col("is_kept"))
+    // localCheckpoint, not persist: the output is CORPUS-sized — a
+    // persist would pin a CacheManager entry (and the cached rows)
+    // for the rest of a long-lived session with no caller obligated
+    // to release it; checkpoint blocks are reference-tracked and
+    // freed once the returned frame is dropped
     val out = assigned
       .select(col("id"), col("cell"), col("cent_sim"))
       .join(ranked, Seq("id"), "left")
@@ -487,8 +492,7 @@ object Similarity {
         coalesce(col("component"), col("id")).as("component"),
         coalesce(col("is_kept"), lit(true)).as("is_kept"),
       )
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     assigned.unpersist(blocking = false)
     bucketHandle.unpersist(blocking = false)
     out
