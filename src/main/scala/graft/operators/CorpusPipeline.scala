@@ -80,16 +80,17 @@ object CorpusPipeline {
       .persist()
     val layout =
       Packing.shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
+    // localCheckpoint, not persist: corpus-sized frame handed to the
+    // caller — no CacheManager entry to leak; layout is already
+    // checkpoint-backed (shuffleAndPack), chunks released here
     val out = chunks
       .join(
         layout.select(
           col("chunk_id"), col("pos"), col("start_offset"),
           col("pack_first"), col("pack_last")),
         "chunk_id")
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     chunks.unpersist(blocking = false)
-    layout.unpersist(blocking = false)
     out
   }
 }

@@ -110,8 +110,9 @@ object Dedup {
     * (same semantics as the q18 oracle) and can never pair.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b. The returned
-    * DataFrame is materialized + persisted (small: verified pairs
-    * only); callers may `unpersist` it when done.
+    * DataFrame is eagerly materialized (localCheckpoint — small:
+    * verified pairs only); its blocks free on GC, callers owe no
+    * `unpersist`.
     */
   def minHashNearDupPairs(
       df: DataFrame,
@@ -1002,11 +1003,12 @@ object Dedup {
     * standard keep-first approximation; a full connected-components
     * pass (iterative) is deliberately out of scope for one call.
     *
-    * The returned survivor frame is materialized + persisted
-    * (MEMORY_AND_DISK — a pipeline-stage boundary: downstream stages
+    * The returned survivor frame is eagerly materialized
+    * (localCheckpoint — a pipeline-stage boundary: downstream stages
     * like chunking consume it immediately and the upstream
-    * filter/redact/dedup chain must not re-execute per consumer);
-    * callers may `unpersist` it once written out.
+    * filter/redact/dedup chain must not re-execute per consumer).
+    * Blocks free on GC; callers owe no `unpersist` — unlike a
+    * `persist`, nothing pins a CacheManager entry for the session.
     */
   def cleanCorpus(
       df: DataFrame,
@@ -1177,15 +1179,19 @@ object Dedup {
   private[graft] def hashedShingles(text: String, n: Int): Array[Long] =
     graft.textutil.TextHash.hashedShingles(text, n)
 
-  /** Persist + force `result`, then release the (wide) intermediate
-    * handles so repeated operator invocations in a long-lived session
-    * don't accumulate executor storage. The returned pair set stays
-    * cached (it is small — verified pairs only); callers may
-    * `unpersist` it when done.
+  /** Eagerly materialize `result` (localCheckpoint — truncates
+    * lineage), then release the (wide) intermediate handles so
+    * repeated operator invocations in a long-lived session don't
+    * accumulate executor storage. Checkpoint blocks — unlike a
+    * `persist`, which pins a CacheManager entry forever with no
+    * caller obligated to release it — are reference-tracked and freed
+    * once the returned frame is dropped; callers owe no `unpersist`.
+    * Trade: checkpointed partitions cannot recompute from lineage
+    * after storage loss (rerun the operator in that case — same
+    * contract as the blocked-broadcast passes).
     */
   private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.persist()
-    out.count()
+    val out = result.localCheckpoint(true)
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }

@@ -134,8 +134,9 @@ object Packing {
       .select(
         col(orderCol), col("n_tokens"), col("start_offset"), col("pack_first"), col("pack_last"))
       .orderBy(orderCol)
-      .persist()
-    out.count()
+      // localCheckpoint, not persist: corpus-sized output returned to
+      // the caller — no CacheManager pinning, blocks freed on GC
+      .localCheckpoint(true)
     handle.unpersist(blocking = false)
     out
   }
@@ -203,8 +204,7 @@ object Packing {
         col(idCol), col("shuffle_key"), col("pos"), col("n_tokens"),
         col("start_offset"), col("pack_first"), col("pack_last"))
       .orderBy("pos")
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     parted.unpersist(blocking = false)
     out
   }
@@ -231,8 +231,7 @@ object Packing {
       .withColumn("pos", col("__pos0") + 1L)
       .select(col(idCol), col("shuffle_key"), col("pos"))
       .orderBy(idCol)
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     handle.unpersist(blocking = false)
     out
   }

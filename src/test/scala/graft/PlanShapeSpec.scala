@@ -127,9 +127,37 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("span dedup and candidate generation never go cartesian") {
-    val p1 = plan(Dedup.spanDedup(docs.limit(50), "doc_id", "text", k = 8))
-    assert(!p1.contains("CartesianProduct"), "spanDedup must stay equi-join")
-    val p2 = plan(Dedup.minHashNearDupPairs(docs.limit(50), "doc_id", "text"))
-    assert(!p2.contains("CartesianProduct"), "LSH candidates must stay equi-join")
+    // the operators materialize internally (localCheckpoint), so the
+    // RETURNED plan is just an RDD scan — capture every plan actually
+    // EXECUTED during the calls instead (stronger: covers the
+    // banding/verify jobs too)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.spanDedup(docs.limit(50), "doc_id", "text", k = 8).count()
+      Dedup.minHashNearDupPairs(docs.limit(50), "doc_id", "text").count()
+      // listener delivery is async — poll until the bus quiesces
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val snap = plans.synchronized(plans.toList)
+    assert(snap.nonEmpty, "listener must observe the internal jobs")
+    snap.foreach(p =>
+      assert(!p.contains("CartesianProduct"), s"candidate generation went cartesian:\n$p"))
   }
 }
