@@ -30,6 +30,12 @@ object Bench {
         // vs isolated runs (BENCH_r02: q29 48 s vs 2.7 s isolated).
         // Each query is an independent job; clear between them.
         spark.catalog.clearCache()
+        // checkpointed outputs (the round-7 no-CacheManager-leak
+        // convention) register as persistent RDDs whose blocks
+        // otherwise wait for async GC — free them deterministically
+        // so query N+1 never pays query N's eviction churn
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc() // lets ContextCleaner reap unreferenced broadcasts
         dt
       }

@@ -164,7 +164,13 @@ object Probe {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // same inter-run hygiene as Bench (outside the timed window)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          dt
         }
         println(f"[probe] $name: best=${times.min}%.2f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
       }
