@@ -711,6 +711,86 @@ object SparkEntry {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of join — the "next view at-or-after the purchase"
+    * direction; same fixture and tie discipline as q36, oracle via
+    * DuckDB ASOF with the inequality flipped.
+    */
+  private def q69AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = e
+      .where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"), max_by(col("value"), col("event_id")).as("value"))
+    graft.operators.AsofJoin
+      .asofForward(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_ts").as("asof_view_ts"),
+        col("asof_event_id").as("asof_view_event_id"),
+        col("asof_value").as("asof_view_value"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val q69Oracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       v.ts AS asof_view_ts, v.event_id AS asof_view_event_id,
+      |       v.value AS asof_view_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Nearest as-of join — closer of the backward/forward matches,
+    * equidistant → backward (pandas merge_asof 'nearest' rule);
+    * oracle combines both DuckDB ASOF directions.
+    */
+  private def q70AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "events")
+    val purchases = e
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = e
+      .where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"), max_by(col("value"), col("event_id")).as("value"))
+    graft.operators.AsofJoin
+      .asofNearest(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_ts").as("asof_view_ts"),
+        col("asof_event_id").as("asof_view_event_id"),
+        col("asof_value").as("asof_view_value"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val q70Oracle =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |           FROM events),
+      |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+      |b AS (SELECT p.event_id, v.ts AS bts, v.event_id AS bid, v.value AS bval
+      |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+      |f AS (SELECT p.event_id, v.ts AS fts, v.event_id AS fid, v.value AS fval
+      |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (p.ts - bts) <= (fts - p.ts))
+      |       THEN bts ELSE fts END AS asof_view_ts,
+      |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (p.ts - bts) <= (fts - p.ts))
+      |       THEN bid ELSE fid END AS asof_view_event_id,
+      |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR (p.ts - bts) <= (fts - p.ts))
+      |       THEN bval ELSE fval END AS asof_view_value
+      |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   /** Corpus token vocabulary (term + document frequency) — the
     * vocabulary-building scan; tokenization identical to the dedup
     * operators and the q18 oracle.
@@ -1621,6 +1701,8 @@ object SparkEntry {
     "q66_minhash_planted" -> (q66MinhashPlanted _),
     "q67_embedding_lsh_planted" -> (q67EmbeddingLshPlanted _),
     "q68_token_quantiles_approx" -> (q68TokenQuantilesApprox _),
+    "q69_asof_forward" -> (q69AsofForward _),
+    "q70_asof_nearest" -> (q70AsofNearest _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1681,5 +1763,7 @@ object SparkEntry {
     "q64_common_ngrams" -> q64Oracle,
     "q66_minhash_planted" -> q66Oracle,
     "q67_embedding_lsh_planted" -> q67Oracle,
+    "q69_asof_forward" -> q69Oracle,
+    "q70_asof_nearest" -> q70Oracle,
   )
 }

@@ -35,6 +35,7 @@ import org.apache.spark.sql.DataFrame
   */
 object AsofJoin {
 
+  /** Backward as-of: LATEST right with `right.ts <= left.ts`. */
   def asofBackward(
       left: DataFrame,
       right: DataFrame,
@@ -44,6 +45,76 @@ object AsofJoin {
       rightPayloadCols: Seq[String],
       inclusive: Boolean = true,
       toleranceMicros: Option[Long] = None,
+  ): DataFrame =
+    asofImpl(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
+      inclusive, toleranceMicros, forward = false)
+
+  /** Forward as-of: EARLIEST right with `right.ts >= left.ts` — the
+    * "next reading after the event" direction (pandas merge_asof
+    * direction='forward'). Same one-shuffle union+window shape as the
+    * backward join, scanning each key's timeline DESCENDING: the
+    * running `last(right)` at a left row is then exactly the smallest
+    * qualifying right timestamp. Ties at equal right ts keep the
+    * largest payload struct (same rule as backward).
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String],
+      inclusive: Boolean = true,
+      toleranceMicros: Option[Long] = None,
+  ): DataFrame =
+    asofImpl(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
+      inclusive, toleranceMicros, forward = true)
+
+  /** Nearest as-of (pandas direction='nearest'): the closer of the
+    * backward and forward matches; equidistant → backward (pandas'
+    * rule). Two window passes over the unioned timeline — still no
+    * range-join explosion, no broadcast bound.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String],
+      inclusive: Boolean = true,
+      toleranceMicros: Option[Long] = None,
+  ): DataFrame = {
+    val outNames = "asof_ts" +: rightPayloadCols.map("asof_" + _)
+    val b = asofBackward(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
+      inclusive, toleranceMicros)
+    val bRenamed = outNames.foldLeft(b)((df, c) => df.withColumnRenamed(c, "__b_" + c))
+    val f = asofForward(bRenamed, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
+      inclusive, toleranceMicros)
+    val bDist = unix_micros(col(leftTsCol)) - unix_micros(col("__b_asof_ts"))
+    val fDist = unix_micros(col("asof_ts")) - unix_micros(col(leftTsCol))
+    // decide ONCE into a column — rewriting asof_ts first would make
+    // the later payload columns' condition read the already-chosen ts
+    val decided = f.withColumn(
+      "__use_b",
+      col("__b_asof_ts").isNotNull && (col("asof_ts").isNull || bDist <= fDist))
+    outNames
+      .foldLeft(decided)((df, c) =>
+        df.withColumn(c, when(col("__use_b"), col("__b_" + c)).otherwise(col(c))))
+      .drop("__use_b")
+      .drop(outNames.map("__b_" + _): _*)
+  }
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String],
+      inclusive: Boolean,
+      toleranceMicros: Option[Long],
+      forward: Boolean,
   ): DataFrame = {
     require(keyCols.nonEmpty, "asof join needs at least one equi-key")
     val leftCols = left.columns.toSeq
@@ -78,9 +149,12 @@ object AsofJoin {
         lit(null).cast(lStructType).as("__l"),
       ): _*,
     )
+    // forward scans the timeline DESCENDING (running last = smallest
+    // qualifying right ts); side/tie ordering is shared
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .orderBy(tsOrder, col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
     val withMatch = taggedL
@@ -89,12 +163,12 @@ object AsofJoin {
       .where(col("__side") === 1)
     val bounded = toleranceMicros match {
       case Some(tol) =>
+        val dist =
+          if (forward) unix_micros(col("__m.__ats")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__m.__ats"))
         withMatch.withColumn(
           "__m",
-          when(
-            unix_micros(col("__ts")) - unix_micros(col("__m.__ats")) <= tol,
-            col("__m"),
-          ), // else NULL: match older than the tolerance window
+          when(dist <= tol, col("__m")), // else NULL: beyond the tolerance window
         )
       case None => withMatch
     }

@@ -79,6 +79,56 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got.distinct == Seq(99.7), s"max struct must win every run: $got")
   }
 
+  test("forward inclusive: earliest right row at-or-after each left row") {
+    val out = AsofJoin
+      .asofForward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
+      .orderBy("trade_id")
+      .collect()
+    assert(out(0).getAs[Double]("asof_bid") == 99.5, "equal ts matches when inclusive")
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_bid")), "no A quote after 10:00:10")
+    assert(out(2).getAs[Double]("asof_bid") == 48.0, "B's quote is 1s ahead")
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_bid")), "C has no quotes")
+  }
+
+  test("forward strict + tolerance") {
+    val strict = AsofJoin
+      .asofForward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"), inclusive = false)
+      .orderBy("trade_id")
+      .collect()
+    assert(strict(0).getAs[Double]("asof_bid") == 99.9,
+      "10:00:05 quote excluded under strict >; next is 10:00:09")
+    val tol = AsofJoin
+      .asofForward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"),
+        toleranceMicros = Some(0L))
+      .orderBy("trade_id")
+      .collect()
+    assert(tol(0).getAs[Double]("asof_bid") == 99.5, "exact-ts match passes 0 tolerance")
+    assert(tol(2).isNullAt(tol(2).fieldIndex("asof_bid")), "1s-ahead quote fails 0 tolerance")
+  }
+
+  test("nearest: closer side wins, equidistant goes backward, one-sided falls through") {
+    val out = AsofJoin
+      .asofNearest(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
+      .orderBy("trade_id")
+      .collect()
+    assert(out(0).getAs[Double]("asof_bid") == 99.5, "distance 0 both ways → backward (same row)")
+    assert(out(1).getAs[Double]("asof_bid") == 99.9, "1s back vs nothing forward")
+    assert(out(2).getAs[Double]("asof_bid") == 48.0, "nothing back, 1s forward")
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_bid")), "no quotes either way")
+    // genuinely two-sided: 10:00:07 trade is 2s from 10:00:05 and 2s from
+    // 10:00:09 → equidistant → backward (99.5)
+    val mid = Seq((9L, "A", ts("2024-01-01 10:00:07"), 1.0))
+      .toDF("trade_id", "sym", "t", "price")
+    val got = AsofJoin
+      .asofNearest(mid, quotes, Seq("sym"), "t", "qt", Seq("bid")).head()
+    assert(got.getAs[Double]("asof_bid") == 99.5, "equidistant resolves backward")
+    val near = Seq((10L, "A", ts("2024-01-01 10:00:08"), 1.0))
+      .toDF("trade_id", "sym", "t", "price")
+    val got2 = AsofJoin
+      .asofNearest(near, quotes, Seq("sym"), "t", "qt", Seq("bid")).head()
+    assert(got2.getAs[Double]("asof_bid") == 99.9, "1s forward beats 3s backward")
+  }
+
   test("plan shape: exactly one exchange — no range-join explosion") {
     val plan = AsofJoin
       .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
