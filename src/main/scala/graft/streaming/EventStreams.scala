@@ -255,4 +255,74 @@ object EventStreams {
     */
   def scoreStream(spark: SparkSession, events: DataFrame, modelName: String, features: org.apache.spark.sql.Column): DataFrame =
     events.withColumn("prediction", graft.MlFunctions.predictCol(spark, modelName, features))
+
+  final case class AsofSideRow(side: Int, user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  final case class AsofRightState(tsMs: Long, ts: Timestamp, eventId: Long, value: Double)
+  final case class AsofHit(
+      event_id: Long, user_id: Long, ts: Timestamp, value: Double,
+      asof_ts: Option[Timestamp], asof_event_id: Option[Long], asof_value: Option[Double])
+
+  /** Streaming BACKWARD as-of join — the streaming face of
+    * [[graft.operators.AsofJoin.asofBackward]]: every left event is
+    * matched with the latest right event at-or-before it per user
+    * ("state of the profile when the purchase happened", live).
+    *
+    * State per key is ONE row — the latest right seen — which is the
+    * asymptotically minimal state for the backward direction (future
+    * lefts can never need an older right), so total state is
+    * O(active keys) regardless of stream length; idle keys expire
+    * when the WATERMARK passes lastSeen + `horizonSeconds`
+    * (replay-safe, like [[sessionizeStreamEventTime]]).
+    *
+    * Semantics ≡ the batch operator when rows arrive in event-time
+    * order per key across micro-batches; WITHIN a batch, rows sort by
+    * (ts, side, event_id) — right before left at equal ts (inclusive
+    * visibility) and the largest simultaneous right winning — exactly
+    * the batch window's tie discipline (StreamingSpec locks
+    * stream ≡ batch on the events fixture). Out-of-order rights older
+    * than the current state are ignored: they could only retro-match
+    * already-emitted lefts.
+    */
+  def asofBackwardStream(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      watermarkDelay: String = "1 hour",
+      horizonSeconds: Long = 86400L,
+  ): Dataset[AsofHit] = {
+    import left.sparkSession.implicits._
+    val tagged = left
+      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .withWatermark("ts", watermarkDelay)
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[AsofSideRow], state: GroupState[AsofRightState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.orNull
+            val out = rows.toSeq
+              .sortBy(r => (r.ts.getTime, r.side, r.event_id))
+              .flatMap { r =>
+                if (r.side == 0) {
+                  if (s == null || r.ts.getTime >= s.tsMs)
+                    s = AsofRightState(r.ts.getTime, r.ts, r.event_id, r.value)
+                  None
+                } else {
+                  Some(AsofHit(r.event_id, userId, r.ts, r.value,
+                    Option(s).map(_.ts), Option(s).map(_.eventId), Option(s).map(_.value)))
+                }
+              }
+            if (s != null) {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.tsMs + horizonSeconds * 1000, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+        },
+      )
+  }
 }

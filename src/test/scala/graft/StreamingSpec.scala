@@ -115,6 +115,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join equals batch asofBackward (single microbatch, raw ties)") {
+    val e = Tables.events(spark, Sf0001)
+    val purchases = e
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = e
+      .where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    // batch reference on RAW views: the batch tie rule (largest
+    // (ts, event_id, value) struct at equal ts) is exactly the
+    // stream's in-batch overwrite order
+    val batch = graft.operators.AsofJoin
+      .asofBackward(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+      .toMap
+
+    def sideStream(eventType: String) = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .where($"event_type" === eventType)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams
+      .asofBackwardStream(sideStream("purchase"), sideStream("view"),
+        watermarkDelay = "365 days")
+      .writeStream
+      .format("memory")
+      .queryName("asof_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("asof_stream")
+        .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+        .collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+        .toMap
+      assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
     val batchSessions = EventStreams
       .sessionWindows(Tables.events(spark, Sf0001), watermark = None)
