@@ -1408,7 +1408,6 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
       .orderBy("id_a")
       .localCheckpoint(true)
-    pairs.unpersist(blocking = false)
     out
   }
 
@@ -1444,7 +1443,6 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
       .orderBy("id_a")
       .localCheckpoint(true)
-    pairs.unpersist(blocking = false)
     out
   }
 

@@ -451,7 +451,10 @@ object TextAnalysis {
     */
   def distinctWordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    graft.functions.TextSignatures.distinctNgrams(text, n)
+    // The codegen kernel is null-safe (NULL in → NULL out); coalesce
+    // preserves this operator's documented contract that NULL text,
+    // like sub-n-token text, yields an EMPTY array.
+    coalesce(graft.functions.TextSignatures.distinctNgrams(text, n), typedLit(Seq.empty[String]))
   }
 
   /** Cross-document n-gram commonality — the boilerplate-contamination

@@ -257,7 +257,13 @@ object EventStreams {
     events.withColumn("prediction", graft.MlFunctions.predictCol(spark, modelName, features))
 
   final case class AsofSideRow(side: Int, user_id: Long, ts: Timestamp, event_id: Long, value: Double)
-  final case class AsofRightState(tsMs: Long, ts: Timestamp, eventId: Long, value: Double)
+  final case class AsofRightState(tsUs: Long, ts: Timestamp, eventId: Long, value: Double)
+
+  /** Microsecond event time — matches the batch window's `unix_micros`
+    * ordering; `getTime` alone (ms) could tie-break sub-ms rows
+    * differently from the batch operator.
+    */
+  private def tsMicros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
   final case class AsofHit(
       event_id: Long, user_id: Long, ts: Timestamp, value: Double,
       asof_ts: Option[Timestamp], asof_event_id: Option[Long], asof_value: Option[Double])
@@ -281,7 +287,11 @@ object EventStreams {
     * the batch window's tie discipline (StreamingSpec locks
     * stream ≡ batch on the events fixture). Out-of-order rights older
     * than the current state are ignored: they could only retro-match
-    * already-emitted lefts.
+    * already-emitted lefts. Out-of-order LEFTS (a left arriving in a
+    * later micro-batch than a newer right) never see a right from
+    * their future: the emission is guarded by `state.ts <= left.ts`,
+    * so a late left degrades to no-match rather than an invalid
+    * forward-in-time "backward" match.
     */
   def asofBackwardStream(
       left: Dataset[Event],
@@ -304,21 +314,23 @@ object EventStreams {
           } else {
             var s = state.getOption.orNull
             val out = rows.toSeq
-              .sortBy(r => (r.ts.getTime, r.side, r.event_id))
+              .sortBy(r => (tsMicros(r.ts), r.side, r.event_id))
               .flatMap { r =>
                 if (r.side == 0) {
-                  if (s == null || r.ts.getTime >= s.tsMs)
-                    s = AsofRightState(r.ts.getTime, r.ts, r.event_id, r.value)
+                  if (s == null || tsMicros(r.ts) >= s.tsUs)
+                    s = AsofRightState(tsMicros(r.ts), r.ts, r.event_id, r.value)
                   None
                 } else {
+                  // A late left must not match a right from its future.
+                  val m = Option(s).filter(_.tsUs <= tsMicros(r.ts))
                   Some(AsofHit(r.event_id, userId, r.ts, r.value,
-                    Option(s).map(_.ts), Option(s).map(_.eventId), Option(s).map(_.value)))
+                    m.map(_.ts), m.map(_.eventId), m.map(_.value)))
                 }
               }
             if (s != null) {
               state.update(s)
               state.setTimeoutTimestamp(
-                math.max(s.tsMs + horizonSeconds * 1000, state.getCurrentWatermarkMs + 1))
+                math.max(s.tsUs / 1000 + horizonSeconds * 1000, state.getCurrentWatermarkMs + 1))
             }
             out.iterator
           }

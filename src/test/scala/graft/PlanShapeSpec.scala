@@ -146,10 +146,13 @@ class PlanShapeSpec extends SparkTestBase {
     try {
       Dedup.spanDedup(docs.limit(50), "doc_id", "text", k = 8).count()
       Dedup.minHashNearDupPairs(docs.limit(50), "doc_id", "text").count()
-      // listener delivery is async — poll until the bus quiesces
+      // listener delivery is async — poll until the bus quiesces,
+      // bounded so a stalled bus fails the assertion instead of
+      // hanging the suite
+      val deadline = System.nanoTime() + 30L * 1000000000L
       var last = -1
       var stable = 0
-      while (stable < 3) {
+      while (stable < 3 && System.nanoTime() < deadline) {
         Thread.sleep(200)
         val n = plans.synchronized(plans.size)
         if (n == last) stable += 1 else { stable = 0; last = n }

@@ -160,6 +160,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join: out-of-order left never matches a right from its future") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, tpe, id.toDouble)
+    val lefts = MemoryStream[EventStreams.Event](spark)
+    val rights = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams
+      .asofBackwardStream(
+        lefts.toDS(), rights.toDS(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("asof_ooo_stream").outputMode("append").start()
+    try {
+      // batch 1: a right at t0+10s advances the state
+      rights.addData(ev(100L, 10, "view"))
+      q.processAllAvailable()
+      // batch 2: a LATE left at t0+5s (before the stored right) plus an
+      // in-order left at t0+20s (after it)
+      lefts.addData(ev(1L, 5, "purchase"), ev(2L, 20, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof_ooo_stream")
+        .select($"event_id", $"asof_event_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == Map(1L -> None, 2L -> Some(100L)),
+        s"late left must fall back to no-match, not a forward-in-time right: $got")
+    } finally q.stop()
+  }
+
   test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
     val batchSessions = EventStreams
       .sessionWindows(Tables.events(spark, Sf0001), watermark = None)
