@@ -72,8 +72,11 @@ object AsofJoin {
 
   /** Nearest as-of (pandas direction='nearest'): the closer of the
     * backward and forward matches; equidistant → backward (pandas'
-    * rule). Two window passes over the unioned timeline — still no
-    * range-join explosion, no broadcast bound.
+    * rule). ONE shuffle: both directions are windows over the same
+    * tagged union with the same `partitionBy(keys)` hash partitioning,
+    * so Catalyst plans one Exchange and two per-key Sorts (asc for the
+    * backward scan, desc for the forward scan) — half the shuffle
+    * volume of running the two directional joins separately.
     */
   def asofNearest(
       left: DataFrame,
@@ -85,24 +88,32 @@ object AsofJoin {
       inclusive: Boolean = true,
       toleranceMicros: Option[Long] = None,
   ): DataFrame = {
-    val outNames = "asof_ts" +: rightPayloadCols.map("asof_" + _)
-    val b = asofBackward(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
-      inclusive, toleranceMicros)
-    val bRenamed = outNames.foldLeft(b)((df, c) => df.withColumnRenamed(c, "__b_" + c))
-    val f = asofForward(bRenamed, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols,
-      inclusive, toleranceMicros)
-    val bDist = unix_micros(col(leftTsCol)) - unix_micros(col("__b_asof_ts"))
-    val fDist = unix_micros(col("asof_ts")) - unix_micros(col(leftTsCol))
-    // decide ONCE into a column — rewriting asof_ts first would make
-    // the later payload columns' condition read the already-chosen ts
-    val decided = f.withColumn(
-      "__use_b",
-      col("__b_asof_ts").isNotNull && (col("asof_ts").isNull || bDist <= fDist))
-    outNames
-      .foldLeft(decided)((df, c) =>
-        df.withColumn(c, when(col("__use_b"), col("__b_" + c)).otherwise(col(c))))
-      .drop("__use_b")
-      .drop(outNames.map("__b_" + _): _*)
+    val (union, leftCols) =
+      taggedUnion(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols, inclusive)
+    val wB = timelineWindow(keyCols, forward = false)
+    val wF = timelineWindow(keyCols, forward = true)
+    val lefts = union
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 1)
+    val bDist = unix_micros(col("__ts")) - unix_micros(col("__mb.__ats"))
+    val fDist = unix_micros(col("__mf.__ats")) - unix_micros(col("__ts"))
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        lefts
+          .withColumn("__mb", when(bDist <= tol, col("__mb")))
+          .withColumn("__mf", when(fDist <= tol, col("__mf")))
+      case None => lefts
+    }
+    // decide ONCE into __m (distances recomputed over the bounded
+    // columns so a tolerance-voided direction can't win)
+    val decided = bounded.withColumn(
+      "__m",
+      when(
+        col("__mb").isNotNull && (col("__mf").isNull || bDist <= fDist),
+        col("__mb"),
+      ).otherwise(col("__mf")))
+    selectAsofOutput(decided, leftCols, rightPayloadCols)
   }
 
   private def asofImpl(
@@ -116,6 +127,39 @@ object AsofJoin {
       toleranceMicros: Option[Long],
       forward: Boolean,
   ): DataFrame = {
+    val (union, leftCols) =
+      taggedUnion(left, right, keyCols, leftTsCol, rightTsCol, rightPayloadCols, inclusive)
+    val w = timelineWindow(keyCols, forward)
+    val withMatch = union
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val bounded = toleranceMicros match {
+      case Some(tol) =>
+        val dist =
+          if (forward) unix_micros(col("__m.__ats")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__m.__ats"))
+        withMatch.withColumn(
+          "__m",
+          when(dist <= tol, col("__m")), // else NULL: beyond the tolerance window
+        )
+      case None => withMatch
+    }
+    selectAsofOutput(bounded, leftCols, rightPayloadCols)
+  }
+
+  /** Tag left (side 1) and right rows and union them onto one
+    * `(keys, __ts, __side, __r, __l)` timeline — the shared substrate
+    * all three directions window over.
+    */
+  private def taggedUnion(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayloadCols: Seq[String],
+      inclusive: Boolean,
+  ): (DataFrame, Seq[String]) = {
     require(keyCols.nonEmpty, "asof join needs at least one equi-key")
     val leftCols = left.columns.toSeq
     val outNames = "asof_ts" +: rightPayloadCols.map("asof_" + _)
@@ -124,7 +168,9 @@ object AsofJoin {
       s"left columns collide with as-of output names: ${leftCols.intersect(outNames).mkString(",")}",
     )
     // at equal ts: inclusive → right sorts BEFORE left (match visible),
-    // strict → right sorts AFTER left (match invisible)
+    // strict → right sorts AFTER left (match invisible). The rule is
+    // direction-agnostic: the forward scan runs ts-DESC, where side 0
+    // still places the equal-ts right ahead of the left.
     val rightSide = if (inclusive) 0 else 2
     val rStruct = struct(
       col(rightTsCol).as("__ats") +: rightPayloadCols.map(col): _*,
@@ -149,33 +195,29 @@ object AsofJoin {
         lit(null).cast(lStructType).as("__l"),
       ): _*,
     )
-    // forward scans the timeline DESCENDING (running last = smallest
-    // qualifying right ts); side/tie ordering is shared
+    (taggedL.unionByName(taggedR), leftCols)
+  }
+
+  /** Per-key timeline scan: forward runs DESCENDING (running last =
+    * smallest qualifying right ts); side/tie ordering is shared — at
+    * equal (ts, side) the LARGEST right payload struct wins.
+    */
+  private def timelineWindow(keyCols: Seq[String], forward: Boolean) = {
     val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
-    val w = Window
+    Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(tsOrder, col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedCol = last(col("__r"), ignoreNulls = true).over(w)
-    val withMatch = taggedL
-      .unionByName(taggedR)
-      .withColumn("__m", matchedCol)
-      .where(col("__side") === 1)
-    val bounded = toleranceMicros match {
-      case Some(tol) =>
-        val dist =
-          if (forward) unix_micros(col("__m.__ats")) - unix_micros(col("__ts"))
-          else unix_micros(col("__ts")) - unix_micros(col("__m.__ats"))
-        withMatch.withColumn(
-          "__m",
-          when(dist <= tol, col("__m")), // else NULL: beyond the tolerance window
-        )
-      case None => withMatch
-    }
-    bounded.select(
+  }
+
+  private def selectAsofOutput(
+      matched: DataFrame,
+      leftCols: Seq[String],
+      rightPayloadCols: Seq[String],
+  ): DataFrame =
+    matched.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         (col("__m.__ats").as("asof_ts") +:
           rightPayloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))): _*,
     )
-  }
 }

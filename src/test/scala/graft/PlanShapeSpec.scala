@@ -111,6 +111,18 @@ class PlanShapeSpec extends SparkTestBase {
     // reference-tracked and freed when `got` is collected by GC.
   }
 
+  test("asofNearest plans exactly one exchange (both directions share the partitioning)") {
+    val e = graft.sources.Tables.load(spark, Sf0001, "events")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val p = plan(graft.operators.AsofJoin.asofNearest(
+      purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value")))
+    assert(shuffles(p) == 1,
+      s"nearest as-of must hash-partition the union exactly once:\n$p")
+  }
+
   test("ivfTopK broadcastQueries=false never broadcasts the query side") {
     val rng = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
