@@ -1450,6 +1450,113 @@ object SparkEntry {
     """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, true AS recovered
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin
 
+  /** Planted-recall gate for the SimHash near-dup path (q17's scale
+    * face): every 10th document gets a surface-variant duplicate —
+    * uppercased with trailing punctuation. The tokenizer lowercases
+    * and splits on non-word chars, so the token multiset (and hence
+    * the 64-bit SimHash) is IDENTICAL: Hamming distance 0 ≤
+    * maxHamming deterministically, the classic SimHash use case
+    * (same content, different formatting). Recovery still exercises
+    * the whole pipeline — signature invariance, pigeonhole banding,
+    * bucket join, Hamming verify. Recall at Hamming 1–3 is asserted
+    * in ScalaTest instead: near-zero bit margins are data-dependent,
+    * so no text-level plant can guarantee a fixed nonzero distance.
+    */
+  private def q71SimhashPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(upper(col("text")), lit(" !!!")).as("text"))
+    val pairs =
+      Dedup.simHashNearDupPairs(docs.unionByName(copies), "doc_id", "text", maxHamming = 3)
+    val planted = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("recovered")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
+  /** Shared construction for the ANN planted-recall gates (q72–q74):
+    * every 10th vector gets a copy perturbed by +0.01 in component 0
+    * (cosine to its original ≈ 1), the planted copies become the
+    * query set over the corpus∪copies index, and each gate row
+    * records whether the original appears in its copy's top-k. k = 5
+    * leaves slack for the self-match and any coincidental neighbor.
+    */
+  private def annPlantedGate(
+      emb: DataFrame,
+      topK: (DataFrame, DataFrame) => DataFrame,
+  ): DataFrame = {
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val hits = topK(emb.unionByName(copies), copies)
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("query_id"), col("vec_id").as("expected_id"))
+    planted
+      .join(
+        hits.select(col("query_id"), col("neighbor_id").as("expected_id"),
+          lit(true).as("recovered")),
+        Seq("query_id", "expected_id"), "left")
+      .select(col("query_id"), col("expected_id"),
+        coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("query_id")
+      .localCheckpoint(true)
+  }
+
+  /** IVF planted recall (q22's driver-visible gate): the copy lands in
+    * its original's cell, so any nprobe ≥ 1 must recover it.
+    */
+  private def q72IvfPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val model = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k = 5, model, nprobe = 4)
+      })
+
+  /** PQ planted recall (q48's gate): the original's ADC distance to
+    * its copy is ≈ the quantization floor, so it makes the refine·k
+    * shortlist and the exact re-rank surfaces it.
+    */
+  private def q73PqPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val model = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+      })
+
+  /** IVF-PQ planted recall (q56's gate): cell probe + code shortlist +
+    * exact re-rank, end to end.
+    */
+  private def q74IvfPqPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", k = 5, ivf, pq,
+          nprobe = 4, refine = 4)
+      })
+
+  private val annPlantedOracle =
+    """SELECT vec_id + 1000000 AS query_id, vec_id AS expected_id, true AS recovered
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -1701,16 +1808,21 @@ object SparkEntry {
     "q68_token_quantiles_approx" -> (q68TokenQuantilesApprox _),
     "q69_asof_forward" -> (q69AsofForward _),
     "q70_asof_nearest" -> (q70AsofNearest _),
+    "q71_simhash_planted" -> (q71SimhashPlanted _),
+    "q72_ivf_planted" -> (q72IvfPlanted _),
+    "q73_pq_planted" -> (q73PqPlanted _),
+    "q74_ivfpq_planted" -> (q74IvfPqPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
     * (→ rows-only check): q16/q17 (MinHash/SimHash signatures are
-    * engine-internal hash functions — but q66/q67's planted-recall
-    * companions pin the q16/q20 pipelines hash-exactly), q20/q22
-    * (approximate by design), q24/q25 (heuristic UDFs), q26 (stubbed
-    * decode), q27 (ML output — validated by shape + loss in tests per
-    * SURVEY §5), q65 (ln-based BM25 arithmetic; its exact integer
-    * substrate is oracle-checked as q63).
+    * engine-internal hash functions — but the q66/q71 planted-recall
+    * companions pin those pipelines hash-exactly), q20/q22/q48/q56
+    * (approximate by design — recall driver-gated via q67/q72/q73/q74),
+    * q24/q25 (heuristic UDFs), q26 (stubbed decode), q27 (ML output —
+    * validated by shape + loss in tests per SURVEY §5), q65 (ln-based
+    * BM25 arithmetic; its exact integer substrate is oracle-checked
+    * as q63).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -1763,5 +1875,9 @@ object SparkEntry {
     "q67_embedding_lsh_planted" -> q67Oracle,
     "q69_asof_forward" -> q69Oracle,
     "q70_asof_nearest" -> q70Oracle,
+    "q71_simhash_planted" -> q66Oracle, // same planted-pair shape as q66
+    "q72_ivf_planted" -> annPlantedOracle,
+    "q73_pq_planted" -> annPlantedOracle,
+    "q74_ivfpq_planted" -> annPlantedOracle,
   )
 }
