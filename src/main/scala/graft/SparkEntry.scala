@@ -1368,16 +1368,45 @@ object SparkEntry {
       |FROM g JOIN d USING (gram)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
-  /** BM25 top-k over the same term set as q63 — rows-only (the idf/tf
-    * saturation arithmetic is `ln`-based, not portable bit-for-bit);
-    * LexicalSpec locks the scoring against a hand-computed fixture and
-    * the q63 stats are the oracle-checked integer substrate.
+  /** BM25 top-k over the same term set as q63, ORACLE-CHECKED at fixed
+    * precision: top-k selection runs on the exact double score (both
+    * engines compute the same `ln`-based Okapi formula over the q63
+    * integer stats), and the emitted score is `round(score, 6)` — wide
+    * enough to absorb sub-ulp summation-order differences between
+    * engines, tight enough that any arithmetic regression (wrong idf,
+    * wrong saturation, wrong avgdl) flips the hash. LexicalSpec
+    * additionally locks the scoring against a hand-computed fixture.
     */
   private def q65Bm25TopK(s: SparkSession, dir: String): DataFrame =
     graft.operators.Lexical
       .bm25TopK(load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "window", "vector"), k = 20)
-      .orderBy(col("score").desc, col("doc_id"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("n_terms_hit"))
+      .orderBy("doc_id")
+
+  private val q65Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term,
+      |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+      |  FROM t, unnest(list_intersect(list_distinct(w),
+      |    ['spark', 'hash', 'window', 'vector'])) AS u(term)),
+      |d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+      |c AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM t),
+      |s AS (
+      |  SELECT p.doc_id,
+      |    sum(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (p.tf * (1.2 + 1.0))
+      |        / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / c.avgdl))) AS score,
+      |    count(*) AS n_terms_hit
+      |  FROM p JOIN d USING (term) CROSS JOIN c
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, round(score, 6) AS score, n_terms_hit
+      |FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 20)
+      |ORDER BY doc_id""".stripMargin
 
   /** Planted-recall gate for the MinHash-OPH/LSH near-dup path (q16's
     * scale face, which is otherwise rows-only — signature values are
@@ -1820,9 +1849,7 @@ object SparkEntry {
     * companions pin those pipelines hash-exactly), q20/q22/q48/q56
     * (approximate by design — recall driver-gated via q67/q72/q73/q74),
     * q24/q25 (heuristic UDFs), q26 (stubbed decode), q27 (ML output —
-    * validated by shape + loss in tests per SURVEY §5), q65 (ln-based
-    * BM25 arithmetic; its exact integer substrate is oracle-checked
-    * as q63).
+    * validated by shape + loss in tests per SURVEY §5).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -1871,6 +1898,7 @@ object SparkEntry {
     "q62_token_budget" -> q62Oracle,
     "q63_term_stats" -> q63Oracle,
     "q64_common_ngrams" -> q64Oracle,
+    "q65_bm25_topk" -> q65Oracle,
     "q66_minhash_planted" -> q66Oracle,
     "q67_embedding_lsh_planted" -> q67Oracle,
     "q69_asof_forward" -> q69Oracle,

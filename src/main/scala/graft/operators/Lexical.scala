@@ -37,20 +37,29 @@ object Lexical {
   def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
-    val toks = tokens(textCol)
+    // tf is computed INSIDE the generator expression (a transform over
+    // the ≤|query terms| matched terms), so the token array is
+    // evaluated once per document and never carried through the
+    // explode — the exploded stream is narrow (doc_id, dl, term, tf)
+    // rows, no per-row array duplication.
     val perDoc = df
+      .select(col(idCol).as("doc_id"), tokens(textCol).as("__toks"))
       .select(
-        col(idCol).as("doc_id"),
-        size(toks).as("dl"),
-        explode(array_intersect(array_distinct(toks), qTerms)).as("term"),
-        toks.as("__toks"),
+        col("doc_id"),
+        size(col("__toks")).cast("bigint").as("dl"),
+        explode(
+          transform(
+            array_intersect(array_distinct(col("__toks")), qTerms),
+            t => struct(
+              t.as("term"),
+              size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
+          )).as("__tt"),
       )
-      .withColumn("tf", size(filter(col("__toks"), t => t === col("term"))).cast("bigint"))
-      .drop("__toks")
+      .select(col("doc_id"), col("dl"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
     val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     perDoc
       .join(termDf, "term")
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl").cast("bigint").as("dl"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
   }
 
   /** BM25 top-k document retrieval for one query (a bag of terms).
