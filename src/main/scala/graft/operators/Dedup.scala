@@ -1003,12 +1003,16 @@ object Dedup {
     * standard keep-first approximation; a full connected-components
     * pass (iterative) is deliberately out of scope for one call.
     *
-    * The returned survivor frame is eagerly materialized
-    * (localCheckpoint — a pipeline-stage boundary: downstream stages
-    * like chunking consume it immediately and the upstream
-    * filter/redact/dedup chain must not re-execute per consumer).
-    * Blocks free on GC; callers owe no `unpersist` — unlike a
-    * `persist`, nothing pins a CacheManager entry for the session.
+    * The returned survivor frame is eagerly materialized at the
+    * stage boundary per `materialize` (downstream stages like
+    * chunking consume it immediately and the upstream
+    * filter/redact/dedup chain must not re-execute per consumer):
+    * the default [[Materialize.LocalCheckpoint]] keeps blocks in
+    * executor storage (freed on GC, callers owe no `unpersist`, NO
+    * recovery from executor loss); pass
+    * [[Materialize.ParquetDir]] to land the survivors durably — the
+    * 100 TB/preemptible-executor face, where rerunning the whole
+    * dedup on one lost executor is unaffordable.
     */
   def cleanCorpus(
       df: DataFrame,
@@ -1019,6 +1023,7 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       shingleSize: Int = 3,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
     // FUSED exact + near-dup pass: the exact-dedup window and the
     // MinHash signature are computed around ONE exchange of the
@@ -1055,7 +1060,9 @@ object Dedup {
     val out = withSig
       .join(nearDupLosers, withSig(idCol) === nearDupLosers("loser"), "left_anti")
       .select(df.columns.map(col): _*)
-    materializeAndRelease(out, withSig, pairs)
+    val landed = Materialize(out, materialize)
+    Seq(withSig, pairs).foreach(_.unpersist(blocking = false))
+    landed
   }
 
   // ----------------------------------------------------------- shared bits

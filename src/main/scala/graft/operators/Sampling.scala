@@ -174,12 +174,13 @@ object Sampling {
     * `tokenCol` value passes through un-coalesced.
     *
     * Output: the kept rows + `cum_tokens` (running total including
-    * the row itself). The result is eagerly materialized via
-    * `localCheckpoint` so the intermediate prefix-sum cache can be
-    * released HERE — callers owe no `unpersist`; checkpoint blocks are
-    * reference-tracked and freed once the returned frame is dropped
-    * (a `persist` would pin a CacheManager entry forever in a
-    * long-lived session).
+    * the row itself). The result is eagerly materialized per
+    * `materialize` so the intermediate prefix-sum cache can be
+    * released HERE — callers owe no `unpersist`. The default
+    * `LocalCheckpoint` keeps blocks in executor storage (freed on
+    * GC, no recovery from executor loss); pass
+    * [[Materialize.ParquetDir]] to land the selection durably when
+    * the selected slice is itself corpus-sized.
     */
   def tokenBudgetSelect(
       df: DataFrame,
@@ -187,6 +188,7 @@ object Sampling {
       tokenCol: String,
       prefer: Seq[Column],
       budget: Long,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
     val order = prefer :+ col(idCol).asc
     val (prefixed, handle) = Packing.withPrefixSumOrdered(
@@ -195,11 +197,13 @@ object Sampling {
       col("__tok"),
       "__before",
     )
-    val out = prefixed
-      .withColumn("cum_tokens", col("__before") + col("__tok"))
-      .where(col("cum_tokens") <= budget)
-      .drop("__before", "__tok")
-      .localCheckpoint(true)
+    val out = Materialize(
+      prefixed
+        .withColumn("cum_tokens", col("__before") + col("__tok"))
+        .where(col("cum_tokens") <= budget)
+        .drop("__before", "__tok"),
+      materialize,
+    )
     handle.unpersist(blocking = false)
     out
   }

@@ -448,6 +448,7 @@ object Similarity {
       eps: Double = 0.95,
       maxClusterSize: Int = 100000,
       seed: Long = 42L,
+      materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
   ): DataFrame = {
     val model = trainIvf(df, vecCol, nlist, seed = seed)
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
@@ -477,11 +478,10 @@ object Similarity {
       .join(assigned.select(col("id"), col("cent_sim")), "id")
       .withColumn("is_kept", row_number().over(keepRank) === 1)
       .select(col("id"), col("component"), col("is_kept"))
-    // localCheckpoint, not persist: the output is CORPUS-sized — a
-    // persist would pin a CacheManager entry (and the cached rows)
-    // for the rest of a long-lived session with no caller obligated
-    // to release it; checkpoint blocks are reference-tracked and
-    // freed once the returned frame is dropped
+    // the output is CORPUS-sized: landed per `materialize` — default
+    // localCheckpoint (blocks reference-tracked, freed on GC, no
+    // CacheManager pin, no executor-loss recovery) or a durable
+    // ParquetDir for preemptible-executor pipeline runs
     val out = assigned
       .select(col("id"), col("cell"), col("cent_sim"))
       .join(ranked, Seq("id"), "left")
@@ -492,10 +492,10 @@ object Similarity {
         coalesce(col("component"), col("id")).as("component"),
         coalesce(col("is_kept"), lit(true)).as("is_kept"),
       )
-      .localCheckpoint(true)
+    val landed = graft.operators.Materialize(out, materialize)
     assigned.unpersist(blocking = false)
     bucketHandle.unpersist(blocking = false)
-    out
+    landed
   }
 
   // -------------------------------------------------------- product quantization
