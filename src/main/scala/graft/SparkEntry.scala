@@ -1180,24 +1180,16 @@ object SparkEntry {
         col("start_offset"), col("pack_first"), col("pack_last"))
       .orderBy("pos")
 
-  /** Per-source token-length quantiles (EXACT percentile, (n−1)·p
-    * linear interpolation — same definition as DuckDB quantile_cont,
-    * so values hash-match) — the length-distribution panel a curation
-    * run reads before choosing chunk/pack sizes.
+  /** Per-source token-length quantiles via the ADAPTIVE operator: at
+    * gate scale every group fits the exact bound, so the EXACT
+    * percentile runs ((n−1)·p linear interpolation — same definition
+    * as DuckDB quantile_cont, so values hash-match); above the bound
+    * the same call switches to the bounded-state GK sketch (q68's
+    * engine) instead of buffering a whole group per task.
     */
   private def q55TokenQuantiles(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
-      .select(
-        col("source"),
-        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))").cast("double").as("n"),
-      )
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        expr("percentile(n, 0.5D)").as("p50"),
-        expr("percentile(n, 0.95D)").as("p95"),
-        expr("percentile(n, 0.99D)").as("p99"),
-      )
+    TextAnalysis
+      .tokenQuantiles(load(s, dir, "documents"), "text", Seq("source"))
       .orderBy("source")
 
   private val q55Oracle =

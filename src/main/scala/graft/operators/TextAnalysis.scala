@@ -435,6 +435,52 @@ object TextAnalysis {
       )
   }
 
+  /** Adaptive per-group token-length quantiles — the panel face a
+    * pipeline should call. One cheap count aggregation (map-side
+    * combinable longs, negligible next to the percentile pass)
+    * decides the engine: if every group fits `exactMaxGroupRows`, the
+    * EXACT `percentile` runs ((n−1)·p linear interpolation —
+    * `quantile_cont` semantics, hash-matching any SQL oracle);
+    * otherwise the whole panel switches to [[tokenQuantilesApprox]]'s
+    * bounded-state Greenwald-Khanna sketch (rank error ≤
+    * 1/`accuracy`). The exact aggregate buffers a whole group's
+    * values in one task — O(largest group) memory, an executor OOM
+    * waiting for the biggest source on an open-domain corpus — which
+    * is why the bound is enforced here rather than documented away.
+    * The switch is per-call, not per-group, so one panel never mixes
+    * quantile definitions.
+    */
+  def tokenQuantiles(
+      df: DataFrame,
+      textCol: String,
+      groupCols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      exactMaxGroupRows: Long = 10000000L,
+      accuracy: Int = 10000,
+  ): DataFrame = {
+    val maxGroup = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"))
+      .head()
+    val largest = if (maxGroup.isNullAt(0)) 0L else maxGroup.getLong(0)
+    if (largest <= exactMaxGroupRows) {
+      val pList = percentiles.map(p => s"${p}D").mkString("array(", ", ", ")")
+      df.select(groupCols.map(col) :+ tokenCount(col(textCol)).cast("double").as("__n"): _*)
+        .groupBy(groupCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr(s"percentile(__n, $pList)").as("__qs"),
+        )
+        .select(
+          groupCols.map(col) ++ Seq(col("n_docs")) ++
+            percentiles.zipWithIndex.map { case (p, i) =>
+              element_at(col("__qs"), i + 1).as(s"p${(p * 100).round}")
+            }: _*
+        )
+    } else tokenQuantilesApprox(df, textCol, groupCols, percentiles, accuracy)
+  }
+
   // ------------------------------------------- cross-document n-grams
 
   /** Distinct textual word n-grams of a document as an array column —

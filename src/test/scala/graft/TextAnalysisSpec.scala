@@ -402,6 +402,33 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("tokenQuantiles: exact below the group bound, GK engine above it, same schema") {
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val exactRef = docs
+      .select($"source",
+        expr("size(filter(split(trim(text), '\\\\s+'), x -> x != ''))").cast("double").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n, 0.5D)").as("p50"), expr("percentile(n, 0.95D)").as("p95"),
+        expr("percentile(n, 0.99D)").as("p99"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // groups fit the default bound → bit-identical to the exact agg
+    val adaptive = graft.operators.TextAnalysis
+      .tokenQuantiles(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(adaptive == exactRef, "below the bound the adaptive panel must be exact")
+    // force the bound below every group → the GK engine takes over,
+    // same columns, values within the sketch's rank band
+    val forced = graft.operators.TextAnalysis
+      .tokenQuantiles(docs, "text", Seq("source"), exactMaxGroupRows = 1L)
+    assert(forced.columns.toSeq == Seq("source", "n_docs", "p50", "p95", "p99"))
+    forced.collect().foreach { r =>
+      val (src, p50) = (r.getString(0), r.getDouble(2))
+      val exactP50 = exactRef(src)(1).asInstanceOf[Double]
+      assert(math.abs(p50 - exactP50) <= math.max(2.0, exactP50 * 0.05), s"$src p50")
+    }
+  }
+
   /** Minimal-but-valid ISO BMFF: ftyp, mdat (samples concatenated,
     * split 2+rest across two chunks), moov with an audio trak FIRST
     * (the walker must skip it) then the video trak whose
