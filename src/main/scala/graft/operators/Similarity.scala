@@ -434,8 +434,16 @@ object Similarity {
     * (no cluster's id list is ever materialized in one buffer), verify
     * is a native cosine per candidate, and transitive ε-chains close
     * via connected components. Cross-cluster near-dups are missed by
-    * construction (that's the approximation SemDeDup makes; raise
-    * `nlist` with corpus size so clusters stay bounded).
+    * construction (that's the approximation SemDeDup makes).
+    *
+    * `nlist` ≤ 0 (the default) derives the cell count FROM THE CORPUS:
+    * `max(16, ⌈n / targetClusterRows⌉)`. A fixed nlist is the classic
+    * scale bug in this operator — cluster populations grow linearly
+    * with the corpus and candidate pairs QUADRATICALLY (the round-8
+    * sf1 sweep measured it directly) — whereas a corpus-proportional
+    * cell count keeps expected cluster size (and per-cluster pair
+    * cost) constant. Pass an explicit nlist only for reproducing a
+    * fixed partition layout.
     *
     * Output: every input row as (id, cell, cent_sim, component,
     * is_kept) — filter `is_kept` to dedupe.
@@ -444,13 +452,25 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int = 64,
+      nlist: Int = 0,
       eps: Double = 0.95,
       maxClusterSize: Int = 100000,
       seed: Long = 42L,
       materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
+      targetClusterRows: Int = 4096,
   ): DataFrame = {
-    val model = trainIvf(df, vecCol, nlist, seed = seed)
+    val cells =
+      if (nlist > 0) nlist
+      else {
+        // one cheap count (parquet footers / cached plan, no shuffle);
+        // capped at 16384 — the driver-k-means training face's limit
+        // (SCALE.md) — beyond which maxClusterSize still caps the
+        // per-cluster pair cost
+        val n = df.count()
+        math.min(16384L, math.max(16L, (n + targetClusterRows - 1) / targetClusterRows)).toInt
+      }
+    // the sample must comfortably exceed the centroid count
+    val model = trainIvf(df, vecCol, cells, sampleRows = math.max(20000, cells * 8), seed = seed)
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bc.value, v))
     val centSimUdf = udf((v: Seq[Float], c: Int) => -IvfModel.negCos(bc.value(c), v))

@@ -103,6 +103,34 @@ class SimilaritySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("semanticDedup auto-nlist: cell count tracks corpus size, dedup still exact on planted trios") {
+    val rng = new scala.util.Random(11)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val singles = (0 until 60).map(i => (i.toLong, unit(16).toSeq))
+    val trio = {
+      val base = unit(16)
+      (0 until 3).map(m => (200L + m, base.map(x => x + 0.001f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = (singles ++ trio).toDF("vec_id", "embedding").repartition(4)
+    // 63 rows / targetClusterRows=8 → ~8 auto cells (floor 16 applies ⇒ 16);
+    // the planted trio must still collapse to one keeper
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", eps = 0.99, seed = 3L,
+      targetClusterRows = 8)
+    val kept = out.select("id", "is_kept").as[(Long, Boolean)].collect()
+      .filter(_._2).map(_._1).toSet
+    assert(kept.intersect(Set(200L, 201L, 202L)).size == 1, s"trio kept ${kept.intersect(Set(200L, 201L, 202L))}")
+    assert((0L until 60L).forall(kept.contains), "singletons must all be kept")
+    // cells in the output span more than a fixed tiny layout — the
+    // corpus-derived count is in effect (floor 16 > the 6-cell layout
+    // the explicit-nlist planted test uses)
+    val nCells = out.select("cell").distinct().count()
+    assert(nCells > 6 && nCells <= 16, s"auto nlist should land in (6, 16], got $nCells")
+  }
+
   test("pq ANN: exhaustive refine equals brute force; tight refine keeps recall") {
     val rng = new scala.util.Random(13)
     val vecs = (0 until 8).flatMap { c =>
