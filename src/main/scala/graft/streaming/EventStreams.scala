@@ -337,4 +337,128 @@ object EventStreams {
         },
       )
   }
+
+  final case class AsofPendingLeft(tsUs: Long, ts: Timestamp, eventId: Long, value: Double,
+      candUs: Long, candTs: Timestamp, candEventId: Long, candValue: Double, hasCand: Boolean)
+  final case class AsofRightEv(tsUs: Long, ts: Timestamp, eventId: Long, value: Double)
+  final case class AsofForwardState(pending: Seq[AsofPendingLeft], rights: Seq[AsofRightEv])
+
+  /** Streaming FORWARD as-of join — the streaming face of
+    * [[graft.operators.AsofJoin.asofForward]]: every left event is
+    * matched with the EARLIEST right event at-or-after it per user,
+    * within `toleranceSeconds` ("next reading after the event",
+    * live). Unlike the backward direction (whose minimal state is one
+    * row per key), forward matches depend on the FUTURE, so lefts
+    * buffer in state until the event-time watermark proves their
+    * match final:
+    *
+    *   - a left with candidate right `c` (smallest right ts ≥ left
+    *     ts seen so far; ties keep the largest (event_id, value) —
+    *     the batch struct rule) resolves once watermark ≥ c.ts: no
+    *     admissible arrival can beat `c` afterwards;
+    *   - a left with no candidate inside the tolerance resolves to
+    *     NO-MATCH once watermark ≥ left.ts + tolerance.
+    *
+    * State per key is O(lefts inside the watermark+tolerance
+    * horizon) + O(rights newer than the watermark) — both bounded by
+    * arrival rate × (delay + tolerance), the information-theoretic
+    * floor for this direction (each buffered left's answer is
+    * genuinely undetermined). Rights at-or-before the watermark are
+    * pruned every invocation (pending lefts pin their own candidate
+    * copies). An event-time timeout flushes resolutions when no new
+    * data arrives for a key. LATE lefts (ts ≤ watermark) resolve
+    * immediately against the retained rights — best-effort, may
+    * no-match where the batch operator would match (mirrors the
+    * backward stream's late-left degradation).
+    *
+    * The tolerance is MANDATORY in the streaming direction: without
+    * it a no-match left could never be resolved (a qualifying right
+    * may arrive arbitrarily far in the future).
+    */
+  def asofForwardStream(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      toleranceSeconds: Long,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[AsofHit] = {
+    import left.sparkSession.implicits._
+    require(toleranceSeconds > 0, "forward as-of streaming needs a positive tolerance")
+    val tolUs = toleranceSeconds * 1000000L
+    val tagged = left
+      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .withWatermark("ts", watermarkDelay)
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[AsofSideRow], state: GroupState[AsofForwardState]) => {
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val prev = state.getOption.getOrElse(AsofForwardState(Nil, Nil))
+          val newRows = rows.toSeq
+          val newRights = newRows.filter(_.side == 0)
+            .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
+          val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
+
+          // candidate = smallest qualifying right ts; at equal ts the
+          // largest (event_id, value) — matches the batch window's
+          // struct ordering
+          def better(l: AsofPendingLeft, r: AsofRightEv): Boolean =
+            r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs &&
+              (!l.hasCand || r.tsUs < l.candUs ||
+                (r.tsUs == l.candUs &&
+                  (r.eventId > l.candEventId ||
+                    (r.eventId == l.candEventId && r.value > l.candValue))))
+          def absorb(l0: AsofPendingLeft, rs: Seq[AsofRightEv]): AsofPendingLeft =
+            rs.foldLeft(l0)((l, r) =>
+              if (better(l, r))
+                l.copy(candUs = r.tsUs, candTs = r.ts, candEventId = r.eventId,
+                  candValue = r.value, hasCand = true)
+              else l)
+
+          // existing pending lefts see only the NEW rights (old rights
+          // were absorbed when they arrived); new lefts scan the full
+          // retained right buffer
+          val updatedPending = prev.pending.map(absorb(_, newRights))
+          val newPending = newRows.filter(_.side == 1).map { l =>
+            absorb(
+              AsofPendingLeft(tsMicros(l.ts), l.ts, l.event_id, l.value,
+                0L, null, 0L, 0.0, hasCand = false),
+              rights)
+          }
+          // a left ARRIVING at-or-behind the watermark (late data)
+          // resolves immediately against the retained rights —
+          // best-effort by construction; buffering it would be wrong
+          // too (pre-watermark rights are already pruned). Pending
+          // lefts whose ts the watermark merely passed are NOT late:
+          // their candidate can still improve until wm ≥ candidate ts.
+          val (lateNew, freshNew) = newPending.partition(_.tsUs <= wmUs)
+          val all = (updatedPending ++ freshNew).sortBy(l => (l.tsUs, l.eventId))
+
+          // resolve: candidate final once wm ≥ cand ts (later arrivals
+          // must have ts > wm, so they can neither beat nor tie it);
+          // no-match final once wm ≥ left ts + tolerance
+          val (done, still) = all.partition(l =>
+            (l.hasCand && l.candUs <= wmUs) || l.tsUs + tolUs <= wmUs)
+          val out = (lateNew ++ done).map(l =>
+            if (l.hasCand)
+              AsofHit(l.eventId, userId, l.ts, l.value,
+                Some(l.candTs), Some(l.candEventId), Some(l.candValue))
+            else AsofHit(l.eventId, userId, l.ts, l.value, None, None, None))
+
+          // rights at-or-before the watermark can never serve a future
+          // left (new lefts arrive with ts > watermark)
+          val keptRights = rights.filter(_.tsUs > wmUs)
+          if (still.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsofForwardState(still, keptRights))
+            // wake at the next resolution boundary even if no data comes
+            val nextUs = (still.map(l => if (l.hasCand) l.candUs else l.tsUs + tolUs) ++
+              keptRights.map(_.tsUs)).min
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+          }
+          out.iterator
+        },
+      )
+  }
 }

@@ -189,6 +189,100 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming forward as-of join equals batch asofForward with tolerance (bounded input)") {
+    val tolSec = 3600L
+    // fixture = events + one far-future flush view (beyond tolerance of
+    // every purchase, so it never matches) that advances the watermark
+    // far enough for ALL lefts — including the no-match tail — to
+    // resolve; used identically on both sides of the equivalence
+    val base = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = base.agg(max($"ts")).head().getTimestamp(0)
+    val flush = Seq(EventStreams.Event(
+      999999999L, new java.sql.Timestamp(maxTs.getTime + 3 * tolSec * 1000), 1L, "view", 0.0)).toDF()
+    val fixtureDir = Files.createTempDirectory("graft-asof-fwd").toString
+    base.unionByName(flush).coalesce(1).write.mode("overwrite").parquet(fixtureDir)
+    val fixture = spark.read.parquet(fixtureDir)
+
+    val purchases = fixture
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = fixture
+      .where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val batch = graft.operators.AsofJoin
+      .asofForward(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"),
+        toleranceMicros = Some(tolSec * 1000000L))
+      .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+      .toMap
+
+    def sideStream(eventType: String) = spark.readStream
+      .schema(fixture.schema)
+      .parquet(fixtureDir)
+      .where($"event_type" === eventType)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams
+      .asofForwardStream(sideStream("purchase"), sideStream("view"),
+        toleranceSeconds = tolSec, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("asof_fwd_stream")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("asof_fwd_stream")
+        .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+        .collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+        .toMap
+      assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming forward as-of: left resolves only when the watermark proves its match final") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, "x", id.toDouble)
+    val lefts = MemoryStream[EventStreams.Event](spark)
+    val rights = MemoryStream[EventStreams.Event](spark)
+    // 300s watermark delay: the t+60 right in batch 2 is NOT late
+    // (wm after batch 1 = t+120-300), so it must displace the t+120
+    // provisional candidate before resolution
+    val q = EventStreams
+      .asofForwardStream(lefts.toDS(), rights.toDS(),
+        toleranceSeconds = 600L, watermarkDelay = "300 seconds")
+      .writeStream.format("memory").queryName("asof_fwd_wm").outputMode("append").start()
+    try {
+      // batch 1: a left at t+0 and a provisional candidate at t+120
+      lefts.addData(ev(1L, 0))
+      rights.addData(ev(100L, 120))
+      q.processAllAvailable()
+      assert(spark.table("asof_fwd_wm").count() == 0L,
+        "left must stay pending: an earlier right could still arrive inside the watermark")
+      // batch 2: a BETTER (earlier) right at t+60 — watermark still
+      // below it, so nothing resolves yet
+      rights.addData(ev(101L, 60))
+      q.processAllAvailable()
+      assert(spark.table("asof_fwd_wm").count() == 0L,
+        "still pending: watermark has not reached the candidate")
+      // batch 3: event time far enough that wm ≥ candidate → resolution
+      rights.addData(ev(102L, 1200))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_wm")
+        .select($"event_id", $"asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 101L),
+        s"the later-arriving earlier right must win before resolution: $got")
+    } finally q.stop()
+  }
+
   test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
     val batchSessions = EventStreams
       .sessionWindows(Tables.events(spark, Sf0001), watermark = None)
