@@ -338,6 +338,46 @@ object EventStreams {
       )
   }
 
+  /** Native stream-stream interval join — the streaming face of
+    * [[graft.operators.RangeJoin]]: every left event pairs with the
+    * same-key right events whose ts lies in
+    * `[left.ts − lookbackSeconds, left.ts + lookaheadSeconds]`.
+    *
+    * This is Spark's built-in watermarked stream-stream inner join:
+    * both sides buffer in join state, and the engine DERIVES the
+    * state-retention bound from the time-range predicate plus the
+    * watermarks (a right row can be dropped once the watermark says
+    * no future left can reach back to it, and vice versa) — so state
+    * is O(rate × (delay + window)), no custom state code needed.
+    * Exactly the case where composing built-ins beats
+    * `flatMapGroupsWithState`.
+    */
+  def intervalJoinStream(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      lookbackSeconds: Long,
+      lookaheadSeconds: Long = 0L,
+      watermarkDelay: String = "1 hour",
+  ): DataFrame = {
+    val l = left.toDF()
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.toDF()
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(
+      r,
+      expr(
+        s"""user_id = r_user_id AND
+           |r_ts >= l_ts - INTERVAL $lookbackSeconds SECONDS AND
+           |r_ts <= l_ts + INTERVAL $lookaheadSeconds SECONDS""".stripMargin),
+    ).select(
+      col("l_event_id"), col("user_id"), col("l_ts"), col("l_value"),
+      col("r_event_id"), col("r_ts"), col("r_value"))
+  }
+
   final case class AsofPendingLeft(tsUs: Long, ts: Timestamp, eventId: Long, value: Double,
       candUs: Long, candTs: Timestamp, candEventId: Long, candValue: Double, hasCand: Boolean)
   final case class AsofRightEv(tsUs: Long, ts: Timestamp, eventId: Long, value: Double)

@@ -129,6 +129,60 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got2.getAs[Double]("asof_bid") == 99.9, "1s forward beats 3s backward")
   }
 
+  test("randomized: all three directions match an in-memory reference under heavy ties") {
+    val baseMs = ts("2024-01-01 10:00:00").getTime
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      // 3 keys × 20 timestamps × 30 rows per side → dense collisions
+      // and equal-ts ties on both sides
+      val lefts = (1 to 30).map(i =>
+        (i.toLong, s"K${rng.nextInt(3)}", new Timestamp(baseMs + rng.nextInt(20) * 1000L)))
+      val rights = (1 to 30).map(i =>
+        (100L + i, s"K${rng.nextInt(3)}", new Timestamp(baseMs + rng.nextInt(20) * 1000L),
+          rng.nextInt(5).toDouble))
+      val lDf = lefts.toDF("lid", "k", "t")
+      val rDf = rights.toDF("rid", "k", "qt", "v")
+
+      // reference tie rule = the operator contract: qualifying set,
+      // then max by (ts, payload struct) for backward / min ts with
+      // max struct for forward — both are max by the lexicographic
+      // (±ts, rid, v) tuple
+      def bwRef(k: String, lt: Long) = rights
+        .filter(r => r._2 == k && r._3.getTime <= lt)
+        .sortBy(r => (r._3.getTime, r._1, r._4)).lastOption
+      def fwRef(k: String, lt: Long) = rights
+        .filter(r => r._2 == k && r._3.getTime >= lt)
+        .sortBy(r => (-r._3.getTime, r._1, r._4)).lastOption
+      def nearRef(k: String, lt: Long) = (bwRef(k, lt), fwRef(k, lt)) match {
+        case (Some(b), Some(f)) =>
+          if (lt - b._3.getTime <= f._3.getTime - lt) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+
+      def run(dir: String) = {
+        val fn = dir match {
+          case "b" => AsofJoin.asofBackward _
+          case "f" => AsofJoin.asofForward _
+          case _ => AsofJoin.asofNearest _
+        }
+        fn(lDf, rDf, Seq("k"), "t", "qt", Seq("rid", "v"), true, None)
+          .select(col("lid"), col("asof_rid"))
+          .collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+      }
+      val (gotB, gotF, gotN) = (run("b"), run("f"), run("n"))
+      lefts.foreach { case (lid, k, lts) =>
+        assert(gotB(lid) == bwRef(k, lts.getTime).map(_._1).getOrElse(-1L),
+          s"seed=$seed backward lid=$lid")
+        assert(gotF(lid) == fwRef(k, lts.getTime).map(_._1).getOrElse(-1L),
+          s"seed=$seed forward lid=$lid")
+        assert(gotN(lid) == nearRef(k, lts.getTime).map(_._1).getOrElse(-1L),
+          s"seed=$seed nearest lid=$lid")
+      }
+    }
+  }
+
   test("plan shape: exactly one exchange — no range-join explosion") {
     val plan = AsofJoin
       .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))

@@ -283,6 +283,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join on bounded input") {
+    def side(eventType: String, stream: Boolean) = {
+      val df =
+        if (stream) spark.readStream.schema(spark.read.parquet(eventsDir).schema).parquet(eventsDir)
+        else spark.read.parquet(eventsDir)
+      df.where($"event_type" === eventType)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.Event]
+    }
+    val batch = EventStreams
+      .intervalJoinStream(side("purchase", stream = false), side("view", stream = false),
+        lookbackSeconds = 1800L)
+      .select($"l_event_id", $"r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce at least one in-window pair")
+
+    val q = EventStreams
+      .intervalJoinStream(side("purchase", stream = true), side("view", stream = true),
+        lookbackSeconds = 1800L, watermarkDelay = "365 days")
+      .select($"l_event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("interval_join_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("event-time session windows: stream (watermarked) equals batch; counts match row-number sessionization") {
     val batchSessions = EventStreams
       .sessionWindows(Tables.events(spark, Sf0001), watermark = None)
