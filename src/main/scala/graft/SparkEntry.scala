@@ -1578,6 +1578,83 @@ object SparkEntry {
     """SELECT vec_id + 1000000 AS query_id, vec_id AS expected_id, true AS recovered
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
+  /** Planted-recall gate for the winnowing passage-overlap path (q29's
+    * scale face): every 20th sufficiently long document spawns a
+    * "quoting" doc — a 300-char excerpt plus a short foreign tail.
+    * The excerpt's winnowing fingerprints are (near-all of) the
+    * copy's fingerprint set and a subset of the original's, so the
+    * containment overlap far exceeds the 0.4 threshold; recovery
+    * exercises signature selection, bucket join, and the overlap
+    * verify end-to-end.
+    */
+  private def q75WinnowPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+    val eligible = col("doc_id") % 20 === 0 && col("n_chars") >= 400
+    val copies = docs
+      .where(eligible)
+      .select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(substring(col("text"), 51, 300), lit(" planted excerpt tail")).as("text"))
+    val pairs = Dedup.winnowingNearDupPairs(
+      docs.select(col("doc_id"), col("text")).unionByName(copies),
+      "doc_id", "text", minOverlap = 0.4)
+    val planted = docs
+      .where(eligible)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(2000000L)).as("id_b"))
+    planted
+      .join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("recovered")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
+  private val q75Oracle =
+    """SELECT doc_id AS id_a, doc_id + 2000000 AS id_b, true AS recovered
+      |FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 400 ORDER BY id_a""".stripMargin
+
+  /** Planted-language gate for the lang-id heuristic (q24's scale
+    * face): every 25th document's text is replaced by a FIXED sentence
+    * cycling through 8 languages (4 scripts + 4 Latin stopword
+    * profiles); the classifier output must match the plant exactly —
+    * a driver-visible end-to-end check on both the script-ratio and
+    * stopword-profile paths.
+    */
+  private val plantedLangSentences: Seq[(String, String)] = Seq(
+    "fr" -> ("le chat est dans la maison et il ne veut pas sortir avec nous " +
+      "pour le moment mais nous restons avec lui dans la maison"),
+    "de" -> ("der hund ist nicht in dem haus und er will mit uns nicht auf die " +
+      "straße gehen aber wir bleiben mit ihm in dem haus"),
+    "es" -> ("el perro está en la casa y no quiere salir con nosotros por la " +
+      "calle pero nos quedamos con él en la casa este día"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and the cat watches " +
+      "from the wall while we stay in the house with them"),
+    "ru" -> "собака сидит дома и не хочет идти гулять с нами по улице сегодня вечером",
+    "zh" -> "今天天气很好我们一起去公园散步然后吃晚饭",
+    "ja" -> "きょうはてんきがいいのでこうえんへさんぽにいきます",
+    "ko" -> "오늘은 날씨가 좋아서 공원에 산책하러 갑니다",
+  )
+
+  private def q76LangidPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").where(col("doc_id") % 25 === 0)
+    val idx = (col("doc_id") / 25).cast("long") % 8
+    val text = plantedLangSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, sentence), i)) => when(idx === i, lit(sentence)).otherwise(acc)
+    }
+    TextAnalysis
+      .withLangId(docs.select(col("doc_id"), text.as("text")), "text")
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val q76Oracle =
+    """SELECT doc_id,
+      |  CASE (doc_id // 25) % 8 WHEN 0 THEN 'fr' WHEN 1 THEN 'de' WHEN 2 THEN 'es'
+      |    WHEN 3 THEN 'en' WHEN 4 THEN 'ru' WHEN 5 THEN 'zh' WHEN 6 THEN 'ja'
+      |    ELSE 'ko' END AS lang_pred
+      |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -1833,6 +1910,8 @@ object SparkEntry {
     "q72_ivf_planted" -> (q72IvfPlanted _),
     "q73_pq_planted" -> (q73PqPlanted _),
     "q74_ivfpq_planted" -> (q74IvfPqPlanted _),
+    "q75_winnow_planted" -> (q75WinnowPlanted _),
+    "q76_langid_planted" -> (q76LangidPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1899,5 +1978,7 @@ object SparkEntry {
     "q72_ivf_planted" -> annPlantedOracle,
     "q73_pq_planted" -> annPlantedOracle,
     "q74_ivfpq_planted" -> annPlantedOracle,
+    "q75_winnow_planted" -> q75Oracle,
+    "q76_langid_planted" -> q76Oracle,
   )
 }
