@@ -1655,6 +1655,68 @@ object SparkEntry {
       |    ELSE 'ko' END AS lang_pred
       |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Planted-collapse gate for SemDeDup (q47's driver-visible face):
+    * every 10th vector gets an ε-ball copy (one component +0.001,
+    * cosine ≈ 1 ≫ eps 0.99 — no unplanted vector can reach that
+    * similarity, so each component is exactly the planted pair). The
+    * gate emits the two DETERMINISTIC booleans of the contract —
+    * same component, exactly one member kept — rather than component
+    * ids or cent_sim values, which depend on the trained centroids.
+    */
+  private def q77SemdedupPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val out = Similarity
+      .semanticDedup(emb.unionByName(copies), "vec_id", "embedding", nlist = 16, eps = 0.99)
+      .select(col("id"), col("component"), col("is_kept"))
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(out.select(col("id").as("id_a"), col("component").as("__ca"),
+        col("is_kept").as("__ka")), "id_a")
+      .join(out.select(col("id").as("id_b"), col("component").as("__cb"),
+        col("is_kept").as("__kb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("__ca") === col("__cb")).as("same_component"),
+        (col("__ka") =!= col("__kb")).as("one_kept"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
+  private val q77Oracle =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      |  true AS same_component, true AS one_kept
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin
+
+  /** Whitespace-normalization gate for the content fingerprint (q25's
+    * scale face): a copy with expanded/padded whitespace must
+    * fingerprint IDENTICALLY (the fingerprint normalizes interior
+    * runs and trims) — the exact property the cheap dedup key relies
+    * on. Booleans only; the 64-bit values stay engine-internal.
+    */
+  private def q78FingerprintPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").where(col("doc_id") % 15 === 0)
+    val orig = graft.operators.TextAnalysis.contentFingerprintUdf(col("text"))
+    val variant = graft.operators.TextAnalysis.contentFingerprintUdf(
+      concat(lit("  "), regexp_replace(col("text"), " ", "   "), lit(" \n\t")))
+    docs
+      .select(col("doc_id"), (orig === variant).as("matches"))
+      .orderBy("doc_id")
+  }
+
+  private val q78Oracle =
+    """SELECT doc_id, true AS matches
+      |FROM documents WHERE doc_id % 15 = 0 ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -1912,6 +1974,8 @@ object SparkEntry {
     "q74_ivfpq_planted" -> (q74IvfPqPlanted _),
     "q75_winnow_planted" -> (q75WinnowPlanted _),
     "q76_langid_planted" -> (q76LangidPlanted _),
+    "q77_semdedup_planted" -> (q77SemdedupPlanted _),
+    "q78_fingerprint_planted" -> (q78FingerprintPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -1980,5 +2044,7 @@ object SparkEntry {
     "q74_ivfpq_planted" -> annPlantedOracle,
     "q75_winnow_planted" -> q75Oracle,
     "q76_langid_planted" -> q76Oracle,
+    "q77_semdedup_planted" -> q77Oracle,
+    "q78_fingerprint_planted" -> q78Oracle,
   )
 }
