@@ -1717,6 +1717,30 @@ object SparkEntry {
     """SELECT doc_id, true AS matches
       |FROM documents WHERE doc_id % 15 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Zero-merge gate for the BPE encoder (q49's driver-visible face):
+    * with an empty merge table the greedy encoder must emit exactly
+    * chars + end-of-word marker per word, so the per-doc token count
+    * is Σ(len(word) + 1) — pure integer arithmetic any SQL engine
+    * reproduces. Pins the tokenizer, the encoder plumbing, and the
+    * per-model cache path end-to-end; the learned-merge arithmetic
+    * stays ScalaTest-checked (BpeSpec's hand-computed merge table).
+    */
+  private def q79BpeZeroMerge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe
+      .withBpeTokens(load(s, dir, "documents"), "text",
+        graft.operators.Bpe.BpeModel(Array.empty))
+      .select(col("doc_id"), col("n_bpe_tokens").cast("bigint").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val q79Oracle =
+    """SELECT doc_id,
+      |  COALESCE(CAST(list_sum(list_transform(w, x -> len(x) + 1)) AS BIGINT), 0)
+      |    AS n_bpe_tokens
+      |FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -1976,6 +2000,7 @@ object SparkEntry {
     "q76_langid_planted" -> (q76LangidPlanted _),
     "q77_semdedup_planted" -> (q77SemdedupPlanted _),
     "q78_fingerprint_planted" -> (q78FingerprintPlanted _),
+    "q79_bpe_zero_merge" -> (q79BpeZeroMerge _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2046,5 +2071,6 @@ object SparkEntry {
     "q76_langid_planted" -> q76Oracle,
     "q77_semdedup_planted" -> q77Oracle,
     "q78_fingerprint_planted" -> q78Oracle,
+    "q79_bpe_zero_merge" -> q79Oracle,
   )
 }
