@@ -406,10 +406,11 @@ object EventStreams {
     * genuinely undetermined). Rights at-or-before the watermark are
     * pruned every invocation (pending lefts pin their own candidate
     * copies). An event-time timeout flushes resolutions when no new
-    * data arrives for a key. LATE lefts (ts ≤ watermark) resolve
-    * immediately against the retained rights — best-effort, may
-    * no-match where the batch operator would match (mirrors the
-    * backward stream's late-left degradation).
+    * data arrives for a key. Rows behind the watermark are dropped
+    * by the engine before reaching the state function (standard
+    * watermark semantics under event-time timeouts); should a
+    * runtime deliver one anyway, it resolves immediately best-effort
+    * against the retained rights.
     *
     * The tolerance is MANDATORY in the streaming direction: without
     * it a no-match left could never be resolved (a qualifying right
@@ -496,6 +497,138 @@ object EventStreams {
               keptRights.map(_.tsUs)).min
             state.setTimeoutTimestamp(
               math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+          }
+          out.iterator
+        },
+      )
+  }
+
+  final case class AsofPendingNear(
+      tsUs: Long, ts: Timestamp, eventId: Long, value: Double,
+      fUs: Long, fTs: Timestamp, fEventId: Long, fValue: Double, hasF: Boolean,
+      bUs: Long, bTs: Timestamp, bEventId: Long, bValue: Double, hasB: Boolean)
+  final case class AsofNearestState(
+      pending: Seq[AsofPendingNear],
+      rights: Seq[AsofRightEv],
+      latestUs: Long, latestTs: Timestamp, latestEventId: Long, latestValue: Double,
+      hasLatest: Boolean)
+
+  /** Streaming NEAREST as-of join — the streaming face of
+    * [[graft.operators.AsofJoin.asofNearest]]: the closer of the
+    * backward and forward matches within `toleranceSeconds`,
+    * equidistant → backward (the pandas rule, same as batch).
+    *
+    * Each pending left tracks BOTH direction candidates and resolves
+    * once both are watermark-final: the backward side is final as
+    * soon as wm ≥ left.ts (later arrivals have ts > wm so they can
+    * only be forward candidates), the forward side by the
+    * [[asofForwardStream]] rule (wm ≥ candidate ts, or no candidate
+    * and wm ≥ left.ts + tolerance). Backward candidates for lefts
+    * that arrive AFTER their rights were pruned come from a one-row
+    * "latest pruned right" register per key — pruning folds the max
+    * pruned right into it instead of discarding information, so the
+    * state stays O(rate × (delay + tolerance)) + one row.
+    */
+  def asofNearestStream(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      toleranceSeconds: Long,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[AsofHit] = {
+    import left.sparkSession.implicits._
+    require(toleranceSeconds > 0, "nearest as-of streaming needs a positive tolerance")
+    val tolUs = toleranceSeconds * 1000000L
+    val tagged = left
+      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .withWatermark("ts", watermarkDelay)
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[AsofSideRow], state: GroupState[AsofNearestState]) => {
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          val prev = state.getOption.getOrElse(
+            AsofNearestState(Nil, Nil, 0L, null, 0L, 0.0, hasLatest = false))
+          val newRows = rows.toSeq
+          val newRights = newRows.filter(_.side == 0)
+            .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
+          val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
+
+          def fwBetter(l: AsofPendingNear, r: AsofRightEv): Boolean =
+            r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs &&
+              (!l.hasF || r.tsUs < l.fUs ||
+                (r.tsUs == l.fUs && (r.eventId > l.fEventId ||
+                  (r.eventId == l.fEventId && r.value > l.fValue))))
+          def bwBetter(l: AsofPendingNear, r: AsofRightEv): Boolean =
+            r.tsUs <= l.tsUs && r.tsUs + tolUs >= l.tsUs &&
+              (!l.hasB || r.tsUs > l.bUs ||
+                (r.tsUs == l.bUs && (r.eventId > l.bEventId ||
+                  (r.eventId == l.bEventId && r.value > l.bValue))))
+          def absorb(l0: AsofPendingNear, rs: Seq[AsofRightEv]): AsofPendingNear =
+            rs.foldLeft(l0) { (l, r) =>
+              val f =
+                if (fwBetter(l, r))
+                  l.copy(fUs = r.tsUs, fTs = r.ts, fEventId = r.eventId,
+                    fValue = r.value, hasF = true)
+                else l
+              if (bwBetter(f, r))
+                f.copy(bUs = r.tsUs, bTs = r.ts, bEventId = r.eventId,
+                  bValue = r.value, hasB = true)
+              else f
+            }
+
+          val latestSeq =
+            if (prev.hasLatest)
+              Seq(AsofRightEv(prev.latestUs, prev.latestTs, prev.latestEventId, prev.latestValue))
+            else Nil
+          val updatedPending = prev.pending.map(absorb(_, newRights))
+          val newPending = newRows.filter(_.side == 1).map { l =>
+            absorb(
+              AsofPendingNear(tsMicros(l.ts), l.ts, l.event_id, l.value,
+                0L, null, 0L, 0.0, hasF = false, 0L, null, 0L, 0.0, hasB = false),
+              latestSeq ++ rights)
+          }
+          val (lateNew, freshNew) = newPending.partition(_.tsUs <= wmUs)
+          val all = (updatedPending ++ freshNew).sortBy(l => (l.tsUs, l.eventId))
+
+          def fwFinal(l: AsofPendingNear) =
+            (l.hasF && l.fUs <= wmUs) || l.tsUs + tolUs <= wmUs
+          def bwFinal(l: AsofPendingNear) = l.tsUs <= wmUs
+          val (done, still) = all.partition(l => fwFinal(l) && bwFinal(l))
+          def emit(l: AsofPendingNear): AsofHit = {
+            val useB = l.hasB && (!l.hasF || (l.tsUs - l.bUs) <= (l.fUs - l.tsUs))
+            if (useB)
+              AsofHit(l.eventId, userId, l.ts, l.value,
+                Some(l.bTs), Some(l.bEventId), Some(l.bValue))
+            else if (l.hasF)
+              AsofHit(l.eventId, userId, l.ts, l.value,
+                Some(l.fTs), Some(l.fEventId), Some(l.fValue))
+            else AsofHit(l.eventId, userId, l.ts, l.value, None, None, None)
+          }
+          val out = (lateNew ++ done).map(emit)
+
+          // prune: fold the max pruned right into the one-row latest
+          // register (backward source for future lefts), keep the rest
+          val (pruned, keptRights) = rights.partition(_.tsUs <= wmUs)
+          val latestAll = (latestSeq ++ pruned)
+            .sortBy(r => (r.tsUs, r.eventId, r.value)).lastOption
+          if (still.isEmpty && keptRights.isEmpty && latestAll.isEmpty) state.remove()
+          else {
+            state.update(AsofNearestState(
+              still, keptRights,
+              latestAll.map(_.tsUs).getOrElse(0L), latestAll.map(_.ts).orNull,
+              latestAll.map(_.eventId).getOrElse(0L), latestAll.map(_.value).getOrElse(0.0),
+              latestAll.nonEmpty))
+            if (still.nonEmpty) {
+              val nextUs = still.map(l =>
+                math.max(l.tsUs, if (l.hasF) math.min(l.fUs, l.tsUs + tolUs)
+                else l.tsUs + tolUs)).min
+              state.setTimeoutTimestamp(
+                math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+            } else if (keptRights.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(keptRights.map(_.tsUs).min / 1000 + 1,
+                  state.getCurrentWatermarkMs + 1))
           }
           out.iterator
         },

@@ -283,6 +283,89 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming nearest as-of join equals batch asofNearest with tolerance (bounded input)") {
+    val tolSec = 3600L
+    val base = Tables.events(spark, Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val maxTs = base.agg(max($"ts")).head().getTimestamp(0)
+    val flush = Seq(EventStreams.Event(
+      999999998L, new java.sql.Timestamp(maxTs.getTime + 3 * tolSec * 1000), 1L, "view", 0.0)).toDF()
+    val fixtureDir = Files.createTempDirectory("graft-asof-near").toString
+    base.unionByName(flush).coalesce(1).write.mode("overwrite").parquet(fixtureDir)
+    val fixture = spark.read.parquet(fixtureDir)
+
+    val purchases = fixture.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val views = fixture.where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val batch = graft.operators.AsofJoin
+      .asofNearest(purchases, views, Seq("user_id"), "ts", "ts", Seq("event_id", "value"),
+        toleranceMicros = Some(tolSec * 1000000L))
+      .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+      .toMap
+
+    def sideStream(eventType: String) = spark.readStream
+      .schema(fixture.schema)
+      .parquet(fixtureDir)
+      .where($"event_type" === eventType)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams
+      .asofNearestStream(sideStream("purchase"), sideStream("view"),
+        toleranceSeconds = tolSec, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("asof_near_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof_near_stream")
+        .select($"event_id", $"asof_event_id", $"asof_value".cast("string"))
+        .collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2)))
+        .toMap
+      assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming nearest as-of: pruned rights survive in the latest-register; equidistant goes backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, "x", id.toDouble)
+    val lefts = MemoryStream[EventStreams.Event](spark)
+    val rights = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams
+      .asofNearestStream(lefts.toDS(), rights.toDS(),
+        toleranceSeconds = 600L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("asof_near_reg").outputMode("append").start()
+    try {
+      // batch 1: right A at t+0 → wm advances to t+0
+      rights.addData(ev(100L, 0))
+      q.processAllAvailable()
+      // batch 2: left L1 at t+400 — absorbs A from the buffer; the
+      // same invocation prunes A (ts ≤ wm) into the latest-register
+      lefts.addData(ev(1L, 400))
+      q.processAllAvailable()
+      // batch 3: left L2 at t+500 (> wm t+400, NOT late) — the right
+      // buffer is empty now, so its backward candidate must come from
+      // the register
+      lefts.addData(ev(2L, 500))
+      q.processAllAvailable()
+      assert(spark.table("asof_near_reg").count() == 0L,
+        "nothing resolves before the watermark passes ts + tolerance")
+      // batch 4: far-future right advances the watermark past both
+      // lefts' tolerance windows → both resolve backward to A
+      rights.addData(ev(102L, 2000))
+      q.processAllAvailable()
+      val got = spark.table("asof_near_reg")
+        .select($"event_id", $"asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 100L, 2L -> 100L),
+        s"the pruned right must come back from the register: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch range join on bounded input") {
     def side(eventType: String, stream: Boolean) = {
       val df =
