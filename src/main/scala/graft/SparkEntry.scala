@@ -1741,6 +1741,55 @@ object SparkEntry {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style line-level dedup gate: the synthetic docs are
+    * single-line, so the gate constructs 3-line documents IDENTICALLY
+    * in both engines — the original text, a shared boilerplate footer
+    * (repeats in every doc: only the first occurrence survives), and
+    * the doc's 40-char prefix (repeats only on shared prefixes). Pure
+    * string semantics → hash-exact oracle.
+    */
+  private def q80LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("all rights reserved - generated boilerplate footer"),
+        substring(col("text"), 1, 40)).as("text"))
+    graft.operators.Dedup
+      .lineDedup(docs, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q80Oracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'all rights reserved - generated boilerplate footer'
+      |         || chr(10) || substr(text, 1, 40) AS text
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, len(ls) - 1)) AS p,
+      |    unnest(ls) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)),
+      |k AS (SELECT doc_id, p, line, trim(line) AS key FROM l),
+      |r AS (
+      |  SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY key ORDER BY doc_id, p) AS rn
+      |  FROM k WHERE len(key) >= 5),
+      |removed AS (SELECT doc_id, p FROM r WHERE rn > 1),
+      |kept AS (
+      |  SELECT k.doc_id, k.p, k.line
+      |  FROM k LEFT JOIN removed x ON k.doc_id = x.doc_id AND k.p = x.p
+      |  WHERE x.doc_id IS NULL),
+      |g AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+      |    count(*) AS n_kept_lines
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(g.clean_text, '') AS clean_text,
+      |  COALESCE(g.n_kept_lines, 0) AS n_kept_lines
+      |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -2001,6 +2050,7 @@ object SparkEntry {
     "q77_semdedup_planted" -> (q77SemdedupPlanted _),
     "q78_fingerprint_planted" -> (q78FingerprintPlanted _),
     "q79_bpe_zero_merge" -> (q79BpeZeroMerge _),
+    "q80_line_dedup" -> (q80LineDedup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2072,5 +2122,6 @@ object SparkEntry {
     "q77_semdedup_planted" -> q77Oracle,
     "q78_fingerprint_planted" -> q78Oracle,
     "q79_bpe_zero_merge" -> q79Oracle,
+    "q80_line_dedup" -> q80Oracle,
   )
 }

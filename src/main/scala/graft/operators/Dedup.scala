@@ -747,6 +747,65 @@ object Dedup {
     materializeAndRelease(out, base)
   }
 
+  /** CCNet-style LINE-level exact dedup (Wenzek et al., LREC 2020 —
+    * CCNet's first stage hashes paragraphs/lines and drops repeats
+    * corpus-wide): every line whose TRIMMED text repeats anywhere
+    * keeps only its first occurrence (global (doc, position) order);
+    * docs are rebuilt from surviving lines in position order. Lines
+    * shorter than `minLineChars` after trimming (blank separators,
+    * bullets) are always kept — deduping those would shred structure
+    * for no curation gain.
+    *
+    * Scale shape mirrors [[spanDedup]]: one posexplode to lines, one
+    * first-occurrence aggregation keyed on the trimmed line (map-side
+    * partial min — a boilerplate line shared by millions of docs
+    * reduces to one (min, count) per partition before shuffling), one
+    * join-back, one per-doc ordered rebuild. The corpus text shuffles
+    * once, keyed by line.
+    *
+    * Pure string semantics — oracle-exact (q80).
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 5,
+  ): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "line")
+      .withColumn("key", trim(col("line")))
+    val dedupable = lines.where(length(col("key")) >= minLineChars)
+    val winners = dedupable
+      .groupBy("key")
+      .agg(min(struct(col("id"), col("p"))).as("keep"), count(lit(1)).as("occ"))
+      .where(col("occ") > 1) // unique lines never drop anything
+      .select(col("key"), col("keep"))
+    val removed = dedupable
+      .join(winners, "key")
+      .where(struct(col("id"), col("p")) =!= col("keep"))
+      .select(col("id"), col("p"))
+    val kept = lines.join(removed, Seq("id", "p"), "left_anti")
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        concat_ws(
+          "\n",
+          expr("transform(array_sort(collect_list(struct(p, line))), s -> s.line)"),
+        ).as("clean_text"),
+        count(lit(1)).as("n_kept_lines"),
+      )
+    // every input doc surfaces — fully-dropped docs come back empty
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+      )
+  }
+
   // ------------------------------------------------- connected components
 
   /** Transitive duplicate groups: (id, component) where component =

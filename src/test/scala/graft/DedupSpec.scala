@@ -243,6 +243,25 @@ class DedupSpec extends SparkTestBase {
     assert(got(5L) == ("", 0L), "empty text stays an empty row, not a missing one")
   }
 
+  test("lineDedup: repeated lines keep first occurrence; short lines always survive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma\nshared footer line here\nunique one"),
+      (2L, "delta epsilon\nshared footer line here\n  shared footer line here  "),
+      (3L, "shared footer line here\nzeta eta"),
+      (4L, "-\n-\n-"), // short separator lines never dedupe
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("alpha beta gamma\nshared footer line here\nunique one", 3L),
+      "first occurrence untouched")
+    // doc 2 loses BOTH footer repeats (trim-normalized match)
+    assert(got(2L) == ("delta epsilon", 1L), s"got ${got(2L)}")
+    assert(got(3L) == ("zeta eta", 1L))
+    assert(got(4L) == ("-\n-\n-", 3L), "sub-threshold lines are structure, not dups")
+    assert(got(5L) == ("", 1L), "an empty doc is one empty (kept) line")
+  }
+
   test("alternating CC: diameter-300 chain converges in O(log n) rounds, ≡ union-find") {
     // a pure path graph — the adversarial case for min-label
     // propagation (needs diameter rounds; its default cap of 10 would
