@@ -1761,6 +1761,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CCNet pipeline face (rows-only: the bucket labels derive from the
+    * learned bigram LM's scores — engine-internal floats; the line
+    * dedup substrate is oracle-checked as q80 and the bucket contract
+    * is spec-locked in CorpusPipelineSpec).
+    */
+  private def q81Ccnet(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline
+      .ccnet(load(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("id"), col("lang_pred"), col("ccnet_bucket"))
+      .orderBy("id")
+
   private val q80Oracle =
     """WITH d AS (
       |  SELECT doc_id,
@@ -2051,6 +2062,7 @@ object SparkEntry {
     "q78_fingerprint_planted" -> (q78FingerprintPlanted _),
     "q79_bpe_zero_merge" -> (q79BpeZeroMerge _),
     "q80_line_dedup" -> (q80LineDedup _),
+    "q81_ccnet" -> (q81Ccnet _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

@@ -27,6 +27,64 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object CorpusPipeline {
 
+  /** CCNet-style curation (Wenzek et al., LREC 2020) — the OTHER
+    * canonical composition, built from this library's primitives in
+    * CCNet's own order:
+    *
+    *   1. line-level exact dedup ([[Dedup.lineDedup]] — CCNet's
+    *      paragraph-hash stage; fully-deduped docs drop out)
+    *   2. language ID + filter ([[TextAnalysis.withLangId]])
+    *   3. per-language bigram-LM scoring ([[LmQuality]]) and
+    *      head/middle/tail bucketing by the score's per-language
+    *      quantiles (CCNet buckets on LM perplexity; `headFrac` of
+    *      docs land in head = most fluent, `tailFrac` in tail)
+    *
+    * The bucket thresholds come from `approx_percentile` (bounded
+    * state per language) and broadcast back — one corpus scan per
+    * stage, no driver collect beyond the LM's bounded head. Docs the
+    * LM cannot score (< 2 tokens) land in tail.
+    *
+    * Output: every surviving doc as (id, text, lang_pred,
+    * avg_logprob, perplexity, ccnet_bucket).
+    */
+  def ccnet(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Seq[String] = Seq("en"),
+      vocabSize: Int = 50000,
+      headFrac: Double = 1.0 / 3,
+      tailFrac: Double = 1.0 / 3,
+      minLineChars: Int = 5,
+  ): DataFrame = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1.0,
+      "head/tail fractions must leave room for the middle bucket")
+    val deduped = Dedup
+      .lineDedup(df, idCol, textCol, minLineChars)
+      .where(length(trim(col("clean_text"))) > 0)
+      .select(col("id"), col("clean_text").as("text"))
+    val withLang = TextAnalysis
+      .withLangId(deduped, "text")
+      .where(col("lang_pred").isInCollection(langs))
+    val lm = LmQuality.train(withLang, "text", vocabSize)
+    val scored = LmQuality.score(withLang, "text", lm)
+    val cuts = scored
+      .groupBy("lang_pred")
+      .agg(expr(
+        s"approx_percentile(avg_logprob, array(${tailFrac}D, ${1.0 - headFrac}D), 10000)",
+      ).as("__cuts"))
+    scored
+      .join(broadcast(cuts), "lang_pred")
+      .withColumn(
+        "ccnet_bucket",
+        when(col("avg_logprob").isNull, lit("tail"))
+          .when(col("avg_logprob") >= element_at(col("__cuts"), 2), lit("head"))
+          .when(col("avg_logprob") >= element_at(col("__cuts"), 1), lit("middle"))
+          .otherwise(lit("tail")),
+      )
+      .drop("__cuts")
+  }
+
   def prepare(
       df: DataFrame,
       idCol: String,

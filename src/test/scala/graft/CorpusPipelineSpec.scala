@@ -90,4 +90,34 @@ class CorpusPipelineSpec extends SparkTestBase {
       .collect()
     assert(out.map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("ccnet: line dedup + lang filter + perplexity buckets, head more fluent than tail") {
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"text")
+    val out = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 5000)
+      .select($"id", $"lang_pred", $"avg_logprob", $"ccnet_bucket")
+      .collect()
+    assert(out.nonEmpty && out.length <= docs.count())
+    val byBucket = out.groupBy(_.getString(3))
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"all three buckets must be populated: ${byBucket.keySet}")
+    def meanLp(b: String) = {
+      val xs = byBucket(b).filter(!_.isNullAt(2)).map(_.getDouble(2))
+      xs.sum / xs.length
+    }
+    assert(meanLp("head") > meanLp("middle") && meanLp("middle") > meanLp("tail"),
+      s"bucket fluency must be ordered: head=${meanLp("head")} middle=${meanLp("middle")} tail=${meanLp("tail")}")
+    // quantile bucketing lands roughly a third in each bucket
+    val frac = byBucket.view.mapValues(_.length.toDouble / out.length).toMap
+    frac.foreach { case (b, f) =>
+      assert(f > 0.15 && f < 0.55, s"bucket $b fraction $f implausible for terciles")
+    }
+    // deterministic end to end (seeded LM sample, fixed quantile sketch)
+    val again = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 5000)
+      .select($"id", $"ccnet_bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out.map(r => r.getLong(0) -> r.getString(3)).toMap)
+  }
 }
