@@ -1772,6 +1772,36 @@ object SparkEntry {
       .select(col("id"), col("lang_pred"), col("ccnet_bucket"))
       .orderBy("id")
 
+  /** Leakage-safe-split gate: planted near-dup pairs (q66's
+    * construction) must land in the SAME train/val/test split —
+    * the eval-leakage invariant, as a deterministic boolean per pair.
+    */
+  private def q82LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" graftplant")).as("text"))
+    val split = graft.operators.Sampling
+      .leakageSafeSplit(docs.unionByName(copies), "doc_id", "text",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select(col("doc_id"), col("split"))
+    val planted = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), (col("__sa") === col("__sb")).as("co_assigned"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
+  private val q82Oracle =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, true AS co_assigned
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a""".stripMargin
+
   private val q80Oracle =
     """WITH d AS (
       |  SELECT doc_id,
@@ -2063,6 +2093,7 @@ object SparkEntry {
     "q79_bpe_zero_merge" -> (q79BpeZeroMerge _),
     "q80_line_dedup" -> (q80LineDedup _),
     "q81_ccnet" -> (q81Ccnet _),
+    "q82_leakage_safe_split" -> (q82LeakageSafeSplit _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2135,5 +2166,6 @@ object SparkEntry {
     "q78_fingerprint_planted" -> q78Oracle,
     "q79_bpe_zero_merge" -> q79Oracle,
     "q80_line_dedup" -> q80Oracle,
+    "q82_leakage_safe_split" -> q82Oracle,
   )
 }

@@ -131,6 +131,40 @@ object Sampling {
     assigned
   }
 
+  /** Leakage-safe K-way split: near-duplicate documents must land in
+    * the SAME split, or evaluation leaks — a test doc with a near-dup
+    * in train is effectively memorized. [[hashSplit]] keys on the doc
+    * id, so near-dup partners split independently; this variant first
+    * connects near-dup pairs into components
+    * ([[Dedup.minHashNearDupPairs]] → [[Dedup.connectedComponents]])
+    * and keys the hash split on the COMPONENT id, so whole duplicate
+    * groups co-assign. Docs with no near-dup are their own component
+    * (split exactly as [[hashSplit]] on their id would).
+    *
+    * Scale shape: the banded near-dup machinery + the O(log n)
+    * component rounds dominate; the split itself stays a pure
+    * projection. The group-id join is an equi-join on the (small)
+    * paired-doc set — unpaired docs skip it via the left join's
+    * coalesce.
+    *
+    * Output: df + `component` (the split key) + `splitCol`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double],
+      labels: Seq[String],
+      jaccardThreshold: Double = 0.8,
+      splitCol: String = "split",
+  ): DataFrame = {
+    val pairs = Dedup.minHashNearDupPairs(df, idCol, textCol, threshold = jaccardThreshold)
+    val comp = Dedup.connectedComponents(pairs) // (id, component) — paired docs only
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn(splitCol, hashSplitColumn(col("component"), weights, labels))
+  }
+
   /** [[mixtureSample]]'s predicate as SQL text (oracle/portability
     * parity — any engine with md5 + substr reproduces the row set).
     */

@@ -127,4 +127,37 @@ class SamplingSpec extends SparkTestBase {
       3L -> ((Some(10L), 20L)),
     ), got.toString)
   }
+
+  test("leakageSafeSplit: near-dup partners always co-assign; singletons match plain hashSplit") {
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"text")
+    // plant a near-duplicate of every 5th doc (one appended token —
+    // same construction the q66 gate uses, Jaccard ≫ 0.8)
+    val copies = docs.where($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), concat($"text", lit(" leakprobe")).as("text"))
+    val corpus = docs.unionByName(copies)
+    val split = graft.operators.Sampling
+      .leakageSafeSplit(corpus, "doc_id", "text", Seq(0.8, 0.1, 0.1),
+        Seq("train", "val", "test"))
+      .select($"doc_id", $"component", $"split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every planted pair shares a component AND a split
+    docs.where($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect().foreach { id =>
+      assert(split(id)._1 == split(id + 1000000L)._1, s"pair $id split across components")
+      assert(split(id)._2 == split(id + 1000000L)._2, s"LEAK: pair $id split across sets")
+    }
+    // docs without any near-dup split exactly as the plain id hashSplit
+    val paired = split.filter { case (id, (comp, _)) => comp != id }.keySet
+    val plain = graft.operators.Sampling
+      .hashSplit(corpus, "doc_id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singletons = split.keySet -- paired
+    assert(singletons.nonEmpty)
+    singletons.foreach(id => assert(split(id)._2 == plain(id), s"singleton $id diverged"))
+    // all three splits populated at plausible fractions
+    val frac = split.values.groupBy(_._2).view.mapValues(_.size.toDouble / split.size).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.6 && frac("val") < 0.25 && frac("test") < 0.25, frac.toString)
+  }
 }
