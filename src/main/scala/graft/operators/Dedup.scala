@@ -215,11 +215,32 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000,
+  ): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol), simHashCol(col(textCol)).as("__sig64")),
+      idCol, "__sig64", maxHamming, maxBucketSize)
+
+  /** Hamming near-dup pairs over a PRECOMPUTED 64-bit signature
+    * column — the pigeonhole machinery behind [[simHashNearDupPairs]]
+    * exposed for non-text signatures (image perceptual hashes, any
+    * locality-preserving 64-bit sketch). NULL signatures (undecodable
+    * payloads) are skipped. Split the hash into `maxHamming+1`
+    * chunks: any pair within distance k agrees on ≥ 1 chunk, so
+    * per-chunk equi-joins find all candidates without a cartesian
+    * product; verify is an exact popcount.
+    */
+  def hammingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sigs = df
-      .select(col(idCol).as("id"), simHashCol(col(textCol)).as("simhash"))
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("simhash"))
+      .where(col("simhash").isNotNull)
       .persist()
     val banded = sigs.select(
       col("id"),

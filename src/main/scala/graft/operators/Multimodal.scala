@@ -215,6 +215,70 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual dHash: decode → area-average to a 9×8
+    * grayscale grid → one bit per adjacent-pixel comparison (left
+    * brighter than right). Survives re-encoding, resizing, and mild
+    * recompression — the standard cheap image near-dup signal. None
+    * for undecodable payloads.
+    */
+  private[graft] def dhash64(bytes: Array[Byte]): Option[Long] =
+    decodePixels(bytes).map { case (w, h, px) =>
+      val gw = 9
+      val gh = 8
+      val grid = new Array[Double](gw * gh)
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * w / gw
+          val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / gw))
+          val y0 = gy * h / gh
+          val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / gh))
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); x += 1 }
+            y += 1
+          }
+          grid(gy * gw + gx) = s / ((x1 - x0) * (y1 - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var bit = 0
+      while (bit < 64) {
+        val by = bit / 8
+        val bx = bit % 8
+        if (grid(by * gw + bx) > grid(by * gw + bx + 1)) hash |= 1L << bit
+        bit += 1
+      }
+      hash
+    }
+
+  /** Perceptual-hash column (nullable LONG — null = undecodable). */
+  val imagePHashUdf = udf { (bytes: Array[Byte]) =>
+    dhash64(bytes).map(java.lang.Long.valueOf).orNull
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash per image, then the
+    * SAME pigeonhole candidate machinery the text SimHash path uses
+    * ([[Dedup.hammingNearDupPairs]]) — decode cost is one scan,
+    * candidate generation never goes quadratic, undecodable payloads
+    * drop out via the NULL signature. Output (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 10000,
+  ): DataFrame =
+    Dedup.hammingNearDupPairs(
+      df.select(col(idCol), imagePHashUdf(col(binCol)).as("__phash")),
+      idCol, "__phash", maxHamming, maxBucketSize)
+
   private def l2NormalizeInPlace(v: Array[Float]): Unit = {
     var ss = 0.0
     v.foreach(x => ss += x.toDouble * x)

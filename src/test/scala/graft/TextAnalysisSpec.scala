@@ -241,6 +241,54 @@ class TextAnalysisSpec extends SparkTestBase {
     baos.toByteArray
   }
 
+  test("image near-dup: perceptual hash survives lossy re-encode, separates different content") {
+    def gradientPng(w: Int, h: Int, reverse: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (if (reverse) w - 1 - x else x) * 255 / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def asJpeg(png: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val rgb = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      rgb.createGraphics().drawImage(img, 0, 0, null)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(rgb, "jpg", baos)
+      baos.toByteArray
+    }
+    def noisePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val rng = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rng.nextInt(0xffffff))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val grad = gradientPng(64, 48, reverse = false)
+    val df = Seq(
+      (1L, grad),
+      (2L, asJpeg(grad)), // same content, lossy re-encode
+      (3L, gradientPng(64, 48, reverse = true)), // mirrored content
+      (4L, noisePng(64, 48, 7)),
+      (5L, Array[Byte](1, 2, 3)), // undecodable → null signature
+    ).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "payload", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the re-encode pair is a perceptual near-dup: $pairs")
+    // the hash itself is deterministic and non-null for real images
+    val hashes = df.select($"id", Multimodal.imagePHashUdf($"payload").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes(5L).isEmpty, "undecodable payload hashes to null")
+    assert(hashes(1L).nonEmpty && hashes(3L).nonEmpty && hashes(1L) != hashes(3L))
+  }
+
   test("multimodal real pixels: decode, content-sensitive embedding, real resize") {
     val dark = pngBytes(40, 30, 0x101010)
     val light = pngBytes(40, 30, 0xf0f0f0)
