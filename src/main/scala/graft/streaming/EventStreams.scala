@@ -608,10 +608,16 @@ object EventStreams {
           val out = (lateNew ++ done).map(emit)
 
           // prune: fold the max pruned right into the one-row latest
-          // register (backward source for future lefts), keep the rest
+          // register (backward source for future lefts), keep the
+          // rest. The register itself EXPIRES once wm ≥ its ts +
+          // tolerance: any future left has ts > wm, so the register
+          // could only match beyond the tolerance — keeping it longer
+          // would grow state by one dead row per idle key forever.
           val (pruned, keptRights) = rights.partition(_.tsUs <= wmUs)
           val latestAll = (latestSeq ++ pruned)
-            .sortBy(r => (r.tsUs, r.eventId, r.value)).lastOption
+            .sortBy(r => (r.tsUs, r.eventId, r.value))
+            .lastOption
+            .filter(_.tsUs + tolUs > wmUs)
           if (still.isEmpty && keptRights.isEmpty && latestAll.isEmpty) state.remove()
           else {
             state.update(AsofNearestState(
@@ -619,16 +625,18 @@ object EventStreams {
               latestAll.map(_.tsUs).getOrElse(0L), latestAll.map(_.ts).orNull,
               latestAll.map(_.eventId).getOrElse(0L), latestAll.map(_.value).getOrElse(0.0),
               latestAll.nonEmpty))
-            if (still.nonEmpty) {
-              val nextUs = still.map(l =>
+            // wake at the earliest boundary that changes anything: a
+            // pending resolution, a buffered right's prune point, or
+            // the register's expiry
+            val nextUs = (
+              still.map(l =>
                 math.max(l.tsUs, if (l.hasF) math.min(l.fUs, l.tsUs + tolUs)
-                else l.tsUs + tolUs)).min
-              state.setTimeoutTimestamp(
-                math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
-            } else if (keptRights.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(keptRights.map(_.tsUs).min / 1000 + 1,
-                  state.getCurrentWatermarkMs + 1))
+                else l.tsUs + tolUs)) ++
+                keptRights.map(_.tsUs) ++
+                latestAll.map(_.tsUs + tolUs)
+            ).min
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
           }
           out.iterator
         },
