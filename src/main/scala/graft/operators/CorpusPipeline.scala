@@ -56,6 +56,7 @@ object CorpusPipeline {
       headFrac: Double = 1.0 / 3,
       tailFrac: Double = 1.0 / 3,
       minLineChars: Int = 5,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
     require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1.0,
       "head/tail fractions must leave room for the middle bucket")
@@ -63,9 +64,15 @@ object CorpusPipeline {
       .lineDedup(df, idCol, textCol, minLineChars)
       .where(length(trim(col("clean_text"))) > 0)
       .select(col("id"), col("clean_text").as("text"))
-    val withLang = TextAnalysis
-      .withLangId(deduped, "text")
-      .where(col("lang_pred").isInCollection(langs))
+    // stage boundary: the dedup+langid result feeds LM training, LM
+    // scoring, the quantile cuts, and the final join — without a cut
+    // the line-dedup DAG would re-execute per consumer (3-4 corpus
+    // passes at scale)
+    val withLang = Materialize(
+      TextAnalysis
+        .withLangId(deduped, "text")
+        .where(col("lang_pred").isInCollection(langs)),
+      materialize)
     val lm = LmQuality.train(withLang, "text", vocabSize)
     val scored = LmQuality.score(withLang, "text", lm)
     val cuts = scored
