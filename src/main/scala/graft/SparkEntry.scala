@@ -1952,6 +1952,69 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Deterministic planted image: a 9×8 grid of high-contrast blocks
+    * keyed by mix64(doc_id) bits, upscaled 10× (90×80 px), PNG. The
+    * perceptual dHash reads the grid structure, so distinct docs
+    * differ in ~half their bits. NOTE the copy below is a 2×
+    * DOWNSCALE, not a JPEG: equal-valued adjacent blocks make lossy
+    * noise a coin flip on the equality comparisons (~half the bits),
+    * so a JPEG copy of this synthetic pattern is adversarial for
+    * dHash — while block-aligned resizing preserves every cell
+    * average exactly. (Real photographs tolerate JPEG fine; the
+    * lossy-re-encode case is covered on gradient fixtures in
+    * TextAnalysisSpec.)
+    */
+  private val plantedImageUdf = udf { (id: Long) =>
+    val (gw, gh, cell) = (9, 8, 10)
+    val img = new java.awt.image.BufferedImage(
+      gw * cell, gh * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val bit = (graft.operators.Dedup.mix64(id * 97 + gy * 9 + gx) & 1L) == 1L
+        val v = if (bit) 230 else 20
+        val rgb = (v << 16) | (v << 8) | v
+        var y = gy * cell
+        while (y < (gy + 1) * cell) {
+          var x = gx * cell
+          while (x < (gx + 1) * cell) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Planted-recall gate for IMAGE near-dup (the multimodal dedup
+    * face): every 10th doc gets a deterministic block-pattern PNG and
+    * a half-resolution copy of the same pattern (the classic
+    * same-image-different-resolution dup); the perceptual-hash
+    * pipeline must pair them. Oracle = all planted pairs recovered.
+    */
+  private def q83ImageNeardupPlanted(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents").where(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val originals = ids.select(col("doc_id"), plantedImageUdf(col("doc_id")).as("payload"))
+    val copies = ids.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      Multimodal.imageResizeUdf(45, 40)(plantedImageUdf(col("doc_id"))).as("payload"))
+    val pairs = Multimodal.imageNearDupPairs(
+      originals.unionByName(copies), "doc_id", "payload", maxHamming = 6)
+    val planted = ids
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(
+        pairs.select(col("id_a"), col("id_b"), lit(true).as("recovered")),
+        Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2094,6 +2157,7 @@ object SparkEntry {
     "q80_line_dedup" -> (q80LineDedup _),
     "q81_ccnet" -> (q81Ccnet _),
     "q82_leakage_safe_split" -> (q82LeakageSafeSplit _),
+    "q83_image_neardup_planted" -> (q83ImageNeardupPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2167,5 +2231,6 @@ object SparkEntry {
     "q79_bpe_zero_merge" -> q79Oracle,
     "q80_line_dedup" -> q80Oracle,
     "q82_leakage_safe_split" -> q82Oracle,
+    "q83_image_neardup_planted" -> q66Oracle, // same planted-pair shape
   )
 }
