@@ -2015,6 +2015,46 @@ object SparkEntry {
       .localCheckpoint(true)
   }
 
+  /** Planted co-assignment gate for corpus-scale k-means clustering
+    * (the domain-clustering operator behind mixture design): every
+    * 10th embedding gets a near-identical copy (+0.001 on component
+    * 0, cosine ≈ 1), full-corpus spherical k-means trains on the
+    * union, and each gate row records whether original and copy land
+    * in the SAME cluster — near-identical directions must co-assign.
+    * Exercises the distributed Lloyd refinement (treeAggregate
+    * partial sums), the broadcast assignment path, and determinism
+    * end-to-end.
+    */
+  private def q84KmeansPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val all = emb.unionByName(copies)
+    val model = graft.operators.Clustering.trainKmeans(all, "embedding", k = 16, iterations = 4)
+    val assigned = graft.operators.Clustering
+      .assignClusters(all, "embedding", model)
+      .select(col("vec_id"), col("cluster"))
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(assigned.select(col("vec_id").as("id_a"), col("cluster").as("__ca")), "id_a")
+      .join(assigned.select(col("vec_id").as("id_b"), col("cluster").as("__cb")), "id_b")
+      .select(col("id_a"), col("id_b"), (col("__ca") === col("__cb")).as("same_cluster"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
+  private val q84Oracle =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, true AS same_cluster
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2158,6 +2198,7 @@ object SparkEntry {
     "q81_ccnet" -> (q81Ccnet _),
     "q82_leakage_safe_split" -> (q82LeakageSafeSplit _),
     "q83_image_neardup_planted" -> (q83ImageNeardupPlanted _),
+    "q84_kmeans_planted" -> (q84KmeansPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2232,5 +2273,6 @@ object SparkEntry {
     "q80_line_dedup" -> q80Oracle,
     "q82_leakage_safe_split" -> q82Oracle,
     "q83_image_neardup_planted" -> q66Oracle, // same planted-pair shape
+    "q84_kmeans_planted" -> q84Oracle,
   )
 }

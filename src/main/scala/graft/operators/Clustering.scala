@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-scale embedding clustering — spherical k-means over an
+  * `Array[Float]` embedding column.
+  *
+  * This is the domain-clustering operator a training-data pipeline
+  * uses to partition a corpus by topic before choosing mixture
+  * weights (the cluster assignments feed [[Sampling.mixtureSample]] /
+  * [[Packing.interleave]]), and the same model family the ANN index
+  * ([[Similarity.trainIvf]]) builds on — but trained to convergence
+  * over the FULL corpus, not just a driver-side sample:
+  *
+  *   - init: the sampled driver k-means the IVF trainer already
+  *     implements (deterministic reservoir + Lloyd, tiny);
+  *   - refine: Lloyd iterations where each pass is ONE distributed
+  *     scan — centroids broadcast out, per-partition partial sums
+  *     `treeAggregate`d back (k·dim doubles per partition, no
+  *     shuffle of the corpus itself, map-side combine by
+  *     construction).
+  *
+  * At 100 TB each iteration reads the corpus once and moves only
+  * k·dim·8 bytes per partition over the network; the corpus never
+  * shuffles. The projected vector column is persisted for the
+  * duration of the iterations and released before return (the
+  * round-7 cache-ownership convention: operators pin nothing for the
+  * caller).
+  *
+  * Geometry is cosine (vectors normalized before accumulation,
+  * centroid = normalized mean direction) to match the rest of the
+  * embedding family ([[Similarity]] cosine top-k / SemDeDup ε-balls).
+  */
+object Clustering {
+
+  /** Spherical k-means model: unit-norm centroid directions.
+    * Assignment is by maximum cosine (ties → lowest index,
+    * deterministic).
+    */
+  final case class KmeansModel(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+    def nearestCentroid(v: Seq[Float]): Int = Similarity.IvfModel.nearest(centroids, v)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var ss = 0.0
+    v.foreach(x => ss += x.toDouble * x)
+    val n = math.sqrt(ss)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Train spherical k-means: sampled-init (via [[Similarity.trainIvf]],
+    * deterministic) then `iterations` full-corpus Lloyd passes. Empty
+    * corpus → degenerate single-centroid model (assignment then maps
+    * everything to cluster 0 instead of crashing — an empty slice is
+    * routine at scale). k is capped by the init sample size.
+    */
+  def trainKmeans(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 8,
+      initSampleRows: Int = 20000,
+      seed: Long = 42L,
+  ): KmeansModel = {
+    val init =
+      Similarity.trainIvf(df, vecCol, nlist = k, sampleRows = initSampleRows,
+        iterations = 2, seed = seed)
+    var centroids = init.centroids
+    val dim = centroids.head.length
+    if (dim <= 1 && centroids.length == 1) return KmeansModel(centroids) // empty corpus
+    val sc = df.sparkSession.sparkContext
+    // one projection, persisted across the iterations (each pass is a
+    // re-scan otherwise; at corpus scale MEMORY_AND_DISK spills rather
+    // than evicting hot executor memory)
+    val vecs = df.select(col(vecCol)).rdd
+      .map(r => normalize(r.getSeq[Float](0).toArray))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iterations) {
+        val bc = sc.broadcast(centroids)
+        val kk = centroids.length
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.fill(kk)(new Array[Double](dim)), new Array[Long](kk)))(
+          seqOp = { case ((s, n), v) =>
+            val c = Similarity.IvfModel.nearest(bc.value, v)
+            n(c) += 1
+            var i = 0
+            while (i < dim) { s(c)(i) += v(i); i += 1 }
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < kk) {
+              n1(c) += n2(c)
+              var i = 0
+              while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+              c += 1
+            }
+            (s1, n1)
+          },
+        )
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c) // empty cell keeps its direction
+          else normalize(sums(c).map(x => (x / counts(c)).toFloat))
+        }.toArray
+        bc.destroy()
+        it += 1
+      }
+      KmeansModel(centroids)
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  /** Add a `cluster` column (nearest-centroid index) — broadcast
+    * model, one narrow map, scan stays columnar. NULL/empty vectors
+    * land in cluster 0 deterministically.
+    */
+  def assignClusters(
+      df: DataFrame,
+      vecCol: String,
+      model: KmeansModel,
+      outCol: String = "cluster",
+  ): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) 0 else Similarity.IvfModel.nearest(bc.value, v)
+    }
+    df.withColumn(outCol, assignUdf(col(vecCol)))
+  }
+
+  /** Per-cluster profile for mixture design: size and cohesion
+    * (mean/min cosine to the assigned centroid). One assignment pass
+    * + one aggregation — the same shape as any groupBy rollup.
+    */
+  def clusterProfile(
+      df: DataFrame,
+      vecCol: String,
+      model: KmeansModel,
+  ): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    val simUdf = udf { (v: Seq[Float], c: Int) =>
+      if (v == null) 0.0 else -Similarity.IvfModel.negCos(bc.value(c), v)
+    }
+    assignClusters(df, vecCol, model)
+      .withColumn("__sim", simUdf(col(vecCol), col("cluster")))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("__sim")).as("mean_cosine"),
+        min(col("__sim")).as("min_cosine"),
+      )
+      .orderBy("cluster")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Three well-separated direction bundles in 8-d: axis-aligned
+    * centers with small Gaussian noise — the easy regime where
+    * spherical k-means with k=3 must put every member of a bundle in
+    * one cluster and distinct bundles in distinct clusters.
+    */
+  private def bundles(perGroup: Int) = {
+    val rng = new scala.util.Random(7)
+    (0 until 3).flatMap { g =>
+      (0 until perGroup).map { m =>
+        val v = Array.fill(8)(0.05f * rng.nextGaussian().toFloat)
+        v(g * 3) += 1f
+        (g * 1000L + m, v.toSeq)
+      }
+    }
+  }
+
+  test("trainKmeans recovers planted direction bundles") {
+    val df = bundles(40).toDF("vec_id", "embedding")
+    val model = Clustering.trainKmeans(df, "embedding", k = 3, iterations = 6)
+    val assigned = Clustering
+      .assignClusters(df, "embedding", model)
+      .select($"vec_id", $"cluster")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    val groups = assigned.groupBy { case (id, _) => id / 1000 }.map { case (g, m) =>
+      g -> m.values.toSet
+    }
+    // every bundle lands entirely in one cluster; bundles don't share
+    groups.values.foreach(cs => assert(cs.size == 1, s"bundle split across $cs"))
+    assert(groups.values.flatten.toSet.size == 3)
+  }
+
+  test("trainKmeans is deterministic") {
+    val df = bundles(20).toDF("vec_id", "embedding")
+    val a = Clustering.trainKmeans(df, "embedding", k = 4, iterations = 4)
+    val b = Clustering.trainKmeans(df, "embedding", k = 4, iterations = 4)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("full-corpus refinement does not degrade the sampled-init objective") {
+    val df = bundles(40).toDF("vec_id", "embedding")
+    def objective(model: Clustering.KmeansModel): Double =
+      Clustering
+        .clusterProfile(df, "embedding", model)
+        .agg(sum($"mean_cosine" * $"n") / sum($"n"))
+        .as[Double]
+        .head()
+    val init = Clustering.trainKmeans(df, "embedding", k = 3, iterations = 0)
+    val refined = Clustering.trainKmeans(df, "embedding", k = 3, iterations = 6)
+    assert(objective(refined) >= objective(init) - 1e-9)
+  }
+
+  test("clusterProfile sizes sum to the corpus and cohesion is high on bundles") {
+    val df = bundles(30).toDF("vec_id", "embedding")
+    val model = Clustering.trainKmeans(df, "embedding", k = 3, iterations = 6)
+    val prof = Clustering.clusterProfile(df, "embedding", model).collect()
+    assert(prof.map(_.getAs[Long]("n")).sum == 90L)
+    prof.foreach(r => assert(r.getAs[Double]("mean_cosine") > 0.9))
+  }
+
+  test("degenerate inputs: empty corpus and k larger than n") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val m0 = Clustering.trainKmeans(empty, "embedding", k = 8)
+    assert(m0.k == 1) // degenerate single-cell model, no crash
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val m2 = Clustering.trainKmeans(tiny, "embedding", k = 16, iterations = 3)
+    assert(m2.k <= 2)
+    val assigned = Clustering.assignClusters(tiny, "embedding", m2)
+    assert(assigned.count() == 2)
+  }
+}
