@@ -1574,6 +1574,21 @@ object SparkEntry {
           nprobe = 4, refine = 4)
       })
 
+  /** OPQ planted recall (the rotated-space face of q48's PQ gate):
+    * the learned rotation preserves cosines, so the copy's ADC
+    * shortlist must surface its original exactly as PQ's does —
+    * pinning the rotation train, the rotate-then-encode path, and
+    * the shared re-rank end-to-end.
+    */
+  private def q85OpqPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val model = Similarity.trainOpq(corpus, "embedding", m = 8, ksub = 16,
+          opqIterations = 3)
+        Similarity.opqTopK(corpus, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+      })
+
   private val annPlantedOracle =
     """SELECT vec_id + 1000000 AS query_id, vec_id AS expected_id, true AS recovered
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
@@ -2199,6 +2214,7 @@ object SparkEntry {
     "q82_leakage_safe_split" -> (q82LeakageSafeSplit _),
     "q83_image_neardup_planted" -> (q83ImageNeardupPlanted _),
     "q84_kmeans_planted" -> (q84KmeansPlanted _),
+    "q85_opq_planted" -> (q85OpqPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2274,5 +2290,6 @@ object SparkEntry {
     "q82_leakage_safe_split" -> q82Oracle,
     "q83_image_neardup_planted" -> q66Oracle, // same planted-pair shape
     "q84_kmeans_planted" -> q84Oracle,
+    "q85_opq_planted" -> annPlantedOracle,
   )
 }

@@ -573,11 +573,24 @@ object Similarity {
     // empty corpus → degenerate 1-subspace/1-codeword model (see
     // trainIvf); a small sample just shrinks the codebook
     if (sample.isEmpty) return PqModel(1, 1, 1, Array(0f))
-    val effKsub = math.min(ksub, sample.length)
-    val dim = sample.head.length
+    trainPqOnSample(sample.map(normalize), m, ksub, iterations, seed)
+  }
+
+  /** Per-subspace Lloyd's k-means over an already-normalized sample —
+    * the driver-side core [[trainPq]] and [[trainOpq]] share (OPQ
+    * retrains codebooks on the rotated sample each alternation).
+    */
+  private def trainPqOnSample(
+      normed: Array[Array[Float]],
+      m: Int,
+      ksub: Int,
+      iterations: Int,
+      seed: Long,
+  ): PqModel = {
+    val effKsub = math.min(ksub, normed.length)
+    val dim = normed.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val normed = sample.map(normalize)
     val rng = new scala.util.Random(seed)
     val cb = new Array[Float](m * effKsub * dsub)
     var j = 0
@@ -697,6 +710,159 @@ object Similarity {
         graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
       )
     topKReduce(rescored, k)
+  }
+
+  // --------------------------------------------------------------- OPQ
+
+  /** Optimized Product Quantization model (Ge et al., CVPR 2013): an
+    * orthonormal d×d rotation learned so the product quantizer's
+    * independence assumption better fits the data, plus the PQ
+    * codebooks trained in the rotated space. `r` is row-major;
+    * vectors rotate as y = vᵀR (rows), which preserves norms — so
+    * cosine ranking in rotated space equals cosine ranking in the
+    * original space, and the ADC machinery is reused unchanged.
+    */
+  final case class OpqModel(dim: Int, r: Array[Float], pq: PqModel) {
+    private[operators] def rotate(v: Array[Float]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i) * r(i * dim + j); i += 1 }
+        out(j) = acc.toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Nearest-codeword reconstruction of `v` (already in codebook
+    * space) — the OPQ alternation's quantization target.
+    */
+  private def pqReconstruct(mdl: PqModel, v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](mdl.m * mdl.dsub)
+    var j = 0
+    while (j < mdl.m) {
+      val c = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, v)
+      System.arraycopy(mdl.codebooks, (j * mdl.ksub + c) * mdl.dsub, out, j * mdl.dsub, mdl.dsub)
+      j += 1
+    }
+    out
+  }
+
+  /** Train OPQ by the paper's alternating optimization on the same
+    * reservoir sample [[trainPq]] uses: fix R → retrain PQ codebooks
+    * on the rotated sample; fix codes → solve the orthogonal
+    * Procrustes problem min‖XR − X̂‖F (SVD of XᵀX̂, R = UVᵀ). The
+    * rotation is d×d driver-side work (d is embedding width, tiny);
+    * the corpus is only ever touched through the one-scan reservoir.
+    * R starts at identity, so iteration 0 reproduces plain PQ and
+    * every alternation can only reduce sample quantization error.
+    */
+  def trainOpq(
+      df: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleRows: Int = 20000,
+      pqIterations: Int = 8,
+      opqIterations: Int = 5,
+      seed: Long = 42L,
+  ): OpqModel = {
+    require(ksub <= 256, "codes are single bytes: ksub ≤ 256")
+    val sample = sampleVectors(df, vecCol, sampleRows, seed)
+    if (sample.isEmpty) return OpqModel(1, Array(1f), PqModel(1, 1, 1, Array(0f)))
+    val normed = sample.map(normalize)
+    val dim = normed.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    // R = identity, row-major
+    var r = Array.tabulate(dim * dim)(i => if (i / dim == i % dim) 1f else 0f)
+    def rotateAll(rot: Array[Float]): Array[Array[Float]] = {
+      val model = OpqModel(dim, rot, null)
+      normed.map(model.rotate)
+    }
+    var pq: PqModel = null
+    var it = 0
+    while (it < opqIterations) {
+      val rotated = rotateAll(r)
+      pq = trainPqOnSample(rotated, m, ksub, pqIterations, seed)
+      // Procrustes: M = XᵀX̂ over the sample (X in original space,
+      // X̂ the reconstruction of XR), then R = UVᵀ from svd(M)
+      val mMat = new Array[Double](dim * dim)
+      var s = 0
+      while (s < normed.length) {
+        val x = normed(s)
+        val xh = pqReconstruct(pq, rotated(s))
+        var i = 0
+        while (i < dim) {
+          val xi = x(i)
+          if (xi != 0f) {
+            var j = 0
+            while (j < dim) { mMat(i * dim + j) += xi * xh(j); j += 1 }
+          }
+          i += 1
+        }
+        s += 1
+      }
+      // breeze is column-major; our buffer is row-major → transpose in
+      val mB = new breeze.linalg.DenseMatrix(dim, dim, mMat).t
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mB.toDenseMatrix)
+      val rB = u * vt
+      r = Array.tabulate(dim * dim)(i => rB(i / dim, i % dim).toFloat)
+      it += 1
+    }
+    pq = trainPqOnSample(rotateAll(r), m, ksub, pqIterations, seed)
+    OpqModel(dim, r, pq)
+  }
+
+  /** OPQ-ANN top-k: rotate corpus and query vectors (one narrow map,
+    * norm-preserving), then run the exact [[pqTopK]] machinery — ADC
+    * over m-byte codes in rotated space, exact cosine re-rank. Same
+    * shuffle bound as PQ; the rotation costs one d×d mat-vec per row.
+    */
+  def opqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: OpqModel,
+      refine: Int = 4,
+  ): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val rotUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null else bc.value.rotate(v.toArray).toSeq
+    }
+    pqTopK(
+      corpus.withColumn(vecCol, rotUdf(col(vecCol))),
+      queries.withColumn(vecCol, rotUdf(col(vecCol))),
+      idCol, vecCol, k, model.pq, refine)
+  }
+
+  /** Mean sample quantization error ‖x − decode(encode(x))‖² of a PQ
+    * model over (rotated) normalized vectors — the objective OPQ
+    * minimizes; exposed for specs and codebook tuning.
+    */
+  private[graft] def quantizationError(
+      df: DataFrame,
+      vecCol: String,
+      pq: PqModel,
+      rotation: Option[OpqModel] = None,
+      sampleRows: Int = 20000,
+      seed: Long = 42L,
+  ): Double = {
+    val sample = sampleVectors(df, vecCol, sampleRows, seed).map(normalize)
+    if (sample.isEmpty) return 0.0
+    val errs = sample.map { v0 =>
+      val v = rotation.map(_.rotate(v0)).getOrElse(v0)
+      val xh = pqReconstruct(pq, v)
+      var e = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - xh(i); e += d * d; i += 1 }
+      e
+    }
+    errs.sum / errs.length
   }
 
   /** IVF-PQ top-k — the standard billion-scale ANN composition

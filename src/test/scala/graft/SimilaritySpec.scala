@@ -157,6 +157,72 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.8, s"clustered-data recall@5 with refine=4: $recall")
   }
 
+  test("opq: learned rotation is orthonormal and training is deterministic") {
+    val rng = new scala.util.Random(17)
+    val df = (0 until 120)
+      .map(i => (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.trainOpq(df, "embedding", m = 4, ksub = 8, opqIterations = 3)
+    val b = Similarity.trainOpq(df, "embedding", m = 4, ksub = 8, opqIterations = 3)
+    assert(a.r.toSeq == b.r.toSeq && a.pq.codebooks.toSeq == b.pq.codebooks.toSeq)
+    val d = a.dim
+    // RᵀR ≈ I
+    for (i <- 0 until d; j <- 0 until d) {
+      var acc = 0.0
+      for (t <- 0 until d) acc += a.r(t * d + i).toDouble * a.r(t * d + j)
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(acc - expect) < 1e-4, s"RtR[$i,$j]=$acc")
+    }
+  }
+
+  test("opq: quantization error ≤ plain PQ on cross-subspace-correlated data") {
+    // energy deliberately straddles the m=2 subspace boundary: dims
+    // (i, i+4) are near-duplicates, so PQ's independent-half codebooks
+    // waste bits encoding the same coordinate twice; the OPQ rotation
+    // can decorrelate the halves
+    val rng = new scala.util.Random(23)
+    val df = (0 until 400).map { i =>
+      val base = Array.fill(4)(rng.nextGaussian().toFloat)
+      val v = new Array[Float](8)
+      for (t <- 0 until 4) {
+        v(t) = base(t)
+        v(t + 4) = base(t) + 0.05f * rng.nextGaussian().toFloat
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(df, "embedding", m = 2, ksub = 16)
+    val opq = Similarity.trainOpq(df, "embedding", m = 2, ksub = 16, opqIterations = 5)
+    val pqErr = Similarity.quantizationError(df, "embedding", pq)
+    val opqErr = Similarity.quantizationError(df, "embedding", opq.pq, rotation = Some(opq))
+    assert(opqErr <= pqErr * 1.001, s"opq $opqErr vs pq $pqErr")
+  }
+
+  test("opq ANN: exhaustive refine equals brute force; tight refine keeps recall") {
+    val rng = new scala.util.Random(13)
+    val vecs = (0 until 8).flatMap { c =>
+      val center = Array.fill(8)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val model = Similarity.trainOpq(df, "embedding", m = 4, ksub = 16, opqIterations = 3)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // rotation preserves cosines, so exhaustive re-rank ≡ brute force
+    val full = Similarity.opqTopK(df, queries, "vec_id", "embedding", k = 5, model, refine = 40)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, "exhaustive-refine OPQ must equal brute force")
+    val tight = Similarity.opqTopK(df, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = tight.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall > 0.8, s"clustered-data recall@5 with refine=4: $recall")
+  }
+
   test("pq ADC expression: codegen score equals hand-computed LUT sum") {
     val code = Array[Byte](0, 3, 255.toByte)
     val ksub = 256
