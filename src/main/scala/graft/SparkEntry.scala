@@ -2070,6 +2070,31 @@ object SparkEntry {
     """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, true AS same_cluster
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin
 
+  /** Exact-regime gate for the Count-Min sketch: the synthetic corpus
+    * has a tiny vocabulary (~31 tokens), so a 2^16-wide, depth-4 grid
+    * is collision-free and every estimate equals the true count —
+    * DuckDB reproduces the truth with a plain GROUP BY. Pins the
+    * treeAggregate build, the element-wise-mergeable grid, the seeded
+    * bucketing, and the broadcast estimate path; the overcount-bound
+    * arithmetic of the collision regime stays ScalaTest-checked
+    * (SketchesSpec forces width 16).
+    */
+  private def q86CmsExact(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(explode(filter(split(lower(col("text")), "\\W+"), x => x =!= lit(""))).as("token"))
+    val model = graft.operators.Sketches.countMinSketch(toks, "token")
+    graft.operators.Sketches
+      .cmsEstimates(toks.distinct(), "token", model)
+      .orderBy("token")
+  }
+
+  private val q86Oracle =
+    """SELECT token, CAST(count(*) AS BIGINT) AS est_count
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |                                x -> x <> '')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY token""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2215,6 +2240,7 @@ object SparkEntry {
     "q83_image_neardup_planted" -> (q83ImageNeardupPlanted _),
     "q84_kmeans_planted" -> (q84KmeansPlanted _),
     "q85_opq_planted" -> (q85OpqPlanted _),
+    "q86_cms_exact" -> (q86CmsExact _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2291,5 +2317,6 @@ object SparkEntry {
     "q83_image_neardup_planted" -> q66Oracle, // same planted-pair shape
     "q84_kmeans_planted" -> q84Oracle,
     "q85_opq_planted" -> annPlantedOracle,
+    "q86_cms_exact" -> q86Oracle,
   )
 }

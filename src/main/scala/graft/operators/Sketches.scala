@@ -107,6 +107,100 @@ object Sketches {
       .limit(topN)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * a depth×width counter grid; each key increments one counter per
+    * row (seeded hash), estimate = min over rows. Estimates NEVER
+    * undercount; overcounts are bounded by `2N/width` with
+    * probability `1 − 2^−depth`. The grid is a plain `Array[Long]`
+    * so per-partition sketches merge by element-wise addition —
+    * the shuffle is O(partitions × depth × width) regardless of key
+    * cardinality, and two corpora's sketches sum into the union's
+    * sketch (the property incremental pipelines need: sketch the
+    * daily slice, add into the running corpus sketch, never rescan).
+    *
+    * Complements [[heavyHitters]]: MG answers "which keys are heavy"
+    * in `capacity` counters; CMS answers "how frequent is THIS key"
+    * for any later-arriving query key without having kept the key
+    * space at all.
+    */
+  final case class CmsModel(depth: Int, width: Int, seed: Long, table: Array[Long]) {
+
+    private[graft] def bucket(key: String, row: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(key, (seed + row).toInt)
+      math.floorMod(h, width)
+    }
+
+    def estimate(key: String): Long = {
+      if (key == null) return 0L
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = table(r * width + bucket(key, r))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+
+    /** Element-wise sum — sketch(A) + sketch(B) = sketch(A ⊎ B). */
+    def merge(other: CmsModel): CmsModel = {
+      require(depth == other.depth && width == other.width && seed == other.seed,
+        "CMS merge requires identical (depth, width, seed)")
+      val out = new Array[Long](table.length)
+      var i = 0
+      while (i < table.length) { out(i) = table(i) + other.table(i); i += 1 }
+      CmsModel(depth, width, seed, out)
+    }
+  }
+
+  /** Build a CMS over `keyCol` in ONE scan: per-partition grids
+    * accumulated locally, `treeAggregate`d by element-wise addition.
+    * NULL keys are skipped (they are absent, not a key).
+    */
+  def countMinSketch(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1 << 16,
+      seed: Long = 42L,
+  ): CmsModel = {
+    require(depth > 0 && width > 0)
+    val proto = CmsModel(depth, width, seed, Array.empty)
+    // the grid is built INSIDE each partition (one per partition,
+    // allocated there) rather than passed as a treeAggregate zero —
+    // a depth×width zero value serializes into every task binary
+    // (4 MiB at the defaults), which is pure overhead at scale
+    val rdd = df.select(col(keyCol).cast("string")).rdd
+    if (rdd.getNumPartitions == 0) return CmsModel(depth, width, seed, new Array(depth * width))
+    val table = rdd
+      .mapPartitions { it =>
+        val t = new Array[Long](depth * width)
+        it.foreach { row =>
+          if (!row.isNullAt(0)) {
+            val key = row.getString(0)
+            var r = 0
+            while (r < depth) { t(r * width + proto.bucket(key, r)) += 1; r += 1 }
+          }
+        }
+        Iterator.single(t)
+      }
+      .treeReduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    CmsModel(depth, width, seed, table)
+  }
+
+  /** Add an `est_count` column — broadcast grid, one probe per row,
+    * scan stays columnar. The query side never joins the corpus.
+    */
+  def cmsEstimates(df: DataFrame, keyCol: String, model: CmsModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val estUdf = udf { (k: String) => bc.value.estimate(k) }
+    df.withColumn("est_count", estUdf(col(keyCol).cast("string")))
+  }
+
   /** Key-distribution skew profile of `keyCol` — the exact diagnostic
     * run before a join/groupBy at scale: top-`topN` heaviest keys with
     * their share of all rows and the ratio to a uniform key's

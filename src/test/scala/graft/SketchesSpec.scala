@@ -46,6 +46,50 @@ class SketchesSpec extends SparkTestBase {
     assert(top2 == Set("h1", "h2"), s"top2 = $top2")
   }
 
+  test("countMinSketch: exact in the collision-free regime, incl. estimate column") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c"))
+      .map(Tuple1(_))
+      .toDF("k")
+      .repartition(4)
+    val model = Sketches.countMinSketch(df, "k", depth = 4, width = 1 << 12)
+    assert(model.estimate("a") == 50L && model.estimate("b") == 30L && model.estimate("c") == 7L)
+    assert(model.estimate("never-seen") == 0L)
+    val est = Sketches
+      .cmsEstimates(df.distinct(), "k", model)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(est == Map("a" -> 50L, "b" -> 30L, "c" -> 7L))
+  }
+
+  test("countMinSketch: never undercounts under heavy collision") {
+    val truth = (0 until 200).map(i => s"k$i" -> (i % 7 + 1).toLong).toMap
+    val rows = truth.toSeq.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    val df = rows.map(Tuple1(_)).toDF("k").repartition(8)
+    // width 16 forces collisions on 200 keys
+    val model = Sketches.countMinSketch(df, "k", depth = 2, width = 16)
+    truth.foreach { case (k, n) =>
+      assert(model.estimate(k) >= n, s"$k undercounted: ${model.estimate(k)} < $n")
+    }
+    // total mass per row of the grid equals the stream length
+    val n = rows.size
+    (0 until 2).foreach { r =>
+      assert(model.table.slice(r * 16, (r + 1) * 16).sum == n.toLong)
+    }
+  }
+
+  test("countMinSketch: sketches merge to the union's sketch; nulls skipped") {
+    val a = Seq("x", "x", "y", null).map(Tuple1(_)).toDF("k")
+    val b = Seq("y", "z").map(Tuple1(_)).toDF("k")
+    val sa = Sketches.countMinSketch(a, "k", depth = 3, width = 64)
+    val sb = Sketches.countMinSketch(b, "k", depth = 3, width = 64)
+    val merged = sa.merge(sb)
+    val whole = Sketches.countMinSketch(a.unionByName(b), "k", depth = 3, width = 64)
+    assert(merged.table.toSeq == whole.table.toSeq)
+    assert(merged.estimate("x") == 2L && merged.estimate("y") == 2L && merged.estimate("z") == 1L)
+    assert(sa.table.sum == 3L * 3) // null contributed nothing (3 non-null rows × depth)
+  }
+
   test("keySkewProfile: shares and skew factors are exact") {
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
       .map(Tuple1(_))
