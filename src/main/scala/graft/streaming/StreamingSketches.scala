@@ -72,6 +72,85 @@ object StreamingSketches {
       )
   }
 
+  /** One group's Count-Min grid after a trigger (update semantics —
+    * the grid is cumulative over the group's whole key slice).
+    */
+  final case class CmsUpdate(
+      group_id: Int,
+      table: Array[Long],
+      total_seen: Long,
+  )
+
+  /** Streaming face of [[Sketches.countMinSketch]]: the key space
+    * hash-partitions into `numGroups` slices, each maintaining its
+    * own depth×width grid in `mapGroupsWithState`. Counter addition
+    * is commutative, so each group's grid is BIT-IDENTICAL to the
+    * batch sketch of its slice regardless of micro-batch boundaries
+    * (StreamingSpec pins that). Readers sum the latest grid per group
+    * back into the whole-stream sketch ([[mergeCmsUpdates]]); state is
+    * O(numGroups × depth × width) forever — size `width` down from
+    * the batch default accordingly (streams answer point queries on
+    * recent-ish keys; 2^12 per group ≈ 32 KiB × depth).
+    */
+  def cmsStream(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1 << 12,
+      numGroups: Int = 16,
+      seed: Long = 42L,
+  ): Dataset[CmsUpdate] = {
+    require(depth > 0 && width > 0 && numGroups > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proto = Sketches.CmsModel(depth, width, seed, Array.empty)
+    val keyed = df
+      .select(
+        col(keyCol).cast("string").as("key"),
+        pmod(hash(col(keyCol).cast("string")), lit(numGroups)).as("group_id"),
+      )
+      .where(col("key").isNotNull)
+      .as[(String, Int)]
+    keyed
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (gid: Int, rows: Iterator[(String, Int)], state: GroupState[(Array[Long], Long)]) => {
+          val (t, prevSeen) = state.getOption
+            .map { case (tab, n) => (tab.clone(), n) }
+            .getOrElse((new Array[Long](depth * width), 0L))
+          var seen = prevSeen
+          rows.foreach { case (k, _) =>
+            var r = 0
+            while (r < depth) { t(r * width + proto.bucket(k, r)) += 1; r += 1 }
+            seen += 1
+          }
+          state.update((t, seen))
+          CmsUpdate(gid, t, seen)
+        },
+      )
+  }
+
+  /** Rebuild the whole-stream sketch from the LATEST update per
+    * group: slices are disjoint and counters add, so the element-wise
+    * sum of the group grids is BIT-IDENTICAL to
+    * [[Sketches.countMinSketch]] over everything the stream has seen
+    * — point-estimate keys on the returned model directly.
+    */
+  def mergeCmsUpdates(
+      updates: Seq[CmsUpdate],
+      depth: Int = 4,
+      width: Int = 1 << 12,
+      seed: Long = 42L,
+  ): Sketches.CmsModel = {
+    val table = new Array[Long](depth * width)
+    updates.groupBy(_.group_id).foreach { case (_, us) =>
+      val t = us.last.table
+      var i = 0
+      while (i < table.length) { table(i) += t(i); i += 1 }
+    }
+    Sketches.CmsModel(depth, width, seed, table)
+  }
+
   /** Merge the LATEST update per group into a global top-`topN`
     * (key, approx_count) list — run over the collected output of a
     * memory/table sink, or inside foreachBatch.

@@ -601,4 +601,40 @@ class StreamingSpec extends SparkTestBase {
       assert(merged == batch, s"stream=$merged batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming count-min: summed group grids equal the batch sketch bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketches
+    val b1 = Seq.fill(30)("hot") ++ Seq.fill(5)("warm") ++ (1 to 15).map(i => s"rare$i")
+    val b2 = Seq.fill(20)("hot") ++ Seq.fill(9)("cool") ++ (16 to 25).map(i => s"rare$i")
+    val (depth, width) = (4, 1 << 10)
+    val mem = MemoryStream[String](spark)
+    val q = StreamingSketches
+      .cmsStream(mem.toDF().withColumnRenamed("value", "k"), "k", depth, width, numGroups = 4)
+      .writeStream
+      .format("memory")
+      .queryName("cms_stream")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val updates = spark
+        .table("cms_stream")
+        .as[StreamingSketches.CmsUpdate]
+        .collect()
+        .toSeq
+      assert(updates.groupBy(_.group_id).values.map(_.last.total_seen).sum ==
+        (b1.length + b2.length))
+      val merged = StreamingSketches.mergeCmsUpdates(updates, depth, width)
+      val batch = graft.operators.Sketches
+        .countMinSketch((b1 ++ b2).map(Tuple1(_)).toDF("k"), "k", depth, width)
+      assert(merged.table.toSeq == batch.table.toSeq,
+        "summed stream grids must equal the batch grid bit-for-bit")
+      assert(merged.estimate("hot") == 50L && merged.estimate("cool") == 9L &&
+        merged.estimate("rare7") == 1L && merged.estimate("never") == 0L)
+    } finally q.stop()
+  }
 }
