@@ -1707,6 +1707,45 @@ object SparkEntry {
       .localCheckpoint(true)
   }
 
+  /** Auto-nlist face of the q77 SemDeDup gate: `nlist = 0` lets the
+    * operator derive the cell count from the corpus
+    * (`max(16, ⌈n/targetClusterRows⌉)`; targetClusterRows = 32 makes
+    * the derivation non-trivial at gate scale — 550 rows → 18 cells,
+    * a different partition layout than q77's fixed 16). The planted
+    * collapse must still hold: the corpus-proportional cell count is
+    * the 100 TB-correct default, and this pins that code path in the
+    * driver's hard signal, not only in ScalaTest.
+    */
+  private def q87SemdedupAutoPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val out = Similarity
+      .semanticDedup(emb.unionByName(copies), "vec_id", "embedding", nlist = 0, eps = 0.99,
+        targetClusterRows = 32)
+      .select(col("id"), col("component"), col("is_kept"))
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(out.select(col("id").as("id_a"), col("component").as("__ca"),
+        col("is_kept").as("__ka")), "id_a")
+      .join(out.select(col("id").as("id_b"), col("component").as("__cb"),
+        col("is_kept").as("__kb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("__ca") === col("__cb")).as("same_component"),
+        (col("__ka") =!= col("__kb")).as("one_kept"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
   private val q77Oracle =
     """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
       |  true AS same_component, true AS one_kept
@@ -2241,6 +2280,7 @@ object SparkEntry {
     "q84_kmeans_planted" -> (q84KmeansPlanted _),
     "q85_opq_planted" -> (q85OpqPlanted _),
     "q86_cms_exact" -> (q86CmsExact _),
+    "q87_semdedup_auto_planted" -> (q87SemdedupAutoPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2318,5 +2358,6 @@ object SparkEntry {
     "q84_kmeans_planted" -> q84Oracle,
     "q85_opq_planted" -> annPlantedOracle,
     "q86_cms_exact" -> q86Oracle,
+    "q87_semdedup_auto_planted" -> q77Oracle, // same planted-pair truth
   )
 }
