@@ -77,6 +77,30 @@ object Probe {
       return
     }
 
+    if (names.contains("pq_stages")) {
+      import graft.operators.Similarity
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val copies = emb
+        .where(col("vec_id") % 10 === 0)
+        .select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"))
+      val corpus = emb.unionByName(copies).persist()
+      val queries = copies.persist()
+      println(s"[probe] corpus=${corpus.count()} queries=${queries.count()}")
+      val model = timed("trainPq")(Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16))
+      timed("pqTopK full")(println("[probe] hits=" +
+        Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+          .count()))
+      timed("pqTopK again")(println("[probe] hits=" +
+        Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k = 5, model, refine = 4)
+          .count()))
+      spark.stop()
+      return
+    }
+
     if (names.contains("q35_stages")) {
       val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       val filtered = graft.operators.TextAnalysis
