@@ -201,6 +201,153 @@ object Sketches {
     df.withColumn("est_count", estUdf(col(keyCol).cast("string")))
   }
 
+  /** The HyperLogLog register kernels (Flajolet, Fusy, Gandouet &
+    * Meunier, AofA 2007) — shared by the whole-frame sketch, the
+    * per-group Aggregator, and the streaming state operator. A
+    * register array of 2^p bytes answers "how many DISTINCT keys?"
+    * to within ~1.04/√2^p relative error; registers merge by
+    * element-wise MAX, so per-partition (and per-micro-batch)
+    * sketches combine losslessly — the union's sketch is
+    * bit-identical however the rows were split. 64-bit hashing
+    * (Spark's XXH64, the same kernel behind `xxhash64()`) removes
+    * the classic 32-bit large-range correction: 2^(64-p) distinct
+    * values saturate nothing at any corpus size we can name.
+    *
+    * Completes the sketch family: MG ([[heavyHitters]]) = WHICH keys
+    * are heavy, CMS ([[countMinSketch]]) = HOW OFTEN is this key,
+    * HLL = HOW MANY distinct keys — each in fixed memory.
+    */
+  private[graft] object Hll {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+
+    /** p ∈ [4, 18]: 16 B to 256 KiB of registers. */
+    def checkP(p: Int): Unit =
+      require(p >= 4 && p <= 18, s"HLL precision p=$p outside [4, 18]")
+
+    def update(regs: Array[Byte], key: String, p: Int, seed: Long): Unit =
+      if (key != null) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(key), seed)
+        val idx = (h >>> (64 - p)).toInt
+        val w = h << p
+        // rank = position of the leftmost 1-bit in the suffix (1-based);
+        // an all-zero suffix gets the max rank 64-p+1
+        val rank = (if (w == 0L) 65 - p else java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+        if (rank > regs(idx)) regs(idx) = rank
+      }
+
+    /** Element-wise max in place: a := max(a, b). */
+    def maxMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    /** Raw-estimate + small-range linear counting (the 2007 paper's
+      * recipe; no large-range branch — see object doc). Ranks are
+      * ≤ 61 for p ≥ 4, so 2^-rank is an exact long shift.
+      */
+    def estimate(regs: Array[Byte]): Long = {
+      val m = regs.length
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        val r = regs(i)
+        invSum += 1.0 / (1L << r).toDouble
+        if (r == 0) zeros += 1
+        i += 1
+      }
+      val alpha =
+        if (m == 16) 0.673
+        else if (m == 32) 0.697
+        else if (m == 64) 0.709
+        else 0.7213 / (1.0 + 1.079 / m)
+      val raw = alpha * m.toDouble * m.toDouble / invSum
+      val e = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+      math.rint(e).toLong
+    }
+  }
+
+  /** A frozen HLL sketch: estimate any time, merge with any other
+    * sketch of the same (p, seed) — sketch(A) ∪ sketch(B) =
+    * sketch(A ⊎ B) exactly, so incremental pipelines sketch each
+    * slice and fold, never rescanning.
+    */
+  final case class HllModel(p: Int, seed: Long, registers: Array[Byte]) {
+    def distinctEstimate: Long = Hll.estimate(registers)
+
+    def merge(other: HllModel): HllModel = {
+      require(p == other.p && seed == other.seed,
+        "HLL merge requires identical (p, seed)")
+      HllModel(p, seed, Hll.maxMerge(registers.clone(), other.registers))
+    }
+  }
+
+  /** Build an HLL over `keyCol` in ONE scan: per-partition register
+    * arrays accumulated locally, `treeReduce`d by element-wise max —
+    * the shuffle is O(partitions × 2^p bytes) regardless of key
+    * cardinality. NULL keys are skipped (absent, not a key). Same
+    * allocate-inside-the-partition discipline as [[countMinSketch]]:
+    * a register-sized treeAggregate zero would ride in every task
+    * binary for nothing.
+    */
+  def hyperLogLog(
+      df: DataFrame,
+      keyCol: String,
+      p: Int = 14,
+      seed: Long = 42L,
+  ): HllModel = {
+    Hll.checkP(p)
+    val m = 1 << p
+    val rdd = df.select(col(keyCol).cast("string")).rdd
+    if (rdd.getNumPartitions == 0) return HllModel(p, seed, new Array[Byte](m))
+    val regs = rdd
+      .mapPartitions { it =>
+        val r = new Array[Byte](m)
+        it.foreach { row => if (!row.isNullAt(0)) Hll.update(r, row.getString(0), p, seed) }
+        Iterator.single(r)
+      }
+      .treeReduce(Hll.maxMerge)
+    HllModel(p, seed, regs)
+  }
+
+  private final class HllAgg(p: Int, seed: Long)
+      extends Aggregator[String, Array[Byte], Long] {
+    override def zero: Array[Byte] = new Array[Byte](1 << p)
+    override def reduce(regs: Array[Byte], key: String): Array[Byte] = {
+      Hll.update(regs, key, p, seed)
+      regs
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.maxMerge(a, b)
+    override def finish(regs: Array[Byte]): Long = Hll.estimate(regs)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Per-group approximate distinct counts: one 2^p-byte register
+    * buffer per group, merged map-side (partial aggregation) — the
+    * shuffle is O(groups × 2^p bytes), never per-key rows. The
+    * group-scoped sibling of [[hyperLogLog]]; p defaults smaller
+    * because every group pays 2^p bytes. Returns
+    * (groupCol, distinct_est) sorted by group.
+    */
+  def hllDistinctByGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      p: Int = 12,
+      seed: Long = 42L,
+  ): DataFrame = {
+    Hll.checkP(p)
+    val agg = udaf(new HllAgg(p, seed))
+    df.select(col(groupCol), col(keyCol).cast("string").as("__key"))
+      .where(col("__key").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(agg(col("__key")).as("distinct_est"))
+      .orderBy(col(groupCol))
+  }
+
   /** Key-distribution skew profile of `keyCol` — the exact diagnostic
     * run before a join/groupBy at scale: top-`topN` heaviest keys with
     * their share of all rows and the ratio to a uniform key's

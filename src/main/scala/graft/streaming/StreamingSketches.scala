@@ -169,4 +169,77 @@ object StreamingSketches {
     })
     Sketches.Mg.sorted(merged).take(topN).toSeq
   }
+
+  /** One group's HLL registers after a trigger (update semantics —
+    * cumulative over the group's whole key slice).
+    */
+  final case class HllUpdate(
+      group_id: Int,
+      registers: Array[Byte],
+      total_seen: Long,
+  )
+
+  /** Streaming face of [[Sketches.hyperLogLog]]: the key space
+    * hash-partitions into `numGroups` slices, each maintaining its
+    * own 2^p register array in `mapGroupsWithState`. Register max is
+    * commutative and associative, so each group's registers are
+    * BIT-IDENTICAL to the batch sketch of its slice regardless of
+    * micro-batch boundaries, and the element-wise max of the latest
+    * group registers is BIT-IDENTICAL to the batch sketch of the
+    * whole stream ([[mergeHllUpdates]]; a register index collects the
+    * max rank over ALL keys that hash to it — max over disjoint key
+    * slices is that same max). State is O(numGroups × 2^p) forever.
+    */
+  def hllStream(
+      df: DataFrame,
+      keyCol: String,
+      p: Int = 12,
+      numGroups: Int = 16,
+      seed: Long = 42L,
+  ): Dataset[HllUpdate] = {
+    Sketches.Hll.checkP(p)
+    require(numGroups > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val keyed = df
+      .select(
+        col(keyCol).cast("string").as("key"),
+        pmod(hash(col(keyCol).cast("string")), lit(numGroups)).as("group_id"),
+      )
+      .where(col("key").isNotNull)
+      .as[(String, Int)]
+    keyed
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (gid: Int, rows: Iterator[(String, Int)], state: GroupState[(Array[Byte], Long)]) => {
+          val (regs, prevSeen) = state.getOption
+            .map { case (r, n) => (r.clone(), n) }
+            .getOrElse((new Array[Byte](m), 0L))
+          var seen = prevSeen
+          rows.foreach { case (k, _) =>
+            Sketches.Hll.update(regs, k, p, seed)
+            seen += 1
+          }
+          state.update((regs, seen))
+          HllUpdate(gid, regs, seen)
+        },
+      )
+  }
+
+  /** Rebuild the whole-stream HLL from the LATEST update per group —
+    * element-wise max, bit-identical to [[Sketches.hyperLogLog]] over
+    * everything the stream has seen.
+    */
+  def mergeHllUpdates(
+      updates: Seq[HllUpdate],
+      p: Int = 12,
+      seed: Long = 42L,
+  ): Sketches.HllModel = {
+    val regs = new Array[Byte](1 << p)
+    updates.groupBy(_.group_id).foreach { case (_, us) =>
+      Sketches.Hll.maxMerge(regs, us.last.registers)
+    }
+    Sketches.HllModel(p, seed, regs)
+  }
 }

@@ -90,6 +90,50 @@ class SketchesSpec extends SparkTestBase {
     assert(sa.table.sum == 3L * 3) // null contributed nothing (3 non-null rows × depth)
   }
 
+  test("hyperLogLog: estimates within the theoretical band across magnitudes") {
+    // σ ≈ 1.04/√m; deterministic per (p, seed), so assert a 3σ band
+    for (n <- Seq(100, 1000, 20000)) {
+      val df = (1 to n).map(i => Tuple1(s"key-$i")).toDF("k").repartition(8)
+      val est = Sketches.hyperLogLog(df, "k", p = 12).distinctEstimate
+      val tol = math.max(3.0 * 1.04 / math.sqrt(1 << 12) * n, 3.0)
+      assert(math.abs(est - n) <= tol, s"n=$n est=$est tol=$tol")
+    }
+  }
+
+  test("hyperLogLog: slice sketches max-merge to the union's sketch bit-for-bit") {
+    val a = (1 to 500).map(i => Tuple1(s"a$i")).toDF("k").repartition(4)
+    val b = (1 to 500).map(i => Tuple1(if (i <= 250) s"a$i" else s"b$i")).toDF("k").repartition(3)
+    val sa = Sketches.hyperLogLog(a, "k", p = 10)
+    val sb = Sketches.hyperLogLog(b, "k", p = 10)
+    val merged = sa.merge(sb)
+    val whole = Sketches.hyperLogLog(a.unionByName(b), "k", p = 10)
+    assert(merged.registers.toSeq == whole.registers.toSeq,
+      "max-merged registers must equal the union's registers")
+    // merge is idempotent on overlap: a ∪ a = a
+    assert(sa.merge(sa).registers.toSeq == sa.registers.toSeq)
+  }
+
+  test("hllDistinctByGroup: per-group estimates match whole-frame sketches; nulls skipped") {
+    val rows = (1 to 400).map(i => ("g1", s"u${i % 80}")) ++
+      (1 to 300).map(i => ("g2", s"v${i % 200}")) ++
+      Seq(("g1", null), ("g2", null))
+    val df = rows.toDF("g", "k").repartition(6)
+    val out = Sketches
+      .hllDistinctByGroup(df, "g", "k", p = 12)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // the UDAF path must agree exactly with the single-frame sketch of each slice
+    for ((g, exact) <- Seq(("g1", 80), ("g2", 200))) {
+      val solo = Sketches
+        .hyperLogLog(df.where($"g" === g && $"k".isNotNull), "k", p = 12)
+        .distinctEstimate
+      assert(out(g) == solo, s"group $g: udaf=${out(g)} solo=$solo")
+      val tol = math.max(3.0 * 1.04 / math.sqrt(1 << 12) * exact, 3.0)
+      assert(math.abs(out(g) - exact) <= tol, s"group $g est=${out(g)} exact=$exact")
+    }
+  }
+
   test("keySkewProfile: shares and skew factors are exact") {
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
       .map(Tuple1(_))

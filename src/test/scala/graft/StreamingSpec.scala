@@ -637,4 +637,42 @@ class StreamingSpec extends SparkTestBase {
         merged.estimate("rare7") == 1L && merged.estimate("never") == 0L)
     } finally q.stop()
   }
+
+  test("streaming hll: max-merged group registers equal the batch sketch bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketches
+    val b1 = (1 to 300).map(i => s"u$i") ++ Seq.fill(40)("hot")
+    val b2 = (200 to 500).map(i => s"u$i") // overlaps b1 on u200..u300
+    val p = 11
+    val mem = MemoryStream[String](spark)
+    val q = StreamingSketches
+      .hllStream(mem.toDF().withColumnRenamed("value", "k"), "k", p, numGroups = 4)
+      .writeStream
+      .format("memory")
+      .queryName("hll_stream")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val updates = spark
+        .table("hll_stream")
+        .as[StreamingSketches.HllUpdate]
+        .collect()
+        .toSeq
+      assert(updates.groupBy(_.group_id).values.map(_.last.total_seen).sum ==
+        (b1.length + b2.length))
+      val merged = StreamingSketches.mergeHllUpdates(updates, p)
+      val batch = graft.operators.Sketches
+        .hyperLogLog((b1 ++ b2).map(Tuple1(_)).toDF("k"), "k", p)
+      assert(merged.registers.toSeq == batch.registers.toSeq,
+        "max-merged stream registers must equal the batch registers bit-for-bit")
+      // 501 true distinct (u1..u500 + hot); 3σ band at p=11
+      val est = merged.distinctEstimate
+      assert(math.abs(est - 501) <= math.max(3.0 * 1.04 / math.sqrt(1 << p) * 501, 3.0),
+        s"est=$est")
+    } finally q.stop()
+  }
 }
