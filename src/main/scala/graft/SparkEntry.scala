@@ -2134,6 +2134,77 @@ object SparkEntry {
       |      FROM documents)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** Tolerance-boolean gate for the HyperLogLog sketch (the planted-
+    * recall recipe applied to cardinality): per event_type, the HLL
+    * estimate of distinct user_ids must land within 5% of the exact
+    * count (150 distinct per type at gate scale; p=14 gives σ ≈ 0.8%,
+    * and the run is deterministic — seeded XXH64, order-free max
+    * merge). DuckDB reproduces the exact counts and expects TRUE in
+    * every est_ok cell, so an estimator/merge regression flips a
+    * boolean and the row hash goes red. The accuracy-vs-p curve and
+    * the bit-exact slice-merge property stay ScalaTest-checked.
+    */
+  private def q88HllTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val est = graft.operators.Sketches.hllDistinctByGroup(ev, "event_type", "uid", p = 14)
+    val exact = ev
+      .groupBy("event_type")
+      .agg(countDistinct(col("uid")).as("exact_distinct"))
+    exact
+      .join(est, "event_type")
+      .select(
+        col("event_type"),
+        col("exact_distinct"),
+        (abs(col("distinct_est") - col("exact_distinct"))
+          <= col("exact_distinct") * lit(0.05)).as("est_ok"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val q88Oracle =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+      |  true AS est_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Planted gate for DSIR importance resampling (same recipe as the
+    * lang-id/SemDeDup gates): every doc keeps its real corpus text,
+    * docs with doc_id % 5 == 0 get a TARGET marker vocabulary
+    * appended, the rest a RAW marker vocabulary. The target model is
+    * fit on only HALF the plants (doc_id % 10 == 0) and selection
+    * must recover the full planted set — i.e. the hashed-n-gram
+    * importance weights generalize from the fit sample to unseen
+    * plants over identical shared filler. Deterministic end-to-end
+    * (seeded murmur features, gumbelScale=0 argmax selection), so the
+    * recovered id set is SQL-reproducible.
+    */
+  private def q89DsirPlanted(s: SparkSession, dir: String): DataFrame = {
+    val targetMarks = "aurora quasar pulsar nebula photon graviton meson tachyon " +
+      "boson lepton hadron gluon neutrino axion muon positron"
+    val rawMarks = "granite basalt schist gneiss marble slate quartzite obsidian " +
+      "pumice shale flint chert gypsum mica feldspar olivine"
+    val docs = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(
+          " ",
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(targetMarks)).otherwise(lit(rawMarks)),
+        ).as("ptext"),
+      )
+    val fitSample = docs.where(col("doc_id") % 10 === 0)
+    val model = graft.operators.Dsir.fit(fitSample, docs, "ptext")
+    val k = docs.where(col("doc_id") % 5 === 0).count().toInt
+    graft.operators.Dsir
+      .select(docs, "doc_id", "ptext", k, model)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q89Oracle =
+    "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2281,6 +2352,8 @@ object SparkEntry {
     "q85_opq_planted" -> (q85OpqPlanted _),
     "q86_cms_exact" -> (q86CmsExact _),
     "q87_semdedup_auto_planted" -> (q87SemdedupAutoPlanted _),
+    "q88_hll_tolerance" -> (q88HllTolerance _),
+    "q89_dsir_planted" -> (q89DsirPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2359,5 +2432,7 @@ object SparkEntry {
     "q85_opq_planted" -> annPlantedOracle,
     "q86_cms_exact" -> q86Oracle,
     "q87_semdedup_auto_planted" -> q77Oracle, // same planted-pair truth
+    "q88_hll_tolerance" -> q88Oracle,
+    "q89_dsir_planted" -> q89Oracle,
   )
 }
