@@ -154,4 +154,97 @@ object Clustering {
       )
       .orderBy("cluster")
   }
+
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-maximizing counterpart of the density operators:
+    * SemDeDup removes what's redundant, k-center KEEPS what's spread
+    * out (coreset construction / "select k maximally diverse
+    * exemplars", Gonzalez 1985 — the classic 2-approximation of the
+    * optimal k-center cover).
+    *
+    * Seed = the row with the minimum id (deterministic, not
+    * data-dependent); each round picks the point farthest (cosine
+    * distance) from everything chosen so far, ties broken by lowest
+    * id — the selection is a pure function of the input set.
+    *
+    * Scale shape: k rounds, each ONE corpus scan — a broadcast of the
+    * newly-chosen vector out, one (dist, id) pair back per partition
+    * via `reduce`; the corpus never shuffles, and the running
+    * min-distance column is updated in place on a persisted
+    * (id, vec, dist) RDD (previous round unpersisted as soon as the
+    * next is materialized). Linear-in-k lineage on an RDD is flat
+    * maps, not Catalyst plans — no plan-walk blowup (the landmine
+    * that bit DataFrame CC) — but keep k in the thousands, not
+    * millions: this is an exemplar selector, not a sampler.
+    *
+    * Returns (id, pick_order, dist_at_pick): `dist_at_pick` of round
+    * r is the coverage radius of the first r centers — its tail value
+    * is the standard coreset-quality diagnostic. Stops early when
+    * everything is exactly covered (dist 0 — duplicate-only residue).
+    */
+  def kCenterGreedy(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      1.0 - s
+    }
+
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol))
+      .where(col("id").isNotNull && col(vecCol).isNotNull)
+      .rdd
+      .map(r => (r.getLong(0), normalize(r.getSeq[Float](1).toArray)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (base.isEmpty()) {
+      base.unpersist(blocking = false)
+      return Seq.empty[(Long, Int, Double)].toDF(idCol, "pick_order", "dist_at_pick")
+    }
+    val seedRow = base.reduce((a, b) => if (a._1 <= b._1) a else b)
+    val chosen = scala.collection.mutable.ArrayBuffer((seedRow._1, 0, 0.0))
+    val bcSeed = sc.broadcast(seedRow._2)
+    var cur = base
+      .map { case (id, v) => (id, v, cosDist(v, bcSeed.value)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    base.unpersist(blocking = false)
+    var round = 1
+    var done = false
+    while (round < k && !done) {
+      // farthest uncovered point; chosen points sit at dist 0 so they
+      // can't win while anything uncovered remains
+      val best = cur.reduce { (a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b
+      }
+      if (best._3 <= 0.0) done = true // exact cover: only duplicates left
+      else {
+        chosen += ((best._1, round, best._3))
+        val bcV = sc.broadcast(best._2)
+        // NOTE: broadcasts stay alive for the loop's duration — a lost
+        // persisted block recomputes through every prior round's map
+        val next = cur
+          .map { case (id, v, d) =>
+            val nd = cosDist(v, bcV.value)
+            (id, v, if (nd < d) nd else d)
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        round += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    chosen.toSeq.toDF(idCol, "pick_order", "dist_at_pick")
+  }
 }

@@ -78,4 +78,41 @@ class ClusteringSpec extends SparkTestBase {
     val assigned = Clustering.assignClusters(tiny, "embedding", m2)
     assert(assigned.count() == 2)
   }
+
+  test("kCenterGreedy: recovers planted orthogonal outliers exactly") {
+    // 60 bulk points near e0; 4 plants on their own axes
+    val rnd = new scala.util.Random(11)
+    val bulk = (10L to 69L).map { id =>
+      val v = Array.fill(8)(0.01f * rnd.nextFloat())
+      v(0) = 1f
+      (id, v.toSeq)
+    }
+    val plants = Seq(101L, 102L, 103L, 104L).zipWithIndex.map { case (id, i) =>
+      val v = new Array[Float](8)
+      v(i + 1) = 1f
+      (id, v.toSeq)
+    }
+    val df = rnd.shuffle(bulk ++ plants).toDF("id", "vec").repartition(6)
+    val out = Clustering
+      .kCenterGreedy(df, "id", "vec", k = 5)
+      .collect()
+    // seed = min id (bulk 10), then the 4 plants in some order
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(10L, 101L, 102L, 103L, 104L))
+    // dist_at_pick is the running coverage radius: non-increasing after round 1
+    val dists = out.sortBy(_.getAs[Int]("pick_order")).map(_.getAs[Double]("dist_at_pick"))
+    assert(dists.tail.zip(dists.tail.drop(1)).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("kCenterGreedy: deterministic under repartitioning; early-stop on exact cover") {
+    val pts = (1L to 40L).map(id => (id, Seq((id % 7).toFloat + 1f, ((id * 3) % 5).toFloat)))
+    val a = Clustering.kCenterGreedy(pts.toDF("id", "vec").repartition(3), "id", "vec", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    val b = Clustering.kCenterGreedy(pts.toDF("id", "vec").repartition(11), "id", "vec", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    assert(a == b, s"layout changed the selection: $a vs $b")
+    // only 2 distinct directions → k=5 stops after 2 picks
+    val dup = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)), (4L, Seq(0f, 1f)))
+    val out = Clustering.kCenterGreedy(dup.toDF("id", "vec"), "id", "vec", 5).collect()
+    assert(out.length == 2 && out.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
 }
