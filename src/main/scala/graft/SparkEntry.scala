@@ -2205,6 +2205,78 @@ object SparkEntry {
   private val q89Oracle =
     "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
 
+  /** Tolerance-boolean gate for PCA whitening: after y = W(x − μ) on
+    * the real embeddings table, the output covariance must be the
+    * identity — per dimension, |mean| ≈ 0, |var − 1| ≤ 2% (or the
+    * eigenvalue is numerically null: rank-deficient directions come
+    * out near-ZERO by the eps floor, deliberately not blown up), and
+    * every off-diagonal ≤ 2%. DuckDB expects TRUE across all 64
+    * dimensions; any regression in the moments pass, the
+    * eigendecomposition plumbing, or the transform flips a boolean.
+    */
+  private def q90WhiteningIdentity(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Whitening
+    val emb = load(s, dir, "embeddings")
+    val model = Whitening.fit(emb, "embedding")
+    val white = Whitening.transform(emb, "embedding", model).select(col("white"))
+    val (_, mean, cov) = Whitening.moments(white, "white")
+    val lamMax = model.eigenvalues.head
+    val rows = mean.indices.map { i =>
+      val offMax = cov(i).indices.filter(_ != i).map(j => math.abs(cov(i)(j))).max
+      val nullDir = model.eigenvalues(i) <= 1e-6 * lamMax
+      (
+        i.toLong,
+        math.abs(mean(i)) <= 1e-4,
+        math.abs(cov(i)(i) - 1.0) <= 0.02 || nullDir,
+        offMax <= 0.02,
+      )
+    }
+    import s.implicits._
+    rows.toDF("dim_idx", "mean_ok", "var_ok", "offdiag_ok").orderBy("dim_idx")
+  }
+
+  private val q90Oracle =
+    """SELECT CAST(range AS BIGINT) AS dim_idx, true AS mean_ok,
+      |  true AS var_ok, true AS offdiag_ok
+      |FROM range(64) ORDER BY dim_idx""".stripMargin
+
+  /** Planted gate for greedy k-center coreset selection: vectors are
+    * synthesized from vec_id — the bulk hugs direction e0 (±1%
+    * wiggle), while ids with vec_id % 100 == 13 each get their OWN
+    * orthogonal axis e_(1+vec_id/100). Every plant sits at cosine
+    * distance ≈ 1 from everything else while bulk points sit at
+    * ~1e-4 from the seed, so k = 1 + #plants MUST select exactly
+    * {min id} ∪ plants regardless of pick order — a set DuckDB
+    * reproduces from the id formula alone.
+    */
+  private def q91KcenterPlanted(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val mk = udf { (id: Long) =>
+      val v = new Array[Float](dim)
+      val axis = if (id % 100 == 13) (1 + id / 100).toInt % dim else 0
+      v(axis) = 1f
+      var i = 0
+      while (i < dim) {
+        val h = scala.util.hashing.MurmurHash3.productHash((id, i))
+        v(i) += 0.01f * (h.toFloat / Int.MaxValue)
+        i += 1
+      }
+      v
+    }
+    val emb = load(s, dir, "embeddings").select(col("vec_id"))
+    val docs = emb.withColumn("vec", mk(col("vec_id")))
+    val k = 1 + emb.where(col("vec_id") % 100 === 13).count().toInt
+    graft.operators.Clustering
+      .kCenterGreedy(docs, "vec_id", "vec", k)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  private val q91Oracle =
+    """SELECT vec_id FROM embeddings
+      |WHERE vec_id = (SELECT min(vec_id) FROM embeddings) OR vec_id % 100 = 13
+      |ORDER BY vec_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2354,6 +2426,8 @@ object SparkEntry {
     "q87_semdedup_auto_planted" -> (q87SemdedupAutoPlanted _),
     "q88_hll_tolerance" -> (q88HllTolerance _),
     "q89_dsir_planted" -> (q89DsirPlanted _),
+    "q90_whitening_identity" -> (q90WhiteningIdentity _),
+    "q91_kcenter_planted" -> (q91KcenterPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2434,5 +2508,7 @@ object SparkEntry {
     "q87_semdedup_auto_planted" -> q77Oracle, // same planted-pair truth
     "q88_hll_tolerance" -> q88Oracle,
     "q89_dsir_planted" -> q89Oracle,
+    "q90_whitening_identity" -> q90Oracle,
+    "q91_kcenter_planted" -> q91Oracle,
   )
 }
