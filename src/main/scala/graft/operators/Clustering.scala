@@ -247,4 +247,133 @@ object Clustering {
     cur.unpersist(blocking = false)
     chosen.toSeq.toDF(idCol, "pick_order", "dist_at_pick")
   }
+
+  /** Scale path for [[kCenterGreedy]]: exact greedy pays k sequential
+    * corpus scans (its contract — fine for hundreds of exemplars,
+    * wrong for tens of thousands). This variant adapts k-means||
+    * oversampling (Bahmani et al., VLDB 2012) to k-center: a FIXED
+    * number of rounds each samples ~(oversample·k)/rounds candidates
+    * with probability ∝ dist² to the running candidate set (seeded
+    * per-id uniforms — rerunnable, layout-independent), then the
+    * driver runs exact greedy k-center over the O(oversample·k)
+    * candidates. ~2 scans per round regardless of k; the candidate
+    * set is provably dense near far-out regions (the dist² bias), so
+    * the coverage radius lands near exact-greedy's in practice —
+    * the approximation trade is documented, not hidden.
+    */
+  def kCenterOversampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Int = 8,
+      rounds: Int = 5,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(k > 0 && oversample > 0 && rounds > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      1.0 - s
+    }
+    // seeded per-id uniform in [0,1): pure function of (id, seed) so
+    // the sample is identical on any cluster layout
+    def uniform(id: Long): Double = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, seed)
+      ((h >>> 11) + 0.5) / (1L << 53).toDouble
+    }
+
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol))
+      .where(col("id").isNotNull && col(vecCol).isNotNull)
+      .rdd
+      .map(r => (r.getLong(0), normalize(r.getSeq[Float](1).toArray)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (base.isEmpty()) {
+      base.unpersist(blocking = false)
+      return Seq.empty[(Long, Int, Double)].toDF(idCol, "pick_order", "dist_at_pick")
+    }
+    val seedRow = base.reduce((a, b) => if (a._1 <= b._1) a else b)
+    val candidates = scala.collection.mutable.LinkedHashMap(seedRow._1 -> seedRow._2)
+    val bcSeed = sc.broadcast(seedRow._2)
+    var cur = base
+      .map { case (id, v) => (id, v, cosDist(v, bcSeed.value)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    base.unpersist(blocking = false)
+    val perRound = math.max(1.0, oversample.toDouble * k / rounds)
+    var r = 0
+    while (r < rounds && candidates.size < oversample * k) {
+      val sumSq = cur.map(t => t._3 * t._3).reduce(_ + _)
+      if (sumSq > 0) {
+        // round-salted uniforms: a point skipped this round can still
+        // be drawn in a later one once its neighborhood stays far
+        val roundSeed = seed + 1 + r
+        val picked = cur
+          .filter { case (id, _, d) =>
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, roundSeed)
+            val u = ((h >>> 11) + 0.5) / (1L << 53).toDouble
+            u < perRound * d * d / sumSq
+          }
+          .collect()
+        picked.foreach { case (id, v, _) => candidates.getOrElseUpdate(id, v) }
+        if (picked.nonEmpty) {
+          val bcNew = sc.broadcast(picked.map(_._2))
+          val next = cur
+            .map { case (id, v, d) =>
+              var best = d
+              val arr = bcNew.value
+              var i = 0
+              while (i < arr.length) {
+                val nd = cosDist(v, arr(i))
+                if (nd < best) best = nd
+                i += 1
+              }
+              (id, v, best)
+            }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          cur.unpersist(blocking = false)
+          cur = next
+        }
+      }
+      r += 1
+    }
+    cur.unpersist(blocking = false)
+    // exact greedy over the candidate set, on the driver
+    val cand = candidates.toArray
+    val chosen = scala.collection.mutable.ArrayBuffer((seedRow._1, 0, 0.0))
+    val dist = cand.map { case (_, v) => cosDist(v, seedRow._2) }
+    var round = 1
+    var done = false
+    while (round < k && !done) {
+      var bi = -1
+      var bd = -1.0
+      var i = 0
+      while (i < cand.length) {
+        if (dist(i) > bd || (dist(i) == bd && bi >= 0 && cand(i)._1 < cand(bi)._1)) {
+          bd = dist(i); bi = i
+        }
+        i += 1
+      }
+      if (bd <= 0.0) done = true
+      else {
+        chosen += ((cand(bi)._1, round, bd))
+        val cv = cand(bi)._2
+        i = 0
+        while (i < cand.length) {
+          val nd = cosDist(cand(i)._2, cv)
+          if (nd < dist(i)) dist(i) = nd
+          i += 1
+        }
+        round += 1
+      }
+    }
+    chosen.toSeq.toDF(idCol, "pick_order", "dist_at_pick")
+  }
 }

@@ -115,4 +115,31 @@ class ClusteringSpec extends SparkTestBase {
     val out = Clustering.kCenterGreedy(dup.toDF("id", "vec"), "id", "vec", 5).collect()
     assert(out.length == 2 && out.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
+
+  test("kCenterOversampled: matches exact greedy on planted geometry, fewer scans") {
+    val rnd = new scala.util.Random(23)
+    val bulk = (10L to 209L).map { id =>
+      val v = Array.fill(8)(0.01f * rnd.nextFloat())
+      v(0) = 1f
+      (id, v.toSeq)
+    }
+    val plants = Seq(501L, 502L, 503L, 504L, 505L).zipWithIndex.map { case (id, i) =>
+      val v = new Array[Float](8)
+      v(i + 1) = 1f
+      (id, v.toSeq)
+    }
+    val df = rnd.shuffle(bulk ++ plants).toDF("id", "vec").repartition(7)
+    val exact = Clustering.kCenterGreedy(df, "id", "vec", 6)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val approx = Clustering.kCenterOversampled(df, "id", "vec", 6, oversample = 8, rounds = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // plants dominate the dist² mass, so the candidate sweep catches
+    // them all and the driver-side greedy reproduces the exact set
+    assert(approx == exact, s"approx=$approx exact=$exact")
+    // determinism under layout change
+    val again = Clustering
+      .kCenterOversampled(df.repartition(3), "id", "vec", 6, oversample = 8, rounds = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == approx)
+  }
 }
