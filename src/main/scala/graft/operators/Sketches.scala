@@ -348,6 +348,24 @@ object Sketches {
       .orderBy(col(groupCol))
   }
 
+  /** SQL faces: `hll_distinct(key)` (approximate COUNT(DISTINCT) in
+    * 2^p bytes of aggregation state) and `heavy_hitters(key)` (the
+    * Misra-Gries summary as array<struct<key,count>>), so SQL-only
+    * users get the sketch family without leaving `spark.sql` — both
+    * are partial-aggregating UDAFs, so map-side combine applies
+    * exactly as in the DataFrame faces.
+    */
+  def registerSql(
+      spark: org.apache.spark.sql.SparkSession,
+      hllP: Int = 12,
+      hllSeed: Long = 42L,
+      mgCapacity: Int = 64,
+  ): Unit = {
+    Hll.checkP(hllP)
+    spark.udf.register("hll_distinct", udaf(new HllAgg(hllP, hllSeed)))
+    spark.udf.register("heavy_hitters", udaf(new MisraGries(mgCapacity)))
+  }
+
   /** Key-distribution skew profile of `keyCol` — the exact diagnostic
     * run before a join/groupBy at scale: top-`topN` heaviest keys with
     * their share of all rows and the ratio to a uniform key's

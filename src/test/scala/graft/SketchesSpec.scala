@@ -134,6 +134,28 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("registerSql: hll_distinct and heavy_hitters usable from plain SQL") {
+    graft.operators.Sketches.registerSql(spark, mgCapacity = 16)
+    (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"u$i"))
+      .map(Tuple1(_))
+      .toDF("k")
+      .createOrReplaceTempView("sketch_keys")
+    val est = spark.sql("SELECT hll_distinct(k) AS d FROM sketch_keys")
+      .as[Long].head()
+    // 62 true distinct; p=12 → well within the 3σ band
+    assert(math.abs(est - 62) <= math.max(3.0 * 1.04 / math.sqrt(1 << 12) * 62, 3.0), s"est=$est")
+    val hh = spark
+      .sql("SELECT explode(heavy_hitters(k)) AS e FROM sketch_keys")
+      .selectExpr("e._1 AS key", "e._2 AS cnt")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // exact-regime MG guarantees: the two heavy keys are present and
+    // never overcounted (capacity 16 < 62 distinct → undercount ≤ N/17)
+    assert(hh.contains("a") && hh.contains("b"))
+    assert(hh("a") <= 40 && hh("a") >= 40 - 125 / 17)
+  }
+
   test("keySkewProfile: shares and skew factors are exact") {
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
       .map(Tuple1(_))

@@ -561,6 +561,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSIR scoring is stateless: streamed log weights equal the batch pass bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val target = Seq("astro nova quasar", "astro quasar pulsar").toDF("text")
+    val raw = (Seq("astro nova quasar", "granite basalt slate", "granite slate marble",
+      "astro granite mixed bag", "the plain filler line")).toDF("text")
+    val model = graft.operators.Dsir.fit(target, raw, "text")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dsir.importanceWeights(df, "text", model).select($"text", $"log_weight")
+    val texts = Seq("astro nova quasar", "granite basalt slate", "astro granite mixed bag")
+    val mem = MemoryStream[String](spark)
+    val q = score(mem.toDF().withColumnRenamed("value", "text"))
+      .writeStream.format("memory").queryName("dsir_stream").outputMode("append").start()
+    try {
+      mem.addData(texts.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(texts.drop(1): _*)
+      q.processAllAvailable()
+      val stream = spark.table("dsir_stream").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = score(texts.toDF("text")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(stream == batch, "broadcast-model scoring must stream bit-identically")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: merged state equals batch sketch in the exact regime") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSketches
