@@ -2193,9 +2193,10 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, lit(targetMarks)).otherwise(lit(rawMarks)),
         ).as("ptext"),
       )
+    val k = docs.where(col("doc_id") % 5 === 0).count().toInt
+    if (k == 0) return docs.select(col("doc_id")).limit(0) // empty corpus: nothing planted
     val fitSample = docs.where(col("doc_id") % 10 === 0)
     val model = graft.operators.Dsir.fit(fitSample, docs, "ptext")
-    val k = docs.where(col("doc_id") % 5 === 0).count().toInt
     graft.operators.Dsir
       .select(docs, "doc_id", "ptext", k, model)
       .select(col("doc_id"))
@@ -2216,7 +2217,11 @@ object SparkEntry {
     */
   private def q90WhiteningIdentity(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Whitening
+    import s.implicits._
     val emb = load(s, dir, "embeddings")
+    if (emb.isEmpty) // empty corpus: no dimensions to report, not a crash
+      return Seq.empty[(Long, Boolean, Boolean, Boolean)]
+        .toDF("dim_idx", "mean_ok", "var_ok", "offdiag_ok")
     val model = Whitening.fit(emb, "embedding")
     val white = Whitening.transform(emb, "embedding", model).select(col("white"))
     val (_, mean, cov) = Whitening.moments(white, "white")
@@ -2231,7 +2236,6 @@ object SparkEntry {
         offMax <= 0.02,
       )
     }
-    import s.implicits._
     rows.toDF("dim_idx", "mean_ok", "var_ok", "offdiag_ok").orderBy("dim_idx")
   }
 
@@ -2276,6 +2280,30 @@ object SparkEntry {
     """SELECT vec_id FROM embeddings
       |WHERE vec_id = (SELECT min(vec_id) FROM embeddings) OR vec_id % 100 = 13
       |ORDER BY vec_id""".stripMargin
+
+  /** Planted gate for DISTRIBUTED connected components (the
+    * alternating large-star/small-star path, forced via
+    * driverMaxPairs = 0 — the driver union-find face is what the
+    * ScalaTest fixtures already cover). doc_ids are contiguous, so
+    * chaining id→id+1 within each decade builds 10-node chain
+    * components whose min-label is the decade floor — a worst-case
+    * diameter-per-size shape for propagation algorithms and exactly
+    * the adversarial case the O(log n) star rounds exist for. DuckDB
+    * reproduces the labels from the id formula alone.
+    */
+  private def q92CcPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val pairs = docs
+      .where(col("doc_id") % 10 <= 8)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    Dedup
+      .connectedComponents(pairs, driverMaxPairs = 0L)
+      .orderBy("id")
+  }
+
+  private val q92Oracle =
+    """SELECT doc_id AS id, CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+      |FROM documents ORDER BY id""".stripMargin
 
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
@@ -2428,6 +2456,7 @@ object SparkEntry {
     "q89_dsir_planted" -> (q89DsirPlanted _),
     "q90_whitening_identity" -> (q90WhiteningIdentity _),
     "q91_kcenter_planted" -> (q91KcenterPlanted _),
+    "q92_cc_planted" -> (q92CcPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2510,5 +2539,6 @@ object SparkEntry {
     "q89_dsir_planted" -> q89Oracle,
     "q90_whitening_identity" -> q90Oracle,
     "q91_kcenter_planted" -> q91Oracle,
+    "q92_cc_planted" -> q92Oracle,
   )
 }

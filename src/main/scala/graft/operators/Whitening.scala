@@ -33,8 +33,7 @@ object Whitening {
     */
   def moments(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
     val rdd = df.select(col(vecCol)).rdd
-    if (rdd.getNumPartitions == 0) return (0L, Array.empty, Array.empty)
-    val agg = rdd
+    val partials = rdd
       .mapPartitions { it =>
         var n = 0L
         var sum: Array[Double] = null
@@ -58,13 +57,23 @@ object Whitening {
         }
         if (n == 0) Iterator.empty else Iterator.single((n, sum, outer))
       }
-      .treeReduce { (a, b) =>
-        var i = 0
-        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
-        var j = 0
-        while (j < a._3.length) { a._3(j) += b._3(j); j += 1 }
-        (a._1 + b._1, a._2, a._3)
-      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an all-empty partition set gives treeReduce nothing to reduce —
+    // degrade to the documented empty-corpus result instead of throwing
+    if (partials.isEmpty()) {
+      partials.unpersist(blocking = false)
+      return (0L, Array.empty, Array.empty)
+    }
+    val agg = partials.treeReduce { (a, b) =>
+      require(a._2.length == b._2.length,
+        s"ragged vector width across partitions: ${a._2.length} vs ${b._2.length}")
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      var j = 0
+      while (j < a._3.length) { a._3(j) += b._3(j); j += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+    partials.unpersist(blocking = false)
     val (n, sum, outer) = agg
     val d = sum.length
     val mean = sum.map(_ / n)
