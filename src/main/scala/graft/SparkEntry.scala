@@ -2305,6 +2305,91 @@ object SparkEntry {
     """SELECT doc_id AS id, CAST(doc_id - doc_id % 10 AS BIGINT) AS component
       |FROM documents ORDER BY id""".stripMargin
 
+  /** Planted gate for the distilled quality classifier: docs get
+    * GOOD or SPAM marker vocabulary by doc_id % 3 atop their real
+    * corpus text; the classifier trains on only the EVEN doc_ids
+    * (hashed n-gram features → seeded reservoir-sampled MLP —
+    * deterministic end-to-end) and its thresholded predictions over
+    * ALL docs must reproduce the label formula, odd ids included —
+    * i.e. the distillation generalizes, not memorizes. First driver-
+    * visible check for the q58 family (previously ScalaTest-only).
+    */
+  private def q93QualityClassifierPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // marker block repeated ×3: the features are L2-normalized over
+    // ALL hashed n-grams, so the class signal needs comparable mass
+    // to the ~40 shared corpus tokens to dominate the decision
+    val goodMarks = Seq.fill(3)(
+      "science language careful curation measurement diverse rigorous corpus").mkString(" ")
+    val badMarks = Seq.fill(3)(
+      "buy click free winner jackpot claim prize urgent").mkString(" ")
+    val docs = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(
+          " ",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit(goodMarks)).otherwise(lit(badMarks)),
+        ).as("ptext"),
+        (col("doc_id") % 3 === 0).cast("int").as("label"),
+      )
+    if (docs.isEmpty)
+      return Seq.empty[(Long, Boolean)].toDF("doc_id", "predicted_good")
+    graft.operators.QualityClassifier.train(
+      docs.where(col("doc_id") % 2 === 0),
+      "ptext",
+      "label",
+      "q93_quality",
+      configJson = """{"epochs":80}""",
+    )
+    graft.operators.QualityClassifier
+      .score(docs, "ptext", "q93_quality")
+      .select(col("doc_id"), (col("quality_prob") > 0.5).as("predicted_good"))
+      .orderBy("doc_id")
+  }
+
+  private val q93Oracle =
+    "SELECT doc_id, doc_id % 3 = 0 AS predicted_good FROM documents ORDER BY doc_id"
+
+  /** Planted ordering gate for the CCNet bigram LM: every doc gets a
+    * fluent variant (a rotation of one canonical sentence — all its
+    * cyclic bigrams are trained) and a scrambled variant (the same
+    * words REVERSED — every bigram unseen, pure backoff). The LM
+    * trains on the fluent corpus and must rank fluent above scrambled
+    * for EVERY doc. Floats stay inside Spark; only the comparison
+    * booleans cross to the oracle — the recipe that makes an
+    * inherently-float operator driver-checkable (q59 stays rows-only
+    * for its raw perplexities by design).
+    */
+  private def q94LmOrderingPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Array("the", "quick", "brown", "fox", "jumps",
+      "over", "lazy", "dog", "again", "today")
+    val fluentUdf = udf { (id: Long) =>
+      val r = (id % words.length).toInt
+      (words.drop(r) ++ words.take(r)).mkString(" ")
+    }
+    val scrambledUdf = udf { (id: Long) =>
+      val r = (id % words.length).toInt
+      (words.drop(r) ++ words.take(r)).reverse.mkString(" ")
+    }
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    if (docs.isEmpty) return Seq.empty[(Long, Boolean)].toDF("doc_id", "fluent_wins")
+    val fluent = docs.withColumn("t", fluentUdf(col("doc_id")))
+    val lm = graft.operators.LmQuality.train(fluent, "t", vocabSize = 100)
+    val both = docs
+      .withColumn("tf", fluentUdf(col("doc_id")))
+      .withColumn("ts", scrambledUdf(col("doc_id")))
+    val sf1 = graft.operators.LmQuality.score(both, "tf", lm, outCol = "lp_fluent")
+    val sf2 = graft.operators.LmQuality.score(sf1, "ts", lm, outCol = "lp_scrambled")
+    sf2
+      .select(col("doc_id"), (col("lp_fluent") > col("lp_scrambled")).as("fluent_wins"))
+      .orderBy("doc_id")
+  }
+
+  private val q94Oracle =
+    "SELECT doc_id, true AS fluent_wins FROM documents ORDER BY doc_id"
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2457,6 +2542,8 @@ object SparkEntry {
     "q90_whitening_identity" -> (q90WhiteningIdentity _),
     "q91_kcenter_planted" -> (q91KcenterPlanted _),
     "q92_cc_planted" -> (q92CcPlanted _),
+    "q93_quality_clf_planted" -> (q93QualityClassifierPlanted _),
+    "q94_lm_ordering_planted" -> (q94LmOrderingPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2540,5 +2627,7 @@ object SparkEntry {
     "q90_whitening_identity" -> q90Oracle,
     "q91_kcenter_planted" -> q91Oracle,
     "q92_cc_planted" -> q92Oracle,
+    "q93_quality_clf_planted" -> q93Oracle,
+    "q94_lm_ordering_planted" -> q94Oracle,
   )
 }
