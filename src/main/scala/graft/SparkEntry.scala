@@ -2390,6 +2390,59 @@ object SparkEntry {
   private val q94Oracle =
     "SELECT doc_id, true AS fluent_wins FROM documents ORDER BY doc_id"
 
+  /** Planted roundtrip gate for HTML text extraction: every doc's
+    * real text is wrapped in a template exercising the scanner's
+    * hazards — head/title content, a style block, a script whose
+    * string literal CONTAINS markup, block-tag line breaks, and
+    * entity references — and extraction must reproduce the expected
+    * visible text exactly, per doc.
+    */
+  private def q95HtmlExtractPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val html = concat(
+      lit("<html><head><title>hdr</title><style>p{color:red}</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"),
+      col("text"),
+      lit("</p><script>var x = \"<p>not text</p>\";</script><div>Tom &amp; Jerry</div></body></html>"),
+    )
+    val expected = concat(
+      lit("hdr\nDoc "), col("doc_id").cast("string"), lit("\n"), col("text"),
+      lit("\nTom & Jerry"))
+    graft.operators.WebText
+      .htmlToText(docs.withColumn("html", html), "html", outCol = "extracted")
+      .select(col("doc_id"), (col("extracted") === expected).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val q95Oracle =
+    "SELECT doc_id, true AS roundtrip_ok FROM documents ORDER BY doc_id"
+
+  /** Exact-string gate for URL normalization: URLs built from doc_id
+    * (uppercase scheme/host, default port, fragment, fixed query)
+    * must normalize to the canonical spelling DuckDB reconstructs by
+    * string concatenation — scheme+host lowercased, :443 stripped,
+    * #frag dropped, path case and query order preserved.
+    */
+  private def q96UrlNormPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val url = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 13).cast("string"),
+      lit(".COM:443/Path/"), col("doc_id").cast("string"),
+      lit("?b=2&a=1#frag"),
+    )
+    graft.operators.WebText
+      .withUrlParts(docs.withColumn("url", url), "url")
+      .select(col("doc_id"), col("url_norm"), col("url_host"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Oracle =
+    """SELECT doc_id,
+      |  'https://www.example' || (doc_id % 13) || '.com/Path/' || doc_id || '?b=2&a=1' AS url_norm,
+      |  'www.example' || (doc_id % 13) || '.com' AS url_host
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2544,6 +2597,8 @@ object SparkEntry {
     "q92_cc_planted" -> (q92CcPlanted _),
     "q93_quality_clf_planted" -> (q93QualityClassifierPlanted _),
     "q94_lm_ordering_planted" -> (q94LmOrderingPlanted _),
+    "q95_html_extract_planted" -> (q95HtmlExtractPlanted _),
+    "q96_url_norm_planted" -> (q96UrlNormPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2629,5 +2684,7 @@ object SparkEntry {
     "q92_cc_planted" -> q92Oracle,
     "q93_quality_clf_planted" -> q93Oracle,
     "q94_lm_ordering_planted" -> q94Oracle,
+    "q95_html_extract_planted" -> q95Oracle,
+    "q96_url_norm_planted" -> q96Oracle,
   )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-ingest text primitives — the stage BEFORE every other curation
+  * operator when the corpus arrives as crawled HTML: extract the
+  * visible text, and normalize URLs so per-domain caps, dedup keys,
+  * and blocklist filters see one spelling per resource.
+  *
+  * Both are pure per-row maps (no shuffle, no state, stream as-is);
+  * at 100 TB they run at scan speed inside whatever projection
+  * already touches the payload.
+  *
+  * The HTML walker is a character scanner, not a regex: quoted `>`
+  * inside attributes, unterminated tags, and `<script>` bodies with
+  * markup in string literals are all handled by state, and the cost
+  * stays strictly linear in the input (no regex backtracking cliffs
+  * on adversarial crawl bytes).
+  */
+object WebText {
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+  )
+
+  /** Tags whose boundaries break lines in the extracted text. */
+  private val blockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "section",
+    "article", "header", "footer", "form", "hr",
+  )
+
+  /** Tags whose entire CONTENT is invisible (dropped, not unwrapped). */
+  private val rawTextTags = Set("script", "style", "noscript", "template")
+
+  /** Decode `&name;`, `&#NN;`, `&#xHH;`. Unknown or malformed
+    * entities pass through literally (crawl data is full of bare
+    * ampersands — eating them would corrupt text).
+    */
+  private[graft] def decodeEntities(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val body = if (semi > i && semi - i <= 10) s.substring(i + 1, semi) else null
+        val decoded =
+          if (body == null) null
+          else if (body.startsWith("#x") || body.startsWith("#X"))
+            try Character.toChars(Integer.parseInt(body.substring(2), 16)).mkString
+            catch { case _: Exception => null }
+          else if (body.startsWith("#"))
+            try Character.toChars(Integer.parseInt(body.substring(1))).mkString
+            catch { case _: Exception => null }
+          else namedEntities.get(body.toLowerCase).orNull
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Extract visible text from HTML: drop script/style/noscript
+    * content and comments, break lines at block-tag boundaries,
+    * decode entities, collapse whitespace runs, trim lines, drop
+    * empty lines. NULL-safe (null → null).
+    */
+  private[graft] def htmlToTextKernel(html: String): String = {
+    if (html == null) return null
+    val raw = new java.lang.StringBuilder(html.length)
+    var i = 0
+    val n = html.length
+    var rawUntilTag: String = null // inside <script>/<style>/... body
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          // scan the tag with quote awareness
+          var j = i + 1
+          var quote = 0.toChar
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            j += 1
+          }
+          val tagBody = html.substring(i + 1, math.min(j, n))
+          val isClose = tagBody.startsWith("/")
+          val name = tagBody.dropWhile(_ == '/').takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+          if (rawUntilTag != null) {
+            if (isClose && name == rawUntilTag) rawUntilTag = null
+            // anything else inside a raw-text element is content: skip
+          } else {
+            if (!isClose && rawTextTags.contains(name)) rawUntilTag = name
+            if (blockTags.contains(name)) raw.append('\n')
+          }
+          i = if (j >= n) n else j + 1
+        }
+      } else {
+        // source newlines are soft whitespace — only BLOCK TAGS break
+        // lines in the extracted text
+        if (rawUntilTag == null) raw.append(if (c == '\n' || c == '\r') ' ' else c)
+        i += 1
+      }
+    }
+    // entity decode, then per-line whitespace normalization
+    decodeEntities(raw.toString)
+      .split('\n')
+      .iterator
+      .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  /** Add `outCol` = extracted visible text of an HTML column. */
+  def htmlToText(df: DataFrame, htmlCol: String, outCol: String = "text"): DataFrame = {
+    val u = udf { (h: String) => htmlToTextKernel(h) }
+    df.withColumn(outCol, u(col(htmlCol)))
+  }
+
+  /** Canonical URL spelling: lowercase scheme+host, strip default
+    * ports (http:80 / https:443), strip the fragment, drop a bare
+    * trailing "?", keep path case and query order (reordering query
+    * params changes semantics on real endpoints — deliberately NOT
+    * done). Unparseable input comes back unchanged: a filter can
+    * quarantine it, a normalizer must not invent a spelling.
+    */
+  private[graft] def normalizeUrlKernel(url: String): String = {
+    if (url == null) return null
+    try {
+      val schemeEnd = url.indexOf("://")
+      if (schemeEnd <= 0) return url
+      val scheme = url.substring(0, schemeEnd).toLowerCase
+      val rest = url.substring(schemeEnd + 3)
+      val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+        case -1 => rest.length
+        case x => x
+      }
+      var auth = rest.substring(0, authEnd).toLowerCase
+      if ((scheme == "http" && auth.endsWith(":80")) ||
+        (scheme == "https" && auth.endsWith(":443")))
+        auth = auth.substring(0, auth.lastIndexOf(':'))
+      val tail0 = rest.substring(authEnd)
+      val tail1 = tail0.indexOf('#') match {
+        case -1 => tail0
+        case x => tail0.substring(0, x)
+      }
+      val tail = if (tail1.endsWith("?")) tail1.dropRight(1) else tail1
+      s"$scheme://$auth$tail"
+    } catch { case _: Exception => url }
+  }
+
+  /** Host of a URL (lowercased, port stripped), or NULL when there is
+    * no parseable authority — the key for per-domain caps and
+    * blocklist joins.
+    */
+  private[graft] def urlHostKernel(url: String): String = {
+    if (url == null) return null
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val rest = url.substring(schemeEnd + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+      case -1 => rest.length
+      case x => x
+    }
+    val auth = rest.substring(0, authEnd).toLowerCase
+    val host = auth.lastIndexOf(':') match {
+      case -1 => auth
+      case x if auth.substring(x + 1).forall(_.isDigit) => auth.substring(0, x)
+      case _ => auth
+    }
+    if (host.isEmpty) null else host
+  }
+
+  /** Add `url_norm` and `url_host` columns for a URL column. */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val normU = udf { (u: String) => normalizeUrlKernel(u) }
+    val hostU = udf { (u: String) => urlHostKernel(u) }
+    df.withColumn("url_norm", normU(col(urlCol)))
+      .withColumn("url_host", hostU(col(urlCol)))
+  }
+}

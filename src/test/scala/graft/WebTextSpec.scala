@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.WebText
+
+class WebTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("htmlToText: tags stripped, blocks break lines, whitespace collapsed") {
+    val html =
+      """<html><head><title>ignored?</title></head><body>
+        |<h1>Heading</h1>
+        |<p>First   paragraph
+        |   wraps.</p><div>Second<br>third</div>
+        |<span>inline </span><b>bold</b> tail
+        |</body></html>""".stripMargin
+    val got = WebText.htmlToTextKernel(html)
+    assert(got ==
+      "ignored?\nHeading\nFirst paragraph wraps.\nSecond\nthird\ninline bold tail")
+  }
+
+  test("htmlToText: script/style/comment content is invisible, even with markup inside") {
+    val html =
+      """<p>before</p><script>var x = "<p>not text</p>";</script>
+        |<style>p { color: red; }</style><!-- <p>comment</p> --><p>after</p>""".stripMargin
+    assert(WebText.htmlToTextKernel(html) == "before\nafter")
+  }
+
+  test("htmlToText: entities decode; unknown entities and bare ampersands survive") {
+    val html = "<p>Tom &amp; Jerry &lt;tag&gt; &#65;&#x42; &bogus; A&B &quot;q&quot;</p>"
+    assert(WebText.htmlToTextKernel(html) == "Tom & Jerry <tag> AB &bogus; A&B \"q\"")
+  }
+
+  test("htmlToText: quoted '>' in attributes and unterminated tags don't derail the scan") {
+    val html = """<p><a href="x?q=a>b" title='1>2'>link</a> rest</p><p>trail"""
+    assert(WebText.htmlToTextKernel(html) == "link rest\ntrail")
+    assert(WebText.htmlToTextKernel("ok <unclosed") == "ok")
+    assert(WebText.htmlToTextKernel(null) == null)
+  }
+
+  test("normalizeUrl: case, default ports, fragments; query order preserved") {
+    assert(WebText.normalizeUrlKernel("HTTPS://WWW.Example.COM:443/Path/1?b=2&a=1#frag") ==
+      "https://www.example.com/Path/1?b=2&a=1")
+    assert(WebText.normalizeUrlKernel("http://Host.com:80/") == "http://host.com/")
+    assert(WebText.normalizeUrlKernel("http://host.com:8080/x") == "http://host.com:8080/x")
+    assert(WebText.normalizeUrlKernel("https://h.com/x?") == "https://h.com/x")
+    assert(WebText.normalizeUrlKernel("not a url") == "not a url")
+    assert(WebText.normalizeUrlKernel(null) == null)
+  }
+
+  test("urlHost: lowercased, port stripped, null for no authority") {
+    assert(WebText.urlHostKernel("https://Sub.Example.com:8443/p") == "sub.example.com")
+    assert(WebText.urlHostKernel("http://h.com?q=1") == "h.com")
+    assert(WebText.urlHostKernel("mailto:x") == null)
+    val df = Seq("https://A.b.C/x#f").toDF("url")
+    val out = WebText.withUrlParts(df, "url").select("url_norm", "url_host")
+      .as[(String, String)].head()
+    assert(out == ("https://a.b.c/x", "a.b.c"))
+  }
+
+  test("html extraction roundtrips a templated document") {
+    val text = "the quick data pipeline runs batch jobs"
+    val html = s"""<html><head><style>.x{}</style></head>
+      |<body><div class="main"><p>$text</p></div>
+      |<script>track("<b>x</b>");</script></body></html>""".stripMargin
+    val out = WebText.htmlToText(Seq(html).toDF("h"), "h").select("text")
+      .as[String].head()
+    assert(out == text)
+  }
+}
