@@ -2335,11 +2335,15 @@ object SparkEntry {
       )
     if (docs.isEmpty)
       return Seq.empty[(Long, Boolean)].toDF("doc_id", "predicted_good")
+    // bounded reservoir: the distillation contract is "train on a
+    // SAMPLE, score the corpus" — an uncapped sample made gate cost
+    // track corpus size (9× at the sf1 probe) for zero extra signal
     graft.operators.QualityClassifier.train(
       docs.where(col("doc_id") % 2 === 0),
       "ptext",
       "label",
       "q93_quality",
+      maxSampleRows = 2000L,
       configJson = """{"epochs":80}""",
     )
     graft.operators.QualityClassifier
