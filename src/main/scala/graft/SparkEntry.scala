@@ -2447,6 +2447,81 @@ object SparkEntry {
       |  'www.example' || (doc_id % 13) || '.com' AS url_host
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-domain cap — the WebText→Sampling composition every web
+    * pipeline runs (no host may dominate the corpus): planted URLs
+    * hash doc_ids into 7 hosts, `urlHost` extracts the key, and
+    * `capPerStratum` keeps 30 docs per host by (md5(id), id) order —
+    * a rule DuckDB replays exactly (md5 hex and window order agree
+    * across engines, the parity q42 already established).
+    */
+  private def q97DomainCapPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val url = concat(
+      lit("https://www.example"), (col("doc_id") % 7).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"),
+    )
+    val withHost = graft.operators.WebText.withUrlParts(docs.withColumn("url", url), "url")
+    graft.operators.Sampling
+      .capPerStratum(withHost, "url_host", "doc_id", maxRows = 30)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q97Oracle =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (
+      |    PARTITION BY 'www.example' || (doc_id % 7) || '.com'
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t WHERE rn <= 30 ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style quality rule bundle over the REAL corpus text —
+    * every rule's arithmetic (integer-exact single divisions,
+    * inclusive bounds, whitespace words, newline lines) is replayed
+    * verbatim by DuckDB, so all seven rule booleans and the pass
+    * flag are hash-compared, not just sampled.
+    */
+  private def q98GopherFlags(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilters
+      .withGopherFlags(load(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .drop("text")
+      .orderBy("doc_id")
+
+  private val q98Oracle =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
+      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, len(words) AS n,
+      |    list_sum(list_transform(words, x -> length(x))) AS sum_len,
+      |    len(list_filter(words, x -> x LIKE '%#%' OR x LIKE '%…%' OR x LIKE '%...%')) AS sym,
+      |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |                    sw -> list_contains(words, sw))) AS stops,
+      |    greatest(len(lines), 1) AS nlines,
+      |    len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %')) AS bullets,
+      |    len(list_filter(lines, l -> l LIKE '%…' OR l LIKE '%...')) AS ellip
+      |  FROM base
+      |)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_words,
+      |  (n >= 50 AND n <= 100000) AS ok_word_count,
+      |  (n > 0 AND CAST(sum_len AS DOUBLE)/n >= 3.0 AND CAST(sum_len AS DOUBLE)/n <= 10.0) AS ok_mean_word_len,
+      |  (n > 0 AND CAST(sym AS DOUBLE)/n <= 0.1) AS ok_symbol_ratio,
+      |  (n > 0 AND CAST(bullets AS DOUBLE)/nlines <= 0.9) AS ok_bullet_lines,
+      |  (n > 0 AND CAST(ellip AS DOUBLE)/nlines <= 0.3) AS ok_ellipsis_lines,
+      |  (n > 0 AND CAST(alpha AS DOUBLE)/n >= 0.8) AS ok_alpha_words,
+      |  (n > 0 AND stops >= 2) AS ok_stopwords,
+      |  (n >= 50 AND n <= 100000
+      |   AND CAST(sum_len AS DOUBLE)/n >= 3.0 AND CAST(sum_len AS DOUBLE)/n <= 10.0
+      |   AND CAST(sym AS DOUBLE)/n <= 0.1
+      |   AND CAST(bullets AS DOUBLE)/nlines <= 0.9
+      |   AND CAST(ellip AS DOUBLE)/nlines <= 0.3
+      |   AND CAST(alpha AS DOUBLE)/n >= 0.8
+      |   AND stops >= 2) AS pass
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2603,6 +2678,8 @@ object SparkEntry {
     "q94_lm_ordering_planted" -> (q94LmOrderingPlanted _),
     "q95_html_extract_planted" -> (q95HtmlExtractPlanted _),
     "q96_url_norm_planted" -> (q96UrlNormPlanted _),
+    "q97_domain_cap_planted" -> (q97DomainCapPlanted _),
+    "q98_gopher_flags" -> (q98GopherFlags _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2690,5 +2767,7 @@ object SparkEntry {
     "q94_lm_ordering_planted" -> q94Oracle,
     "q95_html_extract_planted" -> q95Oracle,
     "q96_url_norm_planted" -> q96Oracle,
+    "q97_domain_cap_planted" -> q97Oracle,
+    "q98_gopher_flags" -> q98Oracle,
   )
 }
