@@ -2255,9 +2255,15 @@ object SparkEntry {
     */
   private def q91KcenterPlanted(s: SparkSession, dir: String): DataFrame = {
     val dim = 64
+    // plants are bounded to vec_id/100 < 63 so every plant owns a
+    // DISTINCT axis e_1..e_63 at any corpus size — without the bound,
+    // (1 + vec_id/100) would wrap past dim at vec_id ≥ 6300 and a
+    // plant would land on the bulk axis (or a sibling's), breaking
+    // the exactly-the-planted-set contract
+    val isPlant = (id: Long) => id % 100 == 13 && id / 100 < 63
     val mk = udf { (id: Long) =>
       val v = new Array[Float](dim)
-      val axis = if (id % 100 == 13) (1 + id / 100).toInt % dim else 0
+      val axis = if (isPlant(id)) (1 + id / 100).toInt else 0
       v(axis) = 1f
       var i = 0
       while (i < dim) {
@@ -2269,7 +2275,10 @@ object SparkEntry {
     }
     val emb = load(s, dir, "embeddings").select(col("vec_id"))
     val docs = emb.withColumn("vec", mk(col("vec_id")))
-    val k = 1 + emb.where(col("vec_id") % 100 === 13).count().toInt
+    val k = 1 + emb
+      .where(col("vec_id") % 100 === 13 && col("vec_id") / 100 < 63)
+      .count()
+      .toInt
     graft.operators.Clustering
       .kCenterGreedy(docs, "vec_id", "vec", k)
       .select(col("vec_id"))
@@ -2278,7 +2287,8 @@ object SparkEntry {
 
   private val q91Oracle =
     """SELECT vec_id FROM embeddings
-      |WHERE vec_id = (SELECT min(vec_id) FROM embeddings) OR vec_id % 100 = 13
+      |WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+      |   OR (vec_id % 100 = 13 AND vec_id // 100 < 63)
       |ORDER BY vec_id""".stripMargin
 
   /** Planted gate for DISTRIBUTED connected components (the
@@ -2293,17 +2303,31 @@ object SparkEntry {
     */
   private def q92CcPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"))
+    // self-join keeps only edges whose BOTH endpoints exist — without
+    // it, a corpus whose max doc_id is not ≡ 9 (mod 10) would emit a
+    // phantom (max, max+1) edge and a node the oracle never lists
     val pairs = docs
       .where(col("doc_id") % 10 <= 8)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
     Dedup
       .connectedComponents(pairs, driverMaxPairs = 0L)
       .orderBy("id")
   }
 
+  // nodes = docs with at least one existing chain neighbor (matches
+  // the join-filtered edge set); component = decade floor relies on
+  // the generator's CONTIGUOUS doc_ids, the same premise every
+  // id-formula planted gate (q89/q91/q96/q97) already stands on
   private val q92Oracle =
-    """SELECT doc_id AS id, CAST(doc_id - doc_id % 10 AS BIGINT) AS component
-      |FROM documents ORDER BY id""".stripMargin
+    """SELECT d.doc_id AS id, CAST(d.doc_id - d.doc_id % 10 AS BIGINT) AS component
+      |FROM documents d
+      |WHERE (d.doc_id % 10 <= 8
+      |       AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1))
+      |   OR (d.doc_id % 10 >= 1
+      |       AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id - 1))
+      |ORDER BY id""".stripMargin
 
   /** Planted gate for the distilled quality classifier: docs get
     * GOOD or SPAM marker vocabulary by doc_id % 3 atop their real
@@ -2403,15 +2427,26 @@ object SparkEntry {
     */
   private def q95HtmlExtractPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // entity-escape the payload like a real producer would — the gate
+    // then exercises decode on REAL corpus text instead of assuming
+    // the corpus never contains markup characters
+    val esc = regexp_replace(
+      regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;"),
+      ">", "&gt;")
     val html = concat(
       lit("<html><head><title>hdr</title><style>p{color:red}</style></head><body><h1>Doc "),
       col("doc_id").cast("string"),
       lit("</h1><p>"),
-      col("text"),
+      esc,
       lit("</p><script>var x = \"<p>not text</p>\";</script><div>Tom &amp; Jerry</div></body></html>"),
     )
+    // the scanner collapses whitespace runs and drops empty lines —
+    // mirror that on the expected side so the comparison tests the
+    // operator, not the corpus generator's formatting habits
+    val center = trim(regexp_replace(col("text"), "\\s+", " "))
     val expected = concat(
-      lit("hdr\nDoc "), col("doc_id").cast("string"), lit("\n"), col("text"),
+      lit("hdr\nDoc "), col("doc_id").cast("string"),
+      when(length(center) > 0, concat(lit("\n"), center)).otherwise(lit("")),
       lit("\nTom & Jerry"))
     graft.operators.WebText
       .htmlToText(docs.withColumn("html", html), "html", outCol = "extracted")

@@ -44,6 +44,28 @@ object Clustering {
     def nearestCentroid(v: Seq[Float]): Int = Similarity.IvfModel.nearest(centroids, v)
   }
 
+  /** Cosine distance on normalized vectors — the single kernel every
+    * k-center face shares (the two faces must agree bit-for-bit on
+    * the same candidates). The width check costs one branch per call
+    * and turns a ragged corpus row into a named error instead of an
+    * out-of-bounds crash or a silently-truncated dot product.
+    */
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, s"ragged vector width: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    1.0 - s
+  }
+
+  /** Seeded uniform in [0,1) from an id — pure function of
+    * (id, seed), so samples are rerunnable and layout-independent.
+    */
+  private def seededUniform(id: Long, seed: Long): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, seed)
+    ((h >>> 11) + 0.5) / (1L << 53).toDouble
+  }
+
   private def normalize(v: Array[Float]): Array[Float] = {
     var ss = 0.0
     v.foreach(x => ss += x.toDouble * x)
@@ -193,13 +215,6 @@ object Clustering {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    def cosDist(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-      1.0 - s
-    }
-
     val base = df
       .select(col(idCol).cast("long").as("id"), col(vecCol))
       .where(col("id").isNotNull && col(vecCol).isNotNull)
@@ -275,19 +290,6 @@ object Clustering {
     import spark.implicits._
     val sc = spark.sparkContext
 
-    def cosDist(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-      1.0 - s
-    }
-    // seeded per-id uniform in [0,1): pure function of (id, seed) so
-    // the sample is identical on any cluster layout
-    def uniform(id: Long): Double = {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, seed)
-      ((h >>> 11) + 0.5) / (1L << 53).toDouble
-    }
-
     val base = df
       .select(col(idCol).cast("long").as("id"), col(vecCol))
       .where(col("id").isNotNull && col(vecCol).isNotNull)
@@ -316,9 +318,7 @@ object Clustering {
         val roundSeed = seed + 1 + r
         val picked = cur
           .filter { case (id, _, d) =>
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, roundSeed)
-            val u = ((h >>> 11) + 0.5) / (1L << 53).toDouble
-            u < perRound * d * d / sumSq
+            seededUniform(id, roundSeed) < perRound * d * d / sumSq
           }
           .collect()
         picked.foreach { case (id, v, _) => candidates.getOrElseUpdate(id, v) }

@@ -162,7 +162,9 @@ object Dsir {
     * the sample.
     */
   private[graft] def gumbel(id: String, seed: Long): Double = {
-    val h = XXH64.hashUTF8String(UTF8String.fromString(id), seed)
+    // a NULL id still needs SOME deterministic noise (Spark hands the
+    // UDF a null reference; hashing it would NPE the whole job)
+    val h = XXH64.hashUTF8String(UTF8String.fromString(if (id == null) "" else id), seed)
     val u = ((h >>> 11) + 0.5) / (1L << 53).toDouble
     -math.log(-math.log(u))
   }

@@ -78,7 +78,17 @@ object WebText {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
-        if (html.regionMatches(i, "<!--", 0, 4)) {
+        if (rawUntilTag != null && !html.regionMatches(i, "</", 0, 2)) {
+          // inside a raw-text element, a bare '<' (e.g. `if (a<b)` in
+          // script) is CONTENT, not a tag — treating it as one would
+          // swallow the real closing tag and drop the document's tail
+          i += 1
+        } else if (i + 1 < n && !html.charAt(i + 1).isLetter &&
+          html.charAt(i + 1) != '/' && html.charAt(i + 1) != '!') {
+          // HTML5: '<' not opening a tag ('a < b' in prose) is text
+          raw.append(c)
+          i += 1
+        } else if (html.regionMatches(i, "<!--", 0, 4)) {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
         } else {
@@ -179,11 +189,23 @@ object WebText {
     if (host.isEmpty) null else host
   }
 
-  /** Add `url_norm` and `url_host` columns for a URL column. */
+  private final case class UrlParts(url_norm: String, url_host: String)
+
+  /** Add `url_norm` and `url_host` columns for a URL column — ONE
+    * parse per row (the host reads the already-normalized spelling),
+    * not two independent scans of the raw string.
+    */
   def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
-    val normU = udf { (u: String) => normalizeUrlKernel(u) }
-    val hostU = udf { (u: String) => urlHostKernel(u) }
-    df.withColumn("url_norm", normU(col(urlCol)))
-      .withColumn("url_host", hostU(col(urlCol)))
+    val u = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val norm = normalizeUrlKernel(s)
+        UrlParts(norm, urlHostKernel(norm))
+      }
+    }
+    df.withColumn("__u", u(col(urlCol)))
+      .withColumn("url_norm", col("__u.url_norm"))
+      .withColumn("url_host", col("__u.url_host"))
+      .drop("__u")
   }
 }

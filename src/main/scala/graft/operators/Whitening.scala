@@ -137,7 +137,10 @@ object Whitening {
     val mB = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => cov(i)(j))
     val es = breeze.linalg.eigSym(mB) // ascending eigenvalues, orthonormal columns
     val lamMax = math.max(es.eigenvalues(d - 1), 0.0)
-    val floor = eps * math.max(lamMax, Double.MinPositiveValue)
+    // the floor must never underflow to 0.0 (eps·MinPositiveValue
+    // does), or an all-zero covariance — one row, identical vectors —
+    // yields 1/√0 = Inf basis entries and NaN outputs
+    val floor = math.max(eps * lamMax, Double.MinPositiveValue)
     // descending order for the caller-facing spectrum
     val order = (0 until d).sortBy(i => -es.eigenvalues(i))
     val invSqrt = order.map(i => 1.0 / math.sqrt(math.max(es.eigenvalues(i), 0.0) + floor))

@@ -116,6 +116,12 @@ class ClusteringSpec extends SparkTestBase {
     assert(out.length == 2 && out.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("kCenterGreedy: a ragged vector is a named error, not silent truncation") {
+    val df = Seq((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
+    val e = intercept[Exception](Clustering.kCenterGreedy(df, "id", "vec", 2).collect())
+    assert(e.getMessage != null)
+  }
+
   test("kCenterOversampled: matches exact greedy on planted geometry, fewer scans") {
     val rnd = new scala.util.Random(23)
     val bulk = (10L to 209L).map { id =>

@@ -30,6 +30,15 @@ class WebTextSpec extends SparkTestBase {
     assert(WebText.htmlToTextKernel(html) == "Tom & Jerry <tag> AB &bogus; A&B \"q\"")
   }
 
+  test("htmlToText: bare '<' inside script bodies and prose is content, not a tag") {
+    // `a<b` in script must NOT swallow the real closing tag
+    assert(WebText.htmlToTextKernel("<script>if(a<b)x()</script><p>hello</p>") == "hello")
+    // '<' followed by a non-letter in prose is text (HTML5 rule)
+    assert(WebText.htmlToTextKernel("<p>a < b and x <3 y</p>") == "a < b and x <3 y")
+    // a stray close tag inside a script string stays invisible
+    assert(WebText.htmlToTextKernel("<script>s=\"</b>\"</script><p>t</p>") == "t")
+  }
+
   test("htmlToText: quoted '>' in attributes and unterminated tags don't derail the scan") {
     val html = """<p><a href="x?q=a>b" title='1>2'>link</a> rest</p><p>trail"""
     assert(WebText.htmlToTextKernel(html) == "link rest\ntrail")

@@ -71,6 +71,14 @@ class WhiteningSpec extends SparkTestBase {
     }
   }
 
+  test("all-zero covariance (identical vectors) yields finite zero outputs, not NaN") {
+    val df = Seq.fill(5)(Tuple1(Array(1f, 2f, 3f))).toDF("v")
+    val model = Whitening.fit(df, "v")
+    model.basis.foreach(_.foreach(x => assert(!x.isNaN && !x.isInfinite)))
+    val out = Whitening.transform(df, "v", model).select("white").as[Array[Float]].collect()
+    out.foreach(v => v.foreach(x => assert(x == 0f, s"expected 0, got $x")))
+  }
+
   test("NULL vectors pass through as NULL; ragged widths are rejected") {
     val df = Seq(Some(Array(1f, 2f)), None, Some(Array(2f, 1f))).map(Tuple1(_)).toDF("v")
     val model = Whitening.fit(df.where($"v".isNotNull), "v")
