@@ -1593,6 +1593,21 @@ object SparkEntry {
     """SELECT vec_id + 1000000 AS query_id, vec_id AS expected_id, true AS recovered
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
+  /** IVF+OPQ planted recall — completes the ANN composition matrix
+    * (q72 IVF, q73 PQ, q74 IVF-PQ, q85 OPQ): rotation preserves the
+    * copy's cell co-location AND its quantization-floor ADC margin,
+    * so the composed index must still recover every plant.
+    */
+  private def q99IvfOpqPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val (ivf, opq) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 16,
+          m = 8, ksub = 16)
+        Similarity.ivfOpqTopK(corpus, queries, "vec_id", "embedding", k = 5, ivf, opq,
+          nprobe = 4, refine = 4)
+      })
+
   /** Planted-recall gate for the winnowing passage-overlap path (q29's
     * scale face): every 20th sufficiently long document spawns a
     * "quoting" doc — a 300-char excerpt plus a short foreign tail.
@@ -2715,6 +2730,7 @@ object SparkEntry {
     "q96_url_norm_planted" -> (q96UrlNormPlanted _),
     "q97_domain_cap_planted" -> (q97DomainCapPlanted _),
     "q98_gopher_flags" -> (q98GopherFlags _),
+    "q99_ivfopq_planted" -> (q99IvfOpqPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2804,5 +2820,6 @@ object SparkEntry {
     "q96_url_norm_planted" -> q96Oracle,
     "q97_domain_cap_planted" -> q97Oracle,
     "q98_gopher_flags" -> q98Oracle,
+    "q99_ivfopq_planted" -> annPlantedOracle,
   )
 }

@@ -913,6 +913,59 @@ object Similarity {
       idCol, vecCol, k, model.pq, refine)
   }
 
+  /** Train the composed IVF+OPQ index: OPQ rotation + codebooks from
+    * the shared reservoir sample, then IVF centroids over the ROTATED
+    * corpus so cell geometry lives in the same space as the codes.
+    * One extra narrow map during IVF training; nothing else changes.
+    */
+  def trainIvfOpq(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleRows: Int = 20000,
+      seed: Long = 42L,
+  ): (IvfModel, OpqModel) = {
+    val opq = trainOpq(df, vecCol, m, ksub, sampleRows, seed = seed)
+    val bc = df.sparkSession.sparkContext.broadcast(opq)
+    val rotUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null else bc.value.rotate(v.toArray).toSeq
+    }
+    val ivf = trainIvf(df.withColumn(vecCol, rotUdf(col(vecCol))), vecCol,
+      nlist = nlist, sampleRows = sampleRows, seed = seed)
+    (ivf, opq)
+  }
+
+  /** IVF+OPQ top-k — the full billion-scale composition (FAISS's
+    * `OPQ..,IVF..,PQ..` index string): rotate corpus and queries once
+    * (one d×d mat-vec per row; rotations preserve norms and angles,
+    * so the exact cosine re-rank is untouched), then run the
+    * [[ivfPqTopK]] machinery unchanged in rotated space — cell
+    * pruning bounds the SCAN, OPQ-aligned codes shrink what it READS.
+    */
+  def ivfOpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ivf: IvfModel,
+      opq: OpqModel,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+  ): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(opq)
+    val rotUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null else bc.value.rotate(v.toArray).toSeq
+    }
+    ivfPqTopK(
+      corpus.withColumn(vecCol, rotUdf(col(vecCol))),
+      queries.withColumn(vecCol, rotUdf(col(vecCol))),
+      idCol, vecCol, k, ivf, opq.pq, nprobe, refine, broadcastQueries)
+  }
+
   /** Mean sample quantization error ‖x − decode(encode(x))‖² of a PQ
     * model over (rotated) normalized vectors — the objective OPQ
     * minimizes; exposed for specs and codebook tuning.

@@ -271,6 +271,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(parted == pruned)
   }
 
+  test("ivf-opq ANN: full probe + exhaustive refine equals brute force; pruned keeps recall") {
+    val rng = new scala.util.Random(31)
+    // cross-subspace-correlated bundles — the geometry OPQ exists for
+    val vecs = (0 until 8).flatMap { c =>
+      val base = Array.fill(4)(rng.nextGaussian().toFloat)
+      val center = base ++ base.map(x => 0.9f * x) // dims 4..7 track 0..3
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val (ivf, opq) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4, ksub = 16,
+      seed = 3L)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Similarity
+      .ivfOpqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, opq, nprobe = 8, refine = 40)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact,
+      "full-probe exhaustive-refine IVF-OPQ must equal brute force (rotation preserves cosines)")
+    val pruned = Similarity
+      .ivfOpqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, opq, nprobe = 2, refine = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = pruned.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall > 0.7, s"recall@5 nprobe=2 refine=4: $recall")
+  }
+
   test("bruteForceNearDupPairs: distributed block equi-join ≡ driver-broadcast path bit-for-bit") {
     val rng = new scala.util.Random(17)
     val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
