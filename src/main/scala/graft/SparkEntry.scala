@@ -2572,6 +2572,31 @@ object SparkEntry {
       |   AND stops >= 2) AS pass
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Exact-regime gate for the KLL quantile sketch (the CMS recipe
+    * applied to order statistics): k = 2^15 exceeds every group's row
+    * count at gate scales, so no compaction fires, the sketch IS the
+    * sorted multiset, and the ⌈q·n⌉ order statistics are exact values
+    * DuckDB reproduces by sorted-list indexing — no interpolation
+    * arithmetic to drift cross-engine. The compaction regime's
+    * rank-error bound stays ScalaTest-checked.
+    */
+  private def q100KllExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+    graft.operators.Sketches
+      .kllQuantilesByGroup(ev, "event_type", "value", qs = Seq(0.25, 0.5, 0.75), k = 1 << 15)
+  }
+
+  private val q100Oracle =
+    """SELECT event_type,
+      |  qs[CAST(ceil(0.25*n) AS BIGINT)] AS q25,
+      |  qs[CAST(ceil(0.5*n)  AS BIGINT)] AS q50,
+      |  qs[CAST(ceil(0.75*n) AS BIGINT)] AS q75
+      |FROM (SELECT event_type, list_sort(list(value)) AS qs, count(*) AS n
+      |      FROM events WHERE value IS NOT NULL GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2731,6 +2756,7 @@ object SparkEntry {
     "q97_domain_cap_planted" -> (q97DomainCapPlanted _),
     "q98_gopher_flags" -> (q98GopherFlags _),
     "q99_ivfopq_planted" -> (q99IvfOpqPlanted _),
+    "q100_kll_exact" -> (q100KllExact _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2821,5 +2847,6 @@ object SparkEntry {
     "q97_domain_cap_planted" -> q97Oracle,
     "q98_gopher_flags" -> q98Oracle,
     "q99_ivfopq_planted" -> annPlantedOracle,
+    "q100_kll_exact" -> q100Oracle,
   )
 }

@@ -348,6 +348,182 @@ object Sketches {
       .orderBy(col(groupCol))
   }
 
+  /** KLL quantile sketch (Karnin, Lang & Liberty, FOCS 2016) — the
+    * MERGEABLE member of the quantile family. GK (per-group
+    * `TextAnalysis.tokenQuantilesApprox`) keeps ε·n rank error in one
+    * stream but merges awkwardly; KLL's compactor levels merge by
+    * level-wise concatenation + re-compaction, so per-partition (and
+    * per-slice) sketches fold with the same guarantees — the shuffle
+    * is O(partitions × k), never per-value rows.
+    *
+    * EXACT regime: with `k ≥ n` no compaction ever fires, the sketch
+    * IS the sorted multiset, and quantiles are exact order statistics
+    * regardless of merge order — the oracle-checked regime (the same
+    * recipe as CMS's collision-free gate). The compaction regime's
+    * rank-error bound stays ScalaTest-checked.
+    *
+    * Quantile convention (both regimes): `quantile(q)` = the element
+    * at 1-based index ⌈q·n⌉ of the sorted multiset (the lower
+    * empirical quantile) — chosen because SQL replays it exactly via
+    * sorted-list indexing, with no interpolation arithmetic to drift
+    * cross-engine.
+    */
+  final class KllBuilder(val k: Int, seed: Long) extends Serializable {
+    require(k >= 8, s"k must be ≥ 8: $k")
+    private[graft] var levels =
+      scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Double])
+    private[graft] var n = 0L
+    private var rng: Long = seed ^ 0x9e3779b97f4a7c15L
+
+    // deterministic coin per compaction (seeded xorshift64*)
+    private def nextBit(): Boolean = {
+      rng ^= rng << 13; rng ^= rng >>> 7; rng ^= rng << 17
+      (rng & 1L) == 1L
+    }
+
+    /** capacity shrinks geometrically for LOWER levels (they hold the
+      * freshest, least-compacted data): cap(i) = max(2, ⌈k·(2/3)^(H-1-i)⌉)
+      * where H = current level count and level H-1 is the top.
+      */
+    private def capacity(level: Int): Int = {
+      val h = levels.length
+      math.max(2, math.ceil(k * math.pow(2.0 / 3.0, (h - 1 - level).toDouble)).toInt)
+    }
+
+    def update(x: Double): Unit = {
+      levels(0) += x
+      n += 1
+      compress()
+    }
+
+    private def totalItems: Int = { var s = 0; levels.foreach(s += _.length); s }
+
+    /** Compact the lowest over-full level: sort, keep a random half
+      * (every other element from a coin-chosen offset), promote the
+      * kept half one level up. Each survivor's implicit weight
+      * doubles — the classic KLL step.
+      */
+    private def compress(): Unit = {
+      var guard = 0
+      while (totalItems > levels.indices.map(capacity).sum && guard < 64) {
+        val lvl = levels.indices.find(i => levels(i).length > capacity(i)).getOrElse(-1)
+        if (lvl < 0) return
+        val sorted = levels(lvl).toArray
+        java.util.Arrays.sort(sorted)
+        val off = if (nextBit()) 1 else 0
+        if (lvl + 1 >= levels.length)
+          levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+        val up = levels(lvl + 1)
+        var i = off
+        while (i < sorted.length) { up += sorted(i); i += 2 }
+        levels(lvl).clear()
+        guard += 1
+      }
+    }
+
+    /** Level-wise concatenation + re-compaction: sketch(A) merge
+      * sketch(B) carries the union's guarantees.
+      */
+    def merge(other: KllBuilder): KllBuilder = {
+      require(k == other.k, "KLL merge requires identical k")
+      while (levels.length < other.levels.length)
+        levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < other.levels.length) { levels(i) ++= other.levels(i); i += 1 }
+      n += other.n
+      compress()
+      this
+    }
+
+    /** The element at 1-based rank ⌈q·n⌉ of the weighted multiset
+      * (weight 2^level per item). Exact when no compaction has fired.
+      */
+    def quantile(q: Double): Double = {
+      require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
+      require(n > 0, "empty sketch")
+      val items = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var lvl = 0
+      while (lvl < levels.length) {
+        val w = 1L << lvl
+        levels(lvl).foreach(v => items += ((v, w)))
+        lvl += 1
+      }
+      val sorted = items.sortBy(_._1)
+      val target = math.ceil(q * n).toLong
+      var cum = 0L
+      var i = 0
+      while (i < sorted.length) {
+        cum += sorted(i)._2
+        if (cum >= target) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
+    }
+  }
+
+  /** Build a KLL over `valCol` in ONE scan: per-partition builders,
+    * `treeReduce` merge — allocate-inside-the-partition discipline as
+    * everywhere in this file. NULLs skipped.
+    */
+  def kllSketch(
+      df: DataFrame,
+      valCol: String,
+      k: Int = 4096,
+      seed: Long = 42L,
+  ): KllBuilder = {
+    val rdd = df.select(col(valCol).cast("double")).rdd
+    val partials = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        // partition-salted seed: two partitions must not replay the
+        // same coin sequence (their compactions are independent draws)
+        val b = new KllBuilder(k, seed + pid)
+        it.foreach(row => if (!row.isNullAt(0)) b.update(row.getDouble(0)))
+        if (b.n == 0) Iterator.empty else Iterator.single(b)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out =
+      if (partials.isEmpty()) new KllBuilder(k, seed)
+      else partials.treeReduce((a, b) => a.merge(b))
+    partials.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-group quantiles via one pass of bounded per-group state
+    * (`mapGroups` feeds each group's rows through one builder).
+    * Returns (group, q1, q2, …) sorted by group; column names are
+    * `"q" + percent` (q25, q50, …).
+    */
+  def kllQuantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      qs: Seq[Double],
+      k: Int = 4096,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(qs.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(groupCol).cast("string"), col(valCol).cast("double"))
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .as[(String, Double)]
+    val rows = keyed
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val b = new KllBuilder(k, seed ^ g.hashCode.toLong)
+        it.foreach { case (_, v) => b.update(v) }
+        (g, qs.map(b.quantile))
+      }
+    val out = rows.toDF(groupCol, "__qs")
+    qs.zipWithIndex
+      .foldLeft(out) { case (d, (q, i)) =>
+        d.withColumn(s"q${math.round(q * 100)}", col("__qs").getItem(i))
+      }
+      .drop("__qs")
+      .orderBy(groupCol)
+  }
+
   /** SQL faces: `hll_distinct(key)` (approximate COUNT(DISTINCT) in
     * 2^p bytes of aggregation state) and `heavy_hitters(key)` (the
     * Misra-Gries summary as array<struct<key,count>>), so SQL-only

@@ -134,6 +134,49 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kll exact regime: no compaction ⇒ quantiles are exact order statistics, any merge order") {
+    val rng = new scala.util.Random(5)
+    val vals = Array.fill(3000)(rng.nextDouble() * 100)
+    val df = vals.toSeq.map(Tuple1(_)).toDF("v").repartition(7)
+    val sk = Sketches.kllSketch(df, "v", k = 4096)
+    assert(sk.n == 3000L)
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val want = sorted(math.ceil(q * vals.length).toInt - 1)
+      assert(sk.quantile(q) == want, s"q=$q")
+    }
+    // a different partitioning merges in a different order — exact
+    // regime must not care
+    val sk2 = Sketches.kllSketch(df.repartition(3), "v", k = 4096)
+    assert(Seq(0.25, 0.5, 0.75).map(sk2.quantile) == Seq(0.25, 0.5, 0.75).map(sk.quantile))
+  }
+
+  test("kll compaction regime: rank error bounded, n exact, memory bounded") {
+    val n = 40000
+    val df = (1 to n).map(i => Tuple1(i.toDouble)).toDF("v").repartition(8)
+    val sk = Sketches.kllSketch(df, "v", k = 256)
+    assert(sk.n == n.toLong)
+    // state is O(k), not O(n)
+    assert(sk.levels.map(_.length).sum < 4 * 256, s"state ${sk.levels.map(_.length).sum}")
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = sk.quantile(q)
+      val rankErr = math.abs(est - q * n) / n // values ARE their ranks here
+      assert(rankErr <= 0.05, s"q=$q est=$est rank error $rankErr")
+    }
+  }
+
+  test("kllQuantilesByGroup: exact per-group order statistics in the exact regime") {
+    val rows = (1 to 500).map(i => ("a", i.toDouble)) ++ (1 to 200).map(i => ("b", i * 2.0))
+    val df = rows.toDF("g", "v").repartition(5)
+    val out = Sketches
+      .kllQuantilesByGroup(df, "g", "v", qs = Seq(0.5, 1.0), k = 1024)
+      .as[(String, Double, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out("a") == ((250.0, 500.0)) && out("b") == ((200.0, 400.0)))
+  }
+
   test("registerSql: hll_distinct and heavy_hitters usable from plain SQL") {
     graft.operators.Sketches.registerSql(spark, mgCapacity = 16)
     (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ (1 to 60).map(i => s"u$i"))
