@@ -373,7 +373,18 @@ object Sketches {
     private[graft] var levels =
       scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Double])
     private[graft] var n = 0L
-    private var rng: Long = seed ^ 0x9e3779b97f4a7c15L
+    private[graft] var rng: Long = seed ^ 0x9e3779b97f4a7c15L
+
+    /** Deep copy (levels AND coin state) — streaming state must not
+      * alias a builder that a failed trigger could half-mutate.
+      */
+    private[graft] def cloneBuilder(): KllBuilder = {
+      val c = new KllBuilder(k, 0L)
+      c.levels = levels.map(_.clone())
+      c.n = n
+      c.rng = rng
+      c
+    }
 
     // deterministic coin per compaction (seeded xorshift64*)
     private def nextBit(): Boolean = {

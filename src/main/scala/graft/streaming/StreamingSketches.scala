@@ -242,4 +242,90 @@ object StreamingSketches {
     }
     Sketches.HllModel(p, seed, regs)
   }
+
+  /** One group's KLL compactor state after a trigger (update
+    * semantics — cumulative over the group's whole value slice).
+    * Levels ride flattened for a plain product encoder.
+    */
+  final case class KllUpdate(
+      group_id: Int,
+      n: Long,
+      level_lens: Array[Int],
+      values: Array[Double],
+  )
+
+  /** Streaming face of [[Sketches.kllSketch]]: the VALUE space
+    * hash-partitions into `numGroups` slices (by value hash — a
+    * quantile sketch has no key), each maintaining a KLL builder in
+    * `mapGroupsWithState`. Merging the latest builder per group gives
+    * the whole-stream sketch with KLL's union guarantees; in the
+    * exact regime (k ≥ slice sizes, no compaction) the merged
+    * quantiles EQUAL the batch operator's — the StreamingSpec-pinned
+    * contract, same shape as the CMS/HLL faces. State is
+    * O(numGroups × k) forever.
+    */
+  def kllStream(
+      df: DataFrame,
+      valCol: String,
+      k: Int = 1024,
+      numGroups: Int = 16,
+      seed: Long = 42L,
+  ): Dataset[KllUpdate] = {
+    require(numGroups > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // builders hold ArrayBuffers — kryo state, product output
+    implicit val kllStateEnc: org.apache.spark.sql.Encoder[Sketches.KllBuilder] =
+      org.apache.spark.sql.Encoders.kryo[Sketches.KllBuilder]
+    val keyed = df
+      .select(
+        col(valCol).cast("double").as("v"),
+        pmod(hash(col(valCol).cast("double")), lit(numGroups)).as("group_id"),
+      )
+      .where(col("v").isNotNull)
+      .as[(Double, Int)]
+    keyed
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (gid: Int, rows: Iterator[(Double, Int)], state: GroupState[Sketches.KllBuilder]) => {
+          // builders are mutable: clone-in so a failed trigger can't
+          // have half-applied updates in the committed state
+          val b = state.getOption
+            .map(_.cloneBuilder())
+            .getOrElse(new Sketches.KllBuilder(k, seed + gid))
+          rows.foreach { case (v, _) => b.update(v) }
+          state.update(b)
+          val lens = b.levels.map(_.length).toArray
+          val flat = b.levels.iterator.flatMap(_.iterator).toArray
+          KllUpdate(gid, b.n, lens, flat)
+        },
+      )
+  }
+
+  /** Rebuild the whole-stream sketch from the LATEST update per
+    * group — KLL merge of disjoint value slices. Exact-regime
+    * quantiles equal [[Sketches.kllSketch]] over everything seen.
+    */
+  def mergeKllUpdates(
+      updates: Seq[KllUpdate],
+      k: Int = 1024,
+      seed: Long = 42L,
+  ): Sketches.KllBuilder = {
+    val out = new Sketches.KllBuilder(k, seed - 1)
+    updates.groupBy(_.group_id).foreach { case (_, us) =>
+      val u = us.last
+      val b = new Sketches.KllBuilder(k, seed - 1)
+      var off = 0
+      u.level_lens.zipWithIndex.foreach { case (len, lvl) =>
+        while (b.levels.length <= lvl)
+          b.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+        var i = 0
+        while (i < len) { b.levels(lvl) += u.values(off + i); i += 1 }
+        off += len
+      }
+      b.n = u.n
+      out.merge(b)
+    }
+    out
+  }
 }

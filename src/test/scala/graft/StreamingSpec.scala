@@ -663,6 +663,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming kll: merged group builders equal the batch quantiles in the exact regime") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketches
+    val rng = new scala.util.Random(17)
+    val b1 = Seq.fill(400)(rng.nextDouble() * 100)
+    val b2 = Seq.fill(350)(rng.nextDouble() * 100)
+    val k = 1024 // ≥ any slice: exact regime
+    val mem = MemoryStream[Double](spark)
+    val q = StreamingSketches
+      .kllStream(mem.toDF().withColumnRenamed("value", "v"), "v", k, numGroups = 4)
+      .writeStream
+      .format("memory")
+      .queryName("kll_stream")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val updates = spark
+        .table("kll_stream")
+        .as[StreamingSketches.KllUpdate]
+        .collect()
+        .toSeq
+      assert(updates.groupBy(_.group_id).values.map(_.last.n).sum == (b1.length + b2.length))
+      val merged = StreamingSketches.mergeKllUpdates(updates, k)
+      val all = (b1 ++ b2).sorted
+      for (qq <- Seq(0.25, 0.5, 0.75, 1.0)) {
+        val want = all(math.ceil(qq * all.length).toInt - 1)
+        assert(merged.quantile(qq) == want, s"q=$qq")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hll: max-merged group registers equal the batch sketch bit-for-bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSketches
