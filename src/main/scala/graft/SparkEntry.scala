@@ -2275,7 +2275,12 @@ object SparkEntry {
     // (1 + vec_id/100) would wrap past dim at vec_id ≥ 6300 and a
     // plant would land on the bulk axis (or a sibling's), breaking
     // the exactly-the-planted-set contract
-    val isPlant = (id: Long) => id % 100 == 13 && id / 100 < 63
+    val emb = load(s, dir, "embeddings").select(col("vec_id"))
+    // the minimum id is the greedy SEED and must stay on the bulk
+    // axis — if it happened to satisfy the plant formula, the oracle's
+    // seed-OR-plants set would shrink by one while k didn't
+    val minId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    val isPlant = (id: Long) => id % 100 == 13 && id / 100 < 63 && id != minId
     val mk = udf { (id: Long) =>
       val v = new Array[Float](dim)
       val axis = if (isPlant(id)) (1 + id / 100).toInt else 0
@@ -2288,10 +2293,10 @@ object SparkEntry {
       }
       v
     }
-    val emb = load(s, dir, "embeddings").select(col("vec_id"))
     val docs = emb.withColumn("vec", mk(col("vec_id")))
     val k = 1 + emb
-      .where(col("vec_id") % 100 === 13 && col("vec_id") / 100 < 63)
+      .where(col("vec_id") % 100 === 13 && col("vec_id") / 100 < 63
+        && col("vec_id") =!= minId)
       .count()
       .toInt
     graft.operators.Clustering
@@ -2303,7 +2308,8 @@ object SparkEntry {
   private val q91Oracle =
     """SELECT vec_id FROM embeddings
       |WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
-      |   OR (vec_id % 100 = 13 AND vec_id // 100 < 63)
+      |   OR (vec_id % 100 = 13 AND vec_id // 100 < 63
+      |       AND vec_id <> (SELECT min(vec_id) FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
   /** Planted gate for DISTRIBUTED connected components (the
@@ -2332,11 +2338,16 @@ object SparkEntry {
   }
 
   // nodes = docs with at least one existing chain neighbor (matches
-  // the join-filtered edge set); component = decade floor relies on
-  // the generator's CONTIGUOUS doc_ids, the same premise every
-  // id-formula planted gate (q89/q91/q96/q97) already stands on
+  // the join-filtered edge set); component = MIN MEMBER of the chain
+  // — the decade floor clamped to the corpus minimum, so a contiguous
+  // id range starting mid-decade still labels its first (truncated)
+  // chain by its actual smallest member. Contiguity itself remains
+  // the premise every id-formula planted gate (q89/q91/q96/q97)
+  // stands on.
   private val q92Oracle =
-    """SELECT d.doc_id AS id, CAST(d.doc_id - d.doc_id % 10 AS BIGINT) AS component
+    """SELECT d.doc_id AS id,
+      |  CAST(greatest(d.doc_id - d.doc_id % 10,
+      |                (SELECT min(doc_id) FROM documents)) AS BIGINT) AS component
       |FROM documents d
       |WHERE (d.doc_id % 10 <= 8
       |       AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1))
@@ -2539,8 +2550,9 @@ object SparkEntry {
   private val q98Oracle =
     """WITH base AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words,
-      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      |    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+      |                x -> x <> '') AS words,
+      |    list_filter(string_split(COALESCE(text, ''), chr(10)), l -> l <> '') AS lines
       |  FROM documents
       |), s AS (
       |  SELECT doc_id, len(words) AS n,
@@ -2594,7 +2606,8 @@ object SparkEntry {
       |  qs[CAST(ceil(0.5*n)  AS BIGINT)] AS q50,
       |  qs[CAST(ceil(0.75*n) AS BIGINT)] AS q75
       |FROM (SELECT event_type, list_sort(list(value)) AS qs, count(*) AS n
-      |      FROM events WHERE value IS NOT NULL GROUP BY event_type) t
+      |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |      GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin
 
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {

@@ -33,7 +33,12 @@ object QualityFilters {
 
   /** One-pass kernel; whitespace words, newline lines — the exact
     * arithmetic the DuckDB oracle reproduces (single integer-exact
-    * divisions, inclusive bounds).
+    * divisions, inclusive bounds). Cross-engine parity details:
+    * the word splitter is the explicit class `[ \t\n\r\f]+` (RE2's
+    * `\s` — Java's `\s` additionally matches `\x0B` and would split
+    * differently on vertical tabs), and word length counts Unicode
+    * CODEPOINTS (DuckDB `length()`), not UTF-16 units, so non-BMP
+    * characters weigh 1 on both sides.
     */
   private[graft] def gopherFlagsKernel(
       text: String,
@@ -48,7 +53,7 @@ object QualityFilters {
       minStopwords: Int,
   ): GopherFlags = {
     val t = if (text == null) "" else text
-    val words = t.split("\\s+").filter(_.nonEmpty)
+    val words = t.split("[ \t\n\r\f]+").filter(_.nonEmpty)
     val n = words.length.toLong
     if (n == 0)
       return GopherFlags(0L, ok_word_count = false, ok_mean_word_len = false,
@@ -59,7 +64,7 @@ object QualityFilters {
     var alphaWords = 0L
     val seenStops = new Array[Boolean](stopwords.length)
     words.foreach { w =>
-      sumLen += w.length
+      sumLen += w.codePointCount(0, w.length)
       if (w.contains('#') || w.contains('…') || w.contains("...")) symbolWords += 1
       if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) alphaWords += 1
       var si = 0

@@ -894,6 +894,18 @@ object Similarity {
     * over m-byte codes in rotated space, exact cosine re-rank. Same
     * shuffle bound as PQ; the rotation costs one d×d mat-vec per row.
     */
+  /** Replace `vecCol` with its OPQ rotation — the ONE place the
+    * broadcast-model-plus-udf lifecycle lives (three call sites; a
+    * rotation-path fix must not be appliable to only some of them).
+    */
+  private def rotateColumn(df: DataFrame, vecCol: String, opq: OpqModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(opq)
+    val rotUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null else bc.value.rotate(v.toArray).toSeq
+    }
+    df.withColumn(vecCol, rotUdf(col(vecCol)))
+  }
+
   def opqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -902,16 +914,11 @@ object Similarity {
       k: Int,
       model: OpqModel,
       refine: Int = 4,
-  ): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(model)
-    val rotUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null else bc.value.rotate(v.toArray).toSeq
-    }
+  ): DataFrame =
     pqTopK(
-      corpus.withColumn(vecCol, rotUdf(col(vecCol))),
-      queries.withColumn(vecCol, rotUdf(col(vecCol))),
+      rotateColumn(corpus, vecCol, model),
+      rotateColumn(queries, vecCol, model),
       idCol, vecCol, k, model.pq, refine)
-  }
 
   /** Train the composed IVF+OPQ index: OPQ rotation + codebooks from
     * the shared reservoir sample, then IVF centroids over the ROTATED
@@ -928,11 +935,7 @@ object Similarity {
       seed: Long = 42L,
   ): (IvfModel, OpqModel) = {
     val opq = trainOpq(df, vecCol, m, ksub, sampleRows, seed = seed)
-    val bc = df.sparkSession.sparkContext.broadcast(opq)
-    val rotUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null else bc.value.rotate(v.toArray).toSeq
-    }
-    val ivf = trainIvf(df.withColumn(vecCol, rotUdf(col(vecCol))), vecCol,
+    val ivf = trainIvf(rotateColumn(df, vecCol, opq), vecCol,
       nlist = nlist, sampleRows = sampleRows, seed = seed)
     (ivf, opq)
   }
@@ -955,16 +958,11 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 4,
       broadcastQueries: Boolean = true,
-  ): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(opq)
-    val rotUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null else bc.value.rotate(v.toArray).toSeq
-    }
+  ): DataFrame =
     ivfPqTopK(
-      corpus.withColumn(vecCol, rotUdf(col(vecCol))),
-      queries.withColumn(vecCol, rotUdf(col(vecCol))),
+      rotateColumn(corpus, vecCol, opq),
+      rotateColumn(queries, vecCol, opq),
       idCol, vecCol, k, ivf, opq.pq, nprobe, refine, broadcastQueries)
-  }
 
   /** Mean sample quantization error ‖x − decode(encode(x))‖² of a PQ
     * model over (rotated) normalized vectors — the objective OPQ

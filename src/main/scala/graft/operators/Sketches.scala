@@ -449,8 +449,14 @@ object Sketches {
     /** The element at 1-based rank ⌈q·n⌉ of the weighted multiset
       * (weight 2^level per item). Exact when no compaction has fired.
       */
-    def quantile(q: Double): Double = {
-      require(q > 0 && q <= 1, s"q must be in (0,1]: $q")
+    def quantile(q: Double): Double = quantiles(Seq(q)).head
+
+    /** All requested quantiles from ONE flatten+sort (quantile() per
+      * q would re-sort the item list each call — k·log k × |qs| of
+      * avoidable work on every group).
+      */
+    def quantiles(qs: Seq[Double]): Seq[Double] = {
+      qs.foreach(q => require(q > 0 && q <= 1, s"q must be in (0,1]: $q"))
       require(n > 0, "empty sketch")
       val items = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       var lvl = 0
@@ -460,15 +466,19 @@ object Sketches {
         lvl += 1
       }
       val sorted = items.sortBy(_._1)
-      val target = math.ceil(q * n).toLong
-      var cum = 0L
-      var i = 0
-      while (i < sorted.length) {
-        cum += sorted(i)._2
-        if (cum >= target) return sorted(i)._1
-        i += 1
+      qs.map { q =>
+        val target = math.ceil(q * n).toLong
+        var cum = 0L
+        var i = 0
+        var out = sorted.last._1
+        var done = false
+        while (i < sorted.length && !done) {
+          cum += sorted(i)._2
+          if (cum >= target) { out = sorted(i)._1; done = true }
+          i += 1
+        }
+        out
       }
-      sorted.last._1
     }
   }
 
@@ -513,6 +523,10 @@ object Sketches {
       seed: Long = 42L,
   ): DataFrame = {
     require(qs.nonEmpty)
+    // output columns are q<percent>; two quantiles rounding to the
+    // same percent would silently overwrite each other downstream
+    require(qs.map(q => math.round(q * 100)).distinct.length == qs.length,
+      s"quantiles collide on q<percent> column names: $qs")
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df
@@ -524,7 +538,7 @@ object Sketches {
       .mapGroups { (g, it) =>
         val b = new KllBuilder(k, seed ^ g.hashCode.toLong)
         it.foreach { case (_, v) => b.update(v) }
-        (g, qs.map(b.quantile))
+        (g, b.quantiles(qs))
       }
     val out = rows.toDF(groupCol, "__qs")
     qs.zipWithIndex

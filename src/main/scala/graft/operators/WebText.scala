@@ -83,9 +83,17 @@ object WebText {
           // script) is CONTENT, not a tag — treating it as one would
           // swallow the real closing tag and drop the document's tail
           i += 1
-        } else if (i + 1 < n && !html.charAt(i + 1).isLetter &&
-          html.charAt(i + 1) != '/' && html.charAt(i + 1) != '!') {
-          // HTML5: '<' not opening a tag ('a < b' in prose) is text
+        } else if (i + 1 < n && html.charAt(i + 1) == '?') {
+          // processing instruction / XML prolog / leaked PHP: HTML5
+          // treats '<?' as a bogus comment — skip to the next '>'
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && {
+          val c1 = html.charAt(i + 1)
+          // HTML5's tag-open rule is ASCII alpha — '<é' is text
+          !((c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z') || c1 == '/' || c1 == '!')
+        }) {
+          // '<' not opening a tag ('a < b' in prose) is text
           raw.append(c)
           i += 1
         } else if (html.regionMatches(i, "<!--", 0, 4)) {

@@ -37,6 +37,9 @@ class WebTextSpec extends SparkTestBase {
     assert(WebText.htmlToTextKernel("<p>a < b and x <3 y</p>") == "a < b and x <3 y")
     // a stray close tag inside a script string stays invisible
     assert(WebText.htmlToTextKernel("<script>s=\"</b>\"</script><p>t</p>") == "t")
+    // '<?' is a bogus comment (XML prolog, leaked PHP), never text
+    assert(WebText.htmlToTextKernel("<?xml version=\"1.0\"?><p>hi</p>") == "hi")
+    assert(WebText.htmlToTextKernel("<p>a<?php x() ?>b</p>") == "ab")
   }
 
   test("htmlToText: quoted '>' in attributes and unterminated tags don't derail the scan") {
