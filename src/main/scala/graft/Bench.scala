@@ -8,7 +8,11 @@ object Bench {
     */
   private def parseBenchFile(p: java.nio.file.Path): Map[String, Double] = {
     val txt = new String(java.nio.file.Files.readAllBytes(p))
-    "\"(q[0-9]+[a-z0-9_]*)\":([0-9.]+)".r
+    // the driver wraps the bench line inside a JSON "tail" STRING, so
+    // quotes arrive escaped (\"q16\":2.19) — the name-closing quote
+    // may be preceded by a backslash, which the original pattern did
+    // not allow; history parsed empty and the noise guard never fired
+    "\"(q[0-9]+[a-z0-9_]*)\\\\?\":([0-9.]+)".r
       .findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap

@@ -2276,6 +2276,7 @@ object SparkEntry {
     // plant would land on the bulk axis (or a sibling's), breaking
     // the exactly-the-planted-set contract
     val emb = load(s, dir, "embeddings").select(col("vec_id"))
+    if (emb.isEmpty) return emb // empty corpus: no seed, nothing planted
     // the minimum id is the greedy SEED and must stay on the bulk
     // axis — if it happened to satisfy the plant formula, the oracle's
     // seed-OR-plants set would shrink by one while k didn't
