@@ -663,6 +663,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dsir selection: merged slice top-ks equal batch select exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDsir
+    val target = Seq("astro nova quasar", "astro quasar pulsar").toDF("text")
+    // string ids: tied scores (symmetric planted texts) break on the
+    // id in BOTH faces — see the tie-break caveat in StreamingDsir
+    val docs = (1 to 40).map { i =>
+      val t = if (i % 4 == 0) s"astro nova quasar doc$i" else s"granite basalt slate doc$i"
+      (f"d$i%02d", t)
+    }
+    val raw = docs.toDF("id", "text")
+    val model = graft.operators.Dsir.fit(target, raw, "text")
+    val batch = graft.operators.Dsir.select(raw, "id", "text", 10, model)
+      .select($"id".cast("string"), $"score").as[(String, Double)].collect().toSeq
+    val mem = MemoryStream[(String, String)](spark)
+    val q = StreamingDsir
+      .dsirSelectStream(mem.toDF().toDF("id", "text"), "id", "text", 10, model, numGroups = 4)
+      .writeStream
+      .format("memory")
+      .queryName("dsir_select_stream")
+      .outputMode("update")
+      .start()
+    try {
+      mem.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+      val updates = spark
+        .table("dsir_select_stream")
+        .as[StreamingDsir.SelectionUpdate]
+        .collect()
+        .toSeq
+      assert(updates.groupBy(_.group_id).values.map(_.last.total_seen).sum == docs.length)
+      val merged = StreamingDsir.mergeSelectionUpdates(updates, 10)
+      assert(merged == batch,
+        s"stream top-k must equal batch select exactly:\n$merged\nvs\n$batch")
+    } finally q.stop()
+  }
+
   test("streaming kll: merged group builders equal the batch quantiles in the exact regime") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSketches
