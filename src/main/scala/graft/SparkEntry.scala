@@ -2611,6 +2611,42 @@ object SparkEntry {
       |      GROUP BY event_type) t
       |ORDER BY event_type""".stripMargin
 
+  /** Planted gate for in-document line dedup: each doc's text is
+    * duplicated around a unique tail (a pasted-twice page with a
+    * footer), plus a whitespace-variant copy — dedup must keep the
+    * FIRST spelling of each trimmed line and the tail. DuckDB replays
+    * the keep-first-occurrence rule with a pure list comprehension
+    * (list_position of the trimmed form == own index), so the rebuilt
+    * strings compare exactly.
+    */
+  private def q101LineDedupInDoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.withColumn(
+      "ptext",
+      concat(
+        col("text"), lit("\n"), col("text"), lit("\n  "), col("text"),
+        lit("  \nTAIL "), col("doc_id").cast("string")),
+    )
+    graft.operators.TextAnalysis
+      .dedupLinesInDoc(planted, "ptext", outCol = "deduped")
+      .select(col("doc_id"), col("deduped"))
+      .orderBy("doc_id")
+  }
+
+  private val q101Oracle =
+    """SELECT doc_id,
+      |  array_to_string(
+      |    list_filter(string_split(p, chr(10)),
+      |                (x, i) -> list_position(
+      |                  list_transform(string_split(p, chr(10)), y -> trim(y)),
+      |                  trim(x)) = i),
+      |    chr(10)) AS deduped
+      |FROM (SELECT doc_id,
+      |        text || chr(10) || text || chr(10) || '  ' || text || '  '
+      |          || chr(10) || 'TAIL ' || doc_id AS p
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2771,6 +2807,7 @@ object SparkEntry {
     "q98_gopher_flags" -> (q98GopherFlags _),
     "q99_ivfopq_planted" -> (q99IvfOpqPlanted _),
     "q100_kll_exact" -> (q100KllExact _),
+    "q101_line_dedup_in_doc" -> (q101LineDedupInDoc _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2862,5 +2899,6 @@ object SparkEntry {
     "q98_gopher_flags" -> q98Oracle,
     "q99_ivfopq_planted" -> annPlantedOracle,
     "q100_kll_exact" -> q100Oracle,
+    "q101_line_dedup_in_doc" -> q101Oracle,
   )
 }

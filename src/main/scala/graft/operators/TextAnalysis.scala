@@ -320,6 +320,34 @@ object TextAnalysis {
     df.withColumn("redacted", r).withColumn("pii_found", r =!= col(textCol))
   }
 
+  /** In-DOCUMENT repeated-line trimming (the MassiveText/Gopher
+    * in-doc counterpart of the corpus-wide [[Dedup.lineDedup]]):
+    * within each document, keep only the FIRST occurrence of every
+    * line, compared on its trimmed form but kept in its original
+    * spelling — navigation blocks, repeated headers, and pasted
+    * duplicates collapse without touching any other document. Pure
+    * per-row map: one pass, a per-doc hash set of line keys,
+    * shuffle-free, streams as-is.
+    */
+  def dedupLinesInDoc(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "text_line_deduped",
+  ): DataFrame = {
+    val u = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        text
+          .split("\n", -1)
+          .iterator
+          .filter(l => seen.add(l.trim))
+          .mkString("\n")
+      }
+    }
+    df.withColumn(outCol, u(col(textCol)))
+  }
+
   // --------------------------------------------------------------- chunking
 
   /** Context-window chunking: each document becomes token windows of

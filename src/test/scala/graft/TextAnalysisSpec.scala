@@ -651,4 +651,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 1L, 2L, 1.0 / 3.0)), got(2L).toString)
     assert(got(3L) == ((3L, 0L, 1L, 0.0)), got(3L).toString)
   }
+
+  test("dedupLinesInDoc: first spelling survives, whitespace variants collapse, docs independent") {
+    val cases = Seq(
+      (1L, "header\nbody one\nheader\nbody two\n  header  \nfooter"),
+      (2L, "header\nheader"), // other docs unaffected by doc 1's lines
+      (3L, "a\n\nb\n\n\nc"), // first blank line survives, later blanks drop
+      (4L, null: String),
+    )
+    val out = graft.operators.TextAnalysis
+      .dedupLinesInDoc(cases.toDF("id", "text"), "text")
+      .select("id", "text_line_deduped")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "header\nbody one\nbody two\nfooter")
+    assert(out(2L) == "header")
+    assert(out(3L) == "a\n\nb\nc")
+    assert(out(4L) == null)
+  }
 }
