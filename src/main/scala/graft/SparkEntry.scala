@@ -426,7 +426,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                   for i in range(1, len(w) - 1)]) AS grams
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
       |                                   x -> x <> '') AS w
       |        FROM documents))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -803,7 +803,7 @@ object SparkEntry {
   private val q37Oracle =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS token
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '')) AS token
       |  FROM documents)
       |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
       |FROM toks GROUP BY token ORDER BY token""".stripMargin
@@ -920,7 +920,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
       |                   for i in range(1, len(w) - 3)]) AS grams
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
       |                                   x -> x <> '') AS w
       |        FROM documents)),
       |plist AS (SELECT list(DISTINCT gram) AS pl
@@ -1078,14 +1078,14 @@ object SparkEntry {
     */
   private def q50HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = load(s, dir, "documents").select(
-      explode(filter(split(lower(col("text")), "\\W+"), t => t =!= lit(""))).as("key"),
+      explode(filter(split(lower(col("text")), graft.textutil.TextHash.WordSplitRe), t => t =!= lit(""))).as("key"),
     )
     graft.operators.Sketches.heavyHitters(toks, "key", capacity = 1000, topN = 20)
   }
 
   private val q50Oracle =
     """WITH toks AS (
-      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS key
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '')) AS key
       |  FROM documents)
       |SELECT key, count(*) AS approx_count FROM toks GROUP BY key
       |ORDER BY approx_count DESC, key LIMIT 20""".stripMargin
@@ -1234,7 +1234,7 @@ object SparkEntry {
   private val q57Oracle =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, w, len(w) AS n,
@@ -1319,7 +1319,7 @@ object SparkEntry {
   private val q63Oracle =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term,
@@ -1343,7 +1343,7 @@ object SparkEntry {
   private val q64Oracle =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
@@ -1379,7 +1379,7 @@ object SparkEntry {
   private val q65Oracle =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term,
@@ -1806,7 +1806,7 @@ object SparkEntry {
       |  COALESCE(CAST(list_sum(list_transform(w, x -> len(x) + 1)) AS BIGINT), 0)
       |    AS n_bpe_tokens
       |FROM (SELECT doc_id,
-      |        list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |        list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -1915,7 +1915,7 @@ object SparkEntry {
   private val q61Oracle =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
       |  FROM documents),
       |spans AS (
       |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
@@ -2135,7 +2135,7 @@ object SparkEntry {
     */
   private def q86CmsExact(s: SparkSession, dir: String): DataFrame = {
     val toks = load(s, dir, "documents")
-      .select(explode(filter(split(lower(col("text")), "\\W+"), x => x =!= lit(""))).as("token"))
+      .select(explode(filter(split(lower(col("text")), graft.textutil.TextHash.WordSplitRe), x => x =!= lit(""))).as("token"))
     val model = graft.operators.Sketches.countMinSketch(toks, "token")
     graft.operators.Sketches
       .cmsEstimates(toks.distinct(), "token", model)
@@ -2144,7 +2144,7 @@ object SparkEntry {
 
   private val q86Oracle =
     """SELECT token, CAST(count(*) AS BIGINT) AS est_count
-      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
       |                                x -> x <> '')) AS token
       |      FROM documents)
       |GROUP BY token ORDER BY token""".stripMargin

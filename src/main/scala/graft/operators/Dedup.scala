@@ -690,7 +690,7 @@ object Dedup {
     *
     * Semantics (locked by the DuckDB oracle, q61 — pure
     * string/integer ops, so the cross-engine comparison is exact):
-    *   - tokens = `lower(text)` split on `\W+`, empties dropped
+    *   - tokens = `lower(text)` split on `[^\p{L}\p{N}_]+`, empties dropped
     *   - spans = every consecutive `k`-token window (docs with < k
     *     tokens have none and pass through)
     *   - a position is dropped iff covered by ANY non-first
@@ -722,7 +722,7 @@ object Dedup {
     val base = df
       .select(
         col(idCol).as("id"),
-        expr(s"filter(split(lower($textCol), '\\\\W+'), x -> x != '')").as("w"),
+        expr(s"filter(split(lower($textCol), '[^\\\\p{L}\\\\p{N}_]+'), x -> x != '')").as("w"),
         graft.functions.TextSignatures.shingleHashes(col(textCol), k).as("hashes"),
       )
       .persist()
@@ -1248,10 +1248,10 @@ object Dedup {
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
-  /** `lower(text).split("\\W+").filter(_.nonEmpty)` without the regex
-    * engine: one scan over the chars with the exact Java `\w` class
-    * (`[A-Za-z0-9_]` — ASCII, matching the RE2 `\W+` the DuckDB
-    * oracles use). The signature UDFs run this once per document per
+  /** `lower(text).split(TextHash.WordSplitRe).filter(_.nonEmpty)`
+    * without the regex engine: one code-point scan with the exact
+    * Unicode `[\p{L}\p{N}_]` class (identical in Java regex and
+    * DuckDB RE2). The signature UDFs run this once per document per
     * operator, so at corpus scale the regex engine was measurable
     * pure overhead.
     */

@@ -42,7 +42,7 @@ object Dsir {
     */
   private[graft] def tokens(text: String): Array[String] =
     if (text == null) Array.empty[String]
-    else text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    else graft.textutil.TextHash.tokenize(text)
 
   /** Visit the hashed feature bucket of every unigram and bigram in
     * `text` — shared by fitting and scoring so the two can never

@@ -11,17 +11,17 @@ import org.apache.spark.sql.functions._
   * pass per query term.
   *
   * Tokenization matches the rest of the text stack (lowercase, split
-  * on `\W+`, drop empties) so term statistics compose with
+  * on `[^\p{L}\p{N}_]+`, drop empties) so term statistics compose with
   * [[TextAnalysis.tokenVocabulary]] and the dedup shingle kernels.
   */
 object Lexical {
 
   private def tokens(textCol: String) =
-    filter(split(lower(col(textCol)), "\\W+"), t => t =!= lit(""))
+    filter(split(lower(col(textCol)), graft.textutil.TextHash.WordSplitRe), t => t =!= lit(""))
 
   /** Exact per-(document, term) retrieval statistics for a fixed term
     * set: term frequency `tf`, corpus-wide document frequency `df`,
-    * and document length `dl` (total `\W+` tokens). These are the
+    * and document length `dl` (total word tokens). These are the
     * integer inputs BM25/TF-IDF scoring is computed from — kept as a
     * separate face because they are exactly reproducible in any SQL
     * engine (pure counts, no logarithms), so correctness of the whole

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.textutil.TextHash
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, and document
   * fingerprinting. All per-row and shuffle-free: they compile to
@@ -35,7 +37,7 @@ object TextAnalysis {
   def tokenVocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("__doc"),
-      explode(filter(split(lower(col(textCol)), "\\W+"), t => t =!= lit(""))).as("token"),
+      explode(filter(split(lower(col(textCol)), TextHash.WordSplitRe), t => t =!= lit(""))).as("token"),
     )
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col("__doc")).as("df"))
@@ -127,7 +129,7 @@ object TextAnalysis {
       val dupLines =
         if (lines.length <= 1) 0.0
         else (lines.length - lines.distinct.length).toDouble / lines.length
-      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val toks = TextHash.tokenize(text)
       val topBigram =
         if (toks.length < 2) 0.0
         else {
@@ -163,14 +165,14 @@ object TextAnalysis {
     * (no UDF serde, stays in whole-stage codegen): token counts,
     * distinct-token count, most-frequent-token share, and the
     * duplicate fraction of word bigram/trigram occurrences — the
-    * Gopher repetition filters over `\W+` tokens, exact string
+    * Gopher repetition filters over `[^\p{L}\p{N}_]+` tokens, exact string
     * identity so the DuckDB oracle matches bit-for-bit. Shuffle-free;
     * compose with [[qualityScore]] / [[withRepetitionStats]] (which
     * adds the line- and char-level signals).
     */
   def withNgramRepetition(df: DataFrame, textCol: String): DataFrame = {
     val rs = graft.functions.TextSignatures.repetitionStats(col(textCol))
-    // word-scoped names (\W+ tokens) — never collides with the
+    // word-scoped names ([^\p{L}\p{N}_]+ tokens) — never collides with the
     // whitespace-token n_tokens from qualityStats, so the two
     // operators compose in either order
     df.withColumn("__rs", rs)
@@ -237,7 +239,7 @@ object TextAnalysis {
       else if (hangul.toDouble / letters > 0.3) "ko"
       else if (cyr.toDouble / letters > 0.3) "ru"
       else {
-        val tokens = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        val tokens = TextHash.tokenize(text)
         if (tokens.isEmpty) "und"
         else {
           val scores = stopwordProfiles.view.mapValues { sw =>
@@ -512,7 +514,7 @@ object TextAnalysis {
   // ------------------------------------------- cross-document n-grams
 
   /** Distinct textual word n-grams of a document as an array column —
-    * lowercase `\W+` tokens, grams joined with single spaces; sub-n
+    * lowercase `[^\p{L}\p{N}_]+` tokens, grams joined with single spaces; sub-n
     * token docs yield an EMPTY array (same contract as the dedup
     * shingle kernels and the q18 oracle's `range(1, len(w)-1)`).
     * Native codegen kernel, ONE tokenize pass per row — the

@@ -1,7 +1,7 @@
 package graft.textutil
 
 /** The text→signature primitives shared by every dedup/fingerprint
-  * operator and their native Catalyst expressions: ASCII-word
+  * operator and their native Catalyst expressions: Unicode-word
   * tokenization, streamed FNV-1a shingle hashing, splitmix64 mixing,
   * densified one-permutation MinHash, frequency-weighted 64-bit
   * SimHash, and winnowing (MOSS) fingerprints.
@@ -9,36 +9,64 @@ package graft.textutil
   * Everything here works on primitive `long[]` with no boxing — these
   * run once per document per operator, so at corpus scale they ARE the
   * signature cost. Semantics are locked by DedupSpec's oracle-parity
-  * tests (scanner ≡ `lower(text) split \W+`, streamed shingle hash ≡
-  * `fnv64("tok₁ tok₂ …")`), so the DuckDB-oracle queries built on top
-  * stay bit-exact.
+  * tests (scanner ≡ `lower(text) split [^\p{L}\p{N}_]+`, streamed
+  * shingle hash ≡ `fnv64("tok₁ tok₂ …")`), so the DuckDB-oracle
+  * queries built on top stay bit-exact.
   */
 object TextHash {
 
-  /** `lower(text).split("\\W+").filter(_.nonEmpty)` without the regex
-    * engine: one scan with the exact Java `\w` class (ASCII
-    * `[A-Za-z0-9_]`, matching the RE2 `\W+` the DuckDB oracles use).
+  /** The word-separator class every word-level tokenizer in the engine
+    * splits on, and that every DuckDB oracle replays: runs of anything
+    * that is not a Unicode letter (`\p{L}`), Unicode number (`\p{N}`),
+    * or underscore. Java regex and DuckDB's RE2 interpret this class
+    * identically (both are Unicode-category based, unlike `\w`, which
+    * is ASCII in RE2 and in Java without UNICODE_CHARACTER_CLASS — the
+    * ASCII `\W+` convention this replaced silently tokenized all
+    * non-Latin text to zero tokens).
+    */
+  val WordSplitRe = "[^\\p{L}\\p{N}_]+"
+
+  /** `lower(text).split(WordSplitRe).filter(_.nonEmpty)` without the
+    * regex engine: one code-point scan with the exact
+    * `[\p{L}\p{N}_]` class (Unicode general categories L* and N*
+    * plus underscore — identical in Java regex and DuckDB's RE2).
+    * Lowercasing is Locale.ROOT so é/Я/Ω fold deterministically
+    * regardless of JVM default locale; caseless scripts (CJK, Arabic,
+    * Hebrew, Devanagari) pass through untouched.
     */
   def tokenize(text: String): Array[String] = {
-    val s = text.toLowerCase
+    val s = text.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && !isWordChar(s.charAt(i))) i += 1
+      while (i < len && !isWordCp(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
       val start = i
-      while (i < len && isWordChar(s.charAt(i))) i += 1
+      while (i < len && isWordCp(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
       if (i > start) out += s.substring(start, i)
     }
     out.toArray
   }
 
-  @inline private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  /** `[\p{L}\p{N}_]` on a code point: the five L* categories, the
+    * three N* categories (Nd/Nl/No — note `Character.isDigit` is Nd
+    * only, narrower than `\p{N}`), and underscore. ASCII fast path
+    * first — the overwhelmingly common case in mixed corpora.
+    */
+  @inline private def isWordCp(cp: Int): Boolean =
+    if (cp < 128)
+      (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9') || cp == '_'
+    else {
+      val t = Character.getType(cp)
+      t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+      t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+      t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
 
   /** Distinct word n-gram STRINGS in first-occurrence order — one
     * tokenize pass per document. Semantics identical to
-    * `array_distinct(transform(...))` over `lower/\W+` tokens (the
+    * `array_distinct(transform(...))` over `lower`/word-split tokens (the
     * HOF formulation re-tokenizes the text once PER GRAM and runs
     * interpreted — this kernel replaced it after a 10× showing in the
     * q64 stage probe). Sub-n-token docs yield an empty array.

@@ -146,7 +146,7 @@ case class TextRepetitionStats(child: Expression)
     with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  // "word"-scoped names: \W+ tokens, deliberately DISTINCT from the
+  // "word"-scoped names: [^\p{L}\p{N}_]+ tokens, deliberately DISTINCT from the
   // whitespace-token `n_tokens` that qualityStats emits — composing
   // the two operators must not silently redefine a column
   override def dataType: DataType = StructType(

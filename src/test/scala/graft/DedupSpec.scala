@@ -387,7 +387,7 @@ class DedupSpec extends SparkTestBase {
       "repeat repeat repeat repeat",
     )
     fixtures.foreach { t =>
-      val viaRegex = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      val viaRegex = t.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}_]+").filter(_.nonEmpty).toSeq
       assert(Dedup.tokenize(t).toSeq == viaRegex, s"tokenize mismatch on: '$t'")
       (1 to 4).foreach { n =>
         val viaStrings = Dedup.wordShingles(t, n).map(Dedup.fnv64).toSeq

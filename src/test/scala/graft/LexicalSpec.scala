@@ -33,7 +33,7 @@ class LexicalSpec extends SparkTestBase {
     assert(got == expected, got.toString)
   }
 
-  test("termStats: case-insensitive, duplicate query terms collapse, \\W+ tokenization") {
+  test("termStats: case-insensitive, duplicate query terms collapse, Unicode word tokenization") {
     val mixed = Seq((1L, "Spark, SPARK! spark."), (2L, "nothing here")).toDF("doc_id", "text")
     val got = Lexical
       .termStats(mixed, "doc_id", "text", Seq("SPARK", "spark"))
