@@ -2647,6 +2647,76 @@ object SparkEntry {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Planted multilingual tokenization gate: every 25th document's
+    * text is replaced by the q76 fixed sentence for its language slot
+    * (4 scripts + 4 Latin profiles — all-lowercase, so `lower()` is
+    * identity in both engines and no case-folding divergence can
+    * hide), and the gate emits the exact Unicode word-token counts,
+    * distinct counts, and first token, hash-compared against DuckDB
+    * replaying the same `[^\p{L}\p{N}_]+` class. Under the old ASCII
+    * `\W+` convention ru/zh/ja/ko rows tokenized to ZERO tokens — this
+    * pins the whole word-level stack (vocab, BM25, DSIR, shingles) as
+    * multilingual-correct. A winnowing near-dup copy (text + ASCII
+    * tail) is planted per document and must be recovered — char-level
+    * fingerprints see every script, including unspaced CJK where word
+    * shingles are structurally absent.
+    */
+  private def q102MultilingualPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").where(col("doc_id") % 25 === 0)
+    val idx = (col("doc_id") / 25).cast("long") % 8
+    val text = plantedLangSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, sentence), i)) => when(idx === i, lit(sentence)).otherwise(acc)
+    }
+    val lang = plantedLangSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((l, _), i)) => when(idx === i, lit(l)).otherwise(acc)
+    }
+    val base = docs.select(col("doc_id"), lang.as("lang"), text.as("text"))
+    val toks = filter(
+      split(lower(col("text")), graft.textutil.TextHash.WordSplitRe),
+      t => t =!= lit(""))
+    val stats = base.select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      element_at(toks, 1).as("first_token"))
+    val copies = base.select(
+      (col("doc_id") + lit(3000000L)).as("doc_id"),
+      concat(col("text"), lit(" planted tail")).as("text"))
+    val pairs = Dedup.winnowingNearDupPairs(
+      base.select(col("doc_id"), col("text")).unionByName(copies),
+      "doc_id", "text", minOverlap = 0.4)
+    val recovered = base
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(3000000L)).as("id_b"))
+      .join(pairs.select(col("id_a"), col("id_b"), lit(true).as("hit")), Seq("id_a", "id_b"), "left")
+      .select(col("id_a").as("doc_id"), coalesce(col("hit"), lit(false)).as("recovered"))
+    stats
+      .join(recovered, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
+        col("first_token"), col("recovered"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+  }
+
+  private val q102Oracle = {
+    val langCase = plantedLangSentences.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+    val textCase = plantedLangSentences.zipWithIndex
+      .map { case ((_, t), i) => s"WHEN $i THEN '$t'" }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE (doc_id // 25) % 8 $langCase END AS lang,
+       |    CASE (doc_id // 25) % 8 $textCase END AS text
+       |  FROM documents WHERE doc_id % 25 = 0),
+       |t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+       |                x -> x <> '') AS w
+       |  FROM p)
+       |SELECT doc_id, lang, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+       |  w[1] AS first_token, true AS recovered
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2808,6 +2878,7 @@ object SparkEntry {
     "q99_ivfopq_planted" -> (q99IvfOpqPlanted _),
     "q100_kll_exact" -> (q100KllExact _),
     "q101_line_dedup_in_doc" -> (q101LineDedupInDoc _),
+    "q102_multilingual_planted" -> (q102MultilingualPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2900,5 +2971,6 @@ object SparkEntry {
     "q99_ivfopq_planted" -> annPlantedOracle,
     "q100_kll_exact" -> q100Oracle,
     "q101_line_dedup_in_doc" -> q101Oracle,
+    "q102_multilingual_planted" -> q102Oracle,
   )
 }

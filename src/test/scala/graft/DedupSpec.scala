@@ -380,6 +380,10 @@ class DedupSpec extends SparkTestBase {
       "under_scores and digits 42 mix_3d in",
       "punct,only;text:with?marks",
       "unicode héllo wörld — em-dash",
+      "собака сидит дома и не хочет гулять",
+      "今天天气很好我们一起去公园散步",
+      "오늘은 날씨가 좋아서 공원에 갑니다",
+      "mixte français café №42 und straße Ⅻ",
       "tabs\tand\nnewlines\r\nmixed",
       "a",
       "",
