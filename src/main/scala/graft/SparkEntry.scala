@@ -2717,6 +2717,55 @@ object SparkEntry {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Planted gate for the language-conditioned Gopher bundle: each
+    * planted doc appears twice — FLUENT (its q76 sentence repeated
+    * past the 50-word floor) and GARBAGE (symbol soup) at
+    * doc_id+4000000 — with its true language as the label. The
+    * contract the oracle pins, row by row: profiled spaced languages
+    * (en/fr/de/es/ru here) are scoped and must pass fluent / fail
+    * garbage; unprofiled scripts (zh/ja/ko — unspaced, word rules
+    * inapplicable) are unscoped and pass through EITHER WAY for the
+    * LM path to judge. Before the byLang face, the English-scoped
+    * bundle silently dropped every fluent non-English doc (Cyrillic
+    * has zero ASCII alpha words; CJK is one giant whitespace word).
+    */
+  private def q103GopherLangPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").where(col("doc_id") % 25 === 0)
+    val idx = (col("doc_id") / 25).cast("long") % 8
+    val lang = plantedLangSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((l, _), i)) => when(idx === i, lit(l)).otherwise(acc)
+    }
+    val fluent = plantedLangSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, sentence), i)) =>
+        when(idx === i, lit(Seq.fill(8)(sentence).mkString(" "))).otherwise(acc)
+    }
+    val garbageText = Seq.fill(60)("### 12345 …").mkString(" ")
+    val planted = docs
+      .select(col("doc_id"), lang.as("lang"), fluent.as("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + lit(4000000L)).as("doc_id"),
+        lang.as("lang"),
+        lit(garbageText).as("text")))
+    graft.operators.QualityFilters
+      .withGopherFlagsByLang(planted, "text", "lang")
+      .select(col("doc_id"), col("lang"), col("gopher_scoped"), col("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val q103Oracle = {
+    val langCase = plantedLangSentences.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+    val profiled = "('en','fr','de','es','ru')"
+    s"""WITH p AS (
+       |  SELECT doc_id, CASE (doc_id // 25) % 8 $langCase END AS lang
+       |  FROM documents WHERE doc_id % 25 = 0)
+       |SELECT doc_id, lang, lang IN $profiled AS gopher_scoped, true AS pass FROM p
+       |UNION ALL
+       |SELECT doc_id + 4000000 AS doc_id, lang, lang IN $profiled AS gopher_scoped,
+       |  NOT (lang IN $profiled) AS pass FROM p
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2879,6 +2928,7 @@ object SparkEntry {
     "q100_kll_exact" -> (q100KllExact _),
     "q101_line_dedup_in_doc" -> (q101LineDedupInDoc _),
     "q102_multilingual_planted" -> (q102MultilingualPlanted _),
+    "q103_gopher_lang_planted" -> (q103GopherLangPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -2972,5 +3022,6 @@ object SparkEntry {
     "q100_kll_exact" -> q100Oracle,
     "q101_line_dedup_in_doc" -> q101Oracle,
     "q102_multilingual_planted" -> q102Oracle,
+    "q103_gopher_lang_planted" -> q103Oracle,
   )
 }

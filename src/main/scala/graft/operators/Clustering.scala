@@ -91,13 +91,17 @@ object Clustering {
       Similarity.trainIvf(df, vecCol, nlist = k, sampleRows = initSampleRows,
         iterations = 2, seed = seed)
     var centroids = init.centroids
+    if (centroids.isEmpty) return KmeansModel(centroids) // empty corpus (explicit marker)
     val dim = centroids.head.length
-    if (dim <= 1 && centroids.length == 1) return KmeansModel(centroids) // empty corpus
     val sc = df.sparkSession.sparkContext
     // one projection, persisted across the iterations (each pass is a
     // re-scan otherwise; at corpus scale MEMORY_AND_DISK spills rather
-    // than evicting hot executor memory)
-    val vecs = df.select(col(vecCol)).rdd
+    // than evicting hot executor memory). NULL / zero-length embedding
+    // rows are skipped, matching kCenterGreedy and Whitening.moments —
+    // a handful of malformed rows must not fail corpus-scale training.
+    val vecs = df.select(col(vecCol))
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .rdd
       .map(r => normalize(r.getSeq[Float](0).toArray))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

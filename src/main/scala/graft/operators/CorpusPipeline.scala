@@ -39,6 +39,17 @@ object CorpusPipeline {
     *      quantiles (CCNet buckets on LM perplexity; `headFrac` of
     *      docs land in head = most fluent, `tailFrac` in tail)
     *
+    * ONE LM PER LANGUAGE, trained on that language's slice — a shared
+    * LM over the mixed corpus would blend cross-language token
+    * statistics, so a fluent minority-language doc scores as
+    * out-of-domain noise. Documented divergence from CCNet: the paper
+    * trains each LM on an external CLEAN target corpus (Wikipedia);
+    * here the LM is self-trained on the slice being scored (no
+    * external corpora in this environment), which ranks WITHIN the
+    * slice correctly but makes the absolute perplexity scale
+    * corpus-relative — only the quantile buckets, not raw perplexity,
+    * are comparable across runs.
+    *
     * The bucket thresholds come from `approx_percentile` (bounded
     * state per language) and broadcast back — one corpus scan per
     * stage, no driver collect beyond the LM's bounded head. Docs the
@@ -73,8 +84,13 @@ object CorpusPipeline {
         .withLangId(deduped, "text")
         .where(col("lang_pred").isInCollection(langs)),
       materialize)
-    val lm = LmQuality.train(withLang, "text", vocabSize)
-    val scored = LmQuality.score(withLang, "text", lm)
+    // one LM per language over that language's slice; scored slices
+    // union back (langs is a small fixed list — the per-language train
+    // passes scan disjoint slices of the materialized frame)
+    val scored = langs.map { l =>
+      val slice = withLang.where(col("lang_pred") === l)
+      LmQuality.score(slice, "text", LmQuality.train(slice, "text", vocabSize))
+    }.reduce(_ unionByName _)
     val cuts = scored
       .groupBy("lang_pred")
       .agg(expr(

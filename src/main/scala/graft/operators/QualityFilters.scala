@@ -39,6 +39,16 @@ object QualityFilters {
     * differently on vertical tabs), and word length counts Unicode
     * CODEPOINTS (DuckDB `length()`), not UTF-16 units, so non-BMP
     * characters weigh 1 on both sides.
+    *
+    * ENGLISH-SCOPED in its default form (the published Gopher rules
+    * are English-targeted): `stops` is the English stopword list and
+    * `unicodeAlpha=false` keeps the paper's ASCII alpha-word test.
+    * Unspaced CJK text is one giant whitespace "word", so the
+    * word-count and mean-word-length rules always fail — that is a
+    * property of the heuristic, not a bug; multilingual corpora
+    * should route through [[withGopherFlagsByLang]], which swaps in
+    * per-language stopword profiles and passes out-of-scope scripts
+    * through to LM-based filtering instead of silently dropping them.
     */
   private[graft] def gopherFlagsKernel(
       text: String,
@@ -51,6 +61,8 @@ object QualityFilters {
       maxEllipsisFrac: Double,
       minAlphaFrac: Double,
       minStopwords: Int,
+      stops: Array[String] = stopwords,
+      unicodeAlpha: Boolean = false,
   ): GopherFlags = {
     val t = if (text == null) "" else text
     val words = t.split("[ \t\n\r\f]+").filter(_.nonEmpty)
@@ -62,14 +74,17 @@ object QualityFilters {
     var sumLen = 0L
     var symbolWords = 0L
     var alphaWords = 0L
-    val seenStops = new Array[Boolean](stopwords.length)
+    val seenStops = new Array[Boolean](stops.length)
     words.foreach { w =>
       sumLen += w.codePointCount(0, w.length)
       if (w.contains('#') || w.contains('…') || w.contains("...")) symbolWords += 1
-      if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) alphaWords += 1
+      val isAlpha =
+        if (unicodeAlpha) w.exists(Character.isLetter)
+        else w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+      if (isAlpha) alphaWords += 1
       var si = 0
-      while (si < stopwords.length) {
-        if (!seenStops(si) && w == stopwords(si)) seenStops(si) = true
+      while (si < stops.length) {
+        if (!seenStops(si) && w == stops(si)) seenStops(si) = true
         si += 1
       }
     }
@@ -121,4 +136,81 @@ object QualityFilters {
     withGopherFlags(df, textCol).where(col("pass"))
       .drop("n_words", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
         "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "pass")
+
+  // --------------------------------------- language-conditioned bundle
+
+  /** Languages the word-level Gopher rules are APPLICABLE to: spaced
+    * scripts with a frequent-word profile. Latin profiles reuse the
+    * lang-id stopword sets ([[TextAnalysis.stopwordProfiles]], sorted
+    * for determinism) plus a Russian list; all use the Unicode
+    * alpha-word test (the ASCII test zeroes alpha counts on Cyrillic
+    * and strips accents' evidence). Thresholds stay the published
+    * ones — they were tuned on English but transfer reasonably to
+    * spaced alphabetic scripts; what does NOT transfer is the word
+    * machinery itself on unspaced CJK, which is why those languages
+    * are passed through, not filtered.
+    */
+  private[graft] val langStopwordProfiles: Map[String, Array[String]] =
+    TextAnalysis.stopwordProfiles.map { case (l, s) => l -> s.toArray.sorted } +
+      ("ru" -> Array("и", "в", "не", "на", "я", "что", "он", "как", "мы", "это",
+        "вы", "с", "по", "но", "они", "она", "за", "к", "у", "от"))
+
+  /** [[withGopherFlags]] conditioned on a language column: documents
+    * whose language has a word-rule profile get the full bundle with
+    * that language's stopword list and the Unicode alpha test;
+    * documents outside the profile set (unspaced CJK, unknown "und",
+    * unprofiled languages) get `gopher_scoped=false` and `pass=true` —
+    * they are NOT silently dropped but passed through for the
+    * LM-based path ([[CorpusPipeline.ccnet]]'s per-language perplexity
+    * buckets) to judge. This is the documented recourse for the
+    * English-only published heuristic on a multilingual corpus.
+    */
+  def withGopherFlagsByLang(
+      df: DataFrame,
+      textCol: String,
+      langCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2,
+  ): DataFrame = {
+    val profiles = langStopwordProfiles
+    val u = udf { (t: String, lang: String) =>
+      profiles.get(if (lang == null) "und" else lang) match {
+        case Some(stops) =>
+          val f = gopherFlagsKernel(t, minWords, maxWords, minMeanLen, maxMeanLen,
+            maxSymbolFrac, maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopwords,
+            stops = stops, unicodeAlpha = true)
+          (true, f)
+        case None =>
+          val f = gopherFlagsKernel(t, minWords, maxWords, minMeanLen, maxMeanLen,
+            maxSymbolFrac, maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopwords)
+          // out-of-scope language: report the (English-scoped) rule
+          // outcomes for observability but force pass — the LM path
+          // owns the keep/drop decision
+          (false, f.copy(pass = true))
+      }
+    }
+    val flagged = df.withColumn("__gl", u(col(textCol), col(langCol)))
+    val fields = Seq("n_words", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "pass")
+    fields
+      .foldLeft(flagged.withColumn("gopher_scoped", col("__gl._1")))(
+        (d, f) => d.withColumn(f, col(s"__gl._2.$f")))
+      .drop("__gl")
+  }
+
+  /** Language-conditioned keep: profile languages must pass their
+    * bundle; out-of-scope languages pass through (LM path decides).
+    */
+  def gopherFilterByLang(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    withGopherFlagsByLang(df, textCol, langCol).where(col("pass"))
+      .drop("gopher_scoped", "n_words", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "pass")
 }

@@ -391,13 +391,18 @@ object Similarity {
         )
         var seen = 0L
         it.foreach { row =>
-          val v = row.getSeq[Float](0).toArray
-          if (res.length < perPartition) res += v
-          else {
-            val j = (rng.nextLong() & Long.MaxValue) % (seen + 1)
-            if (j < perPartition) res(j.toInt) = v
+          // NULL / zero-length embedding rows never enter a model
+          // sample — one malformed row must not NPE corpus training
+          val s = row.getSeq[Float](0)
+          if (s != null && s.nonEmpty) {
+            val v = s.toArray
+            if (res.length < perPartition) res += v
+            else {
+              val j = (rng.nextLong() & Long.MaxValue) % (seen + 1)
+              if (j < perPartition) res(j.toInt) = v
+            }
+            seen += 1
           }
-          seen += 1
         }
         res.iterator
       }
@@ -413,10 +418,14 @@ object Similarity {
       seed: Long = 42L,
   ): IvfModel = {
     val sample = sampleVectors(df, vecCol, sampleRows, seed)
-    // empty corpus → degenerate single-cell model: every operator built
-    // on top (assign/probe/dedup) then degrades to empty output instead
-    // of crashing — an empty slice is routine at scale, not an error
-    if (sample.isEmpty) return IvfModel(Array(Array(0f)))
+    // empty corpus → EXPLICIT empty model (no centroids): callers test
+    // `model.centroids.isEmpty` instead of inferring emptiness from a
+    // degenerate shape (a genuine 1-dim k=1 corpus is indistinguishable
+    // from the old single-zero-centroid sentinel). Assignment paths
+    // still degrade gracefully — `nearest` over zero centroids returns
+    // cluster 0, and the corpus these models came from has no rows to
+    // assign anyway; an empty slice is routine at scale, not an error.
+    if (sample.isEmpty) return IvfModel(Array.empty)
     val dim = sample.head.length
     val normed = sample.map(normalize)
     val rng = new scala.util.Random(seed)
@@ -490,22 +499,29 @@ object Similarity {
       materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
       targetClusterRows: Int = 4096,
   ): DataFrame = {
+    // the auto-nlist path scans the input THREE times (count, init
+    // sample, assignment) — for the common composition where `df` is a
+    // derived, unmaterialized pipeline stage, persist it first so the
+    // upstream chain executes once, not once per scan (a bare count on
+    // a raw parquet scan is footer-cheap, but on a derived stage it
+    // re-executes the whole chain)
+    val autoNlist = nlist <= 0
+    val input = if (autoNlist) df.persist() else df
     val cells =
-      if (nlist > 0) nlist
+      if (!autoNlist) nlist
       else {
-        // one cheap count (parquet footers / cached plan, no shuffle);
         // capped at 16384 — the driver-k-means training face's limit
         // (SCALE.md) — beyond which maxClusterSize still caps the
         // per-cluster pair cost
-        val n = df.count()
+        val n = input.count()
         math.min(16384L, math.max(16L, (n + targetClusterRows - 1) / targetClusterRows)).toInt
       }
     // the sample must comfortably exceed the centroid count
-    val model = trainIvf(df, vecCol, cells, sampleRows = math.max(20000, cells * 8), seed = seed)
+    val model = trainIvf(input, vecCol, cells, sampleRows = math.max(20000, cells * 8), seed = seed)
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bc.value, v))
     val centSimUdf = udf((v: Seq[Float], c: Int) => -IvfModel.negCos(bc.value(c), v))
-    val assigned = df
+    val assigned = input
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", assignUdf(col("vec")))
       .withColumn("cent_sim", centSimUdf(col("vec"), col("cell")))
@@ -546,6 +562,7 @@ object Similarity {
     val landed = graft.operators.Materialize(out, materialize)
     assigned.unpersist(blocking = false)
     bucketHandle.unpersist(blocking = false)
+    if (autoNlist) input.unpersist(blocking = false)
     landed
   }
 

@@ -425,9 +425,17 @@ object Sketches {
         if (lvl + 1 >= levels.length)
           levels += scala.collection.mutable.ArrayBuffer.empty[Double]
         val up = levels(lvl + 1)
-        var i = off
+        // odd length: the smallest item stays at this level so the
+        // compaction covers an even count — promoted weight exactly
+        // replaces what left, keeping total weight equal to n (the
+        // quantile target denominator). Clearing the whole level on
+        // odd counts drifted total weight ±2^lvl per compaction, and
+        // for q near 1 the rank scan could run past the end.
+        val start = sorted.length % 2
+        var i = start + off
         while (i < sorted.length) { up += sorted(i); i += 2 }
         levels(lvl).clear()
+        if (start == 1) levels(lvl) += sorted(0)
         guard += 1
       }
     }

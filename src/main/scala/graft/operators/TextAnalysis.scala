@@ -193,7 +193,7 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ language ID
 
-  private val stopwordProfiles: Map[String, Set[String]] = Map(
+  private[graft] val stopwordProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
       "on", "are", "with", "as", "his", "they", "at", "be", "this", "have",
       "from", "or", "had", "by", "not", "but", "what", "all", "were", "we"),

@@ -71,12 +71,25 @@ class ClusteringSpec extends SparkTestBase {
   test("degenerate inputs: empty corpus and k larger than n") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val m0 = Clustering.trainKmeans(empty, "embedding", k = 8)
-    assert(m0.k == 1) // degenerate single-cell model, no crash
+    assert(m0.k == 0) // explicit empty-corpus marker, no crash
     val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
     val m2 = Clustering.trainKmeans(tiny, "embedding", k = 16, iterations = 3)
     assert(m2.k <= 2)
     val assigned = Clustering.assignClusters(tiny, "embedding", m2)
     assert(assigned.count() == 2)
+  }
+
+  test("trainKmeans skips null and zero-length embedding rows") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, null: Seq[Float]),
+      (3L, Seq.empty[Float]),
+      (4L, Seq(0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val m = Clustering.trainKmeans(df, "embedding", k = 2, iterations = 3)
+    assert(m.k >= 1 && m.k <= 2)
+    // assignment still lands null/empty rows in cluster 0, not a crash
+    assert(Clustering.assignClusters(df, "embedding", m).count() == 4L)
   }
 
   test("kCenterGreedy: recovers planted orthogonal outliers exactly") {

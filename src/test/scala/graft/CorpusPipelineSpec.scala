@@ -120,4 +120,28 @@ class CorpusPipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
+
+  test("ccnet: per-language LMs — adding a second language never changes the first's scores") {
+    // english corpus slice + a french block with distinct bigram stats;
+    // with per-language LMs the english scores are identical whether or
+    // not french participates (a shared mixed-corpus LM would shift them)
+    val en = graft.sources.Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"text").limit(40)
+    val fr = (1 to 25).map { i =>
+      (10000L + i, s"le chat numero $i est dans la maison et il ne veut pas sortir " +
+        s"avec nous pour le moment mais nous restons avec lui la")
+    }.toDF("doc_id", "text")
+    val both = en.unionByName(fr)
+    def enScores(df: org.apache.spark.sql.DataFrame, langs: Seq[String]) =
+      graft.operators.CorpusPipeline
+        .ccnet(df, "doc_id", "text", langs = langs, vocabSize = 5000)
+        .where($"lang_pred" === "en")
+        .select($"id", $"avg_logprob")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val alone = enScores(en, Seq("en"))
+    val mixed = enScores(both, Seq("en", "fr"))
+    assert(alone.nonEmpty && alone == mixed,
+      s"english scores must not move when french joins: ${alone.size} vs ${mixed.size}")
+  }
 }

@@ -54,4 +54,62 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(kept.columns.toSeq == Seq("id", "text"))
     assert(kept.select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  // ------------------------------------------- language-conditioned
+
+  private val goodRu = {
+    val base = "собака сидит дома и не хочет идти гулять с нами по улице " +
+      "сегодня вечером потому что погода очень плохая и холодная "
+    (base * 4).trim
+  }
+
+  test("byLang: a fluent Russian document passes with the ru profile") {
+    val out = QualityFilters
+      .withGopherFlagsByLang(Seq((1L, goodRu, "ru")).toDF("id", "text", "lang"), "text", "lang")
+      .select("gopher_scoped", "pass", "ok_alpha_words", "ok_stopwords")
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+    assert(out == ((true, true, true, true)), out.toString)
+    // the English-scoped bundle would have rejected it outright: the
+    // ASCII alpha test sees zero alpha words in Cyrillic
+    val en = QualityFilters
+      .withGopherFlags(Seq((1L, goodRu)).toDF("id", "text"), "text")
+      .select("ok_alpha_words", "pass").as[(Boolean, Boolean)].head()
+    assert(en == ((false, false)), en.toString)
+  }
+
+  test("byLang: garbage in a profiled language still fails its bundle") {
+    val garbage = Seq.fill(60)("### 12345 …").mkString(" ")
+    val out = QualityFilters
+      .withGopherFlagsByLang(
+        Seq((1L, garbage, "ru"), (2L, garbage, "en")).toDF("id", "text", "lang"),
+        "text", "lang")
+      .select("pass").as[Boolean].collect()
+    assert(out.forall(!_))
+  }
+
+  test("byLang: out-of-scope languages pass through for the LM path") {
+    val zh = "今天天气很好我们一起去公园散步然后吃晚饭"
+    val out = QualityFilters
+      .withGopherFlagsByLang(
+        Seq((1L, zh, "zh"), (2L, zh, "und"), (3L, zh, null: String))
+          .toDF("id", "text", "lang"),
+        "text", "lang")
+      .select("gopher_scoped", "pass").as[(Boolean, Boolean)].collect()
+    assert(out.forall(r => !r._1 && r._2), out.mkString(","))
+    val kept = QualityFilters.gopherFilterByLang(
+      Seq((1L, zh, "zh")).toDF("id", "text", "lang"), "text", "lang")
+    assert(kept.columns.toSeq == Seq("id", "text", "lang"))
+    assert(kept.count() == 1L)
+  }
+
+  test("byLang: English results identical to the unconditioned bundle") {
+    val docs = Seq((1L, goodDoc), (2L, "too short the of and"))
+    val un = QualityFilters.withGopherFlags(docs.toDF("id", "text"), "text")
+      .orderBy("id").drop("text").collect().map(_.toSeq)
+    val by = QualityFilters
+      .withGopherFlagsByLang(docs.map { case (i, t) => (i, t, "en") }
+        .toDF("id", "text", "lang"), "text", "lang")
+      .orderBy("id").drop("text", "lang", "gopher_scoped").collect().map(_.toSeq)
+    assert(un.toSeq == by.toSeq)
+  }
 }

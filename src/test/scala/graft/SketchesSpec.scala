@@ -165,6 +165,22 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kll compaction preserves total weight exactly (odd-length levels retain one item)") {
+    // small k + adversarial odd sizes force many odd-length compactions
+    for (n <- Seq(1001, 4097, 9999)) {
+      val df = (1 to n).map(i => Tuple1(i.toDouble)).toDF("v").repartition(7)
+      val sk = Sketches.kllSketch(df, "v", k = 64)
+      assert(sk.n == n.toLong)
+      val totalWeight = sk.levels.zipWithIndex.map { case (lvl, i) => lvl.length.toLong << i }.sum
+      assert(totalWeight == n.toLong, s"n=$n weight drifted to $totalWeight")
+      // with exact weights the q→rank scan can never run off the end;
+      // q=1 lands on the largest retained item (within rank error of
+      // the true max — compaction may drop the max itself)
+      val est = sk.quantile(1.0)
+      assert(math.abs(est - n) / n.toDouble <= 0.05, s"n=$n q=1 est=$est")
+    }
+  }
+
   test("kllQuantilesByGroup: exact per-group order statistics in the exact regime") {
     val rows = (1 to 500).map(i => ("a", i.toDouble)) ++ (1 to 200).map(i => ("b", i * 2.0))
     val df = rows.toDF("g", "v").repartition(5)
