@@ -2766,6 +2766,32 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The composed web-ingest face end-to-end on a planted HTML corpus
+    * (every document wrapped in boilerplate HTML with a messy URL):
+    * extract → url-normalize → langId → language-conditioned Gopher →
+    * line dedup → exact+near dedup → per-host cap → packed layout.
+    * Rows-only (the MinHash stage is engine-internal, like q35/q54);
+    * each stage is oracle-pinned individually (q95/q96/q97/q98/q80/
+    * q15/q103) and the composition invariants — token conservation,
+    * dedup of planted copies, host caps, ParquetDir threading — are
+    * locked in CorpusPipelineSpec.
+    */
+  private def q104WebIngest(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+    val url = concat(
+      lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.COM:80/p/"), col("doc_id").cast("string"), lit("?q=1#frag"))
+    val pages = load(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"), url.as("url"))
+    graft.operators.CorpusPipeline
+      .webIngest(pages, "doc_id", "html", "url", maxPerHost = 40, seqLen = 128)
+      .select(col("id"), col("chunk_idx"), col("n_chunk_tokens"), col("pos"),
+        col("url_host"), col("lang_pred"))
+      .orderBy("id", "chunk_idx")
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2929,6 +2955,7 @@ object SparkEntry {
     "q101_line_dedup_in_doc" -> (q101LineDedupInDoc _),
     "q102_multilingual_planted" -> (q102MultilingualPlanted _),
     "q103_gopher_lang_planted" -> (q103GopherLangPlanted _),
+    "q104_web_ingest" -> (q104WebIngest _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted

@@ -108,6 +108,104 @@ object CorpusPipeline {
       .drop("__cuts")
   }
 
+  /** Per-stage variant of a caller-supplied [[Materialize]]: a
+    * ParquetDir fans out into one subdirectory per internal stage
+    * boundary (the same path for every stage would overwrite the
+    * previous stage's restart point), LocalCheckpoint threads through
+    * unchanged.
+    */
+  private def stageMaterialize(m: Materialize, stage: String): Materialize = m match {
+    case Materialize.LocalCheckpoint => Materialize.LocalCheckpoint
+    case Materialize.ParquetDir(p) => Materialize.ParquetDir(s"$p/$stage")
+  }
+
+  /** The full web-ingest front end as ONE face — the seven-stage
+    * composition a crawl-to-training-data pipeline hand-wired until
+    * now, in the canonical order:
+    *
+    *   1. HTML → text ([[WebText.htmlToText]] — linear scanner,
+    *      script/style stripped, entities decoded)
+    *   2. URL normalization + host extraction
+    *      ([[WebText.withUrlParts]])
+    *   3. language ID ([[TextAnalysis.withLangId]]); `langs` nonEmpty
+    *      keeps only those languages, empty keeps everything
+    *   4. language-conditioned Gopher quality
+    *      ([[QualityFilters.withGopherFlagsByLang]] — profiled
+    *      languages must pass their bundle, out-of-scope scripts pass
+    *      through for LM-based filtering downstream)
+    *   5. corpus-wide line dedup ([[Dedup.lineDedup]] — boilerplate
+    *      lines drop; fully-boilerplate docs drop)
+    *   6. exact + MinHash near-dup dedup ([[Dedup.cleanCorpus]],
+    *      transitive)
+    *   7. per-host cap ([[Sampling.capPerStratum]] on `url_host`) and
+    *      the packed training layout (seqLen-token chunks → seeded
+    *      shuffle → [[Packing.shuffleAndPack]])
+    *
+    * Stages 1-4 fuse into one shuffle-free scan (per-row UDF kernels,
+    * nothing multi-consumer, so no boundary to cut). `materialize` is
+    * threaded through EVERY internal stage boundary — the post-filter
+    * corpus (read twice by line dedup), cleanCorpus's survivor frame,
+    * the chunk frame (read by the pack layout and the final join),
+    * and the returned layout — so a [[Materialize.ParquetDir]] run
+    * lands each boundary in its own subdirectory (`quality/`,
+    * `dedup/`, `chunks/`, `layout/`) and any failed stage resumes
+    * from the previous directory instead of re-running the crawl
+    * scan. Output: one row per surviving chunk — (chunk_id, id,
+    * chunk_idx, chunk_text, n_chunk_tokens, pos, start_offset,
+    * pack_first, pack_last, url_norm, url_host, lang_pred).
+    */
+  def webIngest(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      jaccardThreshold: Double = 0.8,
+      minLineChars: Int = 5,
+      seqLen: Int = 512,
+      shuffleSalt: String = "epoch0",
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): DataFrame = {
+    val extracted = WebText
+      .htmlToText(
+        df.select(col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url")),
+        "__html", outCol = "text")
+      .drop("__html")
+    val withUrl = WebText.withUrlParts(extracted, "__url").drop("__url")
+    val withLang = TextAnalysis.withLangId(withUrl, "text")
+    val langKept =
+      if (langs.isEmpty) withLang
+      else withLang.where(col("lang_pred").isInCollection(langs))
+    val quality = QualityFilters
+      .withGopherFlagsByLang(langKept, "text", "lang_pred")
+      .where(col("pass"))
+      .select(col("id"), col("text"), col("url_norm"), col("url_host"), col("lang_pred"))
+    val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
+    val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+    val lined = Dedup
+      .lineDedup(landedQuality, "id", "text", minLineChars)
+      .where(length(trim(col("clean_text"))) > 0)
+      .select(col("id"), col("clean_text").as("text"))
+      .join(attrs, "id")
+    val deduped = Dedup.cleanCorpus(lined, "id", "text", jaccardThreshold,
+      transitive = true, materialize = stageMaterialize(materialize, "dedup"))
+    val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
+    val chunks = TextAnalysis
+      .chunkTokens(capped, "id", "text", window = seqLen, stride = seqLen)
+      .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
+    val landedChunks = Materialize(chunks, stageMaterialize(materialize, "chunks"))
+    val layout = Packing
+      .shuffleAndPack(landedChunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
+    val out = landedChunks
+      .join(
+        layout.select(col("chunk_id"), col("pos"), col("start_offset"),
+          col("pack_first"), col("pack_last")),
+        "chunk_id")
+      .join(attrs, "id")
+    Materialize(out, stageMaterialize(materialize, "layout"))
+  }
+
   def prepare(
       df: DataFrame,
       idCol: String,

@@ -121,6 +121,69 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(again == out.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
 
+  test("webIngest: seven stages compose — extract, filter, dedup, cap, layout") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    // per-token marking: every 4th token carries the doc index, so two
+    // docs share almost no word trigrams — near-dup dedup must NOT
+    // collapse them (a trailing one-word marker leaves Jaccard ≈ 1)
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><head><script>if (1 < 2) alert('x');</script></head><body><p>$body</p></body></html>"
+    val rows = (
+      // host a: four distinct good docs (cap 2 must bite)
+      (1 to 4).map(i => (i.toLong, page(distinctProse(i)), s"HTTP://A.com:80/p$i#f")) ++
+      // host b: a good doc and its EXACT duplicate (dedup must drop one)
+      Seq(
+        (10L, page(distinctProse(10)), "http://b.com/x"),
+        (11L, page(distinctProse(10)), "http://b.com/y"),
+        // garbage (symbol soup, lang-id "und") — dropped at the language gate
+        (12L, page(Seq.fill(60)("### 12345 …").mkString(" ")), "http://b.com/junk"),
+        // chinese — kept by the whitelist, out of gopher scope, must PASS THROUGH
+        (13L, page("今天天气很好我们一起去公园散步然后吃晚饭"), "http://b.com/zh"),
+      )
+    ).toDF("doc_id", "html", "url")
+    val out = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", langs = Seq("en", "zh"),
+        maxPerHost = 2, seqLen = 32)
+      .collect()
+    val ids = out.map(_.getAs[Long]("id")).distinct.sorted
+    // garbage (12) dropped at the language gate; one of the 10/11 pair
+    // dropped by exact dedup; host a capped from 4 docs to 2; chinese kept
+    assert(!ids.contains(12L), "garbage doc must not survive")
+    assert(ids.contains(13L), "out-of-scope language must pass through")
+    assert(ids.count(i => i == 10L || i == 11L) == 1, "exact duplicate must collapse")
+    assert(ids.count(_ <= 4L) == 2, s"host a must be capped to 2 docs, got ${ids.toSeq}")
+    // extraction stripped markup: no chunk text contains a tag or script
+    assert(out.forall(r => !r.getAs[String]("chunk_text").contains("<")))
+    // url machinery: hosts are normalized lowercase registrable hosts
+    assert(out.map(_.getAs[String]("url_host")).toSet.subsetOf(Set("a.com", "b.com")))
+    // layout invariant: pack positions are distinct and chunk tokens conserved
+    val poss = out.map(_.getAs[Long]("pos"))
+    assert(poss.distinct.length == poss.length)
+    assert(out.forall(r => r.getAs[Long]("n_chunk_tokens") > 0L))
+  }
+
+  test("webIngest: ParquetDir materialize lands every stage boundary and matches LocalCheckpoint") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val rows = (1 to 6).map(i =>
+      (i.toLong, s"<html><body><p>${distinctProse(i)}</p></body></html>",
+        s"http://h${i % 2}.com/p$i")).toDF("doc_id", "html", "url")
+    val dir = java.nio.file.Files.createTempDirectory("webingest").toString
+    def rowsOf(m: graft.operators.Materialize) = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", seqLen = 32, materialize = m)
+      .select("chunk_id", "pos", "n_chunk_tokens", "url_host")
+      .collect().map(_.toSeq).toSet
+    val durable = rowsOf(graft.operators.Materialize.ParquetDir(dir))
+    for (stage <- Seq("quality", "dedup", "chunks", "layout"))
+      assert(new java.io.File(s"$dir/$stage").isDirectory, s"missing stage dir $stage")
+    assert(durable == rowsOf(graft.operators.Materialize.LocalCheckpoint))
+  }
+
   test("ccnet: per-language LMs — adding a second language never changes the first's scores") {
     // english corpus slice + a french block with distinct bigram stats;
     // with per-language LMs the english scores are identical whether or
