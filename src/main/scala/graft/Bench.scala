@@ -73,27 +73,47 @@ object Bench {
     // re-measurement after the sweep (post-hygiene, quiesced JVM) and
     // records the minimum. Queries with no history (new this round)
     // keep their first-pass number.
-    val history: Map[String, Seq[Double]] = {
+    // per-query history keyed by ROUND (filename index), so the guard
+    // can compare against both the trailing median and the most
+    // recent prior round
+    val history: Map[String, Seq[(Int, Double)]] = {
       val dir = java.nio.file.Paths.get(".")
       val files = java.nio.file.Files.list(dir).iterator()
-      val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+      val acc = scala.collection.mutable.Map.empty[String, List[(Int, Double)]]
       while (files.hasNext) {
         val p = files.next()
-        if (p.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-          parseBenchFile(p).foreach { case (q, t) => acc(q) = t :: acc.getOrElse(q, Nil) }
+        val fname = p.getFileName.toString
+        if (fname.matches("BENCH_r\\d+\\.json")) {
+          val round = fname.replaceAll("[^0-9]", "").toInt
+          parseBenchFile(p).foreach { case (q, t) =>
+            acc(q) = (round, t) :: acc.getOrElse(q, Nil)
+          }
+        }
       }
       acc.toMap
     }
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map { case (name, fn, t) =>
-      history.get(name).filter(_.nonEmpty).map(median) match {
-        case Some(med) if t > 2 * med && t > 1.0 =>
-          System.err.println(
-            f"[bench] $name: $t%.2f s > 2x trailing median $med%.2f s — re-measuring fresh")
+      val trigger = history.get(name).filter(_.nonEmpty).flatMap { h =>
+        val med = median(h.map(_._2))
+        val latest = h.maxBy(_._1)._2
+        // trailing-median rule for established queries; with < 3
+        // rounds of history a 1-2 point median is itself noise-prone,
+        // so ALSO re-measure against the query's own prior round (at
+        // a lower absolute floor — low-history outliers calcify into
+        // every future median if not caught in their second round)
+        if (t > 2 * med && t > 1.0) Some(f"2x trailing median $med%.2f s")
+        else if (h.size < 3 && t > 2 * latest && t > 0.3)
+          Some(f"2x prior round $latest%.2f s (low history, n=${h.size})")
+        else None
+      }
+      trigger match {
+        case Some(why) =>
+          System.err.println(f"[bench] $name: $t%.2f s > $why — re-measuring fresh")
           remeasured += name
           val fresh = (1 to 2).map(_ => runOnce(fn)).min
           name -> math.min(t, fresh)
-        case _ => name -> t
+        case None => name -> t
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

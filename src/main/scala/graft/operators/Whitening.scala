@@ -25,11 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Whitening {
 
+  /** Hard width bound for [[moments]]: each partition accumulates a
+    * dense d×d double partial (d²·8 bytes — 33 MB at d=2048) and the
+    * treeReduce moves one per partition. At d=4096 that is 134 MB per
+    * partial, which silently turns the "cheap" fit into an
+    * executor-memory hazard — so width is REJECTED up front with a
+    * named error instead. For wider embeddings, reduce first
+    * (dimensionality reduction / [[Similarity.trainOpq]]-style
+    * subspace treatment) or fit on a projected slice; see SCALE.md.
+    */
+  val MaxMomentsDim = 2048
+
   /** One-pass first+second moments of an `Array[Float]` column:
     * (rowCount, mean, population covariance). Accumulators are
     * allocated INSIDE each partition (a d²-sized treeAggregate zero
     * would ride in every task binary — same discipline as
-    * [[Sketches.countMinSketch]]).
+    * [[Sketches.countMinSketch]]). Width is bounded by
+    * [[MaxMomentsDim]].
     */
   def moments(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
     val rdd = df.select(col(vecCol)).rdd
@@ -42,6 +54,10 @@ object Whitening {
           if (!row.isNullAt(0)) {
             val v = row.getSeq[Float](0)
             val d = v.length
+            require(d <= MaxMomentsDim,
+              s"embedding width $d exceeds Whitening.MaxMomentsDim ($MaxMomentsDim): " +
+                s"the dense d×d covariance partial would be ${d.toLong * d * 8 / (1 << 20)} MB " +
+                "per partition — reduce dimensionality before whitening (see SCALE.md)")
             if (sum == null) { sum = new Array[Double](d); outer = new Array[Double](d * d) }
             require(v.length == sum.length, s"ragged vector width: ${v.length} vs ${sum.length}")
             n += 1

@@ -87,4 +87,16 @@ class WhiteningSpec extends SparkTestBase {
     val ragged = Seq(Tuple1(Array(1f, 2f)), Tuple1(Array(1f, 2f, 3f))).toDF("v")
     intercept[Exception](Whitening.moments(ragged, "v"))
   }
+
+  test("widths beyond MaxMomentsDim are rejected with a named error, not an OOM hazard") {
+    val wide = Seq(Tuple1(new Array[Float](Whitening.MaxMomentsDim + 1))).toDF("v")
+    val e = intercept[Exception](Whitening.moments(wide, "v"))
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("MaxMomentsDim"), messages.take(300))
+    // the bound itself is inclusive: d == MaxMomentsDim must fit (use a
+    // tiny row count so the d² partial allocates once, cheaply)
+    val atBound = Seq(Tuple1(new Array[Float](16))).toDF("v")
+    assert(Whitening.moments(atBound, "v")._1 == 1L)
+  }
 }
