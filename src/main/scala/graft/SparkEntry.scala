@@ -2792,6 +2792,50 @@ object SparkEntry {
       .orderBy("id", "chunk_idx")
   }
 
+  /** Maximal duplicated extents (the suffix-array-skip reporting
+    * face): duplicated k-token windows merged per document into
+    * maximal (start, end) token intervals. Pure string/integer
+    * semantics — the oracle replays spans, winners, the island merge,
+    * and the interval arithmetic exactly (the oracle groups spans on
+    * full text, the engine on the streamed 64-bit span hash — the
+    * q61 convention; agreement at gate scale is the collision check).
+    */
+  private def q105DupExtents(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .duplicateExtents(load(s, dir, "documents"), "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("start_pos"), col("end_pos"), col("n_dup_tokens"))
+      .orderBy("doc_id", "start_pos")
+
+  private val q105Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
+      |  FROM t, unnest(CASE WHEN len(w) >= 8
+      |    THEN generate_series(1, len(w)-7) ELSE [] END) AS u(i)),
+      |winners AS (
+      |  SELECT span, min(struct_pack(d := doc_id, i := i)) AS keep
+      |  FROM spans GROUP BY span HAVING count(*) > 1),
+      |dup AS (
+      |  SELECT s.doc_id, s.i
+      |  FROM spans s JOIN winners w USING (span)
+      |  WHERE struct_pack(d := s.doc_id, i := s.i) <> w.keep),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+      |      THEN 1 ELSE 0 END AS gap
+      |  FROM dup),
+      |grp AS (
+      |  SELECT doc_id, i,
+      |    sum(gap) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM isl)
+      |SELECT doc_id, min(i) AS start_pos, max(i) + 7 AS end_pos,
+      |  max(i) + 7 - min(i) + 1 AS n_dup_tokens
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, start_pos""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -2956,6 +3000,7 @@ object SparkEntry {
     "q102_multilingual_planted" -> (q102MultilingualPlanted _),
     "q103_gopher_lang_planted" -> (q103GopherLangPlanted _),
     "q104_web_ingest" -> (q104WebIngest _),
+    "q105_dup_extents" -> (q105DupExtents _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3050,5 +3095,6 @@ object SparkEntry {
     "q101_line_dedup_in_doc" -> q101Oracle,
     "q102_multilingual_planted" -> q102Oracle,
     "q103_gopher_lang_planted" -> q103Oracle,
+    "q105_dup_extents" -> q105Oracle,
   )
 }

@@ -768,6 +768,69 @@ object Dedup {
     materializeAndRelease(out, base)
   }
 
+  /** MAXIMAL-EXTENT duplicate reporting — the reporting face the
+    * documented suffix-array skip (NOTES round 8) conceded: instead of
+    * REMOVING fixed k-token windows ([[spanDedup]]), report each
+    * document's maximal duplicated REGIONS as (start_pos, end_pos)
+    * token intervals, built by merging overlapping/adjacent duplicated
+    * windows per document. A run of duplicated text longer than k
+    * surfaces as ONE extent (its windows chain: consecutive duplicated
+    * starts ≤ k apart merge), which is what a suffix array's
+    * variable-length duplicate report would have given — without the
+    * suffix array.
+    *
+    * Semantics (DuckDB-replayed, q105 — exact integer ops):
+    *   - tokens/spans/winners exactly as [[spanDedup]] (1-BASED span
+    *     start positions; a span is duplicated if its text occurs > 1
+    *     times corpus-wide; the first (doc, i) occurrence is the kept
+    *     one and is NOT reported)
+    *   - per doc, duplicated starts i sorted; a new extent begins when
+    *     `i - prev_i > k` (≤ k means the windows overlap or touch);
+    *     extent = [min i, max i + k - 1], length = end - start + 1
+    *
+    * Scale shape: identical to [[spanDedup]]'s first half (explode to
+    * hashed spans, one aggregation for winners, one join back) plus
+    * one per-document window pass over DUPLICATED positions only —
+    * a small fraction of the corpus in any non-degenerate input.
+    */
+  def duplicateExtents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+  ): DataFrame = {
+    require(k >= 1, "span length must be ≥ 1")
+    val spans = df
+      .select(
+        col(idCol).as("id"),
+        graft.functions.TextSignatures.shingleHashes(col(textCol), k).as("hashes"))
+      .select(col("id"), posexplode(col("hashes")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("i"), col("col").as("span"))
+    val winners = spans
+      .groupBy("span")
+      .agg(min(struct(col("id"), col("i"))).as("keep"), count(lit(1)).as("occ"))
+      .where(col("occ") > 1)
+      .select(col("span"), col("keep"))
+    val dup = spans
+      .join(winners, "span")
+      .where(struct(col("id"), col("i")) =!= col("keep"))
+      .select(col("id"), col("i"))
+    val w = Window.partitionBy(col("id")).orderBy(col("i"))
+    dup
+      .withColumn(
+        "__gap",
+        when(col("i") - lag(col("i"), 1).over(w) > k, lit(1)).otherwise(lit(0)))
+      .withColumn("__island", sum(col("__gap")).over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("i")).as("start_pos"), (max(col("i")) + lit(k - 1)).as("end_pos"))
+      .select(
+        col("id"),
+        col("start_pos"),
+        col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_dup_tokens"),
+      )
+  }
+
   /** CCNet-style LINE-level exact dedup (Wenzek et al., LREC 2020 —
     * CCNet's first stage hashes paragraphs/lines and drops repeats
     * corpus-wide): every line whose TRIMMED text repeats anywhere

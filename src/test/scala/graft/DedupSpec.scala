@@ -243,6 +243,28 @@ class DedupSpec extends SparkTestBase {
     assert(got(5L) == ("", 0L), "empty text stays an empty row, not a missing one")
   }
 
+  test("duplicateExtents: overlapping windows merge to the copied region; gaps split extents") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // the source — holds every first occurrence
+      (2L, "x1 x2 a b c d e f g h i j y1 y2"), // one contiguous 10-token copy
+      (3L, "a b c d e u1 u2 u3 u4 u5 u6 f g h i j"), // two copies split by filler
+      (4L, "all unique tokens here nothing repeats at all ever"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateExtents(docs, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 is the kept first occurrence everywhere — never reported;
+    // doc 2's seven chained duplicated windows merge to ONE maximal
+    // extent covering exactly the copied region (1-based, inclusive);
+    // doc 3's two copies are > k apart and stay separate extents
+    assert(got.toSeq == Seq(
+      (2L, 3L, 12L, 10L),
+      (3L, 1L, 5L, 5L),
+      (3L, 12L, 16L, 5L),
+    ), got.mkString(", "))
+  }
+
   test("lineDedup: repeated lines keep first occurrence; short lines always survive") {
     val docs = Seq(
       (1L, "alpha beta gamma\nshared footer line here\nunique one"),
