@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.sql.Macros
 import graft.streaming.EventStreams
 
@@ -2836,6 +2836,121 @@ object SparkEntry {
       |FROM grp GROUP BY doc_id, island
       |ORDER BY doc_id, start_pos""".stripMargin
 
+  /** Bit-exact gate for sign-bit binary quantization
+    * ([[Quantize.signPack]]/[[Quantize.hammingDist]]): every packed
+    * 32-bit code word of every vector, plus each vector's Hamming
+    * distance to vector 0's code, replayed in DuckDB with the same
+    * integer arithmetic (`pow(2,i)` word packing, `xor` +
+    * `bit_count`). Pure integer semantics — any packing or distance
+    * divergence is a hash mismatch, the q53 convention.
+    */
+  private def q106BinaryCodes(s: SparkSession, dir: String): DataFrame = {
+    val coded = load(s, dir, "embeddings")
+      .select(col("vec_id"), Quantize.signPack(col("embedding")).as("code"))
+    val ref = coded.where(col("vec_id") === 0).select(col("code").as("ref_code"))
+    coded
+      .crossJoin(broadcast(ref))
+      .select(
+        col("vec_id"),
+        Quantize.hammingDist(col("code"), col("ref_code")).as("hamming_to_0"),
+        posexplode(col("code")).as(Seq("word_idx", "word")))
+      .orderBy("vec_id", "word_idx")
+  }
+
+  private val q106Oracle =
+    """WITH t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(0, CAST(ceil(len(v) / 32.0) AS INT) - 1), w ->
+      |      CAST(list_sum(list_transform(generate_series(0, 31), i ->
+      |        CASE WHEN w * 32 + i < len(v) AND v[w * 32 + i + 1] > 0
+      |          THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS code
+      |  FROM t),
+      |r AS (SELECT code AS ref FROM c WHERE vec_id = 0),
+      |e AS (
+      |  SELECT c.vec_id,
+      |    CAST(list_sum(list_transform(generate_series(1, len(c.code)), j ->
+      |      bit_count(xor(c.code[j], r.ref[j])))) AS BIGINT) AS hamming_to_0,
+      |    unnest(generate_series(1, len(c.code))) AS j,
+      |    c.code AS code
+      |  FROM c, r)
+      |SELECT vec_id, hamming_to_0, CAST(j - 1 AS INT) AS word_idx, code[j] AS word
+      |FROM e ORDER BY vec_id, word_idx""".stripMargin
+
+  /** Planted recall through the binary-quantization ANN face
+    * ([[Similarity.hammingTopK]]): Hamming shortlist over 1-bit
+    * codes + exact re-rank must surface each planted copy's original
+    * — the sign row of the ANN matrix, same gate shape as
+    * q72/q73/q74/q85/q99.
+    */
+  private def q107HammingPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) =>
+        Similarity.hammingTopK(corpus, queries, "vec_id", "embedding", k = 5, refine = 8))
+
+  /** Unicode NFC canonicalization gate
+    * ([[TextAnalysis.canonicalize]]): every document decorated with a
+    * DECOMPOSED suffix (e+U+0301, A+U+030A, i+U+0308 — "café Å
+    * naïve" in NFD form); the engine's native `unicode_normalize`
+    * expression must compose it to NFC byte-identically with DuckDB's
+    * `nfc_normalize`, and must flag the change. Pins the non-ASCII
+    * slow path AND the ASCII fast path (the undecorated prefix is
+    * untouched) in one gate.
+    */
+  private def q108NfcPlanted(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      col("text"),
+      // decomposed on purpose: e+U+0301, A+U+030A, i+U+0308
+      lit(" cafe\u0301 A\u030A nai\u0308ve"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), decorated.as("raw"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.canonicalize(col("raw")).as("norm_text"),
+        (TextAnalysis.canonicalize(col("raw")) =!= col("raw")).as("composed"))
+      .orderBy("doc_id")
+  }
+
+  private val q108Oracle =
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+      |    || ' nai' || chr(776) || 've') AS norm_text,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+      |    || ' nai' || chr(776) || 've')
+      |    <> (text || ' cafe' || chr(769) || ' A' || chr(778)
+      |    || ' nai' || chr(776) || 've') AS composed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Model-selection gate ([[graft.operators.Clustering.kSweep]]):
+    * three orthogonal planted blobs (one-hot centers + deterministic
+    * sub-1% jitter, blob = vec_id mod 3); the simplified-silhouette
+    * sweep over k ∈ {2,3,4,5} must pick exactly k = 3. The metric
+    * values themselves are iterative floats (rows-only territory),
+    * but the ARGMAX on well-separated blobs is a discrete,
+    * construction-pinned fact the oracle states literally.
+    */
+  private def q109KsweepPlanted(s: SparkSession, dir: String): DataFrame = {
+    val blobs = load(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(
+        sequence(lit(0), lit(15)),
+        i =>
+          (when(i === (col("vec_id") % 3).cast("int"), lit(1.0f)).otherwise(lit(0.0f))
+            + pmod(col("vec_id") * (i + 7), lit(97)).cast("float") / lit(9700.0f))
+            .cast("float"),
+      ).as("embedding"))
+    graft.operators.Clustering
+      .kSweep(blobs, "embedding", Seq(2, 3, 4, 5), iterations = 4)
+      .select(col("k"), col("is_best"))
+      .orderBy("k")
+  }
+
+  private val q109Oracle =
+    """SELECT * FROM (VALUES (2, false), (3, true), (4, false), (5, false))
+      |  AS t(k, is_best) ORDER BY k""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3001,6 +3116,10 @@ object SparkEntry {
     "q103_gopher_lang_planted" -> (q103GopherLangPlanted _),
     "q104_web_ingest" -> (q104WebIngest _),
     "q105_dup_extents" -> (q105DupExtents _),
+    "q106_binary_codes" -> (q106BinaryCodes _),
+    "q107_hamming_planted" -> (q107HammingPlanted _),
+    "q108_nfc_planted" -> (q108NfcPlanted _),
+    "q109_ksweep_planted" -> (q109KsweepPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3096,5 +3215,9 @@ object SparkEntry {
     "q102_multilingual_planted" -> q102Oracle,
     "q103_gopher_lang_planted" -> q103Oracle,
     "q105_dup_extents" -> q105Oracle,
+    "q106_binary_codes" -> q106Oracle,
+    "q107_hamming_planted" -> annPlantedOracle,
+    "q108_nfc_planted" -> q108Oracle,
+    "q109_ksweep_planted" -> q109Oracle,
   )
 }

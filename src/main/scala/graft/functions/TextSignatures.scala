@@ -27,4 +27,12 @@ object TextSignatures {
     org.apache.spark.sql.graftext.TextSignatureExpressions.repetitionStats(text)
   def hashedNgramFeatures(text: Column, dim: Int): Column =
     org.apache.spark.sql.graftext.TextSignatureExpressions.hashedNgramFeatures(text, dim)
+
+  /** Unicode normalization ("NFC" | "NFD" | "NFKC" | "NFKD") — see
+    * [[org.apache.spark.sql.graftext.UnicodeNormalize]]. NFC before
+    * hashing makes composed/decomposed encodings of the same text
+    * dedup together (CCNet/C4 both normalize first).
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftext.TextNormalizeExpressions.unicodeNormalize(text, form)
 }

@@ -181,6 +181,96 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** Model-selection sweep over k: one row per candidate k with the
+    * two standard diagnostics —
+    *
+    *   - `inertia`: mean cosine distance to the assigned centroid
+    *     (the elbow curve's y-axis);
+    *   - `silhouette`: mean SIMPLIFIED silhouette
+    *     `(b − a) / max(a, b)` with `a` = distance to the own
+    *     centroid and `b` = distance to the nearest OTHER centroid
+    *     (Hruschka et al. 2004) — centroid distances instead of
+    *     pairwise, so the cost is O(n·k) per sweep point in ONE scan
+    *     instead of the O(n²) of the exact silhouette, which no
+    *     100 TB corpus can pay;
+    *
+    * plus `is_best` marking the silhouette argmax (ties → lowest k,
+    * deterministic).
+    *
+    * Scale shape: the projected vector column is persisted once and
+    * shared by every sweep point; each k costs `iterations + 1`
+    * corpus scans (Lloyd passes + the diagnostic pass), and the only
+    * driver-side state is |ks| metric triples. The sweep is a driver
+    * loop BY DESIGN: points are trained sequentially so their scans
+    * share the one cached projection rather than competing for
+    * memory.
+    *
+    * `ks` must all be ≥ 2 (silhouette is undefined at k = 1 — the
+    * elbow value there is just total variance). Points whose vector
+    * is NULL/empty are skipped, matching [[trainKmeans]]. An empty
+    * corpus yields an empty result.
+    */
+  def kSweep(
+      df: DataFrame,
+      vecCol: String,
+      ks: Seq[Int],
+      iterations: Int = 6,
+      initSampleRows: Int = 20000,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    require(ks.forall(_ >= 2), s"every swept k must be >= 2: $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df
+      .select(col(vecCol))
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val metrics = ks.distinct.sorted.flatMap { k =>
+        val model = trainKmeans(vecs, vecCol, k, iterations, initSampleRows, seed)
+        if (model.centroids.isEmpty) None
+        else {
+          val bc = spark.sparkContext.broadcast(model.centroids)
+          // (a, b) = cosine distance to own / nearest-other centroid;
+          // vectors normalized to match the training geometry.
+          val abUdf = udf { (v: Seq[Float]) =>
+            val cs = bc.value
+            val x = normalize(v.toArray)
+            var best = Double.MaxValue
+            var second = Double.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              val d = cosDist(cs(i), x)
+              if (d < best) { second = best; best = d }
+              else if (d < second) second = d
+              i += 1
+            }
+            (best, second)
+          }
+          val row = vecs
+            .select(abUdf(col(vecCol)).as("ab"))
+            .agg(
+              count(lit(1)).as("n"),
+              avg(col("ab._1")).as("inertia"),
+              avg(
+                when(greatest(col("ab._1"), col("ab._2")) > 0,
+                  (col("ab._2") - col("ab._1")) / greatest(col("ab._1"), col("ab._2")))
+                  .otherwise(lit(0.0))).as("silhouette"),
+            )
+            .head()
+          Some((k, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+        }
+      }
+      if (metrics.isEmpty) return Seq.empty[(Int, Long, Double, Double, Boolean)]
+        .toDF("k", "n", "inertia", "silhouette", "is_best")
+      val bestK = metrics.maxBy { case (k, _, _, sil) => (sil, -k) }._1
+      metrics
+        .map { case (k, n, inertia, sil) => (k, n, inertia, sil, k == bestK) }
+        .toDF("k", "n", "inertia", "silhouette", "is_best")
+    } finally vecs.unpersist(blocking = false)
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — the
     * diversity-maximizing counterpart of the density operators:
     * SemDeDup removes what's redundant, k-center KEEPS what's spread

@@ -38,4 +38,46 @@ object Quantize {
     */
   def dequantize(vecQ: Column, scale: Column): Column =
     transform(vecQ, q => when(scale > 0, q.cast("double") / scale).otherwise(lit(0.0)))
+
+  /** Sign-bit binary quantization: 32× smaller than float32. Word `w`
+    * packs components `[32w, 32w+32)` little-endian-by-bit
+    * (`bit i = [x_{32w+i} > 0]`), emitted as `array<bigint>` of
+    * `ceil(dim/32)` words. 32-bit words in a 64-bit lane keep every
+    * value non-negative, so the packing is plain integer arithmetic
+    * with no sign-bit wraparound to reason about across engines —
+    * DuckDB replays it bit-for-bit with `list_transform` +
+    * `generate_series` (oracle q106). `2^i` is built as
+    * `pow(2,i)::long`: exact for i ≤ 31 (powers of two are exact
+    * doubles) and portable, where `shiftleft` would need a literal
+    * shift amount in the Scala DSL. Pure codegen — no UDF. Empty /
+    * NULL vectors give an empty / NULL code.
+    */
+  def signPack(vecCol: Column): Column = {
+    val len = size(vecCol)
+    val nWords = ((len + lit(31)) / lit(32)).cast("int")
+    when(len > 0,
+      transform(
+        sequence(lit(0), nWords - 1),
+        w =>
+          aggregate(
+            sequence(lit(0), lit(31)),
+            lit(0L),
+            (acc, i) =>
+              acc + when(
+                w * 32 + i < len && element_at(vecCol, w * 32 + i + 1) > lit(0.0f),
+                pow(lit(2.0), i).cast("long")).otherwise(lit(0L)),
+          ),
+      )).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Hamming distance between two packed sign codes:
+    * `Σ bit_count(a_w XOR b_w)`. Integer-exact, codegen, and the
+    * direct DuckDB replay is `list_sum(list_transform(...,
+    * bit_count(xor(..))))`. Codes must share a length (same dim).
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
 }

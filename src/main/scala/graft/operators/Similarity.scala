@@ -1153,4 +1153,63 @@ object Similarity {
       )
     topKReduce(scored, k)
   }
+
+  // ------------------------------------------------------- binary / hamming
+
+  /** Top-k via 1-bit sign codes ([[Quantize.signPack]]): Hamming
+    * shortlist, then exact cosine re-rank — the binary-quantization
+    * row of the ANN matrix (flat=brute, IVF, PQ/OPQ, SRP-LSH, sign).
+    *
+    * Why it scales: the candidate scan touches only the packed codes
+    * (32× smaller than the float column — for a 100 TB float corpus
+    * the Hamming pass reads ~3 TB), and for random unit vectors
+    * `E[hamming]/bits = angle/π` (the SRP estimator), so the Hamming
+    * order tracks the cosine order closely enough that a small
+    * `refine·k` shortlist retains the true neighbors; the float
+    * vectors are then fetched only for shortlist members via an
+    * id equi-join. Same broadcast-queries + bounded-heap shape as
+    * every other ANN face: shuffle is O(queries·k·partitions), never
+    * O(corpus). Shortlist cut and final ranks use the shared
+    * comparator (score desc, id asc) so results are deterministic.
+    *
+    * Output: (query_id, neighbor_id, rank 1..k, cosine) like
+    * [[bruteForceTopK]].
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 4,
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      Quantize.signPack(col(vecCol)).as("ccode"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      Quantize.signPack(col(vecCol)).as("qcode"))
+    // Hamming shortlist: smaller distance = better, so feed the shared
+    // max-heap reduction the negated distance.
+    val shortlist = topKReduce(
+      c.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
+      k * refine,
+    ).select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: fetch floats for shortlist members only
+    val rescored = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(
+        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"))
+    topKReduce(rescored, k)
+  }
 }

@@ -13,6 +13,30 @@ import graft.textutil.TextHash
   */
 object TextAnalysis {
 
+  // ------------------------------------------------------- canonicalization
+
+  /** Canonicalize a text column before hashing/dedup: Unicode NFC
+    * (composed and decomposed encodings of the same text — "café" as
+    * U+00E9 vs e+U+0301 — become byte-identical, so exact dedup,
+    * shingles, and line hashes treat them as the duplicates they
+    * are), with optional whitespace collapse (runs → one space,
+    * trimmed) and case folding. Column-only, fully codegen
+    * ([[graft.functions.TextSignatures.unicodeNormalize]] is a native
+    * expression with an ASCII zero-copy fast path), so at corpus
+    * scale this rides the existing scan — no extra pass, no shuffle.
+    * The NFC face replays in DuckDB as `nfc_normalize` (gate q108).
+    */
+  def canonicalize(
+      text: Column,
+      form: String = "NFC",
+      collapseWhitespace: Boolean = false,
+      caseFold: Boolean = false,
+  ): Column = {
+    val normed = graft.functions.TextSignatures.unicodeNormalize(text, form)
+    val ws = if (collapseWhitespace) trim(regexp_replace(normed, "\\s+", " ")) else normed
+    if (caseFold) lower(ws) else ws
+  }
+
   // ------------------------------------------------------------ tokenizing
 
   /** Whitespace token count, codegen-friendly (no UDF). Empty/blank

@@ -92,6 +92,30 @@ class ClusteringSpec extends SparkTestBase {
     assert(Clustering.assignClusters(df, "embedding", m).count() == 4L)
   }
 
+  test("kSweep: simplified silhouette peaks at the planted cluster count") {
+    val df = bundles(40).toDF("vec_id", "embedding")
+    val sweep = Clustering
+      .kSweep(df, "embedding", Seq(2, 3, 4, 5), iterations = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(sweep.map(_._1).toSeq == Seq(2, 3, 4, 5))
+    assert(sweep.forall(_._2 == 120L)) // every sweep point sees all rows
+    val best = sweep.filter(_._5)
+    assert(best.length == 1 && best.head._1 == 3, s"best = ${best.toSeq}")
+    // inertia is non-increasing in k on nested-refinement data
+    val byK = sweep.map(t => t._1 -> t._3).toMap
+    assert(byK(3) < byK(2), s"inertia should drop at the true k: $byK")
+  }
+
+  test("kSweep: k < 2 is a named error; empty corpus yields empty result") {
+    val df = bundles(5).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Clustering.kSweep(df, "embedding", Seq(1, 2))
+    }
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Clustering.kSweep(empty, "embedding", Seq(2, 3)).count() == 0L)
+  }
+
   test("kCenterGreedy: recovers planted orthogonal outliers exactly") {
     // 60 bulk points near e0; 4 plants on their own axes
     val rnd = new scala.util.Random(11)

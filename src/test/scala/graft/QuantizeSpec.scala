@@ -41,6 +41,44 @@ class QuantizeSpec extends SparkTestBase {
     assert(q == Seq[Byte](64, -127, 32, 127), s"got $q")
   }
 
+  test("signPack matches a reference bit-packer; empty vector gives empty code") {
+    val rng = new scala.util.Random(33)
+    val vecs = (1L to 100L).map(i =>
+      (i, Seq.fill(1 + (i % 70).toInt)(rng.nextGaussian().toFloat))) :+
+      (999L, Seq.empty[Float])
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df
+      .select(col("vec_id"), Quantize.signPack(col("embedding")).as("code"))
+      .as[(Long, Seq[Long])]
+      .collect()
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until (v.length + 31) / 32).map { w =>
+        (0 until 32).foldLeft(0L) { (acc, i) =>
+          val idx = w * 32 + i
+          if (idx < v.length && v(idx) > 0f) acc | (1L << i) else acc
+        }
+      }
+      assert(got(id) == expected, s"vec $id")
+    }
+  }
+
+  test("hammingDist counts exactly the differing sign bits") {
+    val a = Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    // flip signs at 5 known positions
+    val flips = Set(3, 17, 31, 32, 63)
+    val b = a.zipWithIndex.map { case (x, i) => if (flips(i)) -x else x }
+    val df = Seq((a, b)).toDF("a", "b")
+    val d = df
+      .select(
+        Quantize
+          .hammingDist(Quantize.signPack(col("a")), Quantize.signPack(col("b")))
+          .as("d"))
+      .as[Long]
+      .head()
+    assert(d == flips.size, s"got $d")
+  }
+
   test("SQL registration: z_value / simhash64 / shingle_set usable from spark.sql") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark

@@ -31,6 +31,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("hammingTopK: full-shortlist equals brute force; tight refine recovers sign-separable neighbors") {
+    val rng = new scala.util.Random(91)
+    val vecs = (0L until 60L).map(i => (i, Seq.fill(32)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 5L)
+    // refine·k ≥ corpus → the shortlist is the whole corpus and the
+    // exact re-rank must reproduce brute force bit-for-bit
+    val exhaustive = Similarity
+      .hammingTopK(df, queries, "vec_id", "embedding", k = 3, refine = 20)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity
+      .bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exhaustive.sameElements(brute))
+    // tight refine: a near-copy differs by <1 sign bit, so the Hamming
+    // shortlist must retain it and the re-rank must rank it first
+    val copies = df
+      .where($"vec_id" < 5L)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x))
+          .as("embedding"))
+    val planted = Similarity
+      .hammingTopK(df.unionByName(copies), copies, "vec_id", "embedding", k = 1, refine = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    (0L until 5L).foreach(i => assert(planted(i + 1000L) == i, s"query ${i + 1000L}"))
+  }
+
   test("ivf ANN: high recall on clustered data with full probing") {
     val rng = new scala.util.Random(11)
     val vecs = (0 until 8).flatMap { c =>

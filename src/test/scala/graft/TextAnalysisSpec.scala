@@ -13,6 +13,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq(3, 0, 0, 1))
   }
 
+  test("canonicalize: NFC composes decomposed text, ASCII untouched, options stack") {
+    val decomposed = "cafe\u0301 A\u030A nai\u0308ve" // e+acute, A+ring, i+diaeresis
+    val composed = "caf\u00E9 \u00C5 na\u00EFve"
+    val df = Seq(
+      (1L, decomposed),
+      (2L, "plain ascii stays identical"),
+      (3L, "  Tabs\tand   runs  "),
+    ).toDF("id", "text")
+    val out = df
+      .select($"id", TextAnalysis.canonicalize($"text").as("nfc"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(out(1L) == composed)
+    assert(out(2L) == "plain ascii stays identical")
+    // matches the JDK reference normalizer on every row
+    val ref = df.as[(Long, String)].collect().toMap
+    out.foreach { case (id, got) =>
+      assert(got == java.text.Normalizer.normalize(ref(id), java.text.Normalizer.Form.NFC))
+    }
+    val full = df
+      .select($"id",
+        TextAnalysis
+          .canonicalize($"text", collapseWhitespace = true, caseFold = true)
+          .as("c"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(full(3L) == "tabs and runs")
+    assert(full(1L) == composed.toLowerCase)
+    // NFKC reaches compatibility forms NFC leaves alone (ligature fi)
+    val nfkc = Seq((1L, "efﬁcient"))
+      .toDF("id", "text")
+      .select(TextAnalysis.canonicalize($"text", form = "NFKC"))
+      .as[String]
+      .head()
+    assert(nfkc == "efficient")
+  }
+
   test("bpe estimate: at least word count, grows with long words") {
     val df = Seq(("short words here"), ("antidisestablishmentarianism")).toDF("text")
     val out = df.select(TextAnalysis.bpeTokenEstimate($"text")).as[Long].collect().toSeq
