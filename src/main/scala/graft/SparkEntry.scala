@@ -2951,6 +2951,45 @@ object SparkEntry {
     """SELECT * FROM (VALUES (2, false), (3, true), (4, false), (5, false))
       |  AS t(k, is_best) ORDER BY k""".stripMargin
 
+  /** Temperature-mixture gate
+    * ([[graft.operators.Sampling.temperatureFractions]]): strata of
+    * construction-pinned 5:3:1:1 proportions (doc_id mod 10 bands);
+    * the alpha = 0.5 smoothed shares and budget-bounded keep
+    * fractions are replayed in DuckDB from the same counts.
+    * `round(·, 6)` absorbs cross-engine pow/summation-order ulps —
+    * the q65 convention; counts and the share ORDER are exact.
+    */
+  private def q110TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val strata = load(s, dir, "documents").select(
+      when(col("doc_id") % 10 < 5, lit("a"))
+        .when(col("doc_id") % 10 < 8, lit("b"))
+        .when(col("doc_id") % 10 < 9, lit("c"))
+        .otherwise(lit("d"))
+        .as("stratum"))
+    graft.operators.Sampling
+      .temperatureFractions(strata, "stratum", alpha = 0.5, budgetRows = 200)
+      .select(
+        col("stratum"),
+        col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("sample_fraction"), 6).as("sample_fraction"))
+      .orderBy("stratum")
+  }
+
+  private val q110Oracle =
+    """WITH s AS (
+      |  SELECT CASE WHEN doc_id % 10 < 5 THEN 'a'
+      |              WHEN doc_id % 10 < 8 THEN 'b'
+      |              WHEN doc_id % 10 < 9 THEN 'c'
+      |              ELSE 'd' END AS stratum
+      |  FROM documents),
+      |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY stratum),
+      |t AS (SELECT stratum, n, pow(n, 0.5) AS w FROM c),
+      |tot AS (SELECT sum(w) AS tw FROM t)
+      |SELECT stratum, n, round(w / tw, 6) AS share,
+      |  round(LEAST(1.0, (w / tw) * 200 / n), 6) AS sample_fraction
+      |FROM t, tot ORDER BY stratum""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3120,6 +3159,7 @@ object SparkEntry {
     "q107_hamming_planted" -> (q107HammingPlanted _),
     "q108_nfc_planted" -> (q108NfcPlanted _),
     "q109_ksweep_planted" -> (q109KsweepPlanted _),
+    "q110_temperature_mix" -> (q110TemperatureMix _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3219,5 +3259,6 @@ object SparkEntry {
     "q107_hamming_planted" -> annPlantedOracle,
     "q108_nfc_planted" -> q108Oracle,
     "q109_ksweep_planted" -> q109Oracle,
+    "q110_temperature_mix" -> q110Oracle,
   )
 }

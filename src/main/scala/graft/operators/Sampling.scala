@@ -97,6 +97,73 @@ object Sampling {
     df.where(prefix < threshold)
   }
 
+  /** Temperature-smoothed mixture shares — the multilingual-LM
+    * rebalancing recipe (alpha-sampling: Conneau et al. XLM-R '19,
+    * Xue et al. mT5 '21): a stratum with n_i rows gets share
+    * `n_i^alpha / Σ n_j^alpha`. `alpha = 1` keeps natural
+    * proportions; `alpha → 0` approaches uniform — the knob that
+    * keeps a 1000× head language from drowning tail languages
+    * without discarding the size signal entirely.
+    *
+    * Output: one row per stratum — (stratum, n, share,
+    * sample_fraction) where `sample_fraction =
+    * min(1, share·budgetRows / n)` is the per-stratum keep rate that
+    * realizes the smoothed mix inside a total row budget.
+    *
+    * Scale shape: ONE count aggregation (map-side combined); the
+    * per-stratum math runs on the driver over the stratum list —
+    * strata are languages/domains/sources, bounded by design, never
+    * corpus-sized. Weights are summed in sorted-stratum order so the
+    * result is a pure deterministic function of the counts.
+    */
+  def temperatureFractions(
+      df: DataFrame,
+      stratumCol: String,
+      alpha: Double,
+      budgetRows: Long,
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(budgetRows > 0, s"budgetRows must be > 0: $budgetRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._1)
+    val weights = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val total = weights.sum
+    counts
+      .zip(weights)
+      .map { case ((stratum, n), w) =>
+        val share = w / total
+        (stratum, n, share, math.min(1.0, share * budgetRows / n))
+      }
+      .toSeq
+      .toDF("stratum", "n", "share", "sample_fraction")
+  }
+
+  /** [[temperatureFractions]] composed with [[mixtureSample]]: keep a
+    * temperature-rebalanced, budget-bounded subset in one call. Two
+    * jobs (the count, then the shuffle-free threshold filter); the
+    * kept set is deterministic and stable under reruns.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      alpha: Double,
+      budgetRows: Long,
+  ): DataFrame = {
+    val fractions = temperatureFractions(df, stratumCol, alpha, budgetRows)
+      .select(col("stratum"), col("sample_fraction"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    mixtureSample(df, stratumCol, idCol, fractions)
+  }
+
   /** Deterministic train/val/test (or any K-way) split by md5 bucket
     * of `keyCol`: 65 536 hex buckets are carved into contiguous
     * ranges proportional to `weights`, and each row's 4-hex-char md5

@@ -349,6 +349,19 @@ object VectorExpressions {
       es =>
         WinnowSignature(es(0), intLit(es(1), "winnow_signature"), intLit(es(2), "winnow_signature")),
       "scala_udf")
+    def strLit(e: Expression, fn: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case other =>
+        throw new IllegalArgumentException(s"$fn expects a literal string argument, got $other")
+    }
+    reg.createOrReplaceTempFunction(
+      "unicode_normalize",
+      es =>
+        UnicodeNormalize(
+          es(0),
+          if (es.length > 1) strLit(es(1), "unicode_normalize") else "NFC"),
+      "scala_udf")
   }
 }
 

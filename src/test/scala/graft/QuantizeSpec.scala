@@ -88,5 +88,11 @@ class QuantizeSpec extends SparkTestBase {
     assert(r.getAs[Long]("z") == 27L)
     assert(r.getAs[Long]("sh") == graft.textutil.TextHash.simhash64("hello world"))
     assert(r.getAs[Int]("ns") == 2)
+    val n = spark
+      .sql("SELECT unicode_normalize('cafe\u0301') AS c, " +
+        "unicode_normalize('ef\uFB01cient', 'NFKC') AS k")
+      .head()
+    assert(n.getAs[String]("c") == "caf\u00E9")
+    assert(n.getAs[String]("k") == "efficient")
   }
 }

@@ -83,6 +83,44 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"mixture filter must not shuffle:\n$plan")
   }
 
+  test("temperatureFractions: alpha=1 keeps natural shares, smaller alpha lifts the tail, budget caps at 1") {
+    val df = ((1 to 900).map(i => (i.toLong, "head")) ++ (901 to 1000).map(i => (i.toLong, "tail")))
+      .toDF("id", "lang")
+    def shares(alpha: Double) = Sampling
+      .temperatureFractions(df, "lang", alpha, budgetRows = 100)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val natural = shares(1.0)
+    assert(natural("head")._1 == 900L && natural("tail")._1 == 100L)
+    assert(math.abs(natural("head")._2 - 0.9) < 1e-12)
+    assert(math.abs(natural("tail")._2 - 0.1) < 1e-12)
+    val smoothed = shares(0.3)
+    assert(smoothed("tail")._2 > natural("tail")._2, "smoothing must lift the tail share")
+    assert(math.abs(smoothed("head")._2 + smoothed("tail")._2 - 1.0) < 1e-12)
+    // a budget larger than any stratum can absorb caps the fraction at 1
+    val roomy = Sampling
+      .temperatureFractions(df, "lang", alpha = 0.3, budgetRows = 1000000)
+      .collect()
+      .map(_.getDouble(3))
+    assert(roomy.forall(_ == 1.0))
+    intercept[IllegalArgumentException](Sampling.temperatureFractions(df, "lang", 0.0, 10))
+  }
+
+  test("temperatureSample: kept counts track the smoothed budget, deterministic across reruns") {
+    val df = ((1 to 900).map(i => (i.toLong, "head")) ++ (901 to 1000).map(i => (i.toLong, "tail")))
+      .toDF("id", "lang")
+    val kept = Sampling.temperatureSample(df, "lang", "id", alpha = 0.5, budgetRows = 400)
+    val counts = kept.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares at alpha=.5: 30/(30+10)=.75 and .25 → targets 300/100 (tail capped at its 100 rows);
+    // md5-threshold keep is binomial around the target, so allow a wide band
+    assert(counts("tail") == 100L, s"tail must be fully kept: $counts")
+    assert(counts("head") > 200L && counts("head") < 400L, s"head ≈ 300: $counts")
+    val again = Sampling.temperatureSample(df, "lang", "id", alpha = 0.5, budgetRows = 400)
+    assert(again.select("id").collect().map(_.getLong(0)).toSet ==
+      kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hashSplit: shuffle-free plan (pure projection)") {
     val plan = Sampling
       .hashSplit(docs, "doc_id", Seq(0.9, 0.1), Seq("train", "test"))
