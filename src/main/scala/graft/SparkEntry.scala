@@ -2990,6 +2990,21 @@ object SparkEntry {
       |  round(LEAST(1.0, (w / tw) * 200 / n), 6) AS sample_fraction
       |FROM t, tot ORDER BY stratum""".stripMargin
 
+  /** IVF+Hamming planted recall ([[Similarity.ivfHammingTopK]]): the
+    * composed scale path of the binary row — cell probe prunes the
+    * code scan, Hamming shortlist, exact re-rank — must surface each
+    * planted copy's original, completing the ANN composition matrix
+    * ({flat, IVF} × {float, PQ, OPQ, sign}).
+    */
+  private def q111IvfHammingPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val model = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        Similarity.ivfHammingTopK(corpus, queries, "vec_id", "embedding", k = 5, model,
+          nprobe = 4, refine = 8)
+      })
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3160,6 +3175,7 @@ object SparkEntry {
     "q108_nfc_planted" -> (q108NfcPlanted _),
     "q109_ksweep_planted" -> (q109KsweepPlanted _),
     "q110_temperature_mix" -> (q110TemperatureMix _),
+    "q111_ivfhamming_planted" -> (q111IvfHammingPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3260,5 +3276,6 @@ object SparkEntry {
     "q108_nfc_planted" -> q108Oracle,
     "q109_ksweep_planted" -> q109Oracle,
     "q110_temperature_mix" -> q110Oracle,
+    "q111_ivfhamming_planted" -> annPlantedOracle,
   )
 }

@@ -1200,7 +1200,23 @@ object Similarity {
           (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
       k * refine,
     ).select(col("query_id"), col("neighbor_id"))
-    // exact re-rank: fetch floats for shortlist members only
+    rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
+  }
+
+  /** Shared exact re-rank tail of the code-shortlist faces: fetch
+    * float vectors for shortlist members ONLY (id equi-join on the
+    * corpus — at 100 TB this reads refine·k·|queries| vectors, not
+    * the corpus), score exact cosine, cut to k with the shared
+    * comparator.
+    */
+  private def rerankShortlist(
+      corpus: DataFrame,
+      queries: DataFrame,
+      shortlist: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+  ): DataFrame = {
     val rescored = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
       .join(
@@ -1211,5 +1227,47 @@ object Similarity {
         col("neighbor_id"),
         graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"))
     topKReduce(rescored, k)
+  }
+
+  /** IVF-pruned Hamming search — the composed scale path of the
+    * binary row (the analogue of [[ivfPqTopK]] for sign codes): the
+    * centroid equi-join restricts the Hamming scan to `nprobe/nlist`
+    * of the corpus, the scan itself touches only the 1-bit codes
+    * (1/32 of the float bytes — combined read is
+    * `(nprobe/nlist)·(1/32)` of a flat float scan), and the exact
+    * re-rank fetches floats for shortlist members only. Same
+    * broadcast/heap/comparator machinery as every other ANN face.
+    */
+  def ivfHammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: IvfModel,
+      nprobe: Int = 4,
+      refine: Int = 4,
+  ): DataFrame = {
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcCentroids.value, v, nprobe))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      Quantize.signPack(col(vecCol)).as("ccode"),
+      assignUdf(col(vecCol)).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      Quantize.signPack(col(vecCol)).as("qcode"),
+      explode(probeUdf(col(vecCol))).as("cell"))
+    val shortlist = topKReduce(
+      c.join(broadcast(q), "cell")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
+      k * refine,
+    ).select(col("query_id"), col("neighbor_id"))
+    rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
   }
 }

@@ -64,6 +64,39 @@ class SimilaritySpec extends SparkTestBase {
     (0L until 5L).foreach(i => assert(planted(i + 1000L) == i, s"query ${i + 1000L}"))
   }
 
+  test("ivfHammingTopK: full probe + full shortlist equals brute force; pruned keeps planted recall") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0 until 8).flatMap { c =>
+      (0 until 12).map { m =>
+        val v = Array.fill(32)(0.15f * rng.nextGaussian().toFloat)
+        v(c * 4) += 1f
+        ((c * 100 + m).toLong, v.toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" % 100 === 0)
+    val model = Similarity.trainIvf(df, "embedding", nlist = 8)
+    // nprobe = nlist and refine·k ≥ corpus → must equal brute force
+    val full = Similarity
+      .ivfHammingTopK(df, queries, "vec_id", "embedding", k = 3, model, nprobe = 8, refine = 32)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity
+      .bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(brute))
+    // pruned probing: cluster members live in the probed cells, so
+    // each query's top-1 must come from its own cluster
+    val pruned = Similarity
+      .ivfHammingTopK(df, queries, "vec_id", "embedding", k = 1, model, nprobe = 2, refine = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pruned.foreach { case (q, n) => assert(n / 100 == q / 100, s"query $q got $n") }
+  }
+
   test("ivf ANN: high recall on clustered data with full probing") {
     val rng = new scala.util.Random(11)
     val vecs = (0 until 8).flatMap { c =>
