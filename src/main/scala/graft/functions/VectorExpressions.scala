@@ -19,6 +19,10 @@ object VectorExpressions {
     org.apache.spark.sql.graftext.VectorExpressions.sortedIntersectCount(a, b)
   def pqAdcScore(code: Column, lut: Column, ksub: Int): Column =
     org.apache.spark.sql.graftext.VectorExpressions.pqAdcScore(code, lut, ksub)
+  def signPack(v: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.signPack(v)
+  def hammingDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.VectorExpressions.hammingDist(a, b)
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftext.VectorExpressions.register(spark)
 }

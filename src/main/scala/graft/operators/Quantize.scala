@@ -46,13 +46,38 @@ object Quantize {
     * value non-negative, so the packing is plain integer arithmetic
     * with no sign-bit wraparound to reason about across engines —
     * DuckDB replays it bit-for-bit with `list_transform` +
-    * `generate_series` (oracle q106). `2^i` is built as
-    * `pow(2,i)::long`: exact for i ≤ 31 (powers of two are exact
-    * doubles) and portable, where `shiftleft` would need a literal
-    * shift amount in the Scala DSL. Pure codegen — no UDF. Empty /
-    * NULL vectors give an empty / NULL code.
+    * `generate_series` (oracle q106).
+    *
+    * Backed by the native `sign_pack` expression
+    * ([[graft.functions.VectorExpressions.signPack]]): a primitive
+    * loop inside whole-stage codegen. The portable higher-order-
+    * function formulation ([[signPackPortable]]) is the cross-engine
+    * reference the oracle mirrors — QuantizeSpec locks the two equal;
+    * the HOF form allocates per element per row, which on a corpus
+    * scan is measurable and on an all-pairs scan is the dominant
+    * cost.
     */
-  def signPack(vecCol: Column): Column = {
+  def signPack(vecCol: Column): Column =
+    graft.functions.VectorExpressions.signPack(vecCol)
+
+  /** Hamming distance between two packed sign codes:
+    * `Σ bit_count(a_w XOR b_w)` — native no-allocation codegen loop
+    * ([[graft.functions.VectorExpressions.hammingDist]]); DuckDB
+    * replays it as `list_sum(list_transform(..., bit_count(xor(..))))`.
+    * Codes must share a length (same dim).
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.hammingDist(a, b)
+
+  /** The engine-portable pure-`functions` formulation of
+    * [[signPack]] (`2^i` as `pow(2,i)::long` — exact for i ≤ 31 —
+    * because `shiftleft` needs a literal shift in the Scala DSL).
+    * Kept as the executable specification the DuckDB oracle mirrors;
+    * QuantizeSpec asserts bit-equality with the native expression.
+    * NULL/empty vectors give an empty code (`when`'s otherwise
+    * branch), where the native face is null-preserving.
+    */
+  private[graft] def signPackPortable(vecCol: Column): Column = {
     val len = size(vecCol)
     val nWords = ((len + lit(31)) / lit(32)).cast("int")
     when(len > 0,
@@ -70,12 +95,9 @@ object Quantize {
       )).otherwise(array().cast("array<bigint>"))
   }
 
-  /** Hamming distance between two packed sign codes:
-    * `Σ bit_count(a_w XOR b_w)`. Integer-exact, codegen, and the
-    * direct DuckDB replay is `list_sum(list_transform(...,
-    * bit_count(xor(..))))`. Codes must share a length (same dim).
-    */
-  def hammingDist(a: Column, b: Column): Column =
+  /** Portable formulation of [[hammingDist]] (see
+    * [[signPackPortable]] for why both exist). */
+  private[graft] def hammingDistPortable(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L),

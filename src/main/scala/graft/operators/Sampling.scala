@@ -126,7 +126,12 @@ object Sampling {
     require(budgetRows > 0, s"budgetRows must be > 0: $budgetRows")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL strata are excluded (they'd NPE the driver-side sort, and
+    // mixtureSample's equality threshold can never match them anyway
+    // — a null-keyed stratum is malformed input, not a mixture
+    // component; the rows fall under mixtureSample's defaultFraction)
     val counts = df
+      .where(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(count(lit(1)).as("n"))
       .as[(String, Long)]

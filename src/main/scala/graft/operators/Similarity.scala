@@ -1183,23 +1183,60 @@ object Similarity {
       k: Int,
       refine: Int = 4,
   ): DataFrame = {
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      Quantize.signPack(col(vecCol)).as("ccode"))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      Quantize.signPack(col(vecCol)).as("qcode"))
-    // Hamming shortlist: smaller distance = better, so feed the shared
-    // max-heap reduction the negated distance.
-    val shortlist = topKReduce(
-      c.crossJoin(broadcast(q))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .select(
-          col("query_id"),
-          col("neighbor_id"),
-          (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
-      k * refine,
-    ).select(col("query_id"), col("neighbor_id"))
+    // Same kernel shape as pqTopK's flat ADC scan (and for the same
+    // measured reason): the declarative crossJoin formulation
+    // materializes queries × corpus rows and topKReduce's typed heap
+    // then boxes a tuple PER PAIR — at 22k corpus × 2k queries (44M
+    // pairs) the young-gen churn made runs swing 7–140 s. Here each
+    // partition streams its codes once through primitive per-query
+    // bounded heaps with a no-allocation floor guard for rejections;
+    // only ≤ partitions × Q × k·refine candidates materialize. Scores
+    // are negated distances so the shared max-heap comparator (score
+    // desc, id asc) applies unchanged — results are bit-identical to
+    // the join formulation.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qCodes: Array[(Long, Array[Long])] = queries
+      .select(col(idCol).cast("long"), Quantize.signPack(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val bcCodes = spark.sparkContext.broadcast(qCodes)
+    val kk = k * refine
+    val partialCands = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), Quantize.signPack(col(vecCol)).as("code"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bcCodes.value
+        val nq = qs.length
+        val heaps = Array.fill(nq)(Array.empty[(Double, Long)])
+        val floors = Array.fill(nq)(Double.NegativeInfinity)
+        val full = new Array[Boolean](nq)
+        it.foreach { case (nid, code) =>
+          var qi = 0
+          while (qi < nq) {
+            val (qid, qc) = qs(qi)
+            if (qid != nid) {
+              var acc = 0L
+              var j = 0
+              val n = math.min(code.length, qc.length)
+              while (j < n) { acc += java.lang.Long.bitCount(code(j) ^ qc(j)); j += 1 }
+              val s = -acc.toDouble
+              val f = floors(qi)
+              if (!full(qi) || s > f || (s == f && nid < heaps(qi)(0)._2)) {
+                val h = heapInsert(heaps(qi), (s, nid), kk)
+                heaps(qi) = h
+                if (h.length == kk) { full(qi) = true; floors(qi) = h(0)._1 }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (buf, qi) =>
+          buf.iterator.map { case (s, n) => (qs(qi)._1, n, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val shortlist = topKReduce(partialCands, kk).select(col("query_id"), col("neighbor_id"))
     rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
   }
 

@@ -182,6 +182,102 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   * (which every signature builder in [[graft.operators.Dedup]]
   * guarantees); unsorted input is the caller's bug.
   */
+/** Sign-bit packing of an `array<float>` into `array<bigint>` 32-bit
+  * words (`bit i of word w = [x_{32w+i} > 0]`) — the native hot-path
+  * form of [[graft.operators.Quantize.signPack]]'s column
+  * formulation: that one nests two interpreted higher-order functions
+  * (an allocation per element per row), this one is a primitive loop
+  * inside whole-stage codegen emitting one long array per row. NULL
+  * elements count as non-positive (bit 0), matching the column
+  * formulation's null comparison semantics; an empty vector packs to
+  * an empty code. Equality with the portable formulation is locked
+  * by QuantizeSpec.
+  */
+case class FloatSignPack(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(a: Any): Any =
+    FloatSignPack.pack(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graftext.FloatSignPack.pack($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FloatSignPack {
+  def pack(x: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = x.numElements()
+    val words = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && x.getFloat(i) > 0f) {
+        words(i >> 5) |= 1L << (i & 31)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
+/** `Σ Long.bitCount(a_w ^ b_w)` over two packed sign codes — the
+  * native form of [[graft.operators.Quantize.hammingDist]]. The
+  * column formulation allocates a zipped array per PAIR, which on an
+  * all-pairs candidate scan is the dominant young-gen churn (the same
+  * failure mode the PQ ADC kernel fix removed); this is a no-
+  * allocation loop in whole-stage codegen. Codes must share a length
+  * (truncates to the shorter, like vec_dot).
+  */
+case class LongArrayHamming(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression,
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression
     with ExpectsInputTypes {
@@ -305,6 +401,12 @@ object VectorExpressions {
     ExpressionUtils.column(
       PqAdcScore(ExpressionUtils.expression(code), ExpressionUtils.expression(lut), ksub),
     )
+  def signPack(v: Column): Column =
+    ExpressionUtils.column(FloatSignPack(ExpressionUtils.expression(v)))
+  def hammingDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      LongArrayHamming(ExpressionUtils.expression(a), ExpressionUtils.expression(b)),
+    )
 
   /** SQL registration for the current session. Shape parameters of
     * the parameterized expressions (shingle n, signature widths,
@@ -322,6 +424,9 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVectorNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sign_pack", es => FloatSignPack(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "hamming_dist", es => LongArrayHamming(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", es => SortedLongIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

@@ -79,6 +79,29 @@ class QuantizeSpec extends SparkTestBase {
     assert(d == flips.size, s"got $d")
   }
 
+  test("native sign_pack / hamming_dist ≡ the portable functions formulation") {
+    val rng = new scala.util.Random(57)
+    val df = (1L to 80L)
+      .map(i => (i,
+        Seq.fill(1 + (i % 67).toInt)(rng.nextGaussian().toFloat),
+        Seq.fill(1 + (i % 67).toInt)(rng.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+    val mismatches = df
+      .select(
+        (Quantize.signPack(col("a")) === Quantize.signPackPortable(col("a"))).as("p"),
+        (Quantize
+          .hammingDist(Quantize.signPack(col("a")), Quantize.signPack(col("b"))) ===
+          Quantize.hammingDistPortable(
+            Quantize.signPackPortable(col("a")), Quantize.signPackPortable(col("b")))).as("h"))
+      .where(!col("p") || !col("h"))
+      .count()
+    assert(mismatches == 0L)
+    // empty vector: both formulations give an empty code
+    val empty = Seq(Tuple1(Seq.empty[Float])).toDF("a")
+    assert(empty.select(Quantize.signPack(col("a"))).as[Seq[Long]].head().isEmpty)
+    assert(empty.select(Quantize.signPackPortable(col("a"))).as[Seq[Long]].head().isEmpty)
+  }
+
   test("SQL registration: z_value / simhash64 / shingle_set usable from spark.sql") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark

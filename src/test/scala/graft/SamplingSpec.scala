@@ -105,6 +105,12 @@ class SamplingSpec extends SparkTestBase {
       .map(_.getDouble(3))
     assert(roomy.forall(_ == 1.0))
     intercept[IllegalArgumentException](Sampling.temperatureFractions(df, "lang", 0.0, 10))
+    // NULL strata are excluded, not a crash; empty input gives an empty table
+    val withNull = df.withColumn("lang", when($"id" <= 10, lit(null: String)).otherwise($"lang"))
+    val noNull = Sampling.temperatureFractions(withNull, "lang", 0.5, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noNull("head") == 890L && !noNull.contains(null))
+    assert(Sampling.temperatureFractions(df.where($"id" < 0), "lang", 0.5, 100).count() == 0L)
   }
 
   test("temperatureSample: kept counts track the smoothed budget, deterministic across reruns") {
