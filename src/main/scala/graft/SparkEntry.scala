@@ -3005,6 +3005,70 @@ object SparkEntry {
           nprobe = 4, refine = 8)
       })
 
+  /** Hybrid-retrieval gate ([[graft.operators.Lexical.hybridTopK]]):
+    * BM25 pool + exact-cosine pool fused by reciprocal rank over the
+    * documents⋈embeddings corpus, query = q65's term set + vector 0.
+    * Ranks are integers and `1/(c+rank)` is a single IEEE division,
+    * so the ENTIRE fusion — both pools, both rank windows, the
+    * full-outer join, the fused ordering — replays hash-exactly (the
+    * q21/q65 substrates already proved raw-score rank replay is
+    * stable).
+    */
+  private def q112HybridTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(
+        load(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+    val qvec = corpus.where(col("doc_id") === 0).select("embedding").head().getSeq[Float](0)
+    graft.operators.Lexical
+      .hybridTopK(corpus, "doc_id", "text", "embedding",
+        Seq("spark", "hash", "window", "vector"), qvec, k = 15, poolSize = 50)
+      .orderBy("doc_id")
+  }
+
+  private val q112Oracle =
+    """WITH corpus AS (
+      |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
+      |  FROM corpus),
+      |p AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, term,
+      |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+      |  FROM t, unnest(list_intersect(list_distinct(w),
+      |    ['spark', 'hash', 'window', 'vector'])) AS u(term)),
+      |d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+      |c AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM t),
+      |sc AS (
+      |  SELECT p.doc_id,
+      |    sum(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * (p.tf * (1.2 + 1.0))
+      |        / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / c.avgdl))) AS score
+      |  FROM p JOIN d USING (term) CROSS JOIN c
+      |  GROUP BY p.doc_id),
+      |lex AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |    AS lex_rank
+      |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
+      |qv AS (SELECT v FROM corpus WHERE doc_id = 0),
+      |sem AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+      |    AS sem_rank
+      |  FROM (SELECT corpus.doc_id, list_cosine_similarity(corpus.v, qv.v) AS cos
+      |        FROM corpus, qv
+      |        ORDER BY cos DESC, doc_id LIMIT 50)),
+      |f AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+      |    COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + sem_rank), 0.0)
+      |      AS rrf_score
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, lex_rank, sem_rank, rrf_score
+      |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15)
+      |ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3176,6 +3240,7 @@ object SparkEntry {
     "q109_ksweep_planted" -> (q109KsweepPlanted _),
     "q110_temperature_mix" -> (q110TemperatureMix _),
     "q111_ivfhamming_planted" -> (q111IvfHammingPlanted _),
+    "q112_hybrid_topk" -> (q112HybridTopK _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3277,5 +3342,6 @@ object SparkEntry {
     "q109_ksweep_planted" -> q109Oracle,
     "q110_temperature_mix" -> q110Oracle,
     "q111_ivfhamming_planted" -> annPlantedOracle,
+    "q112_hybrid_topk" -> q112Oracle,
   )
 }

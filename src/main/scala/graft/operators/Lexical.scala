@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical (keyword) retrieval over a document corpus — the BM25
@@ -104,6 +105,65 @@ object Lexical {
       .groupBy("doc_id")
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid lexical + semantic retrieval via reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * `rrf(d) = Σ_pools 1/(c + rank_pool(d))` over the BM25 pool and
+    * the exact-cosine pool, missing-pool contribution 0. RRF is the
+    * standard robust fusion for RAG retrieval — rank arithmetic only,
+    * so no score normalization across incomparable scales is needed,
+    * and the fused result is exactly engine-portable (ranks are
+    * integers; `1/(c+rank)` is one IEEE division; gate q112 replays
+    * the whole pipeline).
+    *
+    * Scale shape: each pool is its own already-scale-correct face
+    * (BM25 = pruned posting scan; cosine = broadcast query +
+    * bounded-heap reduction); the fusion joins two ≤poolSize row sets
+    * — driver-trivial, executed distributed. The rank windows run
+    * over poolSize rows, not the corpus.
+    *
+    * Output: (doc_id, lex_rank, sem_rank, rrf_score), top-k by
+    * (rrf_score desc, doc_id asc); null rank = absent from that pool.
+    */
+  def hybridTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      terms: Seq[String],
+      queryVec: Seq[Float],
+      k: Int = 10,
+      poolSize: Int = 50,
+      rrfC: Int = 60,
+  ): DataFrame = {
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = bm25TopK(df, idCol, textCol, terms, poolSize)
+      .withColumn(
+        "lex_rank",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("bigint"))
+      .select(col("doc_id"), col("lex_rank"))
+    // sentinel query id -1: outside any corpus id space, so the
+    // brute-force self-match exclusion never fires — the query
+    // vector's own source document ranks (cosine 1) like any other
+    val qdf = Seq((-1L, queryVec)).toDF(idCol, vecCol)
+    val sem = Similarity
+      .bruteForceTopK(df.select(col(idCol), col(vecCol)), qdf, idCol, vecCol, poolSize)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        col("lex_rank"),
+        col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(rrfC) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfC) + col("sem_rank")), lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(k)
   }
 }

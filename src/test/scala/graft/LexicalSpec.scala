@@ -71,6 +71,39 @@ class LexicalSpec extends SparkTestBase {
     assert(got.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("hybridTopK: RRF fuses both pools, lexical-only and semantic-only docs both surface") {
+    // doc 1: lexical hit + vector far from the query
+    // doc 3: no query terms + vector equal to the query (semantic-only)
+    // doc 4: lexical hit + vector near the query (fused winner)
+    val corpus = Seq(
+      (1L, "spark spark spark join hash", Seq(0f, 1f, 0f)),
+      (2L, "hash join hash window sort group", Seq(0f, 0.9f, 0.1f)),
+      (3L, "sort group order filter", Seq(1f, 0f, 0f)),
+      (4L, "spark window window", Seq(0.9f, 0.1f, 0f)),
+    ).toDF("doc_id", "text", "embedding")
+    val out = Lexical
+      .hybridTopK(corpus, "doc_id", "text", "embedding",
+        Seq("spark", "window"), Seq(1f, 0f, 0f), k = 4, poolSize = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))))
+      .toMap
+    // semantic ranks: 3 (cos 1), then 4, then 2/1; lexical pool holds 1, 2, 4 only
+    assert(out(3L)._1.isEmpty && out(3L)._2.contains(1L), s"doc 3: ${out(3L)}")
+    assert(out(1L)._1.nonEmpty, "doc 1 must come from the lexical pool")
+    assert(out(4L)._1.nonEmpty && out(4L)._2.contains(2L), s"doc 4: ${out(4L)}")
+    // doc 4 is in both pools → its rrf beats any single-pool doc with worse ranks
+    val rrf = out.map { case (id, (_, _, s)) => id -> s }
+    assert(rrf(4L) > rrf(1L), s"fused doc must outrank lexical-only near peer: $rrf")
+    // rrf arithmetic is exactly 1/(60+lex) + 1/(60+sem)
+    out.foreach { case (id, (l, s, score)) =>
+      val expect = l.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        s.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(score == expect, s"doc $id")
+    }
+  }
+
   test("termStats plan: no cartesian product, text never in the df aggregation") {
     val plan = Lexical
       .termStats(docs, "doc_id", "text", Seq("spark", "hash"))
