@@ -3020,7 +3020,15 @@ object SparkEntry {
       .join(
         load(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
-    val qvec = corpus.where(col("doc_id") === 0).select("embedding").head().getSeq[Float](0)
+    // empty-corpus guard: no vector 0 → any query vector gives the
+    // same (empty) result through two empty pools
+    val qvec = corpus
+      .where(col("doc_id") === 0)
+      .select("embedding")
+      .take(1)
+      .headOption
+      .map(_.getSeq[Float](0))
+      .getOrElse(Seq(0f))
     graft.operators.Lexical
       .hybridTopK(corpus, "doc_id", "text", "embedding",
         Seq("spark", "hash", "window", "vector"), qvec, k = 15, poolSize = 50)

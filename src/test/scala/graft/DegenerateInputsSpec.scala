@@ -79,6 +79,41 @@ class DegenerateInputsSpec extends SparkTestBase {
     assert(Lexical.bm25TopK(emptyDocs, "doc_id", "text", Seq("spark")).count() == 0L)
   }
 
+  test("round-9 faces: empty corpora and empty pools come back empty, never crash") {
+    // binary ANN: empty corpus / empty queries both give empty results
+    assert(Similarity.hammingTopK(emptyEmb, emptyEmb, "vec_id", "embedding", k = 5)
+      .count() == 0L)
+    val someEmb = Seq((1L, Seq(1f, -1f)), (2L, Seq(-1f, 1f))).toDF("vec_id", "embedding")
+    assert(Similarity.hammingTopK(someEmb, emptyEmb, "vec_id", "embedding", k = 5)
+      .count() == 0L)
+    assert(Similarity.hammingTopK(emptyEmb, someEmb, "vec_id", "embedding", k = 5)
+      .count() == 0L)
+    val emptyIvf = Similarity.trainIvf(emptyEmb, "embedding", nlist = 4)
+    assert(Similarity.ivfHammingTopK(emptyEmb, emptyEmb, "vec_id", "embedding", k = 5, emptyIvf)
+      .count() == 0L)
+    // canonicalize: null text stays null; empty corpus stays empty
+    val canon = nullTextDocs
+      .select(TextAnalysis.canonicalize(col("text")).as("c"))
+      .collect()
+      .map(r => Option(r.getString(0)))
+    assert(canon.count(_.isEmpty) == 1 && canon.flatten.contains(""))
+    assert(emptyDocs.select(TextAnalysis.canonicalize(col("text"))).count() == 0L)
+    // hybrid retrieval: terms that match nothing → semantic-only results;
+    // empty corpus → empty result
+    val corpus = Seq(
+      (1L, "alpha beta", Seq(1f, 0f)),
+      (2L, "gamma delta", Seq(0f, 1f)),
+    ).toDF("doc_id", "text", "embedding")
+    val semOnly = Lexical
+      .hybridTopK(corpus, "doc_id", "text", "embedding",
+        Seq("nosuchterm"), Seq(1f, 0f), k = 2, poolSize = 2)
+      .collect()
+    assert(semOnly.length == 2 && semOnly.forall(_.isNullAt(1)), "lexical ranks must be null")
+    val emptyCorpus = corpus.where(lit(false))
+    assert(Lexical.hybridTopK(emptyCorpus, "doc_id", "text", "embedding",
+      Seq("alpha"), Seq(1f, 0f), k = 2, poolSize = 2).count() == 0L)
+  }
+
   test("sampling/packing family: empty inputs produce empty outputs") {
     val emptyToks = emptyDocs.select(col("doc_id"), lit(1L).as("n_tokens"))
       .where(lit(false))
