@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{IvfModel, OpqModel, PqModel}
+import graft.operators.Clustering.KmeansModel
+
+/** Durable storage for the ANN / clustering index models — the
+  * train-once-reuse-everywhere contract at corpus scale: an IVF/PQ/OPQ
+  * codebook or k-means model is trained from one bounded sample pass
+  * and then reused across every ingest increment, search job, and
+  * cluster restart; retraining per run both wastes a corpus scan and
+  * silently CHANGES cell/code assignments (two runs of the same
+  * pipeline would disagree about which cell a vector lives in — fatal
+  * for any persisted inverted file or incremental index).
+  *
+  * Format: plain parquet (one directory per model). Floats travel as
+  * binary parquet floats, so save→load is bit-exact — a loaded model
+  * reproduces the original's assignments and search results
+  * exactly (IndexStoreSpec locks roundtrip equality and
+  * result-for-result search agreement). Parquet over JSON because
+  * it needs zero parsing code, keeps float bits exact by
+  * construction, is inspectable by any engine (including the DuckDB
+  * oracle if ever needed), and rides the same storage layer as every
+  * other pipeline artifact.
+  *
+  * Layout: `centroids` rows (idx, vec) for IVF/k-means; a 1-row
+  * `meta` frame for PQ/OPQ scalars + flat arrays. Driver-sized data
+  * only (codebooks are KBs-to-MBs); the writes coalesce(1) so a model
+  * is one file plus parquet footer — no tiny-file spray.
+  */
+object IndexStore {
+
+  private def writeVectors(
+      spark: SparkSession,
+      path: String,
+      rows: Array[Array[Float]],
+  ): Unit = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toSeq
+      .toDF("idx", "vec")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  private def readVectors(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read
+      .parquet(path)
+      .orderBy("idx")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  def saveIvf(spark: SparkSession, model: IvfModel, path: String): Unit =
+    writeVectors(spark, s"$path/centroids", model.centroids)
+
+  def loadIvf(spark: SparkSession, path: String): IvfModel =
+    IvfModel(readVectors(spark, s"$path/centroids"))
+
+  def saveKmeans(spark: SparkSession, model: KmeansModel, path: String): Unit =
+    writeVectors(spark, s"$path/centroids", model.centroids)
+
+  def loadKmeans(spark: SparkSession, path: String): KmeansModel =
+    KmeansModel(readVectors(spark, s"$path/centroids"))
+
+  def savePq(spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.ksub, model.dsub, model.codebooks.toSeq))
+      .toDF("m", "ksub", "dsub", "codebooks")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/pq")
+  }
+
+  def loadPq(spark: SparkSession, path: String): PqModel = {
+    val r = spark.read.parquet(s"$path/pq").head()
+    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
+  }
+
+  def saveOpq(spark: SparkSession, model: OpqModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.r.toSeq))
+      .toDF("dim", "r")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/rotation")
+    savePq(spark, model.pq, path)
+  }
+
+  def loadOpq(spark: SparkSession, path: String): OpqModel = {
+    val rot = spark.read.parquet(s"$path/rotation").head()
+    OpqModel(rot.getInt(0), rot.getSeq[Float](1).toArray, loadPq(spark, path))
+  }
+}
