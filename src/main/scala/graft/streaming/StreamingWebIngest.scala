@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{QualityFilters, TextAnalysis, WebText}
+
+/** Streaming face of [[graft.operators.CorpusPipeline.webIngest]]'s
+  * ingest front end: the firehose path a crawler feeds continuously,
+  * where the batch pipeline's corpus-wide stages are replaced by their
+  * bounded-state streaming counterparts.
+  *
+  * Stage mapping (batch → stream):
+  *   - HTML extract / URL parts / langId / per-language Gopher: pure
+  *     per-row projections — identical code, streams as-is.
+  *   - corpus-wide line dedup → IN-DOCUMENT line dedup (stateless;
+  *     the corpus-wide pass needs corpus-wide line frequencies, which
+  *     is the standing-corpus batch job's business).
+  *   - exact dedup → [[EventStreams.dedupStream]] (fingerprint state
+  *     within the watermark horizon; older duplicates are
+  *     [[graft.operators.Dedup.newDocsOnly]]'s Bloom path against the
+  *     standing corpus).
+  *   - per-host cap → [[capPerHostStream]]: first-arrival counting
+  *     state, one long per host.
+  *   - near-dup banding / packed layout: inherently corpus-wide —
+  *     run them in the periodic batch compaction over this stream's
+  *     landed output (the lambda shape every production web pipeline
+  *     uses).
+  *
+  * Works on a bounded batch frame too (every stage picks its
+  * deterministic batch evaluator), which is what the stream≡batch
+  * spec leans on.
+  */
+object StreamingWebIngest {
+
+  /** Crawl-record input shape for typed MemoryStream sources/tests. */
+  final case class WebDoc(doc_id: Long, ts: Timestamp, html: String, url: String)
+
+  /** First-arrival per-host cap — the streaming counterpart of
+    * [[graft.operators.Sampling.capPerStratum]]. Streaming keeps ONE
+    * counter per host (`flatMapGroupsWithState`, processing-time
+    * timeout optional at the caller's sink horizon — dropped here
+    * because the state is 16 bytes per distinct host, bounded by host
+    * cardinality, not ingest volume); a row passes while its host's
+    * count ≤ max. Batch mode is the deterministic equivalent:
+    * row_number over (host, event-time, id) ≤ max — first-arrival
+    * when input order follows event time, which is also exactly what
+    * the stream emits when fed in event-time order.
+    *
+    * The batch face's md5-order cap stays the REPRODUCIBLE sampling
+    * tool (stable under corpus growth); first-arrival is the right
+    * semantics on a firehose, where "the first N pages we crawled
+    * from this host" is the budget being enforced.
+    */
+  def capPerHostStream(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      hostCol: String,
+      maxPerHost: Int,
+  ): DataFrame = {
+    require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    if (!docs.isStreaming) {
+      docs
+        .withColumn(
+          "__rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(hostCol))
+              .orderBy(col(tsCol), col(idCol))))
+        .where(col("__rn") <= maxPerHost)
+        .drop("__rn")
+    } else {
+      // generic over the input schema: rows pass through whole
+      // (Encoders.row keeps every column), state is one Long per host
+      val rowEnc = org.apache.spark.sql.Encoders.row(docs.schema)
+      val grouped = docs.groupByKey(
+        (r: org.apache.spark.sql.Row) => String.valueOf(r.getAs[Any](hostCol)))(
+        org.apache.spark.sql.Encoders.STRING)
+      grouped.flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[Long]) => {
+          var n = state.getOption.getOrElse(0L)
+          val kept = rows.filter { _ =>
+            if (n < maxPerHost) { n += 1; true } else false
+          }.toList
+          state.update(n)
+          kept.iterator
+        })(org.apache.spark.sql.Encoders.scalaLong, rowEnc)
+    }
+  }
+
+  /** The composed stream: (id, ts, html, url) → cleaned, deduped,
+    * host-capped document rows (id, ts, text, url_norm, url_host,
+    * lang_pred). Append-mode safe: every stateful stage is
+    * watermark-bounded or counter-bounded.
+    */
+  def webIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      dedupWatermark: String = "10 minutes",
+  ): DataFrame = {
+    val extracted = WebText
+      .htmlToText(
+        docs.select(
+          col(idCol).as("id"),
+          col(tsCol).as("ts"),
+          col(htmlCol).as("__html"),
+          col(urlCol).as("__url")),
+        "__html",
+        outCol = "text")
+      .drop("__html")
+    val withUrl = WebText.withUrlParts(extracted, "__url").drop("__url")
+    val withLang = TextAnalysis.withLangId(withUrl, "text")
+    val langKept =
+      if (langs.isEmpty) withLang
+      else withLang.where(col("lang_pred").isInCollection(langs))
+    val quality = QualityFilters
+      .withGopherFlagsByLang(langKept, "text", "lang_pred")
+      .where(col("pass"))
+      .select(col("id"), col("ts"), col("text"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
+    val lined = TextAnalysis
+      .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
+      .drop("text")
+      .withColumnRenamed("text_deduped", "text")
+    val deduped = EventStreams
+      .dedupStream(lined, "ts", "text", dedupWatermark)
+      .drop("content_fp")
+    capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
+  }
+}

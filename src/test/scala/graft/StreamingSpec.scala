@@ -774,4 +774,62 @@ class StreamingSpec extends SparkTestBase {
         s"est=$est")
     } finally q.stop()
   }
+
+  test("webIngestStream: stream ≡ batch on event-ordered input — extract, filter, dedup, host cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><head><script>if (1 < 2) alert('x');</script></head><body><p>$body</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def doc(id: Long, sec: Long, body: String, url: String) =
+      WebDoc(id, new java.sql.Timestamp(t0 + sec * 1000), page(body), url)
+    // host a: 4 good docs (cap 2 bites); host b: an exact-dup pair, a
+    // garbage doc, and a Chinese doc kept by the whitelist
+    val batch1 = Seq(
+      doc(1L, 1, distinctProse(1), "HTTP://A.com:80/p1#f"),
+      doc(2L, 2, distinctProse(2), "http://a.com/p2"),
+      doc(10L, 3, distinctProse(10), "http://b.com/x"))
+    val batch2 = Seq(
+      doc(3L, 4, distinctProse(3), "http://a.com/p3"),
+      doc(4L, 5, distinctProse(4), "http://a.com/p4"),
+      doc(11L, 6, distinctProse(10), "http://b.com/y"), // exact dup of 10
+      doc(12L, 7, Seq.fill(60)("### 12345 …").mkString(" "), "http://b.com/junk"),
+      doc(13L, 8, "今天天气很好我们一起去公园散步然后吃晚饭", "http://b.com/zh"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
+        langs = Seq("en", "zh"), maxPerHost = 2)
+      .writeStream.format("memory").queryName("web_ingest_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val stream = spark.table("web_ingest_stream")
+        .select($"id", $"url_host", $"lang_pred", $"text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+      val batch = StreamingWebIngest
+        .webIngestStream((batch1 ++ batch2).toDF(), "doc_id", "ts", "html", "url",
+          langs = Seq("en", "zh"), maxPerHost = 2)
+        .select($"id", $"url_host", $"lang_pred", $"text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+      assert(stream == batch, s"stream=$stream batch=$batch")
+      val ids = stream.map(_._1)
+      assert(ids.count(_ <= 4L) == 2, s"host a capped to 2: $ids")
+      assert(!ids.contains(12L), "garbage dropped at the language gate")
+      assert(ids.contains(13L), "whitelisted out-of-scope language passes through")
+      assert(!(ids.contains(10L) && ids.contains(11L)), "exact dup collapses")
+      assert(stream.forall(!_._4.contains("<")), "markup stripped")
+    } finally q.stop()
+  }
 }
