@@ -3077,6 +3077,32 @@ object SparkEntry {
       |FROM (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15)
       |ORDER BY doc_id""".stripMargin
 
+  /** Whole-document best-fit packing gate
+    * ([[graft.operators.Packing.packBestFit]]) in the planted-regular
+    * regime: every document costs 40 tokens and bins hold 120, so
+    * first-fit-decreasing degenerates to a closed form the oracle
+    * states arithmetically — rank by id (equal lengths tie-break by
+    * id), segment by 4096, three docs per bin. Pins the global
+    * ranking, the segment cut, the in-segment FFD order, and the
+    * pack-id arithmetic; the irregular-length behavior (true FFD
+    * fitting, padding bound, oversize) is PackingSpec's.
+    */
+  private def q113PackBestFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing
+      .packBestFit(
+        load(s, dir, "documents").select(col("doc_id"), lit(40L).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 120)
+      .orderBy("id")
+
+  private val q113Oracle =
+    """WITH r AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT doc_id AS id, CAST(40 AS BIGINT) AS n_tokens,
+      |  (rk // 4096) * 4096 + (rk % 4096) // 3 AS pack_id,
+      |  false AS truncated
+      |FROM r ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3249,6 +3275,7 @@ object SparkEntry {
     "q110_temperature_mix" -> (q110TemperatureMix _),
     "q111_ivfhamming_planted" -> (q111IvfHammingPlanted _),
     "q112_hybrid_topk" -> (q112HybridTopK _),
+    "q113_pack_bestfit" -> (q113PackBestFit _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3351,5 +3378,6 @@ object SparkEntry {
     "q110_temperature_mix" -> q110Oracle,
     "q111_ivfhamming_planted" -> annPlantedOracle,
     "q112_hybrid_topk" -> q112Oracle,
+    "q113_pack_bestfit" -> q113Oracle,
   )
 }

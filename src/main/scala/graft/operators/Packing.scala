@@ -141,6 +141,95 @@ object Packing {
     out
   }
 
+  /** Whole-document best-fit packing — the SFT-style layout where a
+    * document is never split across training sequences (contrast
+    * [[sequencePacking]], the GPT-style contiguous stream that cuts
+    * documents at sequence boundaries): each document lands whole in
+    * exactly one `seqLen`-token bin, and the packer minimizes padding
+    * with first-fit-DECREASING (sort by length desc, place each doc
+    * in the first bin it fits — the classic 11/9·OPT+1 bin-packing
+    * approximation).
+    *
+    * Distributed shape: FFD is inherently sequential, so the corpus
+    * is given a GLOBAL (length desc, id) rank via the same
+    * range-partitioned prefix machinery every layout operator uses
+    * (one exchange), then cut into consecutive `groupSize`-row
+    * segments, and FFD runs independently inside each segment
+    * (`flatMapGroups`, segment sorted in memory — `groupSize` bounds
+    * the memory, 4096 rows by default). Bins never cross segments:
+    * the price is at most one underfull bin per segment boundary vs a
+    * fully-sequential FFD — O(corpus/groupSize) extra bins,
+    * vanishing at scale — and the win is that packing parallelizes
+    * over segments with NO driver state and identical output on any
+    * cluster layout (rank is a pure function of (length, id)).
+    *
+    * Documents longer than `seqLen` get a dedicated bin and
+    * `truncated = true` (the downstream writer decides whether to
+    * clip or reject); zero-token docs cost nothing and ride the
+    * first open bin of their segment.
+    *
+    * Output: (id, n_tokens, pack_id, truncated) — `pack_id` is
+    * globally unique (`segment·groupSize + local bin index`), stable
+    * across runs.
+    */
+  def packBestFit(
+      df: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Int,
+      groupSize: Int = 4096,
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(groupSize > 0, "groupSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      coalesce(col(countCol), lit(0L)).cast("long").as("n_tokens"))
+    val (ranked, handle) = withPrefixSumOrdered(
+      base, Seq(col("n_tokens").desc, col("id")), lit(1L), "__rank")
+    val out = ranked
+      .select(col("id"), col("n_tokens"), col("__rank"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3 / groupSize)
+      .flatMapGroups { (seg: Long, it: Iterator[(Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.iterator.map { case (id, n, _) =>
+          val need = math.min(n, seqLen.toLong)
+          var b = 0
+          while (b < fills.length && fills(b) + need > seqLen) b += 1
+          if (b == fills.length) fills += 0L
+          fills(b) += need
+          (id, n, seg * groupSize + b, n > seqLen)
+        }
+      }
+      .toDF("id", "n_tokens", "pack_id", "truncated")
+      .orderBy("id")
+      .localCheckpoint(true)
+    handle.unpersist(blocking = false)
+    out
+  }
+
+  /** Padding diagnostics for a [[packBestFit]] layout: one row —
+    * (n_docs, n_packs, total_tokens, capacity, padding_fraction) with
+    * oversized docs counted at their clipped `seqLen` cost (what the
+    * bin actually holds).
+    */
+  def packEfficiency(packed: DataFrame, seqLen: Int): DataFrame =
+    packed
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(least(col("n_tokens"), lit(seqLen.toLong))).as("total_tokens"))
+      .select(
+        col("n_docs"),
+        col("n_packs"),
+        col("total_tokens"),
+        (col("n_packs") * seqLen).as("capacity"),
+        (lit(1.0) - col("total_tokens").cast("double") / (col("n_packs") * seqLen))
+          .as("padding_fraction"))
+
   /** Fused [[deterministicShuffle]] + [[sequencePackingByCount]]: the
     * shuffle POSITION is a prefix COUNT and the pack OFFSET is a
     * prefix SUM over the SAME seeded hash order, so both come out of

@@ -118,4 +118,45 @@ class PackingSpec extends SparkTestBase {
       .toSeq
     assert(out == Seq((1L, 3L, false), (2L, 3L, true), (3L, 3L, false), (4L, 1L, true)))
   }
+
+  test("packBestFit: FFD hand-check, no bin overflows, whole docs, oversize isolated") {
+    // lengths 70,60,50,40,30,20 with seqLen 100 → FFD (desc):
+    // 70→bin0; 60→bin1; 50→bin2; 40(70+40>100)→bin1(60+40=100); 30→bin0(=100); 20→bin2(=70)
+    val df = Seq((1L, 70L), (2L, 60L), (3L, 50L), (4L, 40L), (5L, 30L), (6L, 20L), (7L, 150L))
+      .toDF("doc_id", "n")
+    val out = Packing.packBestFit(df, "doc_id", "n", seqLen = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val bins = out.values.map(_._1).toSet
+    // oversized doc 7 ranks first (150 desc) and fills its own bin
+    assert(out(7L)._2 && out.filter(_._1 != 7L).values.forall(!_._2))
+    assert(out.count { case (_, (b, _)) => b == out(7L)._1 } == 1, "oversize bin is dedicated")
+    // every bin's clipped fill ≤ seqLen
+    val fills = Seq(1L -> 70L, 2L -> 60L, 3L -> 50L, 4L -> 40L, 5L -> 30L, 6L -> 20L, 7L -> 100L)
+      .groupMapReduce { case (id, _) => out(id)._1 } { case (_, n) => n }(_ + _)
+    assert(fills.values.forall(_ <= 100L), fills.toString)
+    // FFD on this instance is optimal: 3 bins for the fitting docs + the oversize bin
+    assert(bins.size == 4, s"bins=$bins")
+    val eff = Packing.packEfficiency(Packing.packBestFit(df, "doc_id", "n", 100), 100).head()
+    assert(eff.getAs[Long]("n_docs") == 7L && eff.getAs[Long]("n_packs") == 4L)
+    assert(eff.getAs[Long]("total_tokens") == 370L && eff.getAs[Long]("capacity") == 400L)
+    assert(math.abs(eff.getAs[Double]("padding_fraction") - 0.075) < 1e-12)
+  }
+
+  test("packBestFit: deterministic under repartitioning; segments bound bins and memory") {
+    val rng = new scala.util.Random(41)
+    val df = (1L to 300L).map(i => (i, 10L + rng.nextInt(90))).toDF("doc_id", "n")
+    val a = Packing.packBestFit(df, "doc_id", "n", seqLen = 128, groupSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Packing.packBestFit(df.repartition(7), "doc_id", "n", seqLen = 128, groupSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "pack assignment must not depend on input layout")
+    // per-bin fills never exceed seqLen; bins stay inside their segment's id range
+    val byBin = Packing.packBestFit(df, "doc_id", "n", seqLen = 128, groupSize = 32)
+      .groupBy("pack_id").agg(sum(least(col("n_tokens"), lit(128L))).as("fill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(byBin.forall(_._2 <= 128L))
+    assert(byBin.map(_._1).distinct.length == byBin.length)
+  }
 }
