@@ -3103,6 +3103,42 @@ object SparkEntry {
       |  false AS truncated
       |FROM r ORDER BY id""".stripMargin
 
+  /** Domain-blocklist gate ([[graft.operators.WebText
+    * .filterBlockedHosts]]): synthetic hosts `h<d%4>.example.com`,
+    * half behind a `deep.` subdomain; blocklist = {h0, h1}. The
+    * oracle replays the MACHINERY — suffix expansion, semi-join
+    * against a VALUES blocklist, anti-join back — not just the
+    * expected id set, so a suffix-generation or join-convention
+    * divergence is a hash mismatch.
+    */
+  private def q114BlocklistPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val host = concat(
+      when(col("doc_id") % 2 === 0, lit("deep.")).otherwise(lit("")),
+      lit("h"), (col("doc_id") % 4).cast("string"), lit(".example.com"))
+    val docs = load(s, dir, "documents").select(col("doc_id"), host.as("url_host"))
+    val blocklist = Seq("h0.example.com", "h1.example.com").toDF("domain")
+    graft.operators.WebText
+      .filterBlockedHosts(docs, "doc_id", "url_host", blocklist)
+      .orderBy("doc_id")
+  }
+
+  private val q114Oracle =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'deep.' ELSE '' END)
+      |      || 'h' || (doc_id % 4) || '.example.com' AS url_host
+      |  FROM documents),
+      |sfx AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(string_split(url_host, '.'))), i ->
+      |      array_to_string(string_split(url_host, '.')[i:], '.'))) AS s
+      |  FROM u),
+      |b(domain) AS (VALUES ('h0.example.com'), ('h1.example.com')),
+      |blocked AS (SELECT DISTINCT doc_id FROM sfx JOIN b ON s = domain)
+      |SELECT u.doc_id, u.url_host FROM u ANTI JOIN blocked USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3276,6 +3312,7 @@ object SparkEntry {
     "q111_ivfhamming_planted" -> (q111IvfHammingPlanted _),
     "q112_hybrid_topk" -> (q112HybridTopK _),
     "q113_pack_bestfit" -> (q113PackBestFit _),
+    "q114_blocklist_planted" -> (q114BlocklistPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3379,5 +3416,6 @@ object SparkEntry {
     "q111_ivfhamming_planted" -> annPlantedOracle,
     "q112_hybrid_topk" -> q112Oracle,
     "q113_pack_bestfit" -> q113Oracle,
+    "q114_blocklist_planted" -> q114Oracle,
   )
 }

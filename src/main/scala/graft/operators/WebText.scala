@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-ingest text primitives — the stage BEFORE every other curation
@@ -215,5 +215,51 @@ object WebText {
       .withColumn("url_norm", col("__u.url_norm"))
       .withColumn("url_host", col("__u.url_host"))
       .drop("__u")
+  }
+
+  /** All dot-suffix domains of a host as a column expression:
+    * `a.b.example.com` → `[a.b.example.com, b.example.com,
+    * example.com, com]`. NULL/empty hosts give an empty list. Pure
+    * `functions` arithmetic, DuckDB-replayable (oracle q114).
+    */
+  def hostSuffixes(host: Column): Column = {
+    val parts = filter(split(host, "\\."), p => p =!= lit(""))
+    when(host.isNotNull && size(parts) > 0,
+      transform(
+        sequence(lit(0), size(parts) - 1),
+        i => array_join(slice(parts, i + 1, size(parts) - i), ".")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Drop documents whose host matches a domain blocklist — the
+    * standard web-pipeline exclusion list (spam/adult/boilerplate
+    * domain feeds run to millions of entries). An entry blocks the
+    * exact host AND every subdomain (`example.com` blocks
+    * `a.b.example.com`), which is the AdBlock/UT1-list convention.
+    *
+    * Scale shape: each document explodes into its ≤label-depth host
+    * suffixes (a handful) and LEFT SEMI joins the blocklist on the
+    * suffix — so a million-entry blocklist is a plain equi-join
+    * (broadcast when small, shuffle when not; Catalyst picks), never
+    * a per-row scan of the list and never a regex. The survivor set
+    * comes back via LEFT ANTI on the id — two joins, both on narrow
+    * (id, suffix) projections; text never moves.
+    */
+  def filterBlockedHosts(
+      df: DataFrame,
+      idCol: String,
+      hostCol: String,
+      blocklist: DataFrame,
+      domainCol: String = "domain",
+  ): DataFrame = {
+    val blockedIds = df
+      .select(col(idCol).as("__bid"), explode(hostSuffixes(col(hostCol))).as("__sfx"))
+      .join(
+        blocklist.select(lower(col(domainCol)).as("__sfx")),
+        Seq("__sfx"),
+        "left_semi")
+      .select(col("__bid"))
+      .distinct()
+    df.join(blockedIds, col(idCol) === col("__bid"), "left_anti")
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, lower}
+
 import graft.operators.WebText
 
 class WebTextSpec extends SparkTestBase {
@@ -77,5 +79,36 @@ class WebTextSpec extends SparkTestBase {
     val out = WebText.htmlToText(Seq(html).toDF("h"), "h").select("text")
       .as[String].head()
     assert(out == text)
+  }
+
+  test("hostSuffixes: dot suffixes in order; degenerate hosts give empty lists") {
+    val got = Seq("a.b.example.com", "example.com", "com", "", null)
+      .toDF("h")
+      .select(WebText.hostSuffixes($"h"))
+      .as[Seq[String]]
+      .collect()
+      .toSeq
+    assert(got(0) == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+    assert(got(1) == Seq("example.com", "com"))
+    assert(got(2) == Seq("com"))
+    assert(got(3).isEmpty && got(4).isEmpty)
+  }
+
+  test("filterBlockedHosts: exact and subdomain matches drop; siblings and suffixes-of survive") {
+    val docs = Seq(
+      (1L, "bad.com"),          // exact block
+      (2L, "a.bad.com"),        // subdomain of a blocked domain
+      (3L, "notbad.com"),       // sibling — 'bad.com' is NOT a dot-suffix
+      (4L, "good.org"),
+      (5L, "bad.com.evil.net"), // 'bad.com' appears mid-host, not as suffix — survives
+      (6L, null: String),       // no host → no suffixes → survives the blocklist stage
+    ).toDF("id", "host")
+    val blocklist = Seq("bad.com", "BLOCKED.ORG").toDF("domain") // case-folded
+    val kept = WebText.filterBlockedHosts(docs, "id", "host", blocklist)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L, 6L), s"kept=$kept")
+    val kept2 = WebText.filterBlockedHosts(
+      docs.withColumn("host", lower(lit("x.Blocked.org"))), "id", "host", blocklist)
+    assert(kept2.count() == 0L, "case-folded blocklist entry must match")
   }
 }
