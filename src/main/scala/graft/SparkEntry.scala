@@ -3007,7 +3007,8 @@ object SparkEntry {
 
   /** Hybrid-retrieval gate ([[graft.operators.Lexical.hybridTopK]]):
     * BM25 pool + exact-cosine pool fused by reciprocal rank over the
-    * documents⋈embeddings corpus, query = q65's term set + vector 0.
+    * documents⋈embeddings corpus, query = q65's term set + the
+    * min-id document's vector.
     * Ranks are integers and `1/(c+rank)` is a single IEEE division,
     * so the ENTIRE fusion — both pools, both rank windows, the
     * full-outer join, the fused ordering — replays hash-exactly (the
@@ -3020,10 +3021,13 @@ object SparkEntry {
       .join(
         load(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
-    // empty-corpus guard: no vector 0 → any query vector gives the
-    // same (empty) result through two empty pools
+    // query = the MIN-id document's vector (not literal id 0): present
+    // whenever the corpus is non-empty, so Spark and the oracle's
+    // min(doc_id) CTE always pick the same vector; on an empty corpus
+    // the dummy flows through two empty pools to the oracle's empty
+    // result
     val qvec = corpus
-      .where(col("doc_id") === 0)
+      .orderBy("doc_id")
       .select("embedding")
       .take(1)
       .headOption
@@ -3061,7 +3065,7 @@ object SparkEntry {
       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
       |    AS lex_rank
       |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
-      |qv AS (SELECT v FROM corpus WHERE doc_id = 0),
+      |qv AS (SELECT v FROM corpus WHERE doc_id = (SELECT min(doc_id) FROM corpus)),
       |sem AS (
       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
       |    AS sem_rank
@@ -3080,11 +3084,11 @@ object SparkEntry {
   /** Whole-document best-fit packing gate
     * ([[graft.operators.Packing.packBestFit]]) in the planted-regular
     * regime: every document costs 40 tokens and bins hold 120, so
-    * first-fit-decreasing degenerates to a closed form the oracle
+    * best-fit-decreasing degenerates to a closed form the oracle
     * states arithmetically — rank by id (equal lengths tie-break by
     * id), segment by 4096, three docs per bin. Pins the global
-    * ranking, the segment cut, the in-segment FFD order, and the
-    * pack-id arithmetic; the irregular-length behavior (true FFD
+    * ranking, the segment cut, the in-segment placement order, and the
+    * pack-id arithmetic; the irregular-length behavior (true best-fit
     * fitting, padding bound, oversize) is PackingSpec's.
     */
   private def q113PackBestFit(s: SparkSession, dir: String): DataFrame =

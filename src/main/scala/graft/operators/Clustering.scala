@@ -229,7 +229,11 @@ object Clustering {
     try {
       val metrics = ks.distinct.sorted.flatMap { k =>
         val model = trainKmeans(vecs, vecCol, k, iterations, initSampleRows, seed)
-        if (model.centroids.isEmpty) None
+        // fewer than 2 trained centroids (empty corpus, or a 1-row
+        // init sample capping k) → silhouette is undefined at this
+        // sweep point: skip it rather than let the nearest-other
+        // sentinel masquerade as a perfect score
+        if (model.centroids.length < 2) None
         else {
           val bc = spark.sparkContext.broadcast(model.centroids)
           // (a, b) = cosine distance to own / nearest-other centroid;
@@ -259,6 +263,7 @@ object Clustering {
                   .otherwise(lit(0.0))).as("silhouette"),
             )
             .head()
+          bc.destroy() // one live broadcast per sweep point otherwise
           Some((k, row.getLong(0), row.getDouble(1), row.getDouble(2)))
         }
       }

@@ -126,6 +126,11 @@ object Lexical {
     *
     * Output: (doc_id, lex_rank, sem_rank, rrf_score), top-k by
     * (rrf_score desc, doc_id asc); null rank = absent from that pool.
+    *
+    * Precondition: corpus ids are non-negative (the repo-wide id
+    * convention) — the internal query row uses id −1, and a corpus
+    * document with that id would be excluded from the semantic pool
+    * by the self-match rule.
     */
   def hybridTopK(
       df: DataFrame,

@@ -146,19 +146,19 @@ object Packing {
     * [[sequencePacking]], the GPT-style contiguous stream that cuts
     * documents at sequence boundaries): each document lands whole in
     * exactly one `seqLen`-token bin, and the packer minimizes padding
-    * with first-fit-DECREASING (sort by length desc, place each doc
-    * in the first bin it fits — the classic 11/9·OPT+1 bin-packing
-    * approximation).
+    * with best-fit-DECREASING (sort by length desc, place each doc
+    * in the FULLEST bin that still fits, ties to the lowest bin
+    * index — the classic 11/9·OPT+1 bin-packing approximation).
     *
-    * Distributed shape: FFD is inherently sequential, so the corpus
+    * Distributed shape: BFD is inherently sequential, so the corpus
     * is given a GLOBAL (length desc, id) rank via the same
     * range-partitioned prefix machinery every layout operator uses
     * (one exchange), then cut into consecutive `groupSize`-row
-    * segments, and FFD runs independently inside each segment
+    * segments, and BFD runs independently inside each segment
     * (`flatMapGroups`, segment sorted in memory — `groupSize` bounds
     * the memory, 4096 rows by default). Bins never cross segments:
     * the price is at most one underfull bin per segment boundary vs a
-    * fully-sequential FFD — O(corpus/groupSize) extra bins,
+    * fully-sequential BFD — O(corpus/groupSize) extra bins,
     * vanishing at scale — and the win is that packing parallelizes
     * over segments with NO driver state and identical output on any
     * cluster layout (rank is a pure function of (length, id)).
@@ -197,11 +197,17 @@ object Packing {
         val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
         rows.iterator.map { case (id, n, _) =>
           val need = math.min(n, seqLen.toLong)
+          // best fit: the fullest bin that still takes `need`
+          // (leaves the least slack), ties to the lowest index
+          var best = -1
           var b = 0
-          while (b < fills.length && fills(b) + need > seqLen) b += 1
-          if (b == fills.length) fills += 0L
-          fills(b) += need
-          (id, n, seg * groupSize + b, n > seqLen)
+          while (b < fills.length) {
+            if (fills(b) + need <= seqLen && (best < 0 || fills(b) > fills(best))) best = b
+            b += 1
+          }
+          if (best < 0) { fills += 0L; best = fills.length - 1 }
+          fills(best) += need
+          (id, n, seg * groupSize + best, n > seqLen)
         }
       }
       .toDF("id", "n_tokens", "pack_id", "truncated")

@@ -252,8 +252,12 @@ object WebText {
       blocklist: DataFrame,
       domainCol: String = "domain",
   ): DataFrame = {
+    // both sides case-fold: a crawled "Ads.BAD.com" must hit a
+    // "bad.com" entry (hosts are case-insensitive per RFC 4343)
     val blockedIds = df
-      .select(col(idCol).as("__bid"), explode(hostSuffixes(col(hostCol))).as("__sfx"))
+      .select(
+        col(idCol).as("__bid"),
+        explode(hostSuffixes(lower(col(hostCol)))).as("__sfx"))
       .join(
         blocklist.select(lower(col(domainCol)).as("__sfx")),
         Seq("__sfx"),

@@ -75,10 +75,16 @@ object StreamingWebIngest {
         .drop("__rn")
     } else {
       // generic over the input schema: rows pass through whole
-      // (Encoders.row keeps every column), state is one Long per host
+      // (Encoders.row keeps every column), state is one Long per host.
+      // NULL hosts key on "\u0000" (no real hostname contains NUL), so
+      // they form their OWN capped group exactly like batch mode's
+      // NULL window partition — String.valueOf would fold them into a
+      // literal "null" host.
+      val hostIdx = docs.schema.fieldIndex(hostCol)
       val rowEnc = org.apache.spark.sql.Encoders.row(docs.schema)
       val grouped = docs.groupByKey(
-        (r: org.apache.spark.sql.Row) => String.valueOf(r.getAs[Any](hostCol)))(
+        (r: org.apache.spark.sql.Row) =>
+          if (r.isNullAt(hostIdx)) "\u0000" else String.valueOf(r.get(hostIdx)))(
         org.apache.spark.sql.Encoders.STRING)
       grouped.flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(

@@ -119,8 +119,8 @@ class PackingSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, false), (2L, 3L, true), (3L, 3L, false), (4L, 1L, true)))
   }
 
-  test("packBestFit: FFD hand-check, no bin overflows, whole docs, oversize isolated") {
-    // lengths 70,60,50,40,30,20 with seqLen 100 → FFD (desc):
+  test("packBestFit: BFD hand-check, no bin overflows, whole docs, oversize isolated") {
+    // lengths 70,60,50,40,30,20 with seqLen 100 → best-fit (desc):
     // 70→bin0; 60→bin1; 50→bin2; 40(70+40>100)→bin1(60+40=100); 30→bin0(=100); 20→bin2(=70)
     val df = Seq((1L, 70L), (2L, 60L), (3L, 50L), (4L, 40L), (5L, 30L), (6L, 20L), (7L, 150L))
       .toDF("doc_id", "n")
@@ -136,7 +136,7 @@ class PackingSpec extends SparkTestBase {
     val fills = Seq(1L -> 70L, 2L -> 60L, 3L -> 50L, 4L -> 40L, 5L -> 30L, 6L -> 20L, 7L -> 100L)
       .groupMapReduce { case (id, _) => out(id)._1 } { case (_, n) => n }(_ + _)
     assert(fills.values.forall(_ <= 100L), fills.toString)
-    // FFD on this instance is optimal: 3 bins for the fitting docs + the oversize bin
+    // BFD on this instance is optimal: 3 bins for the fitting docs + the oversize bin
     assert(bins.size == 4, s"bins=$bins")
     val eff = Packing.packEfficiency(Packing.packBestFit(df, "doc_id", "n", 100), 100).head()
     assert(eff.getAs[Long]("n_docs") == 7L && eff.getAs[Long]("n_packs") == 4L)

@@ -107,8 +107,13 @@ class WebTextSpec extends SparkTestBase {
     val kept = WebText.filterBlockedHosts(docs, "id", "host", blocklist)
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(3L, 4L, 5L, 6L), s"kept=$kept")
+    // case-folds BOTH sides: mixed-case crawled hosts hit lowercase
+    // entries and vice versa (RFC 4343)
     val kept2 = WebText.filterBlockedHosts(
-      docs.withColumn("host", lower(lit("x.Blocked.org"))), "id", "host", blocklist)
-    assert(kept2.count() == 0L, "case-folded blocklist entry must match")
+      docs.withColumn("host", lit("x.Blocked.org")), "id", "host", blocklist)
+    assert(kept2.count() == 0L, "mixed-case host must match a case-folded entry")
+    val kept3 = WebText.filterBlockedHosts(
+      docs.withColumn("host", lit("Ads.BAD.com")), "id", "host", blocklist)
+    assert(kept3.count() == 0L, "mixed-case host must match a lowercase entry")
   }
 }
