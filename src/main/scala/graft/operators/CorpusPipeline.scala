@@ -127,6 +127,12 @@ object CorpusPipeline {
     *      script/style stripped, entities decoded)
     *   2. URL normalization + host extraction
     *      ([[WebText.withUrlParts]])
+    *   2b. optional NFC canonicalization
+    *      ([[TextAnalysis.canonicalize]], `canonicalizeNfc = true`)
+    *      BEFORE any hashing stage, and an optional domain
+    *      `blocklist` ([[WebText.filterBlockedHosts]]) on the
+    *      normalized host — both default off so existing output is
+    *      byte-stable
     *   3. language ID ([[TextAnalysis.withLangId]]); `langs` nonEmpty
     *      keeps only those languages, empty keeps everything
     *   4. language-conditioned Gopher quality
@@ -166,13 +172,28 @@ object CorpusPipeline {
       seqLen: Int = 512,
       shuffleSalt: String = "epoch0",
       materialize: Materialize = Materialize.LocalCheckpoint,
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
   ): DataFrame = {
-    val extracted = WebText
+    val extracted0 = WebText
       .htmlToText(
         df.select(col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url")),
         "__html", outCol = "text")
       .drop("__html")
-    val withUrl = WebText.withUrlParts(extracted, "__url").drop("__url")
+    // optional NFC canonicalization BEFORE any hashing stage, so
+    // composed/decomposed spellings of the same page dedup together
+    // (default off: byte-stable output for existing callers)
+    val extracted =
+      if (canonicalizeNfc)
+        extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
+      else extracted0
+    val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
+    // optional domain blocklist, applied on the normalized host as
+    // early as possible (blocked pages never reach langId/quality)
+    val withUrl = blocklist match {
+      case Some(bl) => WebText.filterBlockedHosts(withUrl0, "id", "url_host", bl)
+      case None => withUrl0
+    }
     val withLang = TextAnalysis.withLangId(withUrl, "text")
     val langKept =
       if (langs.isEmpty) withLang

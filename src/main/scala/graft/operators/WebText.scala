@@ -254,16 +254,45 @@ object WebText {
   ): DataFrame = {
     // both sides case-fold: a crawled "Ads.BAD.com" must hit a
     // "bad.com" entry (hosts are case-insensitive per RFC 4343)
-    val blockedIds = df
-      .select(
-        col(idCol).as("__bid"),
-        explode(hostSuffixes(lower(col(hostCol)))).as("__sfx"))
-      .join(
-        blocklist.select(lower(col(domainCol)).as("__sfx")),
-        Seq("__sfx"),
-        "left_semi")
-      .select(col("__bid"))
-      .distinct()
-    df.join(blockedIds, col(idCol) === col("__bid"), "left_anti")
+    if (df.isStreaming) {
+      // streaming: the explode→distinct→anti-join shape would be a
+      // stateful aggregation plus a stream-stream self-join (not
+      // append-supported). The list collapses to a broadcast set and
+      // the check becomes a stateless per-row filter — streams as-is.
+      // Caveat: the list must fit in a broadcast (tens of millions of
+      // domains ≈ hundreds of MB — the practical ceiling).
+      val domains = blocklist
+        .select(lower(col(domainCol)))
+        .collect()
+        .map(_.getString(0))
+        .toSet
+      val bc = df.sparkSession.sparkContext.broadcast(domains)
+      val blockedUdf = udf { (host: String) =>
+        if (host == null) false
+        else {
+          val h = host.toLowerCase
+          var i = 0
+          var blocked = bc.value.contains(h)
+          while (!blocked && i >= 0) {
+            i = h.indexOf('.', i)
+            if (i >= 0) { i += 1; blocked = bc.value.contains(h.substring(i)) }
+          }
+          blocked
+        }
+      }
+      df.where(!blockedUdf(col(hostCol)))
+    } else {
+      val blockedIds = df
+        .select(
+          col(idCol).as("__bid"),
+          explode(hostSuffixes(lower(col(hostCol)))).as("__sfx"))
+        .join(
+          blocklist.select(lower(col(domainCol)).as("__sfx")),
+          Seq("__sfx"),
+          "left_semi")
+        .select(col("__bid"))
+        .distinct()
+      df.join(blockedIds, col(idCol) === col("__bid"), "left_anti")
+    }
   }
 }

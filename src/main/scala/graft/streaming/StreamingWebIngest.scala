@@ -113,8 +113,10 @@ object StreamingWebIngest {
       langs: Seq[String] = Seq.empty,
       maxPerHost: Int = 100000,
       dedupWatermark: String = "10 minutes",
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
   ): DataFrame = {
-    val extracted = WebText
+    val extracted0 = WebText
       .htmlToText(
         docs.select(
           col(idCol).as("id"),
@@ -124,7 +126,17 @@ object StreamingWebIngest {
         "__html",
         outCol = "text")
       .drop("__html")
-    val withUrl = WebText.withUrlParts(extracted, "__url").drop("__url")
+    val extracted =
+      if (canonicalizeNfc)
+        extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
+      else extracted0
+    val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
+    // stream-static joins: the blocklist is a static frame, and both
+    // the semi- and anti-join legs are append-mode-supported
+    val withUrl = blocklist match {
+      case Some(bl) => WebText.filterBlockedHosts(withUrl0, "id", "url_host", bl)
+      case None => withUrl0
+    }
     val withLang = TextAnalysis.withLangId(withUrl, "text")
     val langKept =
       if (langs.isEmpty) withLang

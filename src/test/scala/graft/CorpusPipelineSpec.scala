@@ -207,4 +207,38 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(alone.nonEmpty && alone == mixed,
       s"english scores must not move when french joins: ${alone.size} vs ${mixed.size}")
   }
+
+  test("webIngest options: blocklist drops a domain early; NFC collapses composed/decomposed dups") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    // docs 30/31: the SAME text, one spelled composed (é), one
+    // decomposed (e+U+0301) — only NFC makes them exact duplicates
+    val composed = distinctProse(30) + " caf\u00E9"
+    val decomposed = distinctProse(30) + " cafe\u0301"
+    val rows = Seq(
+      (1L, page(distinctProse(1)), "http://good.com/a"),
+      (2L, page(distinctProse(2)), "http://ads.Spam.net/x"), // blocked subdomain
+      (30L, page(composed), "http://good.com/c"),
+      (31L, page(decomposed), "http://good.com/d"),
+    ).toDF("doc_id", "html", "url")
+    val blocklist = Seq("spam.net").toDF("domain")
+    // jaccardThreshold > 1 disables the near-dup stage (no estimate
+    // reaches it), so survival differences isolate EXACT dedup's
+    // byte-level semantics — precisely what NFC changes
+    def run(nfc: Boolean) = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", seqLen = 64,
+        jaccardThreshold = 1.5, blocklist = Some(blocklist), canonicalizeNfc = nfc)
+      .select("id").as[Long].collect().toSet
+    val without = run(nfc = false)
+    val withNfc = run(nfc = true)
+    assert(!without.contains(2L) && !withNfc.contains(2L), "blocked domain must not survive")
+    assert(without.contains(30L) && without.contains(31L),
+      "without NFC the two spellings are distinct documents")
+    assert((withNfc & Set(30L, 31L)).size == 1,
+      s"with NFC the composed/decomposed pair must dedup to one: $withNfc")
+  }
 }

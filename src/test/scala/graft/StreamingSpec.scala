@@ -799,11 +799,13 @@ class StreamingSpec extends SparkTestBase {
       doc(4L, 5, distinctProse(4), "http://a.com/p4"),
       doc(11L, 6, distinctProse(10), "http://b.com/y"), // exact dup of 10
       doc(12L, 7, Seq.fill(60)("### 12345 …").mkString(" "), "http://b.com/junk"),
-      doc(13L, 8, "今天天气很好我们一起去公园散步然后吃晚饭", "http://b.com/zh"))
+      doc(13L, 8, "今天天气很好我们一起去公园散步然后吃晚饭", "http://b.com/zh"),
+      doc(20L, 9, distinctProse(20), "http://ads.Spam.net/x")) // blocklisted domain
+    val blocklist = Seq("spam.net").toDF("domain")
     val in = MemoryStream[WebDoc](spark)
     val q = StreamingWebIngest
       .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
-        langs = Seq("en", "zh"), maxPerHost = 2)
+        langs = Seq("en", "zh"), maxPerHost = 2, blocklist = Some(blocklist))
       .writeStream.format("memory").queryName("web_ingest_stream")
       .outputMode("append").start()
     try {
@@ -818,7 +820,7 @@ class StreamingSpec extends SparkTestBase {
         .toSet
       val batch = StreamingWebIngest
         .webIngestStream((batch1 ++ batch2).toDF(), "doc_id", "ts", "html", "url",
-          langs = Seq("en", "zh"), maxPerHost = 2)
+          langs = Seq("en", "zh"), maxPerHost = 2, blocklist = Some(blocklist))
         .select($"id", $"url_host", $"lang_pred", $"text")
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
@@ -829,6 +831,7 @@ class StreamingSpec extends SparkTestBase {
       assert(!ids.contains(12L), "garbage dropped at the language gate")
       assert(ids.contains(13L), "whitelisted out-of-scope language passes through")
       assert(!(ids.contains(10L) && ids.contains(11L)), "exact dup collapses")
+      assert(!ids.contains(20L), "blocklisted domain (subdomain, mixed case) dropped in both modes")
       assert(stream.forall(!_._4.contains("<")), "markup stripped")
     } finally q.stop()
   }
