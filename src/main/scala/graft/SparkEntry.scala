@@ -3143,6 +3143,31 @@ object SparkEntry {
       |SELECT u.doc_id, u.url_host FROM u ANTI JOIN blocked USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus distinct-n diversity
+    * ([[TextAnalysis.distinctNgramStats]]): exact instance/distinct
+    * counts and their ratio for n ∈ {1,2,3} — pure integer counts
+    * plus one IEEE division, replayed verbatim.
+    */
+  private def q115DistinctN(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctNgramStats(load(s, dir, "documents"), "text", Seq(1, 2, 3))
+
+  private val q115Oracle =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT n,
+      |    unnest(CASE WHEN len(w) >= n
+      |      THEN list_transform(generate_series(1, len(w) - n + 1), i ->
+      |             array_to_string(w[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM t, (VALUES (1), (2), (3)) AS ns(n))
+      |SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+      |  CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
+      |FROM g GROUP BY n ORDER BY n""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3317,6 +3342,7 @@ object SparkEntry {
     "q112_hybrid_topk" -> (q112HybridTopK _),
     "q113_pack_bestfit" -> (q113PackBestFit _),
     "q114_blocklist_planted" -> (q114BlocklistPlanted _),
+    "q115_distinct_ngrams" -> (q115DistinctN _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3421,5 +3447,6 @@ object SparkEntry {
     "q112_hybrid_topk" -> q112Oracle,
     "q113_pack_bestfit" -> q113Oracle,
     "q114_blocklist_planted" -> q114Oracle,
+    "q115_distinct_ngrams" -> q115Oracle,
   )
 }

@@ -557,6 +557,49 @@ object TextAnalysis {
     coalesce(graft.functions.TextSignatures.distinctNgrams(text, n), typedLit(Seq.empty[String]))
   }
 
+  /** Corpus distinct-n diversity (Li et al. 2016's distinct-n,
+    * corpus-scale): one row per requested n with the total n-gram
+    * instance count, the distinct n-gram count, and their ratio —
+    * the standard diversity diagnostic for generated or heavily
+    * templated corpora (a low distinct-2/distinct-3 flags a corpus
+    * that repeats itself even when no single document does).
+    * Tokenization matches the shared Unicode word convention, so the
+    * whole output oracle-checks (q115).
+    *
+    * Scale shape: one explode + one two-phase aggregate per n —
+    * `total` partial-aggregates map-side; exact `distinct` is the
+    * standard expand-distinct plan whose shuffle is the distinct
+    * gram set, not the token stream. `ns` is a handful of small
+    * integers by design (1..4).
+    */
+  def distinctNgramStats(
+      df: DataFrame,
+      textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3),
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
+    val toks = filter(split(lower(col(textCol)), TextHash.WordSplitRe), t => t =!= lit(""))
+    val perN = ns.distinct.sorted.map { n =>
+      val grams = when(size(toks) >= n,
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      df.select(explode(grams).as("gram"))
+        .agg(
+          count(lit(1)).as("total_ngrams"),
+          countDistinct(col("gram")).as("distinct_ngrams"))
+        .select(
+          lit(n).as("n"),
+          col("total_ngrams"),
+          col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") / col("total_ngrams")).as("distinct_ratio"))
+    }
+    // an n no document reaches yields no instances — drop the row
+    // (matches a GROUP BY replay, and avoids a 0/0 ratio)
+    perN.reduce(_.unionByName(_)).where(col("total_ngrams") > 0).orderBy("n")
+  }
+
   /** Cross-document n-gram commonality — the boilerplate-contamination
     * signal (RefinedWeb/Dolma-style): for each document, how many of
     * its distinct n-grams also occur in at least `minDf` documents

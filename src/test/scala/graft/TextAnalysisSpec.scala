@@ -52,6 +52,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(nfkc == "efficient")
   }
 
+  test("distinctNgramStats: hand-counted totals/distincts; sub-n corpus drops the row") {
+    val df = Seq(
+      (1L, "a b a b"),  // unigrams: 4 inst {a,b}; bigrams: 3 inst {a b, b a}
+      (2L, "a b"),      // unigrams: 2 inst; bigrams: 1 inst {a b}
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.distinctNgramStats(df, "text", Seq(1, 2, 5))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1) == ((6L, 2L, 2.0 / 6)))
+    assert(out(2) == ((4L, 2L, 0.5)))
+    assert(!out.contains(5), "no document reaches n=5 → no row")
+    // templated corpus scores lower distinct-2 than varied prose
+    val templated = (1 to 20).map(i => (i.toLong, "click here to subscribe now")).toDF("doc_id", "text")
+    val varied = (1 to 20).map(i => (i.toLong, s"article number$i covers topic$i in depth$i today")).toDF("doc_id", "text")
+    def d2(df: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .distinctNgramStats(df, "text", Seq(2)).head().getDouble(3)
+    assert(d2(templated) < d2(varied))
+  }
+
   test("bpe estimate: at least word count, grows with long words") {
     val df = Seq(("short words here"), ("antidisestablishmentarianism")).toDF("text")
     val out = df.select(TextAnalysis.bpeTokenEstimate($"text")).as[Long].collect().toSeq
