@@ -238,12 +238,18 @@ object CorpusPipeline {
       transitive: Boolean = true,
       window: Int = 512,
       stride: Int = 512,
+      canonicalizeNfc: Boolean = false,
   ): DataFrame = {
+    // optional NFC before any scoring/hashing — the webIngest option's
+    // twin (default off: byte-stable output for existing callers)
+    val src =
+      if (canonicalizeNfc) df.withColumn(textCol, TextAnalysis.canonicalize(col(textCol)))
+      else df
     val lang: Column = langCol.map(col).getOrElse(TextAnalysis.langIdUdf(col(textCol)))
     val filtered = TextAnalysis
-      .qualityScore(df, textCol)
+      .qualityScore(src, textCol)
       .where(lang.isInCollection(langs) && col("quality_score") >= minQuality)
-      .select(df.columns.map(col): _*)
+      .select(src.columns.map(col): _*)
     val redacted = TextAnalysis
       .redactPii(filtered, textCol)
       .withColumn(textCol, col("redacted"))

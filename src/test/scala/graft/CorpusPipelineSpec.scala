@@ -240,5 +240,17 @@ class CorpusPipelineSpec extends SparkTestBase {
       "without NFC the two spellings are distinct documents")
     assert((withNfc & Set(30L, 31L)).size == 1,
       s"with NFC the composed/decomposed pair must dedup to one: $withNfc")
+    // prepare's twin option behaves identically (near-dup disabled the
+    // same way so exact dedup's byte semantics are what's observed)
+    val plain = Seq(
+      (30L, composed + " " + composed),
+      (31L, decomposed + " " + decomposed),
+    ).toDF("doc_id", "text")
+    def runPrepare(nfc: Boolean) = CorpusPipeline
+      .prepare(plain, "doc_id", "text", minQuality = 0.0, jaccardThreshold = 1.5,
+        window = 64, stride = 64, canonicalizeNfc = nfc)
+      .select("doc_id").as[Long].collect().toSet
+    assert(runPrepare(false) == Set(30L, 31L))
+    assert(runPrepare(true).size == 1)
   }
 }
