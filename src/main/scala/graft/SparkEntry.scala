@@ -3168,6 +3168,91 @@ object SparkEntry {
       |  CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
       |FROM g GROUP BY n ORDER BY n""".stripMargin
 
+  /** C4 cleaning bundle ([[QualityFilters.withC4Flags]], Raffel et
+    * al. 2020): each document gets a planted 7-line page exercising
+    * every LINE rule (short line, missing terminal punctuation,
+    * javascript line, policy-phrase line, quote/question/exclamation
+    * terminators) and, by `doc_id % 5`, one DOCUMENT rule (curly
+    * brace, lorem ipsum, a badword, or a sentence-count shortfall).
+    * The cleaned text, the line bookkeeping, the sentence count, and
+    * all rule booleans are replayed verbatim by DuckDB — string-exact
+    * and integer-exact, nothing sampled.
+    */
+  private def q116C4Flags(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = substring(col("text"), 1, 60)
+    val m = col("doc_id") % 5
+    val core = concat(
+      b, lit(" alpha.\ntoo short.\n"), b, lit(" beta\n"),
+      b, lit(" javascript alert.\nplease accept our privacy policy today."))
+    val tail1 =
+      when(m === 4, lit(""))
+        .otherwise(concat(nl, b, lit(" gamma!"), nl, b, lit(" delta?")))
+    val tail2 = when(m === 1, concat(nl, b, lit(" code { brace }.")))
+      .when(m === 2, concat(nl, lit("the sample mentions lorem ipsum dolor today.")))
+      .when(m === 3, concat(nl, b, lit(" gamble tonight my good friend.")))
+      .otherwise(lit(""))
+    val planted = docs.withColumn("ptext", concat(core, tail1, tail2))
+    graft.operators.QualityFilters
+      .withC4Flags(planted, "ptext", badwords = Seq("gamble"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"), col("has_lorem_ipsum"),
+        col("has_brace"), col("has_bad_word"), col("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val q116Oracle =
+    """WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 60) AS b, (doc_id % 5) AS m FROM documents
+      |), built AS (
+      |  SELECT doc_id,
+      |    b || ' alpha.' || chr(10) ||
+      |    'too short.' || chr(10) ||
+      |    b || ' beta' || chr(10) ||
+      |    b || ' javascript alert.' || chr(10) ||
+      |    'please accept our privacy policy today.' ||
+      |    CASE WHEN m = 4 THEN ''
+      |         ELSE chr(10) || b || ' gamma!' || chr(10) || b || ' delta?' END ||
+      |    CASE WHEN m = 1 THEN chr(10) || b || ' code { brace }.'
+      |         WHEN m = 2 THEN chr(10) || 'the sample mentions lorem ipsum dolor today.'
+      |         WHEN m = 3 THEN chr(10) || b || ' gamble tonight my good friend.'
+      |         ELSE '' END AS t
+      |  FROM p
+      |), k AS (
+      |  SELECT doc_id, len(string_split(t, chr(10))) AS nl,
+      |    list_filter(string_split(t, chr(10)), l ->
+      |      len(list_filter(regexp_split_to_array(l, '[ \t\f\r]+'), w -> w <> '')) >= 5
+      |      AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"' OR l LIKE '%”')
+      |      AND position('javascript' IN lower(l)) = 0
+      |      AND position('privacy policy' IN lower(l)) = 0
+      |      AND position('terms of use' IN lower(l)) = 0
+      |      AND position('cookie policy' IN lower(l)) = 0
+      |      AND position('uses cookies' IN lower(l)) = 0
+      |      AND position('use of cookies' IN lower(l)) = 0) AS ks
+      |  FROM built
+      |), c AS (
+      |  SELECT doc_id, nl, ks, array_to_string(ks, chr(10)) AS clean FROM k
+      |), f AS (
+      |  SELECT doc_id, nl, ks, clean,
+      |    len(regexp_extract_all(clean, '[.!?]')) AS sents,
+      |    position('lorem ipsum' IN lower(clean)) > 0 AS lorem,
+      |    position('{' IN clean) > 0 AS brace,
+      |    list_contains(list_filter(
+      |      regexp_split_to_array(lower(clean), '[^\p{L}\p{N}_]+'), x -> x <> ''),
+      |      'gamble') AS bad
+      |  FROM c
+      |)
+      |SELECT doc_id, clean AS clean_text,
+      |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+      |  CAST(nl - len(ks) AS BIGINT) AS n_lines_dropped,
+      |  CAST(sents AS BIGINT) AS n_sentences,
+      |  lorem AS has_lorem_ipsum,
+      |  brace AS has_brace,
+      |  bad AS has_bad_word,
+      |  (sents >= 3 AND NOT lorem AND NOT brace AND NOT bad) AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3343,6 +3428,7 @@ object SparkEntry {
     "q113_pack_bestfit" -> (q113PackBestFit _),
     "q114_blocklist_planted" -> (q114BlocklistPlanted _),
     "q115_distinct_ngrams" -> (q115DistinctN _),
+    "q116_c4_flags" -> (q116C4Flags _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3448,5 +3534,6 @@ object SparkEntry {
     "q113_pack_bestfit" -> q113Oracle,
     "q114_blocklist_planted" -> q114Oracle,
     "q115_distinct_ngrams" -> q115Oracle,
+    "q116_c4_flags" -> q116Oracle,
   )
 }

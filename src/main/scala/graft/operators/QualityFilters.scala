@@ -213,4 +213,123 @@ object QualityFilters {
       .drop("gopher_scoped", "n_words", "ok_word_count", "ok_mean_word_len",
         "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
         "ok_stopwords", "pass")
+
+  // ------------------------------------------------------------ C4 rules
+
+  final case class C4Flags(
+      clean_text: String,
+      n_lines_kept: Long,
+      n_lines_dropped: Long,
+      n_sentences: Long,
+      has_lorem_ipsum: Boolean,
+      has_brace: Boolean,
+      has_bad_word: Boolean,
+      pass: Boolean,
+  )
+
+  /** Line phrases whose presence drops the line (C4's "javascript"
+    * rule plus the boilerplate policy phrases its cleaner removes).
+    * Matched case-insensitively as substrings of the line.
+    */
+  val defaultC4DropPhrases: Seq[String] = Seq(
+    "javascript", "privacy policy", "terms of use", "cookie policy",
+    "uses cookies", "use of cookies")
+
+  /** One-pass C4 cleaning kernel (Raffel et al. 2020, §2.2 "C4"):
+    * line level — keep only lines with ≥ `minLineWords` whitespace
+    * words that end in a terminal punctuation mark (`.` `!` `?` `"`
+    * `”`) and contain no drop phrase; document level — the retained
+    * text must hold ≥ `minSentences` sentences and must not contain
+    * "lorem ipsum", a curly brace (the code-exclusion rule), or any
+    * word on the `badwords` list. Documented simplifications, chosen
+    * so every step is integer/string-exact and replayable by the
+    * DuckDB oracle: sentences are counted as occurrences of `.` `!`
+    * `?` in the retained text (C4 uses an English sentence splitter),
+    * and bad words are matched against the shared Unicode word
+    * tokenization ([[graft.textutil.TextHash.WordSplitRe]]) of the
+    * lowercased retained text rather than a boundary regex.
+    *
+    * Cross-engine parity details (same conventions as
+    * [[gopherFlagsKernel]]): lines split on `\n` KEEPING trailing
+    * empties (DuckDB `string_split` semantics), line words split on
+    * the explicit class `[ \t\f\r]+`, phrase matching on
+    * `toLowerCase` (ASCII-identical to DuckDB `lower`).
+    */
+  private[graft] def c4Kernel(
+      text: String,
+      minLineWords: Int,
+      minSentences: Int,
+      dropPhrases: Array[String],
+      badwords: Array[String],
+  ): C4Flags = {
+    val t = if (text == null) "" else text
+    val lines = t.split("\n", -1)
+    val kept = lines.filter { l =>
+      val words = l.split("[ \t\f\r]+").count(_.nonEmpty)
+      val lower = l.toLowerCase
+      words >= minLineWords &&
+      l.nonEmpty &&
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"") || l.endsWith("”")) &&
+      !dropPhrases.exists(lower.contains)
+    }
+    val clean = kept.mkString("\n")
+    var sentences = 0L
+    var i = 0
+    while (i < clean.length) {
+      val c = clean.charAt(i)
+      if (c == '.' || c == '!' || c == '?') sentences += 1
+      i += 1
+    }
+    val cleanLower = clean.toLowerCase
+    val lorem = cleanLower.contains("lorem ipsum")
+    val brace = clean.contains("{")
+    val bad = badwords.nonEmpty && {
+      val toks = graft.textutil.TextHash.tokenize(cleanLower)
+      badwords.exists(b => toks.contains(b))
+    }
+    C4Flags(clean, kept.length.toLong, (lines.length - kept.length).toLong, sentences,
+      lorem, brace, bad,
+      sentences >= minSentences && !lorem && !brace && !bad)
+  }
+
+  /** Add the C4 cleaning columns: `clean_text` (the line-filtered
+    * text), line bookkeeping, the sentence count, and the document
+    * rule booleans + `pass`. Pure per-row map — no shuffle, streams
+    * at any scale; the published rule set is the standard web-corpus
+    * pre-filter ahead of Gopher/LM scoring.
+    */
+  def withC4Flags(
+      df: DataFrame,
+      textCol: String,
+      minLineWords: Int = 5,
+      minSentences: Int = 3,
+      dropPhrases: Seq[String] = defaultC4DropPhrases,
+      badwords: Seq[String] = Nil,
+  ): DataFrame = {
+    val dp = dropPhrases.map(_.toLowerCase).toArray
+    val bw = badwords.map(_.toLowerCase).toArray
+    val u = udf { (t: String) => c4Kernel(t, minLineWords, minSentences, dp, bw) }
+    val flagged = df.withColumn("__c4", u(col(textCol)))
+    val fields = Seq("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
+      "has_lorem_ipsum", "has_brace", "has_bad_word", "pass")
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__c4.$f"))).drop("__c4")
+  }
+
+  /** Keep passing documents with their line-filtered text substituted
+    * into `textCol` (the C4 output corpus).
+    */
+  def c4Clean(
+      df: DataFrame,
+      textCol: String,
+      minLineWords: Int = 5,
+      minSentences: Int = 3,
+      dropPhrases: Seq[String] = defaultC4DropPhrases,
+      badwords: Seq[String] = Nil,
+  ): DataFrame =
+    withC4Flags(df, textCol, minLineWords, minSentences, dropPhrases, badwords)
+      .where(col("pass"))
+      .withColumn(textCol, col("clean_text"))
+      .drop("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
+        "has_lorem_ipsum", "has_brace", "has_bad_word", "pass")
 }

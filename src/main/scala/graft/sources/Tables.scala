@@ -1,16 +1,24 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the test-data star schema.
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-  * Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). We read it under
-  * the `nanosAsLong` legacy conf and truncate ns → µs explicitly —
-  * integer `div`, so the conversion matches DuckDB's own ns→µs/ms
-  * truncation semantics bit-for-bit.
+  * The `events` table's `ts` physical type has varied across data
+  * generations, so the loader normalizes every layout to one logical
+  * type, TIMESTAMP (µs, UTC session):
+  *   - parquet TIMESTAMP(NANOS), which Spark 4 rejects by default
+  *     (PARQUET_TYPE_ILLEGAL): read under the `nanosAsLong` legacy
+  *     conf and truncate ns → µs explicitly — integer `div`, so the
+  *     conversion matches DuckDB's ns→µs truncation bit-for-bit;
+  *   - parquet TIMESTAMP(µs, isAdjustedToUTC=false), which Spark 4
+  *     infers as TIMESTAMP_NTZ: cast to TIMESTAMP — under the UTC
+  *     session timezone every entry point sets, the wall-clock is
+  *     reinterpreted 1:1, the same micros DuckDB sees in the naive
+  *     value (`unix_millis`/`unix_micros` reject NTZ inputs, so the
+  *     cast happens here once, not at every call site).
   */
 object Tables {
 
@@ -21,9 +29,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** JSONL corpus reader — the LLM-pipeline interchange format (one

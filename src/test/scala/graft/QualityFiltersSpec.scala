@@ -112,4 +112,80 @@ class QualityFiltersSpec extends SparkTestBase {
       .orderBy("id").drop("text", "lang", "gopher_scoped").collect().map(_.toSeq)
     assert(un.toSeq == by.toSeq)
   }
+
+  // ---------------------------------------------------------- C4 rules
+
+  private val keptLine = "the data pipeline runs every careful job today."
+
+  test("c4: each line rule drops exactly its planted line") {
+    val doc = Seq(
+      keptLine,                                         // kept
+      "too short.",                                     // < 5 words
+      "this line has five words here no punctuation",   // no terminal punct
+      "please enable JavaScript to view this page.",    // drop phrase
+      "we updated our Privacy Policy terms again.",     // drop phrase
+      "he said the model \"just works\" and left?",     // kept (ends ?)
+      "the quoted answer was \"forty two.\"",           // kept (ends ")
+    ).mkString("\n")
+    val out = QualityFilters.withC4Flags(Seq((1L, doc)).toDF("id", "text"), "text")
+      .select("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences", "pass")
+      .as[(String, Long, Long, Long, Boolean)].head()
+    assert(out._1.split("\n").toSeq == Seq(
+      keptLine,
+      "he said the model \"just works\" and left?",
+      "the quoted answer was \"forty two.\""))
+    assert(out._2 == 3L && out._3 == 4L)
+    assert(out._4 == 3L) // '.', '?', '.' in the retained text
+    assert(out._5)
+  }
+
+  test("c4: each document rule fails independently") {
+    val three = Seq(keptLine, keptLine, keptLine).mkString("\n")
+    val cases = Seq(
+      (1L, three + "\nthe sample mentions lorem ipsum dolor here.", "has_lorem_ipsum"),
+      (2L, three + "\nthe code sample shows { braces } clearly.", "has_brace"),
+      (3L, three + "\ncome gamble with us tonight my friend.", "has_bad_word"),
+      (4L, keptLine, "n_sentences"), // 1 sentence < 3
+    )
+    val out = QualityFilters
+      .withC4Flags(cases.map(c => (c._1, c._2)).toDF("id", "text"), "text",
+        badwords = Seq("gamble"))
+      .orderBy("id").collect()
+    cases.zipWithIndex.foreach { case ((_, _, failCol), i) =>
+      assert(!out(i).getAs[Boolean]("pass"), s"case $i should fail")
+      if (failCol != "n_sentences")
+        assert(out(i).getAs[Boolean](failCol), s"case $i should flag $failCol")
+      else assert(out(i).getAs[Long]("n_sentences") < 3)
+    }
+    // the three-line doc with no plant passes
+    val ok = QualityFilters.withC4Flags(Seq((9L, three)).toDF("id", "text"), "text",
+      badwords = Seq("gamble"))
+    assert(ok.select("pass").as[Boolean].head())
+  }
+
+  test("c4: badword matches whole tokens only, case-insensitively") {
+    val three = Seq(keptLine, keptLine, keptLine).mkString("\n")
+    val out = QualityFilters
+      .withC4Flags(
+        Seq((1L, three + "\nthe Gamble was lost by everyone there."),
+          (2L, three + "\nthe gambler was lucky this fine evening."))
+          .toDF("id", "text"),
+        "text", badwords = Seq("gamble"))
+      .orderBy("id").select("has_bad_word").as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false)) // substring "gambler" must NOT match
+  }
+
+  test("c4: empty and null text fail without crashing; c4Clean swaps text") {
+    val out = QualityFilters
+      .withC4Flags(Seq((1L, ""), (2L, null: String)).toDF("id", "text"), "text")
+      .select("n_sentences", "pass").as[(Long, Boolean)].collect()
+    assert(out.forall(r => r._1 == 0L && !r._2))
+    val three = Seq(keptLine, "no punct line here at all", keptLine, keptLine).mkString("\n")
+    val cleaned = QualityFilters.c4Clean(
+      Seq((1L, three), (2L, "too short.")).toDF("id", "text"), "text")
+    assert(cleaned.columns.toSeq == Seq("id", "text"))
+    val rows = cleaned.as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L))
+    assert(rows.head._2 == Seq(keptLine, keptLine, keptLine).mkString("\n"))
+  }
 }
