@@ -49,7 +49,14 @@ object StreamingDedup {
       ts: Timestamp,
       sig: Array[Long],
   )
-  final case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double, ts: Timestamp)
+  /** `id_a`/`id_b` are the pair sorted by id; `victim_id` is the
+    * LATER ARRIVAL of the two (the doc that triggered the hit against
+    * standing bucket state) — the one a keep-first suppression policy
+    * drops. Within a microbatch "arrival" is (event-time, id) order,
+    * so victim selection is deterministic on event-ordered input.
+    */
+  final case class NearDupHit(
+      id_a: Long, id_b: Long, victim_id: Long, est_jaccard: Double, ts: Timestamp)
   final case class BucketState(entries: List[(Long, Array[Long])])
 
   /** docs: (idCol: long, tsCol: timestamp, textCol: string) — works on
@@ -122,7 +129,9 @@ object StreamingDedup {
                   }
                   val est = agree.toDouble / numHashes
                   if (est >= estThreshold)
-                    out += NearDupHit(math.min(oldId, d.doc_id), math.max(oldId, d.doc_id), est, d.ts)
+                    out += NearDupHit(
+                      math.min(oldId, d.doc_id), math.max(oldId, d.doc_id),
+                      d.doc_id, est, d.ts)
                 }
               }
               entries = ((d.doc_id, d.sig) :: entries).take(maxPerBucket)

@@ -116,6 +116,31 @@ object StreamingWebIngest {
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
   ): DataFrame = {
+    val lined = cleanedFrontEnd(
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc)
+    val deduped = EventStreams
+      .dedupStream(lined, "ts", "text", dedupWatermark)
+      .drop("content_fp")
+    capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
+  }
+
+  /** The STATELESS stages of the ingest (extract → urlparts →
+    * blocklist → langId → per-language Gopher → in-doc line dedup) —
+    * shared so the near-dup side stream can branch before any
+    * stateful operator (Spark supports only specific chains of
+    * stateful operators in one streaming query; branching here keeps
+    * each output query single-stateful).
+    */
+  private def cleanedFrontEnd(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String],
+      blocklist: Option[DataFrame],
+      canonicalizeNfc: Boolean,
+  ): DataFrame = {
     val extracted0 = WebText
       .htmlToText(
         docs.select(
@@ -146,13 +171,68 @@ object StreamingWebIngest {
       .where(col("pass"))
       .select(col("id"), col("ts"), col("text"), col("url_norm"), col("url_host"),
         col("lang_pred"))
-    val lined = TextAnalysis
+    TextAnalysis
       .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
       .drop("text")
       .withColumnRenamed("text_deduped", "text")
+  }
+
+  /** [[webIngestStream]] plus a NEAR-DUP VICTIM side stream: the
+    * second output carries `(victim_id, kept_id, est_jaccard, ts)`
+    * rows from [[StreamingDedup.nearDupHits]] run over the same
+    * cleaned front end — `victim_id` is the later arrival of each
+    * colliding pair, the doc a keep-first policy suppresses.
+    *
+    * Why two streams rather than an in-stream filter: doc-level
+    * suppression needs every band verdict of a doc (a stateful
+    * aggregation) DOWNSTREAM of the banded collision state, and that
+    * chain of arbitrary stateful operators is not a supported
+    * streaming plan — while sink-side suppression (anti-join the
+    * landed victims in the periodic batch compaction, the lambda
+    * shape the scaladoc above describes) is exact, idempotent, and
+    * needs no new operator. Both outputs branch from the SAME
+    * stateless front end, so each query plan holds exactly one
+    * stateful operator chain.
+    *
+    * A pair colliding in several bands emits one victim row per
+    * colliding band; suppression is idempotent under that
+    * multiplicity (`distinct` at the sink if row counts matter).
+    * Victims are detected pre-exact-dedup and pre-cap, so the victim
+    * list may name ids the main stream already dropped — harmless for
+    * suppression, and it keeps both queries single-stateful.
+    */
+  def webIngestWithNearDup(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      dedupWatermark: String = "10 minutes",
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      estThreshold: Double = 0.7,
+      nearDupWatermark: String = "10 minutes",
+  ): (DataFrame, DataFrame) = {
+    val lined = cleanedFrontEnd(
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
-    capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
+    val main = capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
+    val victims = StreamingDedup
+      .nearDupHits(lined, "id", "ts", "text",
+        numHashes = numHashes, bands = bands, estThreshold = estThreshold,
+        watermarkDelay = nearDupWatermark)
+      .toDF()
+      .select(
+        col("victim_id"),
+        when(col("victim_id") === col("id_a"), col("id_b")).otherwise(col("id_a"))
+          .as("kept_id"),
+        col("est_jaccard"), col("ts"))
+    (main, victims)
   }
 }

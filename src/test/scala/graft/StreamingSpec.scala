@@ -835,4 +835,55 @@ class StreamingSpec extends SparkTestBase {
       assert(stream.forall(!_._4.contains("<")), "markup stripped")
     } finally q.stop()
   }
+
+  test("webIngestWithNearDup: victim side stream ≡ batch; victim is the later arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def doc(id: Long, sec: Long, body: String, url: String) =
+      WebDoc(id, new java.sql.Timestamp(t0 + sec * 1000), page(body), url)
+    val rows = Seq(
+      doc(30L, 1, distinctProse(30), "http://c.com/p0"),
+      doc(40L, 2, distinctProse(40), "http://c.com/p1"),         // unrelated survivor
+      doc(31L, 3, distinctProse(30) + " extra tail tonight", "http://c.com/p2"), // near-dup of 30
+    )
+    val in = MemoryStream[WebDoc](spark)
+    val (mainS, victimS) = StreamingWebIngest.webIngestWithNearDup(
+      in.toDS().toDF(), "doc_id", "ts", "html", "url",
+      langs = Seq("en"), estThreshold = 0.5)
+    val qm = mainS.writeStream.format("memory").queryName("wind_main")
+      .outputMode("append").start()
+    val qv = victimS.writeStream.format("memory").queryName("wind_victims")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      qm.processAllAvailable()
+      qv.processAllAvailable()
+      val streamVictims = spark.table("wind_victims")
+        .select($"victim_id", $"kept_id").distinct().as[(Long, Long)].collect().toSet
+      assert(streamVictims == Set((31L, 30L)), s"stream victims: $streamVictims")
+      // suppression is sink-side by design: the main stream still carries 31
+      val mainIds = spark.table("wind_main").select($"id").as[Long].collect().toSet
+      assert(mainIds == Set(30L, 40L, 31L), s"main: $mainIds")
+      // batch evaluation of the same faces agrees
+      val (mainB, victimB) = StreamingWebIngest.webIngestWithNearDup(
+        rows.toDF(), "doc_id", "ts", "html", "url",
+        langs = Seq("en"), estThreshold = 0.5)
+      val batchVictims =
+        victimB.select($"victim_id", $"kept_id").distinct().as[(Long, Long)].collect().toSet
+      assert(batchVictims == streamVictims, s"batch=$batchVictims stream=$streamVictims")
+      // the compacted corpus = main anti-join victims (keep-first)
+      val compacted = mainB.join(
+        victimB.select($"victim_id".as("id")), Seq("id"), "left_anti")
+        .select($"id").as[Long].collect().toSet
+      assert(compacted == Set(30L, 40L), s"compacted: $compacted")
+    } finally { qm.stop(); qv.stop() }
+  }
 }
