@@ -3253,6 +3253,58 @@ object SparkEntry {
       |  (sents >= 3 AND NOT lorem AND NOT brace AND NOT bad) AS pass
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Readability gate ([[TextAnalysis.withReadability]]): Flesch
+    * reading ease + Flesch-Kincaid grade over planted 3-sentence
+    * pages built from each document's text. All counts (Unicode word
+    * tokens, vowel-group syllables, clamped sentence marks) are
+    * integers and the two scores are a fixed IEEE operation sequence,
+    * so every column hash-compares against DuckDB replaying the same
+    * arithmetic.
+    */
+  private def q117Readability(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.withColumn(
+      "ptext",
+      concat(
+        substring(col("text"), 1, 80), lit(". "),
+        substring(col("text"), 81, 80), lit(". the end.")))
+    TextAnalysis
+      .withReadability(planted, "ptext")
+      .select(col("doc_id"), col("n_words_rd"), col("n_sentences_rd"),
+        col("n_syllables"), col("flesch_ease"), col("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  private val q117Oracle =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 80) || '. ' || substr(text, 81, 80) || '. the end.' AS t
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, t,
+      |    list_filter(regexp_split_to_array(lower(t), '[^\p{L}\p{N}_]+'),
+      |                x -> x <> '') AS toks
+      |  FROM p
+      |), s AS (
+      |  SELECT doc_id,
+      |    len(toks) AS w,
+      |    COALESCE(list_sum(list_transform(toks,
+      |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS sy,
+      |    greatest(len(regexp_extract_all(t, '[.!?]')), 1) AS se
+      |  FROM b
+      |)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS n_words_rd,
+      |  CAST(se AS BIGINT) AS n_sentences_rd,
+      |  CAST(sy AS BIGINT) AS n_syllables,
+      |  CASE WHEN w > 0 THEN
+      |    206.835 - 1.015 * (CAST(w AS DOUBLE) / se) - 84.6 * (CAST(sy AS DOUBLE) / w)
+      |  END AS flesch_ease,
+      |  CASE WHEN w > 0 THEN
+      |    0.39 * (CAST(w AS DOUBLE) / se) + 11.8 * (CAST(sy AS DOUBLE) / w) - 15.59
+      |  END AS fk_grade
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3429,6 +3481,7 @@ object SparkEntry {
     "q114_blocklist_planted" -> (q114BlocklistPlanted _),
     "q115_distinct_ngrams" -> (q115DistinctN _),
     "q116_c4_flags" -> (q116C4Flags _),
+    "q117_readability" -> (q117Readability _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3535,5 +3588,6 @@ object SparkEntry {
     "q114_blocklist_planted" -> q114Oracle,
     "q115_distinct_ngrams" -> q115Oracle,
     "q116_c4_flags" -> q116Oracle,
+    "q117_readability" -> q117Oracle,
   )
 }

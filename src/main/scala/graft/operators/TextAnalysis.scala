@@ -636,4 +636,75 @@ object TextAnalysis {
       )
       .withColumn("common_frac", col("n_common").cast("double") / col("n_grams"))
   }
+
+  // ------------------------------------------------------- readability
+
+  final case class ReadabilityStats(
+      n_words_rd: Long,
+      n_sentences_rd: Long,
+      n_syllables: Long,
+      flesch_ease: Option[Double],
+      fk_grade: Option[Double],
+  )
+
+  /** Flesch reading ease + Flesch-Kincaid grade level (Kincaid et
+    * al. 1975) — the standard text-difficulty metrics a curriculum-
+    * ordered training pipeline sorts or buckets by. Deterministic,
+    * DuckDB-replayable conventions: words are the shared Unicode
+    * tokenization ([[graft.textutil.TextHash.tokenize]]), sentences
+    * are occurrences of `.` `!` `?` clamped to ≥ 1 (the C4 kernel's
+    * sentence convention), and syllables per word are maximal runs of
+    * `[aeiouy]` clamped to ≥ 1 per word — the classic vowel-group
+    * heuristic (English-calibrated like the published formulas;
+    * non-Latin words count 1 syllable each, so scores on non-English
+    * text are defined but not meaningful). Zero-word text yields null
+    * scores rather than a division artifact.
+    */
+  private[graft] def readabilityKernel(text: String): ReadabilityStats = {
+    val t = if (text == null) "" else text
+    val toks = graft.textutil.TextHash.tokenize(t)
+    val nWords = toks.length.toLong
+    var syl = 0L
+    toks.foreach { w =>
+      var cnt = 0
+      var inRun = false
+      var i = 0
+      while (i < w.length) {
+        val c = w.charAt(i)
+        val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+        if (v && !inRun) cnt += 1
+        inRun = v
+        i += 1
+      }
+      syl += math.max(cnt, 1)
+    }
+    var sents = 0L
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '.' || c == '!' || c == '?') sents += 1
+      i += 1
+    }
+    val sentsCl = math.max(sents, 1L)
+    if (nWords == 0L) ReadabilityStats(0L, sentsCl, 0L, None, None)
+    else {
+      // exact IEEE operation order mirrored by the oracle SQL:
+      // ((c0 - c1*wps) - c2*spw) and ((c3*wps + c4*spw) - c5)
+      val wps = nWords.toDouble / sentsCl
+      val spw = syl.toDouble / nWords
+      ReadabilityStats(nWords, sentsCl, syl,
+        Some(206.835 - 1.015 * wps - 84.6 * spw),
+        Some(0.39 * wps + 11.8 * spw - 15.59))
+    }
+  }
+
+  /** Add `n_words_rd`, `n_sentences_rd`, `n_syllables`,
+    * `flesch_ease`, `fk_grade` — pure per-row map, no shuffle.
+    */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val u = udf { (t: String) => readabilityKernel(t) }
+    val fields = Seq("n_words_rd", "n_sentences_rd", "n_syllables", "flesch_ease", "fk_grade")
+    val flagged = df.withColumn("__rd", u(col(textCol)))
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__rd.$f"))).drop("__rd")
+  }
 }

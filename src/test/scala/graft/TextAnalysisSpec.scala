@@ -729,4 +729,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L) == "a\n\nb\nc")
     assert(out(4L) == null)
   }
+
+  // ------------------------------------------------------- readability
+
+  test("readability: hand-computed counts and exact formula arithmetic") {
+    val txt = "the quick brown fox. it jumps high!"
+    val out = graft.operators.TextAnalysis
+      .withReadability(Seq((1L, txt)).toDF("id", "text"), "text")
+      .select("n_words_rd", "n_sentences_rd", "n_syllables", "flesch_ease", "fk_grade")
+      .collect().head
+    assert(out.getLong(0) == 7L)
+    assert(out.getLong(1) == 2L)
+    assert(out.getLong(2) == 7L) // every word is one vowel group
+    val wps = 7.0 / 2
+    val spw = 7.0 / 7
+    assert(out.getDouble(3) == 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(out.getDouble(4) == 0.39 * wps + 11.8 * spw - 15.59)
+  }
+
+  test("readability: vowel-group syllables, consonant clamp, sentence clamp") {
+    val cases = Seq(
+      (1L, "beautiful"), // eau + i + u = 3
+      (2L, "rhythm"),    // the y = 1
+      (3L, "xyzzy"),     // y + y = 2
+      (4L, "mmm"),       // no vowels -> clamp to 1
+      (5L, "no terminal punctuation here"), // sentence count clamps to 1
+    )
+    val out = graft.operators.TextAnalysis
+      .withReadability(cases.toDF("id", "text"), "text")
+      .orderBy("id")
+      .select("n_syllables", "n_sentences_rd")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 1L, 9L))
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
+  test("readability: empty and null text yield null scores, zero counts") {
+    val out = graft.operators.TextAnalysis
+      .withReadability(Seq((1L, ""), (2L, null: String)).toDF("id", "text"), "text")
+      .select("n_words_rd", "n_syllables", "flesch_ease", "fk_grade")
+      .collect()
+    assert(out.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L
+      && r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
