@@ -133,6 +133,12 @@ object CorpusPipeline {
     *      `blocklist` ([[WebText.filterBlockedHosts]]) on the
     *      normalized host — both default off so existing output is
     *      byte-stable
+    *   2c. optional C4 cleaning ([[QualityFilters.c4Clean]],
+    *      `c4 = true`, default off): the published line rules strip
+    *      unpunctuated/short/javascript/policy lines and the document
+    *      rules drop brace/lorem-ipsum/thin pages BEFORE language ID
+    *      and Gopher see the text — C4's position in its own
+    *      pipeline
     *   3. language ID ([[TextAnalysis.withLangId]]); `langs` nonEmpty
     *      keeps only those languages, empty keeps everything
     *   4. language-conditioned Gopher quality
@@ -174,6 +180,7 @@ object CorpusPipeline {
       materialize: Materialize = Materialize.LocalCheckpoint,
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
   ): DataFrame = {
     val extracted0 = WebText
       .htmlToText(
@@ -183,10 +190,11 @@ object CorpusPipeline {
     // optional NFC canonicalization BEFORE any hashing stage, so
     // composed/decomposed spellings of the same page dedup together
     // (default off: byte-stable output for existing callers)
-    val extracted =
+    val extracted1 =
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
       else extracted0
+    val extracted = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
     val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
     // optional domain blocklist, applied on the normalized host as
     // early as possible (blocked pages never reach langId/quality)

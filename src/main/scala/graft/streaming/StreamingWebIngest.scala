@@ -115,9 +115,10 @@ object StreamingWebIngest {
       dedupWatermark: String = "10 minutes",
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
-      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc)
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -140,6 +141,7 @@ object StreamingWebIngest {
       langs: Seq[String],
       blocklist: Option[DataFrame],
       canonicalizeNfc: Boolean,
+      c4: Boolean,
   ): DataFrame = {
     val extracted0 = WebText
       .htmlToText(
@@ -151,10 +153,13 @@ object StreamingWebIngest {
         "__html",
         outCol = "text")
       .drop("__html")
-    val extracted =
+    val extracted1 =
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
       else extracted0
+    // optional C4 cleaning (batch twin: CorpusPipeline.webIngest's
+    // `c4`) — a per-row kernel + filter, stateless and stream-safe
+    val extracted = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
     val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
     // stream-static joins: the blocklist is a static frame, and both
     // the semi- and anti-join legs are append-mode-supported
@@ -212,13 +217,14 @@ object StreamingWebIngest {
       dedupWatermark: String = "10 minutes",
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
       numHashes: Int = 128,
       bands: Int = 32,
       estThreshold: Double = 0.7,
       nearDupWatermark: String = "10 minutes",
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
-      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc)
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

@@ -253,4 +253,31 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(runPrepare(false) == Set(30L, 31L))
     assert(runPrepare(true).size == 1)
   }
+
+  test("webIngest c4 option: line rules strip boilerplate, doc rules drop thin pages, default off") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    // doc 50: three punctuated paragraphs + a javascript line; doc 51:
+    // long fluent prose WITHOUT terminal punctuation — Gopher passes
+    // it, C4's line rules erase it (0 sentences < 3)
+    val html50 = "<html><body>" +
+      s"<p>${distinctProse(1)}.</p>" +
+      "<p>please enable javascript to continue reading here.</p>" +
+      s"<p>${distinctProse(5)}!</p><p>${distinctProse(9)}?</p></body></html>"
+    val html51 = s"<html><body><p>${distinctProse(7)}</p></body></html>"
+    val rows = Seq((50L, html50, "http://good.com/a"), (51L, html51, "http://good.com/b"))
+      .toDF("doc_id", "html", "url")
+    def run(c4: Boolean) = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", seqLen = 64, jaccardThreshold = 1.5, c4 = c4)
+      .select($"id", $"chunk_text").as[(Long, String)].collect()
+    val off = run(c4 = false)
+    assert(off.map(_._1).toSet == Set(50L, 51L), s"default off keeps both: ${off.map(_._1).toSet}")
+    assert(off.exists(r => r._1 == 50L && r._2.contains("javascript")),
+      "without c4 the javascript line survives into chunks")
+    val on = run(c4 = true)
+    assert(on.map(_._1).toSet == Set(50L), s"c4 drops the unpunctuated page: ${on.map(_._1).toSet}")
+    assert(on.forall(!_._2.contains("javascript")), "c4 strips the javascript line")
+  }
 }

@@ -886,4 +886,39 @@ class StreamingSpec extends SparkTestBase {
       assert(compacted == Set(30L, 40L), s"compacted: $compacted")
     } finally { qm.stop(); qv.stop() }
   }
+
+  test("webIngestStream c4 option: stream ≡ batch, unpunctuated page drops, js line stripped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val html60 = "<html><body>" +
+      s"<p>${distinctProse(1)}.</p>" +
+      "<p>please enable javascript to continue reading here.</p>" +
+      s"<p>${distinctProse(5)}!</p><p>${distinctProse(9)}?</p></body></html>"
+    val html61 = s"<html><body><p>${distinctProse(7)}</p></body></html>"
+    val rows = Seq(
+      WebDoc(60L, new java.sql.Timestamp(t0 + 1000), html60, "http://good.com/a"),
+      WebDoc(61L, new java.sql.Timestamp(t0 + 2000), html61, "http://good.com/b"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url", c4 = true)
+      .writeStream.format("memory").queryName("wis_c4").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wis_c4").select($"id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(stream.keySet == Set(60L), s"stream: ${stream.keySet}")
+      assert(!stream(60L).contains("javascript"))
+      val batch = StreamingWebIngest
+        .webIngestStream(rows.toDF(), "doc_id", "ts", "html", "url", c4 = true)
+        .select($"id", $"text").as[(Long, String)].collect().toMap
+      assert(batch == stream, "batch evaluation of the c4 face must agree")
+    } finally q.stop()
+  }
 }
