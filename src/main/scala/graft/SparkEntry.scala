@@ -3305,6 +3305,54 @@ object SparkEntry {
       |  END AS fk_grade
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Planted victim-set gate for the STREAMING near-dup machinery —
+    * batch evaluation of [[graft.streaming.StreamingDedup.nearDupHits]]
+    * runs the identical banded-collision code path the stream runs
+    * (same signatures, same bucket state loop). Every 10th document
+    * gets a LATER-arriving near-identical copy (q66's construction
+    * plus event times); keep-first must name the copy as `victim_id`
+    * and the original as `kept_id` for every planted pair. The est
+    * threshold 0.5 sits far below the planted pairs' ~0.94 true
+    * Jaccard and far above unrelated word-soup overlap, and the
+    * estimator is deterministic (fixed OPH seeds), so the full victim
+    * set is exact, not probabilistic.
+    */
+  private def q118NearDupVictimsPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val t0 = 1717236000000000L // 2024-06-01 10:00:00 UTC, micros
+    val base = docs.select(
+      col("doc_id").cast("long").as("id"),
+      expr(s"timestamp_micros(${t0}L + doc_id * 1000000)").as("ts"),
+      col("text"))
+    val copies = docs.select(
+      (col("doc_id") + lit(1000000L)).as("id"),
+      expr(s"timestamp_micros(${t0}L + doc_id * 1000000 + 500000000)").as("ts"),
+      concat(col("text"), lit(" graftplant")).as("text"))
+    val hits = graft.streaming.StreamingDedup
+      .nearDupHits(base.unionByName(copies), "id", "ts", "text", estThreshold = 0.5)
+      .toDF()
+      .select(
+        col("victim_id"),
+        when(col("victim_id") === col("id_a"), col("id_b")).otherwise(col("id_a"))
+          .as("kept_id"))
+      .distinct()
+    val planted = docs.select(
+      (col("doc_id") + lit(1000000L)).as("victim_id"),
+      col("doc_id").as("kept_id"))
+    planted
+      .join(hits.withColumn("recovered", lit(true)), Seq("victim_id", "kept_id"), "left")
+      .select(col("victim_id"), col("kept_id"),
+        coalesce(col("recovered"), lit(false)).as("recovered"))
+      .orderBy("victim_id")
+      .localCheckpoint(true)
+  }
+
+  private val q118Oracle =
+    """SELECT doc_id + 1000000 AS victim_id, doc_id AS kept_id, true AS recovered
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY victim_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3482,6 +3530,7 @@ object SparkEntry {
     "q115_distinct_ngrams" -> (q115DistinctN _),
     "q116_c4_flags" -> (q116C4Flags _),
     "q117_readability" -> (q117Readability _),
+    "q118_neardup_victims_planted" -> (q118NearDupVictimsPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3589,5 +3638,6 @@ object SparkEntry {
     "q115_distinct_ngrams" -> q115Oracle,
     "q116_c4_flags" -> q116Oracle,
     "q117_readability" -> q117Oracle,
+    "q118_neardup_victims_planted" -> q118Oracle,
   )
 }

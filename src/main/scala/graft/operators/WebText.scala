@@ -197,7 +197,12 @@ object WebText {
     if (host.isEmpty) null else host
   }
 
-  private final case class UrlParts(url_norm: String, url_host: String)
+  // NOT private: whole-stage codegen generates Java that invokes the
+  // field accessors directly, and Janino cannot resolve methods on a
+  // Scala-private nested class — every query touching url parts was
+  // silently falling back to interpreted projection (ERROR CodeGenerator
+  // in the logs) until the modifier was dropped
+  final case class UrlParts(url_norm: String, url_host: String)
 
   /** Add `url_norm` and `url_host` columns for a URL column — ONE
     * parse per row (the host reads the already-normalized spelling),
