@@ -3353,6 +3353,49 @@ object SparkEntry {
     """SELECT doc_id + 1000000 AS victim_id, doc_id AS kept_id, true AS recovered
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY victim_id""".stripMargin
 
+  /** Tolerance gate for the HLL distinct-n face (q88's recipe applied
+    * to q115): exact totals/distincts replay verbatim in DuckDB and
+    * the sketch estimate must sit within 5% of exact — 6σ at p=14, and
+    * deterministic (fixed seed, register merges commute), so the
+    * booleans are stable, not probabilistic.
+    */
+  private def q119DistinctNApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val exact = TextAnalysis.distinctNgramStats(docs, "text", Seq(1, 2, 3))
+    val approx = TextAnalysis
+      .distinctNgramStatsApprox(docs, "text", Seq(1, 2, 3))
+      .select(col("n"), col("total_ngrams").as("total_approx"), col("distinct_ngrams_est"))
+    exact
+      .join(approx, "n")
+      .select(
+        col("n"),
+        col("total_ngrams"),
+        col("distinct_ngrams"),
+        (col("total_approx") === col("total_ngrams")).as("totals_match"),
+        (abs(col("distinct_ngrams_est") - col("distinct_ngrams"))
+          <= col("distinct_ngrams") * lit(0.05)).as("est_ok"),
+      )
+      .orderBy("n")
+  }
+
+  private val q119Oracle =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT n,
+      |    unnest(CASE WHEN len(w) >= n
+      |      THEN list_transform(generate_series(1, len(w) - n + 1), i ->
+      |             array_to_string(w[i:i+n-1], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM t, (VALUES (1), (2), (3)) AS ns(n))
+      |SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+      |  true AS totals_match,
+      |  true AS est_ok
+      |FROM g GROUP BY n ORDER BY n""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3531,6 +3574,7 @@ object SparkEntry {
     "q116_c4_flags" -> (q116C4Flags _),
     "q117_readability" -> (q117Readability _),
     "q118_neardup_victims_planted" -> (q118NearDupVictimsPlanted _),
+    "q119_distinct_ngrams_approx" -> (q119DistinctNApprox _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3639,5 +3683,6 @@ object SparkEntry {
     "q116_c4_flags" -> q116Oracle,
     "q117_readability" -> q117Oracle,
     "q118_neardup_victims_planted" -> q118Oracle,
+    "q119_distinct_ngrams_approx" -> q119Oracle,
   )
 }

@@ -637,6 +637,91 @@ object TextAnalysis {
       .withColumn("common_frac", col("n_common").cast("double") / col("n_grams"))
   }
 
+  /** HLL-register face of [[distinctNgramStats]] — the 100 TB scale
+    * path. The exact face's `countDistinct` shuffles the FULL
+    * distinct gram set (on a diverse corpus that is nearly the gram
+    * stream itself, the SCALE.md caveat); this one ships `2^p` bytes
+    * per n, total, ever: one mapPartitions pass tokenizes each
+    * document ONCE, slides every window size over the same token
+    * array (no per-n re-tokenize, no explode), updates one register
+    * set per n, and treeReduce max-merges. `total_ngrams` stays
+    * EXACT (integer sums commute); `distinct_ngrams` becomes the HLL
+    * estimate (±1.04/√2^p ≈ 0.8% at the default p=14, the same
+    * sketch contract as [[Sketches.hyperLogLog]] — identical
+    * registers, so estimates are bit-stable under any partitioning).
+    * Output schema matches the exact face with `_est` suffixes on
+    * the approximate columns.
+    */
+  def distinctNgramStatsApprox(
+      df: DataFrame,
+      textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3),
+      p: Int = 14,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
+    graft.operators.Sketches.Hll.checkP(p)
+    val nsS = ns.distinct.sorted
+    val spark = df.sparkSession
+    val m = 1 << p
+    val nN = nsS.size
+    val rdd = df.select(col(textCol).cast("string")).rdd
+    val merged: (Array[Long], Array[Array[Byte]]) =
+      if (rdd.getNumPartitions == 0) (new Array[Long](nN), Array.fill(nN)(new Array[Byte](m)))
+      else
+        rdd
+          .mapPartitions { it =>
+            val totals = new Array[Long](nN)
+            val regs = Array.fill(nN)(new Array[Byte](m))
+            val sb = new java.lang.StringBuilder(64)
+            it.foreach { row =>
+              if (!row.isNullAt(0)) {
+                val toks = graft.textutil.TextHash.tokenize(row.getString(0))
+                var i = 0
+                while (i < nN) {
+                  val n = nsS(i)
+                  var j = 0
+                  val last = toks.length - n
+                  while (j <= last) {
+                    sb.setLength(0)
+                    var k = 0
+                    while (k < n) {
+                      if (k > 0) sb.append(' ')
+                      sb.append(toks(j + k))
+                      k += 1
+                    }
+                    totals(i) += 1L
+                    graft.operators.Sketches.Hll.update(regs(i), sb.toString, p, seed)
+                    j += 1
+                  }
+                  i += 1
+                }
+              }
+            }
+            Iterator.single((totals, regs))
+          }
+          .treeReduce { (a, b) =>
+            var i = 0
+            while (i < nN) {
+              a._1(i) += b._1(i)
+              graft.operators.Sketches.Hll.maxMerge(a._2(i), b._2(i))
+              i += 1
+            }
+            a
+          }
+    import spark.implicits._
+    nsS.zipWithIndex
+      .map { case (n, i) =>
+        (n, merged._1(i), graft.operators.Sketches.Hll.estimate(merged._2(i)))
+      }
+      .filter(_._2 > 0L)
+      .toDF("n", "total_ngrams", "distinct_ngrams_est")
+      .withColumn(
+        "distinct_ratio_est",
+        col("distinct_ngrams_est").cast("double") / col("total_ngrams"))
+      .orderBy("n")
+  }
+
   // ------------------------------------------------------- readability
 
   final case class ReadabilityStats(

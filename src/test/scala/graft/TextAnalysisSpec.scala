@@ -730,6 +730,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) == null)
   }
 
+  test("distinctNgramStatsApprox: exact totals, estimate in the sketch band, layout-independent") {
+    val docs = (1 to 300)
+      .map(i => Tuple1(s"alpha beta gamma token$i delta shared words ${"epsilon " * (i % 4)}"))
+      .toDF("text")
+    val exact = graft.operators.TextAnalysis
+      .distinctNgramStats(docs, "text", Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p = 12
+    def run(parts: Int) = graft.operators.TextAnalysis
+      .distinctNgramStatsApprox(docs.repartition(parts), "text", Seq(1, 2), p = p)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = run(7)
+    Seq(1, 2).foreach { n =>
+      assert(approx(n)._1 == exact(n)._1, s"n=$n totals must be exact")
+      val band = math.max(3.0 * 1.04 / math.sqrt(1 << p) * exact(n)._2, 3.0)
+      assert(math.abs(approx(n)._2 - exact(n)._2) <= band,
+        s"n=$n est=${approx(n)._2} exact=${exact(n)._2} band=$band")
+    }
+    // register merges commute: any partitioning yields identical output
+    assert(run(1) == approx, "estimates must be bit-stable under repartitioning")
+  }
+
   // ------------------------------------------------------- readability
 
   test("readability: hand-computed counts and exact formula arithmetic") {
