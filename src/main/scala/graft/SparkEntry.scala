@@ -3396,6 +3396,126 @@ object SparkEntry {
       |  true AS est_ok
       |FROM g GROUP BY n ORDER BY n""".stripMargin
 
+  /** One-sided gate for the CMS common-n-gram face: the exact columns
+    * replay in DuckDB (q64's arithmetic) and the sketch face's
+    * never-undercount invariants pin the approximation as stable
+    * booleans — `n_grams` agree exactly (same tokenization, no
+    * sketch involved), `n_common_est ≥ n_common` and
+    * `max_gram_df_est ≥ max_gram_df` hold for EVERY document by CMS
+    * construction, deterministic regardless of collisions.
+    */
+  private def q120CommonNgramsApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val exact = graft.operators.TextAnalysis
+      .commonNgramStats(docs, "doc_id", "text", n = 3, minDf = 2L)
+    val approx = graft.operators.TextAnalysis
+      .commonNgramStatsApprox(docs, "doc_id", "text", n = 3, minDf = 2L)
+      .select(col("doc_id"), col("n_grams").as("n_grams_approx"),
+        col("n_common_est"), col("max_gram_df_est"))
+    exact
+      .join(approx, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_common"),
+        col("max_gram_df"),
+        (col("n_grams_approx") === col("n_grams")).as("grams_match"),
+        (col("n_common_est") >= col("n_common")).as("common_never_under"),
+        (col("max_gram_df_est") >= col("max_gram_df")).as("max_never_under"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val q120Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END)) AS gram
+      |  FROM t),
+      |d AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY gram)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN d.gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  max(d.gram_df) AS max_gram_df,
+      |  true AS grams_match,
+      |  true AS common_never_under,
+      |  true AS max_never_under
+      |FROM g JOIN d USING (gram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Soft-404 / placeholder-page gate ([[QualityFilters]] `docPhrases`
+    * + the [[QualityFilters.defaultSoft404Phrases]] preset): pages by
+    * `doc_id % 3` get an error-notice or parking-notice line appended
+    * to an otherwise-passing 3-sentence page — the document-level
+    * phrase rule must flag them and fail `pass`, replayed verbatim in
+    * DuckDB (line rules + every preset phrase probe + the pass
+    * conjunction).
+    */
+  private def q121Soft404Planted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val b = substring(col("text"), 1, 60)
+    val m = col("doc_id") % 3
+    val core = concat(b, lit(" alpha.\n"), b, lit(" gamma!\n"), b, lit(" delta?"))
+    val tail = when(m === 1, lit("\nsorry the page not found error appeared."))
+      .when(m === 2, lit("\nthis domain is for sale right now."))
+      .otherwise(lit(""))
+    val planted = docs.withColumn("ptext", concat(core, tail))
+    graft.operators.QualityFilters
+      .withC4Flags(planted, "ptext",
+        docPhrases = graft.operators.QualityFilters.defaultSoft404Phrases)
+      .select(col("doc_id"), col("n_sentences"), col("has_drop_phrase"), col("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val q121Oracle =
+    """WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 60) AS b, (doc_id % 3) AS m FROM documents
+      |), built AS (
+      |  SELECT doc_id,
+      |    b || ' alpha.' || chr(10) || b || ' gamma!' || chr(10) || b || ' delta?' ||
+      |    CASE WHEN m = 1 THEN chr(10) || 'sorry the page not found error appeared.'
+      |         WHEN m = 2 THEN chr(10) || 'this domain is for sale right now.'
+      |         ELSE '' END AS t
+      |  FROM p
+      |), k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(t, chr(10)), l ->
+      |      len(list_filter(regexp_split_to_array(l, '[ \t\f\r]+'), w -> w <> '')) >= 5
+      |      AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"' OR l LIKE '%”')
+      |      AND position('javascript' IN lower(l)) = 0
+      |      AND position('privacy policy' IN lower(l)) = 0
+      |      AND position('terms of use' IN lower(l)) = 0
+      |      AND position('cookie policy' IN lower(l)) = 0
+      |      AND position('uses cookies' IN lower(l)) = 0
+      |      AND position('use of cookies' IN lower(l)) = 0) AS ks
+      |  FROM built
+      |), c AS (
+      |  SELECT doc_id, array_to_string(ks, chr(10)) AS clean FROM k
+      |), f AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(clean, '[.!?]')) AS sents,
+      |    (position('page not found' IN lower(clean)) > 0
+      |     OR position('404 error' IN lower(clean)) > 0
+      |     OR position('error 404' IN lower(clean)) > 0
+      |     OR position('access denied' IN lower(clean)) > 0
+      |     OR position('this page does not exist' IN lower(clean)) > 0
+      |     OR position('domain is for sale' IN lower(clean)) > 0
+      |     OR position('under construction' IN lower(clean)) > 0
+      |     OR position('default web page' IN lower(clean)) > 0) AS soft,
+      |    (position('lorem ipsum' IN lower(clean)) > 0) AS lorem,
+      |    (position('{' IN clean) > 0) AS brace
+      |  FROM c
+      |)
+      |SELECT doc_id,
+      |  CAST(sents AS BIGINT) AS n_sentences,
+      |  soft AS has_drop_phrase,
+      |  (sents >= 3 AND NOT lorem AND NOT brace AND NOT soft) AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3575,6 +3695,8 @@ object SparkEntry {
     "q117_readability" -> (q117Readability _),
     "q118_neardup_victims_planted" -> (q118NearDupVictimsPlanted _),
     "q119_distinct_ngrams_approx" -> (q119DistinctNApprox _),
+    "q120_common_ngrams_approx" -> (q120CommonNgramsApprox _),
+    "q121_soft404_planted" -> (q121Soft404Planted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3684,5 +3806,7 @@ object SparkEntry {
     "q117_readability" -> q117Oracle,
     "q118_neardup_victims_planted" -> q118Oracle,
     "q119_distinct_ngrams_approx" -> q119Oracle,
+    "q120_common_ngrams_approx" -> q120Oracle,
+    "q121_soft404_planted" -> q121Oracle,
   )
 }

@@ -224,6 +224,7 @@ object QualityFilters {
       has_lorem_ipsum: Boolean,
       has_brace: Boolean,
       has_bad_word: Boolean,
+      has_drop_phrase: Boolean,
       pass: Boolean,
   )
 
@@ -234,6 +235,16 @@ object QualityFilters {
   val defaultC4DropPhrases: Seq[String] = Seq(
     "javascript", "privacy policy", "terms of use", "cookie policy",
     "uses cookies", "use of cookies")
+
+  /** Soft-404 / placeholder-page phrases (the RefinedWeb-style
+    * DOCUMENT-level drop: an HTTP-200 page whose body is an error or
+    * parking notice). Matched case-insensitively as substrings of the
+    * retained text via the `docPhrases` parameter — off by default.
+    */
+  val defaultSoft404Phrases: Seq[String] = Seq(
+    "page not found", "404 error", "error 404", "access denied",
+    "this page does not exist", "domain is for sale",
+    "under construction", "default web page")
 
   /** One-pass C4 cleaning kernel (Raffel et al. 2020, §2.2 "C4"):
     * line level — keep only lines with ≥ `minLineWords` whitespace
@@ -261,6 +272,7 @@ object QualityFilters {
       minSentences: Int,
       dropPhrases: Array[String],
       badwords: Array[String],
+      docPhrases: Array[String] = Array.empty,
   ): C4Flags = {
     val t = if (text == null) "" else text
     val lines = t.split("\n", -1)
@@ -288,9 +300,10 @@ object QualityFilters {
       val toks = graft.textutil.TextHash.tokenize(cleanLower)
       badwords.exists(b => toks.contains(b))
     }
+    val docPhrase = docPhrases.exists(cleanLower.contains)
     C4Flags(clean, kept.length.toLong, (lines.length - kept.length).toLong, sentences,
-      lorem, brace, bad,
-      sentences >= minSentences && !lorem && !brace && !bad)
+      lorem, brace, bad, docPhrase,
+      sentences >= minSentences && !lorem && !brace && !bad && !docPhrase)
   }
 
   /** Add the C4 cleaning columns: `clean_text` (the line-filtered
@@ -306,13 +319,15 @@ object QualityFilters {
       minSentences: Int = 3,
       dropPhrases: Seq[String] = defaultC4DropPhrases,
       badwords: Seq[String] = Nil,
+      docPhrases: Seq[String] = Nil,
   ): DataFrame = {
     val dp = dropPhrases.map(_.toLowerCase).toArray
     val bw = badwords.map(_.toLowerCase).toArray
-    val u = udf { (t: String) => c4Kernel(t, minLineWords, minSentences, dp, bw) }
+    val dpp = docPhrases.map(_.toLowerCase).toArray
+    val u = udf { (t: String) => c4Kernel(t, minLineWords, minSentences, dp, bw, dpp) }
     val flagged = df.withColumn("__c4", u(col(textCol)))
     val fields = Seq("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
-      "has_lorem_ipsum", "has_brace", "has_bad_word", "pass")
+      "has_lorem_ipsum", "has_brace", "has_bad_word", "has_drop_phrase", "pass")
     fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__c4.$f"))).drop("__c4")
   }
 
@@ -326,10 +341,11 @@ object QualityFilters {
       minSentences: Int = 3,
       dropPhrases: Seq[String] = defaultC4DropPhrases,
       badwords: Seq[String] = Nil,
+      docPhrases: Seq[String] = Nil,
   ): DataFrame =
-    withC4Flags(df, textCol, minLineWords, minSentences, dropPhrases, badwords)
+    withC4Flags(df, textCol, minLineWords, minSentences, dropPhrases, badwords, docPhrases)
       .where(col("pass"))
       .withColumn(textCol, col("clean_text"))
       .drop("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
-        "has_lorem_ipsum", "has_brace", "has_bad_word", "pass")
+        "has_lorem_ipsum", "has_brace", "has_bad_word", "has_drop_phrase", "pass")
 }

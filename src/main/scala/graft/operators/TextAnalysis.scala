@@ -637,6 +637,58 @@ object TextAnalysis {
       .withColumn("common_frac", col("n_common").cast("double") / col("n_grams"))
   }
 
+  /** CMS face of [[commonNgramStats]] — the gram-keyed shuffle+join
+    * eliminated for the 100 TB path. Pass 1 builds a Count-Min sketch
+    * of gram DOCUMENT frequencies (each doc contributes its distinct
+    * grams once; grids are per-partition and treeReduce-merged —
+    * grams never shuffle, [[Sketches.countMinSketch]]). Pass 2
+    * re-derives each doc's distinct grams and probes the broadcast
+    * grid — no join, no second shuffle.
+    *
+    * Error contract (one-sided, deterministic): CMS never
+    * undercounts, so `n_common_est ≥ n_common` and
+    * `max_gram_df_est ≥ max_gram_df` are INVARIANTS — boilerplate
+    * detection errs toward flagging, never toward missing. A gram
+    * overcounts only when it collides in ALL `depth` rows
+    * (≈ load^depth); size `width` ≳ 4× distinct grams for ≲1e-4
+    * per-gram overcount odds at depth 4. Output mirrors the exact
+    * face with `_est` suffixes.
+    */
+  def commonNgramStatsApprox(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDf: Long = 2L,
+      depth: Int = 4,
+      width: Int = 1 << 18,
+      seed: Long = 42L,
+  ): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(distinctWordNgrams(col(textCol), n)).as("gram"))
+    val cms = graft.operators.Sketches.countMinSketch(grams, "gram", depth, width, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val scoreUdf = udf { (gs: Seq[String]) =>
+      val m = bc.value
+      var common = 0L
+      var mx = 0L
+      if (gs != null) gs.foreach { g =>
+        val e = m.estimate(g)
+        if (e >= minDf) common += 1L
+        if (e > mx) mx = e
+      }
+      (if (gs == null) 0L else gs.size.toLong, common, mx)
+    }
+    df.select(col(idCol).as("doc_id"), scoreUdf(distinctWordNgrams(col(textCol), n)).as("__s"))
+      .select(
+        col("doc_id"),
+        col("__s._1").as("n_grams"),
+        col("__s._2").as("n_common_est"),
+        col("__s._3").as("max_gram_df_est"))
+      .where(col("n_grams") > 0)
+      .withColumn("common_frac_est", col("n_common_est").cast("double") / col("n_grams"))
+  }
+
   /** HLL-register face of [[distinctNgramStats]] — the 100 TB scale
     * path. The exact face's `countDistinct` shuffles the FULL
     * distinct gram set (on a diverse corpus that is nearly the gram

@@ -175,6 +175,20 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out.toSeq == Seq(true, false)) // substring "gambler" must NOT match
   }
 
+  test("c4: soft-404 docPhrases flag placeholder pages; off by default") {
+    val three = Seq(keptLine, keptLine, keptLine).mkString("\n")
+    val soft = three + "\nsorry the Page Not Found error appeared."
+    val out = QualityFilters
+      .withC4Flags(Seq((1L, soft), (2L, three)).toDF("id", "text"), "text",
+        docPhrases = QualityFilters.defaultSoft404Phrases)
+      .orderBy("id").select("has_drop_phrase", "pass").as[(Boolean, Boolean)].collect()
+    assert(out.toSeq == Seq((true, false), (false, true)))
+    // default (no docPhrases): the same page passes untouched
+    val dflt = QualityFilters.withC4Flags(Seq((1L, soft)).toDF("id", "text"), "text")
+      .select("has_drop_phrase", "pass").as[(Boolean, Boolean)].head()
+    assert(dflt == ((false, true)))
+  }
+
   test("c4: empty and null text fail without crashing; c4Clean swaps text") {
     val out = QualityFilters
       .withC4Flags(Seq((1L, ""), (2L, null: String)).toDF("id", "text"), "text")

@@ -730,6 +730,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) == null)
   }
 
+  test("commonNgramStatsApprox: collision-free regime equals exact; tiny grid never undercounts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma other words here"), // shares the 'alpha beta gamma' trigram
+      (3L, "totally different text content here now"),
+    ).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = rows(graft.operators.TextAnalysis.commonNgramStats(docs, "id", "text"))
+    val approx = rows(graft.operators.TextAnalysis.commonNgramStatsApprox(docs, "id", "text"))
+    assert(approx == exact, s"wide grid must be collision-free: $approx vs $exact")
+    // a 2-cell grid collides massively — the one-sided contract must hold
+    val tiny = rows(graft.operators.TextAnalysis
+      .commonNgramStatsApprox(docs, "id", "text", width = 2))
+    exact.zip(tiny).foreach { case ((id, ng, nc, mx), (idT, ngT, ncT, mxT)) =>
+      assert(id == idT && ng == ngT)
+      assert(ncT >= nc && mxT >= mx, s"doc $id: CMS must never undercount")
+    }
+  }
+
   test("distinctNgramStatsApprox: exact totals, estimate in the sketch band, layout-independent") {
     val docs = (1 to 300)
       .map(i => Tuple1(s"alpha beta gamma token$i delta shared words ${"epsilon " * (i % 4)}"))
