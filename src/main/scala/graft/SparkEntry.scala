@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.sql.Macros
@@ -3516,6 +3516,134 @@ object SparkEntry {
       |  (sents >= 3 AND NOT lorem AND NOT brace AND NOT soft) AS pass
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --- q122: planted END-TO-END oracle for the batch web-ingest face ---
+
+  /** English stopwords used by the q122 planted corpus — all present in
+    * BOTH the lang-id profile and the Gopher en stopword list, and in
+    * no other language's profile, so langId scores en decisively.
+    */
+  private val q122Stops =
+    Array("the", "and", "that", "this", "have", "from", "was", "were", "not", "with")
+
+  /** Boilerplate line shared by every planted page. Deliberately free
+    * of en-profile stopwords so the digits-only page still scores
+    * "und" (its only letters come from this line).
+    */
+  private val q122Boiler =
+    "please subscribe immediately regarding complete newsletter updates today"
+
+  /** 2·pairs-word English content unique to `idCol`: alternating
+    * (stopword, "item{id}x{k}") pairs. Every token 3-gram contains an
+    * id-specific item word, so DISTINCT docs share zero MinHash
+    * shingles (no accidental near-dups at any scale), while the 50%
+    * stopword ratio keeps langId=en and the Gopher bundle green.
+    */
+  private def q122Content(idCol: Column, pairs: Int): Column = {
+    val stops = array(q122Stops.map(lit).toIndexedSeq: _*)
+    array_join(
+      transform(
+        sequence(lit(0), lit(pairs - 1)),
+        k => concat(
+          element_at(stops, (k % 10).cast("int") + 1),
+          lit(" item"), idCol.cast("string"), lit("x"), k.cast("string"))),
+      " ")
+  }
+
+  /** The flagship batch composition ([[graft.operators.CorpusPipeline
+    * .webIngest]]) hash-checked END-TO-END against a closed-form
+    * oracle — the planted corpus exercises every stage with a
+    * deterministic outcome:
+    *
+    *   - `doc_id % 10 = 0` → host `ads.blocked.example.com`, dropped
+    *     by the subdomain blocklist (`blocked.example.com` entry);
+    *   - `% 10 = 1` → digits-only body, langId "und", dropped by the
+    *     `langs = en` filter;
+    *   - `% 10 = 2` → fluent but 28 words < the 50-word Gopher floor,
+    *     dropped by the quality stage;
+    *   - `% 10 = 6` → near-identical copy of doc_id−1's content (one
+    *     appended token, shingle Jaccard ≈ 52/53), dropped by the
+    *     MinHash stage with doc_id−1 kept (keep-min-id);
+    *   - the rest survive; the shared boilerplate line collapses to
+    *     the minimum surviving doc via corpus-wide line dedup; hosts
+    *     `site{id%3}.example.com` are capped at 80 docs in md5-of-id
+    *     order; every survivor is exactly one ≤64-token chunk; the
+    *     packed layout (pos/start_offset/pack bounds) replays the
+    *     seeded md5 shuffle order.
+    *
+    * The oracle reconstructs the full output — surviving chunk set,
+    * chunk TEXT, token counts, host-cap survivors, and the packed
+    * layout — in pure SQL, so any stage regression (extraction,
+    * normalization, langId, Gopher, either dedup, the cap, chunking,
+    * or packing) hash-fails the driver gate.
+    */
+  private def q122WebIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = col("doc_id") % 10
+    val content = when(r === 1,
+        expr("""array_join(transform(sequence(0, 59),
+                | k -> CAST(doc_id * 100 + k AS STRING)), ' ')""".stripMargin))
+      .when(r === 2, q122Content(col("doc_id"), 10))
+      .when(r === 6, concat(q122Content(col("doc_id") - 1, 27), lit(" graftplant")))
+      .otherwise(q122Content(col("doc_id"), 27))
+    val html = concat(
+      lit(s"<html><body><p>$q122Boiler</p><p>"), content, lit("</p></body></html>"))
+    val url = when(r === 0,
+        concat(lit("http://ads.blocked.example.com/p/"), col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("http://site"), (col("doc_id") % 3).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+    val pages = load(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"), url.as("url"))
+    val blocklist = Seq("blocked.example.com").toDF("domain")
+    graft.operators.CorpusPipeline
+      .webIngest(pages, "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 80, seqLen = 64, blocklist = Some(blocklist))
+      .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pos"), col("start_offset"),
+        col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
+      .orderBy("id")
+  }
+
+  private val q122Oracle =
+    s"""WITH surv AS (
+       |  SELECT doc_id,
+       |    'site' || (doc_id % 3) || '.example.com' AS url_host,
+       |    'http://site' || (doc_id % 3) || '.example.com/p/' || doc_id AS url_norm
+       |  FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2, 6)
+       |), keeper AS (
+       |  SELECT min(doc_id) AS kid FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2)
+       |), txt AS (
+       |  SELECT s.doc_id, s.url_host, s.url_norm,
+       |    CASE WHEN s.doc_id = k.kid THEN '$q122Boiler' || ' ' ELSE '' END ||
+       |    array_to_string(list_transform(generate_series(0, 26),
+       |      k -> ['the','and','that','this','have','from','was','were','not','with'][(k % 10) + 1]
+       |           || ' item' || s.doc_id || 'x' || k), ' ') AS chunk_text,
+       |    CAST(CASE WHEN s.doc_id = k.kid THEN 62 ELSE 54 END AS BIGINT) AS n_chunk_tokens
+       |  FROM surv s, keeper k
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT t.*, row_number() OVER (
+       |      PARTITION BY url_host ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |    FROM txt t) WHERE rn <= 80
+       |), keyed AS (
+       |  SELECT c.*, CAST(doc_id AS VARCHAR) || '#0' AS chunk_id,
+       |    md5(CAST(doc_id AS VARCHAR) || '#0:epoch0') AS skey
+       |  FROM capped c
+       |), laid AS (
+       |  SELECT k.*,
+       |    CAST(row_number() OVER (ORDER BY skey, chunk_id) AS BIGINT) AS pos,
+       |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (ORDER BY skey, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM keyed k
+       |)
+       |SELECT doc_id AS id, chunk_id, CAST(0 AS BIGINT) AS chunk_idx, chunk_text,
+       |  n_chunk_tokens, pos, start_offset,
+       |  start_offset // 64 AS pack_first,
+       |  (start_offset + n_chunk_tokens - 1) // 64 AS pack_last,
+       |  url_norm, url_host, 'en' AS lang_pred
+       |FROM laid ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3697,6 +3825,7 @@ object SparkEntry {
     "q119_distinct_ngrams_approx" -> (q119DistinctNApprox _),
     "q120_common_ngrams_approx" -> (q120CommonNgramsApprox _),
     "q121_soft404_planted" -> (q121Soft404Planted _),
+    "q122_web_ingest_planted" -> (q122WebIngestPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3808,5 +3937,6 @@ object SparkEntry {
     "q119_distinct_ngrams_approx" -> q119Oracle,
     "q120_common_ngrams_approx" -> q120Oracle,
     "q121_soft404_planted" -> q121Oracle,
+    "q122_web_ingest_planted" -> q122Oracle,
   )
 }

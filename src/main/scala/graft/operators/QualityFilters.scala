@@ -264,7 +264,9 @@ object QualityFilters {
     * [[gopherFlagsKernel]]): lines split on `\n` KEEPING trailing
     * empties (DuckDB `string_split` semantics), line words split on
     * the explicit class `[ \t\f\r]+`, phrase matching on
-    * `toLowerCase` (ASCII-identical to DuckDB `lower`).
+    * `toLowerCase(Locale.ROOT)` (ASCII-identical to DuckDB `lower`
+    * regardless of host locale — same convention as
+    * [[graft.textutil.TextHash.tokenize]]).
     */
   private[graft] def c4Kernel(
       text: String,
@@ -278,7 +280,7 @@ object QualityFilters {
     val lines = t.split("\n", -1)
     val kept = lines.filter { l =>
       val words = l.split("[ \t\f\r]+").count(_.nonEmpty)
-      val lower = l.toLowerCase
+      val lower = l.toLowerCase(java.util.Locale.ROOT)
       words >= minLineWords &&
       l.nonEmpty &&
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
@@ -293,7 +295,7 @@ object QualityFilters {
       if (c == '.' || c == '!' || c == '?') sentences += 1
       i += 1
     }
-    val cleanLower = clean.toLowerCase
+    val cleanLower = clean.toLowerCase(java.util.Locale.ROOT)
     val lorem = cleanLower.contains("lorem ipsum")
     val brace = clean.contains("{")
     val bad = badwords.nonEmpty && {
@@ -321,9 +323,9 @@ object QualityFilters {
       badwords: Seq[String] = Nil,
       docPhrases: Seq[String] = Nil,
   ): DataFrame = {
-    val dp = dropPhrases.map(_.toLowerCase).toArray
-    val bw = badwords.map(_.toLowerCase).toArray
-    val dpp = docPhrases.map(_.toLowerCase).toArray
+    val dp = dropPhrases.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    val bw = badwords.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    val dpp = docPhrases.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
     val u = udf { (t: String) => c4Kernel(t, minLineWords, minSentences, dp, bw, dpp) }
     val flagged = df.withColumn("__c4", u(col(textCol)))
     val fields = Seq("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
