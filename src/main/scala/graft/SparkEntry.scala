@@ -3644,6 +3644,79 @@ object SparkEntry {
        |  url_norm, url_host, 'en' AS lang_pred
        |FROM laid ORDER BY id""".stripMargin
 
+  /** Planted gate for the PII-redaction + soft-404 threading through
+    * the batch web-ingest face (the options land at `prepare`'s
+    * positions: soft-404 drop before langId, redaction BEFORE every
+    * dedup stage). Roles by `doc_id % 10` on the q122 corpus recipe
+    * (all pages on one host, each with a doc-specific contact suffix
+    * "contact mail{id}@example.org or 10.0.0.{id%250} soon"):
+    *
+    *   - `% 10 = 4` → an otherwise-fluent page containing "this
+    *     domain is for sale" — the soft-404 preset drops it before
+    *     any scoring;
+    *   - `% 10 = 9` → doc_id−1's content with its OWN contact
+    *     details — after redaction both spell the identical string,
+    *     so the pair collapses to the min-id doc (the redact-before-
+    *     dedup contract: contact-detail variants are duplicates);
+    *   - the rest survive with their contact suffix redacted to
+    *     " contact [EMAIL] or [IP] soon" in the shipped chunk text.
+    *
+    * The oracle replays the surviving chunk set, the REDACTED text
+    * verbatim, and the packed layout — so a regression in either
+    * option's stage position (redacting after dedup, or skipping the
+    * soft-404 drop) hash-fails the gate.
+    */
+  private def q123PiiIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 10
+    def contactFor(d: Column): Column = concat(
+      lit(" contact mail"), d.cast("string"), lit("@example.org or 10.0.0."),
+      (d % 250).cast("string"), lit(" soon"))
+    val content = when(r === 4,
+        concat(q122Content(col("doc_id"), 27), lit(" this domain is for sale right now")))
+      .when(r === 9, concat(q122Content(col("doc_id") - 1, 27), contactFor(col("doc_id"))))
+      .otherwise(concat(q122Content(col("doc_id"), 27), contactFor(col("doc_id"))))
+    val html = concat(lit("<html><body><p>"), content, lit("</p></body></html>"))
+    val url = concat(lit("http://site0.example.com/p/"), col("doc_id").cast("string"))
+    val pages = load(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"), url.as("url"))
+    graft.operators.CorpusPipeline
+      .webIngest(pages, "doc_id", "html", "url",
+        langs = Seq("en"), seqLen = 128, soft404 = true, redactPii = true)
+      .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pos"), col("start_offset"),
+        col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
+      .orderBy("id")
+  }
+
+  private val q123Oracle =
+    """WITH txt AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(generate_series(0, 26),
+      |      k -> ['the','and','that','this','have','from','was','were','not','with'][(k % 10) + 1]
+      |           || ' item' || doc_id || 'x' || k), ' ')
+      |    || ' contact [EMAIL] or [IP] soon' AS chunk_text,
+      |    CAST(59 AS BIGINT) AS n_chunk_tokens
+      |  FROM documents WHERE doc_id % 10 NOT IN (4, 9)
+      |), keyed AS (
+      |  SELECT t.*, CAST(doc_id AS VARCHAR) || '#0' AS chunk_id,
+      |    md5(CAST(doc_id AS VARCHAR) || '#0:epoch0') AS skey
+      |  FROM txt t
+      |), laid AS (
+      |  SELECT k.*,
+      |    CAST(row_number() OVER (ORDER BY skey, chunk_id) AS BIGINT) AS pos,
+      |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (ORDER BY skey, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM keyed k
+      |)
+      |SELECT doc_id AS id, chunk_id, CAST(0 AS BIGINT) AS chunk_idx, chunk_text,
+      |  n_chunk_tokens, pos, start_offset,
+      |  start_offset // 128 AS pack_first,
+      |  (start_offset + n_chunk_tokens - 1) // 128 AS pack_last,
+      |  'http://site0.example.com/p/' || doc_id AS url_norm,
+      |  'site0.example.com' AS url_host, 'en' AS lang_pred
+      |FROM laid ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3826,6 +3899,7 @@ object SparkEntry {
     "q120_common_ngrams_approx" -> (q120CommonNgramsApprox _),
     "q121_soft404_planted" -> (q121Soft404Planted _),
     "q122_web_ingest_planted" -> (q122WebIngestPlanted _),
+    "q123_pii_ingest_planted" -> (q123PiiIngestPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -3938,5 +4012,6 @@ object SparkEntry {
     "q120_common_ngrams_approx" -> q120Oracle,
     "q121_soft404_planted" -> q121Oracle,
     "q122_web_ingest_planted" -> q122Oracle,
+    "q123_pii_ingest_planted" -> q123Oracle,
   )
 }

@@ -139,12 +139,22 @@ object CorpusPipeline {
     *      rules drop brace/lorem-ipsum/thin pages BEFORE language ID
     *      and Gopher see the text — C4's position in its own
     *      pipeline
+    *   2d. optional soft-404 drop ([[QualityFilters.dropSoft404]],
+    *      `soft404 = true`, default off): HTTP-200 error/parking
+    *      pages drop on the [[QualityFilters.defaultSoft404Phrases]]
+    *      preset before any scoring sees them
     *   3. language ID ([[TextAnalysis.withLangId]]); `langs` nonEmpty
     *      keeps only those languages, empty keeps everything
     *   4. language-conditioned Gopher quality
     *      ([[QualityFilters.withGopherFlagsByLang]] — profiled
     *      languages must pass their bundle, out-of-scope scripts pass
     *      through for LM-based filtering downstream)
+    *   4b. optional PII redaction ([[TextAnalysis.redactPii]],
+    *      `redactPii = true`, default off): emails/IPs/phone runs →
+    *      typed placeholders. Position is load-bearing, the same as
+    *      [[prepare]]'s: BEFORE every dedup stage, so two pages
+    *      differing only in contact details collapse to one kept doc
+    *      instead of surviving as "distinct" content
     *   5. corpus-wide line dedup ([[Dedup.lineDedup]] — boilerplate
     *      lines drop; fully-boilerplate docs drop)
     *   6. exact + MinHash near-dup dedup ([[Dedup.cleanCorpus]],
@@ -181,6 +191,8 @@ object CorpusPipeline {
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
       c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
   ): DataFrame = {
     val extracted0 = WebText
       .htmlToText(
@@ -194,7 +206,9 @@ object CorpusPipeline {
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
       else extracted0
-    val extracted = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
+    val extracted2 = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
+    val extracted =
+      if (soft404) QualityFilters.dropSoft404(extracted2, "text") else extracted2
     val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
     // optional domain blocklist, applied on the normalized host as
     // early as possible (blocked pages never reach langId/quality)
@@ -206,10 +220,20 @@ object CorpusPipeline {
     val langKept =
       if (langs.isEmpty) withLang
       else withLang.where(col("lang_pred").isInCollection(langs))
-    val quality = QualityFilters
+    val quality0 = QualityFilters
       .withGopherFlagsByLang(langKept, "text", "lang_pred")
       .where(col("pass"))
       .select(col("id"), col("text"), col("url_norm"), col("url_host"), col("lang_pred"))
+    // PII redaction sits between the filters and the dedup stages
+    // (prepare's order): redacted text is what gets line-deduped,
+    // hashed, and shipped — contact-detail variants collapse
+    val quality =
+      if (redactPii)
+        TextAnalysis
+          .redactPii(quality0, "text")
+          .withColumn("text", col("redacted"))
+          .drop("redacted", "pii_found")
+      else quality0
     val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
     val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
     val lined = Dedup

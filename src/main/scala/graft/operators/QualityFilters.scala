@@ -246,6 +246,28 @@ object QualityFilters {
     "this page does not exist", "domain is for sale",
     "under construction", "default web page")
 
+  /** Drop soft-404 / parking placeholder pages: any document whose
+    * text contains one of `phrases` (case-insensitive substring) is
+    * removed. The document-level [[defaultSoft404Phrases]] preset as a
+    * STANDALONE filter — [[withC4Flags]]'s `docPhrases` applies the
+    * same rule but only alongside the full C4 line rules; pipelines
+    * that want the error-page drop without line cleaning use this.
+    * Pure codegen projection+filter (lower/contains, no UDF):
+    * shuffle-free, stream-safe, scan-scaled.
+    */
+  def dropSoft404(
+      df: DataFrame,
+      textCol: String,
+      phrases: Seq[String] = defaultSoft404Phrases,
+  ): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val lowered = lower(col(textCol))
+    val hit = phrases
+      .map(p => lowered.contains(p.toLowerCase(java.util.Locale.ROOT)))
+      .reduce(_ || _)
+    df.where(!coalesce(hit, lit(false)))
+  }
+
   /** One-pass C4 cleaning kernel (Raffel et al. 2020, §2.2 "C4"):
     * line level — keep only lines with ≥ `minLineWords` whitespace
     * words that end in a terminal punctuation mark (`.` `!` `?` `"`

@@ -116,9 +116,12 @@ object StreamingWebIngest {
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
       c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
-      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4)
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
+      soft404, redactPii)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -126,11 +129,19 @@ object StreamingWebIngest {
   }
 
   /** The STATELESS stages of the ingest (extract → urlparts →
-    * blocklist → langId → per-language Gopher → in-doc line dedup) —
-    * shared so the near-dup side stream can branch before any
-    * stateful operator (Spark supports only specific chains of
-    * stateful operators in one streaming query; branching here keeps
-    * each output query single-stateful).
+    * blocklist → langId → per-language Gopher → PII redaction → in-doc
+    * line dedup) — shared so the near-dup side stream can branch
+    * before any stateful operator (Spark supports only specific
+    * chains of stateful operators in one streaming query; branching
+    * here keeps each output query single-stateful).
+    *
+    * `soft404` and `redactPii` mirror the batch face's options at the
+    * SAME stage positions (soft-404 drop before langId; redaction
+    * after the quality filters, before every dedup stage) — both are
+    * per-row projections/filters, stateless and stream-safe, and the
+    * redact-before-dedup order is what makes contact-detail variants
+    * collapse in [[graft.streaming.EventStreams.dedupStream]]'s
+    * fingerprint state exactly like in the batch dedup.
     */
   private def cleanedFrontEnd(
       docs: DataFrame,
@@ -142,6 +153,8 @@ object StreamingWebIngest {
       blocklist: Option[DataFrame],
       canonicalizeNfc: Boolean,
       c4: Boolean,
+      soft404: Boolean,
+      redactPii: Boolean,
   ): DataFrame = {
     val extracted0 = WebText
       .htmlToText(
@@ -159,7 +172,9 @@ object StreamingWebIngest {
       else extracted0
     // optional C4 cleaning (batch twin: CorpusPipeline.webIngest's
     // `c4`) — a per-row kernel + filter, stateless and stream-safe
-    val extracted = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
+    val extracted2 = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
+    val extracted =
+      if (soft404) QualityFilters.dropSoft404(extracted2, "text") else extracted2
     val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
     // stream-static joins: the blocklist is a static frame, and both
     // the semi- and anti-join legs are append-mode-supported
@@ -171,11 +186,18 @@ object StreamingWebIngest {
     val langKept =
       if (langs.isEmpty) withLang
       else withLang.where(col("lang_pred").isInCollection(langs))
-    val quality = QualityFilters
+    val quality0 = QualityFilters
       .withGopherFlagsByLang(langKept, "text", "lang_pred")
       .where(col("pass"))
       .select(col("id"), col("ts"), col("text"), col("url_norm"), col("url_host"),
         col("lang_pred"))
+    val quality =
+      if (redactPii)
+        TextAnalysis
+          .redactPii(quality0, "text")
+          .withColumn("text", col("redacted"))
+          .drop("redacted", "pii_found")
+      else quality0
     TextAnalysis
       .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
       .drop("text")
@@ -218,13 +240,16 @@ object StreamingWebIngest {
       blocklist: Option[DataFrame] = None,
       canonicalizeNfc: Boolean = false,
       c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
       numHashes: Int = 128,
       bands: Int = 32,
       estThreshold: Double = 0.7,
       nearDupWatermark: String = "10 minutes",
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
-      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4)
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
+      soft404, redactPii)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

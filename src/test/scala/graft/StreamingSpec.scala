@@ -921,4 +921,51 @@ class StreamingSpec extends SparkTestBase {
       assert(batch == stream, "batch evaluation of the c4 face must agree")
     } finally q.stop()
   }
+
+  test("webIngestStream pii/soft404 options: stream ≡ batch, contact variants collapse, parking page drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def doc(id: Long, sec: Long, body: String, url: String) =
+      WebDoc(id, new java.sql.Timestamp(t0 + sec * 1000), page(body), url)
+    val rows = Seq(
+      // 70/71: identical prose, DIFFERENT contact details — must
+      // collapse to the first arrival once redaction runs before the
+      // fingerprint dedup state
+      doc(70L, 1, distinctProse(1) + " contact alice@example.org or 10.0.0.7 soon",
+        "http://a.com/p1"),
+      doc(71L, 2, distinctProse(1) + " contact bob@other.net or 10.0.0.9 soon",
+        "http://a.com/p2"),
+      // 72: fluent page that is really a parking notice
+      doc(72L, 3, distinctProse(2) + " this domain is for sale right now",
+        "http://a.com/p3"),
+      // 73: plain survivor
+      doc(73L, 4, distinctProse(3), "http://a.com/p4"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
+        langs = Seq("en"), soft404 = true, redactPii = true)
+      .writeStream.format("memory").queryName("wis_pii").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wis_pii").select($"id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(stream.keySet == Set(70L, 73L), s"stream: ${stream.keySet}")
+      assert(stream(70L).endsWith("contact [EMAIL] or [IP] soon"),
+        s"redacted text shipped: ${stream(70L)}")
+      assert(!stream(70L).contains("alice@"), "raw email must not survive")
+      val batch = StreamingWebIngest
+        .webIngestStream(rows.toDF(), "doc_id", "ts", "html", "url",
+          langs = Seq("en"), soft404 = true, redactPii = true)
+        .select($"id", $"text").as[(Long, String)].collect().toMap
+      assert(batch == stream, "batch evaluation of the pii/soft404 face must agree")
+    } finally q.stop()
+  }
 }
