@@ -566,11 +566,15 @@ object TextAnalysis {
     * Tokenization matches the shared Unicode word convention, so the
     * whole output oracle-checks (q115).
     *
-    * Scale shape: one explode + one two-phase aggregate per n —
-    * `total` partial-aggregates map-side; exact `distinct` is the
-    * standard expand-distinct plan whose shuffle is the distinct
-    * gram set, not the token stream. `ns` is a handful of small
-    * integers by design (1..4).
+    * Scale shape: ONE corpus scan for every requested n — each row
+    * tokenizes once and emits its (n, gram) pairs for all `ns` in a
+    * single explode, then one grouped aggregate keyed by n (`total`
+    * partial-aggregates map-side; exact `distinct` is the standard
+    * expand-distinct plan whose shuffle is the distinct gram set, not
+    * the token stream). The earlier one-pipeline-per-n formulation
+    * re-scanned and re-tokenized the corpus |ns| times for the same
+    * answer — 3× the scan cost at 100 TB for `ns = 1,2,3`. `ns` is a
+    * handful of small integers by design (1..4).
     */
   def distinctNgramStats(
       df: DataFrame,
@@ -578,26 +582,34 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(1, 2, 3),
   ): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
-    val toks = filter(split(lower(col(textCol)), TextHash.WordSplitRe), t => t =!= lit(""))
-    val perN = ns.distinct.sorted.map { n =>
-      val grams = when(size(toks) >= n,
+    val sorted = ns.distinct.sorted
+    val toks = df.select(
+      filter(split(lower(col(textCol)), TextHash.WordSplitRe), t => t =!= lit(""))
+        .as("toks"))
+    val pairTpe = "array<struct<n:int,gram:string>>"
+    val perN = sorted.map { n =>
+      when(size(col("toks")) >= n,
         transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-      df.select(explode(grams).as("gram"))
-        .agg(
-          count(lit(1)).as("total_ngrams"),
-          countDistinct(col("gram")).as("distinct_ngrams"))
-        .select(
-          lit(n).as("n"),
-          col("total_ngrams"),
-          col("distinct_ngrams"),
-          (col("distinct_ngrams").cast("double") / col("total_ngrams")).as("distinct_ratio"))
+          sequence(lit(0), size(col("toks")) - n),
+          i => struct(
+            lit(n).as("n"),
+            array_join(slice(col("toks"), i + 1, lit(n)), " ").as("gram"))))
+        .otherwise(expr(s"CAST(array() AS $pairTpe)"))
     }
-    // an n no document reaches yields no instances — drop the row
+    // an n no document reaches emits no pairs — its group never forms
     // (matches a GROUP BY replay, and avoids a 0/0 ratio)
-    perN.reduce(_.unionByName(_)).where(col("total_ngrams") > 0).orderBy("n")
+    toks
+      .select(explode(flatten(array(perN: _*))).as("p"))
+      .groupBy(col("p.n").as("n"))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("p.gram")).as("distinct_ngrams"))
+      .select(
+        col("n"),
+        col("total_ngrams"),
+        col("distinct_ngrams"),
+        (col("distinct_ngrams").cast("double") / col("total_ngrams")).as("distinct_ratio"))
+      .orderBy("n")
   }
 
   /** Cross-document n-gram commonality — the boilerplate-contamination
