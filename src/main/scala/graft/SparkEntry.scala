@@ -3717,6 +3717,49 @@ object SparkEntry {
       |  'site0.example.com' AS url_host, 'en' AS lang_pred
       |FROM laid ORDER BY id""".stripMargin
 
+  /** Planted gate for CCNet with an EXTERNAL clean target corpus
+    * (`lmTarget` — the paper's actual construction): the slice being
+    * scored is DELIBERATELY contaminated (25% fluent cycle-order
+    * docs, 50% half-scrambled, 25% fully reversed — the clean class
+    * is the minority), and the LM trains on a clean target of pure
+    * cycle text instead of the slice. Scores then depend only on how
+    * many of a doc's bigrams are cyclic-correct (9 > 4 > 0 of 10;
+    * every doc carries one OOV id token so the unique-suffix penalty
+    * is class-constant), so the class ordering is exact and the
+    * quantile cuts land deterministically: fluent and half-scrambled
+    * docs sit at-or-above the 0.7 cut (head, the >= tie rule), fully
+    * reversed docs fall below the 0.3 cut (tail). A self-trained LM
+    * on this slice would rank by similarity to the scrambled
+    * MAJORITY — the divergence `lmTarget` closes.
+    */
+  private def q124CcnetTargetPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Array("the", "quick", "brown", "fox", "jumps",
+      "over", "lazy", "dog", "again", "today")
+    val fluent = words.mkString(" ")
+    val neutral = (words.take(5) ++ words.drop(5).reverse).mkString(" ")
+    val garbage = words.reverse.mkString(" ")
+    val cls = col("doc_id") % 4
+    val base = when(cls === 0, lit(garbage))
+      .when(cls === 1, lit(fluent))
+      .otherwise(lit(neutral))
+    val planted = load(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      concat(base, lit(" "), (col("doc_id") + 10000L).cast("string")).as("text"))
+    val target = s.range(20).select(
+      lit("en").as("lang"),
+      lit((fluent + " " + fluent + " " + words.head)).as("text"))
+    graft.operators.CorpusPipeline
+      .ccnet(planted, "id", "text", langs = Seq("en"), vocabSize = 100,
+        headFrac = 0.3, tailFrac = 0.3, lmTarget = Some(target))
+      .select(col("id").as("doc_id"), col("ccnet_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val q124Oracle =
+    """SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'tail' ELSE 'head' END AS ccnet_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3900,6 +3943,7 @@ object SparkEntry {
     "q121_soft404_planted" -> (q121Soft404Planted _),
     "q122_web_ingest_planted" -> (q122WebIngestPlanted _),
     "q123_pii_ingest_planted" -> (q123PiiIngestPlanted _),
+    "q124_ccnet_target_planted" -> (q124CcnetTargetPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4013,5 +4057,6 @@ object SparkEntry {
     "q121_soft404_planted" -> q121Oracle,
     "q122_web_ingest_planted" -> q122Oracle,
     "q123_pii_ingest_planted" -> q123Oracle,
+    "q124_ccnet_target_planted" -> q124Oracle,
   )
 }

@@ -42,13 +42,22 @@ object CorpusPipeline {
     * ONE LM PER LANGUAGE, trained on that language's slice — a shared
     * LM over the mixed corpus would blend cross-language token
     * statistics, so a fluent minority-language doc scores as
-    * out-of-domain noise. Documented divergence from CCNet: the paper
-    * trains each LM on an external CLEAN target corpus (Wikipedia);
-    * here the LM is self-trained on the slice being scored (no
-    * external corpora in this environment), which ranks WITHIN the
-    * slice correctly but makes the absolute perplexity scale
-    * corpus-relative — only the quantile buckets, not raw perplexity,
-    * are comparable across runs.
+    * out-of-domain noise.
+    *
+    * `lmTarget` is CCNet's actual construction: the paper trains each
+    * LM on an external CLEAN target corpus (Wikipedia), so scores
+    * measure distance-to-clean-text rather than distance-to-this-
+    * corpus. Pass a frame with columns (`lang`, `text`) and each
+    * language's LM trains on its `lang` slice of the TARGET instead
+    * of the slice being scored — a heavily contaminated corpus slice
+    * can no longer drag its own quality bar down (the q124 planted
+    * gate pins this: majority-garbage slice, fluent docs still bucket
+    * head). A language absent from the target falls back to
+    * self-training. DEFAULT remains self-training (`None`) — the
+    * documented divergence, correct for within-slice ranking when no
+    * clean reference exists, with the caveat that absolute perplexity
+    * is then corpus-relative and only the quantile buckets are
+    * comparable across runs.
     *
     * The bucket thresholds come from `approx_percentile` (bounded
     * state per language) and broadcast back — one corpus scan per
@@ -68,9 +77,14 @@ object CorpusPipeline {
       tailFrac: Double = 1.0 / 3,
       minLineChars: Int = 5,
       materialize: Materialize = Materialize.LocalCheckpoint,
+      lmTarget: Option[DataFrame] = None,
   ): DataFrame = {
     require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1.0,
       "head/tail fractions must leave room for the middle bucket")
+    lmTarget.foreach { t =>
+      require(t.columns.contains("lang") && t.columns.contains("text"),
+        s"lmTarget needs (lang, text) columns, got: ${t.columns.mkString(", ")}")
+    }
     val deduped = Dedup
       .lineDedup(df, idCol, textCol, minLineChars)
       .where(length(trim(col("clean_text"))) > 0)
@@ -89,7 +103,13 @@ object CorpusPipeline {
     // passes scan disjoint slices of the materialized frame)
     val scored = langs.map { l =>
       val slice = withLang.where(col("lang_pred") === l)
-      LmQuality.score(slice, "text", LmQuality.train(slice, "text", vocabSize))
+      // clean-target slice when supplied and non-empty for this
+      // language; otherwise the documented self-training default
+      val trainSrc = lmTarget
+        .map(_.where(col("lang") === l).select(col("text")))
+        .filter(!_.isEmpty)
+        .getOrElse(slice)
+      LmQuality.score(slice, "text", LmQuality.train(trainSrc, "text", vocabSize))
     }.reduce(_ unionByName _)
     val cuts = scored
       .groupBy("lang_pred")

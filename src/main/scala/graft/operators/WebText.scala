@@ -250,12 +250,21 @@ object WebText {
     * comes back via LEFT ANTI on the id — two joins, both on narrow
     * (id, suffix) projections; text never moves.
     */
+  /** Ceiling for the STREAMING blocklist broadcast set: ~50 M domains
+    * ≈ several hundred MB of driver + per-executor heap, the
+    * practical broadcast bound. ENFORCED (not just documented) so an
+    * oversized list fails fast with guidance instead of surfacing as
+    * an opaque executor OOM mid-stream.
+    */
+  val MaxStreamBlocklistDomains: Long = 50000000L
+
   def filterBlockedHosts(
       df: DataFrame,
       idCol: String,
       hostCol: String,
       blocklist: DataFrame,
       domainCol: String = "domain",
+      maxBroadcastDomains: Long = MaxStreamBlocklistDomains,
   ): DataFrame = {
     // both sides case-fold: a crawled "Ads.BAD.com" must hit a
     // "bad.com" entry (hosts are case-insensitive per RFC 4343)
@@ -264,8 +273,14 @@ object WebText {
       // stateful aggregation plus a stream-stream self-join (not
       // append-supported). The list collapses to a broadcast set and
       // the check becomes a stateless per-row filter — streams as-is.
-      // Caveat: the list must fit in a broadcast (tens of millions of
-      // domains ≈ hundreds of MB — the practical ceiling).
+      // The list must fit in a broadcast — count first (one cheap job
+      // on the static frame) and fail actionably over the ceiling.
+      val n = blocklist.count()
+      require(n <= maxBroadcastDomains,
+        s"streaming blocklist has $n entries, over the $maxBroadcastDomains broadcast " +
+          "ceiling — a set this size cannot ship to every executor; pre-filter in batch " +
+          "mode instead (filterBlockedHosts on a static frame is an equi-join with no " +
+          "ceiling), or raise maxBroadcastDomains deliberately if the cluster has the heap")
       val domains = blocklist
         .select(lower(col(domainCol)))
         .collect()

@@ -121,6 +121,51 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(again == out.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
 
+  test("ccnet lmTarget: external clean target flips the verdict a contaminated slice self-deals") {
+    // slice: 1 fluent doc per 4, majority scrambled — self-training
+    // learns the scrambled majority's statistics; the clean target
+    // restores fluent > scrambled
+    val words = Array("the", "quick", "brown", "fox", "jumps",
+      "over", "lazy", "dog", "again", "today")
+    val fluent = words.mkString(" ")
+    val garbage = words.reverse.mkString(" ")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (if (i % 4 == 1) fluent else garbage) + " " + (90000 + i))
+    }.toDF("doc_id", "text")
+    val target = (0 until 10).map(_ => ("en", fluent + " " + fluent)).toDF("lang", "text")
+    val scored = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 100, lmTarget = Some(target))
+      .select($"id", $"avg_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fluentScores = scored.filter(_._1 % 4 == 1).values
+    val garbageScores = scored.filter(_._1 % 4 != 1).values
+    assert(fluentScores.min > garbageScores.max,
+      s"clean-target LM must rank every fluent doc above every scrambled one: " +
+        s"fluent min=${fluentScores.min} garbage max=${garbageScores.max}")
+    // self-trained on the same slice, the scrambled MAJORITY wins —
+    // the documented divergence lmTarget exists to close
+    val selfScored = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 100)
+      .select($"id", $"avg_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val selfFluent = selfScored.filter(_._1 % 4 == 1).values
+    val selfGarbage = selfScored.filter(_._1 % 4 != 1).values
+    assert(selfGarbage.max > selfFluent.min,
+      "self-trained LM on a scrambled-majority slice should NOT cleanly rank fluent on top")
+    // a language missing from the target falls back to self-training
+    // (no crash, same output as the no-target call)
+    val fallback = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 100,
+        lmTarget = Some(Seq(("fr", fluent)).toDF("lang", "text")))
+      .select($"id", $"ccnet_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selfBuckets = graft.operators.CorpusPipeline
+      .ccnet(docs, "doc_id", "text", vocabSize = 100)
+      .select($"id", $"ccnet_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fallback == selfBuckets, "missing-language target must fall back to self-training")
+  }
+
   test("webIngest: seven stages compose — extract, filter, dedup, cap, layout") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "

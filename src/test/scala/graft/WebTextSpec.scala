@@ -116,4 +116,28 @@ class WebTextSpec extends SparkTestBase {
       docs.withColumn("host", lit("Ads.BAD.com")), "id", "host", blocklist)
     assert(kept3.count() == 0L, "mixed-case host must match a lowercase entry")
   }
+
+  test("filterBlockedHosts streaming: broadcast ceiling enforced with an actionable error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val blocklist = Seq("a.com", "b.com", "c.com").toDF("domain")
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDS().toDF("id", "host")
+    // over the (test-sized) ceiling → fail fast at plan time, not as
+    // an executor OOM mid-stream
+    val e = intercept[IllegalArgumentException] {
+      WebText.filterBlockedHosts(docs, "id", "host", blocklist, maxBroadcastDomains = 2L)
+    }
+    assert(e.getMessage.contains("broadcast ceiling"), e.getMessage)
+    assert(e.getMessage.contains("batch"), "error must point at the batch alternative")
+    // at-or-under the ceiling the stream plans and runs
+    val q = WebText
+      .filterBlockedHosts(docs, "id", "host", blocklist, maxBroadcastDomains = 3L)
+      .writeStream.format("memory").queryName("bl_ceiling").outputMode("append").start()
+    try {
+      in.addData((1L, "a.com"), (2L, "sub.b.com"), (3L, "ok.org"))
+      q.processAllAvailable()
+      val kept = spark.table("bl_ceiling").select($"id").as[Long].collect().toSet
+      assert(kept == Set(3L), s"kept=$kept")
+    } finally q.stop()
+  }
 }
