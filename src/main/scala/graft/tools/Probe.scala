@@ -182,6 +182,33 @@ object Probe {
       return
     }
 
+    if (names.contains("q120_stages")) {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      timed("exact commonNgramStats")(println("[probe] exact rows=" +
+        graft.operators.TextAnalysis.commonNgramStats(docs, "doc_id", "text").count()))
+      timed("approx commonNgramStatsApprox")(println("[probe] approx rows=" +
+        graft.operators.TextAnalysis.commonNgramStatsApprox(docs, "doc_id", "text").count()))
+      val grams = docs.select(
+        col("doc_id"),
+        explode(graft.operators.TextAnalysis.distinctWordNgrams(col("text"), 3)).as("gram"))
+      timed("cms build alone")(
+        graft.operators.Sketches.countMinSketch(grams, "gram", 4, 1 << 18, 42L))
+      val exact = graft.operators.TextAnalysis
+        .commonNgramStats(docs, "doc_id", "text", n = 3, minDf = 2L)
+      val approx = timed("approx construct (eager CMS)")(
+        graft.operators.TextAnalysis
+          .commonNgramStatsApprox(docs, "doc_id", "text", n = 3, minDf = 2L)
+          .select(col("doc_id"), col("n_grams").as("n_grams_approx"),
+            col("n_common_est"), col("max_gram_df_est")))
+      val joined = exact.join(approx, "doc_id")
+        .select(col("doc_id"),
+          (col("n_grams_approx") === col("n_grams")).as("grams_match"))
+        .orderBy("doc_id")
+      timed("gate join evaluate")(println("[probe] joined=" + joined.count()))
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>
