@@ -3760,6 +3760,76 @@ object SparkEntry {
     """SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'tail' ELSE 'head' END AS ccnet_bucket
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Exact-string gate for tracking-parameter stripping
+    * ([[graft.operators.WebText.TrackingParams]], `withUrlParts(...,
+    * stripTracking = true)`): three URL shapes per doc — mixed
+    * real+tracking params (survivors keep their ORDER), an
+    * all-tracking query (the `?` disappears), and a clean query
+    * (byte-identical pass-through) — each normalized+stripped
+    * spelling reconstructed by DuckDB string concatenation. The
+    * mixed-case `UTM_Campaign` probe pins the case-folded name
+    * match.
+    */
+  private def q125UrlTrackingPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val id = col("doc_id").cast("string")
+    val base = concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:443/Article/"), id)
+    val url = when(col("doc_id") % 3 === 0,
+        concat(base, lit("?id="), id, lit("&utm_source=feed"), id,
+          lit("&page=2&gclid=g"), id, lit("&q=a+b#frag")))
+      .when(col("doc_id") % 3 === 1,
+        concat(base, lit("?utm_source=x&UTM_Campaign=y&fbclid=z#frag")))
+      .otherwise(concat(base, lit("?page=3")))
+    graft.operators.WebText
+      .withUrlParts(docs.withColumn("url", url), "url", stripTracking = true)
+      .select(col("doc_id"), col("url_norm"), col("url_host"))
+      .orderBy("doc_id")
+  }
+
+  private val q125Oracle =
+    """SELECT doc_id,
+      |  'https://www.site' || (doc_id % 7) || '.com/Article/' || doc_id ||
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN '?id=' || doc_id || '&page=2&q=a+b'
+      |    WHEN 1 THEN ''
+      |    ELSE '?page=3' END AS url_norm,
+      |  'www.site' || (doc_id % 7) || '.com' AS url_host
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Planted roundtrip gate for link-density main-content extraction
+    * ([[graft.operators.WebText.htmlToMainText]]): every doc's real
+    * text is wrapped in a page with a nav bar (pure anchor text,
+    * density 1), a content paragraph CONTAINING an inline link
+    * (density ≤ 0.32 even for empty docs — inline citations must
+    * survive), and a footer link row (density 12/13). Extraction
+    * must yield exactly the content line — nav and footer dropped,
+    * anchor text of the inline link kept.
+    */
+  private def q126MainContentPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val esc = regexp_replace(
+      regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;"),
+      ">", "&gt;")
+    val html = concat(
+      lit("<html><body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a></div><p>"),
+      esc,
+      lit(" visit the <a href=\"/ar\">archive</a> for more</p>" +
+        "<div><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a></div></body></html>"))
+    val center = trim(regexp_replace(col("text"), "\\s+", " "))
+    val expected = concat(
+      when(length(center) > 0, concat(center, lit(" "))).otherwise(lit("")),
+      lit("visit the archive for more"))
+    graft.operators.WebText
+      .htmlToMainText(docs.withColumn("html", html), "html", outCol = "main")
+      .select(col("doc_id"), (col("main") === expected).as("main_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val q126Oracle =
+    "SELECT doc_id, true AS main_ok FROM documents ORDER BY doc_id"
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -3944,6 +4014,8 @@ object SparkEntry {
     "q122_web_ingest_planted" -> (q122WebIngestPlanted _),
     "q123_pii_ingest_planted" -> (q123PiiIngestPlanted _),
     "q124_ccnet_target_planted" -> (q124CcnetTargetPlanted _),
+    "q125_url_tracking_planted" -> (q125UrlTrackingPlanted _),
+    "q126_main_content_planted" -> (q126MainContentPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4058,5 +4130,7 @@ object SparkEntry {
     "q122_web_ingest_planted" -> q122Oracle,
     "q123_pii_ingest_planted" -> q123Oracle,
     "q124_ccnet_target_planted" -> q124Oracle,
+    "q125_url_tracking_planted" -> q125Oracle,
+    "q126_main_content_planted" -> q126Oracle,
   )
 }

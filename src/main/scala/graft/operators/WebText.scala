@@ -64,13 +64,21 @@ object WebText {
     out.toString
   }
 
-  /** Extract visible text from HTML: drop script/style/noscript
-    * content and comments, break lines at block-tag boundaries,
-    * decode entities, collapse whitespace runs, trim lines, drop
-    * empty lines. NULL-safe (null → null).
+  /** Anchor-text sentinels for the link-density pass: the scanner
+    * wraps `<a>…</a>` content in these private-use control chars so
+    * the density computation survives the downstream entity decode
+    * and line split without a second parse. Stripped before output.
     */
-  private[graft] def htmlToTextKernel(html: String): String = {
-    if (html == null) return null
+  private val LinkOpen = '\u0001'
+  private val LinkClose = '\u0002'
+
+  /** The raw scan shared by [[htmlToTextKernel]] and
+    * [[htmlToMainTextKernel]]: visible chars with `\n` at block-tag
+    * boundaries, script/style/comment content dropped, entities NOT
+    * yet decoded. `markLinks` additionally wraps anchor content in
+    * [[LinkOpen]]/[[LinkClose]].
+    */
+  private def scanRaw(html: String, markLinks: Boolean): String = {
     val raw = new java.lang.StringBuilder(html.length)
     var i = 0
     val n = html.length
@@ -118,6 +126,8 @@ object WebText {
           } else {
             if (!isClose && rawTextTags.contains(name)) rawUntilTag = name
             if (blockTags.contains(name)) raw.append('\n')
+            if (markLinks && name == "a")
+              raw.append(if (isClose) LinkClose else LinkOpen)
           }
           i = if (j >= n) n else j + 1
         }
@@ -128,13 +138,85 @@ object WebText {
         i += 1
       }
     }
+    raw.toString
+  }
+
+  /** Extract visible text from HTML: drop script/style/noscript
+    * content and comments, break lines at block-tag boundaries,
+    * decode entities, collapse whitespace runs, trim lines, drop
+    * empty lines. NULL-safe (null → null).
+    */
+  private[graft] def htmlToTextKernel(html: String): String = {
+    if (html == null) return null
     // entity decode, then per-line whitespace normalization
-    decodeEntities(raw.toString)
+    decodeEntities(scanRaw(html, markLinks = false))
       .split('\n')
       .iterator
       .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
       .filter(_.nonEmpty)
       .mkString("\n")
+  }
+
+  /** MAIN-CONTENT extraction ([[htmlToTextKernel]] plus the classic
+    * link-density boilerplate rule of jusText/Readability): lines
+    * whose non-whitespace characters are mostly anchor text —
+    * navigation bars, footer link rows, tag clouds, "related posts"
+    * blocks — are dropped; everything else comes through exactly as
+    * [[htmlToTextKernel]] emits it (inline links KEEP their anchor
+    * text — a prose line citing one link is content, not chrome).
+    *
+    * `maxLinkDensity` is the kept-line ceiling on
+    * linkChars/totalChars (non-whitespace, counted after entity
+    * decode); the published heuristics use 0.5-ish. Anchor state
+    * carries across block-tag line breaks (a link spanning a `<br>`
+    * still counts on both lines). Like the base scanner this is one
+    * linear pass — no DOM, no regex — and a pure per-row map at any
+    * scale.
+    */
+  private[graft] def htmlToMainTextKernel(html: String, maxLinkDensity: Double): String = {
+    if (html == null) return null
+    val decoded = decodeEntities(scanRaw(html, markLinks = true))
+    val out = new java.lang.StringBuilder(decoded.length)
+    var inLink = false
+    var first = true
+    decoded.split('\n').foreach { line =>
+      val sb = new java.lang.StringBuilder(line.length)
+      var total = 0
+      var link = 0
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == LinkOpen) inLink = true
+        else if (c == LinkClose) inLink = false
+        else {
+          if (!Character.isWhitespace(c)) { total += 1; if (inLink) link += 1 }
+          sb.append(c)
+        }
+        i += 1
+      }
+      val norm = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (norm.nonEmpty && (total == 0 || link.toDouble / total <= maxLinkDensity)) {
+        if (!first) out.append('\n')
+        out.append(norm)
+        first = false
+      }
+    }
+    out.toString
+  }
+
+  /** Add `outCol` = link-density-filtered main content of an HTML
+    * column (the boilerplate-stripping sibling of [[htmlToText]]).
+    */
+  def htmlToMainText(
+      df: DataFrame,
+      htmlCol: String,
+      outCol: String = "text",
+      maxLinkDensity: Double = 0.5,
+  ): DataFrame = {
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in [0,1]: $maxLinkDensity")
+    val u = udf { (h: String) => htmlToMainTextKernel(h, maxLinkDensity) }
+    df.withColumn(outCol, u(col(htmlCol)))
   }
 
   /** Add `outCol` = extracted visible text of an HTML column. */
@@ -197,6 +279,45 @@ object WebText {
     if (host.isEmpty) null else host
   }
 
+  /** Query parameters that carry click/campaign attribution, not
+    * resource identity — the utm family plus the big ad/mail-platform
+    * click ids. Two spellings of the same page differing only in
+    * these defeat URL dedup and per-URL caps; the conservative list
+    * deliberately EXCLUDES ambiguous names like `ref`/`source` that
+    * some sites use for routing.
+    */
+  val TrackingParams: Set[String] = Set(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "utm_id", "gclid", "dclid", "fbclid", "msclkid", "twclid", "igshid",
+    "mc_cid", "mc_eid", "_hsenc", "_hsmi", "mkt_tok")
+
+  /** Drop [[TrackingParams]] from a URL's query string, preserving
+    * the order of the surviving parameters (reordering changes
+    * semantics on real endpoints — the [[normalizeUrlKernel]] rule);
+    * a fully-tracking query loses its `?`. Everything before the
+    * query is untouched, so this composes after normalization.
+    */
+  private[graft] def stripTrackingParamsKernel(url: String): String = {
+    if (url == null) return null
+    val qIdx = url.indexOf('?')
+    if (qIdx < 0) return url
+    val fIdx = url.indexOf('#', qIdx)
+    val end = if (fIdx < 0) url.length else fIdx
+    val kept = url
+      .substring(qIdx + 1, end)
+      .split("&", -1)
+      .filter { p =>
+        val eq = p.indexOf('=')
+        val name = (if (eq < 0) p else p.substring(0, eq))
+          .toLowerCase(java.util.Locale.ROOT)
+        !TrackingParams.contains(name)
+      }
+    val base = url.substring(0, qIdx)
+    val tail = url.substring(end)
+    if (kept.isEmpty) base + tail
+    else base + "?" + kept.mkString("&") + tail
+  }
+
   // NOT private: whole-stage codegen generates Java that invokes the
   // field accessors directly, and Janino cannot resolve methods on a
   // Scala-private nested class — every query touching url parts was
@@ -206,13 +327,22 @@ object WebText {
 
   /** Add `url_norm` and `url_host` columns for a URL column — ONE
     * parse per row (the host reads the already-normalized spelling),
-    * not two independent scans of the raw string.
+    * not two independent scans of the raw string. `stripTracking`
+    * additionally removes [[TrackingParams]] from `url_norm` (default
+    * off: byte-stable output for existing callers) — with it on, two
+    * crawls of the same page via different campaigns dedup to one
+    * URL.
     */
-  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+  def withUrlParts(
+      df: DataFrame,
+      urlCol: String,
+      stripTracking: Boolean = false,
+  ): DataFrame = {
     val u = udf { (s: String) =>
       if (s == null) null
       else {
-        val norm = normalizeUrlKernel(s)
+        val norm0 = normalizeUrlKernel(s)
+        val norm = if (stripTracking) stripTrackingParamsKernel(norm0) else norm0
         UrlParts(norm, urlHostKernel(norm))
       }
     }

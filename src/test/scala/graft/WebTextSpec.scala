@@ -117,6 +117,44 @@ class WebTextSpec extends SparkTestBase {
     assert(kept3.count() == 0L, "mixed-case host must match a lowercase entry")
   }
 
+  test("stripTrackingParams: mixed/all/none queries, case-folded names, order preserved") {
+    def k(u: String) = WebText.stripTrackingParamsKernel(u)
+    assert(k("https://a.com/p?id=1&utm_source=x&page=2&gclid=g&q=a+b") ==
+      "https://a.com/p?id=1&page=2&q=a+b")
+    assert(k("https://a.com/p?utm_source=x&FBCLID=y") == "https://a.com/p",
+      "fully-tracking query loses its ?")
+    assert(k("https://a.com/p?page=3") == "https://a.com/p?page=3")
+    assert(k("https://a.com/p") == "https://a.com/p")
+    assert(k("https://a.com/p?UTM_Campaign=y&b=2") == "https://a.com/p?b=2",
+      "param-name match is case-folded")
+    // valueless and empty params: name-only match, empties survive
+    assert(k("https://a.com/p?gclid&a=1&&b") == "https://a.com/p?a=1&&b")
+    assert(k(null) == null)
+    // fragment (if present pre-normalization) stays put
+    assert(k("https://a.com/p?utm_id=9&x=1#sec") == "https://a.com/p?x=1#sec")
+  }
+
+  test("htmlToMainText: link-dense nav/footer drop, inline anchors survive, link spans line break") {
+    def m(h: String, d: Double = 0.5) = WebText.htmlToMainTextKernel(h, d)
+    val page = "<html><body>" +
+      "<div><a href='/'>Home</a> <a href='/a'>About</a></div>" +
+      "<p>real prose here with an <a href='/x'>inline link</a> in the middle of it</p>" +
+      "<div><a>Privacy</a> | <a>Terms</a></div></body></html>"
+    assert(m(page) == "real prose here with an inline link in the middle of it")
+    // the plain extractor keeps all three lines — main-content is the delta
+    assert(WebText.htmlToTextKernel(page).split("\n").length == 3)
+    // anchor state carries across a <br> inside the link: both halves
+    // count as link text, so both short lines drop
+    val spanning = "<p>good long prose line stays intact here</p>" +
+      "<p><a>first<br>second</a></p>"
+    assert(m(spanning) == "good long prose line stays intact here")
+    // threshold is a parameter: at 1.0 nothing drops
+    assert(m(page, d = 1.0).split("\n").length == 3)
+    // entities decode before counting and output
+    assert(m("<p>Tom &amp; Jerry win</p>") == "Tom & Jerry win")
+    assert(m(null) == null)
+  }
+
   test("filterBlockedHosts streaming: broadcast ceiling enforced with an actionable error") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val blocklist = Seq("a.com", "b.com", "c.com").toDF("domain")
