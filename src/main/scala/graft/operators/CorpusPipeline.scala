@@ -144,9 +144,13 @@ object CorpusPipeline {
     * now, in the canonical order:
     *
     *   1. HTML → text ([[WebText.htmlToText]] — linear scanner,
-    *      script/style stripped, entities decoded)
+    *      script/style stripped, entities decoded; `mainContent =
+    *      true` swaps in [[WebText.htmlToMainText]], dropping
+    *      link-dense nav/footer lines at extraction time)
     *   2. URL normalization + host extraction
-    *      ([[WebText.withUrlParts]])
+    *      ([[WebText.withUrlParts]]; `stripTracking = true` drops
+    *      utm/click-id params so campaign spellings of one page
+    *      share a url_norm BEFORE the per-URL machinery sees them)
     *   2b. optional NFC canonicalization
     *      ([[TextAnalysis.canonicalize]], `canonicalizeNfc = true`)
     *      BEFORE any hashing stage, and an optional domain
@@ -213,12 +217,14 @@ object CorpusPipeline {
       c4: Boolean = false,
       soft404: Boolean = false,
       redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
   ): DataFrame = {
-    val extracted0 = WebText
-      .htmlToText(
-        df.select(col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url")),
-        "__html", outCol = "text")
-      .drop("__html")
+    val src = df.select(col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url"))
+    val extracted0 =
+      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
+       else WebText.htmlToText(src, "__html", outCol = "text"))
+        .drop("__html")
     // optional NFC canonicalization BEFORE any hashing stage, so
     // composed/decomposed spellings of the same page dedup together
     // (default off: byte-stable output for existing callers)
@@ -229,7 +235,8 @@ object CorpusPipeline {
     val extracted2 = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
     val extracted =
       if (soft404) QualityFilters.dropSoft404(extracted2, "text") else extracted2
-    val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
+    val withUrl0 =
+      WebText.withUrlParts(extracted, "__url", stripTracking = stripTracking).drop("__url")
     // optional domain blocklist, applied on the normalized host as
     // early as possible (blocked pages never reach langId/quality)
     val withUrl = blocklist match {

@@ -118,10 +118,12 @@ object StreamingWebIngest {
       c4: Boolean = false,
       soft404: Boolean = false,
       redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii)
+      soft404, redactPii, mainContent, stripTracking)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -155,17 +157,18 @@ object StreamingWebIngest {
       c4: Boolean,
       soft404: Boolean,
       redactPii: Boolean,
+      mainContent: Boolean,
+      stripTracking: Boolean,
   ): DataFrame = {
-    val extracted0 = WebText
-      .htmlToText(
-        docs.select(
-          col(idCol).as("id"),
-          col(tsCol).as("ts"),
-          col(htmlCol).as("__html"),
-          col(urlCol).as("__url")),
-        "__html",
-        outCol = "text")
-      .drop("__html")
+    val src = docs.select(
+      col(idCol).as("id"),
+      col(tsCol).as("ts"),
+      col(htmlCol).as("__html"),
+      col(urlCol).as("__url"))
+    val extracted0 =
+      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
+       else WebText.htmlToText(src, "__html", outCol = "text"))
+        .drop("__html")
     val extracted1 =
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
@@ -175,7 +178,8 @@ object StreamingWebIngest {
     val extracted2 = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
     val extracted =
       if (soft404) QualityFilters.dropSoft404(extracted2, "text") else extracted2
-    val withUrl0 = WebText.withUrlParts(extracted, "__url").drop("__url")
+    val withUrl0 =
+      WebText.withUrlParts(extracted, "__url", stripTracking = stripTracking).drop("__url")
     // stream-static joins: the blocklist is a static frame, and both
     // the semi- and anti-join legs are append-mode-supported
     val withUrl = blocklist match {
@@ -242,6 +246,8 @@ object StreamingWebIngest {
       c4: Boolean = false,
       soft404: Boolean = false,
       redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
       numHashes: Int = 128,
       bands: Int = 32,
       estThreshold: Double = 0.7,
@@ -249,7 +255,7 @@ object StreamingWebIngest {
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii)
+      soft404, redactPii, mainContent, stripTracking)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

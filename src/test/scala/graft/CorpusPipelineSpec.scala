@@ -166,6 +166,42 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(fallback == selfBuckets, "missing-language target must fall back to self-training")
   }
 
+  test("webIngest mainContent/stripTracking: nav dropped at extraction, campaign spellings dedup") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = "<html><body>" +
+      "<div><a href='/'>Home</a> <a href='/b'>Blog</a> <a href='/c'>Shop</a></div>" +
+      s"<p>$body</p><div><a>Privacy</a> | <a>Terms</a></div></body></html>"
+    val rows = Seq(
+      (90L, page(distinctProse(1)), "http://a.com/art?id=7&utm_source=mail"),
+      (91L, page(distinctProse(1)), "http://a.com/art?id=7&gclid=g1"), // same page, other campaign
+      (92L, page(distinctProse(2)), "http://a.com/other?id=8"))
+      .toDF("doc_id", "html", "url")
+    val out = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", seqLen = 256,
+        mainContent = true, stripTracking = true)
+      .select($"id", $"url_norm", $"chunk_text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // nav dropped at extraction → the campaign pair's texts are
+    // IDENTICAL → exact dedup keeps the min id
+    assert(out.keySet == Set(90L, 92L), s"kept: ${out.keySet}")
+    assert(out(90L)._1 == "http://a.com/art?id=7", "tracking stripped from url_norm")
+    assert(!out(90L)._2.contains("Home") && !out(90L)._2.contains("Privacy"),
+      s"nav/footer dropped: ${out(90L)._2}")
+    // without mainContent the same pair SURVIVES as two docs (the nav
+    // lines differ... they don't — but boilerplate line dedup keeps
+    // them equal too; the tracking params alone never differ the text,
+    // so the collapse must hold there as well) — pin only the option's
+    // extraction delta here: text contains the nav without the option
+    val plain = graft.operators.CorpusPipeline
+      .webIngest(rows.where($"doc_id" === 92L), "doc_id", "html", "url", seqLen = 256)
+      .select($"chunk_text").as[String].collect().head
+    assert(plain.contains("Home") && plain.contains("Privacy"),
+      "without mainContent the nav/footer text remains")
+  }
+
   test("webIngest: seven stages compose — extract, filter, dedup, cap, layout") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "

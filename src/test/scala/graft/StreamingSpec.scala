@@ -968,4 +968,49 @@ class StreamingSpec extends SparkTestBase {
       assert(batch == stream, "batch evaluation of the pii/soft404 face must agree")
     } finally q.stop()
   }
+
+  test("webIngestStream mainContent/stripTracking: stream ≡ batch, nav dropped, campaign URLs collapse") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = "<html><body>" +
+      "<div><a href='/'>Home</a> <a href='/b'>Blog</a> <a href='/c'>Shop</a></div>" +
+      s"<p>$body</p><div><a>Privacy</a> | <a>Terms</a></div></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(
+      // same page crawled twice via different campaigns: tracking
+      // stripped BEFORE dedup keys form → identical text + one
+      // url_norm; the exact-dup stage keeps the first arrival
+      WebDoc(80L, new java.sql.Timestamp(t0 + 1000), page(distinctProse(1)),
+        "http://a.com/art?id=7&utm_source=mail"),
+      WebDoc(81L, new java.sql.Timestamp(t0 + 2000), page(distinctProse(1)),
+        "http://a.com/art?id=7&utm_source=feed&gclid=g1"),
+      WebDoc(82L, new java.sql.Timestamp(t0 + 3000), page(distinctProse(2)),
+        "http://a.com/other?id=8"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
+        langs = Seq("en"), mainContent = true, stripTracking = true)
+      .writeStream.format("memory").queryName("wis_main").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wis_main").select($"id", $"url_norm", $"text")
+        .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(stream.keySet == Set(80L, 82L), s"stream: ${stream.keySet}")
+      assert(stream(80L)._1 == "http://a.com/art?id=7", "tracking params stripped")
+      assert(!stream(80L)._2.contains("Privacy") && !stream(80L)._2.contains("Home"),
+        s"nav/footer dropped: ${stream(80L)._2}")
+      val batch = StreamingWebIngest
+        .webIngestStream(rows.toDF(), "doc_id", "ts", "html", "url",
+          langs = Seq("en"), mainContent = true, stripTracking = true)
+        .select($"id", $"url_norm", $"text")
+        .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(batch == stream, "batch evaluation of the mainContent/stripTracking face must agree")
+    } finally q.stop()
+  }
 }
