@@ -620,12 +620,16 @@ object TextAnalysis {
     * within-document repetition stats ([[withNgramRepetition]]) cannot
     * see.
     *
-    * Scale shape: explode distinct (doc, gram) pairs → one hash
-    * aggregation keyed by gram (map-side partials absorb the skew of
-    * ubiquitous grams) → equi-join the per-gram document frequency
-    * back onto the narrow (doc, gram) stream (both sides hash-partition
-    * by gram; text never shuffles) → one aggregation keyed by doc.
-    * All counts exact — the whole output oracle-checks.
+    * Scale shape: ONE corpus scan — explode distinct (doc, gram)
+    * pairs, take the per-gram document frequency as a whole-partition
+    * window count over the gram key (grams are distinct per doc, so
+    * count-per-gram IS the df), then one aggregation keyed by doc.
+    * The earlier aggregate+join formulation shuffled the same gram
+    * stream for the join AND re-scanned/re-exploded the corpus for
+    * the aggregate side — the window pays the identical by-gram
+    * exchange (and the same mega-gram partition sort the SortMergeJoin
+    * paid) with the second corpus scan gone. All counts exact — the
+    * whole output oracle-checks.
     */
   def commonNgramStats(
       df: DataFrame,
@@ -637,9 +641,9 @@ object TextAnalysis {
     val grams = df
       .select(col(idCol).as("doc_id"), explode(distinctWordNgrams(col(textCol), n)).as("gram"))
     // grams are distinct per doc, so count(*) per gram IS the document frequency
-    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
     grams
-      .join(gramDf, "gram")
+      .withColumn("gram_df", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
