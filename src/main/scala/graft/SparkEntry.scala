@@ -3830,6 +3830,48 @@ object SparkEntry {
   private val q126Oracle =
     "SELECT doc_id, true AS main_ok FROM documents ORDER BY doc_id"
 
+  /** Planted gate for INCREMENTAL near-dup against a standing corpus
+    * ([[graft.operators.Dedup.minHashSignatures]] +
+    * [[graft.operators.Dedup.nearDupNewDocs]]): the corpus is the
+    * documents table (signature table computed once, text never
+    * re-read by the incremental pass); the incoming batch mixes
+    * near-copies of every 10th corpus doc (q66's one-appended-token
+    * recipe) with genuinely-new docs whose every token embeds their
+    * own id ("item{id}x{k}" — every shingle is doc-unique, so fresh
+    * docs can never pair with the corpus, the copies, or each
+    * other; the earlier token-REVERSED construction preserved the
+    * corpus's own internal near-dup Jaccards and broke at sf0.1).
+    * Survivors must be exactly the fresh docs: every copy is linked
+    * to its corpus original and dropped, nothing fresh is lost.
+    */
+  private def q127IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpusSigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" graftplant")).as("text"))
+    val freshId = col("doc_id") + lit(3000000L)
+    val fresh = docs
+      .where(col("doc_id") % 10 === 5)
+      .select(
+        freshId.as("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), lit(29)),
+            k => concat(lit("item"), freshId.cast("string"), lit("x"), k.cast("string"))),
+          " ").as("text"))
+    Dedup
+      .nearDupNewDocs(copies.unionByName(fresh), "doc_id", "text", corpusSigs)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q127Oracle =
+    """SELECT doc_id + 3000000 AS doc_id FROM documents
+      |WHERE doc_id % 10 = 5 ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4016,6 +4058,7 @@ object SparkEntry {
     "q124_ccnet_target_planted" -> (q124CcnetTargetPlanted _),
     "q125_url_tracking_planted" -> (q125UrlTrackingPlanted _),
     "q126_main_content_planted" -> (q126MainContentPlanted _),
+    "q127_incremental_neardup" -> (q127IncrementalNearDup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4132,5 +4175,6 @@ object SparkEntry {
     "q124_ccnet_target_planted" -> q124Oracle,
     "q125_url_tracking_planted" -> q125Oracle,
     "q126_main_content_planted" -> q126Oracle,
+    "q127_incremental_neardup" -> q127Oracle,
   )
 }

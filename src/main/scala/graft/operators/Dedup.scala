@@ -134,6 +134,107 @@ object Dedup {
     materializeAndRelease(out, sets, bucketHandle)
   }
 
+  /** The exportable near-dup SIGNATURE TABLE of a corpus: (id, sig,
+    * grams) — the densified-OPH MinHash signature and the sorted
+    * shingle-hash set, numHashes + |shingles| longs per document and
+    * NO text. Persist this as parquet alongside a standing corpus;
+    * [[nearDupNewDocs]] then near-dups incoming batches against the
+    * corpus WITHOUT ever re-reading corpus text — the incremental
+    * shape a daily-crawl pipeline needs at 100 TB, where re-running
+    * the full dedup per increment is unaffordable. Shingle-less docs
+    * (< shingleSize tokens) are omitted (they can never pair).
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+  ): DataFrame =
+    df.select(col(idCol).as("id"), minHashPrep(col(textCol), numHashes, shingleSize).as("p"))
+      .select(col("id"), col("p.sig").as("sig"), col("p.grams").as("grams"))
+      .where(size(col("grams")) > 0)
+
+  /** INCREMENTAL near-dup: the rows of `newDf` that survive
+    * keep-first near-dup against a STANDING corpus (via its
+    * [[minHashSignatures]] table — corpus text is never re-scanned)
+    * and against the new batch itself. A new doc drops when a
+    * verified pair (exact shingle Jaccard ≥ `threshold`) links it to
+    * ANY corpus doc (the standing corpus is canonical) or to a
+    * smaller-id new doc (the batch keep-first rule). Corpus and new
+    * ids must be disjoint.
+    *
+    * Scale shape: the corpus side contributes one narrow (id, bucket)
+    * explode of its SIGNATURE table (numHashes longs per doc — linear
+    * in document count, independent of corpus bytes) and one
+    * grams-column read for the verify join; candidate generation is
+    * new-side buckets equi-joined against the union's buckets, so
+    * corpus×corpus pairs — the quadratic bulk a full re-dedup pays —
+    * are never enumerated. The same `maxBucketSize` skew cap as the
+    * batch path applies, measured on the UNION bucket (boilerplate
+    * buckets shared by millions of corpus docs are dropped, same
+    * recall caveat as [[bucketedCandidatePairsRaw]]).
+    */
+  def nearDupNewDocs(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val newSigs = minHashSignatures(newDf, idCol, textCol, numHashes, shingleSize).persist()
+    val corpus = corpusSigs.select(col("id"), col("sig"), col("grams"))
+    val bNew = bandBuckets(newSigs, numHashes, bands)
+    val bAll = bandBuckets(corpus, numHashes, bands)
+      .withColumn("__corpus", lit(true))
+      .unionByName(bNew.withColumn("__corpus", lit(false)))
+      .persist()
+    // skew cap on the union bucket population, mirroring the batch
+    // path's semantics (≥2 members, ≤ maxBucketSize)
+    val keptBuckets = bAll
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2L, maxBucketSize.toLong))
+      .select("bucket")
+    val candidates = bNew
+      .join(keptBuckets, "bucket")
+      .select(col("bucket"), col("id").as("id_new"))
+      .join(
+        bAll.join(keptBuckets, "bucket")
+          .select(col("bucket"), col("id").as("id_other"), col("__corpus")),
+        "bucket")
+      // each unordered pair once: any (new, corpus) pair, and (new,
+      // new) pairs oriented smaller-other < new
+      .where(col("__corpus") || col("id_other") < col("id_new"))
+      .select(col("id_new"), col("id_other"), col("__corpus"))
+      .distinct()
+    val gn = newSigs.select(col("id").as("id_new"), col("grams").as("grams_n"),
+      size(col("grams")).as("sz_n"))
+    val go = corpus.select(col("id"), col("grams"))
+      .unionByName(newSigs.select(col("id"), col("grams")))
+      .select(col("id").as("id_other"), col("grams").as("grams_o"),
+        size(col("grams")).as("sz_o"))
+    val losers = candidates
+      .join(gn, "id_new")
+      .join(go, "id_other")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams_n"), col("grams_o")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_n") + col("sz_o") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new").as("__loser"))
+      .distinct()
+    val out = newDf
+      .join(losers, newDf(idCol) === losers("__loser"), "left_anti")
+      .localCheckpoint(true)
+    Seq(newSigs, bAll).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Banding + exact-Jaccard verify over a PRECOMPUTED (id, sig,
     * grams) frame — the core of [[minHashNearDupPairs]], split out so
     * fused pipelines ([[cleanCorpus]]) can feed signatures computed in
@@ -142,6 +243,23 @@ object Dedup {
     * (pairs, bucketHandle) — pairs NOT yet materialized; release
     * `bucketHandle` via [[materializeAndRelease]].
     */
+  /** LSH band buckets of an (id, sig, …) frame: one (id, bucket) row
+    * per band, bucket = band index : hash of the band's signature
+    * slice. Shared by the one-corpus path and the incremental
+    * new-vs-corpus path so both collide in the SAME key space.
+    */
+  private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sets.select(
+      col("id"),
+      explode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
+      ).as("bucket"),
+    )
+  }
+
   private def minHashPairsFromSets(
       sets: DataFrame, // columns: id, sig, grams (persisted by caller)
       numHashes: Int,
@@ -149,16 +267,7 @@ object Dedup {
       threshold: Double,
       maxBucketSize: Int,
   ): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // band key = hash of the band's slice of the signature
-    val banded = sets.select(
-      col("id"),
-      explode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
-      ).as("bucket"),
-    )
+    val banded = bandBuckets(sets, numHashes, bands)
     val (pairs, bucketHandle) = bucketedCandidatePairs(banded, maxBucketSize)
     val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
     val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))

@@ -429,4 +429,31 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minHashNearDupPairs(shorts, "doc_id", "text", threshold = 0.1).count() == 0L)
     assert(Dedup.wordShingles("a b", 3).isEmpty)
   }
+
+  test("incremental near-dup: signature parquet roundtrip; corpus wins, new-new keep-first, fresh survive") {
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    // persist the signature table like a standing corpus would and
+    // read it back — the incremental pass must work off parquet alone
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    Dedup.minHashSignatures(corpus, "doc_id", "text").write.parquet(s"$dir/sigs")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val batch = Seq(
+      (10L, marked(1) + " tail"), // near-copy of corpus doc 1 → drops
+      (11L, marked(3)), // new content, near-dup of 12 → keep-first wins
+      (12L, marked(3) + " tail"), // larger id of the new-new pair → drops
+      (13L, (0 until 30).map(k => s"u13x$k").mkString(" ")), // fresh → survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupNewDocs(batch, "doc_id", "text", sigs, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L), s"kept=$kept")
+    // an empty standing corpus degrades to plain in-batch keep-first
+    val keptEmpty = Dedup.nearDupNewDocs(
+      batch, "doc_id", "text", sigs.where($"id" < 0), threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptEmpty == Set(10L, 11L, 13L), s"keptEmpty=$keptEmpty")
+  }
 }
