@@ -3872,6 +3872,61 @@ object SparkEntry {
     """SELECT doc_id + 3000000 AS doc_id FROM documents
       |WHERE doc_id % 10 = 5 ORDER BY doc_id""".stripMargin
 
+  /** Planted gate for the STREAM-vs-standing-corpus near-dup face
+    * ([[graft.streaming.StreamingDedup.corpusNearDupHits]] — batch
+    * evaluation runs the identical stream-static join + exact-verify
+    * plan): near-copies of every 10th corpus doc must each hit their
+    * own original (extra hits to the original's own corpus near-dups
+    * are allowed — the pair probe is exact), and id-unique fresh docs
+    * must hit NOTHING.
+    */
+  private def q128CorpusHitsPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpusSigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    val t0 = 1717236000000000L
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        expr(s"timestamp_micros(${t0}L + doc_id * 1000000)").as("ts"),
+        concat(col("text"), lit(" graftplant")).as("text"))
+    val freshId = col("doc_id") + lit(3000000L)
+    val fresh = docs
+      .where(col("doc_id") % 10 === 5)
+      .select(
+        freshId.as("doc_id"),
+        expr(s"timestamp_micros(${t0}L + doc_id * 1000000)").as("ts"),
+        array_join(
+          transform(
+            sequence(lit(0), lit(29)),
+            k => concat(lit("item"), freshId.cast("string"), lit("x"), k.cast("string"))),
+          " ").as("text"))
+    val hits = graft.streaming.StreamingDedup
+      .corpusNearDupHits(copies.unionByName(fresh), "doc_id", "ts", "text", corpusSigs)
+      .toDF()
+    val hitPairs = hits.select(col("id"), col("corpus_id")).distinct()
+    val copiesExp = docs
+      .where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("id"), col("doc_id").as("corpus_id"))
+      .join(hitPairs.withColumn("r", lit(true)), Seq("id", "corpus_id"), "left")
+      .select(col("id"), col("corpus_id"), coalesce(col("r"), lit(false)).as("hit"))
+    val freshExp = docs
+      .where(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + lit(3000000L)).as("id"), lit(-1L).as("corpus_id"))
+      .join(
+        hits.select(col("id")).distinct().withColumn("r", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("corpus_id"), coalesce(col("r"), lit(false)).as("hit"))
+    copiesExp.unionByName(freshExp).orderBy("id")
+  }
+
+  private val q128Oracle =
+    """SELECT doc_id + 2000000 AS id, doc_id AS corpus_id, true AS hit
+      |FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 3000000 AS id, -1 AS corpus_id, false AS hit
+      |FROM documents WHERE doc_id % 10 = 5
+      |ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4059,6 +4114,7 @@ object SparkEntry {
     "q125_url_tracking_planted" -> (q125UrlTrackingPlanted _),
     "q126_main_content_planted" -> (q126MainContentPlanted _),
     "q127_incremental_neardup" -> (q127IncrementalNearDup _),
+    "q128_corpus_hits_planted" -> (q128CorpusHitsPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4176,5 +4232,6 @@ object SparkEntry {
     "q125_url_tracking_planted" -> q125Oracle,
     "q126_main_content_planted" -> q126Oracle,
     "q127_incremental_neardup" -> q127Oracle,
+    "q128_corpus_hits_planted" -> q128Oracle,
   )
 }

@@ -243,22 +243,25 @@ object Dedup {
     * (pairs, bucketHandle) — pairs NOT yet materialized; release
     * `bucketHandle` via [[materializeAndRelease]].
     */
-  /** LSH band buckets of an (id, sig, …) frame: one (id, bucket) row
-    * per band, bucket = band index : hash of the band's signature
-    * slice. Shared by the one-corpus path and the incremental
-    * new-vs-corpus path so both collide in the SAME key space.
+  /** The array of LSH band keys of a `sig` column (band index : hash
+    * of the band's signature slice) — THE shared key space: the batch
+    * self-dedup, the incremental new-vs-corpus path, and the
+    * streaming corpus-hits face must all band identically or
+    * collisions silently stop happening across faces.
     */
-  private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeysCol(numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    sets.select(
-      col("id"),
-      explode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
-      ).as("bucket"),
-    )
+    expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+      s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))")
   }
+
+  /** LSH band buckets of an (id, sig, …) frame: one (id, bucket) row
+    * per band. Shared by the one-corpus path and the incremental
+    * new-vs-corpus path so both collide in the SAME key space.
+    */
+  private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sets.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
 
   private def minHashPairsFromSets(
       sets: DataFrame, // columns: id, sig, grams (persisted by caller)

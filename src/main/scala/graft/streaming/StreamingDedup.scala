@@ -79,7 +79,6 @@ object StreamingDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = numHashes / bands
     val sigUdf = udf { (text: String) =>
       val grams = graft.textutil.TextHash.sortedShingleSet(text, shingleSize)
       if (grams.isEmpty) null else graft.textutil.TextHash.ophSignature(grams, numHashes)
@@ -100,10 +99,8 @@ object StreamingDedup {
         col("doc_id"),
         col("ts"),
         col("sig"),
-        explode(
-          expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"concat_ws(':', b, hash(slice(sig, b * $r + 1, $r))))"),
-        ).as("bucket"),
+        // the SAME band key space as every batch face (Dedup.bandKeysCol)
+        explode(Dedup.bandKeysCol(numHashes, bands)).as("bucket"),
       )
       .as[BandedDoc]
 
@@ -146,5 +143,81 @@ object StreamingDedup {
           }
         },
       )
+  }
+
+  /** A stream document that near-duplicates a STANDING-corpus doc:
+    * `jaccard` is the EXACT shingle Jaccard (the corpus signature
+    * table carries gram sets, so no estimate is needed), `ts` the
+    * stream row's event time. A pair colliding in several bands emits
+    * once per band — `dropDuplicatesWithinWatermark(Seq("id",
+    * "corpus_id"))` at the sink if multiplicity matters.
+    */
+  final case class CorpusDupHit(id: Long, corpus_id: Long, jaccard: Double, ts: Timestamp)
+
+  /** STREAM-vs-STANDING-CORPUS near-dup — the streaming face of
+    * [[graft.operators.Dedup.nearDupNewDocs]], against the same
+    * [[graft.operators.Dedup.minHashSignatures]] parquet table and in
+    * the same band key space: each stream doc is signed once, exploded
+    * into its band buckets, and INNER-JOINED against the corpus's
+    * banded signature table (a stream-static equi-join — stateless,
+    * append-safe, no watermark or state at all, unlike the in-stream
+    * [[nearDupHits]] path), then verified with exact shingle Jaccard
+    * against the corpus gram sets.
+    *
+    * Why hits, not suppression: dropping the flagged rows in-stream
+    * would need an anti-join of the stream against its own derived
+    * hits (not an append-supported plan); landing the hit stream and
+    * anti-joining in the periodic batch compaction is the same
+    * sink-side policy as [[StreamingWebIngest.webIngestWithNearDup]].
+    * Works on a bounded batch frame too (plain joins), which is what
+    * the stream ≡ batch spec and the q128 driver gate evaluate.
+    *
+    * Scale shape: the corpus contributes its banded SIGNATURE table —
+    * numHashes longs per doc, linear in corpus doc count, text never
+    * read. Spark plans the join side per microbatch; at very large
+    * corpora pre-bucket the parquet by the band key so the static
+    * side prunes instead of re-shuffling.
+    */
+  def corpusNearDupHits(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+  ): Dataset[CorpusDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepUdf = udf { (text: String) =>
+      val grams = graft.textutil.TextHash.sortedShingleSet(text, shingleSize)
+      if (grams.isEmpty) null
+      else (graft.textutil.TextHash.ophSignature(grams, numHashes), grams)
+    }
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        prepUdf(col(textCol)).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("id"), col("ts"), col("p._1").as("sig"), col("p._2").as("grams"))
+      .select(col("id"), col("ts"), col("grams"),
+        explode(Dedup.bandKeysCol(numHashes, bands)).as("bucket"))
+    val corpusSide = corpusSigs
+      .select(col("id").as("corpus_id"), col("sig"), col("grams").as("grams_o"),
+        size(col("grams")).as("sz_o"))
+      .select(col("corpus_id"), col("grams_o"), col("sz_o"),
+        explode(Dedup.bandKeysCol(numHashes, bands)).as("bucket"))
+    banded
+      .join(corpusSide, "bucket")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams"), col("grams_o")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("grams")) + col("sz_o") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("corpus_id"), col("jaccard"), col("ts"))
+      .as[CorpusDupHit]
   }
 }

@@ -969,6 +969,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("corpusNearDupHits: stream-static join flags corpus near-dups, stream ≡ batch, fresh docs clean") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .localCheckpoint(true) // static side of the stream-static join
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(
+      (10L, new java.sql.Timestamp(t0 + 1000), marked(1) + " tail"), // hits corpus doc 1
+      (11L, new java.sql.Timestamp(t0 + 2000),
+        (0 until 30).map(k => s"u11x$k").mkString(" ")), // fresh
+    )
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = StreamingDedup
+      .corpusNearDupHits(in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        sigs, threshold = 0.5)
+      .toDF()
+      .writeStream.format("memory").queryName("corpus_hits").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("corpus_hits")
+        .select($"id", $"corpus_id").distinct().as[(Long, Long)].collect().toSet
+      assert(stream == Set((10L, 1L)), s"stream hits: $stream")
+      val batch = StreamingDedup
+        .corpusNearDupHits(rows.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          sigs, threshold = 0.5)
+        .toDF()
+        .select($"id", $"corpus_id").distinct().as[(Long, Long)].collect().toSet
+      assert(batch == stream, s"batch=$batch stream=$stream")
+      // the flagged jaccard is exact (verified against corpus grams)
+      val j = spark.table("corpus_hits").select($"jaccard").as[Double].collect().head
+      assert(j > 0.5 && j <= 1.0, s"jaccard=$j")
+    } finally q.stop()
+  }
+
   test("webIngestStream mainContent/stripTracking: stream ≡ batch, nav dropped, campaign URLs collapse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingWebIngest
