@@ -31,7 +31,11 @@ def canon(v):
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata ships single files; Spark-written corpora (e.g. the
+        # ScaleUp /tmp/sf1 synth) are directories of part files
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     failures = 0
     for name, sql in sorted(oracles.items()):
