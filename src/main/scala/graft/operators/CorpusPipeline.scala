@@ -101,14 +101,22 @@ object CorpusPipeline {
     // one LM per language over that language's slice; scored slices
     // union back (langs is a small fixed list — the per-language train
     // passes scan disjoint slices of the materialized frame)
+    // which languages the target actually covers, in ONE aggregation
+    // scan (a per-language isEmpty probe would re-scan the target up
+    // to |langs| times just to prove absences)
+    val targetLangs: Set[String] = lmTarget
+      .map(_.select(col("lang")).where(col("lang").isInCollection(langs))
+        .distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
     val scored = langs.map { l =>
       val slice = withLang.where(col("lang_pred") === l)
-      // clean-target slice when supplied and non-empty for this
-      // language; otherwise the documented self-training default
-      val trainSrc = lmTarget
-        .map(_.where(col("lang") === l).select(col("text")))
-        .filter(!_.isEmpty)
-        .getOrElse(slice)
+      // clean-target slice when the target covers this language;
+      // otherwise the documented self-training default
+      val trainSrc = lmTarget match {
+        case Some(t) if targetLangs.contains(l) =>
+          t.where(col("lang") === l).select(col("text"))
+        case _ => slice
+      }
       LmQuality.score(slice, "text", LmQuality.train(trainSrc, "text", vocabSize))
     }.reduce(_ unionByName _)
     val cuts = scored
@@ -220,7 +228,71 @@ object CorpusPipeline {
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
   ): DataFrame = {
-    val src = df.select(col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url"))
+    val quality = cleanedCrawlPrefix(df, idCol, None, htmlCol, urlCol, langs,
+      blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking)
+    val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
+    val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+    val lined = Dedup
+      .lineDedup(landedQuality, "id", "text", minLineChars)
+      .where(length(trim(col("clean_text"))) > 0)
+      .select(col("id"), col("clean_text").as("text"))
+      .join(attrs, "id")
+    val deduped = Dedup.cleanCorpus(lined, "id", "text", jaccardThreshold,
+      transitive = true, materialize = stageMaterialize(materialize, "dedup"))
+    val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
+    val chunks = TextAnalysis
+      .chunkTokens(capped, "id", "text", window = seqLen, stride = seqLen)
+      .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
+    val landedChunks = Materialize(chunks, stageMaterialize(materialize, "chunks"))
+    val layout = Packing
+      .shuffleAndPack(landedChunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
+    val out = landedChunks
+      .join(
+        layout.select(col("chunk_id"), col("pos"), col("start_offset"),
+          col("pack_first"), col("pack_last")),
+        "chunk_id")
+      .join(attrs, "id")
+    Materialize(out, stageMaterialize(materialize, "layout"))
+  }
+
+  /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest
+    * face — batch ([[webIngest]]) and streaming
+    * ([[graft.streaming.StreamingWebIngest]]) run this exact function,
+    * so the stage list and option positions can never diverge between
+    * them (the stream ≡ batch specs then pin behavior, not two
+    * hand-kept copies):
+    *
+    *   extract ([[WebText.htmlToText]], or [[WebText.htmlToMainText]]
+    *   with `mainContent`) → optional NFC → optional C4 → optional
+    *   soft-404 drop → URL parts (optional `stripTracking`) →
+    *   optional blocklist → langId → `langs` filter → per-language
+    *   Gopher pass → optional PII redaction (BEFORE every dedup
+    *   stage downstream — prepare()'s order).
+    *
+    * `tsCol` (streaming's event time) is carried through as `ts` when
+    * present. Output: (id[, ts], text, url_norm, url_host,
+    * lang_pred). Every stage is a per-row projection/filter or a
+    * stream-safe join — no state, streams as-is.
+    */
+  private[graft] def cleanedCrawlPrefix(
+      df: DataFrame,
+      idCol: String,
+      tsCol: Option[String],
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String],
+      blocklist: Option[DataFrame],
+      canonicalizeNfc: Boolean,
+      c4: Boolean,
+      soft404: Boolean,
+      redactPii: Boolean,
+      mainContent: Boolean,
+      stripTracking: Boolean,
+  ): DataFrame = {
+    val ts = tsCol.map(c => col(c).as("ts")).toSeq
+    val src = df.select(
+      Seq(col(idCol).as("id")) ++ ts ++
+        Seq(col(htmlCol).as("__html"), col(urlCol).as("__url")): _*)
     val extracted0 =
       (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
        else WebText.htmlToText(src, "__html", outCol = "text"))
@@ -247,43 +319,21 @@ object CorpusPipeline {
     val langKept =
       if (langs.isEmpty) withLang
       else withLang.where(col("lang_pred").isInCollection(langs))
+    val outCols = Seq(col("id")) ++ tsCol.map(_ => col("ts")).toSeq ++
+      Seq(col("text"), col("url_norm"), col("url_host"), col("lang_pred"))
     val quality0 = QualityFilters
       .withGopherFlagsByLang(langKept, "text", "lang_pred")
       .where(col("pass"))
-      .select(col("id"), col("text"), col("url_norm"), col("url_host"), col("lang_pred"))
+      .select(outCols: _*)
     // PII redaction sits between the filters and the dedup stages
     // (prepare's order): redacted text is what gets line-deduped,
     // hashed, and shipped — contact-detail variants collapse
-    val quality =
-      if (redactPii)
-        TextAnalysis
-          .redactPii(quality0, "text")
-          .withColumn("text", col("redacted"))
-          .drop("redacted", "pii_found")
-      else quality0
-    val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
-    val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
-    val lined = Dedup
-      .lineDedup(landedQuality, "id", "text", minLineChars)
-      .where(length(trim(col("clean_text"))) > 0)
-      .select(col("id"), col("clean_text").as("text"))
-      .join(attrs, "id")
-    val deduped = Dedup.cleanCorpus(lined, "id", "text", jaccardThreshold,
-      transitive = true, materialize = stageMaterialize(materialize, "dedup"))
-    val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
-    val chunks = TextAnalysis
-      .chunkTokens(capped, "id", "text", window = seqLen, stride = seqLen)
-      .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
-    val landedChunks = Materialize(chunks, stageMaterialize(materialize, "chunks"))
-    val layout = Packing
-      .shuffleAndPack(landedChunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
-    val out = landedChunks
-      .join(
-        layout.select(col("chunk_id"), col("pos"), col("start_offset"),
-          col("pack_first"), col("pack_last")),
-        "chunk_id")
-      .join(attrs, "id")
-    Materialize(out, stageMaterialize(materialize, "layout"))
+    if (redactPii)
+      TextAnalysis
+        .redactPii(quality0, "text")
+        .withColumn("text", col("redacted"))
+        .drop("redacted", "pii_found")
+    else quality0
   }
 
   def prepare(

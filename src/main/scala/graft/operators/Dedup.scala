@@ -235,14 +235,6 @@ object Dedup {
     out
   }
 
-  /** Banding + exact-Jaccard verify over a PRECOMPUTED (id, sig,
-    * grams) frame — the core of [[minHashNearDupPairs]], split out so
-    * fused pipelines ([[cleanCorpus]]) can feed signatures computed in
-    * the same scan as other per-document work. `sets` is read three
-    * times (banding + both verify sides); callers persist it. Returns
-    * (pairs, bucketHandle) — pairs NOT yet materialized; release
-    * `bucketHandle` via [[materializeAndRelease]].
-    */
   /** The array of LSH band keys of a `sig` column (band index : hash
     * of the band's signature slice) — THE shared key space: the batch
     * self-dedup, the incremental new-vs-corpus path, and the
@@ -263,6 +255,14 @@ object Dedup {
   private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
     sets.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
 
+  /** Banding + exact-Jaccard verify over a PRECOMPUTED (id, sig,
+    * grams) frame — the core of [[minHashNearDupPairs]], split out so
+    * fused pipelines ([[cleanCorpus]]) can feed signatures computed in
+    * the same scan as other per-document work. `sets` is read three
+    * times (banding + both verify sides); callers persist it. Returns
+    * (pairs, bucketHandle) — pairs NOT yet materialized; release
+    * `bucketHandle` via [[materializeAndRelease]].
+    */
   private def minHashPairsFromSets(
       sets: DataFrame, // columns: id, sig, grams (persisted by caller)
       numHashes: Int,

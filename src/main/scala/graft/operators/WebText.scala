@@ -40,7 +40,17 @@ object WebText {
     * entities pass through literally (crawl data is full of bare
     * ampersands — eating them would corrupt text).
     */
-  private[graft] def decodeEntities(s: String): String = {
+  private[graft] def decodeEntities(s: String): String =
+    decodeEntities(s, sanitizeSentinels = false)
+
+  /** `sanitizeSentinels` is the link-density pass's guard: a numeric
+    * reference like `&#1;`/`&#2;` would otherwise DECODE INTO the
+    * anchor sentinel chars and forge link state (flipping `inLink`
+    * with no real tag), so decoded output — and only decoded output,
+    * never the pass-through chars carrying the REAL sentinels — maps
+    * those two code points to a space.
+    */
+  private def decodeEntities(s: String, sanitizeSentinels: Boolean): String = {
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -57,8 +67,12 @@ object WebText {
             try Character.toChars(Integer.parseInt(body.substring(1))).mkString
             catch { case _: Exception => null }
           else namedEntities.get(body.toLowerCase).orNull
-        if (decoded != null) { out.append(decoded); i = semi + 1 }
-        else { out.append(c); i += 1 }
+        if (decoded != null) {
+          if (sanitizeSentinels)
+            out.append(decoded.map(ch => if (ch == LinkOpen || ch == LinkClose) ' ' else ch))
+          else out.append(decoded)
+          i = semi + 1
+        } else { out.append(c); i += 1 }
       } else { out.append(c); i += 1 }
     }
     out.toString
@@ -133,8 +147,14 @@ object WebText {
         }
       } else {
         // source newlines are soft whitespace — only BLOCK TAGS break
-        // lines in the extracted text
-        if (rawUntilTag == null) raw.append(if (c == '\n' || c == '\r') ' ' else c)
+        // lines in the extracted text. When marking links, literal
+        // U+0001/U+0002 in CONTENT would forge the anchor sentinels —
+        // map them to spaces (they are never meaningful text)
+        if (rawUntilTag == null)
+          raw.append(
+            if (c == '\n' || c == '\r') ' '
+            else if (markLinks && (c == LinkOpen || c == LinkClose)) ' '
+            else c)
         i += 1
       }
     }
@@ -175,7 +195,8 @@ object WebText {
     */
   private[graft] def htmlToMainTextKernel(html: String, maxLinkDensity: Double): String = {
     if (html == null) return null
-    val decoded = decodeEntities(scanRaw(html, markLinks = true))
+    // sanitized decode: &#1;/&#2; references must not forge sentinels
+    val decoded = decodeEntities(scanRaw(html, markLinks = true), sanitizeSentinels = true)
     val out = new java.lang.StringBuilder(decoded.length)
     var inLink = false
     var first = true

@@ -174,9 +174,13 @@ object StreamingDedup {
     *
     * Scale shape: the corpus contributes its banded SIGNATURE table —
     * numHashes longs per doc, linear in corpus doc count, text never
-    * read. Spark plans the join side per microbatch; at very large
-    * corpora pre-bucket the parquet by the band key so the static
-    * side prunes instead of re-shuffling.
+    * read. Corpus band buckets over `maxBucketSize` members are
+    * DROPPED before the join (the batch paths' skew cap, same recall
+    * caveat: a boilerplate bucket shared by millions of standing docs
+    * would otherwise cross-join against every colliding stream row
+    * each microbatch). Spark re-plans the static side per microbatch;
+    * at very large corpora pre-bucket the parquet by the band key so
+    * it prunes instead of re-shuffling.
     */
   def corpusNearDupHits(
       docs: DataFrame,
@@ -188,6 +192,7 @@ object StreamingDedup {
       bands: Int = 32,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
   ): Dataset[CorpusDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -205,11 +210,18 @@ object StreamingDedup {
       .select(col("id"), col("ts"), col("p._1").as("sig"), col("p._2").as("grams"))
       .select(col("id"), col("ts"), col("grams"),
         explode(Dedup.bandKeysCol(numHashes, bands)).as("bucket"))
-    val corpusSide = corpusSigs
+    val corpusSide0 = corpusSigs
       .select(col("id").as("corpus_id"), col("sig"), col("grams").as("grams_o"),
         size(col("grams")).as("sz_o"))
       .select(col("corpus_id"), col("grams_o"), col("sz_o"),
         explode(Dedup.bandKeysCol(numHashes, bands)).as("bucket"))
+    // skew cap on the STATIC side (the stream side cannot be counted
+    // ahead of time): oversized corpus buckets drop entirely
+    val corpusSide = corpusSide0.join(
+      corpusSide0.groupBy("bucket").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucketSize.toLong)
+        .select("bucket"),
+      "bucket")
     banded
       .join(corpusSide, "bucket")
       .withColumn("inter", graft.functions.VectorExpressions

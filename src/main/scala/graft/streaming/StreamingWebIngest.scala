@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.{QualityFilters, TextAnalysis, WebText}
+import graft.operators.TextAnalysis
 
 /** Streaming face of [[graft.operators.CorpusPipeline.webIngest]]'s
   * ingest front end: the firehose path a crawler feeds continuously,
@@ -130,20 +130,16 @@ object StreamingWebIngest {
     capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
   }
 
-  /** The STATELESS stages of the ingest (extract → urlparts →
-    * blocklist → langId → per-language Gopher → PII redaction → in-doc
-    * line dedup) — shared so the near-dup side stream can branch
-    * before any stateful operator (Spark supports only specific
-    * chains of stateful operators in one streaming query; branching
-    * here keeps each output query single-stateful).
-    *
-    * `soft404` and `redactPii` mirror the batch face's options at the
-    * SAME stage positions (soft-404 drop before langId; redaction
-    * after the quality filters, before every dedup stage) — both are
-    * per-row projections/filters, stateless and stream-safe, and the
-    * redact-before-dedup order is what makes contact-detail variants
-    * collapse in [[graft.streaming.EventStreams.dedupStream]]'s
-    * fingerprint state exactly like in the batch dedup.
+  /** The STATELESS stages of the ingest — LITERALLY the batch face's
+    * [[graft.operators.CorpusPipeline.cleanedCrawlPrefix]] (one
+    * function, so the stage list and option positions can never
+    * diverge between batch and stream; every stage in it is a per-row
+    * projection/filter or a stream-safe static join), plus the
+    * in-doc line dedup that replaces the batch path's corpus-wide
+    * pass. Shared so the near-dup side stream can branch before any
+    * stateful operator (Spark supports only specific chains of
+    * stateful operators in one streaming query; branching here keeps
+    * each output query single-stateful).
     */
   private def cleanedFrontEnd(
       docs: DataFrame,
@@ -160,48 +156,9 @@ object StreamingWebIngest {
       mainContent: Boolean,
       stripTracking: Boolean,
   ): DataFrame = {
-    val src = docs.select(
-      col(idCol).as("id"),
-      col(tsCol).as("ts"),
-      col(htmlCol).as("__html"),
-      col(urlCol).as("__url"))
-    val extracted0 =
-      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
-       else WebText.htmlToText(src, "__html", outCol = "text"))
-        .drop("__html")
-    val extracted1 =
-      if (canonicalizeNfc)
-        extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
-      else extracted0
-    // optional C4 cleaning (batch twin: CorpusPipeline.webIngest's
-    // `c4`) — a per-row kernel + filter, stateless and stream-safe
-    val extracted2 = if (c4) QualityFilters.c4Clean(extracted1, "text") else extracted1
-    val extracted =
-      if (soft404) QualityFilters.dropSoft404(extracted2, "text") else extracted2
-    val withUrl0 =
-      WebText.withUrlParts(extracted, "__url", stripTracking = stripTracking).drop("__url")
-    // stream-static joins: the blocklist is a static frame, and both
-    // the semi- and anti-join legs are append-mode-supported
-    val withUrl = blocklist match {
-      case Some(bl) => WebText.filterBlockedHosts(withUrl0, "id", "url_host", bl)
-      case None => withUrl0
-    }
-    val withLang = TextAnalysis.withLangId(withUrl, "text")
-    val langKept =
-      if (langs.isEmpty) withLang
-      else withLang.where(col("lang_pred").isInCollection(langs))
-    val quality0 = QualityFilters
-      .withGopherFlagsByLang(langKept, "text", "lang_pred")
-      .where(col("pass"))
-      .select(col("id"), col("ts"), col("text"), col("url_norm"), col("url_host"),
-        col("lang_pred"))
-    val quality =
-      if (redactPii)
-        TextAnalysis
-          .redactPii(quality0, "text")
-          .withColumn("text", col("redacted"))
-          .drop("redacted", "pii_found")
-      else quality0
+    val quality = graft.operators.CorpusPipeline.cleanedCrawlPrefix(
+      docs, idCol, Some(tsCol), htmlCol, urlCol, langs, blocklist,
+      canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking)
     TextAnalysis
       .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
       .drop("text")

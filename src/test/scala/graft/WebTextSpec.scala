@@ -153,6 +153,19 @@ class WebTextSpec extends SparkTestBase {
     // entities decode before counting and output
     assert(m("<p>Tom &amp; Jerry win</p>") == "Tom & Jerry win")
     assert(m(null) == null)
+    // sentinel forgery: a literal U+0001/U+0002 in content, or the
+    // numeric entities &#1;/&#2; that would DECODE into the anchor
+    // sentinels, must not flip link state — the lines after them
+    // still count as prose and survive
+    val forged = "<p>junk \u0001 here in this line today</p>" +
+      "<p>second good prose line stays present</p>"
+    assert(m(forged).split("\n").length == 2, s"literal ctrl char forged state: ${m(forged)}")
+    val forgedEnt = "<p>junk &#1; here in this line today</p>" +
+      "<p>second good prose line stays present</p>" +
+      "<p><a>Privacy</a> &#2; <a>Terms</a></p>"
+    val got = m(forgedEnt)
+    assert(got.split("\n").length == 2 && !got.contains("Privacy"),
+      s"entity-decoded sentinel forged state: $got")
   }
 
   test("filterBlockedHosts streaming: broadcast ceiling enforced with an actionable error") {
