@@ -3927,6 +3927,60 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 10 = 5
       |ORDER BY id""".stripMargin
 
+  /** Roundtrip gate for the WARC source ([[graft.sources.Warc]] — the
+    * Common Crawl container): every document is serialized as a
+    * `response` record into BOTH a plain and a gzip-member-per-record
+    * WARC file, read back through the distributed reader, and checked
+    * field-for-field — exactly two copies per doc (one per file), the
+    * HTTP head split yields status 200 and the html content-type, and
+    * the parsed body equals the expected page byte-for-byte (bodies
+    * are `Content-Length`-sliced, so corpus text containing CRLFs or
+    * WARC-looking strings must survive verbatim).
+    */
+  private def q129WarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val rows = docsDf.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .sortBy(_._1)
+    val recs = rows.toSeq.map { case (id, text) =>
+      (s"http://warc.example.com/doc/$id", "2024-06-01T10:00:00Z",
+        s"<html><body><p>doc $id</p><p>$text</p></body></html>")
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_gate")
+    java.nio.file.Files.write(
+      outDir.resolve("a.warc"), graft.sources.Warc.buildWarc(recs, gzipPerRecord = false))
+    java.nio.file.Files.write(
+      outDir.resolve("b.warc.gz"), graft.sources.Warc.buildWarc(recs, gzipPerRecord = true))
+    val parsed = graft.sources.Warc.read(s, outDir.toString + "/*")
+    val expected = docsDf.select(
+      col("doc_id"),
+      concat(lit("<html><body><p>doc "), col("doc_id").cast("string"),
+        lit("</p><p>"), coalesce(col("text"), lit("")),
+        lit("</p></body></html>")).as("exp"))
+    parsed
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("http_status"), col("content_type"), col("body"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("http_status")).as("status"),
+        (countDistinct(col("body")) === 1).as("bodies_agree"),
+        first(col("body")).as("__body"),
+        (countDistinct(col("content_type")) === 1 &&
+          min(col("content_type")) === "text/html; charset=utf-8").as("ct_ok"))
+      .join(expected, "doc_id")
+      .select(col("doc_id"), col("n_copies"), col("status"), col("bodies_agree"),
+        (col("__body") === col("exp")).as("body_ok"), col("ct_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val q129Oracle =
+    """SELECT doc_id, CAST(2 AS BIGINT) AS n_copies, 200 AS status,
+      |  true AS bodies_agree, true AS body_ok, true AS ct_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4115,6 +4169,7 @@ object SparkEntry {
     "q126_main_content_planted" -> (q126MainContentPlanted _),
     "q127_incremental_neardup" -> (q127IncrementalNearDup _),
     "q128_corpus_hits_planted" -> (q128CorpusHitsPlanted _),
+    "q129_warc_roundtrip" -> (q129WarcRoundtrip _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4233,5 +4288,6 @@ object SparkEntry {
     "q126_main_content_planted" -> q126Oracle,
     "q127_incremental_neardup" -> q127Oracle,
     "q128_corpus_hits_planted" -> q128Oracle,
+    "q129_warc_roundtrip" -> q129Oracle,
   )
 }

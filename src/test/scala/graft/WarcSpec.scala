@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(url: String, html: String) = (url, "2024-06-01T10:00:00Z", html)
+
+  test("roundtrip: plain, gzip-per-record, and whole-file gzip all parse identically") {
+    val recs = Seq(rec("http://a.com/1", "<html>one</html>"), rec("http://a.com/2", "<p>two</p>"))
+    val plain = Warc.buildWarc(recs, gzipPerRecord = false)
+    val gzRec = Warc.buildWarc(recs, gzipPerRecord = true)
+    // whole-file gzip: one member over the full plain bytes
+    val whole = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close(); bos.toByteArray
+    }
+    val expect = recs.map { case (u, _, h) => (u, h) }
+    Seq(plain, gzRec, whole).foreach { bytes =>
+      val got = Warc.parseWarc(Warc.maybeGunzip(bytes)).map(r => (r.url, r.body)).toList
+      assert(got == expect, s"roundtrip failed for a variant: $got")
+    }
+  }
+
+  test("http head split: status and content-type extracted, body exact") {
+    val r = Warc.parseWarc(Warc.buildWarc(Seq(rec("http://x.com/", "<b>B</b>")), false)).next()
+    assert(r.warc_type == "response" && r.http_status == 200)
+    assert(r.content_type == "text/html; charset=utf-8")
+    assert(r.body == "<b>B</b>")
+  }
+
+  test("Content-Length is authoritative: bodies containing WARC/ lines and CRLFCRLF survive verbatim") {
+    val tricky = "WARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a record\r\n\r\ntail"
+    val recs = Seq(rec("http://t.com/1", tricky), rec("http://t.com/2", "after"))
+    val got = Warc.parseWarc(Warc.buildWarc(recs, false)).map(r => (r.url, r.body)).toList
+    assert(got == Seq(("http://t.com/1", tricky), ("http://t.com/2", "after")),
+      s"body-embedded WARC text corrupted the scan: $got")
+  }
+
+  test("malformed trailing garbage ends iteration instead of throwing; empty input yields no records") {
+    val good = Warc.buildWarc(Seq(rec("http://g.com/", "ok")), false)
+    val garbage = "WARC/1.0\r\nContent-Length: 99999999\r\n\r\ntruncated"
+      .getBytes(StandardCharsets.UTF_8)
+    val got = Warc.parseWarc(good ++ garbage).toList
+    assert(got.map(_.url) == Seq("http://g.com/"), s"got=$got")
+    assert(Warc.parseWarc(Array.emptyByteArray).toList.isEmpty)
+    assert(Warc.parseWarc("no records here".getBytes(StandardCharsets.UTF_8)).toList.isEmpty)
+  }
+
+  test("non-http records carry the raw payload and status -1") {
+    val warcinfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n" +
+      "Content-Length: 9\r\n\r\nrobots: x\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+    val r = Warc.parseWarc(warcinfo).next()
+    assert(r.warc_type == "warcinfo" && r.http_status == -1 && r.body == "robots: x")
+  }
+
+  test("distributed read: one DataFrame over mixed plain and gzip files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec")
+    val recsA = Seq(rec("http://f.com/a", "<p>alpha</p>"))
+    val recsB = Seq(rec("http://f.com/b", "<p>beta</p>"))
+    java.nio.file.Files.write(dir.resolve("a.warc"), Warc.buildWarc(recsA, false))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), Warc.buildWarc(recsB, true))
+    val got = Warc.read(spark, dir.toString + "/*")
+      .select($"url", $"body").as[(String, String)].collect().toSet
+    assert(got == Set(("http://f.com/a", "<p>alpha</p>"), ("http://f.com/b", "<p>beta</p>")))
+  }
+}
