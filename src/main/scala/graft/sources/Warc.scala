@@ -159,6 +159,41 @@ object Warc {
       .toDF()
   }
 
+  /** STREAMING WARC ingestion — the file-arrival shape a production
+    * crawl pipeline lands on: a crawler drops finished `.warc.gz`
+    * files into a directory/bucket and this source picks each up
+    * exactly once (Spark's `binaryFile` file stream tracks processed
+    * files in the checkpoint), parses it with the same kernel as the
+    * batch [[read]], and emits one row per record — a stateless
+    * projection, so it composes directly with
+    * [[graft.streaming.StreamingWebIngest.webIngestStream]] (feed the
+    * `response` rows as (id, ts, html, url)).
+    *
+    * Same scale shape as batch: the file is the unit of work; a
+    * 1 GB archive parses in one task with memory bounded by its
+    * largest record.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    val parseUdf = org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[WarcRecord]
+      else parseWarc(maybeGunzip(bytes)).toSeq
+    }
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.types._
+    // binaryFile's fixed schema — streaming sources require it stated
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binSchema)
+      .load(path)
+      .select(explode(parseUdf(col("content"))).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Serialize records into WARC bytes (testing + fixture tool; one
     * `response` record per row, HTTP head included).
     */

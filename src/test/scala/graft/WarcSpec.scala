@@ -58,6 +58,29 @@ class WarcSpec extends SparkTestBase {
     assert(r.warc_type == "warcinfo" && r.http_status == -1 && r.body == "robots: x")
   }
 
+  test("streaming read: files picked up on arrival, each exactly once; stream ≡ batch fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    java.nio.file.Files.write(dir.resolve("w1.warc"),
+      Warc.buildWarc(Seq(rec("http://s.com/1", "<p>first</p>")), false))
+    val q = Warc.readStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("warc_stream")
+        .select($"url", $"http_status", $"body").as[(String, Int, String)].collect().toSet
+      assert(first == Set(("http://s.com/1", 200, "<p>first</p>")), s"first=$first")
+      // a later-arriving gzipped file is picked up incrementally
+      java.nio.file.Files.write(dir.resolve("w2.warc.gz"),
+        Warc.buildWarc(Seq(rec("http://s.com/2", "<p>second</p>")), true))
+      q.processAllAvailable()
+      val all = spark.table("warc_stream")
+        .select($"url", $"body").as[(String, String)].collect().toList
+      assert(all.toSet == Set(
+        ("http://s.com/1", "<p>first</p>"), ("http://s.com/2", "<p>second</p>")))
+      assert(all.size == 2, s"each file exactly once: $all")
+    } finally q.stop()
+  }
+
   test("distributed read: one DataFrame over mixed plain and gzip files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-spec")
     val recsA = Seq(rec("http://f.com/a", "<p>alpha</p>"))
