@@ -21,9 +21,72 @@ class WarcSpec extends SparkTestBase {
     }
     val expect = recs.map { case (u, _, h) => (u, h) }
     Seq(plain, gzRec, whole).foreach { bytes =>
-      val got = Warc.parseWarc(Warc.maybeGunzip(bytes)).map(r => (r.url, r.body)).toList
+      val got = Warc.parseWarc(bytes).map(r => (r.url, r.body)).toList
       assert(got == expect, s"roundtrip failed for a variant: $got")
     }
+  }
+
+  test("charset: body decoded per the HTTP head's charset= parameter; unknown charset falls back to UTF-8") {
+    val latin = "café jalapeño" // é=0xE9, ñ=0xF1 in ISO-8859-1 — invalid as UTF-8
+    val pages = Seq(
+      Warc.FixturePage("http://c.com/latin1", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html; charset=iso-8859-1"),
+        ("<p>" + latin + "</p>").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+      Warc.FixturePage("http://c.com/utf8", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html; charset=utf-8"),
+        ("<p>" + latin + "</p>").getBytes(StandardCharsets.UTF_8)),
+      Warc.FixturePage("http://c.com/unknown", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html; charset=klingon-8"),
+        "<p>plain ascii</p>".getBytes(StandardCharsets.UTF_8)),
+    )
+    val got = Warc.parseWarc(Warc.buildWarcRaw(pages, gzipPerRecord = false))
+      .map(r => (r.url, r.body)).toMap
+    assert(got("http://c.com/latin1") == "<p>" + latin + "</p>",
+      s"latin1 not decoded per charset: ${got("http://c.com/latin1")}")
+    assert(got("http://c.com/utf8") == "<p>" + latin + "</p>")
+    assert(got("http://c.com/unknown") == "<p>plain ascii</p>")
+  }
+
+  test("chunked transfer coding is decoded (sizes in hex, extensions and trailers ignored); non-chunked untouched") {
+    val body = "chunked body with WARC/1.0 inside and 0 digits"
+    val wire = Warc.chunkEncode(body.getBytes(StandardCharsets.UTF_8), 7)
+    val pages = Seq(
+      Warc.FixturePage("http://t.com/chunked", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html; charset=utf-8", "Transfer-Encoding: chunked"), wire),
+      Warc.FixturePage("http://t.com/plain", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html; charset=utf-8"),
+        body.getBytes(StandardCharsets.UTF_8)),
+    )
+    val got = Warc.parseWarc(Warc.buildWarcRaw(pages, gzipPerRecord = false))
+      .map(r => (r.url, r.body)).toMap
+    assert(got("http://t.com/chunked") == body, s"dechunk failed: ${got("http://t.com/chunked")}")
+    assert(got("http://t.com/plain") == body)
+    // mislabeled chunked head with a non-chunked body passes through raw
+    val mislabeled = Warc.parseWarc(Warc.buildWarcRaw(Seq(
+      Warc.FixturePage("http://t.com/mislabeled", "2024-06-01T10:00:00Z",
+        Seq("Content-Type: text/html", "Transfer-Encoding: chunked"),
+        "zz not hex".getBytes(StandardCharsets.UTF_8))), false)).next()
+    assert(mislabeled.body == "zz not hex")
+  }
+
+  test("mid-file gzip corruption yields the records decoded so far instead of throwing") {
+    val one = Warc.buildWarc(Seq(rec("http://ok.com/1", "<p>fine</p>")), gzipPerRecord = true)
+    val corrupt = one ++ one.take(40) // second member truncated mid-header/deflate
+    val got = Warc.parseWarc(corrupt).map(_.url).toList
+    assert(got == Seq("http://ok.com/1"), s"got=$got")
+  }
+
+  test("memory bound is real: 300 MB archive parses in a 64 MB-heap child JVM") {
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(javaBin, "-Xmx64m", "-cp", cp, "graft.tools.WarcHeapProbe", "3000", "100000")
+    val outBuf = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val src = scala.io.Source.fromInputStream(proc.getInputStream)
+    try outBuf ++= src.mkString finally src.close()
+    val exit = proc.waitFor()
+    assert(exit == 0 && outBuf.toString.contains("OK 3000"),
+      s"heap-capped parse failed (exit=$exit): ${outBuf.toString.takeRight(2000)}")
   }
 
   test("http head split: status and content-type extracted, body exact") {
