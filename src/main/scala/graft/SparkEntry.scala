@@ -3981,6 +3981,112 @@ object SparkEntry {
       |  true AS bodies_agree, true AS body_ok, true AS ct_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** HTTP-fidelity gate for the WARC source: every document becomes
+    * TWO planted pages in one gzip-member-per-record archive — even
+    * ids served as ISO-8859-1 with `Transfer-Encoding: chunked` (the
+    * on-the-wire capture shape crawlers store verbatim), odd ids as
+    * plain UTF-8 — and the decoded text must oracle-check VERBATIM:
+    * a missed de-chunk leaves hex size lines inside the body, a
+    * missed charset decode mangles the non-ASCII accents (é/ñ are
+    * invalid UTF-8 as single latin-1 bytes), and either hash-fails.
+    */
+  private def q130WarcHttpFidelity(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    def text(id: Long) = s"café doc $id résumé jalapeño ${id * 7}"
+    def html(id: Long) = s"<html><body><p>${text(id)}</p></body></html>"
+    val pages = ids.toSeq.map { id =>
+      if (id % 2 == 0)
+        graft.sources.Warc.FixturePage(
+          s"http://fidelity.example.com/p/$id", "2024-06-01T10:00:00Z",
+          Seq("Content-Type: text/html; charset=iso-8859-1", "Transfer-Encoding: chunked"),
+          graft.sources.Warc.chunkEncode(
+            html(id).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 11))
+      else
+        graft.sources.Warc.FixturePage(
+          s"http://fidelity.example.com/p/$id", "2024-06-01T10:00:00Z",
+          Seq("Content-Type: text/html; charset=utf-8"),
+          html(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_http")
+    java.nio.file.Files.write(outDir.resolve("fidelity.warc.gz"),
+      graft.sources.Warc.buildWarcRaw(pages, gzipPerRecord = true))
+    graft.sources.Warc.read(s, outDir.toString + "/*")
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("body"),
+        regexp_extract(lower(col("content_type")), "charset=([a-z0-9-]+)", 1)
+          .as("charset_hdr"),
+        col("http_status").as("status"))
+      .orderBy("doc_id")
+  }
+
+  private val q130Oracle =
+    """SELECT doc_id,
+      |  '<html><body><p>café doc ' || doc_id || ' résumé jalapeño ' || (doc_id * 7)
+      |    || '</p></body></html>' AS body,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset_hdr,
+      |  200 AS status
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The q122 planted corpus rendered per-row in driver Scala — must
+    * reproduce [[q122Content]]'s column expressions byte-for-byte so
+    * the WARC-served pipeline ([[q131WarcIngestE2e]]) hits the SAME
+    * closed-form oracle.
+    */
+  private def q122HtmlScala(id: Long): String = {
+    def content(cid: Long, pairs: Int): String =
+      (0 until pairs).map(k => s"${q122Stops(k % 10)} item${cid}x$k").mkString(" ")
+    val body = (id % 10) match {
+      case 1 => (0 until 60).map(k => (id * 100 + k).toString).mkString(" ")
+      case 2 => content(id, 10)
+      case 6 => content(id - 1, 27) + " graftplant"
+      case _ => content(id, 27)
+    }
+    s"<html><body><p>$q122Boiler</p><p>$body</p></body></html>"
+  }
+
+  private def q122UrlScala(id: Long): String =
+    if (id % 10 == 0) s"http://ads.blocked.example.com/p/$id"
+    else s"http://site${id % 3}.example.com/p/$id"
+
+  /** The SEAM gate: the q122 corpus recipe served from gzipped WARC
+    * archives through [[graft.sources.Warc.read]] into the flagship
+    * batch web-ingest composition — q129 checks the source roundtrip
+    * and q122 the pipeline; this welds them, so any drift the WARC
+    * path introduces (charset, de-chunking, head split, URL
+    * transport) hash-fails the SAME closed-form end-to-end oracle as
+    * q122. Eight archive files (sharded by id, Common Crawl's
+    * file-per-task layout) keep the read distributed.
+    */
+  private def q131WarcIngestE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = load(s, dir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_e2e")
+    ids.groupBy(_ % 8).foreach { case (shard, shardIds) =>
+      val recs = shardIds.toSeq.map(id =>
+        (q122UrlScala(id), "2024-06-01T10:00:00Z", q122HtmlScala(id)))
+      java.nio.file.Files.write(outDir.resolve(s"shard$shard.warc.gz"),
+        graft.sources.Warc.buildWarc(recs, gzipPerRecord = true))
+    }
+    val pages = graft.sources.Warc.read(s, outDir.toString + "/*")
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("body").as("html"), col("url"))
+    val blocklist = Seq("blocked.example.com").toDF("domain")
+    graft.operators.CorpusPipeline
+      .webIngest(pages, "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 80, seqLen = 64, blocklist = Some(blocklist))
+      .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pos"), col("start_offset"),
+        col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
+      .orderBy("id")
+  }
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4170,6 +4276,8 @@ object SparkEntry {
     "q127_incremental_neardup" -> (q127IncrementalNearDup _),
     "q128_corpus_hits_planted" -> (q128CorpusHitsPlanted _),
     "q129_warc_roundtrip" -> (q129WarcRoundtrip _),
+    "q130_warc_http_fidelity" -> (q130WarcHttpFidelity _),
+    "q131_warc_ingest_e2e" -> (q131WarcIngestE2e _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4289,5 +4397,7 @@ object SparkEntry {
     "q127_incremental_neardup" -> q127Oracle,
     "q128_corpus_hits_planted" -> q128Oracle,
     "q129_warc_roundtrip" -> q129Oracle,
+    "q130_warc_http_fidelity" -> q130Oracle,
+    "q131_warc_ingest_e2e" -> q122Oracle, // same closed-form truth, WARC-served
   )
 }
