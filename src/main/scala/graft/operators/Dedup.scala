@@ -188,6 +188,16 @@ object Dedup {
   ): DataFrame = {
     val newSigs = minHashSignatures(newDf, idCol, textCol, numHashes, shingleSize).persist()
     val corpus = corpusSigs.select(col("id"), col("sig"), col("grams"))
+    // the disjointness precondition is ENFORCED, not just documented:
+    // an id on both sides would self-pair through the union and
+    // silently flip keep/drop decisions. One cheap job on the two
+    // narrow id projections (limit-1 early-out; it also warms the
+    // newSigs cache the real pipeline reads next).
+    require(
+      newSigs.select(col("id")).join(corpus.select(col("id")), "id").isEmpty,
+      "nearDupNewDocs: corpus and new-batch ids overlap — the sides must be " +
+        "disjoint (an id present in both would pair with itself through the " +
+        "union); remap the incoming batch's ids or drop already-ingested docs first")
     val bNew = bandBuckets(newSigs, numHashes, bands)
     val bAll = bandBuckets(corpus, numHashes, bands)
       .withColumn("__corpus", lit(true))

@@ -627,9 +627,20 @@ object TextAnalysis {
     * The earlier aggregate+join formulation shuffled the same gram
     * stream for the join AND re-scanned/re-exploded the corpus for
     * the aggregate side — the window pays the identical by-gram
-    * exchange (and the same mega-gram partition sort the SortMergeJoin
-    * paid) with the second corpus scan gone. All counts exact — the
-    * whole output oracle-checks.
+    * exchange with the second corpus scan gone. All counts exact —
+    * the whole output oracle-checks.
+    *
+    * SKEW trade-off: the window shape buffers each gram's partition
+    * rows (WindowExec's spillable row array) with NO map-side partial
+    * aggregation — fine up to spill, but a truly ubiquitous
+    * boilerplate gram (df in the hundreds of millions, the exact
+    * signal this audit hunts) concentrates into one sorted, spilled
+    * mega-partition. `skewSafe = true` buys back map-side combine by
+    * paying a second corpus scan: aggregate the per-gram df first
+    * (partial_count absorbs the hot gram on every mapper), then join
+    * it back — the SortMergeJoin's buffered side is the ONE df row
+    * per gram, so the hot gram streams instead of buffering. Flip it
+    * when the corpus is boilerplate-heavy; results are identical.
     */
   def commonNgramStats(
       df: DataFrame,
@@ -637,13 +648,20 @@ object TextAnalysis {
       textCol: String,
       n: Int = 3,
       minDf: Long = 2L,
+      skewSafe: Boolean = false,
   ): DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"), explode(distinctWordNgrams(col(textCol), n)).as("gram"))
     // grams are distinct per doc, so count(*) per gram IS the document frequency
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-    grams
-      .withColumn("gram_df", count(lit(1)).over(w))
+    val withDf =
+      if (skewSafe) {
+        val dfs = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+        grams.join(dfs, "gram")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+        grams.withColumn("gram_df", count(lit(1)).over(w))
+      }
+    withDf
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

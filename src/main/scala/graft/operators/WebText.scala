@@ -424,19 +424,22 @@ object WebText {
       // stateful aggregation plus a stream-stream self-join (not
       // append-supported). The list collapses to a broadcast set and
       // the check becomes a stateless per-row filter — streams as-is.
-      // The list must fit in a broadcast — count first (one cheap job
-      // on the static frame) and fail actionably over the ceiling.
-      val n = blocklist.count()
-      require(n <= maxBroadcastDomains,
-        s"streaming blocklist has $n entries, over the $maxBroadcastDomains broadcast " +
+      // ONE evaluation of the static frame: collect at most
+      // ceiling+1 rows and check the materialized size, so the
+      // ceiling and the shipped set can never disagree (a separate
+      // count() job could see a different result on a
+      // nondeterministic or concurrently-rewritten frame). Under the
+      // ceiling, limit(n+1) returns the COMPLETE list.
+      val collected = blocklist
+        .select(lower(col(domainCol)))
+        .limit(math.min(maxBroadcastDomains + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      require(collected.length <= maxBroadcastDomains,
+        s"streaming blocklist has over $maxBroadcastDomains entries, the broadcast " +
           "ceiling — a set this size cannot ship to every executor; pre-filter in batch " +
           "mode instead (filterBlockedHosts on a static frame is an equi-join with no " +
           "ceiling), or raise maxBroadcastDomains deliberately if the cluster has the heap")
-      val domains = blocklist
-        .select(lower(col(domainCol)))
-        .collect()
-        .map(_.getString(0))
-        .toSet
+      val domains = collected.map(_.getString(0)).toSet
       val bc = df.sparkSession.sparkContext.broadcast(domains)
       val blockedUdf = udf { (host: String) =>
         if (host == null) false

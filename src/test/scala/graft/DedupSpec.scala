@@ -455,5 +455,12 @@ class DedupSpec extends SparkTestBase {
       batch, "doc_id", "text", sigs.where($"id" < 0), threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     assert(keptEmpty == Set(10L, 11L, 13L), s"keptEmpty=$keptEmpty")
+    // the disjointness precondition is enforced, not just documented:
+    // an id on both sides fails fast instead of silently self-pairing
+    val overlapping = Seq((1L, marked(1)), (20L, marked(5))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupNewDocs(overlapping, "doc_id", "text", sigs, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
   }
 }

@@ -711,6 +711,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 0L, 1L, 0.0)), got(3L).toString)
   }
 
+  test("commonNgramStats: skewSafe aggregate+join path is row-identical to the window path") {
+    val docs = (1L to 40L).map { i =>
+      // every doc shares the same boilerplate lead (the hot gram the
+      // skew-safe path exists for) plus unique trailing content
+      (i, s"all rights reserved terms apply item${i}a item${i}b item${i}c")
+    }.toDF("doc_id", "text")
+    def rows(skewSafe: Boolean) = TextAnalysis
+      .commonNgramStats(docs, "doc_id", "text", n = 3, minDf = 2L, skewSafe = skewSafe)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(rows(skewSafe = true) == rows(skewSafe = false))
+  }
+
   test("dedupLinesInDoc: first spelling survives, whitespace variants collapse, docs independent") {
     val cases = Seq(
       (1L, "header\nbody one\nheader\nbody two\n  header  \nfooter"),
