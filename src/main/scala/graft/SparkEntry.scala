@@ -4065,8 +4065,10 @@ object SparkEntry {
     val ids = load(s, dir, "documents").select(col("doc_id"))
       .collect().map(_.getLong(0)).sorted
     val outDir = java.nio.file.Files.createTempDirectory("graft_warc_e2e")
-    ids.groupBy(_ % 8).foreach { case (shard, shardIds) =>
-      val recs = shardIds.toSeq.map(id =>
+    // all 8 shards written unconditionally — an empty corpus still
+    // leaves parseable (zero-record) archives for the glob to match
+    (0L until 8L).foreach { shard =>
+      val recs = ids.toSeq.filter(_ % 8 == shard).map(id =>
         (q122UrlScala(id), "2024-06-01T10:00:00Z", q122HtmlScala(id)))
       java.nio.file.Files.write(outDir.resolve(s"shard$shard.warc.gz"),
         graft.sources.Warc.buildWarc(recs, gzipPerRecord = true))
@@ -4085,6 +4087,43 @@ object SparkEntry {
         col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
         col("lang_pred"))
       .orderBy("id")
+  }
+
+  /** q127's incremental near-dup recipe served through the PERSISTED
+    * bucketed signature store ([[graft.operators.Dedup
+    * .writeSignatures]] → [[graft.operators.Dedup.readSignatures]] →
+    * the store overload of `nearDupNewDocs`): the corpus signatures
+    * are banded, skew-capped, and bucket-counted ONCE at write; the
+    * incremental pass equi-joins the bucketed table with no
+    * static-side exchange (DedupSpec asserts the plan). Same planted
+    * truth and oracle as q127 — any store-path semantic drift
+    * hash-fails against the frame path's closed form.
+    */
+  private def q132SigStoreNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sigstore_gate").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(docs, "doc_id", "text"), storeDir, "q132_sigs")
+    val store = Dedup.readSignatures(s, storeDir, "q132_sigs")
+    val copies = docs
+      .where(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" graftplant")).as("text"))
+    val freshId = col("doc_id") + lit(3000000L)
+    val fresh = docs
+      .where(col("doc_id") % 10 === 5)
+      .select(
+        freshId.as("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), lit(29)),
+            k => concat(lit("item"), freshId.cast("string"), lit("x"), k.cast("string"))),
+          " ").as("text"))
+    Dedup
+      .nearDupNewDocs(copies.unionByName(fresh), "doc_id", "text", store, threshold = 0.8)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
   }
 
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -4278,6 +4317,7 @@ object SparkEntry {
     "q129_warc_roundtrip" -> (q129WarcRoundtrip _),
     "q130_warc_http_fidelity" -> (q130WarcHttpFidelity _),
     "q131_warc_ingest_e2e" -> (q131WarcIngestE2e _),
+    "q132_sigstore_neardup" -> (q132SigStoreNearDup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4399,5 +4439,6 @@ object SparkEntry {
     "q129_warc_roundtrip" -> q129Oracle,
     "q130_warc_http_fidelity" -> q130Oracle,
     "q131_warc_ingest_e2e" -> q122Oracle, // same closed-form truth, WARC-served
+    "q132_sigstore_neardup" -> q127Oracle, // same planted truth, store-served
   )
 }

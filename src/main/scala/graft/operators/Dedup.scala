@@ -245,6 +245,191 @@ object Dedup {
     out
   }
 
+  /** A persisted, PRE-BANDED near-dup signature store
+    * ([[writeSignatures]] / [[readSignatures]]): `banded` holds one
+    * (bucket, id, bucket_n) row per band key per corpus doc, stored
+    * as a parquet table BUCKETED on the band key with the skew cap
+    * applied and the per-bucket population materialized AT WRITE
+    * TIME — so each increment / microbatch equi-joins it with no
+    * static-side exchange, no re-explode of corpus signatures, and
+    * no corpus-side re-count; `grams` is the (id, grams) exact-verify
+    * side, bucketed by id. The meta fields pin the banding recipe:
+    * consumers MUST sign incoming text with the same numHashes /
+    * bands / shingleSize or collisions silently stop happening.
+    */
+  final case class SignatureStore(
+      banded: DataFrame,
+      grams: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Int,
+  )
+
+  /** Persist a [[minHashSignatures]] frame as a [[SignatureStore]] at
+    * `path`, registered as bucketed tables `<name>_banded` /
+    * `<name>_grams` (bucketed writes go through the session catalog;
+    * [[readSignatures]] re-registers them in a fresh session from the
+    * parquet + meta alone).
+    *
+    * Write-time skew cap: band buckets with over `maxBucketSize`
+    * corpus members are dropped HERE — they could never survive any
+    * run-time union cap at or under this value, so dropping them once
+    * at write replaces a per-run corpus-wide groupBy+filter. The
+    * surviving rows carry their bucket population (`bucket_n`), which
+    * is what lets readers evaluate union caps per-row instead of
+    * re-aggregating the corpus.
+    */
+  def writeSignatures(
+      sigs: DataFrame,
+      path: String,
+      name: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000,
+      numBuckets: Int = 64,
+  ): Unit = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded0 = sigs.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
+    val counts = banded0.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    banded0
+      .join(counts, "bucket")
+      .where(col("bucket_n") <= maxBucketSize.toLong)
+      .select("bucket", "id", "bucket_n")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/banded")
+      .bucketBy(numBuckets, "bucket")
+      .sortBy("bucket")
+      .saveAsTable(s"${name}_banded")
+    sigs
+      .select("id", "grams")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/grams")
+      .bucketBy(numBuckets, "id")
+      .sortBy("id")
+      .saveAsTable(s"${name}_grams")
+    Seq((numHashes, bands, shingleSize, maxBucketSize, numBuckets))
+      .toDF("num_hashes", "bands", "shingle_size", "max_bucket_size", "num_buckets")
+      .coalesce(1)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** Open a [[SignatureStore]] written by [[writeSignatures]]. In a
+    * fresh session the bucketed tables are re-registered over the
+    * parquet location (DDL with the meta's bucket spec) — bucketing
+    * metadata lives in the catalog, not the files, so this is what
+    * restores the no-exchange join property after a restart.
+    */
+  def readSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      name: String,
+  ): SignatureStore = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (numHashes, bands, shingleSize, maxBucketSize, numBuckets) =
+      (m.getInt(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4))
+    def ensure(table: String, sub: String, schema: String, key: String): DataFrame = {
+      if (!spark.catalog.tableExists(table)) {
+        spark.sql(
+          s"CREATE TABLE $table ($schema) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
+            s"LOCATION '$path/$sub'")
+      }
+      spark.table(table)
+    }
+    SignatureStore(
+      ensure(s"${name}_banded", "banded", "bucket STRING, id BIGINT, bucket_n BIGINT", "bucket"),
+      ensure(s"${name}_grams", "grams", "id BIGINT, grams ARRAY<BIGINT>", "id"),
+      numHashes, bands, shingleSize, maxBucketSize)
+  }
+
+  /** [[nearDupNewDocs]] against a persisted [[SignatureStore]] — the
+    * same keep/drop semantics as the signature-frame overload (the
+    * spec asserts result parity), with the per-run corpus work
+    * removed: the corpus side is scanned ONCE with no exchange (the
+    * banded table is bucketed on the join key), never re-exploded,
+    * and never re-counted (union caps evaluate per-row off the stored
+    * `bucket_n`; a bucket dropped at write could not have survived
+    * any union cap ≤ the write cap, and the run-time cap here IS the
+    * write cap). Corpus×corpus pairs are never enumerated, as before.
+    *
+    * One DELIBERATE deviation from the frame overload: a bucket the
+    * write cap dropped is invisible here, so new-new pairs in it are
+    * capped on the new-side population alone instead of inheriting
+    * the corpus's oversize — strictly better recall at the same
+    * bounded cost (the new-side cap still applies). The frame
+    * overload drops such pairs because it sees the full union count.
+    */
+  def nearDupNewDocs(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      store: SignatureStore,
+      threshold: Double,
+  ): DataFrame = {
+    val maxB = store.maxBucketSize.toLong
+    val newSigs =
+      minHashSignatures(newDf, idCol, textCol, store.numHashes, store.shingleSize).persist()
+    require(
+      newSigs.select(col("id")).join(store.grams.select(col("id")), "id").isEmpty,
+      "nearDupNewDocs: corpus and new-batch ids overlap — the sides must be " +
+        "disjoint (an id present in both would pair with itself); remap the " +
+        "incoming batch's ids or drop already-ingested docs first")
+    val bNew = bandBuckets(newSigs, store.numHashes, store.bands)
+    val newCounts = bNew.groupBy("bucket").agg(count(lit(1)).as("new_n"))
+    // the ONLY touch of the corpus banded table: an equi-join on its
+    // bucketing key, restricted to the new batch's buckets
+    val corpusJoined = store.banded.join(newCounts, "bucket").persist()
+    // (a) new-vs-corpus candidates — the union cap is per-row
+    // (bucket_n + new_n IS the union population; ≥2 is automatic)
+    val candCorpus = corpusJoined
+      .where(col("bucket_n") + col("new_n") <= maxB)
+      .select(col("bucket"), col("id").as("id_other"))
+      .join(bNew.select(col("bucket"), col("id").as("id_new")), "bucket")
+      .select(col("id_new"), col("id_other"))
+    // (b) new-vs-new — corpus population per live bucket (0 when the
+    // corpus is absent) from the already-joined slice, not a corpus scan
+    val corpusN = corpusJoined.groupBy("bucket").agg(first(col("bucket_n")).as("corpus_n"))
+    val okNewBuckets = newCounts
+      .join(corpusN, Seq("bucket"), "left")
+      .where((coalesce(col("corpus_n"), lit(0L)) + col("new_n")).between(2L, maxB))
+      .select("bucket")
+    val bNewOk = bNew.join(okNewBuckets, "bucket")
+    val candNew = bNewOk.select(col("bucket"), col("id").as("id_new"))
+      .join(bNewOk.select(col("bucket"), col("id").as("id_other")), "bucket")
+      .where(col("id_other") < col("id_new"))
+      .select(col("id_new"), col("id_other"))
+    val candidates = candCorpus.unionByName(candNew).distinct()
+    val gn = newSigs.select(col("id").as("id_new"), col("grams").as("grams_n"),
+      size(col("grams")).as("sz_n"))
+    val go = store.grams
+      .select(col("id").as("id_other"), col("grams").as("grams_o"),
+        size(col("grams")).as("sz_o"))
+      .unionByName(newSigs.select(col("id").as("id_other"), col("grams").as("grams_o"),
+        size(col("grams")).as("sz_o")))
+    val losers = candidates
+      .join(gn, "id_new")
+      .join(go, "id_other")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams_n"), col("grams_o")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_n") + col("sz_o") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new").as("__loser"))
+      .distinct()
+    val out = newDf
+      .join(losers, newDf(idCol) === losers("__loser"), "left_anti")
+      .localCheckpoint(true)
+    Seq(newSigs, corpusJoined).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** The array of LSH band keys of a `sig` column (band index : hash
     * of the band's signature slice) — THE shared key space: the batch
     * self-dedup, the incremental new-vs-corpus path, and the

@@ -232,4 +232,54 @@ object StreamingDedup {
       .select(col("id"), col("corpus_id"), col("jaccard"), col("ts"))
       .as[CorpusDupHit]
   }
+
+  /** [[corpusNearDupHits]] against a persisted
+    * [[graft.operators.Dedup.SignatureStore]] — identical hit
+    * semantics (spec asserts parity), with the per-microbatch corpus
+    * work removed: the banded table joins on its own bucketing key
+    * with NO static-side exchange, NO re-explode of corpus
+    * signatures, and NO per-microbatch bucket recount or self-join
+    * (the skew cap was applied at write; `bucket_n` rides each row).
+    * The exact-verify gram sets come from the store's id-bucketed
+    * `grams` table, touched only for banding-collision candidates.
+    */
+  def corpusNearDupHits(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      store: Dedup.SignatureStore,
+      threshold: Double,
+  ): Dataset[CorpusDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numHashes = store.numHashes
+    val prepUdf = udf { (text: String) =>
+      val grams = graft.textutil.TextHash.sortedShingleSet(text, store.shingleSize)
+      if (grams.isEmpty) null
+      else (graft.textutil.TextHash.ophSignature(grams, numHashes), grams)
+    }
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        prepUdf(col(textCol)).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("id"), col("ts"), col("p._1").as("sig"), col("p._2").as("grams"))
+      .select(col("id"), col("ts"), col("grams"),
+        explode(Dedup.bandKeysCol(numHashes, store.bands)).as("bucket"))
+    banded
+      .join(store.banded.select(col("bucket"), col("id").as("corpus_id")), "bucket")
+      .join(
+        store.grams.select(col("id").as("corpus_id"), col("grams").as("grams_o"),
+          size(col("grams")).as("sz_o")),
+        "corpus_id")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("grams"), col("grams_o")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("grams")) + col("sz_o") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("corpus_id"), col("jaccard"), col("ts"))
+      .as[CorpusDupHit]
+  }
 }

@@ -463,4 +463,101 @@ class DedupSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("disjoint"), e.getMessage)
   }
+
+  private def sigStoreFixture() = {
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, marked(1) + " tail"), // near-copy of corpus doc 1 → drops
+      (11L, marked(3)), // new content, near-dup of 12 → keep-first wins
+      (12L, marked(3) + " tail"), // larger id of the new-new pair → drops
+      (13L, (0 until 30).map(k => s"u13x$k").mkString(" ")), // fresh → survives
+    ).toDF("doc_id", "text")
+    (corpus, batch)
+  }
+
+  test("signature store: bucketed write/read roundtrip, result parity with the frame path, fresh-catalog reread") {
+    val (corpus, batch) = sigStoreFixture()
+    val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.writeSignatures(sigs, dir, "sigstore_a")
+    val store = Dedup.readSignatures(spark, dir, "sigstore_a")
+    assert(store.numHashes == 128 && store.bands == 32 && store.shingleSize == 3)
+    val kept = Dedup.nearDupNewDocs(batch, "doc_id", "text", store, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val keptFrame = Dedup.nearDupNewDocs(batch, "doc_id", "text", sigs, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == keptFrame && kept == Set(11L, 13L), s"store=$kept frame=$keptFrame")
+    // a fresh catalog (restart shape): drop the table registrations,
+    // re-open from parquet + meta alone — the DDL re-registration path
+    spark.sql("DROP TABLE sigstore_a_banded")
+    spark.sql("DROP TABLE sigstore_a_grams")
+    val reread = Dedup.readSignatures(spark, dir, "sigstore_a")
+    val kept2 = Dedup.nearDupNewDocs(batch, "doc_id", "text", reread, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(11L, 13L), s"kept2=$kept2")
+    // streaming face parity (batch evaluation of the same plan)
+    import java.sql.Timestamp
+    val batchTs = batch.withColumn("ts", lit(Timestamp.valueOf("2024-06-01 10:00:00")))
+    val hitsStore = graft.streaming.StreamingDedup
+      .corpusNearDupHits(batchTs, "doc_id", "ts", "text", reread, threshold = 0.5)
+      .toDF().select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val hitsFrame = graft.streaming.StreamingDedup
+      .corpusNearDupHits(batchTs, "doc_id", "ts", "text", sigs, threshold = 0.5)
+      .toDF().select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(hitsStore == hitsFrame && hitsStore.contains((10L, 1L)),
+      s"store=$hitsStore frame=$hitsFrame")
+  }
+
+  test("signature store: the corpus side joins with NO shuffle exchange and bucketed scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (corpus, batch) = sigStoreFixture()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore-plan").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text"), dir, "sigstore_plan")
+    val store = Dedup.readSignatures(spark, dir, "sigstore_plan")
+    val batchTs = batch.withColumn("ts",
+      lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+    // pin the at-scale plan shape: no AQE rewrites, no broadcast of
+    // the corpus side (at 100 TB it is NOT broadcastable)
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hits = graft.streaming.StreamingDedup
+        .corpusNearDupHits(batchTs, "doc_id", "ts", "text", store, threshold = 0.5)
+        .toDF()
+      val plan = hits.queryExecution.executedPlan
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists { rp =>
+            val s = rp.toString
+            s.contains("sigstore") && (s.contains("banded") || s.contains("grams"))
+          }
+        case _ => false
+      }
+      // offending = an exchange whose input is PURELY the store table
+      // (the static side itself re-shuffled); shuffles of join OUTPUTS
+      // (candidates) legitimately contain the scan in their subtree
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.collectLeaves().nonEmpty && e.collectLeaves().forall(isStoreScan) => e
+      }
+      assert(offending.isEmpty,
+        s"static store side must not re-shuffle per run:\n$plan")
+      val storeScans = plan.collectLeaves().filter(isStoreScan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(storeScans.size == 2, s"expected banded+grams scans:\n$plan")
+      assert(storeScans.forall(_.bucketedScan),
+        s"store scans must read bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
 }
