@@ -3576,8 +3576,10 @@ object SparkEntry {
     * normalization, langId, Gopher, either dedup, the cap, chunking,
     * or packing) hash-fails the driver gate.
     */
-  private def q122WebIngestPlanted(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The q122 planted page frame (doc_id, html, url) — shared with
+    * the perf probe's stage breakdown so both see the same corpus.
+    */
+  private[graft] def q122PlantedPages(s: SparkSession, dir: String): DataFrame = {
     val r = col("doc_id") % 10
     val content = when(r === 1,
         expr("""array_join(transform(sequence(0, 59),
@@ -3592,8 +3594,13 @@ object SparkEntry {
       .otherwise(concat(
         lit("http://site"), (col("doc_id") % 3).cast("string"),
         lit(".example.com/p/"), col("doc_id").cast("string")))
-    val pages = load(s, dir, "documents")
+    load(s, dir, "documents")
       .select(col("doc_id"), html.as("html"), url.as("url"))
+  }
+
+  private def q122WebIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = q122PlantedPages(s, dir)
     val blocklist = Seq("blocked.example.com").toDF("domain")
     graft.operators.CorpusPipeline
       .webIngest(pages, "doc_id", "html", "url",

@@ -209,6 +209,56 @@ object Probe {
       return
     }
 
+    if (names.contains("q122_stages")) {
+      import spark.implicits._
+      val pages = graft.SparkEntry.q122PlantedPages(spark, sfDir)
+      val blocklist = Seq("blocked.example.com").toDF("domain")
+      // webIngest's internals, stage-by-stage with a localCheckpoint
+      // boundary after each so the timings do not overlap
+      val quality = timed("1. cleanedCrawlPrefix (extract+url+blocklist+lang+gopher)") {
+        val q = graft.operators.CorpusPipeline
+          .cleanedCrawlPrefix(pages, "doc_id", None, "html", "url",
+            langs = Seq("en"), blocklist = Some(blocklist),
+            canonicalizeNfc = false, c4 = false, soft404 = false,
+            redactPii = false, mainContent = false, stripTracking = false)
+          .localCheckpoint(true)
+        println("[probe] quality rows=" + q.count()); q
+      }
+      val attrs = quality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+      val lined = timed("2. lineDedup + attrs join") {
+        val l = graft.operators.Dedup
+          .lineDedup(quality, "id", "text", 5)
+          .where(length(trim(col("clean_text"))) > 0)
+          .select(col("id"), col("clean_text").as("text"))
+          .join(attrs, "id")
+          .localCheckpoint(true)
+        println("[probe] lined rows=" + l.count()); l
+      }
+      val deduped = timed("3. cleanCorpus (exact + minhash neardup, transitive)") {
+        val d = graft.operators.Dedup.cleanCorpus(lined, "id", "text", 0.8, transitive = true)
+        println("[probe] deduped rows=" + d.count()); d
+      }
+      val chunks = timed("4. capPerStratum + chunkTokens") {
+        val capped = graft.operators.Sampling.capPerStratum(deduped, "url_host", "id", 80)
+        val c = graft.operators.TextAnalysis
+          .chunkTokens(capped, "id", "text", window = 64, stride = 64)
+          .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
+          .localCheckpoint(true)
+        println("[probe] chunks rows=" + c.count()); c
+      }
+      timed("5. shuffleAndPack + final joins") {
+        val layout = graft.operators.Packing
+          .shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", 64, "epoch0")
+        val out = chunks
+          .join(layout.select(col("chunk_id"), col("pos"), col("start_offset"),
+            col("pack_first"), col("pack_last")), "chunk_id")
+          .join(attrs, "id")
+        println("[probe] out rows=" + out.count())
+      }
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>
