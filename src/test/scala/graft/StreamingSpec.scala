@@ -1009,6 +1009,84 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("corpusNearDupHits via SignatureStore: live stream joins the bucketed table, hits ≡ frame path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minHashSignatures(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore-stream").toString
+    graft.operators.Dedup.writeSignatures(sigs, dir, "sigstore_stream")
+    val store = graft.operators.Dedup.readSignatures(spark, dir, "sigstore_stream")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(
+      (10L, new java.sql.Timestamp(t0 + 1000), marked(1) + " tail"), // hits corpus doc 1
+      (11L, new java.sql.Timestamp(t0 + 2000),
+        (0 until 30).map(k => s"u11x$k").mkString(" ")), // fresh
+    )
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = StreamingDedup
+      .corpusNearDupHits(in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        store, threshold = 0.5)
+      .toDF()
+      .writeStream.format("memory").queryName("store_hits").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("store_hits")
+        .select($"id", $"corpus_id").distinct().as[(Long, Long)].collect().toSet
+      assert(stream == Set((10L, 1L)), s"stream hits: $stream")
+      val frame = StreamingDedup
+        .corpusNearDupHits(rows.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          sigs, threshold = 0.5)
+        .toDF().select($"id", $"corpus_id").distinct().as[(Long, Long)].collect().toSet
+      assert(frame == stream, s"frame=$frame stream=$stream")
+    } finally q.stop()
+  }
+
+  test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
+    import graft.sources.Warc
+    import graft.streaming.StreamingWebIngest
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val recs = Seq(
+      ("http://a.com/doc/1", "2024-06-01T10:00:01Z", page(distinctProse(1))),
+      ("http://a.com/doc/2", "2024-06-01T10:00:02Z", page(distinctProse(2))),
+      ("http://b.com/doc/3", "2024-06-01T10:00:03Z", page(distinctProse(1)))) // near-dup of 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-seam")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
+      Warc.buildWarc(recs, gzipPerRecord = true))
+    // the documented composition: response rows become (id, ts, html, url)
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .where($"warc_type" === "response")
+      .select(
+        regexp_extract($"url", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        to_timestamp($"warc_date").as("ts"),
+        $"body".as("html"), $"url")
+    val q = StreamingWebIngest
+      .webIngestStream(asDocs(Warc.readStream(spark, dir.toString)),
+        "doc_id", "ts", "html", "url", langs = Seq("en"))
+      .writeStream.format("memory").queryName("warc_seam").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("warc_seam")
+        .select($"id", $"url_host").as[(Long, String)].collect().toSet
+      val batch = StreamingWebIngest
+        .webIngestStream(asDocs(Warc.read(spark, dir.toString + "/*")),
+          "doc_id", "ts", "html", "url", langs = Seq("en"))
+        .select($"id", $"url_host").as[(Long, String)].collect().toSet
+      assert(stream == batch, s"stream=$stream batch=$batch")
+      assert(stream == Set((1L, "a.com"), (2L, "a.com")),
+        s"near-dup 3 must drop (keep-min), 1 and 2 survive: $stream")
+    } finally q.stop()
+  }
+
   test("webIngestStream mainContent/stripTracking: stream ≡ batch, nav dropped, campaign URLs collapse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingWebIngest
