@@ -4133,6 +4133,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Planted gate for cross-snapshot capture compaction
+    * ([[graft.operators.WebText.latestCapture]]): every document is
+    * captured once; every 3rd is RE-crawled 500 s later under a new
+    * capture id (must win); every 5th is also captured 500 s EARLIER
+    * via a campaign URL (`?utm_source=mail` — stripTracking collapses
+    * it onto the same url_norm, and it must lose on age). Closed
+    * form: the survivor per URL is the recrawl id when `% 3 = 0`,
+    * else the original.
+    */
+  private def q133LatestCapture(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    val t0 = 1717236000000000L
+    def cap(idOff: Long, tsOffMicros: Long, query: String) = Seq(
+      (col("doc_id") + lit(idOff)).as("id"),
+      expr(s"timestamp_micros(${t0}L + doc_id * 1000000 + ${tsOffMicros}L)").as("ts"),
+      concat(lit("http://cap.example.com/p/"), col("doc_id").cast("string"),
+        lit(query)).as("url"))
+    val captures = docs.select(cap(0L, 0L, ""): _*)
+      .unionByName(docs.where(col("doc_id") % 3 === 0)
+        .select(cap(1000000L, 500000000L, ""): _*))
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select(cap(2000000L, -500000000L, "?utm_source=mail"): _*))
+    graft.operators.WebText
+      .latestCapture(captures, "id", "url", "ts")
+      .select(col("url_norm"), col("id"), col("url_host"))
+      .orderBy("url_norm")
+  }
+
+  private val q133Oracle =
+    """SELECT 'http://cap.example.com/p/' || doc_id AS url_norm,
+      |  CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000 ELSE doc_id END AS id,
+      |  'cap.example.com' AS url_host
+      |FROM documents ORDER BY url_norm""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4325,6 +4359,7 @@ object SparkEntry {
     "q130_warc_http_fidelity" -> (q130WarcHttpFidelity _),
     "q131_warc_ingest_e2e" -> (q131WarcIngestE2e _),
     "q132_sigstore_neardup" -> (q132SigStoreNearDup _),
+    "q133_latest_capture" -> (q133LatestCapture _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4447,5 +4482,6 @@ object SparkEntry {
     "q130_warc_http_fidelity" -> q130Oracle,
     "q131_warc_ingest_e2e" -> q122Oracle, // same closed-form truth, WARC-served
     "q132_sigstore_neardup" -> q127Oracle, // same planted truth, store-served
+    "q133_latest_capture" -> q133Oracle,
   )
 }

@@ -252,8 +252,10 @@ object Dedup {
     * applied and the per-bucket population materialized AT WRITE
     * TIME — so each increment / microbatch equi-joins it with no
     * static-side exchange, no re-explode of corpus signatures, and
-    * no corpus-side re-count; `grams` is the (id, grams) exact-verify
-    * side, bucketed by id. The meta fields pin the banding recipe:
+    * no corpus-side re-count; `grams` is the (id, sig, grams) doc
+    * side, bucketed by id — grams for exact verify, sig so
+    * [[mergeSignatures]] can re-band a grown corpus without its
+    * text. The meta fields pin the banding recipe:
     * consumers MUST sign incoming text with the same numHashes /
     * bands / shingleSize or collisions silently stop happening.
     */
@@ -264,6 +266,7 @@ object Dedup {
       bands: Int,
       shingleSize: Int,
       maxBucketSize: Int,
+      numBuckets: Int,
   )
 
   /** Persist a [[minHashSignatures]] frame as a [[SignatureStore]] at
@@ -304,8 +307,11 @@ object Dedup {
       .bucketBy(numBuckets, "bucket")
       .sortBy("bucket")
       .saveAsTable(s"${name}_banded")
+    // the doc side keeps sig TOO (numHashes longs/doc): grams alone
+    // serve the verify join, but compaction ([[mergeSignatures]])
+    // must re-band without re-reading corpus text
     sigs
-      .select("id", "grams")
+      .select("id", "sig", "grams")
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/grams")
@@ -345,8 +351,51 @@ object Dedup {
     }
     SignatureStore(
       ensure(s"${name}_banded", "banded", "bucket STRING, id BIGINT, bucket_n BIGINT", "bucket"),
-      ensure(s"${name}_grams", "grams", "id BIGINT, grams ARRAY<BIGINT>", "id"),
-      numHashes, bands, shingleSize, maxBucketSize)
+      ensure(s"${name}_grams", "grams",
+        "id BIGINT, sig ARRAY<BIGINT>, grams ARRAY<BIGINT>", "id"),
+      numHashes, bands, shingleSize, maxBucketSize, numBuckets)
+  }
+
+  /** GROW a standing store: union the source store's docs with a new
+    * batch's [[minHashSignatures]] (disjoint ids required) and write
+    * the merged store to `dstPath`/`dstName` with the source's
+    * banding recipe — the daily-crawl epoch step: ingest an increment
+    * with [[nearDupNewDocs]], then fold its SURVIVORS' signatures in
+    * so tomorrow's increment dedups against today's corpus.
+    *
+    * This is a COMPACTION, not an in-place append, by design: stored
+    * `bucket_n` populations and the write-time skew cap are only
+    * correct for a complete write (appended rows would silently
+    * stale every bucket count the per-row union caps rely on), and
+    * bucketed tables cannot change bucket spec incrementally. Cost is
+    * linear in CORPUS DOC COUNT, not corpus bytes — the doc side is
+    * numHashes + |shingles| longs per doc and text is never read —
+    * so a daily rewrite of even a billion-doc store is a narrow
+    * parquet-to-parquet pass. `dstPath` must differ from `srcPath`
+    * (epoch-style directories; self-overwrite would read and clobber
+    * the same files).
+    */
+  def mergeSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      srcName: String,
+      newSigs: DataFrame,
+      dstPath: String,
+      dstName: String,
+  ): SignatureStore = {
+    require(dstPath != srcPath,
+      "mergeSignatures: dstPath must differ from srcPath (epoch directories) — " +
+        "an in-place rewrite would clobber the files it is reading")
+    val src = readSignatures(spark, srcPath, srcName)
+    val srcDocs = src.grams.select(col("id"), col("sig"), col("grams"))
+    val add = newSigs.select(col("id"), col("sig"), col("grams"))
+    require(
+      add.select(col("id")).join(srcDocs.select(col("id")), "id").isEmpty,
+      "mergeSignatures: new-batch ids overlap the standing store — the sides must " +
+        "be disjoint; dedup the increment first (nearDupNewDocs) and merge survivors")
+    writeSignatures(srcDocs.unionByName(add), dstPath, dstName,
+      src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets)
+    readSignatures(spark, dstPath, dstName)
   }
 
   /** [[nearDupNewDocs]] against a persisted [[SignatureStore]] — the

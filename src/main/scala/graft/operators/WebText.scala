@@ -373,6 +373,40 @@ object WebText {
       .drop("__u")
   }
 
+  /** Keep the LATEST capture per normalized URL — the cross-snapshot
+    * compaction a Common Crawl-style pipeline runs before
+    * content-level dedup: monthly snapshots re-crawl the same pages,
+    * and keeping every capture wastes downstream compute and biases
+    * the corpus toward frequently-crawled hosts. One capture
+    * survives per `url_norm` — newest `tsCol`, ties broken to the
+    * SMALLEST `idCol` for determinism; `stripTracking` defaults ON
+    * here (unlike [[withUrlParts]]) because campaign spellings of one
+    * page are exactly the multi-capture case this exists to collapse.
+    *
+    * Scale shape: one hash exchange on url_norm + a row_number
+    * window — the same single-exchange shape as exact dedup; text
+    * moves once. Batch-only by DESIGN: keep-latest cannot stream in
+    * append mode (a later arrival would have to retract the earlier
+    * winner), so this is the periodic batch compaction, while
+    * streaming ingest dedups content-wise
+    * ([[graft.streaming.StreamingDedup]]).
+    */
+  def latestCapture(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      tsCol: String,
+      stripTracking: Boolean = true,
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_norm"))
+      .orderBy(col(tsCol).desc, col(idCol).asc)
+    withUrlParts(df, urlCol, stripTracking)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** All dot-suffix domains of a host as a column expression:
     * `a.b.example.com` → `[a.b.example.com, b.example.com,
     * example.com, com]`. NULL/empty hosts give an empty list. Pure

@@ -512,6 +512,48 @@ class DedupSpec extends SparkTestBase {
       s"store=$hitsStore frame=$hitsFrame")
   }
 
+  test("signature store: mergeSignatures grows the corpus epoch-to-epoch, equals the frame path on the union") {
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def fresh(id: Long) = (id, (0 until 30).map(k => s"u${id}x$k").mkString(" "))
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-sigmerge").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text"), s"$root/epoch0", "sigmerge_e0")
+    val e0 = Dedup.readSignatures(spark, s"$root/epoch0", "sigmerge_e0")
+    // epoch 1: ingest a batch, fold the SURVIVORS' signatures in
+    val batch1 = Seq((10L, marked(1) + " tail"), fresh(11L)).toDF("doc_id", "text")
+    val kept1 = Dedup.nearDupNewDocs(batch1, "doc_id", "text", e0, threshold = 0.5)
+    assert(kept1.select($"doc_id").as[Long].collect().toSet == Set(11L))
+    val e1 = Dedup.mergeSignatures(spark, s"$root/epoch0", "sigmerge_e0",
+      Dedup.minHashSignatures(kept1, "doc_id", "text"), s"$root/epoch1", "sigmerge_e1")
+    assert(e1.grams.count() == 3L, "epoch-1 store = corpus + survivor")
+    // epoch 2: a near-copy of the epoch-1 SURVIVOR must now drop —
+    // the grown store knows doc 11 — and match the frame path over
+    // the union signatures
+    val batch2 = Seq((20L, fresh(11L)._2 + " tail"), fresh(21L)).toDF("doc_id", "text")
+    val kept2 = Dedup.nearDupNewDocs(batch2, "doc_id", "text", e1, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val unionSigs = Dedup.minHashSignatures(
+      corpus.unionByName(kept1.select($"doc_id", $"text")), "doc_id", "text")
+    val keptFrame = Dedup.nearDupNewDocs(batch2, "doc_id", "text", unionSigs, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(21L) && kept2 == keptFrame, s"store=$kept2 frame=$keptFrame")
+    // guards: overlapping ids and self-overwrite fail fast
+    val eOverlap = intercept[IllegalArgumentException] {
+      Dedup.mergeSignatures(spark, s"$root/epoch1", "sigmerge_e1",
+        Dedup.minHashSignatures(corpus, "doc_id", "text"), s"$root/epoch2", "sigmerge_e2")
+    }
+    assert(eOverlap.getMessage.contains("disjoint"), eOverlap.getMessage)
+    val eSelf = intercept[IllegalArgumentException] {
+      Dedup.mergeSignatures(spark, s"$root/epoch1", "sigmerge_e1",
+        Dedup.minHashSignatures(batch2, "doc_id", "text"), s"$root/epoch1", "sigmerge_e1b")
+    }
+    assert(eSelf.getMessage.contains("dstPath"), eSelf.getMessage)
+  }
+
   test("signature store: the corpus side joins with NO shuffle exchange and bucketed scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -168,6 +168,26 @@ class WebTextSpec extends SparkTestBase {
       s"entity-decoded sentinel forged state: $got")
   }
 
+  test("latestCapture: newest capture wins per url_norm, campaign spellings collapse, ties break to min id") {
+    def ts(sec: Long) = new java.sql.Timestamp(1717236000000L + sec * 1000)
+    val captures = Seq(
+      (1L, ts(10), "http://a.com/page"),
+      (2L, ts(20), "http://A.com:80/page"), // same page normalized — newer, wins
+      (3L, ts(15), "http://a.com/page?utm_source=mail"), // campaign spelling, older
+      (4L, ts(30), "http://a.com/other"), // solo capture survives
+      (5L, ts(40), "http://b.com/x"),
+      (6L, ts(40), "http://b.com/x"), // exact tie → min id wins
+    ).toDF("id", "ts", "url")
+    val kept = WebText.latestCapture(captures, "id", "url", "ts")
+      .select($"id", $"url_norm").as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(2L, 4L, 5L), s"kept=$kept")
+    assert(kept(2L) == "http://a.com/page", "default port + tracking collapse to one url_norm")
+    // stripTracking=false keeps the campaign spelling as its own URL
+    val keptRaw = WebText.latestCapture(captures, "id", "url", "ts", stripTracking = false)
+      .select($"id").as[Long].collect().toSet
+    assert(keptRaw == Set(2L, 3L, 4L, 5L), s"keptRaw=$keptRaw")
+  }
+
   test("filterBlockedHosts streaming: broadcast ceiling enforced with an actionable error") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val blocklist = Seq("a.com", "b.com", "c.com").toDF("domain")
