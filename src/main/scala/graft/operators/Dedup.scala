@@ -346,6 +346,19 @@ object Dedup {
           s"CREATE TABLE $table ($schema) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
             s"LOCATION '$path/$sub'")
+      } else {
+        // a registered name pointing at a DIFFERENT path would
+        // silently serve stale data (epoch dirs + reused names are
+        // exactly the mergeSignatures workflow) — fail actionably
+        val registered = java.nio.file.Paths.get(
+          new java.net.URI(spark.sql(s"DESCRIBE FORMATTED $table")
+            .where(col("col_name") === "Location")
+            .select("data_type").head().getString(0)))
+        val expected = java.nio.file.Paths.get(s"$path/$sub").toAbsolutePath.normalize
+        require(registered.normalize == expected,
+          s"readSignatures: table $table is already registered at $registered, not " +
+            s"$expected — use a distinct name per store path (epoch-suffixed names) " +
+            "or DROP TABLE the stale registration first")
       }
       spark.table(table)
     }

@@ -552,6 +552,12 @@ class DedupSpec extends SparkTestBase {
         Dedup.minHashSignatures(batch2, "doc_id", "text"), s"$root/epoch1", "sigmerge_e1b")
     }
     assert(eSelf.getMessage.contains("dstPath"), eSelf.getMessage)
+    // a registered name pointing at a DIFFERENT path fails instead of
+    // silently serving the stale registration
+    val eStale = intercept[IllegalArgumentException] {
+      Dedup.readSignatures(spark, s"$root/epoch1", "sigmerge_e0")
+    }
+    assert(eStale.getMessage.contains("already registered"), eStale.getMessage)
   }
 
   test("signature store: the corpus side joins with NO shuffle exchange and bucketed scans") {
