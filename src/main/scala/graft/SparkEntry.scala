@@ -4042,7 +4042,7 @@ object SparkEntry {
     * the WARC-served pipeline ([[q131WarcIngestE2e]]) hits the SAME
     * closed-form oracle.
     */
-  private def q122HtmlScala(id: Long): String = {
+  private[graft] def q122HtmlScala(id: Long): String = {
     def content(cid: Long, pairs: Int): String =
       (0 until pairs).map(k => s"${q122Stops(k % 10)} item${cid}x$k").mkString(" ")
     val body = (id % 10) match {
@@ -4054,7 +4054,7 @@ object SparkEntry {
     s"<html><body><p>$q122Boiler</p><p>$body</p></body></html>"
   }
 
-  private def q122UrlScala(id: Long): String =
+  private[graft] def q122UrlScala(id: Long): String =
     if (id % 10 == 0) s"http://ads.blocked.example.com/p/$id"
     else s"http://site${id % 3}.example.com/p/$id"
 

@@ -10,6 +10,20 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q131's driver-side fixture renderer matches the q122 column recipe byte-for-byte") {
+    // the WARC seam gate re-renders the planted corpus in Scala; any
+    // drift from the column expressions would silently change what
+    // q131 feeds the pipeline relative to q122's oracle
+    SparkEntry.q122PlantedPages(spark, Sf0001)
+      .select("doc_id", "html", "url")
+      .collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getString(1) == SparkEntry.q122HtmlScala(id), s"html drift at doc $id")
+        assert(r.getString(2) == SparkEntry.q122UrlScala(id), s"url drift at doc $id")
+      }
+  }
+
   test("every oracle key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
