@@ -4167,6 +4167,106 @@ object SparkEntry {
       |  'cap.example.com' AS url_host
       |FROM documents ORDER BY url_norm""".stripMargin
 
+  /** Planted gate for [[graft.operators.Dedup.nearDupKeepBest]] —
+    * quality-ranked near-dup representative selection. Texts are
+    * synthesized with per-doc-unique tokens ("d{id}w{k}", the q122
+    * recipe) so cross-cluster shingle overlap is exactly zero and the
+    * full (component, group_size, is_kept) table is closed-form:
+    * every doc_id % 20 == 0 gets two LONGER near-copies (one and two
+    * appended tokens; J = 22/23, 23/24, 22/24 ≥ 0.8), `prefer` ranks
+    * by text length desc, so the LAST copy must be crowned — the
+    * outcome that distinguishes keep-best from [[Dedup.cleanCorpus]]'s
+    * keep-min-id. Remaining % 10 docs are singletons (self-component,
+    * kept).
+    */
+  private def q134NearDupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long").as("d"))
+    def baseText = concat_ws(" ",
+      transform(sequence(lit(0), lit(23)),
+        k => concat(lit("d"), col("d").cast("string"), lit("w"), k.cast("string"))))
+    val base = ids.select(col("d").as("id"), baseText.as("text"))
+    val cIds = ids.where(col("d") % 20 === 0)
+    val c1 = cIds.select(
+      (col("d") + 1000000L).as("id"), concat(baseText, lit(" graftkb1")).as("text"))
+    val c2 = cIds.select(
+      (col("d") + 2000000L).as("id"),
+      concat(baseText, lit(" graftkb1 graftkb2")).as("text"))
+    val docs = base.unionByName(c1).unionByName(c2)
+    Dedup
+      .nearDupKeepBest(docs, "id", "text",
+        prefer = Seq(length(col("text")).desc), jaccardThreshold = 0.8)
+      .select(col("id"), col("component"), col("group_size"), col("is_kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q134Oracle =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id, component, group_size, is_kept FROM (
+      |  SELECT doc_id AS id, doc_id AS component,
+      |    CAST(CASE WHEN doc_id % 20 = 0 THEN 3 ELSE 1 END AS BIGINT) AS group_size,
+      |    doc_id % 20 <> 0 AS is_kept FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, CAST(3 AS BIGINT), false
+      |  FROM d WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, doc_id, CAST(3 AS BIGINT), true
+      |  FROM d WHERE doc_id % 20 = 0
+      |) ORDER BY id""".stripMargin
+
+  /** Planted gate for
+    * [[graft.streaming.StreamingDedup.nearDupSuppress]] — IN-STREAM
+    * near-dup suppression (the chained-transformWithState operator).
+    * The driver evaluates the batch face: the anti-join of the victim
+    * set produced by the IDENTICAL [[StreamingDedup.bucketStep]]
+    * collision loop the stream runs (the stream ≡ batch spec pins the
+    * two faces to each other). Same zero-overlap text recipe as q134;
+    * every doc_id % 20 == 0 base gets two LATER near-copies (both
+    * must be suppressed — the second collides with the already-
+    * suppressed first, proving transitive chains die) plus one
+    * shingle-less copy (must PASS through on the stateless branch).
+    */
+  private def q135InStreamSuppress(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long").as("d"))
+    val t0 = 1717236000000000L
+    def tsAt(offSec: Long) =
+      expr(s"timestamp_micros(${t0}L + d * 1000000 + ${offSec}L * 1000000)").as("ts")
+    def baseText = concat_ws(" ",
+      transform(sequence(lit(0), lit(23)),
+        k => concat(lit("d"), col("d").cast("string"), lit("w"), k.cast("string"))))
+    val base = ids.select(col("d").as("id"), tsAt(0L), baseText.as("text"))
+    val cIds = ids.where(col("d") % 20 === 0)
+    val c1 = cIds.select((col("d") + 1000000L).as("id"), tsAt(500L),
+      concat(baseText, lit(" graftsup1")).as("text"))
+    val c2 = cIds.select((col("d") + 2000000L).as("id"), tsAt(600L),
+      concat(baseText, lit(" graftsup1 graftsup2")).as("text"))
+    val c3 = cIds.select((col("d") + 3000000L).as("id"), tsAt(700L),
+      lit("tiny").as("text"))
+    val docs = base.unionByName(c1).unionByName(c2).unionByName(c3)
+    val kept = graft.streaming.StreamingDedup
+      .nearDupSuppress(docs, "id", "ts", "text", estThreshold = 0.5)
+      .select(col("id").as("kid"))
+      .withColumn("k", lit(true))
+    docs
+      .join(kept, docs("id") === kept("kid"), "left")
+      .select(docs("id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q135Oracle =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id, kept FROM (
+      |  SELECT doc_id AS id, true AS kept FROM d
+      |  UNION ALL SELECT doc_id + 1000000, false FROM d WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 2000000, false FROM d WHERE doc_id % 20 = 0
+      |  UNION ALL SELECT doc_id + 3000000, true FROM d WHERE doc_id % 20 = 0
+      |) ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4360,6 +4460,8 @@ object SparkEntry {
     "q131_warc_ingest_e2e" -> (q131WarcIngestE2e _),
     "q132_sigstore_neardup" -> (q132SigStoreNearDup _),
     "q133_latest_capture" -> (q133LatestCapture _),
+    "q134_neardup_keepbest" -> (q134NearDupKeepBest _),
+    "q135_instream_suppress" -> (q135InStreamSuppress _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4483,5 +4585,7 @@ object SparkEntry {
     "q131_warc_ingest_e2e" -> q122Oracle, // same closed-form truth, WARC-served
     "q132_sigstore_neardup" -> q127Oracle, // same planted truth, store-served
     "q133_latest_capture" -> q133Oracle,
+    "q134_neardup_keepbest" -> q134Oracle,
+    "q135_instream_suppress" -> q135Oracle,
   )
 }

@@ -1577,6 +1577,57 @@ object Dedup {
     landed
   }
 
+  /** Near-dup dedup with QUALITY-RANKED representative selection —
+    * the near-dup counterpart of [[exactDedupBest]]: group near-dup
+    * docs into transitive clusters (MinHash banding → exact-Jaccard
+    * verify → connected components), then crown the BEST member of
+    * each cluster under `prefer` (e.g. `Seq(col("quality").desc)` or
+    * `Seq(length(col(textCol)).desc)`; ties broken by min id so the
+    * choice is total). [[cleanCorpus]]'s keep-min-id is the right
+    * default for reproducibility; this is the operator for pipelines
+    * that rank scrapes by completeness or a quality score — keeping
+    * whichever copy crawled first throws away the best copy.
+    *
+    * Output: every input row + (component, group_size, is_kept).
+    * `component` is the cluster label (the cluster's minimum id;
+    * singletons label themselves), `group_size` the cluster member
+    * count, `is_kept` true for exactly one row per cluster.
+    *
+    * Scale shape: the pair path is [[minHashNearDupPairs]] (banded
+    * candidates, skew-capped, exact verify — never all-pairs);
+    * components run over VERIFIED PAIRS only (tiny vs the corpus);
+    * the label join back is an equi-join on id (labels frame ≤ 2·
+    * pairs, broadcastable in practice); ranking is one exchange on
+    * `component`, whose partitions are duplicate clusters — bounded
+    * by near-dup group size, not corpus size.
+    */
+  def nearDupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefer: Seq[Column],
+      jaccardThreshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1000,
+  ): DataFrame = {
+    val pairs = minHashNearDupPairs(
+      df, idCol, textCol, numHashes, bands, shingleSize, jaccardThreshold, maxBucketSize)
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+      .withColumnRenamed("component", "__cc_component")
+    val labeled = df
+      .join(labels, df(idCol) === labels("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_component"), col(idCol)))
+      .drop("__cc_id", "__cc_component")
+    val grp = Window.partitionBy(col("component"))
+    val rank = grp.orderBy(prefer :+ col(idCol).asc: _*)
+    labeled
+      .withColumn("group_size", count(lit(1)).over(grp))
+      .withColumn("is_kept", row_number().over(rank) === 1)
+  }
+
   // ----------------------------------------------------------- shared bits
 
   /** All unordered id pairs co-occurring in a bucket, skew-capped.

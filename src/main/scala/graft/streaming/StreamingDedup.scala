@@ -3,8 +3,10 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 
 import graft.operators.Dedup
 
@@ -116,22 +118,14 @@ object StreamingDedup {
             val out = List.newBuilder[NearDupHit]
             var lastMs = 0L
             rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-              entries.foreach { case (oldId, oldSig) =>
-                if (oldId != d.doc_id) {
-                  var agree = 0
-                  var i = 0
-                  while (i < numHashes) {
-                    if (oldSig(i) == d.sig(i)) agree += 1
-                    i += 1
-                  }
-                  val est = agree.toDouble / numHashes
-                  if (est >= estThreshold)
-                    out += NearDupHit(
-                      math.min(oldId, d.doc_id), math.max(oldId, d.doc_id),
-                      d.doc_id, est, d.ts)
-                }
+              val (next, matches) =
+                bucketStep(entries, d.doc_id, d.sig, numHashes, estThreshold, maxPerBucket)
+              matches.foreach { case (oldId, est) =>
+                out += NearDupHit(
+                  math.min(oldId, d.doc_id), math.max(oldId, d.doc_id),
+                  d.doc_id, est, d.ts)
               }
-              entries = ((d.doc_id, d.sig) :: entries).take(maxPerBucket)
+              entries = next
               lastMs = math.max(lastMs, d.ts.getTime)
             }
             state.update(BucketState(entries))
@@ -281,5 +275,247 @@ object StreamingDedup {
       .where(col("jaccard") >= threshold)
       .select(col("id"), col("corpus_id"), col("jaccard"), col("ts"))
       .as[CorpusDupHit]
+  }
+
+  /** One arrival against one band-bucket's standing entries: compare
+    * the signature against each entry (fraction of agreeing MinHash
+    * slots, the standard unbiased estimator), then insert the arrival
+    * capped at `maxPerBucket` most-recent. Returns (new entries,
+    * (standing id, est) matches ≥ `estThreshold`). Shared by
+    * [[nearDupHits]] and the [[nearDupSuppress]] state operator so
+    * hit detection and in-stream suppression can never disagree on
+    * what collides.
+    */
+  private[streaming] def bucketStep(
+      entries: List[(Long, Array[Long])],
+      docId: Long,
+      sig: Array[Long],
+      numHashes: Int,
+      estThreshold: Double,
+      maxPerBucket: Int,
+  ): (List[(Long, Array[Long])], List[(Long, Double)]) = {
+    val matches = List.newBuilder[(Long, Double)]
+    entries.foreach { case (oldId, oldSig) =>
+      if (oldId != docId) {
+        var agree = 0
+        var i = 0
+        while (i < numHashes) {
+          if (oldSig(i) == sig(i)) agree += 1
+          i += 1
+        }
+        val est = agree.toDouble / numHashes
+        if (est >= estThreshold) matches += ((oldId, est))
+      }
+    }
+    (((docId, sig) :: entries).take(maxPerBucket), matches.result())
+  }
+
+  /** Stage-1 state operator of [[nearDupSuppress]]: per band-bucket
+    * collision state (the [[bucketStep]] loop under `transformWithState`
+    * instead of `flatMapGroupsWithState`), emitting one VERDICT row
+    * per (doc, band): (doc_id, ts, hit, payload — the full original
+    * row, carried on band 0 only so the doc's columns cross the
+    * verdict shuffle once, not `bands` times). Event-time timers
+    * purge buckets idle past `horizonMs`.
+    */
+  private final class BandCollisionProcessor(
+      numHashes: Int,
+      estThreshold: Double,
+      maxPerBucket: Int,
+      horizonMs: Long,
+  ) extends StatefulProcessor[String, Row, Row] {
+    @transient private var st: ValueState[BucketState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BucketState](
+        "bucket", Encoders.product[BucketState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[Row], tv: TimerValues): Iterator[Row] = {
+      var entries = if (st.exists()) st.get().entries else Nil
+      val out = List.newBuilder[Row]
+      var lastMs = 0L
+      rows.toSeq.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1))).foreach { r =>
+        val docId = r.getLong(1)
+        val ts = r.getTimestamp(2)
+        val sig = r.getSeq[Long](3).toArray
+        val (next, matches) =
+          bucketStep(entries, docId, sig, numHashes, estThreshold, maxPerBucket)
+        entries = next
+        out += Row(docId, ts, matches.nonEmpty, if (r.isNullAt(4)) null else r.getStruct(4))
+        lastMs = math.max(lastMs, ts.getTime)
+      }
+      st.update(BucketState(entries))
+      // one live timer per bucket: horizon past the newest arrival
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+      out.result().iterator
+    }
+    override def handleExpiredTimer(
+        key: String, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Row] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Stage-2 state operator of [[nearDupSuppress]]: per-doc AND over
+    * the band verdicts. All `bands` verdicts of a doc are emitted in
+    * the microbatch the doc arrived in (stage 1 is upstream in the
+    * same trigger), so the state here is transient — it fills within
+    * one trigger, emits the payload iff no band hit, and clears. The
+    * event-time timer is the safety net for a doc whose verdicts
+    * never complete (it cannot happen in a healthy plan; state still
+    * must not leak if it does).
+    */
+  private final class DocVerdictProcessor(
+      bands: Int, horizonMs: Long, payloadSchema: StructType)
+      extends StatefulProcessor[Long, Row, Row] {
+    @transient private var agg: ValueState[(Int, Boolean)] = _
+    @transient private var pay: ValueState[Row] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[(Int, Boolean)](
+        "agg", Encoders.product[(Int, Boolean)], TTLConfig.NONE)
+      pay = getHandle.getValueState[Row](
+        "payload", Encoders.row(payloadSchema), TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[Row], tv: TimerValues): Iterator[Row] = {
+      var (n, hit) = if (agg.exists()) agg.get() else (0, false)
+      var payload: Row = if (pay.exists()) pay.get() else null
+      var lastMs = 0L
+      rows.foreach { r =>
+        n += 1
+        hit |= r.getBoolean(2)
+        if (!r.isNullAt(3)) payload = r.getStruct(3)
+        lastMs = math.max(lastMs, r.getTimestamp(1).getTime)
+      }
+      if (n >= bands) {
+        agg.clear(); pay.clear()
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        if (!hit && payload != null) Iterator.single(payload) else Iterator.empty
+      } else {
+        agg.update((n, hit))
+        if (payload != null) pay.update(payload)
+        getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Row] = {
+      agg.clear(); pay.clear()
+      Iterator.empty
+    }
+  }
+
+  /** IN-STREAM near-duplicate SUPPRESSION: the kept-documents stream.
+    * Emits each arriving doc row unchanged UNLESS any of its MinHash
+    * bands collides (est ≥ `estThreshold`) with a doc already standing
+    * in bucket state — keep-first on the firehose, with the VICTIMS
+    * REMOVED FROM THE STREAM ITSELF rather than landed for a sink-side
+    * anti-join.
+    *
+    * This is the operator the [[StreamingWebIngest.webIngestWithNearDup]]
+    * scaladoc documents as impossible under `flatMapGroupsWithState`
+    * (doc-level suppression needs a stateful aggregation DOWNSTREAM of
+    * the banded collision state, and fMGWS cannot be chained). Spark
+    * 4's `transformWithState` CAN chain: stage 1 re-declares its
+    * output event-time column (`eventTimeColumnName`), so the watermark
+    * propagates and stage 2 runs as a second stateful operator in the
+    * same query:
+    *
+    *   band explode → TWS per bucket ([[bucketStep]], the SAME loop as
+    *   [[nearDupHits]]) emits (doc, band, hit) verdicts → TWS per doc
+    *   ANDs its `bands` verdicts → emits the row iff no band hit.
+    *
+    * Semantics notes:
+    *   - Suppressed docs still enter bucket state (exactly as in
+    *     [[nearDupHits]]), so a third copy arriving later is
+    *     suppressed by EITHER standing copy — transitive chains die.
+    *   - Shingle-less docs (< shingleSize tokens) cannot near-dup and
+    *     pass through on a stateless branch.
+    *   - The batch form is the anti-join of [[nearDupHits]]'s victim
+    *     set — hit detection and suppression share [[bucketStep]], so
+    *     the two faces are the same decision procedure by
+    *     construction. The stream ≡ batch spec leans on this.
+    *
+    * Scale/state design: stage-1 state is [[nearDupHits]]'s (id + sig
+    * per entry, capped, event-time-expired); stage-2 state lives only
+    * WITHIN a trigger (verdicts of a doc all arrive together), so its
+    * steady-state size is zero — the per-doc payload crosses the
+    * verdict shuffle once (band 0 only), not `bands` times. Requires
+    * the RocksDB state store provider (Spark's requirement for
+    * `transformWithState`).
+    *
+    * Output column order is `docs.columns`. Downstream stateful
+    * operators can keep chaining off `tsCol` (the output re-declares
+    * it as event time).
+    */
+  def nearDupSuppress(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      estThreshold: Double = 0.7,
+      maxPerBucket: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000L,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    if (!docs.isStreaming) {
+      val victims = nearDupHits(
+        docs, idCol, tsCol, textCol, numHashes, bands, shingleSize,
+        estThreshold, maxPerBucket, watermarkDelay, horizonMs)
+        .toDF()
+        .select(col("victim_id"))
+        .distinct()
+      docs.join(victims, docs(idCol).cast("long") === victims("victim_id"), "left_anti")
+    } else {
+      val sigUdf = udf { (text: String) =>
+        val grams = graft.textutil.TextHash.sortedShingleSet(text, shingleSize)
+        if (grams.isEmpty) null else graft.textutil.TextHash.ophSignature(grams, numHashes)
+      }
+      val payloadSchema = StructType(docs.schema.fields)
+      val base = docs.withColumn("__sig", sigUdf(col(textCol)))
+      val pass = base.where(col("__sig").isNull).drop("__sig")
+      val signed = base
+        .where(col("__sig").isNotNull)
+        .withWatermark(tsCol, watermarkDelay)
+        .select(
+          col(idCol).cast("long").as("__doc_id"),
+          col(tsCol).as("__ts"),
+          col("__sig").as("sig"),
+          struct(docs.columns.map(col): _*).as("__row"))
+        .select(
+          col("__doc_id"),
+          col("__ts"),
+          col("sig"),
+          col("__row"),
+          posexplode(Dedup.bandKeysCol(numHashes, bands)).as(Seq("__band_ix", "__bucket")))
+        .select(
+          col("__bucket"),
+          col("__doc_id"),
+          col("__ts"),
+          col("sig"),
+          when(col("__band_ix") === 0, col("__row")).as("__payload"))
+      val verdictSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("ts", TimestampType, nullable = false),
+        StructField("hit", BooleanType, nullable = false),
+        StructField("payload", payloadSchema, nullable = true)))
+      val verdicts = signed
+        .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+        .transformWithState(
+          new BandCollisionProcessor(numHashes, estThreshold, maxPerBucket, horizonMs),
+          "ts", OutputMode.Append())(Encoders.row(verdictSchema))
+      val kept = verdicts
+        .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+        .transformWithState(
+          new DocVerdictProcessor(bands, horizonMs, payloadSchema),
+          tsCol, OutputMode.Append())(Encoders.row(payloadSchema))
+      kept.unionByName(pass)
+    }
   }
 }

@@ -165,6 +165,45 @@ class DedupSpec extends SparkTestBase {
     assert(transitive == Set(1L), s"transitive keeps only the component minimum: $transitive")
   }
 
+  test("nearDupKeepBest: transitive clusters crown the best member under prefer") {
+    // same a~b~c chain shape as the cleanCorpus transitive test (b
+    // bridges a and c; a~c alone is below threshold), plus a singleton
+    val blockA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val blockC = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val chain = Seq(
+      (1L, blockA + " one two three", 3.0),
+      (2L, blockA + " " + blockC, 9.0), // the best copy — NOT the min id
+      (3L, blockC + " four five six", 5.0),
+      (4L, "totally unrelated zebra quokka wombat numbat dingo bilby kookaburra", 1.0),
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup
+      .nearDupKeepBest(chain, "doc_id", "text",
+        prefer = Seq(col("score").desc), jaccardThreshold = 0.35)
+      .select("doc_id", "component", "group_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(out(1L) == ((1L, 3L, false)))
+    assert(out(2L) == ((1L, 3L, true)), s"best-score member must be crowned: $out")
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(4L) == ((4L, 1L, true)), "singletons label themselves and survive")
+  }
+
+  test("nearDupKeepBest: tie on prefer breaks to min id; no pairs → everyone kept") {
+    val docs = Seq(
+      (10L, "unique first document about alpine weather patterns and snowfall", 1.0),
+      (11L, "second unrelated text concerning deep sea creatures and bioluminescence", 1.0),
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup
+      .nearDupKeepBest(docs, "doc_id", "text", prefer = Seq(col("score").desc))
+      .select("doc_id", "component", "group_size", "is_kept")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .toSet
+    assert(out == Set((10L, 10L, 1L, true), (11L, 11L, 1L, true)))
+  }
+
   test("bucket skew cap drops oversized buckets instead of exploding") {
     // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
     val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")

@@ -1047,6 +1047,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupSuppress: in-stream victim removal via chained transformWithState, stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog while seventy owls " +
+      "watch from nearby trees and comment on the unfolding chase below them"
+    val other = "completely different content about distributed query engines " +
+      "shuffles partitions and adaptive execution plans at larger corpus scale"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val batch1 = Seq((1L, ts(0), base), (3L, ts(1), other))
+    // 2 near-dups 1 (suppressed); 4 fresh; 5 shingle-less passthrough;
+    // 6 near-dups the SUPPRESSED 2 — transitive chains must die too
+    val batch2 = Seq(
+      (2L, ts(10), base + " tonight"),
+      (4L, ts(11), (0 until 30).map(k => s"u4x$k").mkString(" ")),
+      (5L, ts(12), "hi there"),
+      (6L, ts(13), base + " tonight again"),
+    )
+    val allRows = batch1 ++ batch2
+    val expected = Set(1L, 3L, 4L, 5L)
+
+    val batchKept = StreamingDedup
+      .nearDupSuppress(allRows.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        estThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == expected, s"batch: $batchKept")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = StreamingDedup
+      .nearDupSuppress(in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        estThreshold = 0.5)
+      .writeStream.format("memory").queryName("suppress_stream").outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("suppress_stream").select($"doc_id").as[Long].collect().toSet
+      assert(afterB1 == Set(1L, 3L), s"after batch 1: $afterB1")
+      in.addData(batch2: _*) // collision state must persist across triggers
+      q.processAllAvailable()
+      val streamKept = spark.table("suppress_stream").select($"doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+      // payload fidelity: the kept rows carry the original columns verbatim
+      val kept4 = spark.table("suppress_stream").where($"doc_id" === 4L)
+        .select($"text").as[String].collect().toSeq
+      assert(kept4 == Seq((0 until 30).map(k => s"u4x$k").mkString(" ")))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
     import graft.sources.Warc
     import graft.streaming.StreamingWebIngest
