@@ -4267,6 +4267,57 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 3000000, true FROM d WHERE doc_id % 20 = 0
       |) ORDER BY id""".stripMargin
 
+  /** Closed-form gate for [[graft.operators.CorpusPipeline
+    * .webIngestFunnel]] — the per-stage attrition report, run over the
+    * SAME planted corpus and config as q122, so every funnel row is a
+    * count the q122 roles already fix: blocklist eats the `% 10 = 0`
+    * ad-host pages, the language gate the `% 10 = 1` digits pages,
+    * Gopher the `% 10 = 2` short pages, near-dup the `% 10 = 6`
+    * copies, and the 80-per-host cap trims each `site{0,1,2}` host;
+    * line dedup and exact dedup drop ZERO docs on this corpus (the
+    * boilerplate line collapses but no document empties, and no two
+    * documents are byte-identical) — which the oracle asserts as
+    * hard zeros, pinning stage ATTRIBUTION, not just totals.
+    */
+  private def q136IngestFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = q122PlantedPages(s, dir)
+    val blocklist = Seq("blocked.example.com").toDF("domain")
+    graft.operators.CorpusPipeline
+      .webIngestFunnel(pages, "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 80, blocklist = Some(blocklist))
+      .orderBy("stage_ix")
+  }
+
+  private val q136Oracle =
+    """WITH t AS (SELECT count(*) AS n FROM documents),
+      |c0 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 0),
+      |c1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 1),
+      |c2 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 2),
+      |c6 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 6),
+      |h AS (SELECT doc_id % 3 AS hh, count(*) AS c FROM documents
+      |      WHERE doc_id % 10 NOT IN (0, 1, 2, 6) GROUP BY 1),
+      |cap AS (SELECT
+      |  CAST(COALESCE(SUM(CASE WHEN c > 80 THEN c - 80 ELSE 0 END), 0) AS BIGINT) AS dropped,
+      |  CAST(COALESCE(SUM(LEAST(c, 80)), 0) AS BIGINT) AS kept FROM h)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_ix, 'extract' AS stage,
+      |    t.n AS docs_in, CAST(0 AS BIGINT) AS docs_dropped, t.n AS docs_out FROM t
+      |  UNION ALL SELECT 1, 'blocklist', t.n, c0.c, t.n - c0.c FROM t, c0
+      |  UNION ALL SELECT 2, 'lang_filter', t.n - c0.c, c1.c, t.n - c0.c - c1.c
+      |    FROM t, c0, c1
+      |  UNION ALL SELECT 3, 'gopher', t.n - c0.c - c1.c, c2.c, t.n - c0.c - c1.c - c2.c
+      |    FROM t, c0, c1, c2
+      |  UNION ALL SELECT 4, 'line_dedup', t.n - c0.c - c1.c - c2.c, CAST(0 AS BIGINT),
+      |    t.n - c0.c - c1.c - c2.c FROM t, c0, c1, c2
+      |  UNION ALL SELECT 5, 'exact_dedup', t.n - c0.c - c1.c - c2.c, CAST(0 AS BIGINT),
+      |    t.n - c0.c - c1.c - c2.c FROM t, c0, c1, c2
+      |  UNION ALL SELECT 6, 'near_dup', t.n - c0.c - c1.c - c2.c, c6.c,
+      |    t.n - c0.c - c1.c - c2.c - c6.c FROM t, c0, c1, c2, c6
+      |  UNION ALL SELECT 7, 'host_cap', t.n - c0.c - c1.c - c2.c - c6.c,
+      |    cap.dropped, cap.kept FROM t, c0, c1, c2, c6, cap
+      |) ORDER BY stage_ix""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4462,6 +4513,7 @@ object SparkEntry {
     "q133_latest_capture" -> (q133LatestCapture _),
     "q134_neardup_keepbest" -> (q134NearDupKeepBest _),
     "q135_instream_suppress" -> (q135InStreamSuppress _),
+    "q136_ingest_funnel" -> (q136IngestFunnel _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4587,5 +4639,6 @@ object SparkEntry {
     "q133_latest_capture" -> q133Oracle,
     "q134_neardup_keepbest" -> q134Oracle,
     "q135_instream_suppress" -> q135Oracle,
+    "q136_ingest_funnel" -> q136Oracle,
   )
 }

@@ -255,6 +255,123 @@ object CorpusPipeline {
     Materialize(out, stageMaterialize(materialize, "layout"))
   }
 
+  /** Per-stage ATTRITION REPORT for [[webIngest]] — the funnel every
+    * production curation pipeline publishes next to its corpus: how
+    * many documents each stage dropped, in the pipeline's canonical
+    * order. Returns one row per DROPPING stage —
+    * (stage_ix, stage, docs_in, docs_dropped, docs_out) — where
+    * consecutive rows chain (`docs_out` of stage k = `docs_in` of
+    * stage k+1). Optional stages appear only when their option is on;
+    * stages that transform but never drop (URL parts, NFC, PII
+    * redaction, chunk/pack) carry no row. Stage names: `extract`,
+    * `c4`, `soft404`, `blocklist`, `lang_filter`, `gopher`,
+    * `line_dedup`, `exact_dedup`, `near_dup`, `host_cap`.
+    *
+    * Mechanics: this RUNS the pipeline — each boundary is the SAME
+    * operator call [[webIngest]]/[[cleanedCrawlPrefix]] composes
+    * (c4Clean, dropSoft404, filterBlockedHosts, withLangId,
+    * gopherFilterByLang, lineDedup, exactDedup + cleanCorpus,
+    * capPerStratum), in the same order, with a count at each seam —
+    * so the report cannot disagree with the pipeline about what a
+    * stage drops (the funnel ≡ prefix spec pins the restated order).
+    * The exact/near split restates [[Dedup.cleanCorpus]]'s fused pass
+    * as [[Dedup.exactDedup]] keep-min-id followed by cleanCorpus on
+    * the exact survivors — the same composition, one extra exchange,
+    * bought for the per-stage attribution this operator exists to
+    * report.
+    *
+    * Scale shape: one action per stage boundary over
+    * localCheckpointed frames (each stage's work runs once, the extra
+    * cost per boundary is a count over a materialized narrow frame).
+    * This is a REPORT operator — run it on an audit sample or a
+    * periodic slice, not inside the hot ingest path; the funnel of a
+    * full 100 TB run comes free from the `Materialize.ParquetDir`
+    * boundaries webIngest already lands (count the directories).
+    */
+  def webIngestFunnel(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      jaccardThreshold: Double = 0.8,
+      minLineChars: Int = 5,
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def land(f: DataFrame): DataFrame = f.localCheckpoint(true)
+    var prevN = df.count()
+    def record(name: String, f: DataFrame): DataFrame = {
+      val landed = land(f)
+      val n = landed.count()
+      stages += ((name, prevN, n))
+      prevN = n
+      landed
+    }
+
+    val src = df.select(
+      col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url"))
+    val extracted0 =
+      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
+       else WebText.htmlToText(src, "__html", outCol = "text")).drop("__html")
+    val extracted1 =
+      if (canonicalizeNfc)
+        extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
+      else extracted0
+    var cur = record("extract", extracted1)
+    if (c4) cur = record("c4", QualityFilters.c4Clean(cur, "text"))
+    if (soft404) cur = record("soft404", QualityFilters.dropSoft404(cur, "text"))
+    cur = WebText.withUrlParts(cur, "__url", stripTracking = stripTracking).drop("__url")
+    blocklist.foreach { bl =>
+      cur = record("blocklist", WebText.filterBlockedHosts(cur, "id", "url_host", bl))
+    }
+    cur = TextAnalysis.withLangId(cur, "text")
+    if (langs.nonEmpty)
+      cur = record("lang_filter", cur.where(col("lang_pred").isInCollection(langs)))
+    cur = record("gopher",
+      QualityFilters
+        .withGopherFlagsByLang(cur, "text", "lang_pred")
+        .where(col("pass"))
+        .select(col("id"), col("text"), col("url_norm"), col("url_host"), col("lang_pred")))
+    // redaction transforms (never drops) but its position is load-
+    // bearing for the dedup stages downstream — apply it exactly as
+    // the prefix does, without a funnel row
+    if (redactPii)
+      cur = TextAnalysis
+        .redactPii(cur, "text")
+        .withColumn("text", col("redacted"))
+        .drop("redacted", "pii_found")
+    val attrs = cur.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+    cur = record("line_dedup",
+      Dedup
+        .lineDedup(cur, "id", "text", minLineChars)
+        .where(length(trim(col("clean_text"))) > 0)
+        .select(col("id"), col("clean_text").as("text"))
+        .join(attrs, "id"))
+    cur = record("exact_dedup",
+      Dedup
+        .exactDedup(cur, "id", "text")
+        .where(col("is_canonical"))
+        .drop("content_hash", "canonical_id", "group_size", "is_canonical"))
+    cur = record("near_dup",
+      Dedup.cleanCorpus(cur, "id", "text", jaccardThreshold, transitive = true))
+    record("host_cap", Sampling.capPerStratum(cur, "url_host", "id", maxPerHost))
+
+    import spark.implicits._
+    stages.zipWithIndex
+      .map { case ((name, in, out), ix) => (ix, name, in, in - out, out) }
+      .toSeq
+      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out")
+  }
+
   /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest
     * face — batch ([[webIngest]]) and streaming
     * ([[graft.streaming.StreamingWebIngest]]) run this exact function,

@@ -246,6 +246,52 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("n_chunk_tokens") > 0L))
   }
 
+  test("webIngestFunnel: per-stage attrition chains and matches the pipeline's survivors") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><head><script>if (1 < 2) alert('x');</script></head><body><p>$body</p></body></html>"
+    val rows = (
+      (1 to 4).map(i => (i.toLong, page(distinctProse(i)), s"HTTP://A.com:80/p$i#f")) ++
+      Seq(
+        (10L, page(distinctProse(10)), "http://b.com/x"),
+        (11L, page(distinctProse(10)), "http://b.com/y"), // exact dup of 10
+        (12L, page(Seq.fill(60)("### 12345 …").mkString(" ")), "http://b.com/junk"),
+        (13L, page("今天天气很好我们一起去公园散步然后吃晚饭"), "http://b.com/zh"),
+      )
+    ).toDF("doc_id", "html", "url")
+    val funnel = graft.operators.CorpusPipeline
+      .webIngestFunnel(rows, "doc_id", "html", "url", langs = Seq("en", "zh"), maxPerHost = 2)
+      .orderBy("stage_ix")
+      .collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+        r.getAs[Long]("docs_dropped"), r.getAs[Long]("docs_out")))
+    assert(funnel.map(_._1).toSeq == Seq(
+      "extract", "lang_filter", "gopher", "line_dedup", "exact_dedup", "near_dup", "host_cap"))
+    // per-row arithmetic and cross-row chaining
+    funnel.foreach { case (st, in, d, out) => assert(in - d == out, s"$st: $in-$d!=$out") }
+    funnel.sliding(2).foreach {
+      case Array((_, _, _, out), (st2, in2, _, _)) => assert(out == in2, s"chain broken at $st2")
+      case _ =>
+    }
+    val byStage = funnel.map(f => f._1 -> f._3).toMap
+    assert(byStage("lang_filter") == 1L, "the symbol-soup doc drops at the language gate")
+    // the exact pair collapses at LINE dedup (its lines are corpus-wide
+    // duplicates, the non-keeper empties) — the stage the pipeline
+    // actually drops it in, not the exact-dedup stage downstream
+    assert(byStage("line_dedup") == 1L, s"funnel: ${funnel.toSeq}")
+    assert(byStage("exact_dedup") == 0L && byStage("near_dup") == 0L)
+    assert(byStage("host_cap") == 2L, "host a capped 4 → 2")
+    // the funnel's terminal docs_out equals the real pipeline's survivor count
+    val shipped = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", langs = Seq("en", "zh"),
+        maxPerHost = 2, seqLen = 32)
+      .select("id").distinct().count()
+    assert(funnel.last._4 == shipped, s"funnel=${funnel.last._4} pipeline=$shipped")
+  }
+
   test("webIngest: ParquetDir materialize lands every stage boundary and matches LocalCheckpoint") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "
