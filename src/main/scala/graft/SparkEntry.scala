@@ -4318,6 +4318,65 @@ object SparkEntry {
       |    cap.dropped, cap.kept FROM t, c0, c1, c2, c6, cap
       |) ORDER BY stage_ix""".stripMargin
 
+  /** Planted gate for [[graft.streaming.StreamingWebIngest
+    * .inlineDedupAndCap]] — the FOUR-chained-stateful-operator
+    * in-stream curation (exact dedup → near-dup suppression →
+    * per-host cap). The driver evaluates the batch face (the same
+    * deterministic stage composition the stream ≡ batch spec pins to
+    * the chained `transformWithState` plan). Roles per `% 10 == 0`
+    * base doc (q134's zero-overlap text recipe, host `h{d % 3}`):
+    * a LATER byte-identical copy must die at the EXACT stage (before
+    * any MinHash work), a near-copy at the SUPPRESS stage, and a
+    * unique shingle-less "tiny" row must pass through to the cap,
+    * which admits the first 20 arrivals per host in (ts, id) order —
+    * so the kept set is a closed-form window over the planted
+    * arrival sequence.
+    */
+  private def q137InlineDedupCap(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long").as("d"))
+    val t0 = 1717236000000000L
+    def tsAt(offSec: Long) =
+      expr(s"timestamp_micros(${t0}L + d * 1000000 + ${offSec}L * 1000000)").as("ts")
+    def host = concat(lit("h"), (col("d") % 3).cast("string")).as("host")
+    def baseText = concat_ws(" ",
+      transform(sequence(lit(0), lit(23)),
+        k => concat(lit("d"), col("d").cast("string"), lit("w"), k.cast("string"))))
+    val base = ids.select(col("d").as("id"), tsAt(0L), baseText.as("text"), host)
+    val e1 = ids.select((col("d") + 1000000L).as("id"), tsAt(1L), baseText.as("text"), host)
+    val c1 = ids.select((col("d") + 2000000L).as("id"), tsAt(2L),
+      concat(baseText, lit(" graftic1")).as("text"), host)
+    val tiny = ids.select((col("d") + 3000000L).as("id"), tsAt(3L),
+      concat(lit("tiny d"), col("d").cast("string")).as("text"), host)
+    val docs = base.unionByName(e1).unionByName(c1).unionByName(tiny)
+    val kept = graft.streaming.StreamingWebIngest
+      .inlineDedupAndCap(docs, "id", "ts", "text", "host",
+        maxPerHost = 20, estThreshold = 0.5)
+      .select(col("id").as("kid"))
+      .withColumn("k", lit(true))
+    docs
+      .join(kept, docs("id") === kept("kid"), "left")
+      .select(docs("id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q137Oracle =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      |pre AS (
+      |  SELECT doc_id AS id, doc_id % 3 AS h, doc_id * 1000000 AS tsu FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id % 3, doc_id * 1000000 + 3000000 FROM d
+      |), ranked AS (
+      |  SELECT id, row_number() OVER (PARTITION BY h ORDER BY tsu, id) AS rn FROM pre
+      |)
+      |SELECT id, kept FROM (
+      |  SELECT id, rn <= 20 AS kept FROM ranked
+      |  UNION ALL SELECT doc_id + 1000000, false FROM d
+      |  UNION ALL SELECT doc_id + 2000000, false FROM d
+      |) ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4514,6 +4573,7 @@ object SparkEntry {
     "q134_neardup_keepbest" -> (q134NearDupKeepBest _),
     "q135_instream_suppress" -> (q135InStreamSuppress _),
     "q136_ingest_funnel" -> (q136IngestFunnel _),
+    "q137_inline_dedup_cap" -> (q137InlineDedupCap _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4640,5 +4700,6 @@ object SparkEntry {
     "q134_neardup_keepbest" -> q134Oracle,
     "q135_instream_suppress" -> q135Oracle,
     "q136_ingest_funnel" -> q136Oracle,
+    "q137_inline_dedup_cap" -> q137Oracle,
   )
 }

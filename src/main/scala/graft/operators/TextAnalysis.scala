@@ -285,7 +285,7 @@ object TextAnalysis {
     * text. Equal fingerprint ⇒ (near-certainly) equal normalized
     * content — the cheap exact-dup key that avoids shuffling full text.
     */
-  val contentFingerprintUdf = udf { (text: String) =>
+  private[graft] def contentFingerprint(text: String): Long =
     if (text == null) 0L
     else {
       val norm = text.trim.replaceAll("\\s+", " ")
@@ -298,7 +298,8 @@ object TextAnalysis {
       }
       h
     }
-  }
+
+  val contentFingerprintUdf = udf { (text: String) => contentFingerprint(text) }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
     * polynomial hash over character k-grams, minimum per window of w —

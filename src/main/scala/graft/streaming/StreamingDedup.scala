@@ -286,6 +286,17 @@ object StreamingDedup {
     * hit detection and in-stream suppression can never disagree on
     * what collides.
     */
+  /** `withWatermark` unless the column is already an event-time
+    * column (source-watermarked upstream, or re-declared by a
+    * `transformWithState` stage via `eventTimeColumnName`) — Spark
+    * disallows REDEFINING a watermark in multi-stateful-operator
+    * plans, so chained operators must declare it exactly once.
+    */
+  private[streaming] def ensureWatermark(
+      df: DataFrame, tsCol: String, delay: String): DataFrame =
+    if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) df
+    else df.withWatermark(tsCol, delay)
+
   private[streaming] def bucketStep(
       entries: List[(Long, Array[Long])],
       docId: Long,
@@ -480,9 +491,8 @@ object StreamingDedup {
       val payloadSchema = StructType(docs.schema.fields)
       val base = docs.withColumn("__sig", sigUdf(col(textCol)))
       val pass = base.where(col("__sig").isNull).drop("__sig")
-      val signed = base
-        .where(col("__sig").isNotNull)
-        .withWatermark(tsCol, watermarkDelay)
+      val signed = ensureWatermark(
+        base.where(col("__sig").isNotNull), tsCol, watermarkDelay)
         .select(
           col(idCol).cast("long").as("__doc_id"),
           col(tsCol).as("__ts"),

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 
 import graft.operators.TextAnalysis
 
@@ -189,6 +190,168 @@ object StreamingWebIngest {
     * list may name ids the main stream already dropped — harmless for
     * suppression, and it keeps both queries single-stateful.
     */
+  /** Per-key ADMISSION BUDGET under `transformWithState`: each key
+    * admits its first `max` arrivals ((event-time, id) order within a
+    * trigger; state order across triggers) and drops the rest — the
+    * one mechanism behind both chained stateful stages of
+    * [[inlineDedupAndCap]]: exact dedup is budget 1 keyed by content
+    * fingerprint (with an event-time GC timer, the
+    * dropDuplicatesWithinWatermark horizon), the host cap is budget
+    * `maxPerHost` keyed by host (no timer — one long per distinct
+    * host, bounded by host cardinality like [[capPerHostStream]]).
+    */
+  private final class BudgetProcessor(
+      max: Long, horizonMs: Long, tsIdx: Int, idIdx: Int)
+      extends StatefulProcessor[String, Row, Row] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[Row], tv: TimerValues): Iterator[Row] = {
+      var c = if (n.exists()) n.get() else 0L
+      var lastMs = 0L
+      val out = rows.toSeq
+        .sortBy(r => (r.getTimestamp(tsIdx).getTime, r.getLong(idIdx)))
+        .filter { r =>
+          lastMs = math.max(lastMs, r.getTimestamp(tsIdx).getTime)
+          if (c < max) { c += 1; true } else false
+        }
+      n.update(c)
+      if (horizonMs > 0L) {
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        key: String, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Row] = {
+      n.clear()
+      Iterator.empty
+    }
+  }
+
+  /** The FULLY IN-STREAM curation chain: exact dedup → near-dup
+    * SUPPRESSION → per-host cap, composed as FOUR chained stateful
+    * operators in ONE streaming query — the shape
+    * [[webIngestWithNearDup]]'s scaladoc rules out under
+    * `flatMapGroupsWithState` (no stateful chaining), made legal by
+    * `transformWithState`'s event-time re-declaration at every stage
+    * (each operator names its output event-time column, the watermark
+    * propagates, and the next stateful operator plans normally). The
+    * emitted stream IS the curated corpus: no victim side stream, no
+    * sink-side compaction anti-join.
+    *
+    * Stage order matches the batch pipeline
+    * ([[graft.operators.CorpusPipeline.webIngest]]): exact FIRST, so
+    * byte-identical recrawls die on a 16-byte fingerprint state
+    * before the 32-band MinHash machinery ever signs them — at
+    * firehose scale the exact stage absorbs the bulk of duplicate
+    * volume at a fraction of the near-dup stage's state and shuffle.
+    *
+    * Input: (idCol long, tsCol timestamp, textCol string, hostCol
+    * string) + any other columns, all carried through. Works on a
+    * bounded batch frame (the same deterministic stage composition:
+    * keep-first windows + the [[StreamingDedup.nearDupSuppress]]
+    * batch face), which is what the q137 driver gate evaluates; the
+    * stream ≡ batch spec pins the two. Streaming requires the
+    * RocksDB state store provider.
+    */
+  def inlineDedupAndCap(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      hostCol: String,
+      maxPerHost: Int,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      estThreshold: Double = 0.7,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000L,
+  ): DataFrame = {
+    require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    if (!docs.isStreaming) {
+      val exactW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp"))
+        .orderBy(col(tsCol), col(idCol))
+      val exact = docs
+        .withColumn("__fp", TextAnalysis.contentFingerprintUdf(col(textCol)))
+        .withColumn("__rn", row_number().over(exactW))
+        .where(col("__rn") === 1)
+        .drop("__fp", "__rn")
+      val suppressed = StreamingDedup.nearDupSuppress(
+        exact, idCol, tsCol, textCol, numHashes, bands, shingleSize,
+        estThreshold, watermarkDelay = watermarkDelay, horizonMs = horizonMs)
+      capPerHostStream(suppressed, idCol, tsCol, hostCol, maxPerHost)
+    } else {
+      val schema = org.apache.spark.sql.types.StructType(docs.schema.fields)
+      val tsIdx = docs.schema.fieldIndex(tsCol)
+      val idIdx = docs.schema.fieldIndex(idCol)
+      val hostIdx = docs.schema.fieldIndex(hostCol)
+      val textIdx = docs.schema.fieldIndex(textCol)
+      val rowEnc = Encoders.row(schema)
+      val exact = StreamingDedup
+        .ensureWatermark(docs, tsCol, watermarkDelay)
+        .groupByKey((r: Row) => java.lang.Long.toHexString(
+          TextAnalysis.contentFingerprint(r.getString(textIdx))))(Encoders.STRING)
+        .transformWithState(
+          new BudgetProcessor(1L, horizonMs, tsIdx, idIdx),
+          tsCol, OutputMode.Append())(rowEnc)
+      // downstream stages inherit the event-time column each TWS stage
+      // re-declares (eventTimeColumnName) — declaring a watermark again
+      // is an analysis error in multi-stateful-operator plans
+      val suppressed = StreamingDedup.nearDupSuppress(
+        exact, idCol, tsCol, textCol, numHashes, bands, shingleSize,
+        estThreshold, watermarkDelay = watermarkDelay, horizonMs = horizonMs)
+      suppressed
+        .groupByKey((r: Row) =>
+          if (r.isNullAt(hostIdx)) "\u0000" else String.valueOf(r.get(hostIdx)))(
+          Encoders.STRING)
+        .transformWithState(
+          new BudgetProcessor(maxPerHost.toLong, 0L, tsIdx, idIdx),
+          tsCol, OutputMode.Append())(rowEnc)
+    }
+  }
+
+  /** [[webIngestStream]] with the dedup stages FULLY IN-STREAM: the
+    * stateless cleaned front end ([[cleanedFrontEnd]] — the same
+    * stage list and options as every other face) feeds
+    * [[inlineDedupAndCap]], so the emitted rows are the curated,
+    * near-dup-suppressed, host-capped corpus with no sink-side
+    * compaction step. Prefer this face on Spark 4 clusters with the
+    * RocksDB state store; [[webIngestWithNearDup]] remains for state
+    * stores without `transformWithState`.
+    */
+  def webIngestStreamInline(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      watermarkDelay: String = "10 minutes",
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      estThreshold: Double = 0.7,
+  ): DataFrame = {
+    val lined = cleanedFrontEnd(
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
+      soft404, redactPii, mainContent, stripTracking)
+    inlineDedupAndCap(lined, "id", "ts", "text", "url_host", maxPerHost,
+      numHashes = numHashes, bands = bands, estThreshold = estThreshold,
+      watermarkDelay = watermarkDelay)
+  }
+
   def webIngestWithNearDup(
       docs: DataFrame,
       idCol: String,

@@ -1105,6 +1105,110 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("inlineDedupAndCap: four chained stateful operators — exact, near-dup, cap — stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    val base = "the quick brown fox jumps over the lazy dog while seventy owls " +
+      "watch from nearby trees and comment on the unfolding chase below them"
+    def uniq(i: Int) = (0 until 30).map(k => s"u${i}x$k").mkString(" ")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val batch1 = Seq(
+      (1L, ts(1), base, "a"),
+      (2L, ts(2), base, "a"), // exact dup of 1 → exact stage
+      (3L, ts(3), base + " tonight", "a"), // near-dup of 1 → suppress stage
+      (10L, ts(7), uniq(10), "b"))
+    val batch2 = Seq(
+      (4L, ts(4), uniq(4), "a"),
+      (5L, ts(5), uniq(5), "a"),
+      (6L, ts(6), uniq(6), "a"), // 4th admit on host a → cap 3 bites
+      (11L, ts(8), "hi x", "b"), // shingle-less, unique → passes
+      (12L, ts(9), "hi x", "b")) // shingle-less EXACT dup → only the exact stage can catch it
+    val allRows = batch1 ++ batch2
+    val expected = Set(1L, 4L, 5L, 10L, 11L)
+    val batchKept = StreamingWebIngest
+      .inlineDedupAndCap(allRows.toDF("doc_id", "ts", "text", "host"),
+        "doc_id", "ts", "text", "host", maxPerHost = 3, estThreshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == expected, s"batch: $batchKept")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
+    val q = StreamingWebIngest
+      .inlineDedupAndCap(in.toDS().toDF("doc_id", "ts", "text", "host"),
+        "doc_id", "ts", "text", "host", maxPerHost = 3, estThreshold = 0.5)
+      .writeStream.format("memory").queryName("inline_chain").outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*) // budget + collision state must persist across triggers
+      q.processAllAvailable()
+      val streamKept = spark.table("inline_chain").select($"doc_id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("webIngestStreamInline: front end + fully in-stream dedup chain, stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def doc(id: Long, sec: Long, body: String, url: String) =
+      WebDoc(id, new java.sql.Timestamp(t0 + sec * 1000), page(body), url)
+    val batch1 = Seq(
+      doc(1L, 1, distinctProse(1), "http://a.com/p1"),
+      doc(10L, 2, distinctProse(10), "http://b.com/x"))
+    val batch2 = Seq(
+      doc(2L, 3, distinctProse(1) + " tonight", "http://a.com/p2"), // near-dup of 1: IN-STREAM suppressed
+      doc(11L, 4, distinctProse(10), "http://b.com/y"), // exact dup of 10
+      doc(12L, 5, Seq.fill(60)("### 12345 …").mkString(" "), "http://b.com/junk"),
+      doc(3L, 6, distinctProse(3), "http://a.com/p3"))
+    val curate = (df: org.apache.spark.sql.DataFrame) => StreamingWebIngest
+      .webIngestStreamInline(df, "doc_id", "ts", "html", "url",
+        langs = Seq("en"), maxPerHost = 2, estThreshold = 0.5)
+    val batchKept = curate((batch1 ++ batch2).toDF())
+      .select($"id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L, 10L), s"batch: $batchKept")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[WebDoc](spark)
+    val q = curate(in.toDS().toDF())
+      .writeStream.format("memory").queryName("inline_ingest").outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("inline_ingest").select($"id").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream=$streamKept batch=$batchKept — the near-dup victim must be gone IN-STREAM")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
     import graft.sources.Warc
     import graft.streaming.StreamingWebIngest
