@@ -138,6 +138,47 @@ class PlanShapeSpec extends SparkTestBase {
       s"huge-query-set path must not broadcast anything:\n$parted")
   }
 
+  test("nearDupKeepBest: ranking window is partitioned and nothing goes cartesian") {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val out = Dedup.nearDupKeepBest(
+      docs.limit(50), "doc_id", "text",
+      prefer = Seq(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).desc))
+    // the RETURNED plan is live (only the pair path materializes
+    // internally): the ranking window must partition on component —
+    // an unpartitioned window would funnel the corpus through one task
+    val p = plan(out)
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "ranking window must be partitioned")
+    spark.listenerManager.register(listener)
+    try {
+      out.count()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var last = -1
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val snap = plans.synchronized(plans.toList)
+    assert(snap.nonEmpty, "listener must observe the internal jobs")
+    snap.foreach(pp =>
+      assert(!pp.contains("CartesianProduct"), s"keep-best went cartesian:\n$pp"))
+  }
+
   test("span dedup and candidate generation never go cartesian") {
     // the operators materialize internally (localCheckpoint), so the
     // RETURNED plan is just an RDD scan — capture every plan actually
