@@ -4377,6 +4377,36 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id + 2000000, false FROM d
       |) ORDER BY id""".stripMargin
 
+  /** Gate for [[graft.operators.Dedup.decontaminateEmbedding]] —
+    * semantic (embedding-space) benchmark decontamination. Every 50th
+    * embedding is declared "benchmark"; the oracle independently
+    * recomputes each doc's max cosine against that pool with DuckDB's
+    * `list_cosine_similarity` (the arithmetic q21 already pins
+    * bit-for-bit against the repo's fused float-to-double cosine), so
+    * the gate is a FULL hash comparison of the margin column, not a
+    * planted subset: benchmark members flag themselves at cosine 1,
+    * and any naturally-close pair must flag identically on both
+    * engines.
+    */
+  private def q138EmbedDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val bench = e.where(col("vec_id") % 50 === 0).select(col("embedding"))
+    Dedup
+      .decontaminateEmbedding(e, bench, "embedding", "embedding", threshold = 0.99)
+      .select(col("vec_id"), col("max_benchmark_cosine"), col("is_clean"))
+      .orderBy("vec_id")
+  }
+
+  private val q138Oracle =
+    """WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT c.vec_id,
+      |  max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[]))) AS max_benchmark_cosine,
+      |  max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[]))) < 0.99 AS is_clean
+      |FROM embeddings c, b
+      |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4574,6 +4604,7 @@ object SparkEntry {
     "q135_instream_suppress" -> (q135InStreamSuppress _),
     "q136_ingest_funnel" -> (q136IngestFunnel _),
     "q137_inline_dedup_cap" -> (q137InlineDedupCap _),
+    "q138_embed_decontam" -> (q138EmbedDecontam _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4701,5 +4732,6 @@ object SparkEntry {
     "q135_instream_suppress" -> q135Oracle,
     "q136_ingest_funnel" -> q136Oracle,
     "q137_inline_dedup_cap" -> q137Oracle,
+    "q138_embed_decontam" -> q138Oracle,
   )
 }

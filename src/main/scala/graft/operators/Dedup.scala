@@ -1049,6 +1049,100 @@ object Dedup {
 
   // ----------------------------------------------------------- span dedup
 
+  /** EMBEDDING-space decontamination: flag corpus documents whose
+    * embedding is too close (cosine ≥ `threshold`) to ANY benchmark
+    * embedding — the semantic companion of the n-gram
+    * [[decontaminate]]: paraphrased or reformatted test questions
+    * share no 5-gram with the original but land next to it in
+    * embedding space. Same contract as the n-gram face: every corpus
+    * row is returned with (`max_benchmark_cosine`, `is_clean`) so the
+    * caller can audit the margin before dropping.
+    *
+    * Scale shape: the benchmark pool (eval suites — thousands of
+    * rows, not corpus-scale) is COLLECTED and broadcast exactly like
+    * [[decontaminate]]'s shingle pool; each corpus row then scans the
+    * pool in a shuffle-free per-row kernel — |pool| fused dot/norm
+    * loops per document, zero exchanges, the right shape for a 100 TB
+    * corpus against a bounded benchmark. The `maxBenchmarkRows`
+    * ceiling makes an oversized pool a diagnosable failure (for
+    * benchmark sets beyond broadcast, go through
+    * [[graft.operators.Quantize.signPack]] +
+    * [[graft.operators.Similarity.hammingTopK]] and threshold the
+    * re-ranked cosine).
+    *
+    * Arithmetic replays DuckDB's `list_cosine_similarity` bit-for-bit
+    * (float elements widened to double, sequential accumulation,
+    * `dot / (√nx · √ny)` clamped to [-1, 1]) — the same numeric
+    * contract the q21 oracle pins for [[Similarity.bruteForceTopK]],
+    * which is what lets the q138 gate hash-compare
+    * `max_benchmark_cosine` exactly. Zero-norm vectors score 0 against everything (never
+    * contaminated); a benchmark vector of a different width than a
+    * corpus vector is a named error, not silent truncation.
+    */
+  def decontaminateEmbedding(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      vecCol: String,
+      benchVecCol: String,
+      threshold: Double = 0.99,
+      maxBenchmarkRows: Long = 100000L,
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1]: $threshold")
+    val spark = corpus.sparkSession
+    val nBench = benchmark.limit((maxBenchmarkRows + 1).toInt).count()
+    require(nBench <= maxBenchmarkRows,
+      s"decontaminateEmbedding: benchmark exceeds $maxBenchmarkRows rows — a pool this " +
+        "large should not broadcast; quantize it (signPack + hammingTopK) and threshold " +
+        "the re-ranked cosine instead")
+    val pool: Array[Array[Float]] = benchmark
+      .select(col(benchVecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val bc = spark.sparkContext.broadcast(pool)
+    val maxCos = udf { (v: Seq[Float]) =>
+      if (v == null) 0.0
+      else {
+        val x = v.toArray
+        // true max (not clamped at 0) so the column replays SQL max()
+        // even when every benchmark similarity is negative
+        var best = Double.NegativeInfinity
+        val p = bc.value
+        var j = 0
+        while (j < p.length) {
+          val y = p(j)
+          require(y.length == x.length,
+            s"decontaminateEmbedding: benchmark vector width ${y.length} != corpus width ${x.length}")
+          var dot = 0.0
+          var nx = 0.0
+          var ny = 0.0
+          var i = 0
+          while (i < x.length) {
+            val xv = x(i).toDouble
+            val yv = y(i).toDouble
+            dot += xv * yv
+            nx += xv * xv
+            ny += yv * yv
+            i += 1
+          }
+          // DuckDB `list_cosine_similarity` parity, verified per-ulp
+          // against the sf0.01 embeddings: dot / (√nx · √ny) — NOT
+          // √(nx·ny), which drifts an ulp on ~10% of pairs — then
+          // clamped to [-1, 1] (a self-pair otherwise reads
+          // 1.0000000000000002 under this formulation)
+          val denom = math.sqrt(nx) * math.sqrt(ny)
+          val c0 = if (denom == 0.0) 0.0 else dot / denom
+          val c = if (c0 > 1.0) 1.0 else if (c0 < -1.0) -1.0 else c0
+          if (c > best) best = c
+          j += 1
+        }
+        if (p.isEmpty) 0.0 else best
+      }
+    }
+    corpus
+      .withColumn("max_benchmark_cosine", maxCos(col(vecCol)))
+      .withColumn("is_clean", col("max_benchmark_cosine") < threshold)
+  }
+
   /** C4-style EXACT span dedup: any `k`-token span whose verbatim
     * text occurs elsewhere in the corpus keeps only its FIRST
     * occurrence (minimum (doc, position) lexicographically); every

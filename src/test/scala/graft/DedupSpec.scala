@@ -204,6 +204,38 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((10L, 10L, 1L, true), (11L, 11L, 1L, true)))
   }
 
+  test("decontaminateEmbedding: max-cosine margin, true max under negatives, guards") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), // identical to a benchmark vector → cosine 1
+      (2L, Seq(0.6f, 0.8f)), // max cosine 0.8 → clean at 0.9
+      (3L, Seq(-1f, 0f)), // all similarities ≤ 0 → max is 0 (vs (0,1)), clean
+      (4L, Seq(0f, 0f)), // zero vector scores 0 against everything
+    ).toDF("id", "vec")
+    val bench = Seq(Tuple1(Seq(1f, 0f)), Tuple1(Seq(0f, 1f))).toDF("vec")
+    val out = Dedup
+      .decontaminateEmbedding(corpus, bench, "vec", "vec", threshold = 0.9)
+      .select("id", "max_benchmark_cosine", "is_clean")
+      .as[(Long, Double, Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) == ((1.0, false)))
+    assert(math.abs(out(2L)._1 - 0.8) < 1e-6 && out(2L)._2) // 0.6f/0.8f are inexact floats
+    assert(out(3L) == ((0.0, true)), s"true max under negatives: ${out(3L)}")
+    assert(out(4L) == ((0.0, true)))
+    // ragged benchmark vector is a named error, not silent truncation
+    val ragged = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      Dedup.decontaminateEmbedding(corpus, ragged, "vec", "vec").collect()
+    }
+    assert(e.getMessage.contains("width") || e.getCause != null)
+    // oversized pool is a diagnosable failure with the alternative named
+    val big = intercept[IllegalArgumentException] {
+      Dedup.decontaminateEmbedding(corpus, bench, "vec", "vec", maxBenchmarkRows = 1L)
+    }
+    assert(big.getMessage.contains("signPack"))
+  }
+
   test("bucket skew cap drops oversized buckets instead of exploding") {
     // 50 docs sharing one common shingle; cap=10 → no pairs from that bucket
     val many = (1L to 50L).map(i => (i, s"common shared prefix trigram here unique$i tail$i")).toDF("doc_id", "text")
