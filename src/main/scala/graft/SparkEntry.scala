@@ -4289,33 +4289,59 @@ object SparkEntry {
       .orderBy("stage_ix")
   }
 
+  /** Per-role whitespace-token arithmetic (boiler line = 8 tokens;
+    * content: `% 1` → 60 digit tokens, `% 2` → 20, `% 6` → 55, else
+    * 54): each stage's `tokens_out` is a linear form over the role
+    * counts; line dedup strips the boiler from every survivor except
+    * the keeper (+8); the cap stage re-derives the md5-order window
+    * and sums survivor tokens, keeper bonus included iff the keeper
+    * itself survives the cap.
+    */
   private val q136Oracle =
     """WITH t AS (SELECT count(*) AS n FROM documents),
       |c0 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 0),
       |c1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 1),
       |c2 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 2),
       |c6 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 6),
+      |k AS (SELECT min(doc_id) AS kid FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2)),
       |h AS (SELECT doc_id % 3 AS hh, count(*) AS c FROM documents
       |      WHERE doc_id % 10 NOT IN (0, 1, 2, 6) GROUP BY 1),
       |cap AS (SELECT
       |  CAST(COALESCE(SUM(CASE WHEN c > 80 THEN c - 80 ELSE 0 END), 0) AS BIGINT) AS dropped,
-      |  CAST(COALESCE(SUM(LEAST(c, 80)), 0) AS BIGINT) AS kept FROM h)
+      |  CAST(COALESCE(SUM(LEAST(c, 80)), 0) AS BIGINT) AS kept FROM h),
+      |tok AS (SELECT
+      |  62 * (t.n - c1.c - c2.c - c6.c) + 68 * c1.c + 28 * c2.c + 63 * c6.c AS t_extract,
+      |  62 * (t.n - c0.c - c1.c - c2.c - c6.c) + 68 * c1.c + 28 * c2.c + 63 * c6.c
+      |    AS t_blocklist,
+      |  62 * (t.n - c0.c - c1.c - c2.c - c6.c) + 28 * c2.c + 63 * c6.c AS t_lang,
+      |  62 * (t.n - c0.c - c1.c - c2.c - c6.c) + 63 * c6.c AS t_gopher,
+      |  54 * (t.n - c0.c - c1.c - c2.c - c6.c) + 55 * c6.c + 8 AS t_line,
+      |  54 * (t.n - c0.c - c1.c - c2.c - c6.c) + 8 AS t_near
+      |  FROM t, c0, c1, c2, c6),
+      |capt AS (SELECT CAST(COALESCE(SUM(
+      |    CASE WHEN s.doc_id = k.kid THEN 62 ELSE 54 END), 0) AS BIGINT) AS t_cap
+      |  FROM (SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 3
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |        FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2, 6)) s, k
+      |  WHERE s.rn <= 80)
       |SELECT * FROM (
       |  SELECT 0 AS stage_ix, 'extract' AS stage,
-      |    t.n AS docs_in, CAST(0 AS BIGINT) AS docs_dropped, t.n AS docs_out FROM t
-      |  UNION ALL SELECT 1, 'blocklist', t.n, c0.c, t.n - c0.c FROM t, c0
-      |  UNION ALL SELECT 2, 'lang_filter', t.n - c0.c, c1.c, t.n - c0.c - c1.c
-      |    FROM t, c0, c1
-      |  UNION ALL SELECT 3, 'gopher', t.n - c0.c - c1.c, c2.c, t.n - c0.c - c1.c - c2.c
-      |    FROM t, c0, c1, c2
+      |    t.n AS docs_in, CAST(0 AS BIGINT) AS docs_dropped, t.n AS docs_out,
+      |    tok.t_extract AS tokens_out FROM t, tok
+      |  UNION ALL SELECT 1, 'blocklist', t.n, c0.c, t.n - c0.c, tok.t_blocklist
+      |    FROM t, c0, tok
+      |  UNION ALL SELECT 2, 'lang_filter', t.n - c0.c, c1.c, t.n - c0.c - c1.c,
+      |    tok.t_lang FROM t, c0, c1, tok
+      |  UNION ALL SELECT 3, 'gopher', t.n - c0.c - c1.c, c2.c, t.n - c0.c - c1.c - c2.c,
+      |    tok.t_gopher FROM t, c0, c1, c2, tok
       |  UNION ALL SELECT 4, 'line_dedup', t.n - c0.c - c1.c - c2.c, CAST(0 AS BIGINT),
-      |    t.n - c0.c - c1.c - c2.c FROM t, c0, c1, c2
+      |    t.n - c0.c - c1.c - c2.c, tok.t_line FROM t, c0, c1, c2, tok
       |  UNION ALL SELECT 5, 'exact_dedup', t.n - c0.c - c1.c - c2.c, CAST(0 AS BIGINT),
-      |    t.n - c0.c - c1.c - c2.c FROM t, c0, c1, c2
+      |    t.n - c0.c - c1.c - c2.c, tok.t_line FROM t, c0, c1, c2, tok
       |  UNION ALL SELECT 6, 'near_dup', t.n - c0.c - c1.c - c2.c, c6.c,
-      |    t.n - c0.c - c1.c - c2.c - c6.c FROM t, c0, c1, c2, c6
+      |    t.n - c0.c - c1.c - c2.c - c6.c, tok.t_near FROM t, c0, c1, c2, c6, tok
       |  UNION ALL SELECT 7, 'host_cap', t.n - c0.c - c1.c - c2.c - c6.c,
-      |    cap.dropped, cap.kept FROM t, c0, c1, c2, c6, cap
+      |    cap.dropped, cap.kept, capt.t_cap FROM t, c0, c1, c2, c6, cap, capt
       |) ORDER BY stage_ix""".stripMargin
 
   /** Planted gate for [[graft.streaming.StreamingWebIngest

@@ -259,9 +259,12 @@ object CorpusPipeline {
     * production curation pipeline publishes next to its corpus: how
     * many documents each stage dropped, in the pipeline's canonical
     * order. Returns one row per DROPPING stage —
-    * (stage_ix, stage, docs_in, docs_dropped, docs_out) — where
-    * consecutive rows chain (`docs_out` of stage k = `docs_in` of
-    * stage k+1). Optional stages appear only when their option is on;
+    * (stage_ix, stage, docs_in, docs_dropped, docs_out, tokens_out) —
+    * where consecutive rows chain (`docs_out` of stage k = `docs_in`
+    * of stage k+1) and `tokens_out` is the surviving whitespace-token
+    * volume (it also accounts for tokens a TRANSFORMING stage removed
+    * from survivors: C4 line rules, corpus-wide line dedup).
+    * Optional stages appear only when their option is on;
     * stages that transform but never drop (URL parts, NFC, PII
     * redaction, chunk/pack) carry no row. Stage names: `extract`,
     * `c4`, `soft404`, `blocklist`, `lang_filter`, `gopher`,
@@ -306,13 +309,21 @@ object CorpusPipeline {
       stripTracking: Boolean = false,
   ): DataFrame = {
     val spark = df.sparkSession
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
     def land(f: DataFrame): DataFrame = f.localCheckpoint(true)
     var prevN = df.count()
     def record(name: String, f: DataFrame): DataFrame = {
       val landed = land(f)
-      val n = landed.count()
-      stages += ((name, prevN, n))
+      // docs + surviving tokens in ONE aggregation over the landed
+      // frame — tokens_out accounts for both dropped docs and tokens
+      // a transforming stage removed from survivors (c4 lines,
+      // corpus-wide line dedup)
+      val agg = landed.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")), lit(0L)).as("t"))
+        .head()
+      val n = agg.getLong(0)
+      stages += ((name, prevN, n, agg.getLong(1)))
       prevN = n
       landed
     }
@@ -367,9 +378,9 @@ object CorpusPipeline {
 
     import spark.implicits._
     stages.zipWithIndex
-      .map { case ((name, in, out), ix) => (ix, name, in, in - out, out) }
+      .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
       .toSeq
-      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out")
+      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
   }
 
   /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest

@@ -262,10 +262,11 @@ class CorpusPipelineSpec extends SparkTestBase {
         (13L, page("今天天气很好我们一起去公园散步然后吃晚饭"), "http://b.com/zh"),
       )
     ).toDF("doc_id", "html", "url")
-    val funnel = graft.operators.CorpusPipeline
+    val funnelRows = graft.operators.CorpusPipeline
       .webIngestFunnel(rows, "doc_id", "html", "url", langs = Seq("en", "zh"), maxPerHost = 2)
       .orderBy("stage_ix")
       .collect()
+    val funnel = funnelRows
       .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
         r.getAs[Long]("docs_dropped"), r.getAs[Long]("docs_out")))
     assert(funnel.map(_._1).toSeq == Seq(
@@ -284,12 +285,23 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(byStage("line_dedup") == 1L, s"funnel: ${funnel.toSeq}")
     assert(byStage("exact_dedup") == 0L && byStage("near_dup") == 0L)
     assert(byStage("host_cap") == 2L, "host a capped 4 → 2")
-    // the funnel's terminal docs_out equals the real pipeline's survivor count
+    // token attrition: never increases along the chain
+    val toks = funnelRows.map(_.getAs[Long]("tokens_out"))
+    toks.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"tokens grew along the funnel: ${toks.toSeq}")
+      case _ =>
+    }
+    // the funnel's terminal counts equal the real pipeline's output:
+    // surviving docs, and total chunked tokens (chunking conserves them)
     val shipped = graft.operators.CorpusPipeline
       .webIngest(rows, "doc_id", "html", "url", langs = Seq("en", "zh"),
         maxPerHost = 2, seqLen = 32)
-      .select("id").distinct().count()
-    assert(funnel.last._4 == shipped, s"funnel=${funnel.last._4} pipeline=$shipped")
+    assert(funnel.last._4 == shipped.select("id").distinct().count(),
+      s"funnel=${funnel.last._4}")
+    val chunkTokens = shipped
+      .agg(org.apache.spark.sql.functions.sum("n_chunk_tokens")).head().getLong(0)
+    assert(toks.last == chunkTokens,
+      s"funnel tokens_out=${toks.last} != chunked total=$chunkTokens")
   }
 
   test("webIngest: ParquetDir materialize lands every stage boundary and matches LocalCheckpoint") {
