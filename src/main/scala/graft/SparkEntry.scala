@@ -4433,6 +4433,40 @@ object SparkEntry {
       |FROM embeddings c, b
       |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin
 
+  /** Gate for [[graft.operators.TextAnalysis.corpusDiff]] — corpus
+    * snapshot diffing. The "new" snapshot is derived from `documents`
+    * with closed-form edits: `% 7` docs removed, `% 5` docs' text
+    * appended-to (changed), fresh `% 11`-derived ids added — so every
+    * id's status is a pure CASE over doc_id (removal wins over
+    * change for the `% 35` overlap, since the doc is simply gone).
+    */
+  private def q139CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val newDocs = docs
+      .where(col("id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("id") % 5 === 0, concat(col("text"), lit(" graftdiff")))
+          .otherwise(col("text")))
+      .unionByName(docs.where(col("id") % 11 === 0)
+        .select((col("id") + 1000000L).as("id"), col("text")))
+    TextAnalysis
+      .corpusDiff(docs, newDocs, "id", "text")
+      .select(col("id"), col("status"))
+      .orderBy("id")
+  }
+
+  private val q139Oracle =
+    """SELECT id, status FROM (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'removed'
+      |         WHEN doc_id % 5 = 0 THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 11 = 0
+      |) ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4631,6 +4665,7 @@ object SparkEntry {
     "q136_ingest_funnel" -> (q136IngestFunnel _),
     "q137_inline_dedup_cap" -> (q137InlineDedupCap _),
     "q138_embed_decontam" -> (q138EmbedDecontam _),
+    "q139_corpus_diff" -> (q139CorpusDiff _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4759,5 +4794,6 @@ object SparkEntry {
     "q136_ingest_funnel" -> q136Oracle,
     "q137_inline_dedup_cap" -> q137Oracle,
     "q138_embed_decontam" -> q138Oracle,
+    "q139_corpus_diff" -> q139Oracle,
   )
 }

@@ -459,6 +459,41 @@ object TextAnalysis {
           .as("mean_tokens_per_doc"),
       )
 
+  /** SNAPSHOT DIFF between two corpus versions keyed by `idCol`: one
+    * row per id present in either side with
+    * `status ∈ {added, removed, changed, unchanged}` plus both
+    * content fingerprints (md5) — the audit a versioned-corpus
+    * pipeline runs between crawls/releases before deciding what to
+    * re-embed, re-dedup, or re-train on (pair with
+    * [[graft.operators.Dedup.nearDupNewDocs]] on the `added` slice
+    * and [[graft.operators.WebText.latestCapture]] upstream).
+    *
+    * Ids are the snapshot's primary key by contract — a duplicated id
+    * within one side joins multiplicatively, exactly as a duplicated
+    * key does in any diff.
+    *
+    * Scale shape: each side reduces to (id, md5) BEFORE the join, so
+    * document text never shuffles; the full-outer equi-join on id is
+    * the one exchange per side (bucketed/pre-partitioned snapshots
+    * join co-located). Status is a pure projection over the join.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   /** Per-group token-length quantiles with BOUNDED aggregation state —
     * the unbounded-group companion to q55's exact `percentile` (which
     * holds a whole group's values in one buffer). `approx_percentile`

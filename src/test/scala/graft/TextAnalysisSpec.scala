@@ -214,6 +214,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(half.count() - 800L) < 120, "8/16 prefixes ≈ half")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged statuses from a full-outer fingerprint join") {
+    val oldSnap = Seq(
+      (1L, "stable text"), (2L, "will change"), (3L, "will vanish")).toDF("id", "text")
+    val newSnap = Seq(
+      (1L, "stable text"), (2L, "will change indeed"), (4L, "brand new")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis
+      .corpusDiff(oldSnap, newSnap, "id", "text")
+      .select("id", "status")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // fingerprints ride along for audit joins
+    val fps = graft.operators.TextAnalysis
+      .corpusDiff(oldSnap, newSnap, "id", "text")
+      .where($"id" === 3L).select("old_fp", "new_fp").head()
+    assert(fps.getString(0) != null && fps.isNullAt(1))
+  }
+
   test("corpusStats: per-group token/char totals with exact mean") {
     val df = Seq(
       ("en", "one two three"),
