@@ -4467,6 +4467,65 @@ object SparkEntry {
       |  SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 11 = 0
       |) ORDER BY id""".stripMargin
 
+  /** Planted gate for [[graft.operators.Similarity.mmrTopK]] — MMR
+    * diversified retrieval. Block-diagonal geometry: every `% 100 ==
+    * 0` doc is a query owning dims [4g, 4g+4) (g = doc_id / 100), its
+    * three corpus companions are A1 ≈ A2 (near-identical directions,
+    * relevance ≈ 0.95) and B (diverse, relevance 0.5) — cross-group
+    * cosines are exactly 0, so each pool is its own 3 companions. At
+    * λ = 0.5 the near-copy A2 scores 0.5·0.949 − 0.5·0.99999 < 0
+    * while B scores 0.5·0.5 − 0.5·0.475 > 0, so the closed-form
+    * selection is (A1, B) per query — the outcome a plain relevance
+    * top-2 (A1, A2) gets wrong. Margins are ~0.03, far above float
+    * noise.
+    */
+  private def q140MmrPlanted(s: SparkSession, dir: String): DataFrame = {
+    // the plant is capped at 50 query groups (ids < 5000) so the
+    // block-diagonal dimension stays ≤ 200 at EVERY scale — without
+    // the cap dim grows with the corpus and the gate's own fixture
+    // (not the operator) turns quadratic in the sweep
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .where(col("id") < 5000L)
+    val maxId = docs.agg(max("id")).head().getLong(0)
+    val dim = ((maxId / 100) + 1).toInt * 4
+    val g = floor(col("id") / 100).cast("long")
+    def vecOf(pairs: Seq[(Column, Double)]): Column = {
+      val base = transform(sequence(lit(0), lit(dim - 1)), i => {
+        pairs.foldRight(lit(0.0f)) { case ((ix, v), rest) =>
+          when(i.cast("long") === ix, lit(v.toFloat)).otherwise(rest)
+        }
+      })
+      base.cast("array<float>")
+    }
+    val queries = docs
+      .where(col("id") % 100 === 0 && col("id") + 3 <= maxId)
+      .select(col("id"), vecOf(Seq((g * 4, 1.0))).as("vec"))
+    val a1 = docs.where(col("id") % 100 === 1)
+      .select(col("id"), vecOf(Seq((g * 4, 0.95), (g * 4 + 1, 0.31))).as("vec"))
+    val a2 = docs.where(col("id") % 100 === 2)
+      .select(col("id"), vecOf(Seq((g * 4, 0.949), (g * 4 + 1, 0.315))).as("vec"))
+    val b = docs.where(col("id") % 100 === 3)
+      .select(col("id"), vecOf(Seq((g * 4, 0.5), (g * 4 + 2, 0.866))).as("vec"))
+    val corpus = a1.unionByName(a2).unionByName(b)
+    graft.operators.Similarity
+      .mmrTopK(corpus, queries, "id", "vec", k = 2, poolSize = 3, lambda = 0.5)
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"))
+      .orderBy("query_id", "mmr_rank")
+      .localCheckpoint(true)
+  }
+
+  private val q140Oracle =
+    """WITH q AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0
+      |  AND doc_id < 5000
+      |  AND doc_id + 3 <= (SELECT max(doc_id) FROM documents WHERE doc_id < 5000))
+      |SELECT query_id, mmr_rank, neighbor_id FROM (
+      |  SELECT doc_id AS query_id, CAST(1 AS BIGINT) AS mmr_rank,
+      |    doc_id + 1 AS neighbor_id FROM q
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS BIGINT), doc_id + 3 FROM q
+      |) ORDER BY query_id, mmr_rank""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4666,6 +4725,7 @@ object SparkEntry {
     "q137_inline_dedup_cap" -> (q137InlineDedupCap _),
     "q138_embed_decontam" -> (q138EmbedDecontam _),
     "q139_corpus_diff" -> (q139CorpusDiff _),
+    "q140_mmr_planted" -> (q140MmrPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4795,5 +4855,6 @@ object SparkEntry {
     "q137_inline_dedup_cap" -> q137Oracle,
     "q138_embed_decontam" -> q138Oracle,
     "q139_corpus_diff" -> q139Oracle,
+    "q140_mmr_planted" -> q140Oracle,
   )
 }

@@ -319,6 +319,123 @@ object Similarity {
       )
   }
 
+  /** Maximal-Marginal-Relevance DIVERSIFIED top-k (Carbonell &
+    * Goldstein, SIGIR'98): from each query's relevance pool
+    * (`poolSize` nearest by cosine, default 4·k), greedily select `k`
+    * documents maximizing
+    *
+    *   λ · sim(query, d)  −  (1 − λ) · max_{s ∈ selected} sim(d, s)
+    *
+    * — the standard redundancy-penalized re-rank a RAG retriever runs
+    * so the k passages it stuffs into a context window aren't k
+    * near-copies of the same paragraph. λ = 1 reduces to plain
+    * relevance ranking; λ = 0 is pure diversity. Ties break by
+    * (score, id asc); the empty-selection penalty is 0, so rank 1 is
+    * always the most-relevant pool member.
+    *
+    * Output: (query_id, neighbor_id, mmr_rank, relevance, mmr_score),
+    * `relevance` = query cosine from the pool pass.
+    *
+    * Scale shape: the pool pass is [[bruteForceTopK]] (map-side
+    * bounded heaps — swap in an IVF/Hamming pool upstream for corpus
+    * scale); the greedy loop is O(k · poolSize) cosines PER QUERY
+    * over ≤ poolSize in-memory rows, keyed by query — embarrassingly
+    * parallel across queries, and the corpus itself is never touched
+    * again (neighbor vectors ride the pool join).
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int = 0,
+      lambda: Double = 0.5,
+  ): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
+    val ps = if (poolSize <= 0) 4 * k else poolSize
+    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lam = lambda
+    val kk = k
+    val pool = bruteForceTopK(corpus, queries, idCol, vecCol, ps)
+    pool
+      .join(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__nvec")),
+        "neighbor_id")
+      .select(
+        col("query_id").cast("long"),
+        col("neighbor_id"),
+        col("cosine").cast("double"),
+        col("__nvec"))
+      .as[(Long, Long, Double, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
+        // (relevance desc, id asc): deterministic scan order = tie order
+        val cands = it
+          .map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .toArray
+          .sortBy { case (id, rel, _) => (-rel, id) }
+        val used = new Array[Boolean](cands.length)
+        val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+        var r = 0
+        while (r < kk && r < cands.length) {
+          var bestIx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val (_, rel, v) = cands(i)
+              var maxSim = 0.0
+              var s = 0
+              while (s < selVecs.length) {
+                val c = cosineKernel(v, selVecs(s))
+                if (c > maxSim) maxSim = c
+                s += 1
+              }
+              val score = lam * rel - (1.0 - lam) * maxSim
+              // strict > keeps the first (best-relevance, min-id) on ties
+              if (score > bestScore) { bestScore = score; bestIx = i }
+            }
+            i += 1
+          }
+          val (id, rel, v) = cands(bestIx)
+          used(bestIx) = true
+          selVecs += v
+          out += ((q, id, (r + 1).toLong, rel, bestScore))
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score")
+  }
+
+  /** DuckDB-parity cosine of two float vectors (widened-to-double
+    * sequential accumulation, √·√ denominator, [-1, 1] clamp — the
+    * [[graft.operators.Dedup.decontaminateEmbedding]] contract).
+    */
+  private[operators] def cosineKernel(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toDouble
+      val yv = y(i).toDouble
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    val c = if (denom == 0.0) 0.0 else dot / denom
+    if (c > 1.0) 1.0 else if (c < -1.0) -1.0 else c
+  }
+
   // ------------------------------------------------------------------- ivf
 
   /** IVF (inverted-file) ANN index descriptor: centroids trained

@@ -13,6 +13,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 0.6) < 1e-6) // inputs are float32 → ~1e-8 representation error
   }
 
+  test("mmrTopK: redundancy penalized — the near-copy loses rank 2 to the diverse doc") {
+    // A1/A2 nearly identical directions near the query; B distinct but
+    // relevant; plain relevance ranks (A1, A2, B), MMR at λ=0.5 must
+    // rank (A1, B) — the redundancy penalty is the operator's point
+    val corpus = Seq(
+      (1L, Seq(0.95f, 0.31f, 0f)), // A1: most relevant
+      (2L, Seq(0.949f, 0.315f, 0f)), // A2: near-copy of A1
+      (3L, Seq(0.5f, 0f, 0.866f)), // B: diverse, still relevant
+    ).toDF("vec_id", "embedding")
+    val query = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val mmr = graft.operators.Similarity
+      .mmrTopK(corpus, query, "vec_id", "embedding", k = 2, poolSize = 3, lambda = 0.5)
+      .select("mmr_rank", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(mmr == Map(1L -> 1L, 2L -> 3L), s"mmr picks: $mmr")
+    // λ = 1 degenerates to plain relevance order (bruteForceTopK)
+    val plain = graft.operators.Similarity
+      .mmrTopK(corpus, query, "vec_id", "embedding", k = 3, poolSize = 3, lambda = 1.0)
+      .select("mmr_rank", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(plain == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"λ=1 order: $plain")
+    // rank 1 relevance rides through; guards fire on bad params
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        k = 5, poolSize = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        k = 2, lambda = 1.5)
+    }
+  }
+
   test("bruteForceTopK: exact neighbors, rank order, no self-match") {
     // vectors on a line: cosine with query (1,0) decreasing with angle
     val vecs = (0L to 9L).map { i =>
