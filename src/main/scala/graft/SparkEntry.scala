@@ -4487,8 +4487,9 @@ object SparkEntry {
     val docs = load(s, dir, "documents")
       .select(col("doc_id").cast("long").as("id"))
       .where(col("id") < 5000L)
-    val maxId = docs.agg(max("id")).head().getLong(0)
-    val dim = ((maxId / 100) + 1).toInt * 4
+    val maxRow = docs.agg(max("id")).head()
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0) // empty table → no plants
+    val dim = ((math.max(maxId, 0L) / 100) + 1).toInt * 4
     val g = floor(col("id") / 100).cast("long")
     def vecOf(pairs: Seq[(Column, Double)]): Column = {
       val base = transform(sequence(lit(0), lit(dim - 1)), i => {

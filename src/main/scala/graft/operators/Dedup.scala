@@ -1089,7 +1089,9 @@ object Dedup {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1]: $threshold")
     val spark = corpus.sparkSession
-    val nBench = benchmark.limit((maxBenchmarkRows + 1).toInt).count()
+    val nBench = benchmark
+      .limit(math.min(maxBenchmarkRows + 1, Int.MaxValue.toLong).toInt)
+      .count()
     require(nBench <= maxBenchmarkRows,
       s"decontaminateEmbedding: benchmark exceeds $maxBenchmarkRows rows — a pool this " +
         "large should not broadcast; quantize it (signPack + hammingTopK) and threshold " +

@@ -356,7 +356,9 @@ object StreamingDedup {
       }
       st.update(BucketState(entries))
       // one live timer per bucket: horizon past the newest arrival
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // materialize before deleting — the timer iterator reads the
+      // state store it would otherwise be mutated under
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
       out.result().iterator
     }
@@ -401,7 +403,9 @@ object StreamingDedup {
       }
       if (n >= bands) {
         agg.clear(); pay.clear()
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // materialize before deleting — the timer iterator reads the
+      // state store it would otherwise be mutated under
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
         if (!hit && payload != null) Iterator.single(payload) else Iterator.empty
       } else {
         agg.update((n, hit))

@@ -218,7 +218,9 @@ object StreamingWebIngest {
         }
       n.update(c)
       if (horizonMs > 0L) {
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // materialize before deleting — the timer iterator reads the
+      // state store it would otherwise be mutated under
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
         getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
       }
       out.iterator
