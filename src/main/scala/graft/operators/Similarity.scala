@@ -338,10 +338,12 @@ object Similarity {
     *
     * Scale shape: the pool pass is [[bruteForceTopK]] (map-side
     * bounded heaps — swap in an IVF/Hamming pool upstream for corpus
-    * scale); the greedy loop is O(k · poolSize) cosines PER QUERY
-    * over ≤ poolSize in-memory rows, keyed by query — embarrassingly
-    * parallel across queries, and the corpus itself is never touched
-    * again (neighbor vectors ride the pool join).
+    * scale); pool members then fetch their vectors through one
+    * (id, vec)-projection join against the corpus (the pool side is
+    * queries × poolSize rows — broadcast-sized — so the corpus is
+    * re-read but never re-scored or re-shuffled); the greedy loop is
+    * O(k · poolSize) cosines PER QUERY over ≤ poolSize in-memory
+    * rows, keyed by query — embarrassingly parallel across queries.
     */
   def mmrTopK(
       corpus: DataFrame,
