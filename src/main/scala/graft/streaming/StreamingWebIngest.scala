@@ -190,6 +190,36 @@ object StreamingWebIngest {
     * list may name ids the main stream already dropped — harmless for
     * suppression, and it keeps both queries single-stateful.
     */
+  /** Attach named THROUGHPUT METRICS to a curated document frame via
+    * Spark's `observe` — the production-monitoring face of
+    * [[graft.operators.CorpusPipeline.webIngestFunnel]]: where the
+    * funnel is a batch REPORT that runs the pipeline to audit it,
+    * this rides the pipeline's own plan at zero extra cost (observed
+    * aggregates evaluate inside the existing scan) and surfaces
+    * per-microbatch `n_docs` / `n_tokens` / `n_chars` in every
+    * `StreamingQueryProgress.observedMetrics` entry (and, on batch
+    * frames, through `QueryExecutionListener`). Chain one call per
+    * stage boundary with distinct names to watch attrition live:
+    *
+    *   observeCorpusMetrics(cleaned, "post_quality") → dedup →
+    *   observeCorpusMetrics(_, "post_dedup") → sink
+    *
+    * Observed aggregates must not reference the streaming watermark
+    * column and these don't; `observe` imposes no shuffle and no
+    * extra pass — Spark folds the aggregation into the stage.
+    */
+  def observeCorpusMetrics(
+      docs: DataFrame,
+      name: String,
+      textCol: String = "text",
+  ): DataFrame =
+    docs.observe(
+      name,
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+        .as("n_tokens"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("n_chars"))
+
   /** Per-key ADMISSION BUDGET under `transformWithState`: each key
     * admits its first `max` arrivals ((event-time, id) order within a
     * trigger; state order across triggers) and drops the rest — the

@@ -1209,6 +1209,26 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("observeCorpusMetrics: per-microbatch docs/tokens/chars ride the query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamingWebIngest
+      .observeCorpusMetrics(in.toDS().toDF("doc_id", "text"), "curated")
+      .writeStream.format("memory").queryName("observed_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "three token doc"), (2L, "two tokens"))
+      q.processAllAvailable()
+      val metrics = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("curated")))
+        .lastOption
+        .getOrElse(fail("no observed metrics in progress"))
+      assert(metrics.getAs[Long]("n_docs") == 2L)
+      assert(metrics.getAs[Long]("n_tokens") == 5L)
+      assert(metrics.getAs[Long]("n_chars") == "three token doc".length + "two tokens".length)
+    } finally q.stop()
+  }
+
   test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
     import graft.sources.Warc
     import graft.streaming.StreamingWebIngest
