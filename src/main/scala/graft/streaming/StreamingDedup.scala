@@ -286,6 +286,65 @@ object StreamingDedup {
     * hit detection and in-stream suppression can never disagree on
     * what collides.
     */
+  /** `foreachBatch` sink body that lands each microbatch's documents
+    * as a NEAR-DUP SIGNATURE INCREMENT — one
+    * [[graft.operators.Dedup.minHashSignatures]] parquet epoch per
+    * microbatch under `dir/inc_<batchId>` — closing the lambda loop
+    * around the standing-corpus machinery: the stream keeps landing
+    * (id, sig, grams) epochs, and the periodic compaction folds
+    * `readSignatureIncrements` output into the bucketed store via
+    * [[graft.operators.Dedup.mergeSignatures]] (after deduping the
+    * increment with [[graft.operators.Dedup.nearDupNewDocs]], per
+    * that function's contract). Idempotent under microbatch REPLAY:
+    * the epoch directory is keyed by `batchId` and written with
+    * Overwrite, the standard exactly-once `foreachBatch` recipe.
+    *
+    * Usage:
+    * {{{
+    * kept.writeStream
+    *   .foreachBatch(StreamingDedup.signatureIncrementSink(dir, "id", "text"))
+    *   .start()
+    * }}}
+    */
+  def signatureIncrementSink(
+      dir: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3,
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    Dedup
+      .minHashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/inc_$batchId")
+  }
+
+  /** All signature increments landed by [[signatureIncrementSink]]
+    * under `dir`, as one (id, sig, grams) frame — the increment side
+    * of the periodic [[graft.operators.Dedup.mergeSignatures]]
+    * compaction. Empty (schema-correct) when no epoch has landed.
+    */
+  def readSignatureIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+  ): DataFrame = {
+    val epochs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("inc_"))
+      .map(_.getAbsolutePath)
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(LongType)),
+          org.apache.spark.sql.types.StructField("grams",
+            org.apache.spark.sql.types.ArrayType(LongType)))))
+    else spark.read.parquet(epochs: _*)
+  }
+
   /** `withWatermark` unless the column is already an event-time
     * column (source-watermarked upstream, or re-declared by a
     * `transformWithState` stage via `eventTimeColumnName`) — Spark

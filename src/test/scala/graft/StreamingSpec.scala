@@ -1229,6 +1229,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("signatureIncrementSink: streamed epochs fold into a store that flags later near-dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def uniq(i: Int) = (0 until 30).map(k => s"s${i}x$k").mkString(" ")
+    val dir = Files.createTempDirectory("graft-sig-inc").toString
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingDedup.signatureIncrementSink(dir, "doc_id", "text"))
+      .start()
+    try {
+      in.addData((1L, base), (2L, uniq(2)))
+      q.processAllAvailable()
+      in.addData((3L, uniq(3))) // second epoch
+      q.processAllAvailable()
+    } finally q.stop()
+    val inc = StreamingDedup.readSignatureIncrements(spark, dir)
+    assert(inc.count() == 3L, "both epochs land")
+    // fold the increments into a bucketed store; a later stream's
+    // near-copy of a streamed doc must hit it
+    val storeDir = Files.createTempDirectory("graft-sig-inc-store").toString
+    graft.operators.Dedup.writeSignatures(inc, storeDir, "sig_inc_store")
+    val store = graft.operators.Dedup.readSignatures(spark, storeDir, "sig_inc_store")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val hits = StreamingDedup
+      .corpusNearDupHits(
+        Seq((10L, t0, base + " tonight"), (11L, t0, uniq(11))).toDF("doc_id", "ts", "text"),
+        "doc_id", "ts", "text", store, threshold = 0.5)
+      .toDF().select($"id", $"corpus_id").distinct().as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L)), s"lambda loop: $hits")
+    // empty dir → schema-correct empty frame
+    val emptyDir = Files.createTempDirectory("graft-sig-inc-empty").toString
+    val empty = StreamingDedup.readSignatureIncrements(spark, emptyDir)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "sig", "grams"))
+  }
+
   test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
     import graft.sources.Warc
     import graft.streaming.StreamingWebIngest
