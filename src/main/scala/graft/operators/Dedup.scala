@@ -1089,17 +1089,19 @@ object Dedup {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1]: $threshold")
     val spark = corpus.sparkSession
-    val nBench = benchmark
+    // collect ONCE, ceiling+1-limited, and check the materialized
+    // length — a separate count-then-collect evaluates the benchmark
+    // frame twice and lets a nondeterministic frame slip past the
+    // ceiling between the two jobs (the filterBlockedHosts pattern)
+    val pool: Array[Array[Float]] = benchmark
+      .select(col(benchVecCol))
       .limit(math.min(maxBenchmarkRows + 1, Int.MaxValue.toLong).toInt)
-      .count()
-    require(nBench <= maxBenchmarkRows,
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(pool.length <= maxBenchmarkRows,
       s"decontaminateEmbedding: benchmark exceeds $maxBenchmarkRows rows — a pool this " +
         "large should not broadcast; quantize it (signPack + hammingTopK) and threshold " +
         "the re-ranked cosine instead")
-    val pool: Array[Array[Float]] = benchmark
-      .select(col(benchVecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
     val bc = spark.sparkContext.broadcast(pool)
     val maxCos = udf { (v: Seq[Float]) =>
       if (v == null) 0.0
@@ -1114,26 +1116,10 @@ object Dedup {
           val y = p(j)
           require(y.length == x.length,
             s"decontaminateEmbedding: benchmark vector width ${y.length} != corpus width ${x.length}")
-          var dot = 0.0
-          var nx = 0.0
-          var ny = 0.0
-          var i = 0
-          while (i < x.length) {
-            val xv = x(i).toDouble
-            val yv = y(i).toDouble
-            dot += xv * yv
-            nx += xv * xv
-            ny += yv * yv
-            i += 1
-          }
-          // DuckDB `list_cosine_similarity` parity, verified per-ulp
-          // against the sf0.01 embeddings: dot / (√nx · √ny) — NOT
-          // √(nx·ny), which drifts an ulp on ~10% of pairs — then
-          // clamped to [-1, 1] (a self-pair otherwise reads
-          // 1.0000000000000002 under this formulation)
-          val denom = math.sqrt(nx) * math.sqrt(ny)
-          val c0 = if (denom == 0.0) 0.0 else dot / denom
-          val c = if (c0 > 1.0) 1.0 else if (c0 < -1.0) -1.0 else c0
+          // the ONE DuckDB-parity cosine kernel (Similarity.cosineKernel:
+          // per-ulp `list_cosine_similarity` agreement) — the q138 and
+          // q21 oracles pin the same numerics, so they share the code
+          val c = Similarity.cosineKernel(x, y)
           if (c > best) best = c
           j += 1
         }

@@ -391,7 +391,11 @@ object Similarity {
           while (i < cands.length) {
             if (!used(i)) {
               val (_, rel, v) = cands(i)
-              var maxSim = 0.0
+              // the TRUE max over the selected set (possibly negative —
+              // clamping at 0 would silently depart from the MMR
+              // formula when selected docs anti-correlate); only the
+              // EMPTY selection carries penalty 0
+              var maxSim = if (selVecs.isEmpty) 0.0 else Double.NegativeInfinity
               var s = 0
               while (s < selVecs.length) {
                 val c = cosineKernel(v, selVecs(s))
@@ -417,10 +421,14 @@ object Similarity {
 
   /** DuckDB-parity cosine of two float vectors (widened-to-double
     * sequential accumulation, √·√ denominator, [-1, 1] clamp — the
-    * [[graft.operators.Dedup.decontaminateEmbedding]] contract).
+    * [[graft.operators.Dedup.decontaminateEmbedding]] contract,
+    * INCLUDING its width rule: mismatched vectors are a named error,
+    * never a silent common-prefix truncation).
     */
   private[operators] def cosineKernel(x: Array[Float], y: Array[Float]): Double = {
-    val n = math.min(x.length, y.length)
+    require(x.length == y.length,
+      s"cosineKernel: vector widths differ: ${x.length} != ${y.length}")
+    val n = x.length
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0

@@ -483,15 +483,22 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
   ): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("old_fp"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("new_fp"))
+    // presence is tracked with explicit markers, NOT fingerprint
+    // nullity — md5(NULL text) is NULL, and a null-text row (an
+    // extraction-failure record) present on both sides must read
+    // unchanged/changed, never added/removed
+    val o = oldDf.select(
+      col(idCol).as("id"), md5(col(textCol)).as("old_fp"), lit(true).as("__in_old"))
+    val n = newDf.select(
+      col(idCol).as("id"), md5(col(textCol)).as("new_fp"), lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn(
         "status",
-        when(col("old_fp").isNull, lit("added"))
-          .when(col("new_fp").isNull, lit("removed"))
-          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("old_fp") <=> col("new_fp"), lit("unchanged"))
           .otherwise(lit("changed")))
+      .drop("__in_old", "__in_new")
   }
 
   /** Per-group token-length quantiles with BOUNDED aggregation state —

@@ -277,15 +277,6 @@ object StreamingDedup {
       .as[CorpusDupHit]
   }
 
-  /** One arrival against one band-bucket's standing entries: compare
-    * the signature against each entry (fraction of agreeing MinHash
-    * slots, the standard unbiased estimator), then insert the arrival
-    * capped at `maxPerBucket` most-recent. Returns (new entries,
-    * (standing id, est) matches ≥ `estThreshold`). Shared by
-    * [[nearDupHits]] and the [[nearDupSuppress]] state operator so
-    * hit detection and in-stream suppression can never disagree on
-    * what collides.
-    */
   /** `foreachBatch` sink body that lands each microbatch's documents
     * as a NEAR-DUP SIGNATURE INCREMENT — one
     * [[graft.operators.Dedup.minHashSignatures]] parquet epoch per
@@ -329,10 +320,18 @@ object StreamingDedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
   ): DataFrame = {
-    val epochs = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("inc_"))
-      .map(_.getAbsolutePath)
+    // Hadoop FileSystem, NOT java.io.File: the sink writes through
+    // Spark, so epochs land on whatever filesystem `dir` names
+    // (HDFS/S3/local) — a local-only listing would silently return
+    // empty there and the compaction would fold in nothing
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (!fs.exists(path)) Array.empty[String]
+      else
+        fs.listStatus(path)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("inc_"))
+          .map(_.getPath.toString)
     if (epochs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
@@ -343,6 +342,22 @@ object StreamingDedup {
           org.apache.spark.sql.types.StructField("grams",
             org.apache.spark.sql.types.ArrayType(LongType)))))
     else spark.read.parquet(epochs: _*)
+  }
+
+  /** Keep exactly ONE live event-time timer per key: delete whatever
+    * is registered (materialized first — the timer iterator reads the
+    * state store it would otherwise be mutated under) and arm the
+    * expiry at `lastMs + horizonMs`, floored just past the current
+    * watermark. Shared by every `transformWithState` processor in
+    * this package so GC timer semantics cannot drift between them.
+    */
+  private[streaming] def resetTimer(
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      lastMs: Long,
+      horizonMs: Long,
+      tv: TimerValues): Unit = {
+    handle.listTimers().toList.foreach(t => handle.deleteTimer(t.asInstanceOf[Long]))
+    handle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
   }
 
   /** `withWatermark` unless the column is already an event-time
@@ -356,6 +371,15 @@ object StreamingDedup {
     if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) df
     else df.withWatermark(tsCol, delay)
 
+  /** One arrival against one band-bucket's standing entries: compare
+    * the signature against each entry (fraction of agreeing MinHash
+    * slots, the standard unbiased estimator), then insert the arrival
+    * capped at `maxPerBucket` most-recent. Returns (new entries,
+    * (standing id, est) matches ≥ `estThreshold`). Shared by
+    * [[nearDupHits]] and the [[nearDupSuppress]] state operator so
+    * hit detection and in-stream suppression can never disagree on
+    * what collides.
+    */
   private[streaming] def bucketStep(
       entries: List[(Long, Array[Long])],
       docId: Long,
@@ -415,10 +439,7 @@ object StreamingDedup {
       }
       st.update(BucketState(entries))
       // one live timer per bucket: horizon past the newest arrival
-      // materialize before deleting — the timer iterator reads the
-      // state store it would otherwise be mutated under
-      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+      resetTimer(getHandle, lastMs, horizonMs, tv)
       out.result().iterator
     }
     override def handleExpiredTimer(
@@ -462,14 +483,12 @@ object StreamingDedup {
       }
       if (n >= bands) {
         agg.clear(); pay.clear()
-        // materialize before deleting — the timer iterator reads the
-      // state store it would otherwise be mutated under
-      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
         if (!hit && payload != null) Iterator.single(payload) else Iterator.empty
       } else {
         agg.update((n, hit))
         if (payload != null) pay.update(payload)
-        getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+        resetTimer(getHandle, lastMs, horizonMs, tv)
         Iterator.empty
       }
     }

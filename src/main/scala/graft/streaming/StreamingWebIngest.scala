@@ -247,12 +247,7 @@ object StreamingWebIngest {
           if (c < max) { c += 1; true } else false
         }
       n.update(c)
-      if (horizonMs > 0L) {
-        // materialize before deleting — the timer iterator reads the
-      // state store it would otherwise be mutated under
-      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
-      }
+      if (horizonMs > 0L) StreamingDedup.resetTimer(getHandle, lastMs, horizonMs, tv)
       out.iterator
     }
     override def handleExpiredTimer(

@@ -231,6 +231,15 @@ class TextAnalysisSpec extends SparkTestBase {
       .corpusDiff(oldSnap, newSnap, "id", "text")
       .where($"id" === 3L).select("old_fp", "new_fp").head()
     assert(fps.getString(0) != null && fps.isNullAt(1))
+    // null TEXT is not null PRESENCE: an extraction-failure row on both
+    // sides is unchanged (null <=> null), healed text is changed —
+    // never added/removed
+    val oldN = Seq((7L, null: String), (8L, null: String)).toDF("id", "text")
+    val newN = Seq((7L, null: String), (8L, "healed")).toDF("id", "text")
+    val nulls = graft.operators.TextAnalysis
+      .corpusDiff(oldN, newN, "id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(nulls == Map(7L -> "unchanged", 8L -> "changed"), s"null-text statuses: $nulls")
   }
 
   test("corpusStats: per-group token/char totals with exact mean") {
