@@ -4527,6 +4527,41 @@ object SparkEntry {
       |  SELECT doc_id, CAST(2 AS BIGINT), doc_id + 3 FROM q
       |) ORDER BY query_id, mmr_rank""".stripMargin
 
+  /** Closed-form gate for [[graft.operators.CorpusPipeline
+    * .webIngestDropReasons]] — PER-DOCUMENT drop attribution over the
+    * q122 planted corpus and config: every doc's `drop_stage` is
+    * fixed by its `% 10` role (blocklist / lang_filter / gopher /
+    * near_dup), the md5-order cap window names the `host_cap`
+    * victims, and every shipped doc must read NULL — so a stage
+    * misattribution ANYWHERE (not just a count drift) hash-fails.
+    */
+  private def q141DropReasons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = q122PlantedPages(s, dir)
+    val blocklist = Seq("blocked.example.com").toDF("domain")
+    graft.operators.CorpusPipeline
+      .webIngestDropReasons(pages, "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 80, blocklist = Some(blocklist))
+      .select(col("id"), col("drop_stage"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q141Oracle =
+    """WITH ranked AS (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id % 3
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents WHERE doc_id % 10 NOT IN (0, 1, 2, 6))
+      |SELECT d.doc_id AS id,
+      |  CASE WHEN d.doc_id % 10 = 0 THEN 'blocklist'
+      |       WHEN d.doc_id % 10 = 1 THEN 'lang_filter'
+      |       WHEN d.doc_id % 10 = 2 THEN 'gopher'
+      |       WHEN d.doc_id % 10 = 6 THEN 'near_dup'
+      |       WHEN r.rn > 80 THEN 'host_cap'
+      |       ELSE NULL END AS drop_stage
+      |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+      |ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4727,6 +4762,7 @@ object SparkEntry {
     "q138_embed_decontam" -> (q138EmbedDecontam _),
     "q139_corpus_diff" -> (q139CorpusDiff _),
     "q140_mmr_planted" -> (q140MmrPlanted _),
+    "q141_drop_reasons" -> (q141DropReasons _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4857,5 +4893,6 @@ object SparkEntry {
     "q138_embed_decontam" -> q138Oracle,
     "q139_corpus_diff" -> q139Oracle,
     "q140_mmr_planted" -> q140Oracle,
+    "q141_drop_reasons" -> q141Oracle,
   )
 }

@@ -310,10 +310,8 @@ object CorpusPipeline {
   ): DataFrame = {
     val spark = df.sparkSession
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-    def land(f: DataFrame): DataFrame = f.localCheckpoint(true)
     var prevN = df.count()
-    def record(name: String, f: DataFrame): DataFrame = {
-      val landed = land(f)
+    def record(name: String, landed: DataFrame): DataFrame = {
       // docs + surviving tokens in ONE aggregation over the landed
       // frame — tokens_out accounts for both dropped docs and tokens
       // a transforming stage removed from survivors (c4 lines,
@@ -327,7 +325,45 @@ object CorpusPipeline {
       prevN = n
       landed
     }
+    stagedIngest(df, idCol, htmlCol, urlCol, langs, maxPerHost, jaccardThreshold,
+      minLineChars, blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent,
+      stripTracking, record)
 
+    import spark.implicits._
+    stages.zipWithIndex
+      .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
+      .toSeq
+      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
+  }
+
+  /** The ONE staged restatement of [[webIngest]]'s chain backing both
+    * report faces ([[webIngestFunnel]], [[webIngestDropReasons]]):
+    * runs every stage boundary as the operator call webIngest
+    * composes, landing each via localCheckpoint and passing it
+    * through `record(stageName, landedFrame)` (which must return the
+    * frame the next stage consumes). Returns the shipped frame.
+    * A single chain means the two reports and any future face cannot
+    * disagree about stage order or membership.
+    */
+  private def stagedIngest(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String],
+      maxPerHost: Int,
+      jaccardThreshold: Double,
+      minLineChars: Int,
+      blocklist: Option[DataFrame],
+      canonicalizeNfc: Boolean,
+      c4: Boolean,
+      soft404: Boolean,
+      redactPii: Boolean,
+      mainContent: Boolean,
+      stripTracking: Boolean,
+      record: (String, DataFrame) => DataFrame,
+  ): DataFrame = {
+    def land(name: String, f: DataFrame): DataFrame = record(name, f.localCheckpoint(true))
     val src = df.select(
       col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url"))
     val extracted0 =
@@ -337,50 +373,105 @@ object CorpusPipeline {
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
       else extracted0
-    var cur = record("extract", extracted1)
-    if (c4) cur = record("c4", QualityFilters.c4Clean(cur, "text"))
-    if (soft404) cur = record("soft404", QualityFilters.dropSoft404(cur, "text"))
+    var cur = land("extract", extracted1)
+    if (c4) cur = land("c4", QualityFilters.c4Clean(cur, "text"))
+    if (soft404) cur = land("soft404", QualityFilters.dropSoft404(cur, "text"))
     cur = WebText.withUrlParts(cur, "__url", stripTracking = stripTracking).drop("__url")
     blocklist.foreach { bl =>
-      cur = record("blocklist", WebText.filterBlockedHosts(cur, "id", "url_host", bl))
+      cur = land("blocklist", WebText.filterBlockedHosts(cur, "id", "url_host", bl))
     }
     cur = TextAnalysis.withLangId(cur, "text")
     if (langs.nonEmpty)
-      cur = record("lang_filter", cur.where(col("lang_pred").isInCollection(langs)))
-    cur = record("gopher",
+      cur = land("lang_filter", cur.where(col("lang_pred").isInCollection(langs)))
+    cur = land("gopher",
       QualityFilters
         .withGopherFlagsByLang(cur, "text", "lang_pred")
         .where(col("pass"))
         .select(col("id"), col("text"), col("url_norm"), col("url_host"), col("lang_pred")))
     // redaction transforms (never drops) but its position is load-
     // bearing for the dedup stages downstream — apply it exactly as
-    // the prefix does, without a funnel row
+    // the prefix does, without a report boundary
     if (redactPii)
       cur = TextAnalysis
         .redactPii(cur, "text")
         .withColumn("text", col("redacted"))
         .drop("redacted", "pii_found")
     val attrs = cur.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
-    cur = record("line_dedup",
+    cur = land("line_dedup",
       Dedup
         .lineDedup(cur, "id", "text", minLineChars)
         .where(length(trim(col("clean_text"))) > 0)
         .select(col("id"), col("clean_text").as("text"))
         .join(attrs, "id"))
-    cur = record("exact_dedup",
+    cur = land("exact_dedup",
       Dedup
         .exactDedup(cur, "id", "text")
         .where(col("is_canonical"))
         .drop("content_hash", "canonical_id", "group_size", "is_canonical"))
-    cur = record("near_dup",
+    cur = land("near_dup",
       Dedup.cleanCorpus(cur, "id", "text", jaccardThreshold, transitive = true))
-    record("host_cap", Sampling.capPerStratum(cur, "url_host", "id", maxPerHost))
+    land("host_cap", Sampling.capPerStratum(cur, "url_host", "id", maxPerHost))
+  }
 
-    import spark.implicits._
-    stages.zipWithIndex
-      .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
-      .toSeq
-      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
+  /** PER-DOCUMENT drop attribution for [[webIngest]] — the debugging
+    * companion of the aggregate [[webIngestFunnel]]: one row per
+    * INPUT document with `drop_stage` naming the stage that
+    * eliminated it (same stage names as the funnel), or NULL for
+    * documents that ship. Where the funnel answers "how much did each
+    * stage cost me", this answers "why is THIS url missing from the
+    * corpus" — the question every curation on-call actually gets.
+    *
+    * Mechanics: the same stage chain as [[webIngestFunnel]] (each
+    * boundary is the operator call [[webIngest]] composes), with the
+    * per-stage DROPPED ids derived as the anti-join of consecutive
+    * boundaries — id-only frames, so the attribution costs one narrow
+    * anti-join per stage over already-landed boundaries. First-drop
+    * semantics are structural: a doc leaves the chain at the first
+    * stage that drops it and cannot appear in a later stage's
+    * anti-join.
+    *
+    * Scale shape: identical to the funnel (it IS the funnel's
+    * chain) + per-stage (id, stage) frames unioned at the end;
+    * run on audit samples or incident slices, not the hot path.
+    */
+  def webIngestDropReasons(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      jaccardThreshold: Double = 0.8,
+      minLineChars: Int = 5,
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
+  ): DataFrame = {
+    var dropFrames = List.empty[DataFrame]
+    var prev: DataFrame = null
+    def record(name: String, landed: DataFrame): DataFrame = {
+      if (prev != null)
+        dropFrames ::= prev
+          .select(col("id"))
+          .join(landed.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("drop_stage", lit(name))
+      prev = landed
+      landed
+    }
+    val shipped = stagedIngest(df, idCol, htmlCol, urlCol, langs, maxPerHost,
+      jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
+      redactPii, mainContent, stripTracking, record)
+    val labeled = shipped
+      .select(col("id"))
+      .withColumn("drop_stage", lit(null).cast("string"))
+    dropFrames.reduceOption(_ unionByName _) match {
+      case Some(d) => labeled.unionByName(d)
+      case None => labeled
+    }
   }
 
   /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest

@@ -304,6 +304,46 @@ class CorpusPipelineSpec extends SparkTestBase {
       s"funnel tokens_out=${toks.last} != chunked total=$chunkTokens")
   }
 
+  test("webIngestDropReasons: per-doc attribution aggregates to the funnel exactly") {
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val rows = (
+      (1 to 4).map(i => (i.toLong, page(distinctProse(i)), s"http://a.com/p$i")) ++
+      Seq(
+        (10L, page(distinctProse(10)), "http://b.com/x"),
+        (11L, page(distinctProse(10)), "http://b.com/y"), // exact pair → dies at line dedup
+        (12L, page(Seq.fill(60)("### 12345 …").mkString(" ")), "http://b.com/junk"),
+      )
+    ).toDF("doc_id", "html", "url")
+    val reasons = graft.operators.CorpusPipeline
+      .webIngestDropReasons(rows, "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 2)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("drop_stage")))
+      .toMap
+    assert(reasons.size == 7, "one verdict per input doc")
+    assert(reasons(12L).contains("lang_filter"))
+    assert(Seq(reasons(10L), reasons(11L)).count(_.contains("line_dedup")) == 1,
+      s"one of the exact pair dies at line dedup: $reasons")
+    assert(reasons.values.count(_.isEmpty) == 3, s"2 ship on host a + 1 on host b: $reasons")
+    assert(reasons.values.count(_.contains("host_cap")) == 2)
+    // the per-doc labels must AGGREGATE to the funnel's per-stage counts
+    val funnel = graft.operators.CorpusPipeline
+      .webIngestFunnel(rows, "doc_id", "html", "url", langs = Seq("en"), maxPerHost = 2)
+      .collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("docs_dropped"))
+      .toMap
+    val byStage = reasons.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    funnel.foreach { case (stage, dropped) =>
+      assert(byStage.getOrElse(stage, 0L) == dropped,
+        s"$stage: labels=${byStage.get(stage)} funnel=$dropped")
+    }
+  }
+
   test("webIngest: ParquetDir materialize lands every stage boundary and matches LocalCheckpoint") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "
