@@ -344,6 +344,35 @@ object StreamingDedup {
     else spark.read.parquet(epochs: _*)
   }
 
+  /** Delete signature-increment epochs that a compaction has already
+    * folded into the standing store: every `inc_<batchId>` under
+    * `dir` with batchId ≤ `upToBatchId` is removed (Hadoop
+    * filesystem, like [[readSignatureIncrements]]). Call AFTER
+    * [[graft.operators.Dedup.mergeSignatures]] lands the new epoch
+    * directory — pruning first would lose the increments a failed
+    * merge still needs. Returns the number of epochs deleted.
+    */
+  def pruneSignatureIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      upToBatchId: Long,
+  ): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else {
+      val victims = fs
+        .listStatus(path)
+        .filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith("inc_") &&
+          scala.util.Try(st.getPath.getName.stripPrefix("inc_").toLong)
+            .toOption.exists(_ <= upToBatchId)
+        }
+      victims.foreach(st => fs.delete(st.getPath, true))
+      victims.length
+    }
+  }
+
   /** Keep exactly ONE live event-time timer per key: delete whatever
     * is registered (materialized first — the timer iterator reads the
     * state store it would otherwise be mutated under) and arm the

@@ -1265,6 +1265,57 @@ class StreamingSpec extends SparkTestBase {
     val emptyDir = Files.createTempDirectory("graft-sig-inc-empty").toString
     val empty = StreamingDedup.readSignatureIncrements(spark, emptyDir)
     assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "sig", "grams"))
+    // post-compaction pruning: folded epochs delete, later ones remain
+    assert(StreamingDedup.pruneSignatureIncrements(spark, dir, upToBatchId = 0L) == 1)
+    assert(StreamingDedup.readSignatureIncrements(spark, dir).count() == 1L,
+      "epoch 1 survives the prune of epoch 0")
+    assert(StreamingDedup.pruneSignatureIncrements(spark, emptyDir, 99L) == 0)
+  }
+
+  test("observeCorpusMetrics composes with the chained-TWS suppression plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingDedup, StreamingWebIngest}
+    val base = "the quick brown fox jumps over the lazy dog while seventy owls " +
+      "watch from nearby trees and comment on the unfolding chase below them"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(t0), base),
+      (2L, new java.sql.Timestamp(t0 + 5000), base + " tonight"), // suppressed
+      (3L, new java.sql.Timestamp(t0 + 9000),
+        (0 until 30).map(k => s"o3x$k").mkString(" ")))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    // observe BEFORE the stateful chain (input volume) and AFTER it
+    // (kept volume) — both CollectMetrics nodes must coexist with the
+    // multi-stateful TWS plan
+    val observed = StreamingWebIngest.observeCorpusMetrics(
+      in.toDS().toDF("doc_id", "ts", "text"), "ingest_in")
+    val kept = StreamingDedup
+      .nearDupSuppress(observed, "doc_id", "ts", "text", estThreshold = 0.5)
+    val q = StreamingWebIngest.observeCorpusMetrics(kept, "ingest_kept")
+      .writeStream.format("memory").queryName("observed_chain").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.table("observed_chain").select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L), s"suppression still works under observe: $out")
+      // scan ALL progress entries — the final empty microbatch also
+      // reports (zeros), so the data batch's metrics are not last
+      def all(n: String) = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(n)))
+        .map(_.getAs[Long]("n_docs"))
+      assert(all("ingest_in").contains(3L), s"in: ${all("ingest_in")}")
+      assert(all("ingest_kept").contains(2L), s"kept: ${all("ingest_kept")}")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("WARC files streaming into webIngestStream: the source-to-pipeline seam, stream ≡ batch") {
