@@ -349,15 +349,33 @@ object Dedup {
       } else {
         // a registered name pointing at a DIFFERENT path would
         // silently serve stale data (epoch dirs + reused names are
-        // exactly the mergeSignatures workflow) — fail actionably
-        val registered = java.nio.file.Paths.get(
-          new java.net.URI(spark.sql(s"DESCRIBE FORMATTED $table")
+        // exactly the mergeSignatures workflow) — fail actionably.
+        // Hadoop Path, NOT java.nio: catalog locations are qualified
+        // URIs on whatever filesystem the store lives on (hdfs/s3a/
+        // file) and NIO has no provider for cluster schemes — the
+        // restart-on-cluster path this guard protects would crash
+        // with FileSystemNotFoundException instead of validating.
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        def qualified(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+          // a schemeful path is already qualified (catalog locations
+          // always are) — resolving it would instantiate a live FS
+          // client for a cluster we may only be comparing against
+          if (p.toUri.getScheme != null) p
+          else p.getFileSystem(hadoopConf).makeQualified(p)
+        def norm(p: org.apache.hadoop.fs.Path): String = {
+          val u = qualified(p).toUri
+          val auth = Option(u.getAuthority).getOrElse("")
+          s"${u.getScheme}://$auth${u.getPath.stripSuffix("/")}"
+        }
+        val registered = new org.apache.hadoop.fs.Path(
+          spark.sql(s"DESCRIBE FORMATTED $table")
             .where(col("col_name") === "Location")
-            .select("data_type").head().getString(0)))
-        val expected = java.nio.file.Paths.get(s"$path/$sub").toAbsolutePath.normalize
-        require(registered.normalize == expected,
-          s"readSignatures: table $table is already registered at $registered, not " +
-            s"$expected — use a distinct name per store path (epoch-suffixed names) " +
+            .select("data_type").head().getString(0))
+        val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        require(norm(registered) == norm(expected),
+          s"readSignatures: table $table is already registered at ${norm(registered)}, " +
+            s"not ${norm(expected)} — use a distinct name per store path " +
+            "(epoch-suffixed names) " +
             "or DROP TABLE the stale registration first")
       }
       spark.table(table)
@@ -409,6 +427,49 @@ object Dedup {
     writeSignatures(srcDocs.unionByName(add), dstPath, dstName,
       src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets)
     readSignatures(spark, dstPath, dstName)
+  }
+
+  /** Retention for [[mergeSignatures]] destination directories: under
+    * `rootDir`, epoch stores live as `<prefix><n>` children (the
+    * `epoch0`, `epoch1`, … convention the compaction workflow writes);
+    * keep the `keepLatest` numerically-highest and delete the rest.
+    * Hadoop filesystem like
+    * [[graft.streaming.StreamingDedup.pruneSignatureIncrements]], so
+    * it works wherever the store lives. Call AFTER the newest epoch's
+    * [[readSignatures]] round-trips — a daily-epoch store otherwise
+    * grows without bound, one full corpus-signature copy per
+    * compaction. Catalog registrations for pruned epochs (their
+    * epoch-suffixed table names) become dead pointers; DROP them if
+    * the metastore is persistent. Returns the number of epoch
+    * directories deleted.
+    */
+  def pruneSignatureEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      rootDir: String,
+      keepLatest: Int,
+      prefix: String = "epoch",
+  ): Int = {
+    require(keepLatest >= 1,
+      "pruneSignatureEpochs: keepLatest must be >= 1 — deleting every epoch would " +
+        "drop the standing corpus the next increment dedups against")
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else {
+      val epochs = fs
+        .listStatus(root)
+        .filter(_.isDirectory)
+        .flatMap { st =>
+          val nm = st.getPath.getName
+          if (!nm.startsWith(prefix)) None
+          else scala.util.Try(nm.stripPrefix(prefix).toLong).toOption
+            .map(n => (n, st.getPath))
+        }
+        .sortBy(_._1)
+      val victims = epochs.dropRight(keepLatest)
+      victims.foreach { case (_, p) => fs.delete(p, true) }
+      victims.length
+    }
   }
 
   /** [[nearDupNewDocs]] against a persisted [[SignatureStore]] — the

@@ -679,4 +679,90 @@ class DedupSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
     }
   }
+
+  test("signature store: stale-registration guard goes through Hadoop Path — URI-scheme locations validate, non-local schemes fail actionably") {
+    val (corpus, _) = sigStoreFixture()
+    val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigguard").toString
+    Dedup.writeSignatures(sigs, dir, "sigguard_seed")
+    // MATCH case under a scheme: re-open the registered store by a
+    // `file:`-scheme URI spelling of the same path — the old
+    // java.nio guard compared raw strings of mismatched forms; the
+    // Hadoop-Path guard must normalize and validate
+    val viaUri = Dedup.readSignatures(spark, s"file:$dir", "sigguard_seed")
+    assert(viaUri.grams.count() == 2L)
+    // and the scheme-less original spelling still re-opens too
+    assert(Dedup.readSignatures(spark, dir, "sigguard_seed").numBuckets == 64)
+    // MISMATCH case on a CLUSTER scheme: a name registered at an
+    // hdfs:// location (persistent-metastore restart shape). The old
+    // guard threw FileSystemNotFoundException here — NIO has no hdfs
+    // provider — instead of validating; the fix must reach the
+    // actionable require() message without touching any live cluster
+    // registered straight through the session catalog (DDL would try
+    // to LIST the location, which is the live-cluster dependency this
+    // test must not have; the restart scenario's metastore entry is
+    // exactly this catalog record)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val ident = TableIdentifier("sigguard_hdfs_banded")
+    spark.sessionState.catalog.createTable(
+      CatalogTable(
+        identifier = ident,
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty.copy(locationUri =
+          Some(new java.net.URI("hdfs://localhost:8020/warehouse/sig/banded"))),
+        schema = new StructType()
+          .add("bucket", StringType).add("id", LongType).add("bucket_n", LongType),
+        provider = Some("parquet")),
+      ignoreIfExists = false, validateLocation = false)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.readSignatures(spark, dir, "sigguard_hdfs")
+      }
+      assert(e.getMessage.contains("already registered") &&
+        e.getMessage.contains("hdfs://localhost:8020"), e.getMessage)
+    } finally spark.sessionState.catalog
+      .dropTable(ident, ignoreIfNotExists = true, purge = false)
+  }
+
+  test("signature store: pruneSignatureEpochs keeps the latest N epoch dirs, survivor still opens and serves") {
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def fresh(id: Long) = (id, (0 until 30).map(k => s"u${id}x$k").mkString(" "))
+    val corpus = Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-sigprune").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text"), s"$root/epoch0", "sigprune_e0")
+    Dedup.mergeSignatures(spark, s"$root/epoch0", "sigprune_e0",
+      Dedup.minHashSignatures(Seq(fresh(11L)).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch1", "sigprune_e1")
+    Dedup.mergeSignatures(spark, s"$root/epoch1", "sigprune_e1",
+      Dedup.minHashSignatures(Seq(fresh(12L)).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch2", "sigprune_e2")
+    // a sibling dir that is not an epoch must be ignored, not deleted
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "increments"))
+    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1) == 2)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left == Set("epoch2", "increments"), s"left=$left")
+    // the surviving epoch still opens from a FRESH catalog and serves
+    spark.sql("DROP TABLE sigprune_e2_banded")
+    spark.sql("DROP TABLE sigprune_e2_grams")
+    val survivor = Dedup.readSignatures(spark, s"$root/epoch2", "sigprune_e2")
+    assert(survivor.grams.count() == 4L, "corpus(2) + two folded survivors")
+    val batch = Seq((20L, fresh(12L)._2 + " tail"), fresh(21L)).toDF("doc_id", "text")
+    val kept = Dedup.nearDupNewDocs(batch, "doc_id", "text", survivor, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L), s"kept=$kept")
+    // idempotent + guarded: nothing more to prune, keepLatest >= 1
+    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1) == 0)
+    assert(Dedup.pruneSignatureEpochs(spark, s"$root/nope", keepLatest = 1) == 0)
+    val eKeep = intercept[IllegalArgumentException] {
+      Dedup.pruneSignatureEpochs(spark, root, keepLatest = 0)
+    }
+    assert(eKeep.getMessage.contains("keepLatest"), eKeep.getMessage)
+  }
 }
