@@ -4562,6 +4562,86 @@ object SparkEntry {
       |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
       |ORDER BY id""".stripMargin
 
+  /** Planted TEXT corpus (doc_id, text) for the [[graft.operators
+    * .CorpusPipeline.prepare]] report faces — the prepare() twin of
+    * [[q122PlantedPages]], every `% 10` role dying in a KNOWN stage:
+    *
+    *   - `% 10 = 1` → 60 digit tokens, langId "und" → lang_filter;
+    *   - `% 10 = 2` → "the and that this" (English, 4 tokens →
+    *     lenScore 0.2 caps quality_score at 0.2 < 0.3) → quality;
+    *   - `% 10 = 6` → EXACT copy of doc_id−3's content (a `% 10 = 3`
+    *     normal doc) → exact_dedup, keep-min keeps the original;
+    *   - `% 10 = 7` → doc_id−3's content + one appended token
+    *     (shingle Jaccard ≈ 52/54 ≥ 0.8) → near_dup;
+    *   - the rest: 27-pair [[q122Content]] English (54 tokens,
+    *     quality_score ≥ 0.5 regardless of id width) → ship.
+    */
+  private[graft] def q142PlantedTexts(s: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 10
+    val text = when(r === 1,
+        expr("""array_join(transform(sequence(0, 59),
+                | k -> CAST(doc_id * 100 + k AS STRING)), ' ')""".stripMargin))
+      .when(r === 2, lit("the and that this"))
+      .when(r === 6, q122Content(col("doc_id") - 3, 27))
+      .when(r === 7, concat(q122Content(col("doc_id") - 3, 27), lit(" graftprep")))
+      .otherwise(q122Content(col("doc_id"), 27))
+    load(s, dir, "documents").select(col("doc_id"), text.as("text"))
+  }
+
+  /** Closed-form gate for [[graft.operators.CorpusPipeline
+    * .prepareFunnel]] — prepare()'s per-stage attrition report over
+    * the [[q142PlantedTexts]] corpus: each stage's docs_dropped is a
+    * role count and tokens_out a linear form over role counts
+    * (normal/role-6 docs are 54 whitespace tokens, role-7 55, the
+    * quality role 4, digits 60), so BOTH the attribution and the
+    * surviving token arithmetic are pinned per stage.
+    */
+  private def q142PrepareFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline
+      .prepareFunnel(q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
+      .orderBy("stage_ix")
+      .localCheckpoint(true)
+
+  private val q142Oracle =
+    """WITH t AS (SELECT count(*) AS n FROM documents),
+      |c1 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 1),
+      |c2 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 2),
+      |c6 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 6),
+      |c7 AS (SELECT count(*) AS c FROM documents WHERE doc_id % 10 = 7),
+      |nrm AS (SELECT t.n - c1.c - c2.c - c6.c - c7.c AS c FROM t, c1, c2, c6, c7)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_ix, 'lang_filter' AS stage, t.n AS docs_in,
+      |    c1.c AS docs_dropped, t.n - c1.c AS docs_out,
+      |    54 * (nrm.c + c6.c) + 55 * c7.c + 4 * c2.c AS tokens_out
+      |    FROM t, c1, c2, c6, c7, nrm
+      |  UNION ALL SELECT 1, 'quality', t.n - c1.c, c2.c, t.n - c1.c - c2.c,
+      |    54 * (nrm.c + c6.c) + 55 * c7.c FROM t, c1, c2, c6, c7, nrm
+      |  UNION ALL SELECT 2, 'exact_dedup', t.n - c1.c - c2.c, c6.c,
+      |    t.n - c1.c - c2.c - c6.c, 54 * nrm.c + 55 * c7.c
+      |    FROM t, c1, c2, c6, c7, nrm
+      |  UNION ALL SELECT 3, 'near_dup', t.n - c1.c - c2.c - c6.c, c7.c,
+      |    t.n - c1.c - c2.c - c6.c - c7.c, 54 * nrm.c
+      |    FROM t, c1, c2, c6, c7, nrm
+      |) ORDER BY stage_ix""".stripMargin
+
+  /** Closed-form gate for [[graft.operators.CorpusPipeline
+    * .prepareDropReasons]] over the same corpus — every document's
+    * `drop_stage` is fixed by its `% 10` role, shipped docs read
+    * NULL, so a single misattributed document hash-fails.
+    */
+  private def q143PrepareDropReasons(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline
+      .prepareDropReasons(q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
+      .select(col("id"), col("drop_stage"))
+      .orderBy("id")
+      .localCheckpoint(true)
+
+  private val q143Oracle =
+    """SELECT doc_id AS id,
+      |  CASE doc_id % 10 WHEN 1 THEN 'lang_filter' WHEN 2 THEN 'quality'
+      |    WHEN 6 THEN 'exact_dedup' WHEN 7 THEN 'near_dup' END AS drop_stage
+      |FROM documents ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4763,6 +4843,8 @@ object SparkEntry {
     "q139_corpus_diff" -> (q139CorpusDiff _),
     "q140_mmr_planted" -> (q140MmrPlanted _),
     "q141_drop_reasons" -> (q141DropReasons _),
+    "q142_prepare_funnel" -> (q142PrepareFunnel _),
+    "q143_prepare_drop_reasons" -> (q143PrepareDropReasons _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -4894,5 +4976,7 @@ object SparkEntry {
     "q139_corpus_diff" -> q139Oracle,
     "q140_mmr_planted" -> q140Oracle,
     "q141_drop_reasons" -> q141Oracle,
+    "q142_prepare_funnel" -> q142Oracle,
+    "q143_prepare_drop_reasons" -> q143Oracle,
   )
 }

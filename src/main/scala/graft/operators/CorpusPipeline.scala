@@ -627,4 +627,137 @@ object CorpusPipeline {
     chunks.unpersist(blocking = false)
     out
   }
+
+  /** The ONE staged restatement of [[prepare]]'s chain backing its
+    * report faces ([[prepareFunnel]], [[prepareDropReasons]]) — the
+    * text-corpus twin of [[stagedIngest]]: every stage boundary is
+    * the operator call [[prepare]] composes, landed via
+    * localCheckpoint and passed through `record`. Stage names:
+    * `lang_filter`, `quality`, `exact_dedup`, `near_dup`. prepare's
+    * single `lang AND quality` predicate is restated as two
+    * consecutive filters (the same conjunction, per-stage
+    * attribution bought for free); its fused [[Dedup.cleanCorpus]]
+    * is restated as [[Dedup.exactDedup]] keep-min-id + cleanCorpus
+    * on the exact survivors, exactly as [[stagedIngest]] does.
+    * Transforms that never drop (NFC, PII redaction) and the
+    * chunking fan-out carry no boundary. Returns the surviving DOC
+    * frame (pre-chunking — the report faces attribute documents,
+    * not chunks).
+    */
+  private def stagedPrepare(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Seq[String],
+      langCol: Option[String],
+      minQuality: Double,
+      jaccardThreshold: Double,
+      canonicalizeNfc: Boolean,
+      record: (String, DataFrame) => DataFrame,
+  ): DataFrame = {
+    def land(name: String, f: DataFrame): DataFrame = record(name, f.localCheckpoint(true))
+    val src =
+      if (canonicalizeNfc) df.withColumn(textCol, TextAnalysis.canonicalize(col(textCol)))
+      else df
+    val lang: Column = langCol.map(col).getOrElse(TextAnalysis.langIdUdf(col(textCol)))
+    val scored = TextAnalysis.qualityScore(src, textCol)
+    var cur = land("lang_filter", scored.where(lang.isInCollection(langs)))
+    cur = land("quality",
+      cur.where(col("quality_score") >= minQuality).select(src.columns.map(col): _*))
+    // PII redaction transforms but never drops — applied exactly
+    // where prepare() does (before the dedup stages), no boundary
+    cur = TextAnalysis
+      .redactPii(cur, textCol)
+      .withColumn(textCol, col("redacted"))
+      .drop("redacted", "pii_found")
+    cur = land("exact_dedup",
+      Dedup
+        .exactDedup(cur, idCol, textCol)
+        .where(col("is_canonical"))
+        .drop("content_hash", "canonical_id", "group_size", "is_canonical"))
+    land("near_dup",
+      Dedup.cleanCorpus(cur, idCol, textCol, jaccardThreshold, transitive = true))
+  }
+
+  /** Per-stage ATTRITION REPORT for [[prepare]] — the text-corpus
+    * counterpart of [[webIngestFunnel]], same row contract:
+    * (stage_ix, stage, docs_in, docs_dropped, docs_out, tokens_out),
+    * consecutive rows chaining, `tokens_out` the surviving
+    * whitespace-token volume. Stages: `lang_filter`, `quality`,
+    * `exact_dedup`, `near_dup` (NFC/PII transform without dropping;
+    * chunking fans out, neither carries a row).
+    *
+    * Scale shape: identical to [[webIngestFunnel]] — one count per
+    * boundary over localCheckpointed frames; a REPORT operator for
+    * audit samples and periodic slices, not the hot path.
+    */
+  def prepareFunnel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Seq[String] = Seq("en"),
+      langCol: Option[String] = None,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+      canonicalizeNfc: Boolean = false,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    var prevN = df.count()
+    def record(name: String, landed: DataFrame): DataFrame = {
+      val agg = landed.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t"))
+        .head()
+      val n = agg.getLong(0)
+      stages += ((name, prevN, n, agg.getLong(1)))
+      prevN = n
+      landed
+    }
+    stagedPrepare(df, idCol, textCol, langs, langCol, minQuality, jaccardThreshold,
+      canonicalizeNfc, record)
+
+    import spark.implicits._
+    stages.zipWithIndex
+      .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
+      .toSeq
+      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
+  }
+
+  /** PER-DOCUMENT drop attribution for [[prepare]] — the
+    * [[webIngestDropReasons]] counterpart: one row per input document
+    * with `drop_stage` naming the stage that eliminated it (same
+    * names as [[prepareFunnel]]), NULL for documents whose text
+    * ships into chunking. Same chain, same anti-join mechanics,
+    * same first-drop-is-structural property.
+    */
+  def prepareDropReasons(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Seq[String] = Seq("en"),
+      langCol: Option[String] = None,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+      canonicalizeNfc: Boolean = false,
+  ): DataFrame = {
+    var dropFrames = List.empty[DataFrame]
+    var prev: DataFrame = df.select(col(idCol).as("id")).localCheckpoint(true)
+    def record(name: String, landed: DataFrame): DataFrame = {
+      dropFrames ::= prev
+        .join(landed.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .withColumn("drop_stage", lit(name))
+      prev = landed.select(col(idCol).as("id"))
+      landed
+    }
+    val shipped = stagedPrepare(df, idCol, textCol, langs, langCol, minQuality,
+      jaccardThreshold, canonicalizeNfc, record)
+    val labeled = shipped
+      .select(col(idCol).as("id"))
+      .withColumn("drop_stage", lit(null).cast("string"))
+    dropFrames.reduceOption(_ unionByName _) match {
+      case Some(d) => labeled.unionByName(d)
+      case None => labeled
+    }
+  }
 }

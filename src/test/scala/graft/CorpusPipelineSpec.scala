@@ -344,6 +344,61 @@ class CorpusPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("prepareFunnel + prepareDropReasons: per-stage attrition chains, agrees with prepare, labels aggregate") {
+    val docs = Seq(
+      (1L, prose), // keeper
+      (2L, prose), // exact dup of 1 → exact_dedup
+      (3L, prose.replace("afternoon", "morning")), // near-dup of 1 → near_dup
+      (4L, "der hund und die katze sind nicht mit dem mann im haus heute hier"), // non-en
+      (5L, "123 456 789 012 345 678 901 234 567 890 111 222 333 444"), // digit soup → non-en
+      (6L, "write to agent.k@example.com when the river boats arrive at the northern harbor " +
+        "carrying crates of winter apples and the merchants open their stalls before sunrise " +
+        "to trade with travelers from the eastern villages"), // keeper, PII redacted
+      (7L, "the and that this"), // English but 4 tokens → quality (score ≤ 0.2 < 0.3)
+    ).toDF("doc_id", "text")
+    val funnelRows = CorpusPipeline
+      .prepareFunnel(docs, "doc_id", "text", langs = Seq("en"), jaccardThreshold = 0.6)
+      .orderBy("stage_ix")
+      .collect()
+    val funnel = funnelRows.map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+      r.getAs[Long]("docs_dropped"), r.getAs[Long]("docs_out")))
+    assert(funnel.map(_._1).toSeq == Seq("lang_filter", "quality", "exact_dedup", "near_dup"))
+    funnel.foreach { case (st, in, d, out) => assert(in - d == out, s"$st: $in-$d!=$out") }
+    funnel.sliding(2).foreach {
+      case Array((_, _, _, out), (st2, in2, _, _)) => assert(out == in2, s"chain broken at $st2")
+      case _ =>
+    }
+    val dropped = funnel.map(f => f._1 -> f._3).toMap
+    assert(dropped == Map(
+      "lang_filter" -> 2L, "quality" -> 1L, "exact_dedup" -> 1L, "near_dup" -> 1L), s"$dropped")
+    // token attrition never increases, and the terminal row equals the
+    // REAL prepare()'s output (surviving docs; chunking conserves tokens)
+    val toks = funnelRows.map(_.getAs[Long]("tokens_out"))
+    toks.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"tokens grew: ${toks.toSeq}")
+      case _ =>
+    }
+    val shipped = CorpusPipeline.prepare(docs, "doc_id", "text",
+      langs = Seq("en"), jaccardThreshold = 0.6, window = 16, stride = 16)
+    assert(funnel.last._4 == shipped.select("doc_id").distinct().count())
+    assert(toks.last ==
+      shipped.agg(org.apache.spark.sql.functions.sum("n_chunk_tokens")).head().getLong(0))
+    // per-doc attribution: the stage each doc actually died in, NULL for shippers
+    val reasons = CorpusPipeline
+      .prepareDropReasons(docs, "doc_id", "text", langs = Seq("en"), jaccardThreshold = 0.6)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("drop_stage")))
+      .toMap
+    assert(reasons.size == 7, "one verdict per input doc")
+    assert(reasons(4L).contains("lang_filter") && reasons(5L).contains("lang_filter"))
+    assert(reasons(7L).contains("quality"))
+    assert(reasons(2L).contains("exact_dedup") && reasons(3L).contains("near_dup"))
+    assert(reasons(1L).isEmpty && reasons(6L).isEmpty)
+    // and the labels aggregate to the funnel exactly
+    val byStage = reasons.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(byStage == dropped, s"labels=$byStage funnel=$dropped")
+  }
+
   test("webIngest: ParquetDir materialize lands every stage boundary and matches LocalCheckpoint") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "
