@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 
 /** Streaming operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -246,6 +246,58 @@ object EventStreams {
         )
         .where(col("__rn") === 1)
         .drop("__rn")
+    }
+  }
+
+  /** [[dedupStream]] under `transformWithState` — identical
+    * keep-first-by-content-fingerprint semantics (a budget-1
+    * [[StreamingWebIngest.BudgetProcessor]] keyed by the fingerprint,
+    * with an event-time GC timer standing in for
+    * `dropDuplicatesWithinWatermark`'s horizon), but CHAINABLE: the
+    * stage re-declares its event-time column, so further stateful
+    * operators can plan downstream in the same query. Ties within a
+    * trigger break by (event time, `idCol`) — also the batch-mode
+    * window order here, which makes this face deterministic where
+    * [[dedupStream]]'s batch path leaves equal-timestamp ties to plan
+    * order. Output carries a `content_fp` column like [[dedupStream]].
+    * Streaming requires the RocksDB state store provider; keep the
+    * `dropDuplicatesWithinWatermark` face for older state stores.
+    */
+  def dedupStreamTws(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000L,
+  ): DataFrame = {
+    val withFp = docs.withColumn(
+      "content_fp",
+      graft.operators.TextAnalysis.contentFingerprintUdf(col(textCol)),
+    )
+    if (!docs.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      withFp
+        .withColumn(
+          "__rn",
+          row_number().over(
+            Window.partitionBy("content_fp").orderBy(col(tsCol), col(idCol))),
+        )
+        .where(col("__rn") === 1)
+        .drop("__rn")
+    } else {
+      val fpIdx = withFp.schema.fieldIndex("content_fp")
+      val tsIdx = withFp.schema.fieldIndex(tsCol)
+      val idIdx = withFp.schema.fieldIndex(idCol)
+      val rowEnc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(withFp.schema.fields))
+      StreamingDedup
+        .ensureWatermark(withFp, tsCol, watermarkDelay)
+        .groupByKey((r: Row) => java.lang.Long.toHexString(r.getLong(fpIdx)))(
+          org.apache.spark.sql.Encoders.STRING)
+        .transformWithState(
+          new StreamingWebIngest.BudgetProcessor(1L, horizonMs, tsIdx, idIdx),
+          tsCol, org.apache.spark.sql.streaming.OutputMode.Append())(rowEnc)
     }
   }
 

@@ -100,6 +100,42 @@ object StreamingWebIngest {
     }
   }
 
+  /** [[capPerHostStream]] under `transformWithState` — identical
+    * first-arrival semantics (the [[BudgetProcessor]] budget keyed by
+    * host, (event-time, id) order within a trigger), but CHAINABLE:
+    * the stage re-declares its event-time column, so further stateful
+    * operators can plan upstream or downstream of it in one query —
+    * the property the fMGWS variant structurally lacks. Batch mode is
+    * the same deterministic window as [[capPerHostStream]]. Requires
+    * the RocksDB state store provider when streaming; keep the fMGWS
+    * face for state stores without `transformWithState`.
+    */
+  def capPerHostStreamTws(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      hostCol: String,
+      maxPerHost: Int,
+      watermarkDelay: String = "10 minutes",
+  ): DataFrame = {
+    require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    if (!docs.isStreaming) capPerHostStream(docs, idCol, tsCol, hostCol, maxPerHost)
+    else {
+      val hostIdx = docs.schema.fieldIndex(hostCol)
+      val tsIdx = docs.schema.fieldIndex(tsCol)
+      val idIdx = docs.schema.fieldIndex(idCol)
+      val rowEnc = Encoders.row(org.apache.spark.sql.types.StructType(docs.schema.fields))
+      StreamingDedup
+        .ensureWatermark(docs, tsCol, watermarkDelay)
+        .groupByKey((r: Row) =>
+          if (r.isNullAt(hostIdx)) "\u0000" else String.valueOf(r.get(hostIdx)))(
+          Encoders.STRING)
+        .transformWithState(
+          new BudgetProcessor(maxPerHost.toLong, 0L, tsIdx, idIdx),
+          tsCol, OutputMode.Append())(rowEnc)
+    }
+  }
+
   /** The composed stream: (id, ts, html, url) → cleaned, deduped,
     * host-capped document rows (id, ts, text, url_norm, url_host,
     * lang_pred). Append-mode safe: every stateful stage is
@@ -129,6 +165,43 @@ object StreamingWebIngest {
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
     capPerHostStream(deduped, "id", "ts", "url_host", maxPerHost)
+  }
+
+  /** [[webIngestStream]] ported to `transformWithState` — the SAME
+    * stage list and semantics (cleaned front end → exact dedup →
+    * per-host cap; no near-dup stage), with both stateful stages as
+    * chained TWS operators ([[EventStreams.dedupStreamTws]],
+    * [[capPerHostStreamTws]]) in ONE streaming query. Because every
+    * stage re-declares its event-time column, callers can chain
+    * FURTHER stateful operators downstream (windowed aggregations,
+    * [[StreamingDedup.nearDupSuppress]]) without the sink-side
+    * compaction step the fMGWS face needs — that face stays for
+    * state stores without `transformWithState` support.
+    */
+  def webIngestStreamTws(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      dedupWatermark: String = "10 minutes",
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
+  ): DataFrame = {
+    val lined = cleanedFrontEnd(
+      docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
+      soft404, redactPii, mainContent, stripTracking)
+    val deduped = EventStreams
+      .dedupStreamTws(lined, "id", "ts", "text", dedupWatermark)
+      .drop("content_fp")
+    capPerHostStreamTws(deduped, "id", "ts", "url_host", maxPerHost, dedupWatermark)
   }
 
   /** The STATELESS stages of the ingest — LITERALLY the batch face's
@@ -230,7 +303,7 @@ object StreamingWebIngest {
     * `maxPerHost` keyed by host (no timer — one long per distinct
     * host, bounded by host cardinality like [[capPerHostStream]]).
     */
-  private final class BudgetProcessor(
+  private[streaming] final class BudgetProcessor(
       max: Long, horizonMs: Long, tsIdx: Int, idIdx: Int)
       extends StatefulProcessor[String, Row, Row] {
     @transient private var n: ValueState[Long] = _

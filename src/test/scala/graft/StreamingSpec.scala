@@ -836,6 +836,69 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("webIngestStreamTws: ported face stream ≡ batch ≡ fMGWS face, both stages chained TWS in one query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) = s"<html><body><p>$body</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def doc(id: Long, sec: Long, body: String, url: String) =
+      WebDoc(id, new java.sql.Timestamp(t0 + sec * 1000), page(body), url)
+    val batch1 = Seq(
+      doc(1L, 1, distinctProse(1), "http://a.com/p1"),
+      doc(2L, 2, distinctProse(2), "http://a.com/p2"),
+      doc(10L, 3, distinctProse(10), "http://b.com/x"))
+    val batch2 = Seq(
+      doc(3L, 4, distinctProse(3), "http://a.com/p3"), // 3rd on host a → cap 2 bites
+      doc(11L, 5, distinctProse(10), "http://b.com/y"), // exact dup of 10 ACROSS triggers
+      doc(12L, 6, Seq.fill(60)("### 12345 …").mkString(" "), "http://b.com/junk"),
+      doc(13L, 7, distinctProse(13), "http://b.com/z"))
+    val curate = (df: org.apache.spark.sql.DataFrame) => StreamingWebIngest
+      .webIngestStreamTws(df, "doc_id", "ts", "html", "url",
+        langs = Seq("en"), maxPerHost = 2)
+    val batchKept = curate((batch1 ++ batch2).toDF())
+      .select($"id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 2L, 10L, 13L), s"batch: $batchKept")
+    // the ported face must agree with the fMGWS original on batch input
+    val fmgwsKept = StreamingWebIngest
+      .webIngestStream((batch1 ++ batch2).toDF(), "doc_id", "ts", "html", "url",
+        langs = Seq("en"), maxPerHost = 2)
+      .select($"id").as[Long].collect().toSet
+    assert(batchKept == fmgwsKept, s"tws=$batchKept fmgws=$fmgwsKept")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[WebDoc](spark)
+    val q = curate(in.toDS().toDF())
+      .writeStream.format("memory").queryName("web_ingest_tws")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*) // dedup + budget state must persist across triggers
+      q.processAllAvailable()
+      val streamKept = spark.table("web_ingest_tws").select($"id").as[Long].collect().toSet
+      assert(streamKept == batchKept, s"stream=$streamKept batch=$batchKept")
+      // the end-to-end chain is the point of the port: BOTH stateful
+      // stages are transformWithState operators in THIS one query
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.length == 2 && ops.forall(_.toLowerCase.contains("transformwithstate")),
+        s"expected two chained TWS operators, got $ops")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("webIngestWithNearDup: victim side stream ≡ batch; victim is the later arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingWebIngest
