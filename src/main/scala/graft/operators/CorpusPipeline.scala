@@ -230,6 +230,28 @@ object CorpusPipeline {
   ): DataFrame = {
     val quality = cleanedCrawlPrefix(df, idCol, None, htmlCol, urlCol, langs,
       blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking)
+    webIngestFromCleaned(quality, maxPerHost, jaccardThreshold, minLineChars,
+      seqLen, shuffleSalt, materialize)
+  }
+
+  /** [[webIngest]]'s post-prefix stages (line dedup → exact+near dedup
+    * → host cap → chunk → packed layout) over an ALREADY-CLEANED
+    * prefix frame ((id, text, url_norm, url_host, lang_pred) — the
+    * [[cleanedCrawlPrefix]] output shape). Split out so a caller
+    * holding a materialized prefix (e.g. a gate suite whose report
+    * faces already landed the same boundary) can reuse it instead of
+    * re-running the crawl scan; [[webIngest]] itself delegates here,
+    * so the two can never diverge.
+    */
+  private[graft] def webIngestFromCleaned(
+      quality: DataFrame,
+      maxPerHost: Int = 100000,
+      jaccardThreshold: Double = 0.8,
+      minLineChars: Int = 5,
+      seqLen: Int = 512,
+      shuffleSalt: String = "epoch0",
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): DataFrame = {
     val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
     val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
     val lined = Dedup
@@ -307,33 +329,97 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-    var prevN = df.count()
-    def record(name: String, landed: DataFrame): DataFrame = {
-      // docs + surviving tokens in ONE aggregation over the landed
-      // frame — tokens_out accounts for both dropped docs and tokens
-      // a transforming stage removed from survivors (c4 lines,
-      // corpus-wide line dedup)
-      val agg = landed.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")), lit(0L)).as("t"))
-        .head()
-      val n = agg.getLong(0)
-      stages += ((name, prevN, n, agg.getLong(1)))
-      prevN = n
-      landed
-    }
+  ): DataFrame =
+    funnelFromBoundaries(df.sparkSession, df.count(),
+      ingestBoundaries(df, idCol, htmlCol, urlCol, langs, maxPerHost,
+        jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
+        redactPii, mainContent, stripTracking))
+
+  /** [[stagedIngest]] run once, every landed stage boundary collected
+    * in chain order — the shared substrate of the report faces: a
+    * caller auditing the SAME corpus through several faces (funnel +
+    * per-doc reasons, or reusing a boundary as a pipeline input) pays
+    * for the chain once instead of once per face.
+    */
+  private[graft] def ingestBoundaries(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      urlCol: String,
+      langs: Seq[String] = Seq.empty,
+      maxPerHost: Int = 100000,
+      jaccardThreshold: Double = 0.8,
+      minLineChars: Int = 5,
+      blocklist: Option[DataFrame] = None,
+      canonicalizeNfc: Boolean = false,
+      c4: Boolean = false,
+      soft404: Boolean = false,
+      redactPii: Boolean = false,
+      mainContent: Boolean = false,
+      stripTracking: Boolean = false,
+  ): Seq[(String, DataFrame)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     stagedIngest(df, idCol, htmlCol, urlCol, langs, maxPerHost, jaccardThreshold,
       minLineChars, blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent,
-      stripTracking, record)
+      stripTracking, (name, landed) => { buf += ((name, landed)); landed })
+    buf.toSeq
+  }
 
+  /** The funnel report computed from collected stage boundaries —
+    * docs + surviving tokens in ONE aggregation per landed frame;
+    * tokens_out accounts for both dropped docs and tokens a
+    * transforming stage removed from survivors (c4 lines, corpus-wide
+    * line dedup).
+    */
+  private[graft] def funnelFromBoundaries(
+      spark: org.apache.spark.sql.SparkSession,
+      inputCount: Long,
+      boundaries: Seq[(String, DataFrame)],
+      textCol: String = "text",
+  ): DataFrame = {
     import spark.implicits._
+    var prevN = inputCount
+    val stages = boundaries.map { case (name, landed) =>
+      val agg = landed.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t"))
+        .head()
+      val n = agg.getLong(0)
+      val row = (name, prevN, n, agg.getLong(1))
+      prevN = n
+      row
+    }
     stages.zipWithIndex
       .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
-      .toSeq
       .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
+  }
+
+  /** Per-document drop attribution from collected stage boundaries:
+    * each stage's dropped ids are the anti-join of consecutive
+    * boundaries (id-only frames); `baselineIds` — an (id) frame of
+    * the chain's raw input — adds an anti-join against the FIRST
+    * boundary for chains whose first recorded stage can drop
+    * (prepare's lang filter; webIngest's extract cannot, so it passes
+    * None). Shipped docs (the last boundary) label NULL.
+    */
+  private[graft] def dropReasonsFromBoundaries(
+      baselineIds: Option[DataFrame],
+      boundaries: Seq[(String, DataFrame)],
+      idColName: String = "id",
+  ): DataFrame = {
+    val idFrames = boundaries.map { case (n, f) => (n, f.select(col(idColName).as("id"))) }
+    val chain = baselineIds.map(b => ("__input", b.select(col("id")))).toSeq ++ idFrames
+    val drops = chain
+      .sliding(2)
+      .collect { case Seq((_, prev), (name, cur)) =>
+        prev.join(cur, Seq("id"), "left_anti").withColumn("drop_stage", lit(name))
+      }
+      .toList
+    val shipped = idFrames.last._2.withColumn("drop_stage", lit(null).cast("string"))
+    drops.reduceOption(_ unionByName _) match {
+      case Some(d) => shipped.unionByName(d)
+      case None => shipped
+    }
   }
 
   /** The ONE staged restatement of [[webIngest]]'s chain backing both
@@ -450,29 +536,11 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
-  ): DataFrame = {
-    var dropFrames = List.empty[DataFrame]
-    var prev: DataFrame = null
-    def record(name: String, landed: DataFrame): DataFrame = {
-      if (prev != null)
-        dropFrames ::= prev
-          .select(col("id"))
-          .join(landed.select(col("id")), Seq("id"), "left_anti")
-          .withColumn("drop_stage", lit(name))
-      prev = landed
-      landed
-    }
-    val shipped = stagedIngest(df, idCol, htmlCol, urlCol, langs, maxPerHost,
-      jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
-      redactPii, mainContent, stripTracking, record)
-    val labeled = shipped
-      .select(col("id"))
-      .withColumn("drop_stage", lit(null).cast("string"))
-    dropFrames.reduceOption(_ unionByName _) match {
-      case Some(d) => labeled.unionByName(d)
-      case None => labeled
-    }
-  }
+  ): DataFrame =
+    dropReasonsFromBoundaries(None,
+      ingestBoundaries(df, idCol, htmlCol, urlCol, langs, maxPerHost,
+        jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
+        redactPii, mainContent, stripTracking))
 
   /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest
     * face — batch ([[webIngest]]) and streaming
@@ -700,28 +768,30 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.8,
       canonicalizeNfc: Boolean = false,
-  ): DataFrame = {
-    val spark = df.sparkSession
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-    var prevN = df.count()
-    def record(name: String, landed: DataFrame): DataFrame = {
-      val agg = landed.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t"))
-        .head()
-      val n = agg.getLong(0)
-      stages += ((name, prevN, n, agg.getLong(1)))
-      prevN = n
-      landed
-    }
-    stagedPrepare(df, idCol, textCol, langs, langCol, minQuality, jaccardThreshold,
-      canonicalizeNfc, record)
+  ): DataFrame =
+    funnelFromBoundaries(df.sparkSession, df.count(),
+      prepareBoundaries(df, idCol, textCol, langs, langCol, minQuality,
+        jaccardThreshold, canonicalizeNfc),
+      textCol)
 
-    import spark.implicits._
-    stages.zipWithIndex
-      .map { case ((name, in, out, toks), ix) => (ix, name, in, in - out, out, toks) }
-      .toSeq
-      .toDF("stage_ix", "stage", "docs_in", "docs_dropped", "docs_out", "tokens_out")
+  /** [[stagedPrepare]] run once, landed boundaries collected —
+    * prepare's twin of [[ingestBoundaries]], shared by both report
+    * faces (and by gate suites auditing one corpus through both).
+    */
+  private[graft] def prepareBoundaries(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langs: Seq[String] = Seq("en"),
+      langCol: Option[String] = None,
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8,
+      canonicalizeNfc: Boolean = false,
+  ): Seq[(String, DataFrame)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    stagedPrepare(df, idCol, textCol, langs, langCol, minQuality, jaccardThreshold,
+      canonicalizeNfc, (name, landed) => { buf += ((name, landed)); landed })
+    buf.toSeq
   }
 
   /** PER-DOCUMENT drop attribution for [[prepare]] — the
@@ -740,24 +810,10 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.8,
       canonicalizeNfc: Boolean = false,
-  ): DataFrame = {
-    var dropFrames = List.empty[DataFrame]
-    var prev: DataFrame = df.select(col(idCol).as("id")).localCheckpoint(true)
-    def record(name: String, landed: DataFrame): DataFrame = {
-      dropFrames ::= prev
-        .join(landed.select(col(idCol).as("id")), Seq("id"), "left_anti")
-        .withColumn("drop_stage", lit(name))
-      prev = landed.select(col(idCol).as("id"))
-      landed
-    }
-    val shipped = stagedPrepare(df, idCol, textCol, langs, langCol, minQuality,
-      jaccardThreshold, canonicalizeNfc, record)
-    val labeled = shipped
-      .select(col(idCol).as("id"))
-      .withColumn("drop_stage", lit(null).cast("string"))
-    dropFrames.reduceOption(_ unionByName _) match {
-      case Some(d) => labeled.unionByName(d)
-      case None => labeled
-    }
-  }
+  ): DataFrame =
+    dropReasonsFromBoundaries(
+      Some(df.select(col(idCol).as("id")).localCheckpoint(true)),
+      prepareBoundaries(df, idCol, textCol, langs, langCol, minQuality,
+        jaccardThreshold, canonicalizeNfc),
+      idCol)
 }

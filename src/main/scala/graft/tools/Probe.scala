@@ -209,6 +209,24 @@ object Probe {
       return
     }
 
+    if (names.contains("warc_split")) {
+      // q130's sweep factor, attributed: the gate = serial driver-side
+      // fixture BUILD (one gzip member per doc) + the actual Warc.read.
+      // Timing them apart shows which side scales with doc count.
+      val out = timed("q130 fixture BUILD (driver gzip loop)") {
+        graft.SparkEntry.q130BuildFixture(spark, sfDir)
+      }
+      timed("q130 Warc.read + project") {
+        val n = graft.sources.Warc.read(spark, out + "/*")
+          .where(col("warc_type") === "response")
+          .select(col("url"), col("body"), col("content_type"), col("http_status"))
+          .count()
+        println("[probe] warc records=" + n)
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("q122_stages")) {
       import spark.implicits._
       val pages = graft.SparkEntry.q122PlantedPages(spark, sfDir)
