@@ -3,8 +3,9 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 
 /** Streaming operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -388,6 +389,82 @@ object EventStreams {
           }
         },
       )
+  }
+
+  /** [[asofBackwardStream]]'s per-key step under `transformWithState`:
+    * identical latest-right state, tie discipline, and late-left
+    * guard; the event-time timer replaces
+    * `GroupStateTimeout.EventTimeTimeout` for idle-key expiry.
+    */
+  private final class AsofBackwardProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, AsofSideRow, AsofHit] {
+    @transient private var st: ValueState[AsofRightState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AsofRightState](
+        "latest_right", Encoders.product[AsofRightState], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[AsofSideRow], tv: TimerValues): Iterator[AsofHit] = {
+      var s = if (st.exists()) st.get() else null
+      val out = rows.toSeq
+        .sortBy(r => (tsMicros(r.ts), r.side, r.event_id))
+        .flatMap { r =>
+          if (r.side == 0) {
+            if (s == null || tsMicros(r.ts) >= s.tsUs)
+              s = AsofRightState(tsMicros(r.ts), r.ts, r.event_id, r.value)
+            None
+          } else {
+            // A late left must not match a right from its future.
+            val m = Option(s).filter(_.tsUs <= tsMicros(r.ts))
+            Some(AsofHit(r.event_id, userId, r.ts, r.value,
+              m.map(_.ts), m.map(_.eventId), m.map(_.value)))
+          }
+        }
+      if (s != null) {
+        st.update(s)
+        StreamingDedup.resetTimer(getHandle, s.tsUs / 1000, horizonMs, tv)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofHit] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[asofBackwardStream]] under `transformWithState` — the same
+    * one-row-per-key backward as-of join, but CHAINABLE: the operator
+    * re-declares `ts` as its output event-time column, so the
+    * enriched stream can feed FURTHER stateful operators (windowed
+    * aggregations, dedup, another as-of) in the same query — the plan
+    * the fMGWS face cannot participate in. Keep [[asofBackwardStream]]
+    * for state stores without `transformWithState`; streaming here
+    * requires the RocksDB provider.
+    */
+  def asofBackwardStreamTws(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      watermarkDelay: String = "1 hour",
+      horizonSeconds: Long = 86400L,
+  ): Dataset[AsofHit] = {
+    import left.sparkSession.implicits._
+    // bounded frames evaluate through the fMGWS face (same per-key
+    // step; the event-time column re-declaration below is a
+    // streaming-plan concept)
+    if (!left.isStreaming) return asofBackwardStream(left, right, watermarkDelay, horizonSeconds)
+    val tagged = StreamingDedup.ensureWatermark(
+      left
+        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .toDF(),
+      "ts", watermarkDelay)
+      .as[AsofSideRow]
+    tagged
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AsofBackwardProcessor(horizonSeconds * 1000L),
+        "ts", OutputMode.Append())
   }
 
   /** Native stream-stream interval join — the streaming face of

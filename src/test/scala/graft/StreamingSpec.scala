@@ -189,6 +189,77 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofBackwardStreamTws: same hits as the fMGWS face, and chains a downstream windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, tpe, id.toDouble)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (a) raw hits: the exact out-of-order scenario the fMGWS spec
+    // pins — the port must produce the same verdicts across triggers
+    val lefts = MemoryStream[EventStreams.Event](spark)
+    val rights = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams
+      .asofBackwardStreamTws(lefts.toDS(), rights.toDS(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("asof_tws_raw").outputMode("append").start()
+    // (b) the chainability the port buys: as-of enrich → windowed
+    // count of MATCHED hits, two stateful operators in ONE query —
+    // an unsupported plan under flatMapGroupsWithState
+    val lefts2 = MemoryStream[EventStreams.Event](spark)
+    val rights2 = MemoryStream[EventStreams.Event](spark)
+    val q2 = EventStreams
+      .asofBackwardStreamTws(lefts2.toDS(), rights2.toDS(), watermarkDelay = "10 seconds")
+      .toDF()
+      .where($"asof_event_id".isNotNull)
+      .groupBy(window($"ts", "1 minute"))
+      .count()
+      .writeStream.format("memory").queryName("asof_tws_agg").outputMode("append").start()
+    try {
+      rights.addData(ev(100L, 10, "view"))
+      q.processAllAvailable()
+      lefts.addData(ev(1L, 5, "purchase"), ev(2L, 20, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof_tws_raw")
+        .select($"event_id", $"asof_event_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == Map(1L -> None, 2L -> Some(100L)), s"tws hits: $got")
+      assert(q.lastProgress.stateOperators
+        .exists(_.operatorName.toLowerCase.contains("transformwithstate")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+
+      rights2.addData(ev(100L, 10, "view"))
+      q2.processAllAvailable()
+      lefts2.addData(ev(1L, 5, "purchase"), ev(2L, 20, "purchase"))
+      q2.processAllAvailable()
+      // flush: a far-future left advances the watermark past the
+      // window end so the append-mode aggregation finalizes it
+      lefts2.addData(ev(9L, 3600, "purchase"))
+      q2.processAllAvailable()
+      val wins = spark.table("asof_tws_agg")
+        .select($"window.start", $"count")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime - t0) / 1000 -> r.getLong(1))
+        .toMap
+      // the only CLOSED window holds left 2 (matched); the late left 1
+      // was filtered as unmatched, the flush left's window stays open
+      assert(wins == Map(0L -> 1L), s"windows: $wins")
+      assert(q2.lastProgress.stateOperators.length == 2,
+        s"expected asof TWS + windowed agg chained: " +
+          q2.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally {
+      q.stop(); q2.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming forward as-of join equals batch asofForward with tolerance (bounded input)") {
     val tolSec = 3600L
     // fixture = events + one far-future flush view (beyond tolerance of
