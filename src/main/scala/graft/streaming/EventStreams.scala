@@ -391,19 +391,39 @@ object EventStreams {
       )
   }
 
+  /** [[AsofHit]] plus `emit_ts` — the event-time column the TWS as-of
+    * faces re-declare. A hit is KNOWABLE only at resolution, and its
+    * left `ts` may already be behind the watermark by then (that is
+    * what resolution means), so re-declaring `ts` would violate the
+    * engine's emitted-rows-at-or-after-watermark contract;
+    * `emit_ts = max(ts, watermark + 1 ms)` is the honest event time
+    * for downstream stateful operators (you can only window a hit at
+    * the moment it could first exist). `ts` stays on the row as data.
+    * On bounded frames `emit_ts = ts` (no watermark, nothing late).
+    */
+  final case class AsofHitEmit(
+      event_id: Long, user_id: Long, ts: Timestamp, value: Double,
+      asof_ts: Option[Timestamp], asof_event_id: Option[Long], asof_value: Option[Double],
+      emit_ts: Timestamp)
+
+  private def stampHit(h: AsofHit, wmMs: Long): AsofHitEmit =
+    AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
+      h.asof_ts, h.asof_event_id, h.asof_value,
+      new Timestamp(math.max(h.ts.getTime, wmMs + 1)))
+
   /** [[asofBackwardStream]]'s per-key step under `transformWithState`:
     * identical latest-right state, tie discipline, and late-left
     * guard; the event-time timer replaces
     * `GroupStateTimeout.EventTimeTimeout` for idle-key expiry.
     */
   private final class AsofBackwardProcessor(horizonMs: Long)
-      extends StatefulProcessor[Long, AsofSideRow, AsofHit] {
+      extends StatefulProcessor[Long, AsofSideRow, AsofHitEmit] {
     @transient private var st: ValueState[AsofRightState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[AsofRightState](
         "latest_right", Encoders.product[AsofRightState], TTLConfig.NONE)
     override def handleInputRows(
-        userId: Long, rows: Iterator[AsofSideRow], tv: TimerValues): Iterator[AsofHit] = {
+        userId: Long, rows: Iterator[AsofSideRow], tv: TimerValues): Iterator[AsofHitEmit] = {
       var s = if (st.exists()) st.get() else null
       val out = rows.toSeq
         .sortBy(r => (tsMicros(r.ts), r.side, r.event_id))
@@ -423,11 +443,11 @@ object EventStreams {
         st.update(s)
         StreamingDedup.resetTimer(getHandle, s.tsUs / 1000, horizonMs, tv)
       }
-      out.iterator
+      out.map(stampHit(_, tv.getCurrentWatermarkInMs)).iterator
     }
     override def handleExpiredTimer(
         key: Long, tv: TimerValues,
-        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofHit] = {
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofHitEmit] = {
       st.clear()
       Iterator.empty
     }
@@ -447,12 +467,15 @@ object EventStreams {
       right: Dataset[Event],
       watermarkDelay: String = "1 hour",
       horizonSeconds: Long = 86400L,
-  ): Dataset[AsofHit] = {
+  ): Dataset[AsofHitEmit] = {
     import left.sparkSession.implicits._
     // bounded frames evaluate through the fMGWS face (same per-key
     // step; the event-time column re-declaration below is a
-    // streaming-plan concept)
-    if (!left.isStreaming) return asofBackwardStream(left, right, watermarkDelay, horizonSeconds)
+    // streaming-plan concept, and with no watermark emit_ts = ts)
+    if (!left.isStreaming)
+      return asofBackwardStream(left, right, watermarkDelay, horizonSeconds)
+        .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
+          h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
       left
         .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
@@ -464,7 +487,7 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(
         new AsofBackwardProcessor(horizonSeconds * 1000L),
-        "ts", OutputMode.Append())
+        "emit_ts", OutputMode.Append())
   }
 
   /** Native stream-stream interval join — the streaming face of
@@ -545,6 +568,82 @@ object EventStreams {
     * it a no-match left could never be resolved (a qualifying right
     * may arrive arbitrarily far in the future).
     */
+  /** One per-key step of the FORWARD as-of join — shared verbatim by
+    * the fMGWS face ([[asofForwardStream]]) and the chainable TWS
+    * face ([[asofForwardStreamTws]]) so buffering, tie, late-left,
+    * resolution, and prune rules can never drift between them.
+    * Returns (emitted hits, None to clear the key's state, or
+    * Some((new state, next wake-up µs))).
+    */
+  private[streaming] def asofForwardStep(
+      userId: Long,
+      prev: AsofForwardState,
+      newRows: Seq[AsofSideRow],
+      wmUs: Long,
+      tolUs: Long,
+  ): (Seq[AsofHit], Option[(AsofForwardState, Long)]) = {
+    val newRights = newRows.filter(_.side == 0)
+      .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
+    val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
+
+    // candidate = smallest qualifying right ts; at equal ts the
+    // largest (event_id, value) — matches the batch window's
+    // struct ordering
+    def better(l: AsofPendingLeft, r: AsofRightEv): Boolean =
+      r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs &&
+        (!l.hasCand || r.tsUs < l.candUs ||
+          (r.tsUs == l.candUs &&
+            (r.eventId > l.candEventId ||
+              (r.eventId == l.candEventId && r.value > l.candValue))))
+    def absorb(l0: AsofPendingLeft, rs: Seq[AsofRightEv]): AsofPendingLeft =
+      rs.foldLeft(l0)((l, r) =>
+        if (better(l, r))
+          l.copy(candUs = r.tsUs, candTs = r.ts, candEventId = r.eventId,
+            candValue = r.value, hasCand = true)
+        else l)
+
+    // existing pending lefts see only the NEW rights (old rights
+    // were absorbed when they arrived); new lefts scan the full
+    // retained right buffer
+    val updatedPending = prev.pending.map(absorb(_, newRights))
+    val newPending = newRows.filter(_.side == 1).map { l =>
+      absorb(
+        AsofPendingLeft(tsMicros(l.ts), l.ts, l.event_id, l.value,
+          0L, null, 0L, 0.0, hasCand = false),
+        rights)
+    }
+    // a left ARRIVING at-or-behind the watermark (late data)
+    // resolves immediately against the retained rights —
+    // best-effort by construction; buffering it would be wrong
+    // too (pre-watermark rights are already pruned). Pending
+    // lefts whose ts the watermark merely passed are NOT late:
+    // their candidate can still improve until wm ≥ candidate ts.
+    val (lateNew, freshNew) = newPending.partition(_.tsUs <= wmUs)
+    val all = (updatedPending ++ freshNew).sortBy(l => (l.tsUs, l.eventId))
+
+    // resolve: candidate final once wm ≥ cand ts (later arrivals
+    // must have ts > wm, so they can neither beat nor tie it);
+    // no-match final once wm ≥ left ts + tolerance
+    val (done, still) = all.partition(l =>
+      (l.hasCand && l.candUs <= wmUs) || l.tsUs + tolUs <= wmUs)
+    val out = (lateNew ++ done).map(l =>
+      if (l.hasCand)
+        AsofHit(l.eventId, userId, l.ts, l.value,
+          Some(l.candTs), Some(l.candEventId), Some(l.candValue))
+      else AsofHit(l.eventId, userId, l.ts, l.value, None, None, None))
+
+    // rights at-or-before the watermark can never serve a future
+    // left (new lefts arrive with ts > watermark)
+    val keptRights = rights.filter(_.tsUs > wmUs)
+    if (still.isEmpty && keptRights.isEmpty) (out, None)
+    else {
+      // wake at the next resolution boundary even if no data comes
+      val nextUs = (still.map(l => if (l.hasCand) l.candUs else l.tsUs + tolUs) ++
+        keptRights.map(_.tsUs)).min
+      (out, Some((AsofForwardState(still, keptRights), nextUs)))
+    }
+  }
+
   def asofForwardStream(
       left: Dataset[Event],
       right: Dataset[Event],
@@ -564,72 +663,84 @@ object EventStreams {
         (userId: Long, rows: Iterator[AsofSideRow], state: GroupState[AsofForwardState]) => {
           val wmUs = state.getCurrentWatermarkMs * 1000L
           val prev = state.getOption.getOrElse(AsofForwardState(Nil, Nil))
-          val newRows = rows.toSeq
-          val newRights = newRows.filter(_.side == 0)
-            .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
-          val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
-
-          // candidate = smallest qualifying right ts; at equal ts the
-          // largest (event_id, value) — matches the batch window's
-          // struct ordering
-          def better(l: AsofPendingLeft, r: AsofRightEv): Boolean =
-            r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs &&
-              (!l.hasCand || r.tsUs < l.candUs ||
-                (r.tsUs == l.candUs &&
-                  (r.eventId > l.candEventId ||
-                    (r.eventId == l.candEventId && r.value > l.candValue))))
-          def absorb(l0: AsofPendingLeft, rs: Seq[AsofRightEv]): AsofPendingLeft =
-            rs.foldLeft(l0)((l, r) =>
-              if (better(l, r))
-                l.copy(candUs = r.tsUs, candTs = r.ts, candEventId = r.eventId,
-                  candValue = r.value, hasCand = true)
-              else l)
-
-          // existing pending lefts see only the NEW rights (old rights
-          // were absorbed when they arrived); new lefts scan the full
-          // retained right buffer
-          val updatedPending = prev.pending.map(absorb(_, newRights))
-          val newPending = newRows.filter(_.side == 1).map { l =>
-            absorb(
-              AsofPendingLeft(tsMicros(l.ts), l.ts, l.event_id, l.value,
-                0L, null, 0L, 0.0, hasCand = false),
-              rights)
-          }
-          // a left ARRIVING at-or-behind the watermark (late data)
-          // resolves immediately against the retained rights —
-          // best-effort by construction; buffering it would be wrong
-          // too (pre-watermark rights are already pruned). Pending
-          // lefts whose ts the watermark merely passed are NOT late:
-          // their candidate can still improve until wm ≥ candidate ts.
-          val (lateNew, freshNew) = newPending.partition(_.tsUs <= wmUs)
-          val all = (updatedPending ++ freshNew).sortBy(l => (l.tsUs, l.eventId))
-
-          // resolve: candidate final once wm ≥ cand ts (later arrivals
-          // must have ts > wm, so they can neither beat nor tie it);
-          // no-match final once wm ≥ left ts + tolerance
-          val (done, still) = all.partition(l =>
-            (l.hasCand && l.candUs <= wmUs) || l.tsUs + tolUs <= wmUs)
-          val out = (lateNew ++ done).map(l =>
-            if (l.hasCand)
-              AsofHit(l.eventId, userId, l.ts, l.value,
-                Some(l.candTs), Some(l.candEventId), Some(l.candValue))
-            else AsofHit(l.eventId, userId, l.ts, l.value, None, None, None))
-
-          // rights at-or-before the watermark can never serve a future
-          // left (new lefts arrive with ts > watermark)
-          val keptRights = rights.filter(_.tsUs > wmUs)
-          if (still.isEmpty && keptRights.isEmpty) state.remove()
-          else {
-            state.update(AsofForwardState(still, keptRights))
-            // wake at the next resolution boundary even if no data comes
-            val nextUs = (still.map(l => if (l.hasCand) l.candUs else l.tsUs + tolUs) ++
-              keptRights.map(_.tsUs)).min
-            state.setTimeoutTimestamp(
-              math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+          val (out, next) = asofForwardStep(userId, prev, rows.toSeq, wmUs, tolUs)
+          next match {
+            case Some((ns, nextUs)) =>
+              state.update(ns)
+              state.setTimeoutTimestamp(
+                math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+            case None => state.remove()
           }
           out.iterator
         },
       )
+  }
+
+  /** [[asofForwardStream]] under `transformWithState` — the same
+    * per-key step ([[asofForwardStep]], shared function), with the
+    * event-time timer standing in for the fMGWS event-time timeout
+    * and the output event-time column re-declared so downstream
+    * stateful operators chain in the same query. Bounded frames
+    * route through the fMGWS face; streaming requires the RocksDB
+    * provider.
+    */
+  def asofForwardStreamTws(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      toleranceSeconds: Long,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[AsofHitEmit] = {
+    import left.sparkSession.implicits._
+    require(toleranceSeconds > 0, "forward as-of streaming needs a positive tolerance")
+    if (!left.isStreaming)
+      return asofForwardStream(left, right, toleranceSeconds, watermarkDelay)
+        .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
+          h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
+    val tagged = StreamingDedup.ensureWatermark(
+      left
+        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .toDF(),
+      "ts", watermarkDelay)
+      .as[AsofSideRow]
+    tagged
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AsofForwardProcessor(toleranceSeconds * 1000000L),
+        "emit_ts", OutputMode.Append())
+  }
+
+  /** [[asofForwardStep]] hosted in a `StatefulProcessor`: input rows
+    * and timer expiries run the SAME step (a timer is a step with no
+    * new rows — the fMGWS wake-up contract), keeping exactly one live
+    * timer per key at the step's returned boundary.
+    */
+  private final class AsofForwardProcessor(tolUs: Long)
+      extends StatefulProcessor[Long, AsofSideRow, AsofHitEmit] {
+    @transient private var st: ValueState[AsofForwardState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AsofForwardState](
+        "forward", Encoders.product[AsofForwardState], TTLConfig.NONE)
+    private def step(key: Long, rows: Seq[AsofSideRow], tv: TimerValues): Iterator[AsofHitEmit] = {
+      val prev = if (st.exists()) st.get() else AsofForwardState(Nil, Nil)
+      val (out, next) = asofForwardStep(key, prev, rows, tv.getCurrentWatermarkInMs * 1000L, tolUs)
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      next match {
+        case Some((ns, nextUs)) =>
+          st.update(ns)
+          getHandle.registerTimer(
+            math.max(nextUs / 1000 + 1, tv.getCurrentWatermarkInMs + 1))
+        case None => st.clear()
+      }
+      out.map(stampHit(_, tv.getCurrentWatermarkInMs)).iterator
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[AsofSideRow], tv: TimerValues): Iterator[AsofHitEmit] =
+      step(key, rows.toSeq, tv)
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofHitEmit] =
+      step(key, Nil, tv)
   }
 
   final case class AsofPendingNear(
@@ -678,10 +789,33 @@ object EventStreams {
           val wmUs = state.getCurrentWatermarkMs * 1000L
           val prev = state.getOption.getOrElse(
             AsofNearestState(Nil, Nil, 0L, null, 0L, 0.0, hasLatest = false))
-          val newRows = rows.toSeq
-          val newRights = newRows.filter(_.side == 0)
-            .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
-          val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
+          val (out, next) = asofNearestStep(userId, prev, rows.toSeq, wmUs, tolUs)
+          next match {
+            case Some((ns, nextUs)) =>
+              state.update(ns)
+              state.setTimeoutTimestamp(
+                math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
+            case None => state.remove()
+          }
+          out.iterator
+        },
+      )
+  }
+
+  /** One per-key step of the NEAREST as-of join — shared by the fMGWS
+    * face ([[asofNearestStream]]) and the TWS face
+    * ([[asofNearestStreamTws]]), like [[asofForwardStep]].
+    */
+  private[streaming] def asofNearestStep(
+      userId: Long,
+      prev: AsofNearestState,
+      newRows: Seq[AsofSideRow],
+      wmUs: Long,
+      tolUs: Long,
+  ): (Seq[AsofHit], Option[(AsofNearestState, Long)]) = {
+    val newRights = newRows.filter(_.side == 0)
+      .map(r => AsofRightEv(tsMicros(r.ts), r.ts, r.event_id, r.value))
+    val rights = (prev.rights ++ newRights).sortBy(r => (r.tsUs, r.eventId))
 
           def fwBetter(l: AsofPendingNear, r: AsofRightEv): Boolean =
             r.tsUs >= l.tsUs && r.tsUs <= l.tsUs + tolUs &&
@@ -743,32 +877,92 @@ object EventStreams {
           // could only match beyond the tolerance — keeping it longer
           // would grow state by one dead row per idle key forever.
           val (pruned, keptRights) = rights.partition(_.tsUs <= wmUs)
-          val latestAll = (latestSeq ++ pruned)
-            .sortBy(r => (r.tsUs, r.eventId, r.value))
-            .lastOption
-            .filter(_.tsUs + tolUs > wmUs)
-          if (still.isEmpty && keptRights.isEmpty && latestAll.isEmpty) state.remove()
-          else {
-            state.update(AsofNearestState(
-              still, keptRights,
-              latestAll.map(_.tsUs).getOrElse(0L), latestAll.map(_.ts).orNull,
-              latestAll.map(_.eventId).getOrElse(0L), latestAll.map(_.value).getOrElse(0.0),
-              latestAll.nonEmpty))
-            // wake at the earliest boundary that changes anything: a
-            // pending resolution, a buffered right's prune point, or
-            // the register's expiry
-            val nextUs = (
-              still.map(l =>
-                math.max(l.tsUs, if (l.hasF) math.min(l.fUs, l.tsUs + tolUs)
-                else l.tsUs + tolUs)) ++
-                keptRights.map(_.tsUs) ++
-                latestAll.map(_.tsUs + tolUs)
-            ).min
-            state.setTimeoutTimestamp(
-              math.max(nextUs / 1000 + 1, state.getCurrentWatermarkMs + 1))
-          }
-          out.iterator
-        },
-      )
+    val latestAll = (latestSeq ++ pruned)
+      .sortBy(r => (r.tsUs, r.eventId, r.value))
+      .lastOption
+      .filter(_.tsUs + tolUs > wmUs)
+    if (still.isEmpty && keptRights.isEmpty && latestAll.isEmpty) (out, None)
+    else {
+      val ns = AsofNearestState(
+        still, keptRights,
+        latestAll.map(_.tsUs).getOrElse(0L), latestAll.map(_.ts).orNull,
+        latestAll.map(_.eventId).getOrElse(0L), latestAll.map(_.value).getOrElse(0.0),
+        latestAll.nonEmpty)
+      // wake at the earliest boundary that changes anything: a
+      // pending resolution, a buffered right's prune point, or
+      // the register's expiry
+      val nextUs = (
+        still.map(l =>
+          math.max(l.tsUs, if (l.hasF) math.min(l.fUs, l.tsUs + tolUs)
+          else l.tsUs + tolUs)) ++
+          keptRights.map(_.tsUs) ++
+          latestAll.map(_.tsUs + tolUs)
+      ).min
+      (out, Some((ns, nextUs)))
+    }
+  }
+
+  /** [[asofNearestStream]] under `transformWithState` — the same
+    * per-key step ([[asofNearestStep]]), event-time re-declared so
+    * downstream stateful operators chain; bounded frames route
+    * through the fMGWS face. Streaming requires the RocksDB provider.
+    */
+  def asofNearestStreamTws(
+      left: Dataset[Event],
+      right: Dataset[Event],
+      toleranceSeconds: Long,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[AsofHitEmit] = {
+    import left.sparkSession.implicits._
+    require(toleranceSeconds > 0, "nearest as-of streaming needs a positive tolerance")
+    if (!left.isStreaming)
+      return asofNearestStream(left, right, toleranceSeconds, watermarkDelay)
+        .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
+          h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
+    val tagged = StreamingDedup.ensureWatermark(
+      left
+        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .toDF(),
+      "ts", watermarkDelay)
+      .as[AsofSideRow]
+    tagged
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AsofNearestProcessor(toleranceSeconds * 1000000L),
+        "emit_ts", OutputMode.Append())
+  }
+
+  /** [[asofNearestStep]] hosted in a `StatefulProcessor` — identical
+    * hosting contract to [[AsofForwardProcessor]].
+    */
+  private final class AsofNearestProcessor(tolUs: Long)
+      extends StatefulProcessor[Long, AsofSideRow, AsofHitEmit] {
+    @transient private var st: ValueState[AsofNearestState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AsofNearestState](
+        "nearest", Encoders.product[AsofNearestState], TTLConfig.NONE)
+    private def step(key: Long, rows: Seq[AsofSideRow], tv: TimerValues): Iterator[AsofHitEmit] = {
+      val prev =
+        if (st.exists()) st.get()
+        else AsofNearestState(Nil, Nil, 0L, null, 0L, 0.0, hasLatest = false)
+      val (out, next) = asofNearestStep(key, prev, rows, tv.getCurrentWatermarkInMs * 1000L, tolUs)
+      getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      next match {
+        case Some((ns, nextUs)) =>
+          st.update(ns)
+          getHandle.registerTimer(
+            math.max(nextUs / 1000 + 1, tv.getCurrentWatermarkInMs + 1))
+        case None => st.clear()
+      }
+      out.map(stampHit(_, tv.getCurrentWatermarkInMs)).iterator
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[AsofSideRow], tv: TimerValues): Iterator[AsofHitEmit] =
+      step(key, rows.toSeq, tv)
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsofHitEmit] =
+      step(key, Nil, tv)
   }
 }

@@ -214,7 +214,7 @@ class StreamingSpec extends SparkTestBase {
       .asofBackwardStreamTws(lefts2.toDS(), rights2.toDS(), watermarkDelay = "10 seconds")
       .toDF()
       .where($"asof_event_id".isNotNull)
-      .groupBy(window($"ts", "1 minute"))
+      .groupBy(window($"emit_ts", "1 minute"))
       .count()
       .writeStream.format("memory").queryName("asof_tws_agg").outputMode("append").start()
     try {
@@ -435,6 +435,70 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Map(1L -> 100L, 2L -> 100L),
         s"the pruned right must come back from the register: $got")
     } finally q.stop()
+  }
+
+  test("asofForwardStreamTws + asofNearestStreamTws: TWS ports replay the fMGWS watermark scenarios") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, "x", id.toDouble)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // FORWARD: the later-arriving earlier right must displace the
+    // provisional candidate before watermark-final resolution — the
+    // same scenario the fMGWS spec pins
+    val fl = MemoryStream[EventStreams.Event](spark)
+    val fr = MemoryStream[EventStreams.Event](spark)
+    val qf = EventStreams
+      .asofForwardStreamTws(fl.toDS(), fr.toDS(),
+        toleranceSeconds = 600L, watermarkDelay = "300 seconds")
+      .writeStream.format("memory").queryName("asof_fwd_tws").outputMode("append").start()
+    // NEAREST: backward candidates served from the latest-register
+    // after the right buffer pruned — the fMGWS register scenario
+    val nl = MemoryStream[EventStreams.Event](spark)
+    val nr = MemoryStream[EventStreams.Event](spark)
+    val qn = EventStreams
+      .asofNearestStreamTws(nl.toDS(), nr.toDS(),
+        toleranceSeconds = 600L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("asof_near_tws").outputMode("append").start()
+    try {
+      fl.addData(ev(1L, 0)); fr.addData(ev(100L, 120))
+      qf.processAllAvailable()
+      assert(spark.table("asof_fwd_tws").count() == 0L, "pending until wm proves finality")
+      fr.addData(ev(101L, 60))
+      qf.processAllAvailable()
+      assert(spark.table("asof_fwd_tws").count() == 0L)
+      fr.addData(ev(102L, 1200))
+      qf.processAllAvailable()
+      val gotF = spark.table("asof_fwd_tws")
+        .select($"event_id", $"asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotF == Map(1L -> 101L), s"forward TWS: $gotF")
+      assert(qf.lastProgress.stateOperators
+        .exists(_.operatorName.toLowerCase.contains("transformwithstate")))
+
+      nr.addData(ev(100L, 0))
+      qn.processAllAvailable()
+      nl.addData(ev(1L, 400))
+      qn.processAllAvailable()
+      nl.addData(ev(2L, 500))
+      qn.processAllAvailable()
+      assert(spark.table("asof_near_tws").count() == 0L)
+      nr.addData(ev(102L, 2000))
+      qn.processAllAvailable()
+      val gotN = spark.table("asof_near_tws")
+        .select($"event_id", $"asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotN == Map(1L -> 100L, 2L -> 100L), s"nearest TWS: $gotN")
+    } finally {
+      qf.stop(); qn.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("stream-stream interval join equals the batch range join on bounded input") {
