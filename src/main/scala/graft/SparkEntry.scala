@@ -4697,6 +4697,60 @@ object SparkEntry {
       |    WHEN 6 THEN 'exact_dedup' WHEN 7 THEN 'near_dup' END AS drop_stage
       |FROM documents ORDER BY id""".stripMargin
 
+  /** Closed-form gate for the FULL standing-store lifecycle
+    * ([[graft.streaming.StreamingDedup.compactSignatureStore]]):
+    * epoch-0 corpus (`% 10 = 3` roles) → increment 1 deduped against
+    * it (`% 10 = 6` near-dups doc_id−3 → drops; `% 10 = 7` fresh →
+    * keeps) → survivors folded into epoch 1 (increments + old epoch
+    * pruned) → increment 2 deduped against the FOLDED store
+    * (`% 10 = 8` near-dups doc_id−1, a FOLDED survivor — only
+    * detectable if the compaction actually carried it — → drops;
+    * `% 10 = 9` fresh → keeps). Every verdict is fixed by the doc's
+    * role, so a fold/prune/registration regression anywhere in the
+    * lifecycle hash-fails.
+    */
+  private def q144SigstoreLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val r = col("doc_id") % 10
+    val corpus = docs.where(r === 3)
+      .select(col("doc_id"), q122Content(col("doc_id"), 27).as("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q144").toString
+    val incDir = java.nio.file.Files.createTempDirectory("graft_q144_inc").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text"),
+      s"$root/epoch0", "q144_e0", numBuckets = 8)
+    val e0 = Dedup.readSignatures(s, s"$root/epoch0", "q144_e0")
+    val inc1 = docs.where(r === 6 || r === 7).select(
+      col("doc_id"),
+      when(r === 6, concat(q122Content(col("doc_id") - 3, 27), lit(" graftinc")))
+        .otherwise(q122Content(col("doc_id"), 27)).as("text"))
+    val kept1 = Dedup
+      .nearDupNewDocs(inc1, "doc_id", "text", e0, threshold = 0.8)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    graft.streaming.StreamingDedup
+      .signatureIncrementSink(incDir, "doc_id", "text")(kept1, 0L)
+    val e1 = graft.streaming.StreamingDedup
+      .compactSignatureStore(s, root, "q144", srcEpoch = 0, incDir = incDir, keepEpochs = 1)
+    val inc2 = docs.where(r === 8 || r === 9).select(
+      col("doc_id"),
+      when(r === 8, concat(q122Content(col("doc_id") - 1, 27), lit(" graftinc2")))
+        .otherwise(q122Content(col("doc_id"), 27)).as("text"))
+    val kept2 = Dedup.nearDupNewDocs(inc2, "doc_id", "text", e1, threshold = 0.8)
+    val keptIds = kept1.select(col("doc_id"))
+      .unionByName(kept2.select(col("doc_id")))
+      .withColumn("k", lit(true))
+    inc1.select(col("doc_id")).unionByName(inc2.select(col("doc_id")))
+      .join(keptIds, Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"), coalesce(col("k"), lit(false)).as("kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q144Oracle =
+    """SELECT doc_id AS id, (doc_id % 10 IN (7, 9)) AS kept
+      |FROM documents WHERE doc_id % 10 IN (6, 7, 8, 9) ORDER BY id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4900,6 +4954,7 @@ object SparkEntry {
     "q141_drop_reasons" -> (q141DropReasons _),
     "q142_prepare_funnel" -> (q142PrepareFunnel _),
     "q143_prepare_drop_reasons" -> (q143PrepareDropReasons _),
+    "q144_sigstore_lifecycle" -> (q144SigstoreLifecycle _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5033,5 +5088,6 @@ object SparkEntry {
     "q141_drop_reasons" -> q141Oracle,
     "q142_prepare_funnel" -> q142Oracle,
     "q143_prepare_drop_reasons" -> q143Oracle,
+    "q144_sigstore_lifecycle" -> q144Oracle,
   )
 }

@@ -344,6 +344,53 @@ object StreamingDedup {
     else spark.read.parquet(epochs: _*)
   }
 
+  /** ONE full compaction turn of the standing near-dup store — the
+    * batch half of the lambda loop, composed from the pieces a daily
+    * job otherwise hand-wires: fold all landed signature increments
+    * ([[readSignatureIncrements]]) into the source epoch's store
+    * ([[graft.operators.Dedup.mergeSignatures]] → a NEW
+    * `epoch<srcEpoch+1>` directory under `epochRoot`), then — only
+    * after the new epoch has round-tripped — delete the folded
+    * increments ([[pruneSignatureIncrements]]) and retire old epoch
+    * directories ([[graft.operators.Dedup.pruneSignatureEpochs]],
+    * keep-latest-`keepEpochs`). Store names are epoch-suffixed
+    * (`<baseName>_e<n>`), the registration convention the
+    * [[graft.operators.Dedup.readSignatures]] stale-name guard
+    * expects. With NO landed increments this is a no-op that returns
+    * the source store unchanged — writing a copy epoch would double
+    * storage for nothing. Returns the store every subsequent
+    * [[graft.operators.Dedup.nearDupNewDocs]] run should use.
+    *
+    * Increments must already be DEDUPED survivors (the
+    * [[signatureIncrementSink]] contract: the stream lands what
+    * nearDupNewDocs kept) — mergeSignatures enforces id-disjointness
+    * against the standing store, not near-dup-ness.
+    */
+  def compactSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      epochRoot: String,
+      baseName: String,
+      srcEpoch: Int,
+      incDir: String,
+      keepEpochs: Int = 2,
+      upToBatchId: Long = Long.MaxValue,
+  ): graft.operators.Dedup.SignatureStore = {
+    val inc = readSignatureIncrements(spark, incDir)
+    if (inc.isEmpty)
+      graft.operators.Dedup.readSignatures(
+        spark, s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch")
+    else {
+      val dst = graft.operators.Dedup.mergeSignatures(
+        spark,
+        s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch",
+        inc,
+        s"$epochRoot/epoch${srcEpoch + 1}", s"${baseName}_e${srcEpoch + 1}")
+      pruneSignatureIncrements(spark, incDir, upToBatchId)
+      graft.operators.Dedup.pruneSignatureEpochs(spark, epochRoot, keepEpochs)
+      dst
+    }
+  }
+
   /** Delete signature-increment epochs that a compaction has already
     * folded into the standing store: every `inc_<batchId>` under
     * `dir` with batchId ≤ `upToBatchId` is removed (Hadoop

@@ -1245,6 +1245,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compactSignatureStore: one daily turn folds increments, prunes increments + old epochs; empty turn is a no-op") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val base = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    def marked(i: Int) = base.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def fresh(id: Long) = (id, (0 until 30).map(k => s"u${id}x$k").mkString(" "))
+    val root = java.nio.file.Files.createTempDirectory("graft-csl-root").toString
+    val incDir = java.nio.file.Files.createTempDirectory("graft-csl-inc").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(
+        Seq((1L, marked(1)), (2L, marked(2))).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch0", "csl_e0")
+    // two stream microbatches of SURVIVORS land as increments (the
+    // sink closure evaluated on batch frames — its exact contract)
+    val sink = StreamingDedup.signatureIncrementSink(incDir, "doc_id", "text")
+    sink(Seq(fresh(11L)).toDF("doc_id", "text"), 0L)
+    sink(Seq(fresh(12L)).toDF("doc_id", "text"), 1L)
+    val e1 = StreamingDedup.compactSignatureStore(
+      spark, root, "csl", srcEpoch = 0, incDir = incDir, keepEpochs = 1)
+    assert(e1.grams.count() == 4L, "corpus(2) + two folded increments")
+    // folded increments deleted; only the new epoch dir survives
+    val incLeft = new java.io.File(incDir).listFiles().map(_.getName)
+      .count(_.startsWith("inc_"))
+    assert(incLeft == 0, s"increments must be pruned after the fold: $incLeft left")
+    val epochsLeft = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(epochsLeft == Set("epoch1"), s"epochs: $epochsLeft")
+    // tomorrow's increment dedups against the FOLDED corpus: a
+    // near-copy of increment survivor 12 must drop
+    val batch = Seq((20L, fresh(12L)._2 + " tail"), fresh(21L)).toDF("doc_id", "text")
+    val kept = Dedup.nearDupNewDocs(batch, "doc_id", "text", e1, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L), s"kept=$kept")
+    // a turn with NOTHING landed is a no-op: same store back, no
+    // copy epoch written, nothing pruned
+    val same = StreamingDedup.compactSignatureStore(
+      spark, root, "csl", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
+    assert(same.grams.count() == 4L)
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch1"))
+  }
+
   test("nearDupSuppress: in-stream victim removal via chained transformWithState, stream ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDedup
