@@ -635,6 +635,7 @@ object CorpusPipeline {
       window: Int = 512,
       stride: Int = 512,
       canonicalizeNfc: Boolean = false,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
     // optional NFC before any scoring/hashing — the webIngest option's
     // twin (default off: byte-stable output for existing callers)
@@ -650,7 +651,11 @@ object CorpusPipeline {
       .redactPii(filtered, textCol)
       .withColumn(textCol, col("redacted"))
       .drop("redacted", "pii_found")
-    val deduped = Dedup.cleanCorpus(redacted, idCol, textCol, jaccardThreshold, transitive)
+    // `materialize` threads to the dedup boundary like webIngest's —
+    // a ParquetDir run lands the corpus-sized survivor frame durably
+    // (`<dir>/dedup/`), the preemptible-executor restart point
+    val deduped = Dedup.cleanCorpus(redacted, idCol, textCol, jaccardThreshold, transitive,
+      materialize = stageMaterialize(materialize, "dedup"))
     TextAnalysis.chunkTokens(deduped, idCol, textCol, window, stride)
   }
 
@@ -674,24 +679,27 @@ object CorpusPipeline {
       langCol: Option[String] = None,
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.8,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
     val chunks = prepare(
       df, idCol, textCol, langs, langCol, minQuality, jaccardThreshold,
-      transitive = true, window = seqLen, stride = seqLen)
+      transitive = true, window = seqLen, stride = seqLen, materialize = materialize)
       .withColumn("chunk_id", concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
       .persist()
     val layout =
       Packing.shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
-    // localCheckpoint, not persist: corpus-sized frame handed to the
+    // boundary, not persist: corpus-sized frame handed to the
     // caller — no CacheManager entry to leak; layout is already
-    // checkpoint-backed (shuffleAndPack), chunks released here
-    val out = chunks
-      .join(
-        layout.select(
-          col("chunk_id"), col("pos"), col("start_offset"),
-          col("pack_first"), col("pack_last")),
-        "chunk_id")
-      .localCheckpoint(true)
+    // checkpoint-backed (shuffleAndPack), chunks released here. A
+    // ParquetDir run lands it durably under `<dir>/layout/`.
+    val out = Materialize(
+      chunks
+        .join(
+          layout.select(
+            col("chunk_id"), col("pos"), col("start_offset"),
+            col("pack_first"), col("pack_last")),
+          "chunk_id"),
+      stageMaterialize(materialize, "layout"))
     chunks.unpersist(blocking = false)
     out
   }

@@ -418,6 +418,22 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(durable == rowsOf(graft.operators.Materialize.LocalCheckpoint))
   }
 
+  test("prepareSequences: ParquetDir materialize lands the dedup + layout boundaries and matches LocalCheckpoint") {
+    val docs = (1L to 12L).map { i =>
+      (i, prose + s" unique marker token alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("prepseq").toString
+    def rowsOf(m: graft.operators.Materialize) = CorpusPipeline
+      .prepareSequences(docs, "doc_id", "text", seqLen = 16, shuffleSalt = "e1",
+        jaccardThreshold = 0.99, materialize = m)
+      .select("chunk_id", "pos", "n_chunk_tokens")
+      .collect().map(_.toSeq).toSet
+    val durable = rowsOf(graft.operators.Materialize.ParquetDir(dir))
+    for (stage <- Seq("dedup", "layout"))
+      assert(new java.io.File(s"$dir/$stage").isDirectory, s"missing stage dir $stage")
+    assert(durable == rowsOf(graft.operators.Materialize.LocalCheckpoint))
+  }
+
   test("ccnet: per-language LMs — adding a second language never changes the first's scores") {
     // english corpus slice + a french block with distinct bigram stats;
     // with per-language LMs the english scores are identical whether or
