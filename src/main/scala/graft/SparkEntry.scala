@@ -3610,19 +3610,31 @@ object SparkEntry {
     * landed file boundary — the [[graft.operators.Materialize
     * .ParquetDir]] production shape — survives any cache clearing.
     */
-  private val gateBoundaryCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, DataFrame)]]
+  private val gateBoundaryCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (SparkSession, Seq[(String, DataFrame)])]
 
+  /** Entries are bound to the SparkSession that built them: a cached
+    * DataFrame from a STOPPED session would fail every action, so a
+    * lookup from a different session recomputes (same-JVM
+    * session-restart shape). Staleness caveat: the cache assumes the
+    * sf dir's tables are immutable for the JVM's lifetime — true for
+    * the driver's testdata; a caller that regenerates a dir in-place
+    * must use a fresh dir name (or JVM).
+    */
   private def cachedBoundaries(s: SparkSession, dir: String, key: String)(
       f: => Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
-    gateBoundaryCache.getOrElseUpdate((dir, key), {
-      val root = java.nio.file.Files.createTempDirectory(s"graft_gate_$key")
-      f.zipWithIndex.map { case ((name, frame), ix) =>
-        val p = s"$root/${ix}_$name"
-        frame.write.mode("overwrite").parquet(p)
-        (name, s.read.parquet(p))
-      }
-    })
+    gateBoundaryCache.get((dir, key)) match {
+      case Some((sess, b)) if sess eq s => b
+      case _ =>
+        val root = java.nio.file.Files.createTempDirectory(s"graft_gate_$key")
+        val b = f.zipWithIndex.map { case ((name, frame), ix) =>
+          val p = s"$root/${ix}_$name"
+          frame.write.mode("overwrite").parquet(p)
+          (name, s.read.parquet(p))
+        }
+        gateBoundaryCache((dir, key)) = (s, b)
+        b
+    }
 
   /** The q122 planted corpus' staged-ingest boundaries (langs=en,
     * maxPerHost=80, subdomain blocklist — the q122/q136/q141 config),
@@ -4630,14 +4642,6 @@ object SparkEntry {
     load(s, dir, "documents").select(col("doc_id"), text.as("text"))
   }
 
-  /** Closed-form gate for [[graft.operators.CorpusPipeline
-    * .prepareFunnel]] — prepare()'s per-stage attrition report over
-    * the [[q142PlantedTexts]] corpus: each stage's docs_dropped is a
-    * role count and tokens_out a linear form over role counts
-    * (normal/role-6 docs are 54 whitespace tokens, role-7 55, the
-    * quality role 4, digits 60), so BOTH the attribution and the
-    * surviving token arithmetic are pinned per stage.
-    */
   /** The prepare-corpus staged boundaries (langs=en, defaults —
     * the q142/q143 config), computed once per sf dir.
     */
@@ -4647,6 +4651,14 @@ object SparkEntry {
         q142PlantedTexts(s, dir), "doc_id", "text", langs = Seq("en"))
     }
 
+  /** Closed-form gate for [[graft.operators.CorpusPipeline
+    * .prepareFunnel]] — prepare()'s per-stage attrition report over
+    * the [[q142PlantedTexts]] corpus: each stage's docs_dropped is a
+    * role count and tokens_out a linear form over role counts
+    * (normal/role-6 docs are 54 whitespace tokens, role-7 55, the
+    * quality role 4, digits 60), so BOTH the attribution and the
+    * surviving token arithmetic are pinned per stage.
+    */
   private def q142PrepareFunnel(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusPipeline
       .funnelFromBoundaries(s, load(s, dir, "documents").count(),

@@ -442,12 +442,22 @@ object Dedup {
     * epoch-suffixed table names) become dead pointers; DROP them if
     * the metastore is persistent. Returns the number of epoch
     * directories deleted.
+    *
+    * `upTo` bounds which epochs are CANDIDATES at all: only indices
+    * ≤ `upTo` are counted and deleted. A caller that knows its
+    * current epoch index must pass it — a stale HIGHER-numbered dir
+    * left by an aborted run would otherwise count as "latest" and
+    * the live epoch would be deleted out from under the store
+    * ([[graft.streaming.StreamingDedup.compactSignatureStore]]
+    * passes the epoch it just wrote). Stale higher dirs are left in
+    * place (garbage, but never worth a live store).
     */
   def pruneSignatureEpochs(
       spark: org.apache.spark.sql.SparkSession,
       rootDir: String,
       keepLatest: Int,
       prefix: String = "epoch",
+      upTo: Long = Long.MaxValue,
   ): Int = {
     require(keepLatest >= 1,
       "pruneSignatureEpochs: keepLatest must be >= 1 — deleting every epoch would " +
@@ -463,6 +473,7 @@ object Dedup {
           val nm = st.getPath.getName
           if (!nm.startsWith(prefix)) None
           else scala.util.Try(nm.stripPrefix(prefix).toLong).toOption
+            .filter(_ <= upTo)
             .map(n => (n, st.getPath))
         }
         .sortBy(_._1)

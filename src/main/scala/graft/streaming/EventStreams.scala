@@ -261,6 +261,13 @@ object EventStreams {
     * window order here, which makes this face deterministic where
     * [[dedupStream]]'s batch path leaves equal-timestamp ties to plan
     * order. Output carries a `content_fp` column like [[dedupStream]].
+    *
+    * State retention mirrors `dropDuplicatesWithinWatermark`: a
+    * fingerprint lives for the WATERMARK DELAY past its first
+    * occurrence (derived from `watermarkDelay`; pass `horizonMs` > 0
+    * to choose a different dedup horizon). This keeps the TWS face's
+    * keep/drop verdicts aligned with [[dedupStream]]'s — a duplicate
+    * arriving after the horizon is re-admitted by BOTH faces.
     * Streaming requires the RocksDB state store provider; keep the
     * `dropDuplicatesWithinWatermark` face for older state stores.
     */
@@ -270,7 +277,7 @@ object EventStreams {
       tsCol: String,
       textCol: String,
       watermarkDelay: String = "10 minutes",
-      horizonMs: Long = 3600L * 1000L,
+      horizonMs: Long = -1L,
   ): DataFrame = {
     val withFp = docs.withColumn(
       "content_fp",
@@ -292,12 +299,13 @@ object EventStreams {
       val idIdx = withFp.schema.fieldIndex(idCol)
       val rowEnc = org.apache.spark.sql.Encoders.row(
         org.apache.spark.sql.types.StructType(withFp.schema.fields))
+      val hMs = if (horizonMs > 0L) horizonMs else StreamingDedup.delayToMs(watermarkDelay)
       StreamingDedup
         .ensureWatermark(withFp, tsCol, watermarkDelay)
         .groupByKey((r: Row) => java.lang.Long.toHexString(r.getLong(fpIdx)))(
           org.apache.spark.sql.Encoders.STRING)
         .transformWithState(
-          new StreamingWebIngest.BudgetProcessor(1L, horizonMs, tsIdx, idIdx),
+          new StreamingWebIngest.BudgetProcessor(1L, hMs, tsIdx, idIdx),
           tsCol, org.apache.spark.sql.streaming.OutputMode.Append())(rowEnc)
     }
   }
@@ -455,12 +463,15 @@ object EventStreams {
 
   /** [[asofBackwardStream]] under `transformWithState` — the same
     * one-row-per-key backward as-of join, but CHAINABLE: the operator
-    * re-declares `ts` as its output event-time column, so the
-    * enriched stream can feed FURTHER stateful operators (windowed
-    * aggregations, dedup, another as-of) in the same query — the plan
-    * the fMGWS face cannot participate in. Keep [[asofBackwardStream]]
-    * for state stores without `transformWithState`; streaming here
-    * requires the RocksDB provider.
+    * re-declares `emit_ts` (see [[AsofHitEmit]] — max(left ts,
+    * watermark+1), since a late left's hit emits after its own event
+    * time has passed the watermark) as its output event-time column,
+    * so the enriched stream can feed FURTHER stateful operators
+    * (windowed aggregations, dedup, another as-of) in the same
+    * query — the plan the fMGWS face cannot participate in. Keep
+    * [[asofBackwardStream]] for state stores without
+    * `transformWithState`; streaming here requires the RocksDB
+    * provider.
     */
   def asofBackwardStreamTws(
       left: Dataset[Event],

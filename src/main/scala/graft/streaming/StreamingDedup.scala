@@ -316,22 +316,38 @@ object StreamingDedup {
     * of the periodic [[graft.operators.Dedup.mergeSignatures]]
     * compaction. Empty (schema-correct) when no epoch has landed.
     */
-  def readSignatureIncrements(
+  /** The landed `inc_<batchId>` increment directories under `dir`,
+    * as (batchId, path) sorted by batchId — the listing
+    * [[readSignatureIncrements]] reads and, crucially, the SNAPSHOT
+    * [[compactSignatureStore]] folds-then-prunes, so a fold can
+    * never delete an increment it did not read.
+    */
+  private[streaming] def listSignatureIncrements(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-  ): DataFrame = {
+  ): Seq[(Long, String)] = {
     // Hadoop FileSystem, NOT java.io.File: the sink writes through
     // Spark, so epochs land on whatever filesystem `dir` names
     // (HDFS/S3/local) — a local-only listing would silently return
     // empty there and the compaction would fold in nothing
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochs =
-      if (!fs.exists(path)) Array.empty[String]
-      else
-        fs.listStatus(path)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("inc_"))
-          .map(_.getPath.toString)
+    if (!fs.exists(path)) Seq.empty
+    else
+      fs.listStatus(path)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("inc_"))
+        .flatMap(st =>
+          scala.util.Try(st.getPath.getName.stripPrefix("inc_").toLong).toOption
+            .map(_ -> st.getPath.toString))
+        .sortBy(_._1)
+        .toSeq
+  }
+
+  def readSignatureIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+  ): DataFrame = {
+    val epochs = listSignatureIncrements(spark, dir).map(_._2)
     if (epochs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
@@ -365,6 +381,15 @@ object StreamingDedup {
     * [[signatureIncrementSink]] contract: the stream lands what
     * nearDupNewDocs kept) — mergeSignatures enforces id-disjointness
     * against the standing store, not near-dup-ness.
+    *
+    * Safe under a LIVE stream: the increment listing is snapshotted
+    * once, only the listed epochs are folded, and the prune is
+    * capped at the highest LISTED batchId (further capped by
+    * `upToBatchId` if the caller passes one) — an increment the
+    * stream lands mid-fold is left for the next turn, never deleted
+    * unfolded. Epoch retirement is likewise capped at the epoch just
+    * written, so a stale higher-numbered dir from an aborted run can
+    * never cause the live epoch's deletion.
     */
   def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -375,19 +400,31 @@ object StreamingDedup {
       keepEpochs: Int = 2,
       upToBatchId: Long = Long.MaxValue,
   ): graft.operators.Dedup.SignatureStore = {
-    val inc = readSignatureIncrements(spark, incDir)
-    if (inc.isEmpty)
+    val listed = listSignatureIncrements(spark, incDir)
+    if (listed.isEmpty)
       graft.operators.Dedup.readSignatures(
         spark, s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch")
     else {
-      val dst = graft.operators.Dedup.mergeSignatures(
-        spark,
-        s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch",
-        inc,
-        s"$epochRoot/epoch${srcEpoch + 1}", s"${baseName}_e${srcEpoch + 1}")
-      pruneSignatureIncrements(spark, incDir, upToBatchId)
-      graft.operators.Dedup.pruneSignatureEpochs(spark, epochRoot, keepEpochs)
-      dst
+      val pruneCap = math.min(upToBatchId, listed.map(_._1).max)
+      val inc = spark.read.parquet(listed.map(_._2): _*)
+      if (inc.isEmpty) {
+        // listed epochs exist but hold zero rows (batches with no
+        // survivors): nothing to fold — drop the empties, keep the
+        // store as-is (a copy epoch would double storage for nothing)
+        pruneSignatureIncrements(spark, incDir, pruneCap)
+        graft.operators.Dedup.readSignatures(
+          spark, s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch")
+      } else {
+        val dst = graft.operators.Dedup.mergeSignatures(
+          spark,
+          s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch",
+          inc,
+          s"$epochRoot/epoch${srcEpoch + 1}", s"${baseName}_e${srcEpoch + 1}")
+        pruneSignatureIncrements(spark, incDir, pruneCap)
+        graft.operators.Dedup.pruneSignatureEpochs(
+          spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
+        dst
+      }
     }
   }
 
@@ -434,6 +471,20 @@ object StreamingDedup {
       tv: TimerValues): Unit = {
     handle.listTimers().toList.foreach(t => handle.deleteTimer(t.asInstanceOf[Long]))
     handle.registerTimer(math.max(lastMs + horizonMs, tv.getCurrentWatermarkInMs + 1))
+  }
+
+  /** A watermark-delay string ("10 minutes", "1 hour") as
+    * milliseconds — the same grammar `withWatermark` accepts, so an
+    * operator can size its state-retention horizon FROM its delay
+    * (the `dropDuplicatesWithinWatermark` coupling). Month/year
+    * units are rejected: they have no fixed millisecond width.
+    */
+  private[streaming] def delayToMs(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0,
+      s"watermark delay '$delay' must not use month/year units")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** `withWatermark` unless the column is already an event-time

@@ -311,16 +311,22 @@ object StreamingWebIngest {
       n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(
         key: String, rows: Iterator[Row], tv: TimerValues): Iterator[Row] = {
-      var c = if (n.exists()) n.get() else 0L
-      var lastMs = 0L
-      val out = rows.toSeq
+      val existed = n.exists()
+      var c = if (existed) n.get() else 0L
+      val sorted = rows.toSeq
         .sortBy(r => (r.getTimestamp(tsIdx).getTime, r.getLong(idIdx)))
-        .filter { r =>
-          lastMs = math.max(lastMs, r.getTimestamp(tsIdx).getTime)
-          if (c < max) { c += 1; true } else false
-        }
+      val out = sorted.filter { _ =>
+        if (c < max) { c += 1; true } else false
+      }
       n.update(c)
-      if (horizonMs > 0L) StreamingDedup.resetTimer(getHandle, lastMs, horizonMs, tv)
+      // GC timer armed from the FIRST occurrence only —
+      // dropDuplicatesWithinWatermark's retention rule ("duplicates
+      // within the delay of the first event"): re-arming on every
+      // duplicate would slide the window and suppress arrivals the
+      // built-in (and the fMGWS face) would re-admit
+      if (horizonMs > 0L && !existed && sorted.nonEmpty)
+        StreamingDedup.resetTimer(
+          getHandle, sorted.head.getTimestamp(tsIdx).getTime, horizonMs, tv)
       out.iterator
     }
     override def handleExpiredTimer(

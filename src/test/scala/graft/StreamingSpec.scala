@@ -1285,6 +1285,64 @@ class StreamingSpec extends SparkTestBase {
       spark, root, "csl", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
     assert(same.grams.count() == 4L)
     assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch1"))
+    // a stale HIGHER-numbered dir from an aborted run must never cause
+    // the live epoch's deletion: the prune is capped at the epoch the
+    // turn just wrote, so epoch99 is ignored (left as garbage) and the
+    // fresh epoch2 survives and serves
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "epoch99"))
+    sink(Seq(fresh(13L)).toDF("doc_id", "text"), 2L)
+    val e2 = StreamingDedup.compactSignatureStore(
+      spark, root, "csl", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
+    assert(e2.grams.count() == 5L)
+    val afterStale = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(afterStale == Set("epoch2", "epoch99"), s"dirs: $afterStale")
+    val kept2 = Dedup.nearDupNewDocs(
+      Seq((30L, fresh(13L)._2 + " tail"), fresh(31L)).toDF("doc_id", "text"),
+      "doc_id", "text", e2, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(31L), s"kept2=$kept2")
+  }
+
+  test("dedupStreamTws: retention follows the watermark delay — a duplicate past the horizon is re-admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    val text = "the quick brown fox jumps over the lazy dog tonight again"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def row(id: Long, sec: Long, t: String) = (id, new java.sql.Timestamp(t0 + sec * 1000), t)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = EventStreams
+      .dedupStreamTws(in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_tws_horizon").outputMode("append").start()
+    try {
+      // first occurrence kept; an in-horizon duplicate dropped
+      in.addData(row(1L, 0, text), row(2L, 1, text))
+      q.processAllAvailable()
+      // advance the watermark far past first-seen + delay (0s + 10s) —
+      // one batch to move the watermark, one more so the fingerprint's
+      // GC timer has fired before the re-arrival's batch
+      in.addData(row(9L, 100, "completely different filler content here"))
+      q.processAllAvailable()
+      in.addData(row(8L, 101, "yet more unrelated filler content rows"))
+      q.processAllAvailable()
+      // the same text arriving after the horizon is RE-ADMITTED —
+      // dropDuplicatesWithinWatermark's retention rule, which the TWS
+      // face must mirror (state must not slide out from duplicates)
+      in.addData(row(3L, 95, text))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_tws_horizon").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 9L, 8L, 3L), s"ids=$ids")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("nearDupSuppress: in-stream victim removal via chained transformWithState, stream ≡ batch") {
