@@ -332,6 +332,42 @@ object Dedup {
     * metadata lives in the catalog, not the files, so this is what
     * restores the no-exchange join property after a restart.
     */
+  /** Default ports for the schemes whose URIs commonly appear both
+    * with and without one (the [[readSignatures]] location guard
+    * normalizes them away). Not exhaustive — an unlisted scheme just
+    * compares its authority verbatim.
+    */
+  private val defaultFsPorts: Map[String, Int] =
+    Map("hdfs" -> 8020, "webhdfs" -> 9870, "ftp" -> 21)
+
+  /** The [[readSignatures]] stale-registration guard's canonical
+    * spelling of a store location: qualified (schemeful paths as-is —
+    * qualifying would instantiate a live FS client for a cluster we
+    * may only be COMPARING against; scheme-less via the session
+    * conf's default FS), scheme and authority lower-cased (DNS
+    * hostnames compare case-insensitively), the scheme's default
+    * port stripped ([[defaultFsPorts]] — `hdfs://nn:8020/x` and
+    * `hdfs://nn/x` name the same filesystem), trailing slash
+    * dropped. Two locations are "the same store" iff their
+    * normalized spellings are equal.
+    */
+  private[graft] def normalizeStoreLocation(
+      p: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): String = {
+    val q =
+      if (p.toUri.getScheme != null) p
+      else p.getFileSystem(hadoopConf).makeQualified(p)
+    val u = q.toUri
+    val scheme = Option(u.getScheme).map(_.toLowerCase).getOrElse("")
+    val auth = Option(u.getAuthority).getOrElse("").toLowerCase
+    val authNorm = defaultFsPorts.get(scheme) match {
+      case Some(dp) if auth.endsWith(s":$dp") =>
+        auth.dropRight(dp.toString.length + 1)
+      case _ => auth
+    }
+    s"$scheme://$authNorm${u.getPath.stripSuffix("/")}"
+  }
+
   def readSignatures(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -356,17 +392,8 @@ object Dedup {
         // restart-on-cluster path this guard protects would crash
         // with FileSystemNotFoundException instead of validating.
         val hadoopConf = spark.sparkContext.hadoopConfiguration
-        def qualified(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
-          // a schemeful path is already qualified (catalog locations
-          // always are) — resolving it would instantiate a live FS
-          // client for a cluster we may only be comparing against
-          if (p.toUri.getScheme != null) p
-          else p.getFileSystem(hadoopConf).makeQualified(p)
-        def norm(p: org.apache.hadoop.fs.Path): String = {
-          val u = qualified(p).toUri
-          val auth = Option(u.getAuthority).getOrElse("")
-          s"${u.getScheme}://$auth${u.getPath.stripSuffix("/")}"
-        }
+        def norm(p: org.apache.hadoop.fs.Path): String =
+          normalizeStoreLocation(p, hadoopConf)
         val registered = new org.apache.hadoop.fs.Path(
           spark.sql(s"DESCRIBE FORMATTED $table")
             .where(col("col_name") === "Location")
@@ -438,10 +465,13 @@ object Dedup {
     * it works wherever the store lives. Call AFTER the newest epoch's
     * [[readSignatures]] round-trips — a daily-epoch store otherwise
     * grows without bound, one full corpus-signature copy per
-    * compaction. Catalog registrations for pruned epochs (their
-    * epoch-suffixed table names) become dead pointers; DROP them if
-    * the metastore is persistent. Returns the number of epoch
-    * directories deleted.
+    * compaction. Returns the SORTED epoch indices whose directories
+    * were deleted, so the caller can retire their catalog
+    * registrations in the same turn —
+    * [[graft.streaming.StreamingDedup.compactSignatureStore]] does
+    * exactly that (DROP `<base>_e<n>_banded`/`_grams`); a direct
+    * caller on a persistent metastore should do the same, or each
+    * retired epoch strands two dead table pointers.
     *
     * `upTo` bounds which epochs are CANDIDATES at all: only indices
     * ≤ `upTo` are counted and deleted. A caller that knows its
@@ -458,13 +488,13 @@ object Dedup {
       keepLatest: Int,
       prefix: String = "epoch",
       upTo: Long = Long.MaxValue,
-  ): Int = {
+  ): Seq[Long] = {
     require(keepLatest >= 1,
       "pruneSignatureEpochs: keepLatest must be >= 1 — deleting every epoch would " +
         "drop the standing corpus the next increment dedups against")
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) 0
+    if (!fs.exists(root)) Seq.empty
     else {
       val epochs = fs
         .listStatus(root)
@@ -479,7 +509,7 @@ object Dedup {
         .sortBy(_._1)
       val victims = epochs.dropRight(keepLatest)
       victims.foreach { case (_, p) => fs.delete(p, true) }
-      victims.length
+      victims.map(_._1).toSeq
     }
   }
 

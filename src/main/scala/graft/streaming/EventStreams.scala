@@ -300,6 +300,15 @@ object EventStreams {
       val rowEnc = org.apache.spark.sql.Encoders.row(
         org.apache.spark.sql.types.StructType(withFp.schema.fields))
       val hMs = if (horizonMs > 0L) horizonMs else StreamingDedup.delayToMs(watermarkDelay)
+      // a zero/negative horizon would never arm the GC timer
+      // (BudgetProcessor's `horizonMs > 0` gate) — fingerprint state
+      // would grow unboundedly and duplicates be suppressed FOREVER,
+      // silently diverging from dropDuplicatesWithinWatermark's
+      // immediate eviction at delay 0. Fail loudly instead.
+      require(hMs > 0L,
+        s"dedupStreamTws: dedup horizon must be positive, got ${hMs}ms " +
+          s"(watermarkDelay='$watermarkDelay', horizonMs=$horizonMs) — " +
+          "a 0-delay watermark needs an explicit horizonMs > 0")
       StreamingDedup
         .ensureWatermark(withFp, tsCol, watermarkDelay)
         .groupByKey((r: Row) => java.lang.Long.toHexString(r.getLong(fpIdx)))(
@@ -408,6 +417,17 @@ object EventStreams {
     * for downstream stateful operators (you can only window a hit at
     * the moment it could first exist). `ts` stays on the row as data.
     * On bounded frames `emit_ts = ts` (no watermark, nothing late).
+    *
+    * CONSEQUENCE for chained windowed aggregates: a watermark-clamped
+    * hit's `emit_ts` is stamped with the RESOLVING batch's watermark,
+    * so its downstream window membership depends on microbatch
+    * boundaries — the same input split across different triggers can
+    * land late-left hits in different windows. This is inherent to
+    * the emitted-rows-at-or-after-watermark contract, not a bug; for
+    * replay-deterministic offline re-aggregation, group on the
+    * carried `ts` (batch mode, where `emit_ts = ts`), and treat
+    * `emit_ts`-windowed streaming rollups as at-resolution-time
+    * views.
     */
   final case class AsofHitEmit(
       event_id: Long, user_id: Long, ts: Timestamp, value: Double,

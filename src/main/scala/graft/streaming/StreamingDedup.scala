@@ -321,6 +321,20 @@ object StreamingDedup {
     * [[readSignatureIncrements]] reads and, crucially, the SNAPSHOT
     * [[compactSignatureStore]] folds-then-prunes, so a fold can
     * never delete an increment it did not read.
+    *
+    * "Landed" means JOB-COMMITTED: only directories carrying the
+    * committer's `_SUCCESS` marker count. The sink creates the
+    * `inc_<batchId>` dir at write START but its parquet files appear
+    * only at commit — without the marker gate, a compaction turn
+    * racing a live microbatch would list the in-flight dir, fold
+    * nothing from it, and then prune it (its batchId raises the
+    * prune cap), losing that batch's signatures the moment the
+    * sink's commit succeeds. An uncommitted dir is simply invisible
+    * until the next turn. Requires the committer's success markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs`, on by
+    * default) — a deployment that disables them makes every
+    * increment invisible to the compaction, which would then no-op
+    * forever rather than lose data.
     */
   private[streaming] def listSignatureIncrements(
       spark: org.apache.spark.sql.SparkSession,
@@ -336,6 +350,8 @@ object StreamingDedup {
     else
       fs.listStatus(path)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("inc_"))
+        .filter(st =>
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
         .flatMap(st =>
           scala.util.Try(st.getPath.getName.stripPrefix("inc_").toLong).toOption
             .map(_ -> st.getPath.toString))
@@ -369,7 +385,13 @@ object StreamingDedup {
     * after the new epoch has round-tripped — delete the folded
     * increments ([[pruneSignatureIncrements]]) and retire old epoch
     * directories ([[graft.operators.Dedup.pruneSignatureEpochs]],
-    * keep-latest-`keepEpochs`). Store names are epoch-suffixed
+    * keep-latest-`keepEpochs`) ALONG WITH their catalog
+    * registrations (`DROP TABLE IF EXISTS <base>_e<n>_banded` /
+    * `_grams` for each pruned epoch — a persistent metastore
+    * otherwise strands two dead pointers per turn, and the
+    * [[graft.operators.Dedup.readSignatures]] stale-name guard
+    * would block any later reuse of the name). Store names are
+    * epoch-suffixed
     * (`<baseName>_e<n>`), the registration convention the
     * [[graft.operators.Dedup.readSignatures]] stale-name guard
     * expects. With NO landed increments this is a no-op that returns
@@ -421,8 +443,17 @@ object StreamingDedup {
           inc,
           s"$epochRoot/epoch${srcEpoch + 1}", s"${baseName}_e${srcEpoch + 1}")
         pruneSignatureIncrements(spark, incDir, pruneCap)
-        graft.operators.Dedup.pruneSignatureEpochs(
+        val retired = graft.operators.Dedup.pruneSignatureEpochs(
           spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
+        // retire the pruned epochs' catalog registrations in the SAME
+        // turn — on a persistent metastore a dead `<base>_e<n>` pair
+        // per compaction would otherwise accumulate forever (a daily
+        // job leaves ~700 dead tables a year), and the readSignatures
+        // stale-name guard would fail any later reuse of the name
+        retired.foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_banded")
+          spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_grams")
+        }
         dst
       }
     }

@@ -378,6 +378,11 @@ object StreamingWebIngest {
       horizonMs: Long = 3600L * 1000L,
   ): DataFrame = {
     require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    // horizonMs == 0 would never arm the exact stage's GC timer (the
+    // BudgetProcessor gate) — unbounded fingerprint state, duplicates
+    // suppressed forever; fail loudly like dedupStreamTws
+    require(horizonMs > 0L,
+      s"inlineDedupAndCap: dedup horizon must be positive, got ${horizonMs}ms")
     if (!docs.isStreaming) {
       val exactW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__fp"))

@@ -721,10 +721,29 @@ class DedupSpec extends SparkTestBase {
       val e = intercept[IllegalArgumentException] {
         Dedup.readSignatures(spark, dir, "sigguard_hdfs")
       }
+      // the guard's message quotes the NORMALIZED location (default
+      // hdfs port stripped — see the equivalence test below)
       assert(e.getMessage.contains("already registered") &&
-        e.getMessage.contains("hdfs://localhost:8020"), e.getMessage)
+        e.getMessage.contains("hdfs://localhost/warehouse/sig"), e.getMessage)
     } finally spark.sessionState.catalog
       .dropTable(ident, ignoreIfNotExists = true, purge = false)
+  }
+
+  test("signature store: location guard normalizes authority — host case and scheme default ports do not block a legitimate re-open") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def n(s: String) = Dedup.normalizeStoreLocation(new Path(s), conf)
+    // equivalent spellings of one hdfs location: with/without the
+    // default 8020 port, upper/lower host case, trailing slash
+    assert(n("hdfs://NN:8020/warehouse/sig") == n("hdfs://nn/warehouse/sig/"))
+    // a NON-default port is a real difference and must stay one
+    assert(n("hdfs://nn:9000/warehouse/sig") != n("hdfs://nn/warehouse/sig"))
+    // different hosts stay different
+    assert(n("hdfs://a/warehouse/sig") != n("hdfs://b/warehouse/sig"))
+    // unlisted schemes compare authorities verbatim apart from case
+    assert(n("s3a://Bucket/store") == n("s3a://bucket/store"))
+    // scheme-less qualifies via the session conf (local default FS)
+    assert(n("/tmp/graft-x") == n("file:/tmp/graft-x"))
   }
 
   test("signature store: pruneSignatureEpochs keeps the latest N epoch dirs, survivor still opens and serves") {
@@ -745,7 +764,9 @@ class DedupSpec extends SparkTestBase {
       s"$root/epoch2", "sigprune_e2")
     // a sibling dir that is not an epoch must be ignored, not deleted
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "increments"))
-    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1) == 2)
+    // returns the deleted epoch INDICES so callers can retire the
+    // matching catalog registrations in the same turn
+    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1) == Seq(0L, 1L))
     val left = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(left == Set("epoch2", "increments"), s"left=$left")
     // the surviving epoch still opens from a FRESH catalog and serves
@@ -758,8 +779,8 @@ class DedupSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(21L), s"kept=$kept")
     // idempotent + guarded: nothing more to prune, keepLatest >= 1
-    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1) == 0)
-    assert(Dedup.pruneSignatureEpochs(spark, s"$root/nope", keepLatest = 1) == 0)
+    assert(Dedup.pruneSignatureEpochs(spark, root, keepLatest = 1).isEmpty)
+    assert(Dedup.pruneSignatureEpochs(spark, s"$root/nope", keepLatest = 1).isEmpty)
     val eKeep = intercept[IllegalArgumentException] {
       Dedup.pruneSignatureEpochs(spark, root, keepLatest = 0)
     }

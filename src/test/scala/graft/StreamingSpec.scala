@@ -1273,29 +1273,46 @@ class StreamingSpec extends SparkTestBase {
     assert(incLeft == 0, s"increments must be pruned after the fold: $incLeft left")
     val epochsLeft = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(epochsLeft == Set("epoch1"), s"epochs: $epochsLeft")
+    // the retired epoch's catalog registrations are DROPPED in the
+    // same turn — the catalog lists ONLY live epochs' tables
+    def cslTables() = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("csl_e")).toSet
+    assert(cslTables() == Set("csl_e1_banded", "csl_e1_grams"),
+      s"catalog after turn 1: ${cslTables()}")
     // tomorrow's increment dedups against the FOLDED corpus: a
     // near-copy of increment survivor 12 must drop
     val batch = Seq((20L, fresh(12L)._2 + " tail"), fresh(21L)).toDF("doc_id", "text")
     val kept = Dedup.nearDupNewDocs(batch, "doc_id", "text", e1, threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(21L), s"kept=$kept")
+    // an IN-FLIGHT increment dir (created by the sink, not yet
+    // job-committed — no _SUCCESS marker) must be invisible: the turn
+    // neither folds it (it has no data yet) nor prunes it (its
+    // batchId must not raise the prune cap past uncommitted work)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(incDir, "inc_5"))
     // a turn with NOTHING landed is a no-op: same store back, no
     // copy epoch written, nothing pruned
     val same = StreamingDedup.compactSignatureStore(
       spark, root, "csl", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
     assert(same.grams.count() == 4L)
     assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch1"))
+    assert(new java.io.File(incDir, "inc_5").isDirectory,
+      "uncommitted increment must survive the turn untouched")
     // a stale HIGHER-numbered dir from an aborted run must never cause
     // the live epoch's deletion: the prune is capped at the epoch the
     // turn just wrote, so epoch99 is ignored (left as garbage) and the
     // fresh epoch2 survives and serves
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "epoch99"))
-    sink(Seq(fresh(13L)).toDF("doc_id", "text"), 2L)
+    // the sink COMMITS the previously in-flight batch (Overwrite lands
+    // parquet + _SUCCESS into the same inc_5 dir) — now it folds
+    sink(Seq(fresh(13L)).toDF("doc_id", "text"), 5L)
     val e2 = StreamingDedup.compactSignatureStore(
       spark, root, "csl", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
     assert(e2.grams.count() == 5L)
     val afterStale = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(afterStale == Set("epoch2", "epoch99"), s"dirs: $afterStale")
+    assert(cslTables() == Set("csl_e2_banded", "csl_e2_grams"),
+      s"catalog after turn 2: ${cslTables()}")
     val kept2 = Dedup.nearDupNewDocs(
       Seq((30L, fresh(13L)._2 + " tail"), fresh(31L)).toDF("doc_id", "text"),
       "doc_id", "text", e2, threshold = 0.5)
