@@ -4763,6 +4763,49 @@ object SparkEntry {
     """SELECT doc_id AS id, (doc_id % 10 IN (7, 9)) AS kept
       |FROM documents WHERE doc_id % 10 IN (6, 7, 8, 9) ORDER BY id""".stripMargin
 
+  /** The chainable TWS sessionizer
+    * ([[graft.streaming.EventStreams.sessionizeStreamTws]]) in the
+    * CHAINED shape the port exists for — sessionize → per-session
+    * rollup in one plan (two stateful operators when streaming; the
+    * StreamingSpec pins stream ≡ batch across triggers). Batch face
+    * here: the shared `sessionizeStep` must reproduce q12's exact
+    * lag/cumsum assignment semantics, which the oracle replays.
+    */
+  private def q145SessionizeTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = load(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[graft.streaming.EventStreams.Event]
+    graft.streaming.EventStreams
+      .sessionizeStreamTws(events, gapSeconds = 1800L)
+      .toDF()
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val q145Oracle =
+    """WITH assigned AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |      CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |             OR epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM assigned GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -4967,6 +5010,7 @@ object SparkEntry {
     "q142_prepare_funnel" -> (q142PrepareFunnel _),
     "q143_prepare_drop_reasons" -> (q143PrepareDropReasons _),
     "q144_sigstore_lifecycle" -> (q144SigstoreLifecycle _),
+    "q145_sessionize_tws" -> (q145SessionizeTws _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5101,5 +5145,6 @@ object SparkEntry {
     "q142_prepare_funnel" -> q142Oracle,
     "q143_prepare_drop_reasons" -> q143Oracle,
     "q144_sigstore_lifecycle" -> q144Oracle,
+    "q145_sessionize_tws" -> q145Oracle,
   )
 }

@@ -173,6 +173,117 @@ object EventStreams {
       )
   }
 
+  /** [[SessionAssignment]] plus the event's `ts` and `emit_ts` — the
+    * event-time column [[sessionizeStreamTws]] re-declares, with the
+    * same contract as [[AsofHitEmit]]: `emit_ts = max(ts,
+    * watermark + 1 ms)` on streams (an assignment is emitted the
+    * moment it is computed, which for a late event is after its own
+    * event time passed the watermark), `emit_ts = ts` on bounded
+    * frames. The same trigger-cadence caveat applies: downstream
+    * `emit_ts`-windowed aggregates over watermark-clamped rows
+    * depend on microbatch boundaries; group on the carried `ts` for
+    * replay-deterministic offline re-aggregation.
+    */
+  final case class SessionAssignmentEmit(
+      event_id: Long, user_id: Long, ts: Timestamp, session_seq: Long,
+      emit_ts: Timestamp)
+
+  /** The EXACT per-user sessionization step every face shares
+    * (batch, fMGWS, TWS — extracting it is what keeps the faces from
+    * drifting, the as-of family's recipe): fold this trigger's rows
+    * in (ts, event_id) order through the (session ordinal, lastSeen)
+    * state, opening a new session when the gap exceeds `gapMs`.
+    * Returns the advanced state (unchanged if `rows` was empty) and
+    * the per-event assignments stamped with
+    * `emit_ts = max(ts, wmMs + 1)`.
+    */
+  private def sessionizeStep(
+      userId: Long,
+      rows: Iterator[Event],
+      init: SessionState,
+      gapMs: Long,
+      wmMs: Long): (SessionState, Seq[SessionAssignmentEmit]) = {
+    var s = init
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val ms = e.ts.getTime
+      s =
+        if (s.lastMs == Long.MinValue || ms - s.lastMs > gapMs)
+          SessionState(s.sessionSeq + 1, ms, 1L)
+        else SessionState(s.sessionSeq, ms, s.count + 1)
+      SessionAssignmentEmit(e.event_id, userId, e.ts, s.sessionSeq,
+        new Timestamp(math.max(ms, wmMs + 1)))
+    }
+    (s, out)
+  }
+
+  /** [[sessionizeStep]] hosted in a `StatefulProcessor` — the
+    * [[sessionizeStreamEventTime]] semantics (same step; idle state
+    * expires when the WATERMARK passes lastSeen + gap, clamped just
+    * past the current watermark) under `transformWithState`.
+    */
+  private final class SessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionAssignmentEmit] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], tv: TimerValues): Iterator[SessionAssignmentEmit] = {
+      val init = if (st.exists()) st.get() else SessionState(0L, Long.MinValue, 0L)
+      val (s, out) = sessionizeStep(
+        userId, rows, init, gapMs, tv.getCurrentWatermarkInMs)
+      if (s.lastMs != Long.MinValue) {
+        st.update(s)
+        StreamingDedup.resetTimer(getHandle, s.lastMs, gapMs, tv)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionAssignmentEmit] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[sessionizeStreamEventTime]] under `transformWithState` — the
+    * same per-user session assignment and watermark-driven idle-state
+    * expiry (state expires once the watermark passes lastSeen + gap,
+    * so session ordinals restart at 1 for a user who returns after
+    * expiry — the fMGWS face's documented behavior, mirrored), but
+    * CHAINABLE: the stage re-declares `emit_ts` (see
+    * [[SessionAssignmentEmit]]) as its output event-time column, so
+    * session analytics can feed FURTHER stateful operators (windowed
+    * rollups, dedup, as-of enrichment) in the same query — the plan
+    * the fMGWS faces cannot participate in. All three faces run the
+    * shared [[sessionizeStep]], so their assignments cannot drift.
+    * Bounded frames evaluate the step per user directly (no state,
+    * `emit_ts = ts`). Streaming requires the RocksDB state store
+    * provider; keep [[sessionizeStreamEventTime]] for older stores.
+    */
+  def sessionizeStreamTws(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour",
+  ): Dataset[SessionAssignmentEmit] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    if (!events.isStreaming)
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroups { (userId: Long, rows: Iterator[Event]) =>
+          sessionizeStep(userId, rows,
+            SessionState(0L, Long.MinValue, 0L), gapMs, Long.MinValue)._2.iterator
+        }
+    else
+      StreamingDedup
+        .ensureWatermark(events.toDF(), "ts", watermarkDelay)
+        .as[Event]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new SessionizeProcessor(gapMs), "emit_ts", OutputMode.Append())
+  }
+
   /** Event-time sessionization: watermark-driven session WINDOWS via
     * `session_window` — Spark's native gap-based session aggregation.
     * Emits one row per closed session (user, start, end, event count,

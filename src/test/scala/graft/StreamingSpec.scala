@@ -260,6 +260,81 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("sessionizeStreamTws: stream equals batch + fMGWS across triggers, and chains a downstream windowed aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, user: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), user, "view", id.toDouble)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // user 1: two events inside one 30-min gap, a third past it (new
+    // session); user 2: one event — split across two triggers
+    val fixture = Seq(ev(1L, 0, 1L), ev(2L, 10, 1L), ev(4L, 5, 2L), ev(3L, 2000, 1L))
+    val in = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams
+      .sessionizeStreamTws(in.toDS(), gapSeconds = 1800L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_tws_raw").outputMode("append").start()
+    // the chainability the port buys: sessionize → windowed event
+    // count, two stateful operators in ONE query — an unsupported
+    // plan under flatMapGroupsWithState
+    val in2 = MemoryStream[EventStreams.Event](spark)
+    val q2 = EventStreams
+      .sessionizeStreamTws(in2.toDS(), gapSeconds = 1800L, watermarkDelay = "10 seconds")
+      .toDF()
+      .groupBy(window($"emit_ts", "1 minute"))
+      .count()
+      .writeStream.format("memory").queryName("sess_tws_agg").outputMode("append").start()
+    try {
+      in.addData(fixture(0), fixture(1), fixture(2))
+      q.processAllAvailable()
+      in.addData(fixture(3))
+      q.processAllAvailable()
+      val got = spark.table("sess_tws_raw")
+        .select($"event_id", $"user_id", $"session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = Set((1L, 1L, 1L), (2L, 1L, 1L), (4L, 2L, 1L), (3L, 1L, 2L))
+      assert(got == expected, s"tws stream assignments: $got")
+      // all three faces agree on the bounded fixture (shared step)
+      val batchTws = EventStreams.sessionizeStreamTws(fixture.toDS(), 1800L)
+        .collect().map(a => (a.event_id, a.user_id, a.session_seq)).toSet
+      assert(batchTws == expected, s"tws batch face: $batchTws")
+      val fmgws = EventStreams.sessionizeStream(fixture.toDS(), 1800L, expireState = false)
+        .collect().map(a => (a.event_id, a.user_id, a.session_seq)).toSet
+      assert(fmgws == expected, s"fMGWS face: $fmgws")
+      assert(q.lastProgress.stateOperators
+        .exists(_.operatorName.toLowerCase.contains("transformwithstate")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+
+      in2.addData(fixture(0), fixture(1), fixture(2))
+      q2.processAllAvailable()
+      in2.addData(fixture(3))
+      q2.processAllAvailable()
+      // flush: a far-future event advances the watermark past both
+      // windows so the append-mode aggregation finalizes them
+      in2.addData(ev(9L, 7200, 1L))
+      q2.processAllAvailable()
+      val wins = spark.table("sess_tws_agg")
+        .select($"window.start", $"count")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime - t0) / 1000 -> r.getLong(1))
+        .toMap
+      // window 0-60s holds events 1,2,4; window 1980-2040s holds
+      // event 3; the flush event's own window stays open
+      assert(wins == Map(0L -> 3L, 1980L -> 1L), s"windows: $wins")
+      assert(q2.lastProgress.stateOperators.length == 2,
+        s"expected sessionize TWS + windowed agg chained: " +
+          q2.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally {
+      q.stop(); q2.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming forward as-of join equals batch asofForward with tolerance (bounded input)") {
     val tolSec = 3600L
     // fixture = events + one far-future flush view (beyond tolerance of
