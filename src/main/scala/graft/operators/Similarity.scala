@@ -277,9 +277,10 @@ object Similarity {
   }
 
   /** Shared bounded-heap reduction: (query_id, neighbor_id, cosine) →
-    * top-k per query with ranks.
+    * top-k per query with ranks. `private[graft]` so the perf probe
+    * can replay retired formulations against it like-for-like.
     */
-  private def topKReduce(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKReduce(scored: DataFrame, k: Int): DataFrame = {
     // Per-partition bounded-heap pre-reduction BEFORE the UDAF:
     // ObjectHashAggregate falls back to sort-based aggregation past
     // 128 distinct groups (spark.sql.objectHashAggregate.sortBased.
@@ -1395,12 +1396,24 @@ object Similarity {
 
   /** IVF-pruned Hamming search — the composed scale path of the
     * binary row (the analogue of [[ivfPqTopK]] for sign codes): the
-    * centroid equi-join restricts the Hamming scan to `nprobe/nlist`
-    * of the corpus, the scan itself touches only the 1-bit codes
-    * (1/32 of the float bytes — combined read is
+    * centroid assignment restricts the Hamming scan to
+    * `nprobe/nlist` of the corpus, the scan itself touches only the
+    * 1-bit codes (1/32 of the float bytes — combined read is
     * `(nprobe/nlist)·(1/32)` of a flat float scan), and the exact
-    * re-rank fetches floats for shortlist members only. Same
-    * broadcast/heap/comparator machinery as every other ANN face.
+    * re-rank fetches floats for shortlist members only.
+    *
+    * Candidate generation runs the [[hammingTopK]] kernel shape (and
+    * for the same measured reason — the earlier broadcast-join
+    * formulation materialized a boxed (query, corpus-row) tuple per
+    * probed pair and fed topKReduce's typed heap with all of them;
+    * the young-gen churn made flat scans swing 7–140 s at 44M
+    * pairs): each partition streams its packed codes once through
+    * primitive per-query bounded heaps, with the cell membership
+    * replacing the equi-join — a corpus row is scored ONLY against
+    * the queries probing its cell (a broadcast cell → query-index
+    * table), so the pair population is exactly the join
+    * formulation's and results stay bit-identical while only
+    * ≤ partitions × Q × k·refine candidates ever materialize.
     */
   def ivfHammingTopK(
       corpus: DataFrame,
@@ -1412,26 +1425,71 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 4,
   ): DataFrame = {
-    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCentroids = spark.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
-    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcCentroids.value, v, nprobe))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      Quantize.signPack(col(vecCol)).as("ccode"),
-      assignUdf(col(vecCol)).as("cell"))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      Quantize.signPack(col(vecCol)).as("qcode"),
-      explode(probeUdf(col(vecCol))).as("cell"))
-    val shortlist = topKReduce(
-      c.join(broadcast(q), "cell")
-        .where(col("neighbor_id") =!= col("query_id"))
-        .select(
-          col("query_id"),
-          col("neighbor_id"),
-          (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
-      k * refine,
-    ).select(col("query_id"), col("neighbor_id"))
+    val qRows = queries
+      .select(col(idCol).cast("long"), Quantize.signPack(col(vecCol)))
+      .collect()
+    val qCodes: Array[(Long, Array[Long])] =
+      qRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // probed-cell membership computed driver-side off the broadcast
+    // centroids (queries are the bounded side, same as every ANN
+    // face's collect); inverted to cell → probing-query indices so
+    // the executor loop touches only a cell's probers
+    val qVecs = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qProbes: Map[Long, Seq[Int]] =
+      qVecs.map { case (qid, v) => qid -> IvfModel.nearestK(model.centroids, v, nprobe) }.toMap
+    val byCell: Map[Int, Array[Int]] = qCodes.zipWithIndex
+      .flatMap { case ((qid, _), qi) => qProbes(qid).map(_ -> qi) }
+      .groupBy(_._1)
+      .map { case (cell, xs) => cell -> xs.map(_._2).sorted }
+    val bcCodes = spark.sparkContext.broadcast(qCodes)
+    val bcByCell = spark.sparkContext.broadcast(byCell)
+    val kk = k * refine
+    val partialCands = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        Quantize.signPack(col(vecCol)).as("code"),
+        assignUdf(col(vecCol)).as("cell"))
+      .as[(Long, Array[Long], Int)]
+      .mapPartitions { it =>
+        val qs = bcCodes.value
+        val cells = bcByCell.value
+        val nq = qs.length
+        val heaps = Array.fill(nq)(Array.empty[(Double, Long)])
+        val floors = Array.fill(nq)(Double.NegativeInfinity)
+        val full = new Array[Boolean](nq)
+        val none = Array.empty[Int]
+        it.foreach { case (nid, code, cell) =>
+          val probers = cells.getOrElse(cell, none)
+          var pi = 0
+          while (pi < probers.length) {
+            val qi = probers(pi)
+            val (qid, qc) = qs(qi)
+            if (qid != nid) {
+              var acc = 0L
+              var j = 0
+              val n = math.min(code.length, qc.length)
+              while (j < n) { acc += java.lang.Long.bitCount(code(j) ^ qc(j)); j += 1 }
+              val s = -acc.toDouble
+              val f = floors(qi)
+              if (!full(qi) || s > f || (s == f && nid < heaps(qi)(0)._2)) {
+                val h = heapInsert(heaps(qi), (s, nid), kk)
+                heaps(qi) = h
+                if (h.length == kk) { full(qi) = true; floors(qi) = h(0)._1 }
+              }
+            }
+            pi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (buf, qi) =>
+          buf.iterator.map { case (s, n) => (qs(qi)._1, n, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val shortlist = topKReduce(partialCands, kk).select(col("query_id"), col("neighbor_id"))
     rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
   }
 }

@@ -227,6 +227,71 @@ object Probe {
       return
     }
 
+    if (names.contains("ivfhamming")) {
+      // Verdict-r12 #3: the kernel port vs the retired broadcast-join
+      // formulation, at 1x and 10x docs — the join replica lives HERE
+      // (probe-only) so the library keeps a single measured-fastest
+      // face. Same pair population, same shortlist; timings compare.
+      import graft.operators.{Quantize, Similarity}
+      val base = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val maxId = base.agg(max("vec_id")).head().getLong(0) + 1
+      def corpusAt(mult: Int) =
+        (0 until mult).map(i => base.select(
+          (col("vec_id") + lit(i * maxId)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+          .localCheckpoint(true)
+      val queries = base.orderBy("vec_id").limit(1000).localCheckpoint(true)
+      // the retired formulation END-TO-END: broadcast-join candidate
+      // generation + the same exact-cosine re-rank tail, so the two
+      // timings cover identical work
+      def joinFace(corpus: org.apache.spark.sql.DataFrame,
+                   model: Similarity.IvfModel, k: Int, nprobe: Int, refine: Int) = {
+        val bcM = spark.sparkContext.broadcast(model)
+        val assignU = udf((v: Seq[Float]) => bcM.value.nearestCentroid(v))
+        val probeU = udf((v: Seq[Float]) => bcM.value.nearestCentroids(v, nprobe))
+        val c = corpus.select(col("vec_id").as("neighbor_id"),
+          Quantize.signPack(col("embedding")).as("ccode"), assignU(col("embedding")).as("cell"))
+        val q = queries.select(col("vec_id").as("query_id"),
+          Quantize.signPack(col("embedding")).as("qcode"),
+          explode(probeU(col("embedding"))).as("cell"))
+        // the retired face verbatim: join-generated candidates into
+        // the shared topKReduce heap, then the same exact re-rank
+        val shortlist = Similarity.topKReduce(
+          c.join(broadcast(q), "cell")
+            .where(col("neighbor_id") =!= col("query_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              (-Quantize.hammingDist(col("ccode"), col("qcode"))).cast("double").as("cosine")),
+          k * refine).select("query_id", "neighbor_id")
+        Similarity.topKReduce(
+          shortlist
+            .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec")),
+              "neighbor_id")
+            .join(broadcast(queries.select(col("vec_id").as("query_id"),
+              col("embedding").as("qvec"))), "query_id")
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine")),
+          k)
+      }
+      def runBoth(mult: Int, label: String): Unit = {
+        val corpus = corpusAt(mult)
+        println(s"[probe] === $label ${mult}x: corpus=" + corpus.count())
+        val model = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        timed(s"$label ${mult}x kernel ivfHammingTopK") {
+          println("[probe] kernel rows=" + Similarity
+            .ivfHammingTopK(corpus, queries, "vec_id", "embedding", k = 5, model,
+              nprobe = 4, refine = 8).count())
+        }
+        timed(s"$label ${mult}x join-formulation e2e") {
+          println("[probe] join rows=" + joinFace(corpus, model, 5, 4, 8).count())
+        }
+      }
+      runBoth(1, "warmup") // JIT + codegen warm both paths off-clock
+      Seq(1, 10, 50).foreach(m => runBoth(m, "measured"))
+      spark.stop()
+      return
+    }
+
     if (names.contains("q122_stages")) {
       import spark.implicits._
       val pages = graft.SparkEntry.q122PlantedPages(spark, sfDir)
