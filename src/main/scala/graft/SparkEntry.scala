@@ -3610,30 +3610,71 @@ object SparkEntry {
     * landed file boundary — the [[graft.operators.Materialize
     * .ParquetDir]] production shape — survives any cache clearing.
     */
-  private val gateBoundaryCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (SparkSession, Seq[(String, DataFrame)])]
+  private val gateBoundaryCache = scala.collection.mutable.HashMap
+    .empty[(String, String), (SparkSession, java.nio.file.Path, Seq[(String, DataFrame)])]
+
+  private def deleteDirTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  /** One JVM-exit hook for every live gate-cache dir — registered on
+    * first use, so a JVM that never touches a cached gate installs
+    * nothing. Stale entries are additionally evicted EAGERLY on
+    * session-restart replacement (see [[cachedBoundaries]]); this
+    * hook only covers the dirs still live at exit.
+    */
+  private lazy val gateCacheExitHook: Thread = {
+    val t = new Thread(() => gateBoundaryCache.synchronized {
+      gateBoundaryCache.values.foreach { case (_, root, _) => deleteDirTree(root) }
+      gateBoundaryCache.clear()
+    }, "graft-gate-cache-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
 
   /** Entries are bound to the SparkSession that built them: a cached
     * DataFrame from a STOPPED session would fail every action, so a
     * lookup from a different session recomputes (same-JVM
-    * session-restart shape). Staleness caveat: the cache assumes the
-    * sf dir's tables are immutable for the JVM's lifetime — true for
-    * the driver's testdata; a caller that regenerates a dir in-place
-    * must use a fresh dir name (or JVM).
+    * session-restart shape) and the superseded entry's parquet dir is
+    * deleted at replacement — exactly one live dir per (sf dir, key)
+    * at any time, plus a JVM-exit hook for whatever is live at exit.
+    * The whole lookup-or-compute holds one coarse lock, which also
+    * closes the check-then-act race (two concurrent gates would both
+    * run the chain and orphan one temp dir); gates run sequentially
+    * under the bench, so the coarseness costs nothing. Staleness
+    * caveat: the cache assumes the sf dir's tables are immutable for
+    * the JVM's lifetime — true for the driver's testdata; a caller
+    * that regenerates a dir in-place must use a fresh dir name (or
+    * JVM).
     */
-  private def cachedBoundaries(s: SparkSession, dir: String, key: String)(
+  private[graft] def cachedBoundaries(s: SparkSession, dir: String, key: String)(
       f: => Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =
-    gateBoundaryCache.get((dir, key)) match {
-      case Some((sess, b)) if sess eq s => b
-      case _ =>
-        val root = java.nio.file.Files.createTempDirectory(s"graft_gate_$key")
-        val b = f.zipWithIndex.map { case ((name, frame), ix) =>
-          val p = s"$root/${ix}_$name"
-          frame.write.mode("overwrite").parquet(p)
-          (name, s.read.parquet(p))
-        }
-        gateBoundaryCache((dir, key)) = (s, b)
-        b
+    gateBoundaryCache.synchronized {
+      gateBoundaryCache.get((dir, key)) match {
+        case Some((sess, _, b)) if sess eq s => b
+        case stale =>
+          stale.foreach { case (_, oldRoot, _) => deleteDirTree(oldRoot) }
+          gateCacheExitHook // force registration before the first dir exists
+          val root = java.nio.file.Files.createTempDirectory(s"graft_gate_$key")
+          val b = f.zipWithIndex.map { case ((name, frame), ix) =>
+            val p = s"$root/${ix}_$name"
+            frame.write.mode("overwrite").parquet(p)
+            (name, s.read.parquet(p))
+          }
+          gateBoundaryCache((dir, key)) = (s, root, b)
+          b
+      }
+    }
+
+  /** Test hook: the live gate-cache parquet roots. */
+  private[graft] def gateCacheLiveDirs: Seq[String] =
+    gateBoundaryCache.synchronized {
+      gateBoundaryCache.values.map(_._2.toString).toSeq
     }
 
   /** The q122 planted corpus' staged-ingest boundaries (langs=en,
@@ -4789,6 +4830,65 @@ object SparkEntry {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Fluent planted sentences for the languages whose Gopher
+    * stopword profiles were added BEYOND the lang-id six + ru
+    * (round-13 data entry: nl/pl/sv/tr/id/da). Each is ≥8 lowercase
+    * unpunctuated words with ≥2 profile stopwords and mean word
+    * length inside the Gopher band, so 8 repetitions clear every
+    * word-level rule.
+    */
+  private val plantedGopherExtSentences: Seq[(String, String)] = Seq(
+    "nl" -> "de kinderen spelen samen in het park vandaag",
+    "pl" -> "dzieci bawią się razem w parku przez cały dzień",
+    "sv" -> "barnen leker tillsammans i parken och solen skiner",
+    "tr" -> "çocuklar parkta bir oyun oynuyor ve çok gülüyorlar",
+    "id" -> "anak itu bermain dengan teman di taman yang indah",
+    "da" -> "børnene leger sammen i parken og solen skinner",
+  )
+
+  /** q103's contract extended to the newly-profiled languages: each
+    * planted doc appears FLUENT (its sentence repeated past the
+    * 50-word floor — must be scoped and pass) and as symbol-soup
+    * GARBAGE at doc_id+4000000 (must be scoped and FAIL). Before
+    * these profiles landed, every one of these languages was
+    * unscoped — garbage passed through to the LM path unfiltered.
+    */
+  private def q146GopherExtPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").where(col("doc_id") % 25 === 0)
+    val idx = (col("doc_id") / 25).cast("long") % 6
+    val lang = plantedGopherExtSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((l, _), i)) => when(idx === i, lit(l)).otherwise(acc)
+    }
+    val fluent = plantedGopherExtSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, sentence), i)) =>
+        when(idx === i, lit(Seq.fill(8)(sentence).mkString(" "))).otherwise(acc)
+    }
+    val garbageText = Seq.fill(60)("### 12345 …").mkString(" ")
+    val planted = docs
+      .select(col("doc_id"), lang.as("lang"), fluent.as("text"))
+      .unionByName(docs.select(
+        (col("doc_id") + lit(4000000L)).as("doc_id"),
+        lang.as("lang"),
+        lit(garbageText).as("text")))
+    graft.operators.QualityFilters
+      .withGopherFlagsByLang(planted, "text", "lang")
+      .select(col("doc_id"), col("lang"), col("gopher_scoped"), col("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val q146Oracle = {
+    val langCase = plantedGopherExtSentences.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, CASE (doc_id // 25) % 6 $langCase END AS lang
+       |  FROM documents WHERE doc_id % 25 = 0)
+       |SELECT doc_id, lang, true AS gopher_scoped, true AS pass FROM p
+       |UNION ALL
+       |SELECT doc_id + 4000000 AS doc_id, lang, true AS gopher_scoped,
+       |  false AS pass FROM p
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val q145Oracle =
     """WITH assigned AS (
       |  SELECT user_id, ts,
@@ -5011,6 +5111,7 @@ object SparkEntry {
     "q143_prepare_drop_reasons" -> (q143PrepareDropReasons _),
     "q144_sigstore_lifecycle" -> (q144SigstoreLifecycle _),
     "q145_sessionize_tws" -> (q145SessionizeTws _),
+    "q146_gopher_ext_planted" -> (q146GopherExtPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5146,5 +5247,6 @@ object SparkEntry {
     "q143_prepare_drop_reasons" -> q143Oracle,
     "q144_sigstore_lifecycle" -> q144Oracle,
     "q145_sessionize_tws" -> q145Oracle,
+    "q146_gopher_ext_planted" -> q146Oracle,
   )
 }

@@ -140,9 +140,11 @@ object QualityFilters {
   // --------------------------------------- language-conditioned bundle
 
   /** Languages the word-level Gopher rules are APPLICABLE to: spaced
-    * scripts with a frequent-word profile. Latin profiles reuse the
+    * scripts with a frequent-word profile. The first six reuse the
     * lang-id stopword sets ([[TextAnalysis.stopwordProfiles]], sorted
-    * for determinism) plus a Russian list; all use the Unicode
+    * for determinism); ru/nl/pl/sv/tr/id/da are hand-entered
+    * frequent-word lists (Gopher scoping needs only the language
+    * label the caller carries, not lang-id support); all use the Unicode
     * alpha-word test (the ASCII test zeroes alpha counts on Cyrillic
     * and strips accents' evidence). Thresholds stay the published
     * ones — they were tuned on English but transfer reasonably to
@@ -151,9 +153,34 @@ object QualityFilters {
     * are passed through, not filtered.
     */
   private[graft] val langStopwordProfiles: Map[String, Array[String]] =
-    TextAnalysis.stopwordProfiles.map { case (l, s) => l -> s.toArray.sorted } +
-      ("ru" -> Array("и", "в", "не", "на", "я", "что", "он", "как", "мы", "это",
-        "вы", "с", "по", "но", "они", "она", "за", "к", "у", "от"))
+    TextAnalysis.stopwordProfiles.map { case (l, s) => l -> s.toArray.sorted } ++ Map(
+      // Profiles BEYOND the lang-id set live here, NOT in
+      // TextAnalysis.stopwordProfiles: adding a language there would
+      // shift langIdUdf's best-profile vote and silently re-predict
+      // existing corpora (q15/q95/q102/q104 are byte-stable against
+      // that). Gopher scoping only needs the label a caller already
+      // carries (CLD-style upstream ID, or langIdUdf for its six).
+      "ru" -> Array("и", "в", "не", "на", "я", "что", "он", "как", "мы", "это",
+        "вы", "с", "по", "но", "они", "она", "за", "к", "у", "от"),
+      "nl" -> Array("de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+        "in", "is", "niet", "op", "aan", "met", "als", "voor", "er", "maar",
+        "om", "hij", "zijn", "dan", "ook", "naar"),
+      "pl" -> Array("i", "w", "nie", "na", "się", "z", "do", "to", "że",
+        "jest", "jak", "po", "co", "tak", "ale", "o", "za", "od", "przez",
+        "przy", "dla", "czy", "tym", "być", "który"),
+      "sv" -> Array("och", "att", "det", "som", "en", "på", "är", "av", "för",
+        "med", "den", "till", "inte", "har", "de", "han", "hon", "men", "ett",
+        "om", "var", "sig", "jag", "vi", "i"),
+      "tr" -> Array("bir", "ve", "bu", "da", "de", "için", "ile", "o", "ne",
+        "gibi", "daha", "çok", "ama", "ben", "sen", "biz", "var", "yok",
+        "olarak", "kadar", "sonra", "her"),
+      "id" -> Array("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+        "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
+        "karena", "ada", "mereka", "kita", "atau"),
+      "da" -> Array("og", "i", "det", "at", "en", "den", "til", "er", "som",
+        "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "jeg",
+        "men", "et", "hun", "om", "hvad"))
+      .map { case (l, s) => l -> s.sorted }
 
   /** [[withGopherFlags]] conditioned on a language column: documents
     * whose language has a word-rule profile get the full bundle with

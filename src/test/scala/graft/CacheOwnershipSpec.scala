@@ -52,4 +52,30 @@ class CacheOwnershipSpec extends SparkTestBase {
     assertUnpinned("semanticDedup",
       Similarity.semanticDedup(df, "vec_id", "embedding", nlist = 4, eps = 0.99))
   }
+
+  test("gate boundary cache: same-session hit, restart evicts the superseded parquet dir — exactly one live dir per key") {
+    def liveMine = SparkEntry.gateCacheLiveDirs.filter(_.contains("graft_gate_cachespec"))
+    var runs = 0
+    def chain(s: org.apache.spark.sql.SparkSession) = {
+      runs += 1
+      Seq("x" -> s.range(3).toDF("id"))
+    }
+    val r1 = SparkEntry.cachedBoundaries(spark, "spec://gatecache", "cachespec")(chain(spark))
+    assert(r1.head._2.count() == 3L && runs == 1)
+    val dirs1 = liveMine
+    assert(dirs1.size == 1, s"one live dir expected: $dirs1")
+    // same session: cache hit — no recompute, no new dir
+    SparkEntry.cachedBoundaries(spark, "spec://gatecache", "cachespec")(chain(spark))
+    assert(runs == 1 && liveMine == dirs1)
+    // same-JVM session restart: recompute against the NEW session and
+    // DELETE the superseded entry's parquet dir at replacement
+    val s2 = spark.newSession()
+    val r2 = SparkEntry.cachedBoundaries(s2, "spec://gatecache", "cachespec")(chain(s2))
+    assert(r2.head._2.count() == 3L && runs == 2)
+    val dirs2 = liveMine
+    assert(dirs2.size == 1 && dirs2 != dirs1,
+      s"exactly one live dir after restart: was=$dirs1 now=$dirs2")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirs1.head)),
+      s"superseded dir must be deleted: ${dirs1.head}")
+  }
 }
