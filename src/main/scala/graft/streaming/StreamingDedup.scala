@@ -395,9 +395,30 @@ object StreamingDedup {
     * (`<baseName>_e<n>`), the registration convention the
     * [[graft.operators.Dedup.readSignatures]] stale-name guard
     * expects. With NO landed increments this is a no-op that returns
-    * the source store unchanged — writing a copy epoch would double
+    * the live store unchanged — writing a copy epoch would double
     * storage for nothing. Returns the store every subsequent
     * [[graft.operators.Dedup.nearDupNewDocs]] run should use.
+    *
+    * CRASH RECOVERY: re-run the SAME turn (same `srcEpoch`). The
+    * epoch write is an Overwrite keyed by epoch index and the fold
+    * reads the same listed increments, so every crash window resumes
+    * correctly: before the fold → plain re-run; after the fold but
+    * before increment pruning → the increments are detected as
+    * already folded (id containment against the complete
+    * `epoch<srcEpoch+1>`) and only pruning + retirement run; after
+    * pruning but before retirement → the turn recognizes the
+    * complete next epoch, finishes retirement, and returns the LIVE
+    * store (never the stale `srcEpoch` one). A complete next epoch
+    * that does NOT contain the landed increments means the caller's
+    * `srcEpoch` is stale (the live store has moved on) — the turn
+    * fails actionably instead of clobbering the live epoch, and the
+    * advised re-run with the CURRENT epoch index always succeeds:
+    * the fold skips increment rows whose ids the source store
+    * already holds (an id names one doc and the sink lands its
+    * signature row once, so a store-held id IS that row, already
+    * folded by the crashed turn — without the skip, a live stream
+    * landing one new increment during a crash window would deadlock
+    * every subsequent turn on mergeSignatures' disjointness check).
     *
     * Increments must already be DEDUPED survivors (the
     * [[signatureIncrementSink]] contract: the stream lands what
@@ -422,39 +443,95 @@ object StreamingDedup {
       keepEpochs: Int = 2,
       upToBatchId: Long = Long.MaxValue,
   ): graft.operators.Dedup.SignatureStore = {
+    val srcPath = s"$epochRoot/epoch$srcEpoch"
+    val srcName = s"${baseName}_e$srcEpoch"
+    val nextPath = s"$epochRoot/epoch${srcEpoch + 1}"
+    val nextName = s"${baseName}_e${srcEpoch + 1}"
+    // meta is the LAST file writeSignatures lands, so its presence
+    // means epoch srcEpoch+1 round-tripped in some earlier turn —
+    // either this turn is a crash-recovery re-run or the caller's
+    // srcEpoch is stale; both cases are distinguished below, and
+    // neither may be answered with the srcEpoch store (resurrecting
+    // it would let tomorrow's fold clobber the live epoch)
+    def nextEpochComplete: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // the retirement steps every turn ends with: prune epoch dirs
+    // (capped at the epoch just written/resumed) and DROP the pruned
+    // epochs' catalog registrations in the SAME turn — a persistent
+    // metastore otherwise strands a dead `<base>_e<n>` pair per day,
+    // and the readSignatures stale-name guard would fail any later
+    // reuse of the name
+    def finishTurn(dst: graft.operators.Dedup.SignatureStore)
+        : graft.operators.Dedup.SignatureStore = {
+      val retired = graft.operators.Dedup.pruneSignatureEpochs(
+        spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
+      retired.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_banded")
+        spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_grams")
+      }
+      dst
+    }
     val listed = listSignatureIncrements(spark, incDir)
-    if (listed.isEmpty)
-      graft.operators.Dedup.readSignatures(
-        spark, s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch")
-    else {
+    if (listed.isEmpty) {
+      if (nextEpochComplete)
+        // crash-recovery: fold + increment prune landed, the crash
+        // hit before epoch retirement — finish retirement, hand back
+        // the LIVE epoch
+        finishTurn(graft.operators.Dedup.readSignatures(spark, nextPath, nextName))
+      else
+        graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
+    } else {
       val pruneCap = math.min(upToBatchId, listed.map(_._1).max)
       val inc = spark.read.parquet(listed.map(_._2): _*)
       if (inc.isEmpty) {
         // listed epochs exist but hold zero rows (batches with no
         // survivors): nothing to fold — drop the empties, keep the
-        // store as-is (a copy epoch would double storage for nothing)
+        // live store as-is (a copy epoch would double storage for
+        // nothing); "live" is epoch srcEpoch+1 if a crashed turn
+        // already wrote it
         pruneSignatureIncrements(spark, incDir, pruneCap)
-        graft.operators.Dedup.readSignatures(
-          spark, s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch")
+        if (nextEpochComplete)
+          finishTurn(graft.operators.Dedup.readSignatures(spark, nextPath, nextName))
+        else
+          graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
+      } else if (nextEpochComplete) {
+        val dst = graft.operators.Dedup.readSignatures(spark, nextPath, nextName)
+        val unFolded = inc.select(org.apache.spark.sql.functions.col("id"))
+          .join(dst.grams.select(org.apache.spark.sql.functions.col("id")), "id", "left_anti")
+        require(unFolded.isEmpty,
+          s"compactSignatureStore: $nextPath already holds a complete epoch that " +
+            s"does NOT contain the landed increments — srcEpoch=$srcEpoch is stale " +
+            s"(the live store is epoch ${srcEpoch + 1} or later); re-run with the " +
+            "current epoch index, or the fold would clobber the live epoch")
+        // crash-recovery: the fold landed but the crash hit before
+        // increment pruning — the listed increments are exactly the
+        // folded ones, so skip the (idempotent) re-fold and finish
+        pruneSignatureIncrements(spark, incDir, pruneCap)
+        finishTurn(dst)
       } else {
-        val dst = graft.operators.Dedup.mergeSignatures(
-          spark,
-          s"$epochRoot/epoch$srcEpoch", s"${baseName}_e$srcEpoch",
-          inc,
-          s"$epochRoot/epoch${srcEpoch + 1}", s"${baseName}_e${srcEpoch + 1}")
-        pruneSignatureIncrements(spark, incDir, pruneCap)
-        val retired = graft.operators.Dedup.pruneSignatureEpochs(
-          spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
-        // retire the pruned epochs' catalog registrations in the SAME
-        // turn — on a persistent metastore a dead `<base>_e<n>` pair
-        // per compaction would otherwise accumulate forever (a daily
-        // job leaves ~700 dead tables a year), and the readSignatures
-        // stale-name guard would fail any later reuse of the name
-        retired.foreach { n =>
-          spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_banded")
-          spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_grams")
+        // idempotent fold: drop increment rows the source store
+        // already holds (re-listed increments a crashed turn folded
+        // into what is NOW the source epoch) — id-only anti-join,
+        // broadcast-sized increment side vs the bucketed grams id
+        // column, trivial next to the full-store rewrite it guards
+        val src = graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
+        val fresh = inc.join(
+          src.grams.select(org.apache.spark.sql.functions.col("id")),
+          Seq("id"), "left_anti")
+        if (fresh.isEmpty) {
+          // every listed increment is already in the source epoch
+          // (crash window: fold landed as srcEpoch, prune did not) —
+          // nothing to fold, no copy epoch; drop the increments
+          pruneSignatureIncrements(spark, incDir, pruneCap)
+          finishTurn(src)
+        } else {
+          val dst = graft.operators.Dedup.mergeSignatures(
+            spark, srcPath, srcName, fresh, nextPath, nextName)
+          pruneSignatureIncrements(spark, incDir, pruneCap)
+          finishTurn(dst)
         }
-        dst
       }
     }
   }

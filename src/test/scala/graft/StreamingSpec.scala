@@ -1395,6 +1395,79 @@ class StreamingSpec extends SparkTestBase {
     assert(kept2 == Set(31L), s"kept2=$kept2")
   }
 
+  test("compactSignatureStore: every crash window resumes to the live epoch; a stale srcEpoch cannot clobber it") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    def fresh(id: Long) = (id, (0 until 30).map(k => s"v${id}x$k").mkString(" "))
+    val root = java.nio.file.Files.createTempDirectory("graft-cslr-root").toString
+    val incDir = java.nio.file.Files.createTempDirectory("graft-cslr-inc").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(
+        Seq(fresh(1L), fresh(2L)).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch0", "cslr_e0")
+    val sink = StreamingDedup.signatureIncrementSink(incDir, "doc_id", "text")
+    sink(Seq(fresh(11L)).toDF("doc_id", "text"), 0L)
+    // CRASH WINDOW A — fold landed, increment prune did not: simulate
+    // by running the merge by hand and leaving inc_0 in place
+    Dedup.mergeSignatures(spark, s"$root/epoch0", "cslr_e0",
+      spark.read.parquet(s"$incDir/inc_0"), s"$root/epoch1", "cslr_e1")
+    val resumedA = StreamingDedup.compactSignatureStore(
+      spark, root, "cslr", srcEpoch = 0, incDir = incDir, keepEpochs = 1)
+    assert(resumedA.grams.count() == 3L, "resume must hand back the folded epoch 1")
+    assert(new java.io.File(incDir).listFiles().count(_.getName.startsWith("inc_")) == 0,
+      "resume must prune the already-folded increment")
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch1"),
+      "resume must finish epoch retirement")
+    // CRASH WINDOW B — fold + increment prune landed, retirement did
+    // not: re-create epoch0 artificially to stand for the unretired
+    // dir, then re-run the turn with NO increments listed
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(
+        Seq(fresh(1L), fresh(2L)).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch0", "cslr_e0")
+    val resumedB = StreamingDedup.compactSignatureStore(
+      spark, root, "cslr", srcEpoch = 0, incDir = incDir, keepEpochs = 1)
+    assert(resumedB.grams.count() == 3L,
+      "no-increment re-run with a complete next epoch must return the LIVE epoch 1, " +
+        "not resurrect epoch 0")
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch1"))
+    // STALE CALLER — the live store is epoch 1; a NEW increment lands
+    // and someone re-runs with srcEpoch = 0: the fold would clobber
+    // epoch 1, so the turn must refuse actionably
+    sink(Seq(fresh(12L)).toDF("doc_id", "text"), 1L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.compactSignatureStore(
+        spark, root, "cslr", srcEpoch = 0, incDir = incDir, keepEpochs = 1)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // and the CORRECT turn from the live epoch still folds normally
+    val e2 = StreamingDedup.compactSignatureStore(
+      spark, root, "cslr", srcEpoch = 1, incDir = incDir, keepEpochs = 1)
+    assert(e2.grams.count() == 4L)
+    // DEADLOCK SCENARIO — a crashed turn folded inc_2 into epoch 3,
+    // and inc_3 landed before the recovery re-run. srcEpoch=2 sees
+    // the complete epoch 3 missing inc_3's ids → stale error; the
+    // ADVISED re-run from the live epoch (3) must fold ONLY inc_3's
+    // rows (inc_2's are already in epoch 3) instead of deadlocking
+    // on mergeSignatures' id-disjointness check
+    sink(Seq(fresh(13L)).toDF("doc_id", "text"), 2L)
+    Dedup.mergeSignatures(spark, s"$root/epoch2", "cslr_e2",
+      spark.read.parquet(s"$incDir/inc_2"), s"$root/epoch3", "cslr_e3")
+    sink(Seq(fresh(14L)).toDF("doc_id", "text"), 3L)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingDedup.compactSignatureStore(
+        spark, root, "cslr", srcEpoch = 2, incDir = incDir, keepEpochs = 1)
+    }
+    assert(e3.getMessage.contains("stale"), e3.getMessage)
+    val live = StreamingDedup.compactSignatureStore(
+      spark, root, "cslr", srcEpoch = 3, incDir = incDir, keepEpochs = 1)
+    assert(live.grams.count() == 6L, "4 standing + doc 13 (crashed fold) + doc 14 (fresh)")
+    assert(live.grams.filter("id = 13").count() == 1L,
+      "the already-folded increment's doc must appear exactly once, not re-folded")
+    assert(new java.io.File(incDir).listFiles().count(_.getName.startsWith("inc_")) == 0)
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch4"))
+  }
+
   test("dedupStreamTws: retention follows the watermark delay — a duplicate past the horizon is re-admitted") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams
