@@ -65,9 +65,24 @@ object ScaleUp {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
       }
-    // events: read via the nanos-aware loader (Spark 4 rejects the raw
-    // TIMESTAMP(NANOS) schema), lands as plain micros timestamps
-    graft.sources.Tables.events(spark, src)
+    // events: replicated like documents so the event-time family
+    // (sessionize, as-of, windowed rollups) sweeps too — each replica
+    // shifts event_id AND user_id by k·10⁸, keeping ts: 10× the KEY
+    // population at the same per-user event density, which is what a
+    // bigger firehose looks like (more concurrent users, not one user
+    // 10× chattier — the latter would just grow per-key state). Read
+    // via the nanos-aware loader (Spark 4 rejects the raw
+    // TIMESTAMP(NANOS) schema), lands as plain micros timestamps.
+    val ev = graft.sources.Tables.events(spark, src)
+    (0 until reps)
+      .map { k =>
+        ev.select(
+          (col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 100000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
 
     println(s"[scaleup] wrote $dst at ${reps}x of $src")
