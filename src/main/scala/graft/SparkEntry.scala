@@ -3650,7 +3650,12 @@ object SparkEntry {
     * caveat: the cache assumes the sf dir's tables are immutable for
     * the JVM's lifetime — true for the driver's testdata; a caller
     * that regenerates a dir in-place must use a fresh dir name (or
-    * JVM).
+    * JVM). Eviction caveat: replacement DELETES the superseded
+    * entry's parquet dir, so frames returned to an earlier session
+    * must not be held across a session restart — the restart shape
+    * this cache serves (bench re-runs) re-fetches through
+    * cachedBoundaries after the restart, never through a stale
+    * handle.
     */
   private[graft] def cachedBoundaries(s: SparkSession, dir: String, key: String)(
       f: => Seq[(String, DataFrame)]): Seq[(String, DataFrame)] =

@@ -1429,19 +1429,21 @@ object Similarity {
     import spark.implicits._
     val bcCentroids = spark.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    // ONE collect for codes AND probed cells: two separate collects
+    // would execute the query plan twice and could disagree on a
+    // nondeterministic side (sample/limit), orphaning qProbes lookups
     val qRows = queries
-      .select(col(idCol).cast("long"), Quantize.signPack(col(vecCol)))
+      .select(col(idCol).cast("long"), col(vecCol), Quantize.signPack(col(vecCol)))
       .collect()
     val qCodes: Array[(Long, Array[Long])] =
-      qRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // probed-cell membership computed driver-side off the broadcast
+      qRows.map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    // probed-cell membership computed driver-side off the model's
     // centroids (queries are the bounded side, same as every ANN
     // face's collect); inverted to cell → probing-query indices so
     // the executor loop touches only a cell's probers
-    val qVecs = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val qProbes: Map[Long, Seq[Int]] =
-      qVecs.map { case (qid, v) => qid -> IvfModel.nearestK(model.centroids, v, nprobe) }.toMap
+      qRows.map(r => r.getLong(0) ->
+        IvfModel.nearestK(model.centroids, r.getSeq[Float](1), nprobe)).toMap
     val byCell: Map[Int, Array[Int]] = qCodes.zipWithIndex
       .flatMap { case ((qid, _), qi) => qProbes(qid).map(_ -> qi) }
       .groupBy(_._1)

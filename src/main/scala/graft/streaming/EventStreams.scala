@@ -112,18 +112,12 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-              val ms = e.ts.getTime
-              s =
-                if (s.lastMs == Long.MinValue || ms - s.lastMs > gapSeconds * 1000)
-                  SessionState(s.sessionSeq + 1, ms, 1L)
-                else SessionState(s.sessionSeq, ms, s.count + 1)
-              SessionAssignment(e.event_id, userId, s.sessionSeq)
-            }
+            val init = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val (s, out) =
+              sessionizeStep(userId, rows, init, gapSeconds * 1000, Long.MinValue)
             state.update(s)
             if (expireState) state.setTimeoutDuration(s"${gapSeconds * 2} seconds")
-            out.iterator
+            out.iterator.map(a => SessionAssignment(a.event_id, a.user_id, a.session_seq))
           }
         },
       )
@@ -152,22 +146,16 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-              val ms = e.ts.getTime
-              s =
-                if (s.lastMs == Long.MinValue || ms - s.lastMs > gapSeconds * 1000)
-                  SessionState(s.sessionSeq + 1, ms, 1L)
-                else SessionState(s.sessionSeq, ms, s.count + 1)
-              SessionAssignment(e.event_id, userId, s.sessionSeq)
-            }
+            val init = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val (s, out) =
+              sessionizeStep(userId, rows, init, gapSeconds * 1000, Long.MinValue)
             state.update(s)
             // expire once the watermark passes the session gap; the
             // timestamp must sit strictly above the current watermark
             state.setTimeoutTimestamp(
               math.max(s.lastMs + gapSeconds * 1000, state.getCurrentWatermarkMs + 1),
             )
-            out.iterator
+            out.iterator.map(a => SessionAssignment(a.event_id, a.user_id, a.session_seq))
           }
         },
       )

@@ -399,26 +399,32 @@ object StreamingDedup {
     * storage for nothing. Returns the store every subsequent
     * [[graft.operators.Dedup.nearDupNewDocs]] run should use.
     *
-    * CRASH RECOVERY: re-run the SAME turn (same `srcEpoch`). The
-    * epoch write is an Overwrite keyed by epoch index and the fold
-    * reads the same listed increments, so every crash window resumes
-    * correctly: before the fold → plain re-run; after the fold but
-    * before increment pruning → the increments are detected as
-    * already folded (id containment against the complete
-    * `epoch<srcEpoch+1>`) and only pruning + retirement run; after
-    * pruning but before retirement → the turn recognizes the
-    * complete next epoch, finishes retirement, and returns the LIVE
-    * store (never the stale `srcEpoch` one). A complete next epoch
-    * that does NOT contain the landed increments means the caller's
-    * `srcEpoch` is stale (the live store has moved on) — the turn
-    * fails actionably instead of clobbering the live epoch, and the
-    * advised re-run with the CURRENT epoch index always succeeds:
-    * the fold skips increment rows whose ids the source store
-    * already holds (an id names one doc and the sink lands its
-    * signature row once, so a store-held id IS that row, already
-    * folded by the crashed turn — without the skip, a live stream
-    * landing one new increment during a crash window would deadlock
-    * every subsequent turn on mergeSignatures' disjointness check).
+    * CRASH RECOVERY: re-run the SAME turn (same `srcEpoch`), and
+    * every window resumes from METADATA alone — no data-plane work
+    * decides recovery. Before the fold runs, the turn lands a
+    * `foldmark` file in the next epoch dir holding the highest
+    * listed batchId; the epoch's `meta` file still lands LAST, so a
+    * foldmark is trusted only once the epoch is complete (a crash
+    * between foldmark and meta leaves an incomplete epoch whose
+    * foldmark the re-run simply overwrites). Each window: before the
+    * fold → plain re-run; after the fold but before increment
+    * pruning → every listed batchId is ≤ the complete next epoch's
+    * foldmark, so only pruning + retirement run; after pruning but
+    * before retirement → same detection, retirement finishes, the
+    * LIVE store is returned (never the stale `srcEpoch` one). A
+    * complete next epoch whose foldmark is BELOW a listed batchId
+    * means the caller's `srcEpoch` is stale (the live store has
+    * moved on) — the turn fails actionably instead of clobbering the
+    * live epoch, and the advised re-run with the CURRENT epoch index
+    * always succeeds: the fold takes only increments with batchId
+    * above the source epoch's own foldmark, so increments a crashed
+    * turn already folded are skipped by batchId — a live stream
+    * landing new increments during a crash window can never deadlock
+    * a re-run on mergeSignatures' disjointness check, and a TRUE id
+    * collision (the sink contract broken) still fails loudly there.
+    * Requires the [[signatureIncrementSink]] single-writer shape:
+    * batchIds in one `incDir` are monotone (one streaming query's
+    * foreachBatch), so "batchId ≤ foldmark" is exactly "folded".
     *
     * Increments must already be DEDUPED survivors (the
     * [[signatureIncrementSink]] contract: the stream lands what
@@ -458,18 +464,33 @@ object StreamingDedup {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     // the retirement steps every turn ends with: prune epoch dirs
-    // (capped at the epoch just written/resumed) and DROP the pruned
-    // epochs' catalog registrations in the SAME turn — a persistent
-    // metastore otherwise strands a dead `<base>_e<n>` pair per day,
-    // and the readSignatures stale-name guard would fail any later
-    // reuse of the name
+    // (capped at the epoch just written/resumed), then retire
+    // catalog registrations by CATALOG-vs-DIRECTORY diff — every
+    // `<base>_e<n>` pair (n ≤ the live epoch) whose epoch dir no
+    // longer exists is dropped, not just the dirs THIS turn deleted.
+    // The diff form is crash-safe where drop-what-I-just-deleted is
+    // not: a turn that dies between the directory deletion and the
+    // DROPs leaves strands that a deletion-keyed drop can never see
+    // again (the dirs are already gone, so the next prune returns
+    // them as already-pruned), while the diff heals them on the next
+    // turn. A persistent metastore therefore stays exactly as large
+    // as the live epoch set.
     def finishTurn(dst: graft.operators.Dedup.SignatureStore)
         : graft.operators.Dedup.SignatureStore = {
-      val retired = graft.operators.Dedup.pruneSignatureEpochs(
+      graft.operators.Dedup.pruneSignatureEpochs(
         spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
-      retired.foreach { n =>
-        spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_banded")
-        spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_grams")
+      val fs = new org.apache.hadoop.fs.Path(epochRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val epochTable = s"^${java.util.regex.Pattern.quote(baseName)}_e(\\d+)_(?:banded|grams)$$".r
+      spark.sql(s"SHOW TABLES LIKE '${baseName}_e*'").collect().foreach { row =>
+        val t = row.getString(1)
+        epochTable.findFirstMatchIn(t).map(_.group(1).toLong).foreach { n =>
+          // leave higher-than-live indices alone — they are aborted
+          // future runs' business, same cap as the directory prune
+          if (n <= srcEpoch + 1L &&
+              !fs.exists(new org.apache.hadoop.fs.Path(s"$epochRoot/epoch$n")))
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+        }
       }
       dst
     }
@@ -484,55 +505,93 @@ object StreamingDedup {
         graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
     } else {
       val pruneCap = math.min(upToBatchId, listed.map(_._1).max)
-      val inc = spark.read.parquet(listed.map(_._2): _*)
-      if (inc.isEmpty) {
-        // listed epochs exist but hold zero rows (batches with no
-        // survivors): nothing to fold — drop the empties, keep the
-        // live store as-is (a copy epoch would double storage for
-        // nothing); "live" is epoch srcEpoch+1 if a crashed turn
-        // already wrote it
-        pruneSignatureIncrements(spark, incDir, pruneCap)
-        if (nextEpochComplete)
-          finishTurn(graft.operators.Dedup.readSignatures(spark, nextPath, nextName))
-        else
-          graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
-      } else if (nextEpochComplete) {
-        val dst = graft.operators.Dedup.readSignatures(spark, nextPath, nextName)
-        val unFolded = inc.select(org.apache.spark.sql.functions.col("id"))
-          .join(dst.grams.select(org.apache.spark.sql.functions.col("id")), "id", "left_anti")
+      if (nextEpochComplete) {
+        // a complete next epoch's foldmark is trusted (it landed
+        // before the epoch's data, meta landed after): listed
+        // batchIds at or under it were folded by the crashed turn —
+        // pure recovery; any ABOVE it landed after that fold, so the
+        // caller's srcEpoch lags the live store
+        val mark = readFoldmark(spark, nextPath)
+        val unFolded = listed.map(_._1).filter(_ > mark)
         require(unFolded.isEmpty,
-          s"compactSignatureStore: $nextPath already holds a complete epoch that " +
-            s"does NOT contain the landed increments — srcEpoch=$srcEpoch is stale " +
-            s"(the live store is epoch ${srcEpoch + 1} or later); re-run with the " +
-            "current epoch index, or the fold would clobber the live epoch")
-        // crash-recovery: the fold landed but the crash hit before
-        // increment pruning — the listed increments are exactly the
-        // folded ones, so skip the (idempotent) re-fold and finish
+          s"compactSignatureStore: $nextPath already holds a complete epoch whose " +
+            s"foldmark ($mark) predates landed increments ${unFolded.mkString(",")} — " +
+            s"srcEpoch=$srcEpoch is stale (the live store is epoch ${srcEpoch + 1} " +
+            "or later); re-run with the current epoch index, or the fold would " +
+            "clobber the live epoch")
         pruneSignatureIncrements(spark, incDir, pruneCap)
-        finishTurn(dst)
+        finishTurn(graft.operators.Dedup.readSignatures(spark, nextPath, nextName))
       } else {
-        // idempotent fold: drop increment rows the source store
-        // already holds (re-listed increments a crashed turn folded
-        // into what is NOW the source epoch) — id-only anti-join,
-        // broadcast-sized increment side vs the bucketed grams id
-        // column, trivial next to the full-store rewrite it guards
-        val src = graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
-        val fresh = inc.join(
-          src.grams.select(org.apache.spark.sql.functions.col("id")),
-          Seq("id"), "left_anti")
-        if (fresh.isEmpty) {
-          // every listed increment is already in the source epoch
-          // (crash window: fold landed as srcEpoch, prune did not) —
-          // nothing to fold, no copy epoch; drop the increments
+        // idempotent fold by METADATA: the source epoch's own
+        // foldmark names the highest batchId folded into it, so
+        // increments a crashed turn already folded (into what is NOW
+        // the source epoch) are skipped by batchId — no data-plane
+        // containment check, and a TRUE id collision (sink contract
+        // broken) still fails loudly in mergeSignatures
+        val srcMark = readFoldmark(spark, srcPath)
+        val freshPaths = listed.collect { case (b, p) if b > srcMark => p }
+        if (freshPaths.isEmpty) {
+          // every listed increment was folded by the turn that wrote
+          // the CURRENT source epoch (its prune crashed) — nothing to
+          // fold, no copy epoch; drop the increments
           pruneSignatureIncrements(spark, incDir, pruneCap)
-          finishTurn(src)
+          finishTurn(graft.operators.Dedup.readSignatures(spark, srcPath, srcName))
         } else {
-          val dst = graft.operators.Dedup.mergeSignatures(
-            spark, srcPath, srcName, fresh, nextPath, nextName)
-          pruneSignatureIncrements(spark, incDir, pruneCap)
-          finishTurn(dst)
+          val inc = spark.read.parquet(freshPaths: _*)
+          if (inc.isEmpty) {
+            // fresh epochs exist but hold zero rows (batches with no
+            // survivors): nothing to fold — drop the empties, keep
+            // the store as-is (a copy epoch would double storage for
+            // nothing)
+            pruneSignatureIncrements(spark, incDir, pruneCap)
+            graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
+          } else {
+            // foldmark FIRST, then the fold: a crash in between
+            // leaves an incomplete epoch whose foldmark the re-run
+            // overwrites — it is only ever trusted once meta lands
+            writeFoldmark(spark, nextPath, listed.map(_._1).max)
+            val dst = graft.operators.Dedup.mergeSignatures(
+              spark, srcPath, srcName, inc, nextPath, nextName)
+            pruneSignatureIncrements(spark, incDir, pruneCap)
+            finishTurn(dst)
+          }
         }
       }
+    }
+  }
+
+  /** The compaction turn's fold high-water mark: the highest
+    * increment batchId folded into the epoch at `epochPath`, landed
+    * as a one-line `foldmark` file BEFORE the fold writes the
+    * epoch's data (and long before its `meta`, which lands last — so
+    * a foldmark is meaningful only alongside a complete epoch).
+    * [[compactSignatureStore]] recovery is decided entirely from
+    * this metadata: no increment-vs-store containment join ever
+    * runs. Absent file reads as -1 (epoch0 stores created directly
+    * by [[graft.operators.Dedup.writeSignatures]] have folded
+    * nothing).
+    */
+  private[graft] def writeFoldmark(
+      spark: org.apache.spark.sql.SparkSession,
+      epochPath: String,
+      mark: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$epochPath/foldmark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mark.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readFoldmark(
+      spark: org.apache.spark.sql.SparkSession,
+      epochPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$epochPath/foldmark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
     }
   }
 

@@ -1408,7 +1408,10 @@ class StreamingSpec extends SparkTestBase {
     val sink = StreamingDedup.signatureIncrementSink(incDir, "doc_id", "text")
     sink(Seq(fresh(11L)).toDF("doc_id", "text"), 0L)
     // CRASH WINDOW A — fold landed, increment prune did not: simulate
-    // by running the merge by hand and leaving inc_0 in place
+    // the real turn's fold step by hand (foldmark FIRST, then the
+    // merge — the order compactSignatureStore uses) and leave inc_0
+    // in place
+    StreamingDedup.writeFoldmark(spark, s"$root/epoch1", 0L)
     Dedup.mergeSignatures(spark, s"$root/epoch0", "cslr_e0",
       spark.read.parquet(s"$incDir/inc_0"), s"$root/epoch1", "cslr_e1")
     val resumedA = StreamingDedup.compactSignatureStore(
@@ -1446,11 +1449,13 @@ class StreamingSpec extends SparkTestBase {
     assert(e2.grams.count() == 4L)
     // DEADLOCK SCENARIO — a crashed turn folded inc_2 into epoch 3,
     // and inc_3 landed before the recovery re-run. srcEpoch=2 sees
-    // the complete epoch 3 missing inc_3's ids → stale error; the
-    // ADVISED re-run from the live epoch (3) must fold ONLY inc_3's
-    // rows (inc_2's are already in epoch 3) instead of deadlocking
-    // on mergeSignatures' id-disjointness check
+    // the complete epoch 3 whose foldmark (2) predates inc_3 → stale
+    // error; the ADVISED re-run from the live epoch (3) must fold
+    // ONLY inc_3 (inc_2 is at or under epoch 3's foldmark — already
+    // folded) instead of deadlocking on mergeSignatures'
+    // id-disjointness check
     sink(Seq(fresh(13L)).toDF("doc_id", "text"), 2L)
+    StreamingDedup.writeFoldmark(spark, s"$root/epoch3", 2L)
     Dedup.mergeSignatures(spark, s"$root/epoch2", "cslr_e2",
       spark.read.parquet(s"$incDir/inc_2"), s"$root/epoch3", "cslr_e3")
     sink(Seq(fresh(14L)).toDF("doc_id", "text"), 3L)
@@ -1466,6 +1471,22 @@ class StreamingSpec extends SparkTestBase {
       "the already-folded increment's doc must appear exactly once, not re-folded")
     assert(new java.io.File(incDir).listFiles().count(_.getName.startsWith("inc_")) == 0)
     assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch4"))
+    // catalog heals to exactly the live epoch set — including strands
+    // from the earlier simulated crashes (retirement is a
+    // catalog-vs-directory diff, not drop-what-this-turn-deleted)
+    val regs = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("cslr_e")).toSet
+    assert(regs == Set("cslr_e4_banded", "cslr_e4_grams"), s"catalog: $regs")
+    // CRASH WINDOW C — foldmark landed but the merge did not (no meta
+    // in epoch5): the foldmark is untrusted while the epoch is
+    // incomplete, so the re-run overwrites it and folds normally
+    sink(Seq(fresh(15L)).toDF("doc_id", "text"), 4L)
+    StreamingDedup.writeFoldmark(spark, s"$root/epoch5", 4L)
+    val resumedC = StreamingDedup.compactSignatureStore(
+      spark, root, "cslr", srcEpoch = 4, incDir = incDir, keepEpochs = 1)
+    assert(resumedC.grams.count() == 7L,
+      "an incomplete epoch's foldmark must not suppress the fold")
+    assert(new java.io.File(root).listFiles().map(_.getName).toSet == Set("epoch5"))
   }
 
   test("dedupStreamTws: retention follows the watermark delay — a duplicate past the horizon is re-admitted") {
