@@ -2614,10 +2614,13 @@ object SparkEntry {
   /** Planted gate for in-document line dedup: each doc's text is
     * duplicated around a unique tail (a pasted-twice page with a
     * footer), plus a whitespace-variant copy — dedup must keep the
-    * FIRST spelling of each trimmed line and the tail. DuckDB replays
-    * the keep-first-occurrence rule with a pure list comprehension
-    * (list_position of the trimmed form == own index), so the rebuilt
-    * strings compare exactly.
+    * FIRST spelling of each trimmed line and the tail. A repeated
+    * SHORT separator line (`--`, twice) pins the min-line-length
+    * exemption: structural short lines are always kept, never
+    * deduped. DuckDB replays the keep-first-occurrence rule with a
+    * pure list comprehension (short line OR list_position of the
+    * trimmed form == own index), so the rebuilt strings compare
+    * exactly.
     */
   private def q101LineDedupInDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -2625,7 +2628,7 @@ object SparkEntry {
       "ptext",
       concat(
         col("text"), lit("\n"), col("text"), lit("\n  "), col("text"),
-        lit("  \nTAIL "), col("doc_id").cast("string")),
+        lit("  \n--\n--\nTAIL "), col("doc_id").cast("string")),
     )
     graft.operators.TextAnalysis
       .dedupLinesInDoc(planted, "ptext", outCol = "deduped")
@@ -2637,13 +2640,13 @@ object SparkEntry {
     """SELECT doc_id,
       |  array_to_string(
       |    list_filter(string_split(p, chr(10)),
-      |                (x, i) -> list_position(
+      |                (x, i) -> len(trim(x)) < 5 OR list_position(
       |                  list_transform(string_split(p, chr(10)), y -> trim(y)),
       |                  trim(x)) = i),
       |    chr(10)) AS deduped
       |FROM (SELECT doc_id,
       |        text || chr(10) || text || chr(10) || '  ' || text || '  '
-      |          || chr(10) || 'TAIL ' || doc_id AS p
+      |          || chr(10) || '--' || chr(10) || '--' || chr(10) || 'TAIL ' || doc_id AS p
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 

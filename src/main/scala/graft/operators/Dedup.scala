@@ -945,11 +945,16 @@ object Dedup {
   ): DataFrame = {
     require(numBits % bands == 0 && numBits <= 64)
     val bitsPer = numBits / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      srpSignatureUdf(dim, numBits, seed)(col(vecCol)).as("srp"),
-    )
+    // NULL/empty embeddings cannot near-dup anything — drop them
+    // before the SRP signature (whose plane dots would NPE on NULL),
+    // the same degenerate-row policy as the Similarity faces
+    val sigs = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        srpSignatureUdf(dim, numBits, seed)(col(vecCol)).as("srp"),
+      )
     val banded = sigs.select(
       col("id"),
       explode(

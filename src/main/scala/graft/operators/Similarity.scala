@@ -49,6 +49,22 @@ object Similarity {
   /** sqrt(Σx²), codegen'd ([[graft.functions.FloatVectorNorm]]). */
   def normCol(a: Column): Column = graft.functions.VectorExpressions.vecNorm(a)
 
+  /** Degenerate-embedding guard shared by every similarity face: NULL,
+    * zero-length, AND zero-norm vectors can neither score nor be
+    * scored — cosine is undefined (0/0) for all three shapes — so they
+    * are excluded from the scan the same way [[sampleVectors]]
+    * excludes them from model training. One malformed row must not
+    * NPE a corpus-scale job, and a NaN cosine must not poison the
+    * bounded heaps either (NaN compares "greater" under
+    * Ordering[Double], so a NaN entry would squat in a top-k slot
+    * forever; the exact re-ranks score with `vec_cosine`, whose ratio
+    * IS NaN on a zero-norm side). One codegen'd norm predicate covers
+    * all three: NULL propagates to a NULL norm (filtered), empty and
+    * zero vectors norm to 0.
+    */
+  private def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
+    df.where(graft.functions.VectorExpressions.vecNorm(col(vecCol)) > 0)
+
   // ------------------------------------------------------- top-k aggregator
 
   /** Bounded top-k heap over (score, id), merged associatively —
@@ -132,7 +148,7 @@ object Similarity {
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val src = corpus
+    val src = nonDegenerate(corpus, vecCol)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val n = src.count()
     val numBlocks = math.max(1L, (n + maxBlockRows - 1) / maxBlockRows).toInt
@@ -255,16 +271,19 @@ object Similarity {
       vecCol: String,
       k: Int,
   ): DataFrame = {
+    // norm > 0 drops NULL (null norm), empty, and zero-norm rows in
+    // one codegen'd predicate — the three shapes whose cosine ratio
+    // is undefined (0/0 = NaN) rather than merely uninformative
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"),
       normCol(col(vecCol)).as("cnorm"),
-    )
+    ).where(col("cnorm") > 0)
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).as("qvec"),
       normCol(col(vecCol)).as("qnorm"),
-    )
+    ).where(col("qnorm") > 0)
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -648,15 +667,29 @@ object Similarity {
     val model = trainIvf(input, vecCol, cells, sampleRows = math.max(20000, cells * 8), seed = seed)
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bc.value, v))
-    val centSimUdf = udf((v: Seq[Float], c: Int) => -IvfModel.negCos(bc.value(c), v))
+    val centSimUdf = udf { (v: Seq[Float], c: Int) =>
+      val cs = bc.value
+      if (cs.isEmpty) 0.0 else -IvfModel.negCos(cs(c), v)
+    }
+    // NULL/empty embeddings never trained the model ([[sampleVectors]]
+    // filters them) and cannot be near anything — they bypass the
+    // cluster machinery on sentinel cell -1 and survive as their own
+    // singleton components; the assignment UDFs only ever see
+    // well-formed vectors (`when` branches evaluate lazily), so one
+    // malformed row cannot NPE a corpus-scale dedup
+    val degenerate = col("vec").isNull || size(col("vec")) === 0
     val assigned = input
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", assignUdf(col("vec")))
-      .withColumn("cent_sim", centSimUdf(col("vec"), col("cell")))
+      .withColumn("cell", when(degenerate, lit(-1)).otherwise(assignUdf(col("vec"))))
+      .withColumn(
+        "cent_sim",
+        when(col("cell") === -1, lit(0.0))
+          .otherwise(centSimUdf(col("vec"), col("cell"))))
       .persist()
     val (pairs, bucketHandle) =
       Dedup.bucketedCandidatePairs(
-        assigned.select(col("id"), col("cell").as("bucket")), maxClusterSize)
+        assigned.where(col("cell") =!= -1)
+          .select(col("id"), col("cell").as("bucket")), maxClusterSize)
     val va = assigned.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = assigned.select(col("id").as("id_b"), col("vec").as("vec_b"))
     val verified = pairs
@@ -825,8 +858,14 @@ object Similarity {
       refine: Int = 4,
   ): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    // a row NARROWER than the model's dim is a model/corpus mismatch,
+    // not a routine malformed row — fail with a NAMED error (the
+    // decontaminateEmbedding ragged-vector policy) instead of an
+    // unattributed ArrayIndexOutOfBounds deep in nearestCode
     val encodeUdf = udf { (v: Seq[Float]) =>
       val mdl = bc.value
+      require(v.length >= mdl.m * mdl.dsub,
+        s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
       val x = normalize(v.toArray)
       val out = new Array[Byte](mdl.m)
       var j = 0
@@ -838,6 +877,8 @@ object Similarity {
     }
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bc.value
+      require(v.length >= mdl.m * mdl.dsub,
+        s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
       val q = normalize(v.toArray)
       val lut = new Array[Float](mdl.m * mdl.ksub)
       var j = 0
@@ -855,7 +896,7 @@ object Similarity {
       }
       lut
     }
-    val encoded = corpus.select(
+    val encoded = nonDegenerate(corpus, vecCol).select(
       col(idCol).cast("long").as("neighbor_id"),
       encodeUdf(col(vecCol)).as("code"),
     )
@@ -871,7 +912,7 @@ object Similarity {
     // heap pre-reduction, and the gap widens with corpus size.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qLuts: Array[(Long, Array[Float])] = queries
+    val qLuts: Array[(Long, Array[Float])] = nonDegenerate(queries, vecCol)
       .select(col(idCol).cast("long"), lutUdf(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -942,6 +983,11 @@ object Similarity {
     */
   final case class OpqModel(dim: Int, r: Array[Float], pq: PqModel) {
     private[operators] def rotate(v: Array[Float]): Array[Float] = {
+      // named width check — the rotation mat-vec reads exactly `dim`
+      // elements; a narrower row is a model/corpus mismatch (the pq
+      // encode policy), not a tolerable truncation
+      require(v.length >= dim,
+        s"opq rotate: vector width ${v.length} < model dim $dim")
       val out = new Array[Float](dim)
       var j = 0
       while (j < dim) {
@@ -1045,8 +1091,11 @@ object Similarity {
     */
   private def rotateColumn(df: DataFrame, vecCol: String, opq: OpqModel): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(opq)
+    // empty rows rotate to NULL (not a width error): degenerate
+    // embeddings are routine corpus rows, and every downstream face
+    // drops NULL vectors via its nonDegenerate guard
     val rotUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null else bc.value.rotate(v.toArray).toSeq
+      if (v == null || v.isEmpty) null else bc.value.rotate(v.toArray).toSeq
     }
     df.withColumn(vecCol, rotUdf(col(vecCol)))
   }
@@ -1162,6 +1211,8 @@ object Similarity {
     val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
     val encodeUdf = udf { (v: Seq[Float]) =>
       val mdl = bcPq.value
+      require(v.length >= mdl.m * mdl.dsub,
+        s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
       val x = normalize(v.toArray)
       val out = new Array[Byte](mdl.m)
       var j = 0
@@ -1173,6 +1224,8 @@ object Similarity {
     }
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bcPq.value
+      require(v.length >= mdl.m * mdl.dsub,
+        s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
       val q = normalize(v.toArray)
       val lut = new Array[Float](mdl.m * mdl.ksub)
       var j = 0
@@ -1191,12 +1244,12 @@ object Similarity {
       lut
     }
     // one corpus scan produces (cell, code) — the ANN "index row"
-    val indexed = corpus.select(
+    val indexed = nonDegenerate(corpus, vecCol).select(
       col(idCol).as("neighbor_id"),
       assignUdf(col(vecCol)).as("cell"),
       encodeUdf(col(vecCol)).as("code"),
     )
-    val probed = queries.select(
+    val probed = nonDegenerate(queries, vecCol).select(
       col(idCol).as("query_id"),
       lutUdf(col(vecCol)).as("lut"),
       explode(probeUdf(col(vecCol))).as("cell"),
@@ -1257,12 +1310,12 @@ object Similarity {
     val probeUdf = udf { (v: Seq[Float]) =>
       IvfModel.nearestK(bcCentroids.value, v, nprobe)
     }
-    val assigned = corpus.select(
+    val assigned = nonDegenerate(corpus, vecCol).select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"),
       assignUdf(col(vecCol)).as("cell"),
     )
-    val probed = queries.select(
+    val probed = nonDegenerate(queries, vecCol).select(
       col(idCol).as("query_id"),
       col(vecCol).as("qvec"),
       explode(probeUdf(col(vecCol))).as("cell"),
@@ -1324,13 +1377,13 @@ object Similarity {
     // the join formulation.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qCodes: Array[(Long, Array[Long])] = queries
+    val qCodes: Array[(Long, Array[Long])] = nonDegenerate(queries, vecCol)
       .select(col(idCol).cast("long"), Quantize.signPack(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val bcCodes = spark.sparkContext.broadcast(qCodes)
     val kk = k * refine
-    val partialCands = corpus
+    val partialCands = nonDegenerate(corpus, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"), Quantize.signPack(col(vecCol)).as("code"))
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
@@ -1432,7 +1485,7 @@ object Similarity {
     // ONE collect for codes AND probed cells: two separate collects
     // would execute the query plan twice and could disagree on a
     // nondeterministic side (sample/limit), orphaning qProbes lookups
-    val qRows = queries
+    val qRows = nonDegenerate(queries, vecCol)
       .select(col(idCol).cast("long"), col(vecCol), Quantize.signPack(col(vecCol)))
       .collect()
     val qCodes: Array[(Long, Array[Long])] =
@@ -1451,7 +1504,7 @@ object Similarity {
     val bcCodes = spark.sparkContext.broadcast(qCodes)
     val bcByCell = spark.sparkContext.broadcast(byCell)
     val kk = k * refine
-    val partialCands = corpus
+    val partialCands = nonDegenerate(corpus, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"),
         Quantize.signPack(col(vecCol)).as("code"),
         assignUdf(col(vecCol)).as("cell"))

@@ -352,14 +352,20 @@ object TextAnalysis {
     * within each document, keep only the FIRST occurrence of every
     * line, compared on its trimmed form but kept in its original
     * spelling — navigation blocks, repeated headers, and pasted
-    * duplicates collapse without touching any other document. Pure
-    * per-row map: one pass, a per-doc hash set of line keys,
-    * shuffle-free, streams as-is.
+    * duplicates collapse without touching any other document. Lines
+    * whose TRIMMED form is shorter than `minLineChars` (blank
+    * paragraph separators, list bullets, code braces) are always
+    * kept — the same exemption, with the same default, as the
+    * corpus-wide sibling: deduping those would shred document
+    * structure (every paragraph break after the first would vanish)
+    * for no curation gain. Pure per-row map: one pass, a per-doc
+    * hash set of line keys, shuffle-free, streams as-is.
     */
   def dedupLinesInDoc(
       df: DataFrame,
       textCol: String,
       outCol: String = "text_line_deduped",
+      minLineChars: Int = 5,
   ): DataFrame = {
     val u = udf { (text: String) =>
       if (text == null) null
@@ -368,7 +374,10 @@ object TextAnalysis {
         text
           .split("\n", -1)
           .iterator
-          .filter(l => seen.add(l.trim))
+          .filter { l =>
+            val k = l.trim
+            k.length < minLineChars || seen.add(k)
+          }
           .mkString("\n")
       }
     }

@@ -123,4 +123,100 @@ class DegenerateInputsSpec extends SparkTestBase {
     assert(Sketches.heavyHitters(emptyDocs.select(col("text").as("k")), "k", 8, topN = 5)
       .count() == 0L)
   }
+
+  /** At 100 TB a handful of NULL / empty / all-zero embedding rows is
+    * a certainty, not a corner: every similarity face must exclude
+    * them from scoring (cosine is undefined — 0/0) without crashing
+    * the job, and no NaN may enter a bounded top-k heap (NaN compares
+    * "greater" under Ordering[Double] and would squat in a result
+    * slot forever).
+    */
+  test("similarity family: null/empty/zero-norm embedding ROWS degrade per policy") {
+    val mixed = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, null: Seq[Float]),
+      (4L, Seq.empty[Float]),
+      (5L, Seq(0f, 0f, 0f, 0f)), // zero-norm, non-empty
+      (6L, Seq(0f, 1f, 0f, 0f)),
+      (7L, Seq(0.1f, 0.95f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val deg = Set(3L, 4L, 5L)
+
+    val bf = Similarity.bruteForceTopK(mixed, mixed, "vec_id", "embedding", k = 3).collect()
+    assert(bf.nonEmpty)
+    assert(bf.forall(r => !r.getDouble(3).isNaN), "no NaN cosine may surface")
+    assert(!bf.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))),
+      "degenerate rows are neither queries nor neighbors")
+
+    val pairs = Similarity
+      .bruteForceNearDupPairs(mixed, "vec_id", "embedding", threshold = 0.5)
+      .collect()
+    assert(pairs.nonEmpty, "the well-formed near-pair (1,2) must still verify")
+    assert(!pairs.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+
+    val ivf = Similarity.trainIvf(mixed, "embedding", nlist = 2)
+    val annIvf = Similarity
+      .ivfTopK(mixed, mixed, "vec_id", "embedding", k = 3, ivf, nprobe = 2)
+      .collect()
+    assert(annIvf.nonEmpty && annIvf.forall(r => !r.getDouble(3).isNaN))
+    assert(!annIvf.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+
+    val pq = Similarity.trainPq(mixed, "embedding", m = 2, ksub = 4)
+    val annPq = Similarity
+      .pqTopK(mixed, mixed, "vec_id", "embedding", k = 3, pq, refine = 4)
+      .collect()
+    assert(annPq.nonEmpty && annPq.forall(r => !r.getDouble(3).isNaN))
+    assert(!annPq.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+
+    val annHam = Similarity
+      .hammingTopK(mixed, mixed, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(annHam.nonEmpty && annHam.forall(r => !r.getDouble(3).isNaN))
+    assert(!annHam.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+
+    val annIvfHam = Similarity
+      .ivfHammingTopK(mixed, mixed, "vec_id", "embedding", k = 3, ivf, nprobe = 2)
+      .collect()
+    assert(annIvfHam.nonEmpty && annIvfHam.forall(r => !r.getDouble(3).isNaN))
+    assert(!annIvfHam.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+
+    val mmr = Similarity
+      .mmrTopK(mixed, mixed.where(col("vec_id") === 1L), "vec_id", "embedding", k = 3)
+      .collect()
+    assert(mmr.nonEmpty && !mmr.exists(r => deg(r.getLong(1))))
+
+    // semanticDedup: NULL/empty rows SURVIVE the dedup as their own
+    // singleton components on sentinel cell -1 (they were dropped by
+    // the whole operator before this hardening — a silent corpus leak)
+    val sd = Similarity
+      .semanticDedup(mixed, "vec_id", "embedding", nlist = 2, eps = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(4)))
+      .toMap
+    assert(sd.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), "every input row surfaces")
+    assert(sd(3L) == (-1, true) && sd(4L) == (-1, true),
+      "null/empty rows keep on sentinel cell -1")
+
+    // SRP-LSH pair scan: null/empty dropped before signatures
+    val lsh = Dedup
+      .embeddingNearDupPairs(mixed, "vec_id", "embedding", dim = 4, threshold = 0.5)
+      .collect()
+    assert(!lsh.exists(r => deg(r.getLong(0)) || deg(r.getLong(1))))
+  }
+
+  test("pq/opq faces: a vector NARROWER than the model dim is a NAMED error") {
+    val good = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val pq = Similarity.trainPq(good, "embedding", m = 2, ksub = 4)
+    val short = Seq((9L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.pqTopK(good.union(short), good, "vec_id", "embedding", k = 2, pq).collect()
+    }
+    assert(e.getMessage.contains("pq encode") || Option(e.getCause).exists(
+      _.getMessage.contains("pq encode")), s"unexpected: ${e.getMessage}")
+  }
 }

@@ -758,8 +758,13 @@ class TextAnalysisSpec extends SparkTestBase {
     val cases = Seq(
       (1L, "header\nbody one\nheader\nbody two\n  header  \nfooter"),
       (2L, "header\nheader"), // other docs unaffected by doc 1's lines
-      (3L, "a\n\nb\n\n\nc"), // first blank line survives, later blanks drop
+      // short structural lines (blank paragraph separators, bullets,
+      // code braces) are EXEMPT — the corpus-wide lineDedup policy;
+      // deduping them would collapse every paragraph break after the
+      // first
+      (3L, "para one\n\npara two\n\n\npara three"),
       (4L, null: String),
+      (5L, "- x\n- x\nlong item repeated\nlong item repeated"),
     )
     val out = graft.operators.TextAnalysis
       .dedupLinesInDoc(cases.toDF("id", "text"), "text")
@@ -769,8 +774,11 @@ class TextAnalysisSpec extends SparkTestBase {
       .toMap
     assert(out(1L) == "header\nbody one\nbody two\nfooter")
     assert(out(2L) == "header")
-    assert(out(3L) == "a\n\nb\nc")
+    assert(out(3L) == "para one\n\npara two\n\n\npara three",
+      "paragraph structure survives in-doc line dedup")
     assert(out(4L) == null)
+    assert(out(5L) == "- x\n- x\nlong item repeated",
+      "short bullets exempt; long repeats collapse")
   }
 
   test("commonNgramStatsApprox: collision-free regime equals exact; tiny grid never undercounts") {
