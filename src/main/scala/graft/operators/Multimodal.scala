@@ -77,8 +77,23 @@ object Multimodal {
       ("gif", le16(6), le16(8), n.toLong)
     } else if (n >= 28 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
-      // fmt chunk normally at offset 12: channels LE16@22, sampleRate LE32@24
-      ("wav", le32(24), le16(22), n.toLong)
+      // scan RIFF chunks for 'fmt ' like the AVI branch scans for
+      // avih — DAW/broadcast WAVs legally put JUNK/LIST/bext chunks
+      // first, and fixed offsets 22/24 would report their padding
+      // bytes as geometry. fmt data: channels LE16@+2, rate LE32@+4
+      var i = 12
+      var sr = 0
+      var ch = 0
+      var found = false
+      while (!found && i + 8 <= n) {
+        val sz = le32(i + 4)
+        if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
+          bytes(i + 3) == ' ' && i + 16 <= n) {
+          ch = le16(i + 10); sr = le32(i + 12); found = true
+        } else if (sz < 0 || sz > n) i = n // corrupt size: stop
+        else i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      ("wav", sr, ch, n.toLong)
     } else if (n >= 72 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') {
       // main header: find the avih chunk near the top (usually at 24);
@@ -98,8 +113,10 @@ object Multimodal {
     } else if (n >= 16 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
       bytes(7) == 'p') {
       // ISO BMFF: geometry lives deep in the trak headers; report the
-      // container + first demuxed frame's JPEG geometry when present
-      val wh = mp4Frames(bytes)
+      // container + first demuxed frame's JPEG geometry when present.
+      // maxFrames = 1 stops the demux at the first sample — metadata
+      // must not materialize a byte copy of every frame in the file
+      val wh = mp4Frames(bytes, maxFrames = 1)
         .flatMap(_.headOption)
         .map(decodeOne)
         .filter(_._1 == "jpeg")
@@ -107,7 +124,7 @@ object Multimodal {
         .getOrElse((0, 0))
       ("mp4", wh._1, wh._2, n.toLong)
     } else if (n >= 16 && u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3) {
-      val wh = mkvFrames(bytes)
+      val wh = mkvFrames(bytes, maxFrames = 1)
         .flatMap(_.headOption)
         .map(decodeOne)
         .filter(_._1 == "jpeg")
@@ -353,7 +370,14 @@ object Multimodal {
       val channels = fmt.getChannels
       val frameSize = fmt.getFrameSize
       val totalFrames = in.getFrameLength
-      val framesToRead = math.min(totalFrames, maxFrames.toLong).toInt
+      // AudioSystem.NOT_SPECIFIED (-1) is legal (an AU payload with
+      // the 0xffffffff unknown-size field): read up to maxFrames and
+      // let EOF bound the loop instead of sizing a negative buffer
+      // (which threw NegativeArraySizeException into the blanket
+      // catch — a decodable payload silently yielded no features)
+      val framesToRead =
+        if (totalFrames < 0) maxFrames
+        else math.min(totalFrames, maxFrames.toLong).toInt
       val buf = new Array[Byte](framesToRead * frameSize)
       var off = 0
       var eof = false
@@ -390,7 +414,12 @@ object Multimodal {
       Some(AudioMeta(
         fmt.getSampleRate.toInt,
         channels,
-        totalFrames / fmt.getSampleRate.toDouble,
+        // declared length when the header carries one (the stats may
+        // deliberately sample only maxFrames of it); frames actually
+        // read when the header says NOT_SPECIFIED — the old
+        // `totalFrames / rate` reported a NEGATIVE duration there
+        (if (totalFrames < 0) frames.toDouble else totalFrames.toDouble) /
+          fmt.getSampleRate.toDouble,
         math.sqrt(sumSq / frames),
         crossings.toDouble / frames,
         peak,
@@ -426,7 +455,10 @@ object Multimodal {
     * sampled frames to pixels with the same JDK ImageIO path as still
     * images. Returns None for non-AVI bytes.
     */
-  private[graft] def aviFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+  private[graft] def aviFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue,
+  ): Option[Array[Array[Byte]]] = {
     if (bytes == null || bytes.length < 12) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def le32(i: Int): Long =
@@ -440,7 +472,7 @@ object Multimodal {
     // walk the chunk list in [from, until); collect only inside movi
     def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
       var i = from
-      while (i + 8 <= until) {
+      while (i + 8 <= until && out.length < maxFrames) {
         val cc = fourcc(i)
         val size = le32(i + 4)
         val dataStart = i + 8
@@ -471,7 +503,10 @@ object Multimodal {
     * ImageIO path decodes like a still. Returns None for non-MP4
     * bytes or MP4s without a video track.
     */
-  private[graft] def mp4Frames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+  private[graft] def mp4Frames(
+      bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue,
+  ): Option[Array[Array[Byte]]] = {
     if (bytes == null || bytes.length < 16) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def be32(i: Int): Long =
@@ -532,12 +567,16 @@ object Multimodal {
           var sample = 0
           var r = 0
           var c = 0
-          while (c < chunkCount && sample < sampleCount) {
+          // the maxFrames bound stops the demux (and its per-sample
+          // byte copies) as soon as enough frames landed — the
+          // metadata path reads ONE frame of a 500 MB video, not a
+          // full copy of every sample
+          while (c < chunkCount && sample < sampleCount && out.length < maxFrames) {
             while (r + 1 < runCount && run(r + 1)._1 <= c + 1) r += 1
             val spc = if (runCount == 0) 0L else run(r)._2
             var off = chunkOffset(c)
             var s = 0L
-            while (s < spc && sample < sampleCount) {
+            while (s < spc && sample < sampleCount && out.length < maxFrames) {
               val sz = sampleSize(sample)
               if (off >= 0 && sz > 0 && off + sz <= bytes.length)
                 out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
@@ -567,7 +606,10 @@ object Multimodal {
     * deltas). Returns None for non-EBML bytes or files without a
     * video track.
     */
-  private[graft] def mkvFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+  private[graft] def mkvFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue,
+  ): Option[Array[Array[Byte]]] = {
     if (bytes == null || bytes.length < 8) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     if (!(u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3)) return None
@@ -657,22 +699,28 @@ object Multimodal {
             case 0x04 => // fixed: equal split of the remaining payload
               val each = (e.payloadEnd - i) / nFrames
               java.util.Arrays.fill(sizes, each)
-            case _ => // 0x06 EBML: first absolute VINT, then signed-VINT deltas
-              val w0 = vintWidth(i)
-              if (w0 < 1 || i + w0 > e.payloadEnd) return Nil
-              var prev = vintSize(i, w0).toInt
-              i += w0
-              sizes(0) = prev
-              var f = 1
-              while (f < nFrames - 1) {
-                val w = vintWidth(i)
-                if (w < 1 || i + w > e.payloadEnd) return Nil
-                // signed VINT: unsigned value minus (2^(7w-1) - 1)
-                val delta = vintSize(i, w) - ((1L << (7 * w - 1)) - 1)
-                i += w
-                prev = (prev + delta).toInt
-                sizes(f) = prev
-                f += 1
+            case _ => // 0x06 EBML: first absolute VINT, then signed-VINT
+              // deltas — sizes cover every frame EXCEPT the last, so a
+              // single-frame lace (count byte 0, legal) carries NO size
+              // fields at all; reading one anyway would eat the frame's
+              // leading bytes as a bogus VINT
+              if (nFrames > 1) {
+                val w0 = vintWidth(i)
+                if (w0 < 1 || i + w0 > e.payloadEnd) return Nil
+                var prev = vintSize(i, w0).toInt
+                i += w0
+                sizes(0) = prev
+                var f = 1
+                while (f < nFrames - 1) {
+                  val w = vintWidth(i)
+                  if (w < 1 || i + w > e.payloadEnd) return Nil
+                  // signed VINT: unsigned value minus (2^(7w-1) - 1)
+                  val delta = vintSize(i, w) - ((1L << (7 * w - 1)) - 1)
+                  i += w
+                  prev = (prev + delta).toInt
+                  sizes(f) = prev
+                  f += 1
+                }
               }
           }
           // last frame (all schemes): the remainder
@@ -694,25 +742,39 @@ object Multimodal {
           out.toSeq
       }
     }
-    val frames = for {
-      cluster <- segKids.filter(_.id == 0x1f43b675L)
-      el <- children(cluster.payloadStart, cluster.payloadEnd)
-      frame <- el.id match {
-        case 0xa3L => blockFrames(el) // SimpleBlock
-        case 0xa0L => // BlockGroup → Block
-          children(el.payloadStart, el.payloadEnd)
-            .filter(_.id == 0xa1L).flatMap(blockFrames)
-        case _ => Nil
+    // bounded cluster walk: stop demuxing (and copying block payloads)
+    // as soon as maxFrames frames landed — the metadata path reads one
+    // frame, not every block of the file
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val clusters = segKids.filter(_.id == 0x1f43b675L).iterator
+    while (frames.length < maxFrames && clusters.hasNext) {
+      val cluster = clusters.next()
+      val els = children(cluster.payloadStart, cluster.payloadEnd).iterator
+      while (frames.length < maxFrames && els.hasNext) {
+        val el = els.next()
+        val fs = el.id match {
+          case 0xa3L => blockFrames(el) // SimpleBlock
+          case 0xa0L => // BlockGroup → Block
+            children(el.payloadStart, el.payloadEnd)
+              .filter(_.id == 0xa1L).flatMap(blockFrames)
+          case _ => Nil
+        }
+        fs.iterator.take(maxFrames - frames.length).foreach(frames += _)
       }
-    } yield frame
+    }
     Some(frames.toArray)
   }
 
   /** Real container demux where a walker exists (AVI RIFF, MP4
     * ISO BMFF, Matroska/WebM EBML); None otherwise.
     */
-  private[graft] def demuxFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
-    aviFrames(bytes).orElse(mp4Frames(bytes)).orElse(mkvFrames(bytes))
+  private[graft] def demuxFrames(
+      bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue,
+  ): Option[Array[Array[Byte]]] =
+    aviFrames(bytes, maxFrames)
+      .orElse(mp4Frames(bytes, maxFrames))
+      .orElse(mkvFrames(bytes, maxFrames))
 
   /** Frame sampler: REAL container demux for AVI, MP4, and
     * Matroska/WebM payloads (every `stride`-th video frame, ≤
@@ -722,10 +784,21 @@ object Multimodal {
     * `array<binary>`, one row per video — downstream `explode`
     * controls fan-out explicitly.
     */
-  def frameSampleUdf(frameBytes: Int, stride: Int, maxFrames: Int = 64) =
+  def frameSampleUdf(frameBytes: Int, stride: Int, maxFrames: Int = 64) = {
+    // validate at CONSTRUCTION: stride = 0 would otherwise divide by
+    // zero (and frameBytes = 0 would throw from grouped) per-task,
+    // deep inside executors — the chunkTokens parameter policy
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(stride > 0, s"stride must be positive: $stride")
+    require(maxFrames > 0, s"maxFrames must be positive: $maxFrames")
+    // sampling every stride-th frame up to maxFrames touches at most
+    // (maxFrames-1)·stride + 1 demuxed frames — bound the demux there
+    // so a 500 MB video never materializes frames the sampler drops
+    val demuxCap =
+      math.min(Int.MaxValue.toLong, (maxFrames.toLong - 1) * stride + 1).toInt
     udf { (bytes: Array[Byte]) =>
       if (bytes == null) Array.empty[Array[Byte]]
-      else demuxFrames(bytes) match {
+      else demuxFrames(bytes, demuxCap) match {
         case Some(frames) =>
           frames.zipWithIndex.collect {
             case (f, i) if i % stride == 0 => f
@@ -736,4 +809,5 @@ object Multimodal {
           }.take(maxFrames).toArray
       }
     }
+  }
 }

@@ -282,7 +282,20 @@ object Warc {
     import spark.implicits._
     spark.sparkContext
       .binaryFiles(path)
-      .flatMap { case (_, pds) => parseStream(pds.open()) }
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        // parseStream closes the stream at EOF or on error, but an
+        // iterator ABANDONED early (limit/take/failed downstream stage
+        // stops pulling) would otherwise hold its storage stream/FD
+        // until task GC — across a 64k-file crawl glob that exhausts
+        // executor descriptors. The task-completion hook closes
+        // whatever is still open; double-close is a no-op.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => () }
+          })
+        parseStream(in)
+      }
       .toDF()
   }
 

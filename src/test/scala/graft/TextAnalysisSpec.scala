@@ -686,6 +686,67 @@ class TextAnalysisSpec extends SparkTestBase {
     got.zip(want).zipWithIndex.foreach { case ((gf, wf), i) =>
       assert(gf.sameElements(wf), s"frame $i: got len ${gf.length}, want ${wf.length}")
     }
+
+    // single-frame laces (count byte 0) are legal: EBML lacing then
+    // has ZERO size fields — the frame must come back byte-exact, not
+    // shorn of its leading bytes (which a spurious VINT read would eat)
+    val solo = frame(300, 9)
+    val ebmlSolo = el(Seq(0xa3), header, Array(0x06.toByte, 0.toByte), solo)
+    val xiphSolo = el(Seq(0xa3), header, Array(0x02.toByte, 0.toByte), solo)
+    val mkvSolo = el(Seq(0x1a, 0x45, 0xdf, 0xa3)) ++
+      el(Seq(0x18, 0x53, 0x80, 0x67),
+        el(Seq(0x16, 0x54, 0xae, 0x6b), track),
+        el(Seq(0x1f, 0x43, 0xb6, 0x75), ebmlSolo, xiphSolo))
+    val Some(gotSolo) = Multimodal.mkvFrames(mkvSolo)
+    assert(gotSolo.length == 2)
+    assert(gotSolo.forall(_.sameElements(solo)),
+      s"solo lace lens: ${gotSolo.map(_.length).toSeq}, want ${solo.length}")
+
+    // maxFrames bounds the demux (the metadata path's one-frame read)
+    val Some(one) = Multimodal.mkvFrames(mkv, maxFrames = 1)
+    assert(one.length == 1 && one(0).sameElements(a))
+  }
+
+  test("wav fmt chunk is located by scan, not fixed offset; audio length NOT_SPECIFIED decodes") {
+    // broadcast-style WAV: a JUNK padding chunk precedes fmt — fixed
+    // offsets 22/24 would report JUNK padding bytes as geometry
+    val junkWav = "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ Array[Byte](6, 0, 0, 0) ++ Array.fill[Byte](6)(0x7f) ++
+      "fmt ".getBytes ++ Array[Byte](16, 0, 0, 0, 1, 0, 2, 0,
+        0x44, 0xac.toByte, 0, 0) ++ Array.fill[Byte](8)(0)
+    val meta = Multimodal
+      .withDecodedMeta(Seq((1L, junkWav)).toDF("id", "payload"), "payload")
+      .select($"media_meta.format", $"media_meta.width", $"media_meta.height")
+      .head()
+    assert(meta.getString(0) == "wav" && meta.getInt(1) == 44100 && meta.getInt(2) == 2)
+
+    // AU with the legal 0xffffffff unknown-size field: frame length
+    // reports NOT_SPECIFIED (-1); stats must decode to EOF, not
+    // swallow a NegativeArraySizeException into None
+    val n = 800
+    val bb = java.nio.ByteBuffer.allocate(24 + n * 2)
+    bb.put(".snd".getBytes)
+    bb.putInt(24) // data offset
+    bb.putInt(-1) // data size UNKNOWN
+    bb.putInt(3) // 16-bit linear PCM
+    bb.putInt(8000)
+    bb.putInt(1)
+    (0 until n).foreach(i =>
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / 8000.0) * 16000).toShort))
+    val au = bb.array()
+    val m = Multimodal.decodeAudioStats(au)
+    assert(m.nonEmpty, "unknown-length AU must decode")
+    assert(m.get.sample_rate == 8000 && m.get.channels == 1)
+    // tolerance of a few frames: the JDK AU reader's header handling
+    // may read a frame more/less around an unknown-size data field
+    assert(math.abs(m.get.duration_sec - n / 8000.0) < 0.01)
+    assert(m.get.rms > 0.2, "the sine tone's energy must be measured, not zero")
+  }
+
+  test("frameSampleUdf: zero/negative parameters fail at construction, not per-task") {
+    intercept[IllegalArgumentException](Multimodal.frameSampleUdf(16, 0))
+    intercept[IllegalArgumentException](Multimodal.frameSampleUdf(0, 2))
+    intercept[IllegalArgumentException](Multimodal.frameSampleUdf(16, 2, maxFrames = 0))
   }
 
   test("multimodal real video: MJPEG MP4 demux via sample tables + pixel decode") {
