@@ -35,28 +35,42 @@ object Lexical {
     * same narrow stream joined back by term — text never shuffles.
     * Emits only documents containing at least one query term.
     */
-  def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+  /** ONE-tokenize projection shared by [[termStats]] and [[bm25TopK]]:
+    * per document, `dl` (token count; NULL for NULL text) and `__tt`
+    * — the ≤|query terms| matched (term, tf) structs, computed INSIDE
+    * the generator expression so the token array is evaluated once
+    * per document and never leaves the projection. Rows without
+    * matches carry an empty `__tt` (NULL text → NULL), so corpus-wide
+    * stats (n_docs, avgdl) and the posting stream both derive from
+    * THIS frame — the corpus text is tokenized exactly once.
+    */
+  private def perDocPostings(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
-    // tf is computed INSIDE the generator expression (a transform over
-    // the ≤|query terms| matched terms), so the token array is
-    // evaluated once per document and never carried through the
-    // explode — the exploded stream is narrow (doc_id, dl, term, tf)
-    // rows, no per-row array duplication.
-    val perDoc = df
-      .select(col(idCol).as("doc_id"), tokens(textCol).as("__toks"))
+    df.select(col(idCol).as("doc_id"), tokens(textCol).as("__toks"))
       .select(
         col("doc_id"),
         size(col("__toks")).cast("bigint").as("dl"),
-        explode(
-          transform(
-            array_intersect(array_distinct(col("__toks")), qTerms),
-            t => struct(
-              t.as("term"),
-              size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
-          )).as("__tt"),
+        transform(
+          array_intersect(array_distinct(col("__toks")), qTerms),
+          t => struct(
+            t.as("term"),
+            size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
+        ).as("__tt"),
       )
+  }
+
+  /** Explode [[perDocPostings]] to the narrow (doc_id, dl, term, tf)
+    * posting stream (docs without matches drop here).
+    */
+  private def postingStream(perDoc: DataFrame): DataFrame =
+    perDoc
+      .select(col("doc_id"), col("dl"), explode(col("__tt")).as("__tt"))
       .select(col("doc_id"), col("dl"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
+
+  def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+    val perDoc = postingStream(perDocPostings(df, idCol, textCol, terms))
     val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     perDoc
       .join(termDf, "term")
@@ -83,13 +97,23 @@ object Lexical {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): DataFrame = {
-    val toks = tokens(textCol)
-    val corpusAgg = df.agg(
+    // land the narrow per-doc projection ONCE (doc_id, dl, matched
+    // structs — no token arrays) and derive BOTH the corpus stats and
+    // the posting stream from it: the corpus-wide regex tokenization
+    // — the dominant cost of retrieval — runs one pass, not the two
+    // passes the earlier separate corpusAgg/termStats subtrees paid
+    val landed = Materialize(perDocPostings(df, idCol, textCol, terms), materialize)
+    val corpusAgg = landed.agg(
       count(lit(1)).as("n_docs"),
-      avg(size(toks).cast("double")).as("avgdl"),
+      avg(col("dl").cast("double")).as("avgdl"),
     )
-    val stats = termStats(df, idCol, textCol, terms)
+    val perDoc = postingStream(landed)
+    val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = perDoc
+      .join(termDf, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
     val scored = stats
       .crossJoin(broadcast(corpusAgg))
       .withColumn(

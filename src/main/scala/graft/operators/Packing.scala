@@ -181,6 +181,16 @@ object Packing {
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     require(groupSize > 0, "groupSize must be positive")
+    // the typed grouping path encodes ids as long; a silent
+    // cast("long") would null every non-numeric id (string WARC ids)
+    // and crash the encoder mid-job — fail at construction instead
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+          _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"packBestFit requires an integral id column, got $other for '$idCol' " +
+          "(map string ids to a long surrogate first, e.g. xxhash64)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(

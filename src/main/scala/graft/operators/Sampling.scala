@@ -85,17 +85,27 @@ object Sampling {
       s"fractions must be in [0,1]: $fractions",
     )
     val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
-    // "g" sorts above every hex digit → frac 1.0 keeps all rows
-    // (the %04x form would yield 5-char "10000", which sorts BELOW
-    // "ffff" lexicographically and would drop everything)
-    def bound(f: Double) =
-      if (f >= 1.0) "g" else f"${math.round(f * 65536.0).toInt}%04x"
-    val threshold = fractions.foldRight(lit(bound(defaultFraction))) {
+    val threshold = fractions.foldRight(lit(hexBound(defaultFraction))) {
       case ((stratum, f), rest) =>
-        when(col(stratumCol) === stratum, lit(bound(f))).otherwise(rest)
+        when(col(stratumCol) === stratum, lit(hexBound(f))).otherwise(rest)
     }
     df.where(prefix < threshold)
   }
+
+  /** 4-hex-char EXCLUSIVE threshold for a [0,1] fraction, shared by
+    * every md5-prefix predicate (Column and SQL twins — both engines
+    * compare the same strings). "g" sorts above every hex digit, so a
+    * full fraction keeps ALL rows; the clamp must apply to the
+    * ROUNDED value, not the input: any fraction ≥ 1 − 1/131072 rounds
+    * to 65536, whose %04x form is the 5-char "10000" — that string
+    * sorts BELOW every prefix not starting with '0' and would keep
+    * ~6% of rows where the caller asked for ~100% (temperatureSample's
+    * `min(1, share·budget/n)` routinely lands just under 1).
+    */
+  private def hexBoundInt(b: Int): String =
+    if (b >= 65536) "g" else f"$b%04x"
+  private def hexBound(f: Double): String =
+    hexBoundInt(math.round(f * 65536.0).toInt)
 
   /** Temperature-smoothed mixture shares — the multilingual-LM
     * rebalancing recipe (alpha-sampling: Conneau et al. XLM-R '19,
@@ -196,9 +206,12 @@ object Sampling {
       .tail
       .map(c => math.round(c / total * 65536.0).toInt)
     val prefix = substring(md5(key.cast("string")), 1, 4)
+    // hexBoundInt: a non-final cumulative weight ≥ 1 − 1/131072 rounds
+    // to 65536 — unclamped %04x ("10000") would send ~94% of the rows
+    // meant for that label to the catch-all tail label instead
     val assigned = labels.zip(bounds).init.foldRight(lit(labels.last)) {
       case ((label, bound), rest) =>
-        when(prefix < lit(f"$bound%04x"), lit(label)).otherwise(rest)
+        when(prefix < lit(hexBoundInt(bound)), lit(label)).otherwise(rest)
     }
     assigned
   }
@@ -246,13 +259,15 @@ object Sampling {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0,
   ): String = {
-    def bound(f: Double) =
-      if (f >= 1.0) "g" else f"${math.round(f * 65536.0).toInt}%04x"
+    val prefix = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
+    // no per-stratum overrides: a CASE with zero WHEN branches is a
+    // syntax error in every engine — compare against the bare default
+    if (fractions.isEmpty)
+      return s"$prefix < '${hexBound(defaultFraction)}'"
     val whens = fractions.toSeq
-      .map { case (s, f) => s"WHEN '$s' THEN '${bound(f)}'" }
+      .map { case (s, f) => s"WHEN '$s' THEN '${hexBound(f)}'" }
       .mkString(" ")
-    s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < " +
-      s"(CASE $stratumExpr $whens ELSE '${bound(defaultFraction)}' END)"
+    s"$prefix < (CASE $stratumExpr $whens ELSE '${hexBound(defaultFraction)}' END)"
   }
 
   /** Greedy token-budget selection: rank every row by `prefer`
@@ -318,6 +333,11 @@ object Sampling {
     * CASE WHEN substr(md5(CAST(key AS VARCHAR)),1,4) < 'xxxx' THEN …
     */
   def hashSplitSql(keyExpr: String, weights: Seq[Double], labels: Seq[String]): String = {
+    require(weights.length == labels.length && weights.nonEmpty, "weights/labels mismatch")
+    require(weights.forall(_ > 0), "weights must be positive")
+    // one label: a CASE with zero WHEN branches is a syntax error in
+    // every engine — the Column twin returns lit(label); mirror it
+    if (labels.length == 1) return s"'${labels.head}'"
     val total = weights.sum
     val bounds = weights
       .scanLeft(0.0)(_ + _)
@@ -325,7 +345,7 @@ object Sampling {
       .map(c => math.round(c / total * 65536.0).toInt)
     val prefix = s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4)"
     val whens = labels.zip(bounds).init
-      .map { case (label, bound) => s"WHEN $prefix < '${f"$bound%04x"}' THEN '$label'" }
+      .map { case (label, bound) => s"WHEN $prefix < '${hexBoundInt(bound)}' THEN '$label'" }
       .mkString(" ")
     s"CASE $whens ELSE '${labels.last}' END"
   }

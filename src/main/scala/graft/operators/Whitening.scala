@@ -118,6 +118,12 @@ object Whitening {
     def dim: Int = mean.length
 
     def transformOne(v: Seq[Float]): Array[Float] = {
+      // named width check, matching the fit path's ragged-vector
+      // policy: a LONGER vector would silently whiten its first dim
+      // components into plausible garbage, a shorter one would throw
+      // a bare IndexOutOfBounds
+      require(v.length == dim,
+        s"whitening transform: vector width ${v.length} != model dim $dim")
       val d = dim
       val centered = new Array[Double](d)
       var i = 0

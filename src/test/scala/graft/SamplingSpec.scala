@@ -41,6 +41,40 @@ class SamplingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("near-1 fractions keep ~all rows: the rounded 65536 bound must clamp, not overflow") {
+    // any fraction ≥ 1 − 1/131072 rounds to 65536; its unclamped %04x
+    // form is the 5-char "10000", which sorts BELOW every md5 prefix
+    // not starting with '0' — mixtureSample would keep ~6% where the
+    // caller asked for ~100%, and hashSplit would dump ~94% of a
+    // 0.999995-weight label onto the tail label
+    val f = 0.999995
+    val kept = Sampling
+      .mixtureSample(docs, "lang", "doc_id", Map.empty, defaultFraction = f)
+      .count()
+    assert(kept == 1000L, s"fraction $f must keep ~every row, kept $kept")
+    val split = Sampling
+      .hashSplit(docs, "doc_id", Seq(f, 1 - f), Seq("train", "holdout"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(split.getOrElse("train", 0L) == 1000L,
+      s"a 5-per-million holdout must not swallow the corpus: $split")
+    // SQL twins agree under the same near-1 weights
+    docs.createOrReplaceTempView("clamp_docs")
+    val sqlKept = spark.sql(
+      s"SELECT count(*) FROM clamp_docs WHERE ${Sampling
+          .mixtureSampleSql("lang", "doc_id", Map.empty, defaultFraction = f)
+          .replace("VARCHAR", "STRING")}").as[Long].head()
+    assert(sqlKept == kept)
+  }
+
+  test("hashSplitSql: a single label is a bare literal, not an empty CASE") {
+    val sql = Sampling.hashSplitSql("doc_id", Seq(1.0), Seq("all"))
+    docs.createOrReplaceTempView("single_docs")
+    val labels = spark
+      .sql(s"SELECT ${sql.replace("VARCHAR", "STRING")} AS s FROM single_docs")
+      .select("s").distinct().as[String].collect().toSeq
+    assert(labels == Seq("all"))
+  }
+
   test("hashSplit SQL text agrees with the Column expression row-for-row") {
     docs.createOrReplaceTempView("split_docs")
     val viaSql = spark
