@@ -187,14 +187,19 @@ object AsofJoin {
         lStruct.as("__l"),
       ): _*,
     )
-    val taggedR = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTsCol).as("__ts"),
-        lit(rightSide).as("__side"),
-        rStruct.as("__r"),
-        lit(null).cast(lStructType).as("__l"),
-      ): _*,
-    )
+    // a NULL right timestamp satisfies no as-of predicate, but in the
+    // ascending backward scan NULLs sort FIRST and would become the
+    // running match for every subsequent left row — drop them here
+    val taggedR = right
+      .where(col(rightTsCol).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("__ts"),
+          lit(rightSide).as("__side"),
+          rStruct.as("__r"),
+          lit(null).cast(lStructType).as("__l"),
+        ): _*,
+      )
     (taggedL.unionByName(taggedR), leftCols)
   }
 
@@ -214,10 +219,16 @@ object AsofJoin {
       matched: DataFrame,
       leftCols: Seq[String],
       rightPayloadCols: Seq[String],
-  ): DataFrame =
+  ): DataFrame = {
+    // a NULL left timestamp satisfies no as-of predicate either; the
+    // forward (descending) scan sorts NULLs LAST, where the running
+    // match is the key's smallest right ts — null it out (the left row
+    // itself survives: left-join semantics)
+    val m = when(col("__ts").isNotNull, col("__m"))
     matched.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
-        (col("__m.__ats").as("asof_ts") +:
-          rightPayloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))): _*,
+        (m.getField("__ats").as("asof_ts") +:
+          rightPayloadCols.map(c => m.getField(c).as(s"asof_$c"))): _*,
     )
+  }
 }

@@ -183,6 +183,38 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
+  test("null timestamps match nothing in any direction (rows survive, left-join)") {
+    // a null RIGHT ts sorts first in the ascending backward scan and
+    // would become the running match for every later left row; a null
+    // LEFT ts sorts last in the descending forward scan and would
+    // adopt the key's smallest right ts — both must yield NO match
+    val l = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", null.asInstanceOf[Timestamp]),
+    ).toDF("lid", "k", "t")
+    val r = Seq(
+      ("A", null.asInstanceOf[Timestamp], 1.0), // must never match
+      ("A", ts("2024-01-01 10:00:02"), 2.0),
+      ("A", ts("2024-01-01 10:00:07"), 3.0),
+    ).toDF("k", "rt", "v")
+    def byLid(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lid").collect().map(row =>
+        (row.getLong(0), if (row.isNullAt(row.fieldIndex("asof_v"))) None
+          else Some(row.getAs[Double]("asof_v"))))
+    val back = byLid(AsofJoin.asofBackward(l, r, Seq("k"), "t", "rt", Seq("v")))
+    assert(back.toSeq == Seq((1L, Some(2.0)), (2L, None)), s"backward: ${back.toSeq}")
+    val fwd = byLid(AsofJoin.asofForward(l, r, Seq("k"), "t", "rt", Seq("v")))
+    assert(fwd.toSeq == Seq((1L, Some(3.0)), (2L, None)), s"forward: ${fwd.toSeq}")
+    val near = byLid(AsofJoin.asofNearest(l, r, Seq("k"), "t", "rt", Seq("v")))
+    assert(near.toSeq == Seq((1L, Some(3.0)), (2L, None)), s"nearest: ${near.toSeq}")
+    // a left key whose ONLY right rows have null ts behaves like an
+    // unmatched key, not a crash or a phantom match
+    val lOnly = Seq((3L, "B", ts("2024-01-01 10:00:01"))).toDF("lid", "k", "t")
+    val rNull = Seq(("B", null.asInstanceOf[Timestamp], 9.0)).toDF("k", "rt", "v")
+    val got = byLid(AsofJoin.asofBackward(lOnly, rNull, Seq("k"), "t", "rt", Seq("v")))
+    assert(got.toSeq == Seq((3L, None)), s"null-only right side: ${got.toSeq}")
+  }
+
   test("plan shape: exactly one exchange — no range-join explosion") {
     val plan = AsofJoin
       .asofBackward(trades, quotes, Seq("sym"), "t", "qt", Seq("bid"))
