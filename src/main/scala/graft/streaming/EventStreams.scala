@@ -85,6 +85,18 @@ object EventStreams {
   final case class SessionState(sessionSeq: Long, lastMs: Long, count: Long)
   final case class SessionAssignment(event_id: Long, user_id: Long, session_seq: Long)
 
+  /** A row with a null `ts` has no position on the event-time line:
+    * it cannot be ordered against a watermark, and the per-key steps
+    * dereference the timestamp — one poison row would kill a
+    * long-running query. Dropped at each stateful face's boundary
+    * (the batch as-of operator's "null matches nothing" rule; here
+    * the row is dropped outright since there is no timeline slot to
+    * emit it in). Columnar `where`, so the filter stays in codegen
+    * and can push into the source scan.
+    */
+  private def dropNullTs(events: Dataset[Event]): Dataset[Event] =
+    events.where(col("ts").isNotNull)
+
   /** Streaming sessionization via typed per-user state
     * (`flatMapGroupsWithState`): state = (current session ordinal,
     * last-seen time). Semantics match [[sessionize]] when events
@@ -104,7 +116,7 @@ object EventStreams {
     val timeoutKind =
       if (expireState) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events
+    dropNullTs(events)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutKind)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
@@ -137,7 +149,7 @@ object EventStreams {
       watermarkDelay: String = "1 hour",
   ): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
-    events
+    dropNullTs(events)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
@@ -256,8 +268,9 @@ object EventStreams {
   ): Dataset[SessionAssignmentEmit] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
+    val evs = dropNullTs(events)
     if (!events.isStreaming)
-      events
+      evs
         .groupByKey(_.user_id)
         .flatMapGroups { (userId: Long, rows: Iterator[Event]) =>
           sessionizeStep(userId, rows,
@@ -265,7 +278,7 @@ object EventStreams {
         }
     else
       StreamingDedup
-        .ensureWatermark(events.toDF(), "ts", watermarkDelay)
+        .ensureWatermark(evs.toDF(), "ts", watermarkDelay)
         .as[Event]
         .groupByKey(_.user_id)
         .transformWithState(
@@ -469,9 +482,9 @@ object EventStreams {
       horizonSeconds: Long = 86400L,
   ): Dataset[AsofHit] = {
     import left.sparkSession.implicits._
-    val tagged = left
+    val tagged = dropNullTs(left)
       .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
       .withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
@@ -607,9 +620,9 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      left
+      dropNullTs(left)
         .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
         .toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]
@@ -783,9 +796,9 @@ object EventStreams {
     import left.sparkSession.implicits._
     require(toleranceSeconds > 0, "forward as-of streaming needs a positive tolerance")
     val tolUs = toleranceSeconds * 1000000L
-    val tagged = left
+    val tagged = dropNullTs(left)
       .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
       .withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
@@ -827,9 +840,9 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      left
+      dropNullTs(left)
         .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
         .toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]
@@ -908,9 +921,9 @@ object EventStreams {
     import left.sparkSession.implicits._
     require(toleranceSeconds > 0, "nearest as-of streaming needs a positive tolerance")
     val tolUs = toleranceSeconds * 1000000L
-    val tagged = left
+    val tagged = dropNullTs(left)
       .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
       .withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
@@ -1050,9 +1063,9 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      left
+      dropNullTs(left)
         .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(right.map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
         .toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]

@@ -1886,4 +1886,47 @@ class StreamingSpec extends SparkTestBase {
       assert(batch == stream, "batch evaluation of the mainContent/stripTracking face must agree")
     } finally q.stop()
   }
+
+  test("null-ts poison rows are dropped at the stateful face boundary, not a query crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, tpe: String) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), 1L, tpe, id.toDouble)
+    def poison(id: Long, tpe: String) =
+      EventStreams.Event(id, null, 1L, tpe, id.toDouble)
+
+    // as-of: a null-ts right would NPE in the per-key step (and could
+    // never be ordered against the watermark); a null-ts left has no
+    // timeline slot to emit in — both must vanish, the query must live
+    val lefts = MemoryStream[EventStreams.Event](spark)
+    val rights = MemoryStream[EventStreams.Event](spark)
+    val q = EventStreams
+      .asofBackwardStream(lefts.toDS(), rights.toDS(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("asof_nullts").outputMode("append").start()
+    try {
+      rights.addData(poison(900L, "view"), ev(100L, 10, "view"))
+      lefts.addData(poison(901L, "purchase"), ev(1L, 20, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("asof_nullts")
+        .select($"event_id", $"asof_event_id")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == Map(1L -> Some(100L)), s"poison rows must vanish, real rows match: $got")
+    } finally q.stop()
+
+    // sessionization: same contract on the fMGWS event-time face
+    val in = MemoryStream[EventStreams.Event](spark)
+    val qs = EventStreams
+      .sessionizeStreamEventTime(in.toDS(), gapSeconds = 60L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_nullts").outputMode("append").start()
+    try {
+      in.addData(ev(10L, 0, "view"), poison(902L, "view"), ev(11L, 30, "view"))
+      qs.processAllAvailable()
+      val got = spark.table("sess_nullts")
+        .select($"event_id", $"session_seq")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(10L -> 1L, 11L -> 1L), s"session face: $got")
+    } finally qs.stop()
+  }
 }
