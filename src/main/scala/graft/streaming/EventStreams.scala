@@ -62,7 +62,11 @@ object EventStreams {
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // null ts dropped like every streaming sessionize face: the window
+    // would sort it FIRST, open a phantom session, and shift every
+    // real row's ordinal — batch and stream must agree on dirty inputs
     events
+      .where(col("ts").isNotNull)
       .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
       .withColumn(
         "new_session",
@@ -298,9 +302,13 @@ object EventStreams {
       gap: String = "30 minutes",
       watermark: Option[String] = Some("1 hour"),
   ): DataFrame = {
+    // null ts: streaming would drop the row at the watermark's late
+    // filter while batch would group it under a null window — filter
+    // in both modes so the batch face stays the streaming oracle
+    val live = events.where(col("ts").isNotNull)
     val base = watermark match {
-      case Some(w) if events.isStreaming => events.withWatermark("ts", w)
-      case _                             => events
+      case Some(w) if events.isStreaming => live.withWatermark("ts", w)
+      case _                             => live
     }
     base
       .groupBy(session_window(col("ts"), gap), col("user_id"))
@@ -342,7 +350,10 @@ object EventStreams {
       textCol: String,
       watermarkDelay: String = "10 minutes",
   ): DataFrame = {
-    val withFp = docs.withColumn(
+    // null ts dropped in BOTH modes: "first" has no meaning at a null
+    // time (batch would sort it ahead of every real copy and keep it),
+    // and the streaming path needs an event-time position per row
+    val withFp = docs.where(col(tsCol).isNotNull).withColumn(
       "content_fp",
       graft.operators.TextAnalysis.contentFingerprintUdf(col(textCol)),
     )
@@ -391,7 +402,9 @@ object EventStreams {
       watermarkDelay: String = "10 minutes",
       horizonMs: Long = -1L,
   ): DataFrame = {
-    val withFp = docs.withColumn(
+    // same null-ts rule as [[dedupStream]] — keeps the batch window,
+    // the fMGWS face, and the TWS face agreeing on dirty inputs
+    val withFp = docs.where(col(tsCol).isNotNull).withColumn(
       "content_fp",
       graft.operators.TextAnalysis.contentFingerprintUdf(col(textCol)),
     )
@@ -441,6 +454,19 @@ object EventStreams {
   final case class AsofSideRow(side: Int, user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   final case class AsofRightState(tsUs: Long, ts: Timestamp, eventId: Long, value: Double)
 
+  /** The as-of faces' shared input boundary: null-ts rows dropped
+    * ([[dropNullTs]]), left tagged side=1, right side=0. One place so
+    * the six faces (backward/forward/nearest × fMGWS/TWS) cannot
+    * drift on the boundary rules.
+    */
+  private def taggedSides(
+      left: Dataset[Event], right: Dataset[Event]): Dataset[AsofSideRow] = {
+    import left.sparkSession.implicits._
+    dropNullTs(left)
+      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
+      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
+  }
+
   /** Microsecond event time — matches the batch window's `unix_micros`
     * ordering; `getTime` alone (ms) could tie-break sub-ms rows
     * differently from the batch operator.
@@ -482,10 +508,7 @@ object EventStreams {
       horizonSeconds: Long = 86400L,
   ): Dataset[AsofHit] = {
     import left.sparkSession.implicits._
-    val tagged = dropNullTs(left)
-      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-      .withWatermark("ts", watermarkDelay)
+    val tagged = taggedSides(left, right).withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
@@ -620,10 +643,7 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      dropNullTs(left)
-        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-        .toDF(),
+      taggedSides(left, right).toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]
     tagged
@@ -796,10 +816,7 @@ object EventStreams {
     import left.sparkSession.implicits._
     require(toleranceSeconds > 0, "forward as-of streaming needs a positive tolerance")
     val tolUs = toleranceSeconds * 1000000L
-    val tagged = dropNullTs(left)
-      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-      .withWatermark("ts", watermarkDelay)
+    val tagged = taggedSides(left, right).withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
@@ -840,10 +857,7 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      dropNullTs(left)
-        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-        .toDF(),
+      taggedSides(left, right).toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]
     tagged
@@ -921,10 +935,7 @@ object EventStreams {
     import left.sparkSession.implicits._
     require(toleranceSeconds > 0, "nearest as-of streaming needs a positive tolerance")
     val tolUs = toleranceSeconds * 1000000L
-    val tagged = dropNullTs(left)
-      .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-      .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-      .withWatermark("ts", watermarkDelay)
+    val tagged = taggedSides(left, right).withWatermark("ts", watermarkDelay)
     tagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
@@ -1063,10 +1074,7 @@ object EventStreams {
         .map(h => AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
           h.asof_ts, h.asof_event_id, h.asof_value, h.ts))
     val tagged = StreamingDedup.ensureWatermark(
-      dropNullTs(left)
-        .map(e => AsofSideRow(1, e.user_id, e.ts, e.event_id, e.value))
-        .union(dropNullTs(right).map(e => AsofSideRow(0, e.user_id, e.ts, e.event_id, e.value)))
-        .toDF(),
+      taggedSides(left, right).toDF(),
       "ts", watermarkDelay)
       .as[AsofSideRow]
     tagged

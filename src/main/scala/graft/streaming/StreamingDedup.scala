@@ -91,7 +91,10 @@ object StreamingDedup {
         col(tsCol).as("ts"),
         sigUdf(col(textCol)).as("sig"),
       )
-      .where(col("sig").isNotNull)
+      // null ts: no position on the event-time line and the bucket
+      // step sorts on it — drop (both execution modes, so the batch
+      // face stays the streaming face's oracle on dirty inputs too)
+      .where(col("sig").isNotNull && col("ts").isNotNull)
     // plain value for the state closure — capturing the Dataset itself
     // to ask isStreaming inside a task NPEs (plans don't serialize)
     val streaming = signed.isStreaming
@@ -659,11 +662,22 @@ object StreamingDedup {
     * `transformWithState` stage via `eventTimeColumnName`) — Spark
     * disallows REDEFINING a watermark in multi-stateful-operator
     * plans, so chained operators must declare it exactly once.
+    *
+    * Also drops null-`tsCol` rows: a row without an event time has no
+    * position on the watermarked line, and the state processors
+    * downstream of every caller dereference the timestamp — one
+    * poison row would kill a long-running query. Declaring event time
+    * through here is what makes a face stateful-on-`tsCol`, so this
+    * is the single boundary where the rule belongs (the typed
+    * `Dataset[Event]` faces apply the same rule via
+    * `EventStreams.dropNullTs`).
     */
   private[streaming] def ensureWatermark(
-      df: DataFrame, tsCol: String, delay: String): DataFrame =
-    if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) df
-    else df.withWatermark(tsCol, delay)
+      df: DataFrame, tsCol: String, delay: String): DataFrame = {
+    val nn = df.where(col(tsCol).isNotNull)
+    if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) nn
+    else nn.withWatermark(tsCol, delay)
+  }
 
   /** One arrival against one band-bucket's standing entries: compare
     * the signature against each entry (fraction of agreeing MinHash

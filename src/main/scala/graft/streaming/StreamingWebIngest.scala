@@ -64,8 +64,12 @@ object StreamingWebIngest {
       maxPerHost: Int,
   ): DataFrame = {
     require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    // null event time = no first-arrival position: batch would sort it
+    // ahead of every real row and hand it a cap slot; drop in both
+    // modes so the fMGWS, TWS, and batch faces agree on dirty inputs
+    val live = docs.where(col(tsCol).isNotNull)
     if (!docs.isStreaming) {
-      docs
+      live
         .withColumn(
           "__rn",
           row_number().over(
@@ -83,7 +87,7 @@ object StreamingWebIngest {
       // literal "null" host.
       val hostIdx = docs.schema.fieldIndex(hostCol)
       val rowEnc = org.apache.spark.sql.Encoders.row(docs.schema)
-      val grouped = docs.groupByKey(
+      val grouped = live.groupByKey(
         (r: org.apache.spark.sql.Row) =>
           if (r.isNullAt(hostIdx)) "\u0000" else String.valueOf(r.get(hostIdx)))(
         org.apache.spark.sql.Encoders.STRING)

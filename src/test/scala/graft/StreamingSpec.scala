@@ -1929,4 +1929,70 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Map(10L -> 1L, 11L -> 1L), s"session face: $got")
     } finally qs.stop()
   }
+
+  test("null-ts poison rows: the DOC faces drop them at the boundary too (TWS state ops, batch twins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStreams, StreamingDedup, StreamingWebIngest}
+    val base = "the quick brown fox jumps over the lazy dog while seventy owls " +
+      "watch from nearby trees and comment on the unfolding chase below them"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+
+    // batch twins agree with the streaming drop rule: a null-ts row
+    // must not open a phantom session, win keep-first, or take a cap slot
+    val sess = EventStreams
+      .sessionize(Seq((900L, nullTs, 7L), (10L, ts(0), 7L), (11L, ts(10), 7L))
+        .toDF("event_id", "ts", "user_id"), gapSeconds = 5L)
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(sess == Map(10L -> 1L, 11L -> 2L), s"batch sessionize ordinals unshifted: $sess")
+    val dedupB = EventStreams
+      .dedupStream(Seq((900L, nullTs, base), (1L, ts(0), base)).toDF("doc_id", "ts", "text"),
+        "ts", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dedupB == Set(1L), s"null-ts copy must not win keep-first: $dedupB")
+    val capB = StreamingWebIngest
+      .capPerHostStream(
+        Seq((900L, nullTs, "h1"), (1L, ts(0), "h1"), (2L, ts(1), "h1"))
+          .toDF("doc_id", "ts", "host"), "doc_id", "ts", "host", maxPerHost = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(capB == Set(1L, 2L), s"null-ts row must not take a cap slot: $capB")
+    val hitsB = StreamingDedup
+      .nearDupHits(Seq((900L, nullTs, base), (1L, ts(0), base), (2L, ts(1), base + " tonight"))
+        .toDF("doc_id", "ts", "text"), "doc_id", "ts", "text", estThreshold = 0.5)
+      .select($"id_a", $"victim_id").as[(Long, Long)].collect().toSet
+    assert(hitsB == Set((1L, 2L)), s"batch nearDupHits ignores the null-ts copy: $hitsB")
+
+    // streaming: the same poison rows reach the TWS processors'
+    // sortBy(ts.getTime) unless the boundary drops them — feed them in
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = EventStreams
+      .dedupStreamTws(in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("dedup_tws_nullts").outputMode("append").start()
+    val in2 = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q2 = StreamingDedup
+      .nearDupSuppress(in2.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+        estThreshold = 0.5)
+      .writeStream.format("memory").queryName("suppress_nullts").outputMode("append").start()
+    try {
+      in.addData((900L, nullTs, base), (1L, ts(0), base))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_tws_nullts").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L), s"dedupStreamTws: $ids")
+      in2.addData((900L, nullTs, base), (1L, ts(0), base), (2L, ts(1), base + " tonight"))
+      q2.processAllAvailable()
+      val kept = spark.table("suppress_nullts").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L), s"nearDupSuppress drops the poison row and the near-dup: $kept")
+    } finally {
+      q.stop(); q2.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
