@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantize, QualityFilters, Similarity, TextAnalysis}
 import graft.sql.Macros
 import graft.streaming.EventStreams
 
@@ -4914,6 +4914,131 @@ object SparkEntry {
       |FROM assigned GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Unigram-entropy signal gate: the full DuckDB replay of
+    * [[graft.operators.TextAnalysis.withUnigramEntropy]] on real
+    * corpus text (token counts via the shared tokenization; entropy
+    * rounded to 4 decimals on BOTH sides — libm `ln` is 1-ulp
+    * accurate and the Σ c·ln c accumulation order differs across
+    * engines, so full-precision bit-parity is not a contract; at 4
+    * decimals a flip needs a true value within ~1e-12 of a rounding
+    * boundary, and the counts columns stay exact either way).
+    */
+  private def q147EntropySignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    TextAnalysis
+      .withUnigramEntropy(docs, "text")
+      .select(col("doc_id"), col("n_tokens_ue"), col("n_distinct_tokens"),
+        round(col("unigram_entropy"), 4).as("unigram_entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val q147Oracle =
+    """WITH b AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}_]+'),
+      |    x -> x <> '')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM b GROUP BY doc_id, tok
+      |), st AS (
+      |  SELECT doc_id, sum(c) AS w, count(*) AS d, sum(c * ln(c)) AS clnc
+      |  FROM c GROUP BY doc_id
+      |)
+      |SELECT d0.doc_id,
+      |  CAST(COALESCE(st.w, 0) AS BIGINT) AS n_tokens_ue,
+      |  CAST(COALESCE(st.d, 0) AS BIGINT) AS n_distinct_tokens,
+      |  round(ln(st.w) - st.clnc / st.w, 4) AS unigram_entropy
+      |FROM documents d0 LEFT JOIN st ON d0.doc_id = st.doc_id
+      |ORDER BY d0.doc_id""".stripMargin
+
+  /** Line-shape signal gate
+    * ([[graft.operators.QualityFilters.withLineSignals]], The
+    * Stack/StarCoder-style code filters): spaces become newlines and a
+    * trailing newline is appended so the planted text exercises
+    * multi-line splitting INCLUDING the trailing-empty-line case where
+    * Java's default `split` and SQL `string_split` disagree. All
+    * counts are integers; the two ratio columns are single IEEE
+    * divisions of integer-valued operands, so every column is
+    * hash-exact.
+    */
+  private def q148LineSignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(regexp_replace(col("text"), " ", "\n"), lit("\n")).as("ptext"))
+    QualityFilters
+      .withLineSignals(docs, "ptext")
+      .select(col("doc_id"), col("n_lines_ls"), col("max_line_len"),
+        col("sum_line_len"), col("avg_line_len"), col("n_alnum_cp"),
+        col("n_cp"), col("frac_alnum"))
+      .orderBy("doc_id")
+  }
+
+  private val q148Oracle =
+    """WITH p AS (
+      |  SELECT doc_id, replace(text, ' ', chr(10)) || chr(10) AS t FROM documents
+      |), l AS (
+      |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+      |    length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |  CAST(len(ls) AS BIGINT) AS n_lines_ls,
+      |  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT) AS max_line_len,
+      |  CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) AS sum_line_len,
+      |  CAST(list_sum(list_transform(ls, x -> length(x))) AS DOUBLE) / len(ls)
+      |    AS avg_line_len,
+      |  CAST(alnum AS BIGINT) AS n_alnum_cp,
+      |  CAST(length(t) AS BIGINT) AS n_cp,
+      |  CASE WHEN length(t) > 0
+      |    THEN CAST(alnum AS DOUBLE) / length(t) END AS frac_alnum
+      |FROM l ORDER BY doc_id""".stripMargin
+
+  /** Compressibility gate
+    * ([[graft.operators.QualityFilters.withCompressibility]]), planted
+    * roles: alternating docs carry a short phrase repeated 64× (ratio
+    * ≈ 0.02 — deep inside the 32 KB deflate window) vs 2048 chars of
+    * chained-MD5 hex (ratio ≈ 0.56 — deflate cannot beat the hex
+    * stream's 4-bit/char entropy). Classification thresholds 0.15 and
+    * 0.35 sit ≥ 0.13 away from both populations, so the flags are
+    * stable across zlib builds even though exact deflate byte counts
+    * are not pinned; the oracle derives the expected flags from the
+    * planted role alone.
+    */
+  private def q149CompressibilityPlanted(s: SparkSession, dir: String): DataFrame = {
+    val planted = udf { (id: Long) =>
+      if (id % 20L == 0L)
+        "the quick brown fox jumps over the lazy dog and the cat naps. " * 64
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder(2048)
+        var x = s"graft$id"
+        var i = 0
+        while (i < 64) {
+          x = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          sb.append(x)
+          i += 1
+        }
+        sb.toString
+      }
+    }
+    val docs = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), planted(col("doc_id")).as("ptext"))
+    QualityFilters
+      .withCompressibility(docs, "ptext")
+      .select(col("doc_id"),
+        (col("compression_ratio") < 0.15).as("is_repetitive"),
+        (col("compression_ratio") > 0.35).as("is_high_entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val q149Oracle =
+    """SELECT doc_id,
+      |  (doc_id % 20 = 0) AS is_repetitive,
+      |  (doc_id % 20 <> 0) AS is_high_entropy
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -5120,6 +5245,9 @@ object SparkEntry {
     "q144_sigstore_lifecycle" -> (q144SigstoreLifecycle _),
     "q145_sessionize_tws" -> (q145SessionizeTws _),
     "q146_gopher_ext_planted" -> (q146GopherExtPlanted _),
+    "q147_entropy_signals" -> (q147EntropySignals _),
+    "q148_line_signals" -> (q148LineSignals _),
+    "q149_compressibility_planted" -> (q149CompressibilityPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5256,5 +5384,8 @@ object SparkEntry {
     "q144_sigstore_lifecycle" -> q144Oracle,
     "q145_sessionize_tws" -> q145Oracle,
     "q146_gopher_ext_planted" -> q146Oracle,
+    "q147_entropy_signals" -> q147Oracle,
+    "q148_line_signals" -> q148Oracle,
+    "q149_compressibility_planted" -> q149Oracle,
   )
 }

@@ -399,4 +399,115 @@ object QualityFilters {
       .withColumn(textCol, col("clean_text"))
       .drop("clean_text", "n_lines_kept", "n_lines_dropped", "n_sentences",
         "has_lorem_ipsum", "has_brace", "has_bad_word", "has_drop_phrase", "pass")
+
+  final case class LineSignalStats(
+      n_lines_ls: Long,
+      max_line_len: Long,
+      sum_line_len: Long,
+      avg_line_len: Double,
+      n_alnum_cp: Long,
+      n_cp: Long,
+      frac_alnum: Option[Double],
+  )
+
+  /** Line-shape signals — the code/structured-text filters of The
+    * Stack / StarCoder pipelines (max and mean line length, ASCII
+    * alphanumeric fraction): minified JS, base64 blobs, and data
+    * tables have extreme line lengths or alnum fractions that
+    * prose-calibrated word heuristics never see. Conventions are
+    * oracle-replayable: lines split on `\n` KEEPING trailing empties
+    * (SQL `string_split` semantics — Java's default `split` drops
+    * them and would disagree with every engine's), lengths count
+    * Unicode CODE POINTS (SQL `length`; `String.length` counts UTF-16
+    * units and double-counts astral chars), `avg_line_len` excludes
+    * the newline separators (`sum_line_len / n_lines`), `frac_alnum`
+    * counts `[a-zA-Z0-9]` over ALL code points including separators
+    * (null for empty text). Both divisions are single IEEE ops on
+    * integer-valued operands, so they replay bit-exactly.
+    */
+  private[graft] def lineSignalsKernel(text: String): LineSignalStats = {
+    val t = if (text == null) "" else text
+    val lines = t.split("\n", -1)
+    var maxLen = 0L
+    var sumLen = 0L
+    lines.foreach { l =>
+      val cp = l.codePointCount(0, l.length).toLong
+      if (cp > maxLen) maxLen = cp
+      sumLen += cp
+    }
+    var alnum = 0L
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
+        alnum += 1
+      i += 1
+    }
+    val total = t.codePointCount(0, t.length).toLong
+    LineSignalStats(
+      lines.length.toLong, maxLen, sumLen,
+      sumLen.toDouble / lines.length,
+      alnum, total,
+      if (total == 0L) None else Some(alnum.toDouble / total))
+  }
+
+  /** Add `n_lines_ls`, `max_line_len`, `sum_line_len`, `avg_line_len`,
+    * `n_alnum_cp`, `n_cp`, `frac_alnum` — pure per-row map, no
+    * shuffle.
+    */
+  def withLineSignals(df: DataFrame, textCol: String): DataFrame = {
+    val u = udf { (t: String) => lineSignalsKernel(t) }
+    val fields = Seq("n_lines_ls", "max_line_len", "sum_line_len", "avg_line_len",
+      "n_alnum_cp", "n_cp", "frac_alnum")
+    val flagged = df.withColumn("__ls", u(col(textCol)))
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__ls.$f"))).drop("__ls")
+  }
+
+  final case class CompressibilityStats(
+      raw_len: Long,
+      deflate_len: Long,
+      compression_ratio: Option[Double],
+  )
+
+  /** zlib compressibility — the cheap whole-document
+    * repetition/boilerplate detector (deflate ratio over UTF-8 bytes):
+    * templated or copy-pasted text compresses far below prose
+    * (ratio < ~0.15 at a 32 KB deflate window), while encrypted/
+    * base64/hex payloads sit ABOVE prose (> ~0.5 — deflate cannot
+    * beat the payload's byte entropy). Catches repetition at ANY unit
+    * size in one pass where n-gram ratios need the right `n`.
+    *
+    * The RATIO is the signal; the exact `deflate_len` is
+    * deterministic for a fixed zlib build + level but NOT pinned
+    * across zlib versions, so correctness gates classify against
+    * wide-margin thresholds rather than asserting byte counts.
+    * Per-row Deflater with explicit `end()` — no shared native state
+    * across rows; at 100 TB this is a scan-bound CPU kernel (~100
+    * MB/s/core, the same order as the signature kernels).
+    */
+  private[graft] def compressibilityKernel(text: String, level: Int): CompressibilityStats = {
+    val bytes =
+      (if (text == null) "" else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) return CompressibilityStats(0L, 0L, None)
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      CompressibilityStats(bytes.length.toLong, out, Some(out.toDouble / bytes.length))
+    } finally d.end()
+  }
+
+  /** Add `raw_len`, `deflate_len`, `compression_ratio` — pure per-row
+    * map, no shuffle.
+    */
+  def withCompressibility(df: DataFrame, textCol: String, level: Int = 6): DataFrame = {
+    require(level >= 0 && level <= 9, s"deflate level must be in [0,9]: $level")
+    val u = udf { (t: String) => compressibilityKernel(t, level) }
+    val fields = Seq("raw_len", "deflate_len", "compression_ratio")
+    val flagged = df.withColumn("__cz", u(col(textCol)))
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__cz.$f"))).drop("__cz")
+  }
 }

@@ -930,4 +930,56 @@ object TextAnalysis {
     val flagged = df.withColumn("__rd", u(col(textCol)))
     fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__rd.$f"))).drop("__rd")
   }
+
+  final case class UnigramEntropyStats(
+      n_tokens_ue: Long,
+      n_distinct_tokens: Long,
+      unigram_entropy: Option[Double],
+  )
+
+  /** Word-level Shannon entropy of a document's unigram distribution —
+    * the `rps_doc_unigram_entropy`-style information-density signal
+    * (RedPajama-v2 quality annotations): near-zero for "buy now buy
+    * now" spam that repetition RATIOS can miss when the repeated unit
+    * is short, maximal (`ln n_tokens`) for all-distinct text. Computed
+    * as `ln W − (Σ c·ln c)/W` over per-token counts `c` (W = total
+    * tokens) — algebraically `−Σ p·ln p` but with one `ln` per DISTINCT
+    * token instead of per occurrence. The Σ accumulates in sorted-token
+    * order so the result is one fixed double per input, independent of
+    * hash-map iteration or partitioning; consumers comparing against
+    * another engine should still round (~4 decimals) — libm `ln` is
+    * only 1-ulp-accurate and FP addition is order-sensitive, so
+    * bit-parity across engines is not a contract. Tokenization is the
+    * shared [[graft.textutil.TextHash.tokenize]] every oracle replays.
+    * Zero-token text yields null entropy rather than a `0/0` artifact.
+    */
+  private[graft] def unigramEntropyKernel(text: String): UnigramEntropyStats = {
+    val toks = graft.textutil.TextHash.tokenize(if (text == null) "" else text)
+    if (toks.isEmpty) return UnigramEntropyStats(0L, 0L, None)
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    val w = toks.length
+    var clnc = 0.0
+    var distinct = 0L
+    var i = 0
+    while (i < w) {
+      var j = i + 1
+      while (j < w && toks(j) == toks(i)) j += 1
+      val c = (j - i).toDouble
+      clnc += c * math.log(c)
+      distinct += 1
+      i = j
+    }
+    UnigramEntropyStats(w.toLong, distinct, Some(math.log(w.toDouble) - clnc / w))
+  }
+
+  /** Add `n_tokens_ue`, `n_distinct_tokens`, `unigram_entropy` — pure
+    * per-row map, no shuffle; at 100 TB this is scan-bound like every
+    * other per-document signal.
+    */
+  def withUnigramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val u = udf { (t: String) => unigramEntropyKernel(t) }
+    val fields = Seq("n_tokens_ue", "n_distinct_tokens", "unigram_entropy")
+    val flagged = df.withColumn("__ue", u(col(textCol)))
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__ue.$f"))).drop("__ue")
+  }
 }

@@ -202,4 +202,57 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(rows.map(_._1) == Seq(1L))
     assert(rows.head._2 == Seq(keptLine, keptLine, keptLine).mkString("\n"))
   }
+
+  test("line signals: split keeps trailing empties, lengths count code points, ratios exact") {
+    import graft.operators.QualityFilters.lineSignalsKernel
+    // "ab", "", "cdef", "" — the trailing newline makes a 4th (empty)
+    // line, the case Java's default split silently drops
+    val s = lineSignalsKernel("ab\n\ncdef\n")
+    assert(s.n_lines_ls == 4L, s)
+    assert(s.max_line_len == 4L && s.sum_line_len == 6L, s)
+    assert(s.avg_line_len == 6.0 / 4, s)
+    assert(s.n_alnum_cp == 6L && s.n_cp == 9L, s)
+    assert(s.frac_alnum.contains(6.0 / 9), s)
+    // astral plane: 𝄞 is one code point but two UTF-16 units
+    val astral = lineSignalsKernel("𝄞a")
+    assert(astral.max_line_len == 2L && astral.n_cp == 2L, astral)
+    assert(astral.n_alnum_cp == 1L, astral)
+    // empty and null: one empty line, null ratio — no 0/0 artifact
+    Seq("", null: String).foreach { t =>
+      val e = lineSignalsKernel(t)
+      assert(e.n_lines_ls == 1L && e.sum_line_len == 0L && e.avg_line_len == 0.0, e)
+      assert(e.n_cp == 0L && e.frac_alnum.isEmpty, e)
+    }
+    val df = QualityFilters.withLineSignals(
+      Seq((1L, "ab\n\ncdef\n")).toDF("id", "text"), "text")
+    assert(df.select("n_lines_ls", "max_line_len").as[(Long, Long)].head() == ((4L, 4L)))
+  }
+
+  test("compressibility: repeated text lands far below 0.15, hex soup far above 0.35") {
+    import graft.operators.QualityFilters.compressibilityKernel
+    val rep = compressibilityKernel(
+      "the quick brown fox jumps over the lazy dog and the cat naps. " * 64, 6)
+    assert(rep.compression_ratio.exists(_ < 0.08), rep)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val soup = Iterator
+      .iterate("seed")(x =>
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .drop(1).take(64).mkString
+    val hi = compressibilityKernel(soup, 6)
+    assert(hi.raw_len == 2048L, hi)
+    assert(hi.compression_ratio.exists(_ > 0.45), hi)
+    // deterministic within one zlib build: same input, same length
+    assert(compressibilityKernel(soup, 6).deflate_len == hi.deflate_len)
+    // empty/null: zero lengths, null ratio
+    Seq("", null: String).foreach { t =>
+      val e = compressibilityKernel(t, 6)
+      assert(e.raw_len == 0L && e.deflate_len == 0L && e.compression_ratio.isEmpty, e)
+    }
+    val df = QualityFilters.withCompressibility(
+      Seq((1L, soup)).toDF("id", "text"), "text")
+    assert(df.select("raw_len").as[Long].head() == 2048L)
+    intercept[IllegalArgumentException] {
+      QualityFilters.withCompressibility(Seq((1L, "x")).toDF("id", "text"), "text", level = 10)
+    }
+  }
 }

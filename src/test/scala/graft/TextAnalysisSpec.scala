@@ -926,4 +926,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L
       && r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("unigram entropy: hand-computed values, bounds, and degenerate inputs") {
+    import graft.operators.TextAnalysis.unigramEntropyKernel
+    // "a a b": W=3, counts {a:2, b:1} → ln3 − (2·ln2)/3
+    val s = unigramEntropyKernel("a a b")
+    assert(s.n_tokens_ue == 3L && s.n_distinct_tokens == 2L, s)
+    val expected = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(s.unigram_entropy.contains(expected), s)
+    // all-identical tokens → 0; all-distinct → ln n (the maximum)
+    assert(unigramEntropyKernel("buy buy buy buy").unigram_entropy.contains(0.0))
+    assert(unigramEntropyKernel("one two three four")
+      .unigram_entropy.contains(math.log(4.0)))
+    // tokenization is the shared scanner: case folds, punctuation splits
+    val folded = unigramEntropyKernel("The THE the")
+    assert(folded.n_distinct_tokens == 1L && folded.unigram_entropy.contains(0.0))
+    // zero tokens → null entropy, zero counts
+    Seq("", null: String, "?!., --").foreach { t =>
+      val e = unigramEntropyKernel(t)
+      assert(e.n_tokens_ue == 0L && e.n_distinct_tokens == 0L
+        && e.unigram_entropy.isEmpty, s"'$t' → $e")
+    }
+    val df = graft.operators.TextAnalysis
+      .withUnigramEntropy(Seq((1L, "a a b")).toDF("id", "text"), "text")
+      .select("n_tokens_ue", "n_distinct_tokens", "unigram_entropy")
+      .as[(Long, Long, Double)].head()
+    assert(df == ((3L, 2L, expected)))
+  }
 }
