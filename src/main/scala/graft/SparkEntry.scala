@@ -5039,6 +5039,80 @@ object SparkEntry {
       |  (doc_id % 20 <> 0) AS is_high_entropy
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Epoch-plan gate ([[graft.operators.Sampling.epochPlan]]): target
+    * mixture weights are exact binary fractions summing to exactly 1.0
+    * (normalization is the identity), so every plan column is a chain
+    * of single IEEE ops over exact integer sums — DuckDB replays it
+    * bit-for-bit. At sf0.01 the recipe mixes regimes: en/es upsample
+    * uncapped, de hits the 3-epoch cap (shortfall > 0), fr/zh
+    * downsample below one epoch.
+    */
+  private def q150EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    graft.operators.Sampling
+      .epochPlan(docs, "lang", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.0625, "zh" -> 0.0625),
+        budgetTokens = 300000L, maxEpochs = 3.0)
+      .orderBy("stratum")
+  }
+
+  private val q150Oracle =
+    """WITH c AS (
+      |  SELECT lang AS stratum, count(*) AS n_docs,
+      |    sum(COALESCE(n_chars, 0)) AS n_tokens
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      |), w AS (
+      |  SELECT stratum, n_docs, n_tokens,
+      |    CAST(CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+      |      WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.0625 WHEN 'zh' THEN 0.0625
+      |      END AS DOUBLE) AS weight
+      |  FROM c
+      |), t AS (
+      |  SELECT *, weight * 300000 AS target,
+      |    CASE WHEN n_tokens <= 0 THEN CAST(0.0 AS DOUBLE)
+      |      ELSE least(CAST(3.0 AS DOUBLE), (weight * 300000) / n_tokens)
+      |      END AS ep
+      |  FROM w
+      |)
+      |SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+      |  target AS target_tokens, ep AS epochs,
+      |  ep * n_tokens AS realized_tokens,
+      |  target - ep * n_tokens AS shortfall_tokens
+      |FROM t ORDER BY stratum""".stripMargin
+
+  /** Epoch-expand gate ([[graft.operators.Sampling.epochExpand]]):
+    * replicas per doc = `floor(e)` plus the deterministic
+    * md5-prefix-selected fractional epoch — en 2.25× (quarter get a
+    * 3rd copy), de 1.5×, es 0.5× (pure downsample — `mixtureSample`
+    * as the degenerate case), fr 3× exact, zh 0× (planned out). The
+    * oracle rebuilds every (doc, epoch) row from the same md5
+    * threshold convention.
+    */
+  private def q151EpochExpand(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    graft.operators.Sampling
+      .epochExpand(docs, "lang", "doc_id",
+        Map("en" -> 2.25, "de" -> 1.5, "es" -> 0.5, "fr" -> 3.0, "zh" -> 0.0))
+      .select(col("doc_id"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  private val q151Oracle =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'es' THEN 0
+      |      WHEN 'fr' THEN 3 ELSE 0 END
+      |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |        CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+      |          WHEN 'es' THEN '8000' WHEN 'fr' THEN '0000' ELSE '0000' END
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(u AS INTEGER) AS epoch
+      |FROM (SELECT doc_id, unnest(range(copies)) AS u FROM e WHERE copies > 0)
+      |ORDER BY doc_id, epoch""".stripMargin
+
   private def q26Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
       .withColumn("payload", encode(col("text"), "utf-8"))
@@ -5248,6 +5322,8 @@ object SparkEntry {
     "q147_entropy_signals" -> (q147EntropySignals _),
     "q148_line_signals" -> (q148LineSignals _),
     "q149_compressibility_planted" -> (q149CompressibilityPlanted _),
+    "q150_epoch_plan" -> (q150EpochPlan _),
+    "q151_epoch_expand" -> (q151EpochExpand _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5387,5 +5463,7 @@ object SparkEntry {
     "q147_entropy_signals" -> q147Oracle,
     "q148_line_signals" -> q148Oracle,
     "q149_compressibility_planted" -> q149Oracle,
+    "q150_epoch_plan" -> q150Oracle,
+    "q151_epoch_expand" -> q151Oracle,
   )
 }

@@ -329,6 +329,122 @@ object Sampling {
     out
   }
 
+  /** Data-recipe EPOCH planner — the upsampling half
+    * [[temperatureFractions]] cannot express (its `sample_fraction`
+    * clamps at 1): given target mixture `weights` and a total token
+    * `budget`, each stratum's plan is
+    * `epochs = min(maxEpochs, target / n_tokens)` with
+    * `target = weight/Σweights · budget` — sources whose natural share
+    * falls short of their target REPEAT for multiple epochs, capped at
+    * `maxEpochs` (repeating data beyond ~4 epochs stops buying loss —
+    * Muennighoff et al. 2023, data-constrained scaling; the published
+    * LLaMA-1 recipe upsamples books/wikipedia ~2 epochs this way).
+    * Fractional epochs are the norm, not an error — feed the plan to
+    * [[epochExpand]] to materialize them.
+    *
+    * Output: one row per stratum PRESENT in `df` and NAMED in
+    * `weights` — (stratum, n_docs, n_tokens, weight, target_tokens,
+    * epochs, realized_tokens, shortfall_tokens), where shortfall > 0
+    * exposes sources whose cap left their target unmet (the caller
+    * re-weights or accepts). Strata in `df` without a weight get
+    * weight 0 (planned out); weight keys absent from `df` contribute
+    * to normalization (the user's stated recipe) but emit no row.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus;
+    * the plan arithmetic runs driver-side over the stratum list
+    * (sources/languages — bounded by design). Normalization sums the
+    * weight map in sorted-key order, and every derived column is a
+    * chain of single IEEE ops on exact inputs, so the plan is a pure
+    * deterministic function of (counts, weights, budget) that a SQL
+    * engine replays bit-for-bit.
+    */
+  def epochPlan(
+      df: DataFrame,
+      stratumCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0,
+  ): DataFrame = {
+    require(weights.nonEmpty, "epochPlan: weights must be non-empty")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN && !w.isInfinite),
+      s"epochPlan: weights must be finite and >= 0: $weights")
+    require(budgetTokens > 0, s"epochPlan: budgetTokens must be > 0: $budgetTokens")
+    require(maxEpochs > 0, s"epochPlan: maxEpochs must be > 0: $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    require(wsum > 0, s"epochPlan: weights must not all be zero: $weights")
+    val counts = df
+      .where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("n_tokens"))
+      .as[(String, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    counts
+      .filter { case (s, _, _) => weights.contains(s) }
+      .map { case (stratum, nDocs, nTokens) =>
+        val w = weights(stratum) / wsum
+        val target = w * budgetTokens
+        val epochs =
+          if (nTokens <= 0L) 0.0 else math.min(maxEpochs, target / nTokens)
+        val realized = epochs * nTokens
+        (stratum, nDocs, nTokens, w, target, epochs, realized, target - realized)
+      }
+      .toSeq
+      .toDF("stratum", "n_docs", "n_tokens", "weight", "target_tokens",
+        "epochs", "realized_tokens", "shortfall_tokens")
+  }
+
+  /** Materialize an epoch plan: each row of a stratum with planned
+    * epochs `e` appears `floor(e)` times plus once more in the
+    * FRACTIONAL epoch iff its md5 prefix clears the [[mixtureSample]]
+    * threshold for `e − floor(e)` — so `e = 2.25` replicates every row
+    * twice and a deterministic quarter of rows a third time, `e = 0.5`
+    * reduces to exactly `mixtureSample`'s keep-half, and `e = 0` drops
+    * the stratum. The emitted `epoch` column (0-based) lets downstream
+    * shuffling/packing keep replicas apart so one sequence never sees
+    * the same document twice in a row.
+    *
+    * Deterministic and rerun-stable (the fractional subset is a pure
+    * function of the id), shuffle-free (per-row `explode` of a ≤
+    * `ceil(e)`-element sequence — output size is the plan's realized
+    * volume, never a blowup: epochs are validated ≤ 100, far above any
+    * published recipe but a hard wall against a fat-fingered explode).
+    * Strata absent from `epochs` fall to `defaultEpochs` (0 = planned
+    * out, 1 = pass through once).
+    */
+  def epochExpand(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 0.0,
+  ): DataFrame = {
+    (epochs.values ++ Seq(defaultEpochs)).foreach { e =>
+      require(e >= 0 && e <= 100 && !e.isNaN,
+        s"epochExpand: epochs must be in [0,100]: $epochs default=$defaultEpochs")
+    }
+    def fullOf(e: Double) = math.floor(e).toInt
+    def boundOf(e: Double) = hexBound(e - math.floor(e))
+    val fullCol = epochs.toSeq.sortBy(_._1).foldRight(lit(fullOf(defaultEpochs))) {
+      case ((stratum, e), rest) =>
+        when(col(stratumCol) === stratum, lit(fullOf(e))).otherwise(rest)
+    }
+    val boundCol = epochs.toSeq.sortBy(_._1).foldRight(lit(boundOf(defaultEpochs))) {
+      case ((stratum, e), rest) =>
+        when(col(stratumCol) === stratum, lit(boundOf(e))).otherwise(rest)
+    }
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
+    val copies = fullCol + when(prefix < boundCol, 1).otherwise(0)
+    df.withColumn(
+      "epoch",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** The same bounds as SQL text, for oracle/portability parity:
     * CASE WHEN substr(md5(CAST(key AS VARCHAR)),1,4) < 'xxxx' THEN …
     */

@@ -238,4 +238,75 @@ class SamplingSpec extends SparkTestBase {
     assert(frac.keySet == Set("train", "val", "test"))
     assert(frac("train") > 0.6 && frac("val") < 0.25 && frac("test") < 0.25, frac.toString)
   }
+
+  test("epochPlan: closed-form targets, cap engages, unweighted strata planned out") {
+    // en: 750 docs × 10 tokens, de: 250 × 10; weights sum to exactly 1
+    val corpus = (1L to 1000L)
+      .map(i => (i, if (i % 4 == 0) "de" else "en", 10L))
+      .toDF("doc_id", "lang", "n_tok")
+    val plan = Sampling
+      .epochPlan(corpus, "lang", "n_tok", Map("en" -> 0.75, "de" -> 0.25),
+        budgetTokens = 30000L, maxEpochs = 4.0)
+      .orderBy("stratum")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    val Array(de, en) = plan
+    // en: target 22500 over 7500 tokens → exactly 3 epochs, no shortfall
+    assert(en == (("en", 750L, 7500L, 0.75, 22500.0, 3.0, 22500.0, 0.0)), en)
+    // de: target 7500 over 2500 tokens → wants 3, capped at... 3 < 4 → uncapped
+    assert(de == (("de", 250L, 2500L, 0.25, 7500.0, 3.0, 7500.0, 0.0)), de)
+    // tighter cap: de's target now unmet, shortfall exposed exactly
+    val capped = Sampling
+      .epochPlan(corpus, "lang", "n_tok", Map("en" -> 0.75, "de" -> 0.25),
+        budgetTokens = 30000L, maxEpochs = 2.0)
+      .where($"stratum" === "de")
+      .select($"epochs", $"realized_tokens", $"shortfall_tokens")
+      .as[(Double, Double, Double)].head()
+    assert(capped == ((2.0, 5000.0, 2500.0)), capped)
+    // a stratum with no weight emits no row; a weight with no stratum
+    // still normalizes the others down
+    val partial = Sampling
+      .epochPlan(corpus, "lang", "n_tok", Map("en" -> 0.5, "xx" -> 0.5), 30000L)
+      .select($"stratum", $"weight", $"target_tokens")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(partial == Seq(("en", 0.5, 15000.0)), partial)
+    // zero-token stratum plans to zero epochs instead of dividing by 0
+    val zeroTok = Sampling
+      .epochPlan(corpus.withColumn("n_tok", lit(0L)), "lang", "n_tok",
+        Map("en" -> 1.0), 1000L)
+      .select($"epochs").as[Double].head()
+    assert(zeroTok == 0.0)
+  }
+
+  test("epochExpand: replica counts follow floor + md5-fraction; epoch ids contiguous") {
+    val corpus = (1L to 1000L)
+      .map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling
+      .epochExpand(corpus, "lang", "doc_id", Map("en" -> 2.25, "de" -> 0.5))
+      .select($"doc_id", $"lang", $"epoch")
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    // en docs: 2 or 3 copies, epochs contiguous from 0; ~25% get the 3rd
+    val enCounts = out.collect { case ((_, "en"), eps) => eps }
+    assert(enCounts.forall(e => e == (0 until e.length) && (e.length == 2 || e.length == 3)))
+    val third = enCounts.count(_.length == 3).toDouble / enCounts.size
+    assert(third > 0.18 && third < 0.32, s"fractional-epoch rate $third")
+    // de docs: 0 or 1 copy — the pure-downsample degenerate case
+    // equals mixtureSample's keep set exactly
+    val deKept = out.collect { case ((id, "de"), eps) => assert(eps == Seq(0)); id }.toSet
+    val mixKept = Sampling
+      .mixtureSample(corpus.where($"lang" === "de"), "lang", "doc_id", Map("de" -> 0.5))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(deKept == mixKept, "e=0.5 must reduce to mixtureSample")
+    // zero epochs drops the stratum entirely; integer epochs are exact
+    val exact = Sampling
+      .epochExpand(corpus, "lang", "doc_id", Map("en" -> 3.0, "de" -> 0.0))
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(exact == Map("en" -> 2250L), exact.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.epochExpand(corpus, "lang", "doc_id", Map("en" -> 101.0))
+    }
+  }
 }
