@@ -4088,6 +4088,55 @@ object SparkEntry {
       |  true AS bodies_agree, true AS body_ok, true AS ct_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Roundtrip gate for the WET face
+    * ([[graft.sources.Warc.readWet]] — Common Crawl's extracted-text
+    * layout): every document's text is serialized as a `conversion`
+    * record into BOTH a plain and a gzip-member-per-record WET file
+    * (each with its `warcinfo` prelude), read back through the
+    * distributed reader, and checked verbatim — exactly two copies
+    * per doc, the warcinfo records filtered by the face, and the
+    * UTF-8 text byte-identical (bodies are `Content-Length`-sliced,
+    * so corpus text containing CRLFs or WARC-looking lines must
+    * survive).
+    */
+  private def q152WetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pages = docsDf.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .sortBy(_._1)
+      .toSeq
+      .map { case (id, text) =>
+        (s"http://wet.example.com/doc/$id", "2024-06-01T10:00:00Z", text)
+      }
+    val outDir = java.nio.file.Files.createTempDirectory("graft_wet_gate")
+    java.nio.file.Files.write(
+      outDir.resolve("a.warc.wet"),
+      graft.sources.Warc.buildWet(pages, gzipPerRecord = false))
+    java.nio.file.Files.write(
+      outDir.resolve("b.warc.wet.gz"),
+      graft.sources.Warc.buildWet(pages, gzipPerRecord = true))
+    graft.sources.Warc.readWet(s, outDir.toString + "/*")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("warc_date"), col("text"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        (countDistinct(col("text")) === 1).as("texts_agree"),
+        first(col("text")).as("__text"),
+        min(col("warc_date")).as("__date"))
+      .join(docsDf.select(col("doc_id"), coalesce(col("text"), lit("")).as("exp")), "doc_id")
+      .select(col("doc_id"), col("n_copies"), col("texts_agree"),
+        (col("__text") === col("exp")).as("text_ok"),
+        (col("__date") === "2024-06-01T10:00:00Z").as("date_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val q152Oracle =
+    """SELECT doc_id, CAST(2 AS BIGINT) AS n_copies, true AS texts_agree,
+      |  true AS text_ok, true AS date_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** HTTP-fidelity gate for the WARC source: every document becomes
     * TWO planted pages in one gzip-member-per-record archive — even
     * ids served as ISO-8859-1 with `Transfer-Encoding: chunked` (the
@@ -5324,6 +5373,7 @@ object SparkEntry {
     "q149_compressibility_planted" -> (q149CompressibilityPlanted _),
     "q150_epoch_plan" -> (q150EpochPlan _),
     "q151_epoch_expand" -> (q151EpochExpand _),
+    "q152_wet_roundtrip" -> (q152WetRoundtrip _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5465,5 +5515,6 @@ object SparkEntry {
     "q149_compressibility_planted" -> q149Oracle,
     "q150_epoch_plan" -> q150Oracle,
     "q151_epoch_expand" -> q151Oracle,
+    "q152_wet_roundtrip" -> q152Oracle,
   )
 }

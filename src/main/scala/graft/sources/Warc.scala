@@ -299,6 +299,22 @@ object Warc {
       .toDF()
   }
 
+  /** Common Crawl WET (extracted-text) face: WET files are ordinary
+    * WARC containers whose `conversion` records carry each page's
+    * extracted plain text (`Content-Type: text/plain`, no HTTP head) —
+    * the layout pipelines start from when they skip HTML extraction.
+    * Same kernel, parallelism, and memory bounds as [[read]] (the
+    * non-HTTP record path decodes the block as UTF-8, the WET
+    * contract); `warcinfo` and any interleaved non-conversion records
+    * are filtered out. Output: (url, warc_date, text).
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    read(spark, path)
+      .where(col("warc_type") === "conversion")
+      .select(col("url"), col("warc_date"), col("body").as("text"))
+  }
+
   /** STREAMING WARC ingestion — the file-arrival shape a production
     * crawl pipeline lands on: a crawler drops finished `.warc.gz`
     * files into a directory/bucket and this source picks each up
@@ -366,6 +382,38 @@ object Warc {
       pos += n
     }
     out.write("0\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+    out.toByteArray
+  }
+
+  /** Serialize (url, date, text) triples into WET bytes — a `warcinfo`
+    * prelude followed by one `conversion` record per page, the Common
+    * Crawl WET layout (testing + fixture tool).
+    */
+  private[graft] def buildWet(
+      pages: Seq[(String, String, String)],
+      gzipPerRecord: Boolean,
+  ): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def writeRec(rec: Array[Byte]): Unit =
+      if (gzipPerRecord) {
+        val gz = new ByteArrayOutputStream()
+        val g = new GZIPOutputStream(gz)
+        g.write(rec); g.close()
+        out.write(gz.toByteArray)
+      } else out.write(rec)
+    val info = "software: graft-test\r\n".getBytes(StandardCharsets.UTF_8)
+    writeRec(
+      (s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n" +
+        s"Content-Length: ${info.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++
+        info ++ Crlf ++ Crlf)
+    pages.foreach { case (url, date, text) =>
+      val body = text.getBytes(StandardCharsets.UTF_8)
+      writeRec(
+        (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+          s"WARC-Date: $date\r\nContent-Type: text/plain\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++
+          body ++ Crlf ++ Crlf)
+    }
     out.toByteArray
   }
 

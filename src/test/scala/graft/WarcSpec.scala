@@ -154,4 +154,22 @@ class WarcSpec extends SparkTestBase {
       .select($"url", $"body").as[(String, String)].collect().toSet
     assert(got == Set(("http://f.com/a", "<p>alpha</p>"), ("http://f.com/b", "<p>beta</p>")))
   }
+
+  test("WET face: conversion records read as (url, date, text); warcinfo filtered; UTF-8 intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-spec")
+    val pages = Seq(
+      ("http://w.com/1", "2024-06-01T10:00:00Z", "extracted text one\nsecond line"),
+      ("http://w.com/2", "2024-06-01T10:00:01Z", "κείμενο — emoji 😀 survives"))
+    java.nio.file.Files.write(dir.resolve("a.warc.wet.gz"),
+      Warc.buildWet(pages.take(1), gzipPerRecord = true))
+    java.nio.file.Files.write(dir.resolve("b.warc.wet"),
+      Warc.buildWet(pages.drop(1), gzipPerRecord = false))
+    val got = Warc.readWet(spark, dir.toString + "/*")
+      .as[(String, String, String)].collect().toSet
+    assert(got == pages.map(p => (p._1, p._2, p._3)).toSet, got)
+    // the warcinfo prelude is present in the container but not the face
+    val raw = Warc.read(spark, dir.toString + "/*")
+    assert(raw.where($"warc_type" === "warcinfo").count() == 2)
+    assert(raw.count() == 4)
+  }
 }
