@@ -5011,9 +5011,14 @@ object SparkEntry {
     * hash-exact.
     */
   private def q148LineSignals(s: SparkSession, dir: String): DataFrame = {
+    // coalesce BEFORE the plant on both sides: a null-text row would
+    // otherwise null the whole concat here while the kernel maps null
+    // to "" — the two disagree on n_lines the moment the fixture
+    // grows a null
     val docs = load(s, dir, "documents")
       .select(col("doc_id"),
-        concat(regexp_replace(col("text"), " ", "\n"), lit("\n")).as("ptext"))
+        concat(regexp_replace(coalesce(col("text"), lit("")), " ", "\n"),
+          lit("\n")).as("ptext"))
     QualityFilters
       .withLineSignals(docs, "ptext")
       .select(col("doc_id"), col("n_lines_ls"), col("max_line_len"),
@@ -5024,7 +5029,8 @@ object SparkEntry {
 
   private val q148Oracle =
     """WITH p AS (
-      |  SELECT doc_id, replace(text, ' ', chr(10)) || chr(10) AS t FROM documents
+      |  SELECT doc_id, replace(COALESCE(text, ''), ' ', chr(10)) || chr(10) AS t
+      |  FROM documents
       |), l AS (
       |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
       |    length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS alnum
@@ -5109,7 +5115,9 @@ object SparkEntry {
     """WITH c AS (
       |  SELECT lang AS stratum, count(*) AS n_docs,
       |    sum(COALESCE(n_chars, 0)) AS n_tokens
-      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+      |  FROM documents
+      |  WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+      |  GROUP BY lang
       |), w AS (
       |  SELECT stratum, n_docs, n_tokens,
       |    CAST(CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25

@@ -85,12 +85,22 @@ object Sampling {
       s"fractions must be in [0,1]: $fractions",
     )
     val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
-    val threshold = fractions.foldRight(lit(hexBound(defaultFraction))) {
-      case ((stratum, f), rest) =>
-        when(col(stratumCol) === stratum, lit(hexBound(f))).otherwise(rest)
-    }
-    df.where(prefix < threshold)
+    df.where(prefix < stratumCase(stratumCol, fractions, defaultFraction)(hexBound))
   }
+
+  /** Literal per-stratum CASE chain shared by the md5-threshold
+    * operators ([[mixtureSample]], [[epochExpand]]): `stratum = k →
+    * lit(f(v_k))` in sorted-key order (one deterministic plan per
+    * map), falling to `lit(f(default))` — which also catches NULL
+    * strata, since a null equality is never true.
+    */
+  private def stratumCase[T](
+      stratumCol: String, m: Map[String, Double], default: Double)(
+      f: Double => T): Column =
+    m.toSeq.sortBy(_._1).foldRight(lit(f(default))) {
+      case ((stratum, v), rest) =>
+        when(col(stratumCol) === stratum, lit(f(v))).otherwise(rest)
+    }
 
   /** 4-hex-char EXCLUSIVE threshold for a [0,1] fraction, shared by
     * every md5-prefix predicate (Column and SQL twins — both engines
@@ -346,9 +356,11 @@ object Sampling {
     * `weights` — (stratum, n_docs, n_tokens, weight, target_tokens,
     * epochs, realized_tokens, shortfall_tokens), where shortfall > 0
     * exposes sources whose cap left their target unmet (the caller
-    * re-weights or accepts). Strata in `df` without a weight get
-    * weight 0 (planned out); weight keys absent from `df` contribute
-    * to normalization (the user's stated recipe) but emit no row.
+    * re-weights or accepts). Strata in `df` without a weight emit NO
+    * row (they are planned out — feed the plan to [[epochExpand]],
+    * whose `defaultEpochs = 0` drops them); weight keys absent from
+    * `df` contribute to normalization (the user's stated recipe) but
+    * emit no row either.
     *
     * Scale shape: ONE map-side-combined aggregation over the corpus;
     * the plan arithmetic runs driver-side over the stratum list
@@ -429,14 +441,8 @@ object Sampling {
     }
     def fullOf(e: Double) = math.floor(e).toInt
     def boundOf(e: Double) = hexBound(e - math.floor(e))
-    val fullCol = epochs.toSeq.sortBy(_._1).foldRight(lit(fullOf(defaultEpochs))) {
-      case ((stratum, e), rest) =>
-        when(col(stratumCol) === stratum, lit(fullOf(e))).otherwise(rest)
-    }
-    val boundCol = epochs.toSeq.sortBy(_._1).foldRight(lit(boundOf(defaultEpochs))) {
-      case ((stratum, e), rest) =>
-        when(col(stratumCol) === stratum, lit(boundOf(e))).otherwise(rest)
-    }
+    val fullCol = stratumCase(stratumCol, epochs, defaultEpochs)(fullOf)
+    val boundCol = stratumCase(stratumCol, epochs, defaultEpochs)(boundOf)
     val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
     val copies = fullCol + when(prefix < boundCol, 1).otherwise(0)
     df.withColumn(

@@ -408,10 +408,15 @@ object Warc {
         info ++ Crlf ++ Crlf)
     pages.foreach { case (url, date, text) =>
       val body = text.getBytes(StandardCharsets.UTF_8)
+      // ISO-8859-1, not US_ASCII: the parser's readLine decodes header
+      // lines as latin-1, so latin-1 URLs roundtrip while US_ASCII
+      // would silently mangle them to '?'; URLs beyond latin-1 are
+      // outside this fixture tool's scope (percent-encode them)
       writeRec(
         (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
           s"WARC-Date: $date\r\nContent-Type: text/plain\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(StandardCharsets.ISO_8859_1) ++
           body ++ Crlf ++ Crlf)
     }
     out.toByteArray
