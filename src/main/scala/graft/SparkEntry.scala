@@ -4137,6 +4137,84 @@ object SparkEntry {
       |  true AS text_ok, true AS date_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Fused-annotation gate
+    * ([[graft.operators.TextAnalysis.withTextSignals]]): one UDF pass
+    * must equal the four standalone faces, so the oracle is the
+    * q117/q147/q148 replays COMBINED over raw corpus text plus
+    * `raw_len` (UTF-8 bytes = DuckDB `strlen`). Deflate columns
+    * are excluded (zlib-build-dependent — gated by q149's planted
+    * margins instead); entropy rounds to 4dp as in q147.
+    */
+  private def q153TextSignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    TextAnalysis
+      .withTextSignals(docs, "text")
+      .select(col("doc_id"),
+        col("n_words_rd"), col("n_sentences_rd"), col("n_syllables"),
+        col("flesch_ease"), col("fk_grade"),
+        col("n_tokens_ue"), col("n_distinct_tokens"),
+        round(col("unigram_entropy"), 4).as("unigram_entropy"),
+        col("n_lines_ls"), col("max_line_len"), col("sum_line_len"),
+        col("avg_line_len"), col("n_alnum_cp"), col("n_cp"), col("frac_alnum"),
+        col("raw_len"))
+      .orderBy("doc_id")
+  }
+
+  private val q153Oracle =
+    """WITH p AS (
+      |  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      |), b AS (
+      |  SELECT doc_id, t,
+      |    list_filter(regexp_split_to_array(lower(t), '[^\p{L}\p{N}_]+'),
+      |      x -> x <> '') AS toks
+      |  FROM p
+      |), rd AS (
+      |  SELECT doc_id,
+      |    len(toks) AS w,
+      |    COALESCE(list_sum(list_transform(toks,
+      |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS sy,
+      |    greatest(len(regexp_extract_all(t, '[.!?]')), 1) AS se
+      |  FROM b
+      |), uec AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM b) GROUP BY doc_id, tok
+      |), ue AS (
+      |  SELECT doc_id, sum(c) AS w, count(*) AS d, sum(c * ln(c)) AS clnc
+      |  FROM uec GROUP BY doc_id
+      |), ls AS (
+      |  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+      |    length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+      |  FROM p
+      |)
+      |SELECT p.doc_id,
+      |  CAST(rd.w AS BIGINT) AS n_words_rd,
+      |  CAST(rd.se AS BIGINT) AS n_sentences_rd,
+      |  CAST(rd.sy AS BIGINT) AS n_syllables,
+      |  CASE WHEN rd.w > 0 THEN
+      |    206.835 - 1.015 * (CAST(rd.w AS DOUBLE) / rd.se)
+      |      - 84.6 * (CAST(rd.sy AS DOUBLE) / rd.w) END AS flesch_ease,
+      |  CASE WHEN rd.w > 0 THEN
+      |    0.39 * (CAST(rd.w AS DOUBLE) / rd.se)
+      |      + 11.8 * (CAST(rd.sy AS DOUBLE) / rd.w) - 15.59 END AS fk_grade,
+      |  CAST(COALESCE(ue.w, 0) AS BIGINT) AS n_tokens_ue,
+      |  CAST(COALESCE(ue.d, 0) AS BIGINT) AS n_distinct_tokens,
+      |  round(ln(ue.w) - ue.clnc / ue.w, 4) AS unigram_entropy,
+      |  CAST(len(ls.lines) AS BIGINT) AS n_lines_ls,
+      |  CAST(list_max(list_transform(ls.lines, x -> length(x))) AS BIGINT)
+      |    AS max_line_len,
+      |  CAST(list_sum(list_transform(ls.lines, x -> length(x))) AS BIGINT)
+      |    AS sum_line_len,
+      |  CAST(list_sum(list_transform(ls.lines, x -> length(x))) AS DOUBLE)
+      |    / len(ls.lines) AS avg_line_len,
+      |  CAST(ls.alnum AS BIGINT) AS n_alnum_cp,
+      |  CAST(length(ls.t) AS BIGINT) AS n_cp,
+      |  CASE WHEN length(ls.t) > 0
+      |    THEN CAST(ls.alnum AS DOUBLE) / length(ls.t) END AS frac_alnum,
+      |  CAST(strlen(ls.t) AS BIGINT) AS raw_len
+      |FROM p
+      |JOIN rd USING (doc_id) JOIN ls USING (doc_id) LEFT JOIN ue USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   /** HTTP-fidelity gate for the WARC source: every document becomes
     * TWO planted pages in one gzip-member-per-record archive — even
     * ids served as ISO-8859-1 with `Transfer-Encoding: chunked` (the
@@ -5382,6 +5460,7 @@ object SparkEntry {
     "q150_epoch_plan" -> (q150EpochPlan _),
     "q151_epoch_expand" -> (q151EpochExpand _),
     "q152_wet_roundtrip" -> (q152WetRoundtrip _),
+    "q153_text_signals" -> (q153TextSignals _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5524,5 +5603,6 @@ object SparkEntry {
     "q150_epoch_plan" -> q150Oracle,
     "q151_epoch_expand" -> q151Oracle,
     "q152_wet_roundtrip" -> q152Oracle,
+    "q153_text_signals" -> q153Oracle,
   )
 }

@@ -885,7 +885,15 @@ object TextAnalysis {
     */
   private[graft] def readabilityKernel(text: String): ReadabilityStats = {
     val t = if (text == null) "" else text
-    val toks = graft.textutil.TextHash.tokenize(t)
+    readabilityFromToks(t, graft.textutil.TextHash.tokenize(t))
+  }
+
+  /** [[readabilityKernel]] body on a pre-tokenized doc — the shared
+    * form [[withTextSignals]] fuses with the other token consumers so
+    * one tokenize pass serves all of them. Order-independent over
+    * `toks` (per-word syllable counts sum).
+    */
+  private def readabilityFromToks(t: String, toks: Array[String]): ReadabilityStats = {
     val nWords = toks.length.toLong
     var syl = 0L
     toks.foreach { w =>
@@ -953,9 +961,21 @@ object TextAnalysis {
     * shared [[graft.textutil.TextHash.tokenize]] every oracle replays.
     * Zero-token text yields null entropy rather than a `0/0` artifact.
     */
-  private[graft] def unigramEntropyKernel(text: String): UnigramEntropyStats = {
-    val toks = graft.textutil.TextHash.tokenize(if (text == null) "" else text)
-    if (toks.isEmpty) return UnigramEntropyStats(0L, 0L, None)
+  private[graft] def unigramEntropyKernel(text: String): UnigramEntropyStats =
+    unigramEntropyFromToks(
+      graft.textutil.TextHash.tokenize(if (text == null) "" else text),
+      copyBeforeSort = false)
+
+  /** [[unigramEntropyKernel]] body on a pre-tokenized doc. SORTS the
+    * array in place unless `copyBeforeSort` — the fused
+    * [[withTextSignals]] passes true so the shared token array stays
+    * usable by order-sensitive consumers; the standalone kernel owns
+    * its array and skips the copy.
+    */
+  private def unigramEntropyFromToks(
+      toks0: Array[String], copyBeforeSort: Boolean): UnigramEntropyStats = {
+    if (toks0.isEmpty) return UnigramEntropyStats(0L, 0L, None)
+    val toks = if (copyBeforeSort) toks0.clone() else toks0
     java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
     val w = toks.length
     var clnc = 0.0
@@ -981,5 +1001,71 @@ object TextAnalysis {
     val fields = Seq("n_tokens_ue", "n_distinct_tokens", "unigram_entropy")
     val flagged = df.withColumn("__ue", u(col(textCol)))
     fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__ue.$f"))).drop("__ue")
+  }
+
+  final case class TextSignals(
+      n_words_rd: Long,
+      n_sentences_rd: Long,
+      n_syllables: Long,
+      flesch_ease: Option[Double],
+      fk_grade: Option[Double],
+      n_tokens_ue: Long,
+      n_distinct_tokens: Long,
+      unigram_entropy: Option[Double],
+      n_lines_ls: Long,
+      max_line_len: Long,
+      sum_line_len: Long,
+      avg_line_len: Double,
+      n_alnum_cp: Long,
+      n_cp: Long,
+      frac_alnum: Option[Double],
+      raw_len: Long,
+      deflate_len: Long,
+      compression_ratio: Option[Double],
+  )
+
+  /** The FUSED per-document annotation pass — readability, unigram
+    * entropy, line-shape, and compressibility in ONE scalar UDF with
+    * ONE tokenize pass, for the RPv2-style "annotate everything, let
+    * consumers threshold later" pipelines where the signal sweep IS
+    * the scan cost at 100 TB. Column-for-column identical to chaining
+    * [[withReadability]] → [[withUnigramEntropy]] →
+    * [[graft.operators.QualityFilters.withLineSignals]] →
+    * [[graft.operators.QualityFilters.withCompressibility]] (the same
+    * kernels run on the same inputs — entropy sorts a COPY of the
+    * shared token array), but tokenizes once instead of twice and
+    * crosses the UDF boundary once instead of four times. Set
+    * `deflateLevel = -1` to skip the deflate pass entirely (zeros +
+    * null ratio) when compressibility isn't wanted — it is the one
+    * non-linear-cost signal in the bundle.
+    */
+  def withTextSignals(
+      df: DataFrame, textCol: String, deflateLevel: Int = 6): DataFrame = {
+    require(deflateLevel >= -1 && deflateLevel <= 9,
+      s"deflate level must be in [0,9], or -1 to skip: $deflateLevel")
+    val u = udf { (text: String) =>
+      val t = if (text == null) "" else text
+      val toks = graft.textutil.TextHash.tokenize(t)
+      val rd = readabilityFromToks(t, toks)
+      val ue = unigramEntropyFromToks(toks, copyBeforeSort = true)
+      val ls = QualityFilters.lineSignalsKernel(t)
+      val cz =
+        if (deflateLevel < 0) QualityFilters.CompressibilityStats(0L, 0L, None)
+        else QualityFilters.compressibilityKernel(t, deflateLevel)
+      TextSignals(
+        rd.n_words_rd, rd.n_sentences_rd, rd.n_syllables, rd.flesch_ease, rd.fk_grade,
+        ue.n_tokens_ue, ue.n_distinct_tokens, ue.unigram_entropy,
+        ls.n_lines_ls, ls.max_line_len, ls.sum_line_len, ls.avg_line_len,
+        ls.n_alnum_cp, ls.n_cp, ls.frac_alnum,
+        cz.raw_len, cz.deflate_len, cz.compression_ratio)
+    }
+    val fields = Seq(
+      "n_words_rd", "n_sentences_rd", "n_syllables", "flesch_ease", "fk_grade",
+      "n_tokens_ue", "n_distinct_tokens", "unigram_entropy",
+      "n_lines_ls", "max_line_len", "sum_line_len", "avg_line_len",
+      "n_alnum_cp", "n_cp", "frac_alnum",
+      "raw_len", "deflate_len", "compression_ratio")
+    val flagged = df.withColumn("__sig", u(col(textCol)))
+    fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__sig.$f"))).drop("__sig")
   }
 }

@@ -292,6 +292,29 @@ object Probe {
       return
     }
 
+    if (names.contains("signals_fused")) {
+      // withTextSignals vs the four chained faces — the pass-fusion
+      // win (one tokenize, one UDF boundary) measured on real text
+      import graft.operators.{QualityFilters, TextAnalysis}
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      println("[probe] docs=" + docs.count())
+      def chained() = QualityFilters.withCompressibility(
+        QualityFilters.withLineSignals(
+          TextAnalysis.withUnigramEntropy(
+            TextAnalysis.withReadability(docs, "text"), "text"), "text"), "text")
+      (1 to 2).foreach { round =>
+        val label = if (round == 1) "warmup" else "measured"
+        timed(s"$label chained 4-face pass")(println("[probe] rows=" +
+          chained().select(col("doc_id"), col("unigram_entropy"), col("raw_len")).count()))
+        timed(s"$label fused withTextSignals")(println("[probe] rows=" +
+          TextAnalysis.withTextSignals(docs, "text")
+            .select(col("doc_id"), col("unigram_entropy"), col("raw_len")).count()))
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("q122_stages")) {
       import spark.implicits._
       val pages = graft.SparkEntry.q122PlantedPages(spark, sfDir)

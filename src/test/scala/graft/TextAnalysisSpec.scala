@@ -953,4 +953,34 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Double)].head()
     assert(df == ((3L, 2L, expected)))
   }
+
+  test("withTextSignals: fused pass equals the four chained faces column-for-column") {
+    import graft.operators.{QualityFilters, TextAnalysis}
+    val docs = Seq(
+      (1L, "The quick brown fox. Jumps over the lazy dog.\nSecond line here."),
+      (2L, "buy now buy now buy now buy now"),
+      (3L, ""),
+      (4L, null: String),
+      (5L, "unicode Ω line\n\nwith 𝄞 astral and trailing\n"),
+    ).toDF("id", "text")
+    val fused = TextAnalysis.withTextSignals(docs, "text")
+    val chained = QualityFilters.withCompressibility(
+      QualityFilters.withLineSignals(
+        TextAnalysis.withUnigramEntropy(
+          TextAnalysis.withReadability(docs, "text"), "text"), "text"), "text")
+    assert(fused.columns.toSeq == chained.columns.toSeq)
+    val f = fused.orderBy("id").collect().map(_.toSeq)
+    val c = chained.orderBy("id").collect().map(_.toSeq)
+    assert(f.length == c.length)
+    f.zip(c).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i diverged:\nfused   $a\nchained $b")
+    }
+    // deflateLevel = -1 skips the one non-linear signal, zeroing it
+    val skipped = TextAnalysis.withTextSignals(docs, "text", deflateLevel = -1)
+      .select($"raw_len", $"deflate_len").as[(Long, Long)].collect()
+    assert(skipped.forall(_ == ((0L, 0L))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withTextSignals(docs, "text", deflateLevel = 10)
+    }
+  }
 }
