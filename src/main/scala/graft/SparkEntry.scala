@@ -1900,6 +1900,57 @@ object SparkEntry {
       |  COALESCE(g.n_kept_lines, 0) AS n_kept_lines
       |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-dedup gate
+    * ([[graft.operators.Dedup.paragraphDedup]], the Dolma
+    * granularity): every doc carries its own text twice as separate
+    * paragraphs (the in-doc repeat must drop its SECOND occurrence)
+    * around one constant boilerplate paragraph (corpus-wide — only
+    * the minimum doc keeps it). Pure string semantics, replayed
+    * verbatim.
+    */
+  private def q154ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("\n\n",
+        col("text"),
+        lit("all rights reserved - generated boilerplate paragraph"),
+        col("text")).as("text"))
+    graft.operators.Dedup
+      .paragraphDedup(docs, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val q154Oracle =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || chr(10)
+      |         || 'all rights reserved - generated boilerplate paragraph'
+      |         || chr(10) || chr(10) || text AS text
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, len(ls) - 1)) AS p,
+      |    unnest(ls) AS line
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS ls FROM d)),
+      |k AS (SELECT doc_id, p, line, trim(line) AS key FROM l),
+      |r AS (
+      |  SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY key ORDER BY doc_id, p) AS rn
+      |  FROM k WHERE len(key) >= 5),
+      |removed AS (SELECT doc_id, p FROM r WHERE rn > 1),
+      |kept AS (
+      |  SELECT k.doc_id, k.p, k.line
+      |  FROM k LEFT JOIN removed x ON k.doc_id = x.doc_id AND k.p = x.p
+      |  WHERE x.doc_id IS NULL),
+      |g AS (
+      |  SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY p) AS clean_text,
+      |    count(*) AS n_kept_paragraphs
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(g.clean_text, '') AS clean_text,
+      |  COALESCE(g.n_kept_paragraphs, 0) AS n_kept_paragraphs
+      |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -5461,6 +5512,7 @@ object SparkEntry {
     "q151_epoch_expand" -> (q151EpochExpand _),
     "q152_wet_roundtrip" -> (q152WetRoundtrip _),
     "q153_text_signals" -> (q153TextSignals _),
+    "q154_paragraph_dedup" -> (q154ParagraphDedup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5604,5 +5656,6 @@ object SparkEntry {
     "q151_epoch_expand" -> q151Oracle,
     "q152_wet_roundtrip" -> q152Oracle,
     "q153_text_signals" -> q153Oracle,
+    "q154_paragraph_dedup" -> q154Oracle,
   )
 }

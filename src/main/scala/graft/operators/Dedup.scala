@@ -1412,17 +1412,52 @@ object Dedup {
       idCol: String,
       textCol: String,
       minLineChars: Int = 5,
+  ): DataFrame =
+    unitDedup(df, idCol, textCol, minLineChars, "\n", "\n", "n_kept_lines")
+
+  /** PARAGRAPH-level exact dedup — the Dolma-recipe granularity
+    * (Soldaini et al. 2024 dedup paragraphs corpus-wide; boilerplate
+    * usually repeats as whole blocks, and line granularity shreds a
+    * block whose first line alone recurs): units are runs split on
+    * blank lines (`\n{2,}`), rebuilt with `"\n\n"`. Same
+    * first-occurrence keep rule, scale shape, and oracle-exact string
+    * semantics as [[lineDedup]] — one shared implementation.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minParagraphChars: Int = 5,
+  ): DataFrame =
+    unitDedup(df, idCol, textCol, minParagraphChars, "\\n{2,}", "\n\n",
+      "n_kept_paragraphs")
+
+  /** The shared unit-granular exact-dedup machinery behind
+    * [[lineDedup]] / [[paragraphDedup]]: posexplode on `splitRe`,
+    * first-occurrence winner per trimmed unit (global (doc, position)
+    * order, map-side partial min), anti-join back, per-doc ordered
+    * rebuild joined with `joinSep`. Units shorter than `minChars`
+    * after trimming are always kept.
+    */
+  private def unitDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minChars: Int,
+      splitRe: String,
+      joinSep: String,
+      nKeptCol: String,
   ): DataFrame = {
     val lines = df
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), splitRe)))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "line")
       .withColumn("key", trim(col("line")))
-    val dedupable = lines.where(length(col("key")) >= minLineChars)
+    val dedupable = lines.where(length(col("key")) >= minChars)
     val winners = dedupable
       .groupBy("key")
       .agg(min(struct(col("id"), col("p"))).as("keep"), count(lit(1)).as("occ"))
-      .where(col("occ") > 1) // unique lines never drop anything
+      .where(col("occ") > 1) // unique units never drop anything
       .select(col("key"), col("keep"))
     val removed = dedupable
       .join(winners, "key")
@@ -1433,10 +1468,10 @@ object Dedup {
       .groupBy("id")
       .agg(
         concat_ws(
-          "\n",
+          joinSep,
           expr("transform(array_sort(collect_list(struct(p, line))), s -> s.line)"),
         ).as("clean_text"),
-        count(lit(1)).as("n_kept_lines"),
+        count(lit(1)).as(nKeptCol),
       )
     // every input doc surfaces — fully-dropped docs come back empty
     df.select(col(idCol).as("id"))
@@ -1444,7 +1479,7 @@ object Dedup {
       .select(
         col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        coalesce(col(nKeptCol), lit(0L)).as(nKeptCol),
       )
   }
 

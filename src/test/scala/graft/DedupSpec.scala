@@ -355,6 +355,34 @@ class DedupSpec extends SparkTestBase {
     assert(got(5L) == ("", 1L), "an empty doc is one empty (kept) line")
   }
 
+  test("paragraphDedup: block granularity keeps multi-line blocks whole where line dedup shreds") {
+    val block = "header line repeated\nbut this continuation differs"
+    val docs = Seq(
+      // doc 1's block shares its FIRST LINE with doc 2's block, but
+      // the blocks differ as wholes — paragraph mode must keep both
+      (1L, block + "\n\nshared boilerplate block\nspanning two lines"),
+      (2L, "header line repeated\nwith another continuation\n\n" +
+        "shared boilerplate block\nspanning two lines"),
+      // in-doc paragraph repeat: second occurrence drops
+      (3L, "own paragraph text\n\n\nown paragraph text"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((block + "\n\nshared boilerplate block\nspanning two lines", 2L)),
+      s"got ${got(1L)}")
+    assert(got(2L) == (("header line repeated\nwith another continuation", 1L)),
+      s"cross-doc block dropped, first-line overlap ignored: ${got(2L)}")
+    assert(got(3L) == (("own paragraph text", 1L)), s"\\n{2,} merges 3 newlines: ${got(3L)}")
+    assert(got(4L) == (("", 1L)))
+    // contrast: LINE dedup would drop doc 2's first line (repeated
+    // from doc 1's block) — the shredding paragraph mode avoids
+    val lineGot = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!lineGot(2L).contains("header line repeated"),
+      "line mode shreds the block (expected contrast)")
+  }
+
   test("alternating CC: diameter-300 chain converges in O(log n) rounds, ≡ union-find") {
     // a pure path graph — the adversarial case for min-label
     // propagation (needs diameter rounds; its default cap of 10 would
