@@ -155,6 +155,30 @@ class WarcSpec extends SparkTestBase {
     assert(got == Set(("http://f.com/a", "<p>alpha</p>"), ("http://f.com/b", "<p>beta</p>")))
   }
 
+  test("WET feeds the pipeline: prepare over readWet equals prepare over the parquet docs") {
+    // the switch-from-parquet-to-WET story must be a no-op: same
+    // docs through the same pipeline, same training chunks out
+    val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+      .where($"doc_id" < 60).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-pipe")
+    java.nio.file.Files.write(dir.resolve("d.warc.wet.gz"),
+      Warc.buildWet(docs.map { case (id, t) =>
+        (s"http://wet.example.com/doc/$id", "2024-06-01T10:00:00Z", t)
+      }, gzipPerRecord = true))
+    val fromWet = Warc.readWet(spark, dir.toString + "/*")
+      .select(org.apache.spark.sql.functions
+        .regexp_extract($"url", "/doc/(\\d+)$", 1).cast("long").as("doc_id"), $"text")
+    val fromParquet = docs.toDF("doc_id", "text")
+    def chunksOf(df: org.apache.spark.sql.DataFrame) = graft.operators.CorpusPipeline
+      .prepare(df, "doc_id", "text", window = 64, stride = 64)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    val a = chunksOf(fromWet)
+    assert(a.nonEmpty, "pipeline produced no chunks from the WET read")
+    assert(a == chunksOf(fromParquet), "WET-sourced pipeline diverged from parquet-sourced")
+  }
+
   test("WET face: conversion records read as (url, date, text); warcinfo filtered; UTF-8 intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wet-spec")
     val pages = Seq(
