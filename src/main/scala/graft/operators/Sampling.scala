@@ -418,7 +418,10 @@ object Sampling {
     * reduces to exactly `mixtureSample`'s keep-half, and `e = 0` drops
     * the stratum. The emitted `epoch` column (0-based) lets downstream
     * shuffling/packing keep replicas apart so one sequence never sees
-    * the same document twice in a row.
+    * the same document twice in a row — key the shuffle on the
+    * COMPOSITE (id, epoch), e.g. `concat(id, '#', epoch)`: replicas
+    * share `idCol`, so keying the shuffle on the bare id hands every
+    * replica the SAME position key and lands them adjacent (spec'd).
     *
     * Deterministic and rerun-stable (the fractional subset is a pure
     * function of the id), shuffle-free (per-row `explode` of a ≤

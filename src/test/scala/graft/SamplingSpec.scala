@@ -309,4 +309,32 @@ class SamplingSpec extends SparkTestBase {
       Sampling.epochExpand(corpus, "lang", "doc_id", Map("en" -> 101.0))
     }
   }
+
+  test("epochExpand → shuffle: composite (id, epoch) key scatters replicas; bare id lands them adjacent") {
+    val corpus = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val expanded = Sampling
+      .epochExpand(corpus, "lang", "doc_id", Map("en" -> 3.0))
+      .withColumn("rep_id", concat($"doc_id", lit("#"), $"epoch"))
+    // positions straight off the shuffle output (a join back on the
+    // bare id would fan out 3×3); doc recovered from the key itself
+    def positions(keyCol: String) = graft.operators.Packing
+      .deterministicShuffle(expanded, keyCol, "r1")
+      .select(split(col(keyCol).cast("string"), "#").getItem(0).cast("long"), $"pos")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // composite key: the three replicas of a doc are scattered — for
+    // the overwhelming majority of docs no two replicas are adjacent
+    // (600 positions; adjacency under a hash shuffle is ~1% per pair)
+    val comp = positions("rep_id")
+    assert(comp.values.forall(_.size == 3))
+    val adjacentDocs = comp.count { case (_, ps) =>
+      ps.sliding(2).exists(w => w(1) - w(0) == 1L) }
+    assert(adjacentDocs < 20, s"composite key left $adjacentDocs/200 docs with adjacent replicas")
+    // bare id: every doc's replicas share ONE shuffle key → the three
+    // positions are consecutive — the failure mode the epoch column
+    // plus a composite key exists to prevent
+    val bare = positions("doc_id")
+    assert(bare.values.forall(ps => ps.size == 3 && ps.last - ps.head == 2L),
+      "bare-id shuffle must land replicas adjacent (same key)")
+  }
 }
