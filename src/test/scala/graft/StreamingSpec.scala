@@ -752,8 +752,10 @@ class StreamingSpec extends SparkTestBase {
     def curate(df: org.apache.spark.sql.DataFrame) = {
       val q = graft.operators.TextAnalysis.qualityScore(df, "text")
       val r = graft.operators.TextAnalysis.withNgramRepetition(q, "text")
-      graft.operators.LmQuality.score(r, "text", lm)
-        .select($"text", $"quality_score", $"dup_bigram_frac", $"avg_logprob")
+      val s = graft.operators.TextAnalysis.withTextSignals(
+        graft.operators.LmQuality.score(r, "text", lm), "text")
+      s.select($"text", $"quality_score", $"dup_bigram_frac", $"avg_logprob",
+        $"unigram_entropy", $"compression_ratio", $"max_line_len")
     }
     val mem = MemoryStream[String](spark)
     val q = curate(mem.toDF().withColumnRenamed("value", "text"))
@@ -761,12 +763,11 @@ class StreamingSpec extends SparkTestBase {
     try {
       mem.addData(texts: _*)
       q.processAllAvailable()
-      val stream = spark.table("curate_stream").collect()
-        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
-      val batch = curate(batchDf).collect()
-        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
-          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      def rowKey(r: org.apache.spark.sql.Row) =
+        r.getString(0) -> (1 until r.length).map(i =>
+          if (r.isNullAt(i)) None else Some(r.get(i)))
+      val stream = spark.table("curate_stream").collect().map(rowKey).toMap
+      val batch = curate(batchDf).collect().map(rowKey).toMap
       assert(stream == batch, "streaming curation must equal the batch pass bit-for-bit")
     } finally q.stop()
   }
