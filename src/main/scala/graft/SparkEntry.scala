@@ -1818,12 +1818,14 @@ object SparkEntry {
     * string semantics → hash-exact oracle.
     */
   private def q80LineDedup(s: SparkSession, dir: String): DataFrame = {
+    // coalesce on BOTH sides (same rule as q154): concat_ws skips
+    // nulls, the oracle's || propagates them
     val docs = load(s, dir, "documents").select(
       col("doc_id"),
       concat_ws("\n",
-        col("text"),
+        coalesce(col("text"), lit("")),
         lit("all rights reserved - generated boilerplate footer"),
-        substring(col("text"), 1, 40)).as("text"))
+        substring(coalesce(col("text"), lit("")), 1, 40)).as("text"))
     graft.operators.Dedup
       .lineDedup(docs, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
@@ -1874,8 +1876,9 @@ object SparkEntry {
   private val q80Oracle =
     """WITH d AS (
       |  SELECT doc_id,
-      |    text || chr(10) || 'all rights reserved - generated boilerplate footer'
-      |         || chr(10) || substr(text, 1, 40) AS text
+      |    COALESCE(text, '') || chr(10)
+      |         || 'all rights reserved - generated boilerplate footer'
+      |         || chr(10) || substr(COALESCE(text, ''), 1, 40) AS text
       |  FROM documents),
       |l AS (
       |  SELECT doc_id,
@@ -1909,12 +1912,15 @@ object SparkEntry {
     * verbatim.
     */
   private def q154ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    // coalesce on BOTH sides: concat_ws SKIPS nulls while the
+    // oracle's || propagates them — a null-text row would otherwise
+    // build different planted docs in the two engines
     val docs = load(s, dir, "documents").select(
       col("doc_id"),
       concat_ws("\n\n",
-        col("text"),
+        coalesce(col("text"), lit("")),
         lit("all rights reserved - generated boilerplate paragraph"),
-        col("text")).as("text"))
+        coalesce(col("text"), lit(""))).as("text"))
     graft.operators.Dedup
       .paragraphDedup(docs, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
@@ -1924,9 +1930,9 @@ object SparkEntry {
   private val q154Oracle =
     """WITH d AS (
       |  SELECT doc_id,
-      |    text || chr(10) || chr(10)
+      |    COALESCE(text, '') || chr(10) || chr(10)
       |         || 'all rights reserved - generated boilerplate paragraph'
-      |         || chr(10) || chr(10) || text AS text
+      |         || chr(10) || chr(10) || COALESCE(text, '') AS text
       |  FROM documents),
       |l AS (
       |  SELECT doc_id,
@@ -4198,8 +4204,11 @@ object SparkEntry {
     */
   private def q153TextSignals(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // deflateLevel = -1: the gate excludes the deflate columns (q149
+    // gates those), so it exercises the skip path — raw_len stays
+    // real without paying level-6 deflate per doc
     TextAnalysis
-      .withTextSignals(docs, "text")
+      .withTextSignals(docs, "text", deflateLevel = -1)
       .select(col("doc_id"),
         col("n_words_rd"), col("n_sentences_rd"), col("n_syllables"),
         col("flesch_ease"), col("fk_grade"),

@@ -1035,9 +1035,10 @@ object TextAnalysis {
     * kernels run on the same inputs — entropy sorts a COPY of the
     * shared token array), but tokenizes once instead of twice and
     * crosses the UDF boundary once instead of four times. Set
-    * `deflateLevel = -1` to skip the deflate pass entirely (zeros +
-    * null ratio) when compressibility isn't wanted — it is the one
-    * non-linear-cost signal in the bundle.
+    * `deflateLevel = -1` to skip the deflate pass — the one
+    * non-linear-cost signal in the bundle — when compressibility
+    * isn't wanted: `raw_len` (UTF-8 bytes, deflate-independent) stays
+    * real; `deflate_len` reads 0 and `compression_ratio` null.
     */
   def withTextSignals(
       df: DataFrame, textCol: String, deflateLevel: Int = 6): DataFrame = {
@@ -1047,10 +1048,16 @@ object TextAnalysis {
       val t = if (text == null) "" else text
       val toks = graft.textutil.TextHash.tokenize(t)
       val rd = readabilityFromToks(t, toks)
-      val ue = unigramEntropyFromToks(toks, copyBeforeSort = true)
+      // entropy is the LAST token consumer (readability already ran;
+      // the remaining kernels take the raw string), so the in-place
+      // sort needs no defensive copy — one less per-row allocation
+      // in the pass whose point is being the cheap sweep
+      val ue = unigramEntropyFromToks(toks, copyBeforeSort = false)
       val ls = QualityFilters.lineSignalsKernel(t)
       val cz =
-        if (deflateLevel < 0) QualityFilters.CompressibilityStats(0L, 0L, None)
+        if (deflateLevel < 0)
+          QualityFilters.CompressibilityStats(
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong, 0L, None)
         else QualityFilters.compressibilityKernel(t, deflateLevel)
       TextSignals(
         rd.n_words_rd, rd.n_sentences_rd, rd.n_syllables, rd.flesch_ease, rd.fk_grade,

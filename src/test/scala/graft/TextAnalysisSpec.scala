@@ -975,10 +975,16 @@ class TextAnalysisSpec extends SparkTestBase {
     f.zip(c).zipWithIndex.foreach { case ((a, b), i) =>
       assert(a == b, s"row $i diverged:\nfused   $a\nchained $b")
     }
-    // deflateLevel = -1 skips the one non-linear signal, zeroing it
+    // deflateLevel = -1 skips only the deflate pass: raw_len (a
+    // deflate-independent O(n) signal) stays real, deflate columns
+    // read as skipped
     val skipped = TextAnalysis.withTextSignals(docs, "text", deflateLevel = -1)
-      .select($"raw_len", $"deflate_len").as[(Long, Long)].collect()
-    assert(skipped.forall(_ == ((0L, 0L))))
+      .orderBy("id")
+      .select($"raw_len", $"deflate_len", $"compression_ratio")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    val fullRaw = fused.orderBy("id").select($"raw_len").as[Long].collect()
+    assert(skipped.map(_._1).toSeq == fullRaw.toSeq, "raw_len must survive the skip")
+    assert(skipped.forall(s => s._2 == 0L && s._3), "deflate columns must read skipped")
     intercept[IllegalArgumentException] {
       TextAnalysis.withTextSignals(docs, "text", deflateLevel = 10)
     }
