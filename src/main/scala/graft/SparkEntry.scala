@@ -5027,10 +5027,10 @@ object SparkEntry {
 
   /** Fluent planted sentences for the languages whose Gopher
     * stopword profiles were added BEYOND the lang-id six + ru
-    * (round-13 data entry: nl/pl/sv/tr/id/da). Each is ≥8 lowercase
-    * unpunctuated words with ≥2 profile stopwords and mean word
-    * length inside the Gopher band, so 8 repetitions clear every
-    * word-level rule.
+    * (round-13 data entry: nl/pl/sv/tr/id/da, session 2 adds
+    * pt/ro/cs/vi). Each is ≥8 lowercase unpunctuated words with ≥2
+    * profile stopwords and mean word length inside the Gopher band,
+    * so 8 repetitions clear every word-level rule.
     */
   private val plantedGopherExtSentences: Seq[(String, String)] = Seq(
     "nl" -> "de kinderen spelen samen in het park vandaag",
@@ -5039,6 +5039,10 @@ object SparkEntry {
     "tr" -> "çocuklar parkta bir oyun oynuyor ve çok gülüyorlar",
     "id" -> "anak itu bermain dengan teman di taman yang indah",
     "da" -> "børnene leger sammen i parken og solen skinner",
+    "pt" -> "as crianças brincam juntas no parque com os amigos hoje",
+    "ro" -> "copiii se joacă împreună în parcul mare cu prietenii lor",
+    "cs" -> "děti si hrají spolu v parku a slunce krásně svítí",
+    "vi" -> "các em nhỏ chơi đùa cùng nhau trong công viên xanh đẹp",
   )
 
   /** q103's contract extended to the newly-profiled languages: each
@@ -5050,7 +5054,7 @@ object SparkEntry {
     */
   private def q146GopherExtPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").where(col("doc_id") % 25 === 0)
-    val idx = (col("doc_id") / 25).cast("long") % 6
+    val idx = (col("doc_id") / 25).cast("long") % plantedGopherExtSentences.length
     val lang = plantedGopherExtSentences.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, ((l, _), i)) => when(idx === i, lit(l)).otherwise(acc)
     }
@@ -5075,7 +5079,8 @@ object SparkEntry {
     val langCase = plantedGopherExtSentences.zipWithIndex
       .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
     s"""WITH p AS (
-       |  SELECT doc_id, CASE (doc_id // 25) % 6 $langCase END AS lang
+       |  SELECT doc_id,
+       |    CASE (doc_id // 25) % ${plantedGopherExtSentences.length} $langCase END AS lang
        |  FROM documents WHERE doc_id % 25 = 0)
        |SELECT doc_id, lang, true AS gopher_scoped, true AS pass FROM p
        |UNION ALL

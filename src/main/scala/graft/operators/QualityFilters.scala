@@ -142,9 +142,10 @@ object QualityFilters {
   /** Languages the word-level Gopher rules are APPLICABLE to: spaced
     * scripts with a frequent-word profile. The first six reuse the
     * lang-id stopword sets ([[TextAnalysis.stopwordProfiles]], sorted
-    * for determinism); ru/nl/pl/sv/tr/id/da are hand-entered
-    * frequent-word lists (Gopher scoping needs only the language
-    * label the caller carries, not lang-id support); all use the Unicode
+    * for determinism); ru/nl/pl/sv/tr/id/da/pt/ro/cs/vi are
+    * hand-entered frequent-word lists (Gopher scoping needs only the
+    * language label the caller carries, not lang-id support); all use
+    * the Unicode
     * alpha-word test (the ASCII test zeroes alpha counts on Cyrillic
     * and strips accents' evidence). Thresholds stay the published
     * ones — they were tuned on English but transfer reasonably to
@@ -179,7 +180,19 @@ object QualityFilters {
         "karena", "ada", "mereka", "kita", "atau"),
       "da" -> Array("og", "i", "det", "at", "en", "den", "til", "er", "som",
         "på", "de", "med", "han", "af", "for", "ikke", "der", "var", "jeg",
-        "men", "et", "hun", "om", "hvad"))
+        "men", "et", "hun", "om", "hvad"),
+      "pt" -> Array("de", "a", "o", "que", "e", "do", "da", "em", "um",
+        "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+        "mais", "as", "dos", "como", "mas"),
+      "ro" -> Array("și", "de", "în", "la", "cu", "pe", "este", "un", "o",
+        "ce", "nu", "se", "din", "care", "mai", "pentru", "dar", "sunt",
+        "lui", "ca"),
+      "cs" -> Array("a", "se", "na", "je", "v", "že", "s", "z", "do", "to",
+        "jak", "ale", "po", "co", "pro", "za", "od", "nebo", "tak", "který",
+        "jsou", "být"),
+      "vi" -> Array("và", "của", "là", "có", "trong", "được", "cho", "không",
+        "người", "này", "với", "các", "một", "những", "khi", "đã", "để",
+        "ra", "cũng", "như"))
       .map { case (l, s) => l -> s.sorted }
 
   /** [[withGopherFlags]] conditioned on a language column: documents

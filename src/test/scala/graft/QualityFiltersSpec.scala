@@ -102,6 +102,29 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(kept.count() == 1L)
   }
 
+  test("byLang: session-2 profiles (pt/ro/cs/vi) scope fluent text in and garbage out") {
+    val fluent = Seq(
+      "pt" -> "as crianças brincam juntas no parque com os amigos hoje",
+      "ro" -> "copiii se joacă împreună în parcul mare cu prietenii lor",
+      "cs" -> "děti si hrají spolu v parku a slunce krásně svítí",
+      "vi" -> "các em nhỏ chơi đùa cùng nhau trong công viên xanh đẹp",
+    )
+    val garbage = Seq.fill(60)("### 12345 …").mkString(" ")
+    val rows = fluent.zipWithIndex.flatMap { case ((l, s), i) =>
+      Seq((i.toLong, Seq.fill(8)(s).mkString(" "), l),
+        (i.toLong + 100L, garbage, l))
+    }
+    val out = QualityFilters
+      .withGopherFlagsByLang(rows.toDF("id", "text", "lang"), "text", "lang")
+      .select("id", "gopher_scoped", "pass")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    fluent.zipWithIndex.foreach { case ((l, _), i) =>
+      assert(out(i.toLong) == ((true, true)), s"$l fluent must be scoped and pass")
+      assert(out(i.toLong + 100L) == ((true, false)), s"$l garbage must be scoped and fail")
+    }
+  }
+
   test("byLang: English results identical to the unconditioned bundle") {
     val docs = Seq((1L, goodDoc), (2L, "too short the of and"))
     val un = QualityFilters.withGopherFlags(docs.toDF("id", "text"), "text")
