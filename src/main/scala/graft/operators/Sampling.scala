@@ -454,6 +454,32 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** [[epochPlan]] composed with [[epochExpand]] — the
+    * [[temperatureSample]] shape for epoch recipes: one call from
+    * (weights, token budget) to the materialized corpus with its
+    * `epoch` column. Two jobs (the plan's count aggregation, then the
+    * shuffle-free replication); strata the plan omits (unweighted, or
+    * weighted but absent) expand to zero. Returns (plan, expanded) so
+    * callers can land the audit rows alongside the data.
+    */
+  def epochSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      budgetTokens: Long,
+      maxEpochs: Double = 4.0,
+  ): (DataFrame, DataFrame) = {
+    val plan = epochPlan(df, stratumCol, tokenCol, weights, budgetTokens, maxEpochs)
+    val epochs = plan
+      .select(col("stratum"), col("epochs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    (plan, epochExpand(df, stratumCol, idCol, epochs, defaultEpochs = 0.0))
+  }
+
   /** The same bounds as SQL text, for oracle/portability parity:
     * CASE WHEN substr(md5(CAST(key AS VARCHAR)),1,4) < 'xxxx' THEN …
     */

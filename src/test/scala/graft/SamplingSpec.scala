@@ -310,6 +310,27 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("epochSample: one call from recipe to replicated corpus, plan and data consistent") {
+    // en: 750 docs × 10 tok, de: 250 × 10; budget 15000 with weights
+    // (0.5, 0.5) → en epochs = 1.0 exactly, de epochs = 3.0 exactly —
+    // integer epochs make the expansion count closed-form
+    val corpus = (1L to 1000L)
+      .map(i => (i, if (i % 4 == 0) "de" else "en", 10L))
+      .toDF("doc_id", "lang", "n_tok")
+    val (plan, expanded) = Sampling
+      .epochSample(corpus, "lang", "doc_id", "n_tok",
+        Map("en" -> 0.5, "de" -> 0.5), budgetTokens = 15000L)
+    val p = plan.select($"stratum", $"epochs").as[(String, Double)].collect().toMap
+    assert(p == Map("en" -> 1.0, "de" -> 3.0), p.toString)
+    val counts = expanded.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 750L, "de" -> 750L), counts.toString)
+    // an unweighted stratum is planned out of the data too
+    val (p2, e2) = Sampling
+      .epochSample(corpus, "lang", "doc_id", "n_tok", Map("en" -> 1.0), 7500L)
+    assert(p2.count() == 1L)
+    assert(e2.where($"lang" === "de").count() == 0L)
+  }
+
   test("epochExpand → shuffle: composite (id, epoch) key scatters replicas; bare id lands them adjacent") {
     val corpus = (1L to 200L).map(i => (i, "en")).toDF("doc_id", "lang")
     val expanded = Sampling
