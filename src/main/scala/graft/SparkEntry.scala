@@ -3697,6 +3697,35 @@ object SparkEntry {
     t
   }
 
+  /** FIXTURE temp dirs (WARC/WET archives, signature stores) built by
+    * gates at call time. They cannot be deleted eagerly — the
+    * returned DataFrames read the files lazily, possibly across
+    * several downstream actions — so each dir is registered here and
+    * swept by one JVM-exit hook; previously these leaked across runs
+    * (ADVICE r13 #4). Registration is idempotent per JVM and the hook
+    * installs only if a fixture is ever created.
+    */
+  private val fixtureDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  private lazy val fixtureExitHook: Thread = {
+    val t = new Thread(() => fixtureDirs.synchronized {
+      fixtureDirs.foreach(deleteDirTree)
+      fixtureDirs.clear()
+    }, "graft-fixture-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  /** Create a gate-fixture temp dir that is deleted at JVM exit. */
+  private def tempFixtureDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    fixtureDirs.synchronized {
+      fixtureExitHook // force hook registration before the dir can leak
+      fixtureDirs += p
+    }
+    p
+  }
+
   /** Entries are bound to the SparkSession that built them: a cached
     * DataFrame from a STOPPED session would fail every action, so a
     * lookup from a different session recomputes (same-JVM
@@ -4110,7 +4139,7 @@ object SparkEntry {
       (s"http://warc.example.com/doc/$id", "2024-06-01T10:00:00Z",
         s"<html><body><p>doc $id</p><p>$text</p></body></html>")
     }
-    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_gate")
+    val outDir = tempFixtureDir("graft_warc_gate")
     java.nio.file.Files.write(
       outDir.resolve("a.warc"), graft.sources.Warc.buildWarc(recs, gzipPerRecord = false))
     java.nio.file.Files.write(
@@ -4165,7 +4194,7 @@ object SparkEntry {
       .map { case (id, text) =>
         (s"http://wet.example.com/doc/$id", "2024-06-01T10:00:00Z", text)
       }
-    val outDir = java.nio.file.Files.createTempDirectory("graft_wet_gate")
+    val outDir = tempFixtureDir("graft_wet_gate")
     java.nio.file.Files.write(
       outDir.resolve("a.warc.wet"),
       graft.sources.Warc.buildWet(pages, gzipPerRecord = false))
@@ -4309,7 +4338,7 @@ object SparkEntry {
           Seq("Content-Type: text/html; charset=utf-8"),
           html(id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_http")
+    val outDir = tempFixtureDir("graft_warc_http")
     java.nio.file.Files.write(outDir.resolve("fidelity.warc.gz"),
       graft.sources.Warc.buildWarcRaw(pages, gzipPerRecord = true))
     outDir.toString
@@ -4370,7 +4399,7 @@ object SparkEntry {
     import s.implicits._
     val ids = load(s, dir, "documents").select(col("doc_id"))
       .collect().map(_.getLong(0)).sorted
-    val outDir = java.nio.file.Files.createTempDirectory("graft_warc_e2e")
+    val outDir = tempFixtureDir("graft_warc_e2e")
     // all 8 shards written unconditionally — an empty corpus still
     // leaves parseable (zero-record) archives for the glob to match
     (0L until 8L).foreach { shard =>
@@ -4407,7 +4436,7 @@ object SparkEntry {
     */
   private def q132SigStoreNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
-    val storeDir = java.nio.file.Files.createTempDirectory("graft_sigstore_gate").toString
+    val storeDir = tempFixtureDir("graft_sigstore_gate").toString
     Dedup.writeSignatures(
       Dedup.minHashSignatures(docs, "doc_id", "text"), storeDir, "q132_sigs")
     val store = Dedup.readSignatures(s, storeDir, "q132_sigs")
@@ -4962,8 +4991,8 @@ object SparkEntry {
     val r = col("doc_id") % 10
     val corpus = docs.where(r === 3)
       .select(col("doc_id"), q122Content(col("doc_id"), 27).as("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft_q144").toString
-    val incDir = java.nio.file.Files.createTempDirectory("graft_q144_inc").toString
+    val root = tempFixtureDir("graft_q144").toString
+    val incDir = tempFixtureDir("graft_q144_inc").toString
     Dedup.writeSignatures(
       Dedup.minHashSignatures(corpus, "doc_id", "text"),
       s"$root/epoch0", "q144_e0", numBuckets = 8)

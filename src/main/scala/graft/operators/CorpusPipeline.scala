@@ -143,6 +143,7 @@ object CorpusPipeline {
     * unchanged.
     */
   private def stageMaterialize(m: Materialize, stage: String): Materialize = m match {
+    case Materialize.Lazy => Materialize.Lazy
     case Materialize.LocalCheckpoint => Materialize.LocalCheckpoint
     case Materialize.ParquetDir(p) => Materialize.ParquetDir(s"$p/$stage")
   }

@@ -88,6 +88,16 @@ object Lexical {
     * rows, executors each sort only their partition's candidates.
     * Scoring arithmetic is floating-point (ln), so the exact-integer
     * [[termStats]] face is the oracle surface, not the score.
+    *
+    * EAGERNESS: the default `materialize = LocalCheckpoint` lands the
+    * shared per-doc posting projection at CALL time (a Spark job runs
+    * before this method returns, and the landed blocks are
+    * executor-local, i.e. not fault-tolerant) so the corpus-wide
+    * tokenization — the dominant cost — runs once instead of once per
+    * consumer subtree. Callers that need classic lazy-DataFrame
+    * semantics (no job until an action) pass [[Materialize.Lazy]] and
+    * accept the double tokenization pass; callers on preemptible
+    * executors pass [[Materialize.ParquetDir]] for a durable landing.
     */
   def bm25TopK(
       df: DataFrame,

@@ -22,11 +22,28 @@ import org.apache.spark.sql.DataFrame
   *     the directory instead of rerunning the operator. Right for
   *     100 TB pipeline runs on preemptible executors, where a
   *     corpus-sized rerun is unaffordable.
+  *   - [[Materialize.Lazy]]: no lineage cut at all — the plan is
+  *     returned as-is, fully lazy and fully fault-tolerant, and the
+  *     upstream subtree re-executes once PER downstream consumer.
+  *     Right when the caller composes the result into exactly one
+  *     action, or wants classic lazy-DataFrame semantics (no job runs
+  *     until the caller acts).
+  *
+  * NOTE both landing modes are EAGER: constructing the operator's
+  * result triggers a Spark job at call time (the checkpoint or the
+  * parquet write), unlike a plain lazy DataFrame. Callers that need
+  * call-time laziness must pass [[Materialize.Lazy]].
   */
 sealed trait Materialize
 
 object Materialize {
   case object LocalCheckpoint extends Materialize
+
+  /** No materialization: return the plan unchanged. Lazy and
+    * fault-tolerant; multi-consumer operators will re-run the
+    * upstream subtree once per consumer.
+    */
+  case object Lazy extends Materialize
 
   /** `path` is any Spark-writable URI (HDFS/S3/local); contents are
     * overwritten.
@@ -37,6 +54,7 @@ object Materialize {
     * should read.
     */
   private[operators] def apply(df: DataFrame, mode: Materialize): DataFrame = mode match {
+    case Lazy => df
     case LocalCheckpoint => df.localCheckpoint(true)
     case ParquetDir(path) =>
       df.write.mode("overwrite").parquet(path)

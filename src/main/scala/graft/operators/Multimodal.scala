@@ -369,15 +369,26 @@ object Multimodal {
         return None
       val channels = fmt.getChannels
       val frameSize = fmt.getFrameSize
+      if (frameSize <= 0) return None
       val totalFrames = in.getFrameLength
       // AudioSystem.NOT_SPECIFIED (-1) is legal (an AU payload with
       // the 0xffffffff unknown-size field): read up to maxFrames and
       // let EOF bound the loop instead of sizing a negative buffer
       // (which threw NegativeArraySizeException into the blanket
-      // catch — a decodable payload silently yielded no features)
-      val framesToRead =
-        if (totalFrames < 0) maxFrames
-        else math.min(totalFrames, maxFrames.toLong).toInt
+      // catch — a decodable payload silently yielded no features).
+      // Buffer sizing is done in Long and capped by the PAYLOAD: these
+      // are raw-PCM containers, so the decoded stream can never carry
+      // more frame bytes than the payload itself — without the cap, an
+      // unknown-size AU header made every such row eagerly allocate
+      // maxFrames*frameSize (~16-32 MB), and a caller-supplied large
+      // maxFrames times a wide frame overflowed the Int product
+      // negative.
+      val payloadFrameCap: Long = bytes.length.toLong / frameSize + 1L
+      val declaredCap: Long =
+        if (totalFrames < 0) Long.MaxValue else totalFrames
+      val framesToRead: Int = math.min(
+        math.min(declaredCap, math.max(maxFrames, 0).toLong),
+        math.min(payloadFrameCap, (Int.MaxValue - 8).toLong / frameSize)).toInt
       val buf = new Array[Byte](framesToRead * frameSize)
       var off = 0
       var eof = false

@@ -967,10 +967,14 @@ object TextAnalysis {
       copyBeforeSort = false)
 
   /** [[unigramEntropyKernel]] body on a pre-tokenized doc. SORTS the
-    * array in place unless `copyBeforeSort` — the fused
-    * [[withTextSignals]] passes true so the shared token array stays
-    * usable by order-sensitive consumers; the standalone kernel owns
-    * its array and skips the copy.
+    * array in place unless `copyBeforeSort = true`. BOTH current
+    * callers pass false: the standalone kernel owns its freshly
+    * tokenized array, and the fused [[withTextSignals]] invokes this
+    * as the LAST consumer of the shared token array (readability has
+    * already run), so no order-sensitive consumer sees the sorted
+    * array. If a future reorder puts a token consumer AFTER this call,
+    * pass `copyBeforeSort = true` there — a sorted array silently
+    * changes order-sensitive signals (e.g. repetition ratios).
     */
   private def unigramEntropyFromToks(
       toks0: Array[String], copyBeforeSort: Boolean): UnigramEntropyStats = {

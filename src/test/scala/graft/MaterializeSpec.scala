@@ -47,6 +47,21 @@ class MaterializeSpec extends SparkTestBase {
     assert(rows(spark.read.parquet(dir)) == rows(local))
   }
 
+  test("Materialize.Lazy: bm25TopK stays lazy at call time and matches the landed result") {
+    val terms = Seq("data", "model", "training")
+    val landed = graft.operators.Lexical.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+    spark.sparkContext.setJobGroup("graft-lazy-probe", "lazy-probe", false)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-lazy-probe").length
+    val lazyDf = graft.operators.Lexical.bm25TopK(
+      docs, "doc_id", "text", terms, k = 10, materialize = Materialize.Lazy)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-lazy-probe").length
+    spark.sparkContext.clearJobGroup()
+    assert(after == before,
+      s"Materialize.Lazy must not trigger a job at call time (saw ${after - before})")
+    assert(rows(lazyDf) == rows(landed),
+      "lazy and landed faces must retrieve the same top-k")
+  }
+
   test("tokenBudgetSelect: ParquetDir output equals LocalCheckpoint output") {
     val toks = docs.select(col("doc_id"), col("n_chars").cast("long").as("n_tokens"))
     val local = Sampling.tokenBudgetSelect(

@@ -741,6 +741,16 @@ class TextAnalysisSpec extends SparkTestBase {
     // may read a frame more/less around an unknown-size data field
     assert(math.abs(m.get.duration_sec - n / 8000.0) < 0.01)
     assert(m.get.rms > 0.2, "the sine tone's energy must be measured, not zero")
+
+    // buffer sizing: an unknown-size header must size the read buffer
+    // by the PAYLOAD, not maxFrames — a huge caller-supplied maxFrames
+    // used to overflow maxFrames*frameSize negative (None via the
+    // blanket catch) and the default eagerly allocated ~16-32 MB/row
+    val big = Multimodal.decodeAudioStats(au, maxFrames = Int.MaxValue)
+    assert(big.nonEmpty, "huge maxFrames must not overflow the buffer size")
+    assert(math.abs(big.get.duration_sec - n / 8000.0) < 0.01)
+    assert(Multimodal.decodeAudioStats(au, maxFrames = 100).get.duration_sec == 100 / 8000.0,
+      "maxFrames still caps frames processed")
   }
 
   test("frameSampleUdf: zero/negative parameters fail at construction, not per-task") {
