@@ -1957,6 +1957,117 @@ object SparkEntry {
       |  COALESCE(g.n_kept_paragraphs, 0) AS n_kept_paragraphs
       |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Blank-line-preserving extraction gate ([[graft.operators.WebText
+    * .htmlToText]] / [[graft.operators.WebText.htmlToMainText]] with
+    * `paragraphBreaks = true`): block boundaries become `\n\n`, `br`
+    * stays a single `\n`, entities decode, and the link-dense nav
+    * block drops WHOLE from the main-content face while the text face
+    * keeps it as its own paragraph. Closed-form expected strings per
+    * doc, so any drift in block/br classification, empty-block
+    * collapsing, or per-paragraph link-density filtering hash-fails.
+    */
+  private def q155ParaExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><h1>doc "), col("doc_id").cast("string"),
+      lit(" heading</h1><p>alpha "), col("doc_id").cast("string"),
+      lit("<br>beta line</p><div><a href=\"/x\">one</a> <a href=\"/y\">two</a>" +
+        "</div><div>gamma &amp; delta</div></body></html>"))
+    val docs = load(s, dir, "documents").select(col("doc_id"), html.as("html"))
+    val t = graft.operators.WebText
+      .htmlToText(docs, "html", outCol = "text_para", paragraphBreaks = true)
+    graft.operators.WebText
+      .htmlToMainText(t, "html", outCol = "main_para", paragraphBreaks = true)
+      .select(col("doc_id"), col("text_para"), col("main_para"))
+      .orderBy("doc_id")
+  }
+
+  private val q155Oracle =
+    """SELECT doc_id,
+      |  'doc ' || doc_id || ' heading' || chr(10) || chr(10)
+      |    || 'alpha ' || doc_id || chr(10) || 'beta line' || chr(10) || chr(10)
+      |    || 'one two' || chr(10) || chr(10) || 'gamma & delta' AS text_para,
+      |  'doc ' || doc_id || ' heading' || chr(10) || chr(10)
+      |    || 'alpha ' || doc_id || chr(10) || 'beta line' || chr(10) || chr(10)
+      |    || 'gamma & delta' AS main_para
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The second boilerplate line of the q156 plant (8 tokens). */
+  private val q156Boiler2 = "all rights reserved and more details follow here"
+
+  /** Paragraph-granular webIngest gate — the Dolma web-dedup shape
+    * END-TO-END: `paragraphBreaks = true` extraction +
+    * `paragraphDedup = true`, with line dedup neutralized
+    * (`minLineChars = 10000`) so the paragraph stage is the dedup
+    * under test. Every page carries three blocks:
+    *
+    *   - a boilerplate block B (two lines, IDENTICAL on every page) —
+    *     drops WHOLE everywhere except the minimum doc_id (the
+    *     first-occurrence keep rule at paragraph granularity);
+    *   - a partial-overlap block P sharing B's first line but with a
+    *     doc-unique second line — survives INTACT on every page,
+    *     shared first line included (line-granular dedup would have
+    *     shredded it; the whole point of the coarser unit);
+    *   - the doc-unique q122 content block.
+    *
+    * The oracle reconstructs the surviving chunk text, token counts,
+    * and the packed layout in closed form, so a regression anywhere
+    * in the extraction mode, the paragraph stage, its webIngest
+    * threading, or the downstream chunk/pack replay hash-fails.
+    */
+  private def q156ParaIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    val ptail = concat(
+      lit("overlap item"), col("doc_id").cast("string"), lit("y0 continues here"))
+    val html = concat(
+      lit(s"<html><body><div>$q122Boiler<br>$q156Boiler2</div><div>$q122Boiler<br>"),
+      ptail,
+      lit("</div><p>"), q122Content(col("doc_id"), 27), lit("</p></body></html>"))
+    val url = concat(lit("http://site0.example.com/p/"), col("doc_id").cast("string"))
+    val pages = load(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"), url.as("url"))
+    graft.operators.CorpusPipeline
+      .webIngest(pages, "doc_id", "html", "url",
+        langs = Seq("en"), seqLen = 128, minLineChars = 10000,
+        paragraphBreaks = true, paragraphDedup = true)
+      .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pos"), col("start_offset"),
+        col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
+      .orderBy("id")
+  }
+
+  private val q156Oracle =
+    """WITH m AS (SELECT min(doc_id) AS mid FROM documents),
+      |txt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id = (SELECT mid FROM m)
+      |      THEN 'please subscribe immediately regarding complete newsletter updates today all rights reserved and more details follow here '
+      |      ELSE '' END
+      |    || 'please subscribe immediately regarding complete newsletter updates today overlap item' || doc_id || 'y0 continues here '
+      |    || array_to_string(list_transform(generate_series(0, 26),
+      |         k -> ['the','and','that','this','have','from','was','were','not','with'][(k % 10) + 1]
+      |              || ' item' || doc_id || 'x' || k), ' ') AS chunk_text,
+      |    CAST(CASE WHEN doc_id = (SELECT mid FROM m) THEN 82 ELSE 66 END AS BIGINT)
+      |      AS n_chunk_tokens
+      |  FROM documents
+      |), keyed AS (
+      |  SELECT t.*, CAST(doc_id AS VARCHAR) || '#0' AS chunk_id,
+      |    md5(CAST(doc_id AS VARCHAR) || '#0:epoch0') AS skey
+      |  FROM txt t
+      |), laid AS (
+      |  SELECT k.*,
+      |    CAST(row_number() OVER (ORDER BY skey, chunk_id) AS BIGINT) AS pos,
+      |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (ORDER BY skey, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM keyed k
+      |)
+      |SELECT doc_id AS id, chunk_id, CAST(0 AS BIGINT) AS chunk_idx, chunk_text,
+      |  n_chunk_tokens, pos, start_offset,
+      |  start_offset // 128 AS pack_first,
+      |  (start_offset + n_chunk_tokens - 1) // 128 AS pack_last,
+      |  'http://site0.example.com/p/' || doc_id AS url_norm,
+      |  'site0.example.com' AS url_host, 'en' AS lang_pred
+      |FROM laid ORDER BY id""".stripMargin
+
   /** C4-style exact span dedup: every 8-token span that repeats
     * verbatim anywhere in the corpus keeps only its first occurrence;
     * docs are rebuilt from surviving tokens. Oracle-exact (pure
@@ -5556,6 +5667,8 @@ object SparkEntry {
     "q152_wet_roundtrip" -> (q152WetRoundtrip _),
     "q153_text_signals" -> (q153TextSignals _),
     "q154_paragraph_dedup" -> (q154ParagraphDedup _),
+    "q155_para_extract" -> (q155ParaExtract _),
+    "q156_para_ingest" -> (q156ParaIngestPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5700,5 +5813,7 @@ object SparkEntry {
     "q152_wet_roundtrip" -> q152Oracle,
     "q153_text_signals" -> q153Oracle,
     "q154_paragraph_dedup" -> q154Oracle,
+    "q155_para_extract" -> q155Oracle,
+    "q156_para_ingest" -> q156Oracle,
   )
 }

@@ -190,6 +190,14 @@ object CorpusPipeline {
     *      instead of surviving as "distinct" content
     *   5. corpus-wide line dedup ([[Dedup.lineDedup]] — boilerplate
     *      lines drop; fully-boilerplate docs drop)
+    *   5b. optional corpus-wide PARAGRAPH dedup
+    *      ([[Dedup.paragraphDedup]], `paragraphDedup = true`, default
+    *      off): repeated whole blocks drop as units — the Dolma web
+    *      recipe's granularity. Pair it with `paragraphBreaks = true`
+    *      (threaded to the extraction kernels), which preserves HTML
+    *      block boundaries as blank lines so the `\n{2,}` units see
+    *      real structure; without it, extracted web text is one
+    *      degenerate whole-document unit
     *   6. exact + MinHash near-dup dedup ([[Dedup.cleanCorpus]],
     *      transitive)
     *   7. per-host cap ([[Sampling.capPerStratum]] on `url_host`) and
@@ -228,11 +236,15 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val quality = cleanedCrawlPrefix(df, idCol, None, htmlCol, urlCol, langs,
-      blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking)
+      blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking,
+      paragraphBreaks)
     webIngestFromCleaned(quality, maxPerHost, jaccardThreshold, minLineChars,
-      seqLen, shuffleSalt, materialize)
+      seqLen, shuffleSalt, materialize, paragraphDedup, minParagraphChars)
   }
 
   /** [[webIngest]]'s post-prefix stages (line dedup → exact+near dedup
@@ -252,14 +264,31 @@ object CorpusPipeline {
       seqLen: Int = 512,
       shuffleSalt: String = "epoch0",
       materialize: Materialize = Materialize.LocalCheckpoint,
+      paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
     val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
-    val lined = Dedup
+    val lined0 = Dedup
       .lineDedup(landedQuality, "id", "text", minLineChars)
       .where(length(trim(col("clean_text"))) > 0)
       .select(col("id"), col("clean_text").as("text"))
       .join(attrs, "id")
+    // optional corpus-wide PARAGRAPH dedup between line dedup and the
+    // exact/near stage (default off, byte-stable): with
+    // `paragraphBreaks` extraction upstream, repeated whole blocks
+    // (cookie banners, footers shared across a site) drop as units —
+    // the Dolma web recipe's granularity — while a block only
+    // partially shared between pages survives intact. Same shuffle
+    // shape as line dedup (one winner aggregation + anti-join), so
+    // enabling it adds one line-dedup-sized pass, nothing superlinear.
+    val lined =
+      if (!paragraphDedup) lined0
+      else Dedup
+        .paragraphDedup(lined0, "id", "text", minParagraphChars)
+        .where(length(trim(col("clean_text"))) > 0)
+        .select(col("id"), col("clean_text").as("text"))
+        .join(attrs, "id")
     val deduped = Dedup.cleanCorpus(lined, "id", "text", jaccardThreshold,
       transitive = true, materialize = stageMaterialize(materialize, "dedup"))
     val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
@@ -291,7 +320,8 @@ object CorpusPipeline {
     * stages that transform but never drop (URL parts, NFC, PII
     * redaction, chunk/pack) carry no row. Stage names: `extract`,
     * `c4`, `soft404`, `blocklist`, `lang_filter`, `gopher`,
-    * `line_dedup`, `exact_dedup`, `near_dup`, `host_cap`.
+    * `line_dedup`, `paragraph_dedup` (only with `paragraphDedup`),
+    * `exact_dedup`, `near_dup`, `host_cap`.
     *
     * Mechanics: this RUNS the pipeline — each boundary is the SAME
     * operator call [[webIngest]]/[[cleanedCrawlPrefix]] composes
@@ -330,11 +360,15 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame =
     funnelFromBoundaries(df.sparkSession, df.count(),
       ingestBoundaries(df, idCol, htmlCol, urlCol, langs, maxPerHost,
         jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
-        redactPii, mainContent, stripTracking))
+        redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+        minParagraphChars))
 
   /** [[stagedIngest]] run once, every landed stage boundary collected
     * in chain order — the shared substrate of the report faces: a
@@ -358,11 +392,15 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): Seq[(String, DataFrame)] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     stagedIngest(df, idCol, htmlCol, urlCol, langs, maxPerHost, jaccardThreshold,
       minLineChars, blocklist, canonicalizeNfc, c4, soft404, redactPii, mainContent,
-      stripTracking, (name, landed) => { buf += ((name, landed)); landed })
+      stripTracking, paragraphBreaks, paragraphDedup, minParagraphChars,
+      (name, landed) => { buf += ((name, landed)); landed })
     buf.toSeq
   }
 
@@ -448,14 +486,20 @@ object CorpusPipeline {
       redactPii: Boolean,
       mainContent: Boolean,
       stripTracking: Boolean,
+      paragraphBreaks: Boolean,
+      paragraphDedup: Boolean,
+      minParagraphChars: Int,
       record: (String, DataFrame) => DataFrame,
   ): DataFrame = {
     def land(name: String, f: DataFrame): DataFrame = record(name, f.localCheckpoint(true))
     val src = df.select(
       col(idCol).as("id"), col(htmlCol).as("__html"), col(urlCol).as("__url"))
     val extracted0 =
-      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
-       else WebText.htmlToText(src, "__html", outCol = "text")).drop("__html")
+      (if (mainContent)
+         WebText.htmlToMainText(src, "__html", outCol = "text",
+           paragraphBreaks = paragraphBreaks)
+       else WebText.htmlToText(src, "__html", outCol = "text",
+         paragraphBreaks = paragraphBreaks)).drop("__html")
     val extracted1 =
       if (canonicalizeNfc)
         extracted0.withColumn("text", TextAnalysis.canonicalize(col("text")))
@@ -490,6 +534,13 @@ object CorpusPipeline {
         .where(length(trim(col("clean_text"))) > 0)
         .select(col("id"), col("clean_text").as("text"))
         .join(attrs, "id"))
+    if (paragraphDedup)
+      cur = land("paragraph_dedup",
+        Dedup
+          .paragraphDedup(cur, "id", "text", minParagraphChars)
+          .where(length(trim(col("clean_text"))) > 0)
+          .select(col("id"), col("clean_text").as("text"))
+          .join(attrs, "id"))
     cur = land("exact_dedup",
       Dedup
         .exactDedup(cur, "id", "text")
@@ -537,11 +588,15 @@ object CorpusPipeline {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame =
     dropReasonsFromBoundaries(None,
       ingestBoundaries(df, idCol, htmlCol, urlCol, langs, maxPerHost,
         jaccardThreshold, minLineChars, blocklist, canonicalizeNfc, c4, soft404,
-        redactPii, mainContent, stripTracking))
+        redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+        minParagraphChars))
 
   /** The shared STATELESS crawl-cleaning prefix of EVERY web-ingest
     * face — batch ([[webIngest]]) and streaming
@@ -576,14 +631,18 @@ object CorpusPipeline {
       redactPii: Boolean,
       mainContent: Boolean,
       stripTracking: Boolean,
+      paragraphBreaks: Boolean = false,
   ): DataFrame = {
     val ts = tsCol.map(c => col(c).as("ts")).toSeq
     val src = df.select(
       Seq(col(idCol).as("id")) ++ ts ++
         Seq(col(htmlCol).as("__html"), col(urlCol).as("__url")): _*)
     val extracted0 =
-      (if (mainContent) WebText.htmlToMainText(src, "__html", outCol = "text")
-       else WebText.htmlToText(src, "__html", outCol = "text"))
+      (if (mainContent)
+         WebText.htmlToMainText(src, "__html", outCol = "text",
+           paragraphBreaks = paragraphBreaks)
+       else WebText.htmlToText(src, "__html", outCol = "text",
+         paragraphBreaks = paragraphBreaks))
         .drop("__html")
     // optional NFC canonicalization BEFORE any hashing stage, so
     // composed/decomposed spellings of the same page dedup together

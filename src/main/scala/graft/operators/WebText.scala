@@ -41,16 +41,19 @@ object WebText {
     * ampersands — eating them would corrupt text).
     */
   private[graft] def decodeEntities(s: String): String =
-    decodeEntities(s, sanitizeSentinels = false)
+    decodeEntities(s, sanitizeSentinels = false, sanitizeParaBreak = false)
 
   /** `sanitizeSentinels` is the link-density pass's guard: a numeric
     * reference like `&#1;`/`&#2;` would otherwise DECODE INTO the
     * anchor sentinel chars and forge link state (flipping `inLink`
     * with no real tag), so decoded output — and only decoded output,
     * never the pass-through chars carrying the REAL sentinels — maps
-    * those two code points to a space.
+    * those two code points to a space. `sanitizeParaBreak` is the
+    * same guard for the paragraph-boundary sentinel (`&#3;` must not
+    * forge a paragraph break in the blank-line-preserving mode).
     */
-  private def decodeEntities(s: String, sanitizeSentinels: Boolean): String = {
+  private def decodeEntities(
+      s: String, sanitizeSentinels: Boolean, sanitizeParaBreak: Boolean): String = {
     val out = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -68,8 +71,11 @@ object WebText {
             catch { case _: Exception => null }
           else namedEntities.get(body.toLowerCase).orNull
         if (decoded != null) {
-          if (sanitizeSentinels)
-            out.append(decoded.map(ch => if (ch == LinkOpen || ch == LinkClose) ' ' else ch))
+          if (sanitizeSentinels || sanitizeParaBreak)
+            out.append(decoded.map(ch =>
+              if ((sanitizeSentinels && (ch == LinkOpen || ch == LinkClose)) ||
+                (sanitizeParaBreak && ch == ParaBreak)) ' '
+              else ch))
           else out.append(decoded)
           i = semi + 1
         } else { out.append(c); i += 1 }
@@ -86,13 +92,26 @@ object WebText {
   private val LinkOpen = '\u0001'
   private val LinkClose = '\u0002'
 
+  /** Paragraph-boundary sentinel for the blank-line-preserving mode:
+    * non-`br` block tags emit this instead of `\n` so the kernels can
+    * rebuild `\n\n` paragraph breaks AFTER per-line whitespace
+    * normalization (which would otherwise collapse blank lines away).
+    * Like the link sentinels it is scrubbed from content — both the
+    * literal code point and an entity-decoded `&#3;` — so crawl bytes
+    * cannot forge a paragraph boundary.
+    */
+  private val ParaBreak = '\u0003'
+
   /** The raw scan shared by [[htmlToTextKernel]] and
     * [[htmlToMainTextKernel]]: visible chars with `\n` at block-tag
     * boundaries, script/style/comment content dropped, entities NOT
     * yet decoded. `markLinks` additionally wraps anchor content in
-    * [[LinkOpen]]/[[LinkClose]].
+    * [[LinkOpen]]/[[LinkClose]]. `paragraphBreaks` emits [[ParaBreak]]
+    * at every block boundary EXCEPT `br` (a line break within a
+    * paragraph, not a new block — the one tag whose meaning IS the
+    * single newline).
     */
-  private def scanRaw(html: String, markLinks: Boolean): String = {
+  private def scanRaw(html: String, markLinks: Boolean, paragraphBreaks: Boolean): String = {
     val raw = new java.lang.StringBuilder(html.length)
     var i = 0
     val n = html.length
@@ -139,7 +158,8 @@ object WebText {
             // anything else inside a raw-text element is content: skip
           } else {
             if (!isClose && rawTextTags.contains(name)) rawUntilTag = name
-            if (blockTags.contains(name)) raw.append('\n')
+            if (blockTags.contains(name))
+              raw.append(if (paragraphBreaks && name != "br") ParaBreak else '\n')
             if (markLinks && name == "a")
               raw.append(if (isClose) LinkClose else LinkOpen)
           }
@@ -154,6 +174,7 @@ object WebText {
           raw.append(
             if (c == '\n' || c == '\r') ' '
             else if (markLinks && (c == LinkOpen || c == LinkClose)) ' '
+            else if (paragraphBreaks && c == ParaBreak) ' '
             else c)
         i += 1
       }
@@ -166,15 +187,41 @@ object WebText {
     * decode entities, collapse whitespace runs, trim lines, drop
     * empty lines. NULL-safe (null → null).
     */
-  private[graft] def htmlToTextKernel(html: String): String = {
+  private[graft] def htmlToTextKernel(html: String): String =
+    htmlToTextKernel(html, paragraphBreaks = false)
+
+  /** `paragraphBreaks = true` is the blank-line-preserving mode: block
+    * boundaries other than `br` become `\n\n` in the output (empty
+    * blocks collapse — never more than one blank line), `br` stays a
+    * single `\n`, so [[graft.operators.Dedup.paragraphDedup]]'s
+    * `\n{2,}` units see real HTML block structure instead of one
+    * degenerate whole-document unit. Default off: byte-stable output
+    * for existing callers.
+    */
+  private[graft] def htmlToTextKernel(html: String, paragraphBreaks: Boolean): String = {
     if (html == null) return null
     // entity decode, then per-line whitespace normalization
-    decodeEntities(scanRaw(html, markLinks = false))
-      .split('\n')
-      .iterator
-      .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
-      .filter(_.nonEmpty)
-      .mkString("\n")
+    val decoded = decodeEntities(
+      scanRaw(html, markLinks = false, paragraphBreaks),
+      sanitizeSentinels = false, sanitizeParaBreak = paragraphBreaks)
+    if (!paragraphBreaks)
+      decoded
+        .split('\n')
+        .iterator
+        .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+        .filter(_.nonEmpty)
+        .mkString("\n")
+    else
+      decoded
+        .split(ParaBreak)
+        .iterator
+        .map(_.split('\n')
+          .iterator
+          .map(_.split("\\s+").filter(_.nonEmpty).mkString(" "))
+          .filter(_.nonEmpty)
+          .mkString("\n"))
+        .filter(_.nonEmpty)
+        .mkString("\n\n")
   }
 
   /** MAIN-CONTENT extraction ([[htmlToTextKernel]] plus the classic
@@ -193,36 +240,56 @@ object WebText {
     * linear pass — no DOM, no regex — and a pure per-row map at any
     * scale.
     */
-  private[graft] def htmlToMainTextKernel(html: String, maxLinkDensity: Double): String = {
+  private[graft] def htmlToMainTextKernel(html: String, maxLinkDensity: Double): String =
+    htmlToMainTextKernel(html, maxLinkDensity, paragraphBreaks = false)
+
+  /** `paragraphBreaks` — the same blank-line-preserving mode as
+    * [[htmlToTextKernel]]'s: kept lines within one block join with
+    * `\n`, blocks join with `\n\n`, and a block all of whose lines
+    * fail the density rule disappears whole (no empty paragraph is
+    * left behind). Anchor state still carries across both line AND
+    * paragraph boundaries — a link spanning block tags counts on
+    * every line it covers.
+    */
+  private[graft] def htmlToMainTextKernel(
+      html: String, maxLinkDensity: Double, paragraphBreaks: Boolean): String = {
     if (html == null) return null
-    // sanitized decode: &#1;/&#2; references must not forge sentinels
-    val decoded = decodeEntities(scanRaw(html, markLinks = true), sanitizeSentinels = true)
-    val out = new java.lang.StringBuilder(decoded.length)
+    // sanitized decode: &#1;/&#2;/&#3; references must not forge sentinels
+    val decoded = decodeEntities(
+      scanRaw(html, markLinks = true, paragraphBreaks),
+      sanitizeSentinels = true, sanitizeParaBreak = paragraphBreaks)
     var inLink = false
-    var first = true
-    decoded.split('\n').foreach { line =>
-      val sb = new java.lang.StringBuilder(line.length)
-      var total = 0
-      var link = 0
-      var i = 0
-      while (i < line.length) {
-        val c = line.charAt(i)
-        if (c == LinkOpen) inLink = true
-        else if (c == LinkClose) inLink = false
-        else {
-          if (!Character.isWhitespace(c)) { total += 1; if (inLink) link += 1 }
-          sb.append(c)
+    // kept lines of one paragraph (the whole document when
+    // paragraphBreaks is off), joined with '\n'
+    def keptLines(para: String): String = {
+      val out = new java.lang.StringBuilder(para.length)
+      var first = true
+      para.split('\n').foreach { line =>
+        val sb = new java.lang.StringBuilder(line.length)
+        var total = 0
+        var link = 0
+        var i = 0
+        while (i < line.length) {
+          val c = line.charAt(i)
+          if (c == LinkOpen) inLink = true
+          else if (c == LinkClose) inLink = false
+          else {
+            if (!Character.isWhitespace(c)) { total += 1; if (inLink) link += 1 }
+            sb.append(c)
+          }
+          i += 1
         }
-        i += 1
+        val norm = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        if (norm.nonEmpty && (total == 0 || link.toDouble / total <= maxLinkDensity)) {
+          if (!first) out.append('\n')
+          out.append(norm)
+          first = false
+        }
       }
-      val norm = sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
-      if (norm.nonEmpty && (total == 0 || link.toDouble / total <= maxLinkDensity)) {
-        if (!first) out.append('\n')
-        out.append(norm)
-        first = false
-      }
+      out.toString
     }
-    out.toString
+    if (!paragraphBreaks) keptLines(decoded)
+    else decoded.split(ParaBreak).iterator.map(keptLines).filter(_.nonEmpty).mkString("\n\n")
   }
 
   /** Add `outCol` = link-density-filtered main content of an HTML
@@ -233,16 +300,27 @@ object WebText {
       htmlCol: String,
       outCol: String = "text",
       maxLinkDensity: Double = 0.5,
+      paragraphBreaks: Boolean = false,
   ): DataFrame = {
     require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
       s"maxLinkDensity must be in [0,1]: $maxLinkDensity")
-    val u = udf { (h: String) => htmlToMainTextKernel(h, maxLinkDensity) }
+    val u = udf { (h: String) => htmlToMainTextKernel(h, maxLinkDensity, paragraphBreaks) }
     df.withColumn(outCol, u(col(htmlCol)))
   }
 
-  /** Add `outCol` = extracted visible text of an HTML column. */
-  def htmlToText(df: DataFrame, htmlCol: String, outCol: String = "text"): DataFrame = {
-    val u = udf { (h: String) => htmlToTextKernel(h) }
+  /** Add `outCol` = extracted visible text of an HTML column.
+    * `paragraphBreaks = true` preserves HTML block structure as blank
+    * lines (`\n\n` between blocks, `\n` only for `br`) so paragraph-
+    * granular dedup sees real units; default off is byte-stable with
+    * the historical single-`\n` output.
+    */
+  def htmlToText(
+      df: DataFrame,
+      htmlCol: String,
+      outCol: String = "text",
+      paragraphBreaks: Boolean = false,
+  ): DataFrame = {
+    val u = udf { (h: String) => htmlToTextKernel(h, paragraphBreaks) }
     df.withColumn(outCol, u(col(htmlCol)))
   }
 

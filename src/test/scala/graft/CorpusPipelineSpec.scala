@@ -304,6 +304,47 @@ class CorpusPipelineSpec extends SparkTestBase {
       s"funnel tokens_out=${toks.last} != chunked total=$chunkTokens")
   }
 
+  test("webIngest paragraphDedup: repeated block drops whole, partial-overlap block survives intact") {
+    val boiler = "subscribe to the weekly newsletter for updates and news from the site today"
+    def prose(i: Int) = "the data and model pipeline have that sort of careful work " +
+      s"to be done with many diverse sources item${i}z and long running jobs " +
+      s"over item${i}q these varied machines and very patient operators item${i}w still"
+    // B = two-line boilerplate block identical on every page; P shares
+    // B's first line but has a doc-unique tail line; C is unique prose
+    def page(i: Int) =
+      s"<html><body><div>$boiler<br>all rights reserved by the site team</div>" +
+        s"<div>$boiler<br>special offer item${i}y today only</div>" +
+        s"<p>${prose(i)}</p></body></html>"
+    val rows = (1 to 5).map(i => (i.toLong, page(i), s"http://h.com/p$i"))
+      .toDF("doc_id", "html", "url")
+    val out = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", langs = Seq("en"), seqLen = 512,
+        minLineChars = 10000, paragraphBreaks = true, paragraphDedup = true)
+      .select("id", "chunk_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == (1L to 5L).toSet, "every planted doc survives to one chunk")
+    // B survives only on the minimum doc
+    assert(out(1L).contains("all rights reserved by the site team"))
+    (2L to 5L).foreach(i =>
+      assert(!out(i).contains("all rights reserved"), s"B must drop whole from doc $i"))
+    // P survives INTACT everywhere — shared first line included
+    (1L to 5L).foreach { i =>
+      assert(out(i).contains(s"$boiler special offer item${i}y today only"),
+        s"partial-overlap block must survive intact on doc $i: ${out(i)}")
+    }
+    // the funnel grows a paragraph_dedup stage, chained and green
+    val funnel = graft.operators.CorpusPipeline
+      .webIngestFunnel(rows, "doc_id", "html", "url", langs = Seq("en"),
+        minLineChars = 10000, paragraphBreaks = true, paragraphDedup = true)
+      .orderBy("stage_ix").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
+        r.getAs[Long]("docs_dropped"), r.getAs[Long]("docs_out")))
+    assert(funnel.map(_._1).toSeq == Seq("extract", "lang_filter", "gopher",
+      "line_dedup", "paragraph_dedup", "exact_dedup", "near_dup", "host_cap"))
+    funnel.foreach { case (st, in, d, o) => assert(in - d == o, s"$st: $in-$d!=$o") }
+    assert(funnel.forall(_._3 == 0L), s"no planted doc fully drops: ${funnel.toSeq}")
+  }
+
   test("webIngestDropReasons: per-doc attribution aggregates to the funnel exactly") {
     val prose = "the data and model pipeline have that sort of careful work " +
       "to be done with many diverse sources and long running jobs "

@@ -51,6 +51,52 @@ class WebTextSpec extends SparkTestBase {
     assert(WebText.htmlToTextKernel(null) == null)
   }
 
+  test("htmlToText paragraphBreaks: blocks become blank lines, br stays a single newline") {
+    val html = "<html><body><h1>title here</h1><p>alpha   line<br>beta line</p>" +
+      "<div>gamma &amp; delta</div></body></html>"
+    assert(WebText.htmlToTextKernel(html, paragraphBreaks = true) ==
+      "title here\n\nalpha line\nbeta line\n\ngamma & delta")
+    // default mode: byte-stable historical single-newline output
+    assert(WebText.htmlToTextKernel(html) ==
+      "title here\nalpha line\nbeta line\ngamma & delta")
+    // empty blocks collapse — never more than one blank line
+    assert(WebText.htmlToTextKernel(
+      "<p></p><p>a</p><div> </div><ul><li></li></ul><p>b</p>",
+      paragraphBreaks = true) == "a\n\nb")
+    // nested blocks at one boundary still collapse to one break
+    assert(WebText.htmlToTextKernel(
+      "<div><p>x</p></div><div><p>y</p></div>", paragraphBreaks = true) == "x\n\ny")
+    assert(WebText.htmlToTextKernel(null, paragraphBreaks = true) == null)
+  }
+
+  test("htmlToText paragraphBreaks: content cannot forge a paragraph boundary") {
+    // literal U+0003 and an entity-decoded &#3; must both scrub to a
+    // space, not split the paragraph
+    val html = "<p>left \u0003 mid &#3; right</p><p>next</p>"
+    assert(WebText.htmlToTextKernel(html, paragraphBreaks = true) ==
+      "left mid right\n\nnext")
+    // and in default mode the same bytes pass through untouched text
+    // handling (no paragraph machinery involved)
+    assert(!WebText.htmlToTextKernel(html).contains("\n\n"))
+  }
+
+  test("htmlToMainText paragraphBreaks: link-dense block drops whole, others keep structure") {
+    val html = "<h1>real title</h1>" +
+      "<div><a href='/a'>one</a> <a href='/b'>two</a></div>" +
+      "<p>prose body here<br>second line</p>"
+    assert(WebText.htmlToMainTextKernel(html, 0.5, paragraphBreaks = true) ==
+      "real title\n\nprose body here\nsecond line")
+    // text mode keeps the nav block as its own paragraph
+    assert(WebText.htmlToTextKernel(html, paragraphBreaks = true) ==
+      "real title\n\none two\n\nprose body here\nsecond line")
+    // anchor state carries across paragraph boundaries: a link left
+    // open before a block break still counts on the next block's line
+    val spanning = "<p><a href='/x'>open anchor" +
+      "</p><p>still anchor text</a> done</p><p>clean prose line follows</p>"
+    assert(WebText.htmlToMainTextKernel(spanning, 0.5, paragraphBreaks = true) ==
+      "clean prose line follows")
+  }
+
   test("normalizeUrl: case, default ports, fragments; query order preserved") {
     assert(WebText.normalizeUrlKernel("HTTPS://WWW.Example.COM:443/Path/1?b=2&a=1#frag") ==
       "https://www.example.com/Path/1?b=2&a=1")
