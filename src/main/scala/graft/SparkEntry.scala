@@ -1957,6 +1957,135 @@ object SparkEntry {
       |  COALESCE(g.n_kept_paragraphs, 0) AS n_kept_paragraphs
       |FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Store-served IVF-PQ planted recall — q74's gate re-run through
+    * the persisted coded-corpus store ([[graft.operators.VectorStore
+    * .write]] → [[graft.operators.VectorStore.read]] →
+    * [[graft.operators.Similarity.ivfPqTopKFromStore]]): cells and PQ
+    * codes are encoded ONCE at write into the cell-bucketed table,
+    * the search job reads finished index rows with no re-encode and
+    * no static-side exchange (VectorStoreSpec asserts the plan), and
+    * the SAME planted truth as q74 must come back — any store-path
+    * drift (write, register, read, or the search seam) hash-fails
+    * against the identical closed-form oracle.
+    */
+  private def q157VecStorePqPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q157").toString
+        graft.operators.VectorStore
+          .write(corpus, "vec_id", "embedding", storeDir, "q157_vs", ivf, pq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q157_vs")
+        Similarity.ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+          nprobe = 4, refine = 4)
+      })
+
+  /** Store-served IVF-Hamming planted recall — q111's gate through
+    * the same persisted store's packed sign codes
+    * ([[graft.operators.Similarity.ivfHammingTopKFromStore]]): the
+    * write-time [[graft.operators.Quantize.signPack]] codes must
+    * reproduce the from-floats scan's recovery exactly.
+    */
+  private def q158VecStoreHammingPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q158").toString
+        graft.operators.VectorStore
+          .write(corpus, "vec_id", "embedding", storeDir, "q158_vs", ivf, pq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q158_vs")
+        Similarity.ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+          nprobe = 4, refine = 8)
+      })
+
+  /** Deterministic re-aggregation gate ([[graft.streaming.EventStreams
+    * .reaggregateByEventTime]] — the operational face of the
+    * AsofHitEmit/SessionAssignmentEmit trigger-cadence caveat): two
+    * simulated landed sink tables of the SAME stream output — cadence
+    * A with `emit_ts = ts`, cadence B with watermark-shifted
+    * `emit_ts` AND duplicate retry rows (an at-least-once sink) —
+    * re-aggregate on the carried event time to IDENTICAL windowed
+    * frames, pinned both by the per-window agree flags and by the
+    * closed-form windowed count/sum oracle. StreamingSpec runs the
+    * same helper over two real TWS trigger cadences.
+    */
+  private def q159ReaggEventTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val a = ev.withColumn("emit_ts", col("ts"))
+    val b0 = ev.withColumn("emit_ts",
+      timestamp_micros(unix_micros(col("ts")) + (col("event_id") % 3) * 60000000L))
+    val b = b0.unionByName(
+      b0.where(col("event_id") % 5 === 0)
+        .withColumn("emit_ts", timestamp_micros(unix_micros(col("ts")) + 120000000L)))
+    def re(df: DataFrame): DataFrame = graft.streaming.EventStreams
+      .reaggregateByEventTime(df, "ts", "10 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total")),
+        dedupIdCol = Some("event_id"))
+    val ra = re(a)
+    val rb = re(b).withColumnRenamed("n_events", "n_b").withColumnRenamed("total", "t_b")
+    ra.join(rb, Seq("window_start", "window_end", "user_id"), "full")
+      .select(col("window_start"), col("user_id"), col("n_events"), col("total"),
+        coalesce(col("n_events") === col("n_b"), lit(false)).as("n_agree"),
+        coalesce(col("total") === col("t_b"), lit(false)).as("t_agree"))
+      .orderBy("window_start", "user_id")
+  }
+
+  private val q159Oracle =
+    """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000)
+      |    AS window_start,
+      |  user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |  true AS n_agree, true AS t_agree
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** WET-path END-TO-END gate: the [[q142PlantedTexts]] prepare corpus
+    * served from gzipped WET archives through [[graft.sources.Warc
+    * .readWet]] into the full [[graft.operators.CorpusPipeline
+    * .prepare]] composition — q152 checks the WET source roundtrip
+    * and q142/q143 the prepare stages; this welds them (the q131
+    * recipe applied to the extracted-text source), so any drift the
+    * WET transport introduces (Content-Length slicing, gzip members,
+    * URL parsing) hash-fails the SAME closed-form role oracle as the
+    * parquet face. Four archive files keep the read distributed.
+    */
+  private def q160WetPrepareE2e(s: SparkSession, dir: String): DataFrame = {
+    val rows = q142PlantedTexts(s, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+      .sortBy(_._1)
+    val outDir = tempFixtureDir("graft_wet_e2e")
+    (0 until 4).foreach { shard =>
+      val recs = rows.toSeq.filter(_._1 % 4 == shard).map { case (id, text) =>
+        (s"http://wet.example.com/doc/$id", "2024-06-01T10:00:00Z", text)
+      }
+      java.nio.file.Files.write(outDir.resolve(s"shard$shard.warc.wet.gz"),
+        graft.sources.Warc.buildWet(recs, gzipPerRecord = true))
+    }
+    val docs = graft.sources.Warc.readWet(s, outDir.toString + "/*")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("text"))
+    graft.operators.CorpusPipeline
+      .prepare(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q160Oracle =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(generate_series(0, 26),
+      |      k -> ['the','and','that','this','have','from','was','were','not','with'][(k % 10) + 1]
+      |           || ' item' || doc_id || 'x' || k), ' ') AS chunk_text
+      |  FROM documents WHERE doc_id % 10 NOT IN (1, 2, 6, 7))
+      |SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, chunk_text,
+      |  CAST(54 AS BIGINT) AS n_chunk_tokens
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Blank-line-preserving extraction gate ([[graft.operators.WebText
     * .htmlToText]] / [[graft.operators.WebText.htmlToMainText]] with
     * `paragraphBreaks = true`): block boundaries become `\n\n`, `br`
@@ -5669,6 +5798,10 @@ object SparkEntry {
     "q154_paragraph_dedup" -> (q154ParagraphDedup _),
     "q155_para_extract" -> (q155ParaExtract _),
     "q156_para_ingest" -> (q156ParaIngestPlanted _),
+    "q157_vecstore_pq_planted" -> (q157VecStorePqPlanted _),
+    "q158_vecstore_hamming_planted" -> (q158VecStoreHammingPlanted _),
+    "q159_reagg_event_time" -> (q159ReaggEventTime _),
+    "q160_wet_prepare_e2e" -> (q160WetPrepareE2e _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5815,5 +5948,9 @@ object SparkEntry {
     "q154_paragraph_dedup" -> q154Oracle,
     "q155_para_extract" -> q155Oracle,
     "q156_para_ingest" -> q156Oracle,
+    "q157_vecstore_pq_planted" -> annPlantedOracle,
+    "q158_vecstore_hamming_planted" -> annPlantedOracle,
+    "q159_reagg_event_time" -> q159Oracle,
+    "q160_wet_prepare_e2e" -> q160Oracle,
   )
 }

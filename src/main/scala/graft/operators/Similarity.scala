@@ -62,7 +62,7 @@ object Similarity {
     * all three: NULL propagates to a NULL norm (filtered), empty and
     * zero vectors norm to 0.
     */
-  private def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
+  private[operators] def nonDegenerate(df: DataFrame, vecCol: String): DataFrame =
     df.where(graft.functions.VectorExpressions.vecNorm(col(vecCol)) > 0)
 
   // ------------------------------------------------------- top-k aggregator
@@ -1208,20 +1208,63 @@ object Similarity {
     val bcIvf = sc.broadcast(ivf.centroids)
     val bcPq = sc.broadcast(pq)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
-    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
-    val encodeUdf = udf { (v: Seq[Float]) =>
-      val mdl = bcPq.value
-      require(v.length >= mdl.m * mdl.dsub,
-        s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-      val x = normalize(v.toArray)
-      val out = new Array[Byte](mdl.m)
-      var j = 0
-      while (j < mdl.m) {
-        out(j) = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, x).toByte
-        j += 1
-      }
-      out
+    val encodeUdf = udf((v: Seq[Float]) => pqEncode(bcPq.value, v))
+    // one corpus scan produces (cell, code) — the ANN "index row"
+    val indexed = nonDegenerate(corpus, vecCol).select(
+      col(idCol).as("neighbor_id"),
+      assignUdf(col(vecCol)).as("cell"),
+      encodeUdf(col(vecCol)).as("code"),
+    )
+    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    ivfPqSearchIndexed(indexed, corpusVecs, queries, idCol, vecCol, k, ivf, pq,
+      nprobe, refine, broadcastQueries)
+  }
+
+  /** Encode one vector with `mdl`'s codebooks (cosine-normalized
+    * first) — the ONE kernel shared by [[ivfPqTopK]]'s inline encode
+    * and the persisted coded-corpus store's write path
+    * ([[VectorStore.write]]), so stored codes are bit-identical to
+    * what a from-floats search would compute.
+    */
+  private[operators] def pqEncode(mdl: PqModel, v: Seq[Float]): Array[Byte] = {
+    require(v.length >= mdl.m * mdl.dsub,
+      s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
+    val x = normalize(v.toArray)
+    val out = new Array[Byte](mdl.m)
+    var j = 0
+    while (j < mdl.m) {
+      out(j) = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, x).toByte
+      j += 1
     }
+    out
+  }
+
+  /** The probe + ADC + exact-re-rank tail of [[ivfPqTopK]] over an
+    * ALREADY-CODED corpus — `indexed` is (neighbor_id, cell, code),
+    * `corpusVecs` is (neighbor_id, cvec) for the shortlist re-rank.
+    * [[ivfPqTopK]] computes both from floats in one scan; the
+    * store-serving face ([[ivfPqTopKFromStore]]) reads both from the
+    * persisted [[VectorStore.CodedVectorStore]] — the corpus is never
+    * re-encoded and, with the store's cell-bucketed layout, never
+    * re-exchanged.
+    */
+  private[operators] def ivfPqSearchIndexed(
+      indexed: DataFrame,
+      corpusVecs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      ivf: IvfModel,
+      pq: PqModel,
+      nprobe: Int,
+      refine: Int,
+      broadcastQueries: Boolean,
+  ): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bcIvf = sc.broadcast(ivf.centroids)
+    val bcPq = sc.broadcast(pq)
+    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bcPq.value
       require(v.length >= mdl.m * mdl.dsub,
@@ -1243,12 +1286,6 @@ object Similarity {
       }
       lut
     }
-    // one corpus scan produces (cell, code) — the ANN "index row"
-    val indexed = nonDegenerate(corpus, vecCol).select(
-      col(idCol).as("neighbor_id"),
-      assignUdf(col(vecCol)).as("cell"),
-      encodeUdf(col(vecCol)).as("code"),
-    )
     val probed = nonDegenerate(queries, vecCol).select(
       col(idCol).as("query_id"),
       lutUdf(col(vecCol)).as("lut"),
@@ -1273,7 +1310,7 @@ object Similarity {
     // ANYWHERE, so fetch qvecs through a shuffle join instead
     val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val rescored = cands
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(corpusVecs, "neighbor_id")
       .join(if (broadcastQueries) broadcast(qvecs) else qvecs.hint("merge"), "query_id")
       .select(
         col("query_id"),
@@ -1281,6 +1318,33 @@ object Similarity {
         graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
       )
     topKReduce(rescored, k)
+  }
+
+  /** [[ivfPqTopK]] served from a persisted
+    * [[VectorStore.CodedVectorStore]]: cells and PQ codes come from
+    * the cell-bucketed `coded` table (written once, reused by every
+    * search job) and the re-rank floats from the id-bucketed `vecs`
+    * table — the corpus is neither re-encoded nor re-exchanged per
+    * job, the [[graft.operators.Dedup.readSignatures]] recipe applied
+    * to embeddings. Same results as the from-floats face by
+    * construction (one shared encode kernel; SimilaritySpec locks
+    * row-for-row parity).
+    */
+  def ivfPqTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+  ): DataFrame = {
+    val indexed = store.coded.select(
+      col("id").as("neighbor_id"), col("cell"), col("code"))
+    val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    ivfPqSearchIndexed(indexed, corpusVecs, queries, idCol, vecCol, k,
+      store.ivf, store.pq, nprobe, refine, broadcastQueries)
   }
 
   /** ANN top-k via IVF: corpus rows join only the `nprobe` probed
@@ -1418,7 +1482,9 @@ object Similarity {
       }
       .toDF("query_id", "neighbor_id", "cosine")
     val shortlist = topKReduce(partialCands, kk).select(col("query_id"), col("neighbor_id"))
-    rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
+    rerankShortlist(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      queries, shortlist, idCol, vecCol, k)
   }
 
   /** Shared exact re-rank tail of the code-shortlist faces: fetch
@@ -1428,7 +1494,7 @@ object Similarity {
     * comparator.
     */
   private def rerankShortlist(
-      corpus: DataFrame,
+      corpusVecs: DataFrame,
       queries: DataFrame,
       shortlist: DataFrame,
       idCol: String,
@@ -1436,7 +1502,7 @@ object Similarity {
       k: Int,
   ): DataFrame = {
     val rescored = shortlist
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
+      .join(corpusVecs, "neighbor_id")
       .join(
         broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
         "query_id")
@@ -1478,10 +1544,58 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 4,
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val bcCentroids = spark.sparkContext.broadcast(model.centroids)
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
     val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    val codedCorpus = nonDegenerate(corpus, vecCol)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        Quantize.signPack(col(vecCol)).as("code"),
+        assignUdf(col(vecCol)).as("cell"))
+    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    ivfHammingSearchCoded(codedCorpus, corpusVecs, queries, idCol, vecCol, k,
+      model, nprobe, refine)
+  }
+
+  /** [[ivfHammingTopK]] served from a persisted
+    * [[VectorStore.CodedVectorStore]]: packed sign codes and cells
+    * come from the cell-bucketed `coded` table, re-rank floats from
+    * the id-bucketed `vecs` table — no per-job sign-pack or centroid
+    * assignment of the corpus. Results equal the from-floats face
+    * (one shared sign-pack expression at write time).
+    */
+  def ivfHammingTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      refine: Int = 4,
+  ): DataFrame = {
+    val codedCorpus = store.coded.select(
+      col("id").as("neighbor_id"), col("hcode").as("code"), col("cell"))
+    val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    ivfHammingSearchCoded(codedCorpus, corpusVecs, queries, idCol, vecCol, k,
+      store.ivf, nprobe, refine)
+  }
+
+  /** The probe + packed-Hamming-scan + exact-re-rank tail of
+    * [[ivfHammingTopK]] over an ALREADY-CODED corpus — `codedCorpus`
+    * is (neighbor_id, code: packed sign words, cell), `corpusVecs`
+    * (neighbor_id, cvec) for the shortlist re-rank.
+    */
+  private[operators] def ivfHammingSearchCoded(
+      codedCorpus: DataFrame,
+      corpusVecs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: IvfModel,
+      nprobe: Int,
+      refine: Int,
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     // ONE collect for codes AND probed cells: two separate collects
     // would execute the query plan twice and could disagree on a
     // nondeterministic side (sample/limit), orphaning qProbes lookups
@@ -1504,10 +1618,8 @@ object Similarity {
     val bcCodes = spark.sparkContext.broadcast(qCodes)
     val bcByCell = spark.sparkContext.broadcast(byCell)
     val kk = k * refine
-    val partialCands = nonDegenerate(corpus, vecCol)
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        Quantize.signPack(col(vecCol)).as("code"),
-        assignUdf(col(vecCol)).as("cell"))
+    val partialCands = codedCorpus
+      .select(col("neighbor_id").cast("long"), col("code"), col("cell").cast("int"))
       .as[(Long, Array[Long], Int)]
       .mapPartitions { it =>
         val qs = bcCodes.value
@@ -1545,6 +1657,6 @@ object Similarity {
       }
       .toDF("query_id", "neighbor_id", "cosine")
     val shortlist = topKReduce(partialCands, kk).select(col("query_id"), col("neighbor_id"))
-    rerankShortlist(corpus, queries, shortlist, idCol, vecCol, k)
+    rerankShortlist(corpusVecs, queries, shortlist, idCol, vecCol, k)
   }
 }

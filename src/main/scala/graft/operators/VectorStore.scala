@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{IvfModel, PqModel}
+
+/** A persisted, PRE-CODED inverted-file corpus for ANN search — the
+  * embedding analogue of the near-dup signature store
+  * ([[Dedup.writeSignatures]] / [[Dedup.readSignatures]]): the
+  * expensive per-vector work (IVF cell assignment, PQ encoding,
+  * packed sign codes) runs ONCE at write time and every subsequent
+  * search job reads the finished index rows instead of re-encoding
+  * the corpus from floats. At 100 TB the re-encode per search job is
+  * the dominant ANN cost — this store removes it, and the bucketed
+  * layout removes the static-side exchange too.
+  *
+  * Layout under `path`, registered as bucketed tables in the session
+  * catalog (bucketing metadata lives in the catalog, not the files —
+  * [[read]] re-registers after a restart):
+  *
+  *   - `coded` / `<name>_coded`: one row per corpus vector —
+  *     (cell, id, code, hcode) — BUCKETED AND SORTED BY `cell`, so
+  *     the probe equi-join of [[Similarity.ivfPqTopKFromStore]] /
+  *     [[Similarity.ivfHammingTopKFromStore]] reads only matching
+  *     buckets and never exchanges the corpus side;
+  *   - `vecs` / `<name>_vecs`: (id, vec) BUCKETED BY `id` — the
+  *     exact re-rank fetches shortlist floats through the bucketed
+  *     scan (refine·k·|queries| rows, not the corpus);
+  *   - `model/`: the IVF centroids + PQ codebooks via [[IndexStore]]
+  *     (bit-exact float roundtrip — a reopened store reproduces the
+  *     original assignments exactly);
+  *   - `meta`: the bucket count.
+  *
+  * Codes are produced by the SAME kernels the from-floats search
+  * faces use ([[Similarity.pqEncode]], [[Quantize.signPack]]), so a
+  * store-served search returns row-for-row the results of the
+  * corresponding from-floats call — SimilaritySpec locks the parity.
+  *
+  * Growth is a COMPACTION like [[Dedup.mergeSignatures]], not an
+  * in-place append ([[merge]]): the increment is encoded with the
+  * STANDING models (retraining would silently reassign every cell),
+  * the standing corpus' codes are reused verbatim — never re-encoded
+  * — and the union is rewritten to a fresh epoch directory. Cost is
+  * one narrow parquet-to-parquet pass over index rows plus the float
+  * copy; text/embedding recomputation never happens.
+  */
+object VectorStore {
+
+  /** Handle to an open store: `coded` (cell, id, code, hcode) bucketed
+    * by cell, `vecs` (id, vec) bucketed by id, plus the models whose
+    * assignments the codes were produced under. The models pin the
+    * recipe — searches MUST probe with these centroids or cell
+    * membership silently stops matching the stored rows.
+    */
+  final case class CodedVectorStore(
+      coded: DataFrame,
+      vecs: DataFrame,
+      ivf: IvfModel,
+      pq: PqModel,
+      numBuckets: Int,
+  )
+
+  /** Encode + persist `corpus` as a [[CodedVectorStore]] at `path`
+    * under catalog names `<name>_coded` / `<name>_vecs`. One corpus
+    * scan computes cell, PQ code, and packed sign code per vector;
+    * degenerate vectors (null/empty/zero-norm) are excluded exactly
+    * as the search faces exclude them. Ids are persisted as BIGINT.
+    */
+  def write(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      name: String,
+      ivf: IvfModel,
+      pq: PqModel,
+      numBuckets: Int = 64,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val bcIvf = sc.broadcast(ivf.centroids)
+    val bcPq = sc.broadcast(pq)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
+    val clean = Similarity.nonDegenerate(corpus, vecCol)
+    val coded = clean.select(
+      assignUdf(col(vecCol)).as("cell"),
+      col(idCol).cast("long").as("id"),
+      encodeUdf(col(vecCol)).as("code"),
+      Quantize.signPack(col(vecCol)).as("hcode"))
+    val vecs = clean.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    writeFrames(spark, coded, vecs, ivf, pq, path, name, numBuckets)
+  }
+
+  /** The shared persist tail of [[write]] and [[merge]] — takes
+    * ALREADY-CODED frames so compaction never re-encodes the standing
+    * corpus.
+    */
+  private def writeFrames(
+      spark: SparkSession,
+      coded: DataFrame,
+      vecs: DataFrame,
+      ivf: IvfModel,
+      pq: PqModel,
+      path: String,
+      name: String,
+      numBuckets: Int,
+  ): Unit = {
+    import spark.implicits._
+    IndexStore.saveIvf(spark, ivf, s"$path/model")
+    IndexStore.savePq(spark, pq, s"$path/model")
+    coded
+      .select("cell", "id", "code", "hcode")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("path", s"$path/coded")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(s"${name}_coded")
+    vecs
+      .select("id", "vec")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("path", s"$path/vecs")
+      .bucketBy(numBuckets, "id")
+      .sortBy("id")
+      .saveAsTable(s"${name}_vecs")
+    Seq(numBuckets)
+      .toDF("num_buckets")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** Open a store written by [[write]]. In a fresh session the
+    * bucketed tables are re-registered over the parquet location (DDL
+    * with the meta's bucket spec); a name already registered at a
+    * DIFFERENT location fails actionably instead of silently serving
+    * stale rows — the same guard, and the same epoch-directory
+    * workflow, as [[Dedup.readSignatures]].
+    */
+  def read(spark: SparkSession, path: String, name: String): CodedVectorStore = {
+    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    def ensure(table: String, sub: String, schema: String, key: String): DataFrame = {
+      if (!spark.catalog.tableExists(table)) {
+        spark.sql(
+          s"CREATE TABLE $table ($schema) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
+            s"LOCATION '$path/$sub'")
+      } else {
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        def norm(p: org.apache.hadoop.fs.Path): String =
+          Dedup.normalizeStoreLocation(p, hadoopConf)
+        val registered = new org.apache.hadoop.fs.Path(
+          spark.sql(s"DESCRIBE FORMATTED $table")
+            .where(col("col_name") === "Location")
+            .select("data_type").head().getString(0))
+        val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        require(norm(registered) == norm(expected),
+          s"VectorStore.read: table $table is already registered at ${norm(registered)}, " +
+            s"not ${norm(expected)} — use a distinct name per store path " +
+            "(epoch-suffixed names) or DROP TABLE the stale registration first")
+      }
+      spark.table(table)
+    }
+    CodedVectorStore(
+      ensure(s"${name}_coded", "coded",
+        "cell INT, id BIGINT, code BINARY, hcode ARRAY<BIGINT>", "cell"),
+      ensure(s"${name}_vecs", "vecs", "id BIGINT, vec ARRAY<FLOAT>", "id"),
+      IndexStore.loadIvf(spark, s"$path/model"),
+      IndexStore.loadPq(spark, s"$path/model"),
+      numBuckets)
+  }
+
+  /** GROW a standing store: encode `newVecs` (disjoint ids required)
+    * with the SOURCE store's models and write the union to
+    * `dstPath`/`dstName` — the daily-ingest epoch step. The standing
+    * corpus' coded rows and floats are copied verbatim (a narrow
+    * parquet-to-parquet pass); only the increment pays encoding.
+    * Compaction-not-append for the same reasons as
+    * [[Dedup.mergeSignatures]]: bucketed tables cannot change spec
+    * incrementally, and an epoch directory is its own restart point.
+    */
+  def merge(
+      spark: SparkSession,
+      srcPath: String,
+      srcName: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dstPath: String,
+      dstName: String,
+  ): CodedVectorStore = {
+    require(dstPath != srcPath,
+      "VectorStore.merge: dstPath must differ from srcPath (epoch directories) — " +
+        "an in-place rewrite would clobber the files it is reading")
+    val src = read(spark, srcPath, srcName)
+    val sc = spark.sparkContext
+    val bcIvf = sc.broadcast(src.ivf.centroids)
+    val bcPq = sc.broadcast(src.pq)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
+    val clean = Similarity.nonDegenerate(newVecs, vecCol)
+    val addVecs = clean.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    require(
+      addVecs.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
+      "VectorStore.merge: new-batch ids overlap the standing store — the sides " +
+        "must be disjoint; search-dedup the increment first and merge survivors")
+    val addCoded = clean.select(
+      assignUdf(col(vecCol)).as("cell"),
+      col(idCol).cast("long").as("id"),
+      encodeUdf(col(vecCol)).as("code"),
+      Quantize.signPack(col(vecCol)).as("hcode"))
+    writeFrames(spark,
+      src.coded.unionByName(addCoded),
+      src.vecs.unionByName(addVecs),
+      src.ivf, src.pq, dstPath, dstName, src.numBuckets)
+    read(spark, dstPath, dstName)
+  }
+}

@@ -186,7 +186,8 @@ object EventStreams {
     * frames. The same trigger-cadence caveat applies: downstream
     * `emit_ts`-windowed aggregates over watermark-clamped rows
     * depend on microbatch boundaries; group on the carried `ts` for
-    * replay-deterministic offline re-aggregation.
+    * replay-deterministic offline re-aggregation —
+    * [[reaggregateByEventTime]] is that face.
     */
   final case class SessionAssignmentEmit(
       event_id: Long, user_id: Long, ts: Timestamp, session_seq: Long,
@@ -560,8 +561,8 @@ object EventStreams {
     * land late-left hits in different windows. This is inherent to
     * the emitted-rows-at-or-after-watermark contract, not a bug; for
     * replay-deterministic offline re-aggregation, group on the
-    * carried `ts` (batch mode, where `emit_ts = ts`), and treat
-    * `emit_ts`-windowed streaming rollups as at-resolution-time
+    * carried `ts` — [[reaggregateByEventTime]] is that face — and
+    * treat `emit_ts`-windowed streaming rollups as at-resolution-time
     * views.
     */
   final case class AsofHitEmit(
@@ -573,6 +574,50 @@ object EventStreams {
     AsofHitEmit(h.event_id, h.user_id, h.ts, h.value,
       h.asof_ts, h.asof_event_id, h.asof_value,
       new Timestamp(math.max(h.ts.getTime, wmMs + 1)))
+
+  /** Replay-deterministic OFFLINE re-aggregation of landed emit rows
+    * over their CARRIED event time — the operational face of the
+    * [[AsofHitEmit]] / [[SessionAssignmentEmit]] trigger-cadence
+    * caveat. `emit_ts`-windowed streaming rollups are
+    * at-resolution-time views: a watermark-clamped row's `emit_ts`
+    * depends on which microbatch resolved it, so the same input under
+    * two trigger cadences can land in different windows. This helper
+    * re-aggregates the LANDED rows on the carried `tsCol` instead —
+    * tumbling `windowDuration` windows × `groupCols` — so ANY two
+    * cadences of the same input produce identical output (StreamingSpec
+    * runs two cadences of a TWS session stream through it and pins
+    * frame equality; q159 gates the arithmetic against the oracle).
+    *
+    * `dedupIdCol`: at-least-once sinks can land a row twice across
+    * restarts, with retries differing only in `emit_ts`; pass the
+    * unique row id (event_id) to fold retries before aggregating.
+    * The fold keeps one row per id — deterministic here precisely
+    * because this helper never reads `emit_ts`.
+    *
+    * Batch-only by design (it exists to REPLAY a landed sink table);
+    * scale shape is one hash aggregation with map-side partials over
+    * (window, groupCols) — the same exchange any windowed rollup pays.
+    */
+  def reaggregateByEventTime(
+      emitted: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      groupCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column],
+      dedupIdCol: Option[String] = None,
+  ): DataFrame = {
+    require(aggs.nonEmpty, "reaggregateByEventTime: provide at least one aggregate")
+    require(!emitted.isStreaming,
+      "reaggregateByEventTime replays a LANDED sink table — batch frames only")
+    val base = dedupIdCol.map(id => emitted.dropDuplicates(Seq(id))).getOrElse(emitted)
+    val agged = base
+      .groupBy(window(col(tsCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val rest = agged.columns.filter(_ != "window").map(col)
+    agged.select(
+      Seq(col("window.start").as("window_start"), col("window.end").as("window_end"))
+        ++ rest: _*)
+  }
 
   /** [[asofBackwardStream]]'s per-key step under `transformWithState`:
     * identical latest-right state, tie discipline, and late-left

@@ -335,6 +335,76 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("reaggregateByEventTime: two trigger cadences re-aggregate identically though emit_ts differs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, tpe: String, user: Long = 1L) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), user, tpe, id.toDouble)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // input (identical across cadences): user-1 lefts l1@0, l2@5
+    // (both forward-match r@10), l3@75 (unmatched); user-99 RIGHTS
+    // f1@80 / f2@200 / f3@3600 advance the watermark without emitting
+    val lefts = Seq(ev(1L, 0, "purchase"), ev(2L, 5, "purchase"), ev(3L, 75, "purchase"))
+    val rights = Seq(ev(100L, 10, "view"),
+      ev(900L, 80, "view", 99L), ev(901L, 200, "view", 99L), ev(902L, 3600, "view", 99L))
+    def run(name: String, batches: Seq[(Seq[EventStreams.Event], Seq[EventStreams.Event])])
+        : org.apache.spark.sql.DataFrame = {
+      val ls = MemoryStream[EventStreams.Event](spark)
+      val rs = MemoryStream[EventStreams.Event](spark)
+      val q = EventStreams
+        .asofForwardStreamTws(ls.toDS(), rs.toDS(), toleranceSeconds = 30,
+          watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { case (l, r) =>
+        if (l.nonEmpty) ls.addData(l)
+        if (r.nonEmpty) rs.addData(r)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+    }
+    try {
+      // cadence A: everything except the final flush in one batch
+      val a = run("reagg_a", Seq(
+        (lefts, rights.take(3)),
+        (Nil, Seq(rights(3)))))
+      // cadence B: drip-fed — resolutions happen under DIFFERENT
+      // watermarks, so clamped emit_ts values differ from cadence A
+      val b = run("reagg_b", Seq(
+        (lefts.take(2), Seq(rights(0), rights(1))),
+        (Seq(lefts(2)), Seq(rights(2))),
+        (Nil, Seq(rights(3)))))
+      // same resolved hits either way
+      def hits(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"asof_event_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(hits(a) == hits(b) &&
+        hits(a) == Set(1L -> Some(100L), 2L -> Some(100L), 3L -> None), s"${hits(a)} ${hits(b)}")
+      // the caveat is REAL: the two cadences stamped different emit_ts
+      def emits(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"emit_ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      assert(emits(a) != emits(b),
+        s"fixture must exhibit cadence-dependent emit_ts: ${emits(a)} vs ${emits(b)}")
+      // ...and the carried-ts re-aggregation is cadence-invariant
+      def re(df: org.apache.spark.sql.DataFrame) = EventStreams
+        .reaggregateByEventTime(df, "ts", "1 minute", Seq("user_id"),
+          Seq(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,6)")).as("total")),
+          dedupIdCol = Some("event_id"))
+        .collect().map(_.toSeq).toSet
+      assert(re(a) == re(b), "re-aggregation on the carried ts must be cadence-invariant")
+      assert(re(a).nonEmpty)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming forward as-of join equals batch asofForward with tolerance (bounded input)") {
     val tolSec = 3600L
     // fixture = events + one far-future flush view (beyond tolerance of

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorStore}
+
+/** The persisted coded-corpus ANN store contract: write-once codes
+  * serve every search job with result-for-result parity against the
+  * from-floats faces, the static side never re-shuffles (bucketed
+  * scans), a fresh catalog re-registers from parquet + meta alone,
+  * and compaction grows the corpus epoch-to-epoch without re-encoding
+  * the standing rows.
+  */
+class VectorStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Clustered fixture (the SimilaritySpec ANN shape): 8 clusters ×
+    * 25 members in 8 dims, queries = one member per cluster.
+    */
+  private def fixture(seed: Int): (DataFrame, DataFrame) = {
+    val rng = new scala.util.Random(seed)
+    val vecs = (0 until 8).flatMap { c =>
+      val center = Array.fill(8)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    (df, df.where($"vec_id" % 25 === 0))
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-vecstore-$tag").toString
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("store-served ivfPq and ivfHamming equal the from-floats faces row-for-row") {
+    val (df, queries) = fixture(29)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("parity")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_parity", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_parity")
+    assert(store.numBuckets == 4)
+    assert(store.ivf.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq,
+      "reopened centroids must be bit-exact")
+    assert(store.pq == pq.copy(codebooks = store.pq.codebooks) &&
+      store.pq.codebooks.toSeq == pq.codebooks.toSeq)
+
+    val fromFloatsPq = Similarity
+      .ivfPqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, pq, nprobe = 2, refine = 4)
+    val fromStorePq = Similarity
+      .ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5, nprobe = 2, refine = 4)
+    assert(rows(fromStorePq) == rows(fromFloatsPq),
+      "store-served IVF-PQ must equal the from-floats face")
+
+    val fromFloatsHam = Similarity
+      .ivfHammingTopK(df, queries, "vec_id", "embedding", k = 5, ivf, nprobe = 2, refine = 4)
+    val fromStoreHam = Similarity
+      .ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+        nprobe = 2, refine = 4)
+    assert(rows(fromStoreHam) == rows(fromFloatsHam),
+      "store-served IVF-Hamming must equal the from-floats face")
+
+    // fresh-catalog reread: bucketed registration restores from
+    // parquet + meta alone
+    spark.sql("DROP TABLE vs_parity_coded")
+    spark.sql("DROP TABLE vs_parity_vecs")
+    val reread = VectorStore.read(spark, dir, "vs_parity")
+    assert(rows(Similarity.ivfPqTopKFromStore(reread, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, refine = 4)) == rows(fromFloatsPq))
+  }
+
+  test("store tables: static side joins with NO shuffle exchange and bucketed scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val (df, queries) = fixture(31)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("plan")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_plan", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_plan")
+    // pin the at-scale shape: AQE off, broadcast off, and the
+    // huge-query-set path (broadcastQueries = false) — the corpus
+    // side must never exchange
+    val saved = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hits = Similarity.ivfPqTopKFromStore(store, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2, refine = 4, broadcastQueries = false)
+      val plan = hits.queryExecution.executedPlan
+      def isStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists { rp =>
+            val s = rp.toString
+            s.contains("vecstore") && (s.contains("coded") || s.contains("vecs"))
+          }
+        case _ => false
+      }
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.collectLeaves().nonEmpty && e.collectLeaves().forall(isStoreScan) => e
+      }
+      assert(offending.isEmpty, s"static store side must not re-shuffle per job:\n$plan")
+      val storeScans = plan.collectLeaves().filter(isStoreScan)
+      assert(storeScans.nonEmpty, s"expected bucketed store scans in:\n$plan")
+      assert(storeScans.collect { case f: FileSourceScanExec => f }
+        .forall(_.bucketedScan), s"store scans must be bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
+    }
+  }
+
+  test("merge: epoch compaction equals a from-floats search over the union; no id overlap allowed") {
+    val (df, _) = fixture(37)
+    val epoch0 = df.where($"vec_id" < 150L)
+    val increment = df.where($"vec_id" >= 150L)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val ivf = Similarity.trainIvf(epoch0, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(epoch0, "embedding", m = 4, ksub = 16, seed = 3L)
+    val d0 = tmp("e0")
+    val d1 = tmp("e1")
+    VectorStore.write(epoch0, "vec_id", "embedding", d0, "vs_e0", ivf, pq, numBuckets = 4)
+    val e1 = VectorStore.merge(spark, d0, "vs_e0", increment, "vec_id", "embedding",
+      d1, "vs_e1")
+    assert(e1.vecs.count() == df.count(), "merged store holds the full union")
+    // the grown store serves the union with the SOURCE models — equal
+    // to a from-floats search over the union under those models
+    val fromFloats = Similarity
+      .ivfPqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, pq, nprobe = 8, refine = 8)
+    val fromStore = Similarity
+      .ivfPqTopKFromStore(e1, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+    assert(rows(fromStore) == rows(fromFloats),
+      "epoch-1 store must equal the from-floats union search")
+    // overlapping increments fail actionably, before any write
+    val err = intercept[IllegalArgumentException] {
+      VectorStore.merge(spark, d1, "vs_e1", epoch0.limit(1), "vec_id", "embedding",
+        tmp("e2"), "vs_e2")
+    }
+    assert(err.getMessage.contains("disjoint"))
+    // stale-registration guard: a name registered at ANOTHER path must
+    // fail actionably instead of silently serving that path's rows
+    // (d0 has a valid meta, but vs_e1_* point at d1)
+    val err2 = intercept[IllegalArgumentException] {
+      VectorStore.read(spark, d0, "vs_e1")
+    }
+    assert(err2.getMessage.contains("already registered"))
+  }
+}
