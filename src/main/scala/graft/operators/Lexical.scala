@@ -62,7 +62,14 @@ object Lexical {
   }
 
   /** Explode [[perDocPostings]] to the narrow (doc_id, dl, term, tf)
-    * posting stream (docs without matches drop here).
+    * posting stream (docs without matches drop here). For LANDED
+    * frames only (bm25TopK's materialized projection): exploding a
+    * computed `__tt` alias through a separate Project lets the
+    * optimizer split the tokenize between the projection (dl) and the
+    * inlined generator input, re-running the corpus regex — measured
+    * 1.55× on q63 when [[termStats]] routed here unlanded (the r13→r15
+    * q63 regression, bisected to `ce6e2d6`); on a landed frame `__tt`
+    * is already bytes, so nothing re-evaluates.
     */
   private def postingStream(perDoc: DataFrame): DataFrame =
     perDoc
@@ -70,7 +77,27 @@ object Lexical {
       .select(col("doc_id"), col("dl"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
 
   def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
-    val perDoc = postingStream(perDocPostings(df, idCol, textCol, terms))
+    require(terms.nonEmpty, "terms must be non-empty")
+    val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
+    // the (term, tf) transform sits INSIDE the generator of the SAME
+    // select that computes dl — the one shape where the token array is
+    // provably evaluated once per document (see [[postingStream]]'s
+    // caveat; this is the pre-`ce6e2d6` formulation, restored after
+    // the q63 bisect)
+    val perDoc = df
+      .select(col(idCol).as("doc_id"), tokens(textCol).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("bigint").as("dl"),
+        explode(
+          transform(
+            array_intersect(array_distinct(col("__toks")), qTerms),
+            t => struct(
+              t.as("term"),
+              size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
+          )).as("__tt"),
+      )
+      .select(col("doc_id"), col("dl"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
     val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
     perDoc
       .join(termDf, "term")

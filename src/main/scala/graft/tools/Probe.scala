@@ -8,6 +8,28 @@ import org.apache.spark.sql.functions._
   * driver-facing bench is [[graft.Bench]]).
   */
 object Probe {
+
+  /** Probe-only: thread-cached Deflater with reset() between docs —
+    * the reuse variant measured against the shipped per-row kernel.
+    */
+  private val tlDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater(6)
+  }
+
+  private[tools] def reusedDeflateLen(text: String): Long = {
+    val bytes =
+      (if (text == null) "" else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.isEmpty) return 0L
+    val d = tlDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
@@ -24,6 +46,39 @@ object Probe {
       val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
+    }
+
+    if (names.contains("deflater")) {
+      // per-row Deflater (alloc + end per doc, the shipped kernel) vs
+      // a thread-reused Deflater with reset() — the documented lever;
+      // 10x docs so the pass is long enough to resolve a few percent
+      val docs0 = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val docs = (0 until 10)
+        .map(i => docs0.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      println("[probe] docs=" + docs.count())
+      (1 to 2).foreach { round =>
+        timed(s"round $round: per-row Deflater deflate-only pass") {
+          val u = udf { (t: String) =>
+            graft.operators.QualityFilters.compressibilityKernel(t, 6).deflate_len }
+          println("[probe] sum=" +
+            docs.select(sum(u(col("text"))).as("s")).head().getLong(0))
+        }
+        timed(s"round $round: thread-reused Deflater deflate-only pass") {
+          val u = udf { (t: String) => Probe.reusedDeflateLen(t) }
+          println("[probe] sum=" +
+            docs.select(sum(u(col("text"))).as("s")).head().getLong(0))
+        }
+        timed(s"round $round: fused withTextSignals (level 6, per-row Deflater)") {
+          println("[probe] rows=" + graft.operators.TextAnalysis
+            .withTextSignals(docs, "text", deflateLevel = 6)
+            .select(col("doc_id"), col("deflate_len")).count())
+        }
+      }
+      spark.stop()
+      return
     }
 
     if (names.contains("mh_stages")) {
