@@ -48,6 +48,90 @@ object Probe {
       r
     }
 
+    if (names.contains("vecstore")) {
+      // store-served ANN vs from-floats: the store's claim is that a
+      // search job skips the corpus re-encode (assign + PQ-encode per
+      // vector) and the static-side exchange; measure both faces on
+      // the same corpus/queries/models, store pre-built (write cost
+      // reported separately — it amortizes over every later job)
+      // 50x the sf0.1 embeddings (100k vectors) so per-vector work is
+      // resolvable over the fixed job overheads; component 0 perturbed
+      // per replica so replicas are not byte-duplicates
+      val emb0 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val emb = (0 until 50)
+        .map(i => emb0.select(
+          (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, ix) => when(ix === 0, (x + lit(i * 0.001f)).cast("float")).otherwise(x))
+            .as("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .localCheckpoint(true)
+      println("[probe] corpus=" + emb.count())
+      val queries = emb.where(col("vec_id") % 100 === 0).localCheckpoint(true)
+      println("[probe] queries=" + queries.count())
+      val ivf = graft.operators.Similarity.trainIvf(emb, "embedding", nlist = 16)
+      val pq = graft.operators.Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft-probe-vecstore").toString
+      timed("store write (once per corpus/epoch)") {
+        graft.operators.VectorStore.write(emb, "vec_id", "embedding", dir, "probe_vs", ivf, pq)
+      }
+      val store = graft.operators.VectorStore.read(spark, dir, "probe_vs")
+      (1 to 2).foreach { round =>
+        timed(s"round $round: ivfPqTopK from floats (re-encodes corpus per job)") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5, ivf, pq,
+              nprobe = 4, refine = 4).count())
+        }
+        timed(s"round $round: ivfPqTopKFromStore (reads finished index rows)") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+              nprobe = 4, refine = 4).count())
+        }
+        timed(s"round $round: ivfHammingTopK from floats") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfHammingTopK(emb, queries, "vec_id", "embedding", k = 5, ivf,
+              nprobe = 4, refine = 8).count())
+        }
+        timed(s"round $round: ivfHammingTopKFromStore") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+              nprobe = 4, refine = 8).count())
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (names.contains("para_scale")) {
+      // the optional webIngest paragraph stage at 1x and 10x docs —
+      // the claim is "one line-dedup-sized pass, nothing superlinear"
+      val docs0 = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), concat_ws("\n\n",
+          coalesce(col("text"), lit("")),
+          lit("all rights reserved - generated boilerplate paragraph"),
+          coalesce(col("text"), lit(""))).as("text"))
+      def run(mult: Int): Unit = {
+        val docs =
+          if (mult == 1) docs0.localCheckpoint(true)
+          else (0 until mult)
+            .map(i => docs0.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+              col("text")))
+            .reduce(_ unionByName _).localCheckpoint(true)
+        println("[probe] docs=" + docs.count())
+        (1 to 2).foreach { round =>
+          timed(s"round $round: paragraphDedup at ${mult}x") {
+            println("[probe] rows=" + graft.operators.Dedup
+              .paragraphDedup(docs, "doc_id", "text").count())
+          }
+        }
+      }
+      run(1); run(10)
+      spark.stop()
+      return
+    }
+
     if (names.contains("deflater")) {
       // per-row Deflater (alloc + end per doc, the shipped kernel) vs
       // a thread-reused Deflater with reset() — the documented lever;
