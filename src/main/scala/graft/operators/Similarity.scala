@@ -875,6 +875,48 @@ object Similarity {
       }
       out
     }
+    val encoded = nonDegenerate(corpus, vecCol).select(
+      col(idCol).cast("long").as("neighbor_id"),
+      encodeUdf(col(vecCol)).as("code"),
+    )
+    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    pqSearchEncoded(encoded, corpusVecs, queries, idCol, vecCol, k, model, refine)
+  }
+
+  /** [[pqTopK]] served from a persisted
+    * [[VectorStore.CodedVectorStore]] — the flat-ADC row of the
+    * store-served matrix (q157/q158 gate the IVF-pruned rows): codes
+    * come from the store's `coded` table (cells ignored — flat scan),
+    * re-rank floats from `vecs`; no per-job encode.
+    */
+  def pqTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 4,
+  ): DataFrame =
+    pqSearchEncoded(
+      store.coded.select(col("id").as("neighbor_id"), col("code")),
+      store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+      queries, idCol, vecCol, k, store.pq, refine)
+
+  /** The flat ADC scan + exact re-rank tail of [[pqTopK]] over an
+    * ALREADY-ENCODED corpus ((neighbor_id, code) + (neighbor_id,
+    * cvec)).
+    */
+  private def pqSearchEncoded(
+      encoded: DataFrame,
+      corpusVecs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: PqModel,
+      refine: Int,
+  ): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(model)
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bc.value
       require(v.length >= mdl.m * mdl.dsub,
@@ -896,10 +938,6 @@ object Similarity {
       }
       lut
     }
-    val encoded = nonDegenerate(corpus, vecCol).select(
-      col(idCol).cast("long").as("neighbor_id"),
-      encodeUdf(col(vecCol)).as("code"),
-    )
     // FAISS-style flat ADC scan: query LUTs broadcast once
     // (queries were already an implicit broadcast in the join
     // formulation — Q × m·ksub floats), each partition streams its
@@ -910,7 +948,7 @@ object Similarity {
     // sort-based fallback (>128 groups) — a full sort of that stream;
     // measured 2.5× slower at 22k corpus × 2k queries even after a
     // heap pre-reduction, and the gap widens with corpus size.
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
     val qLuts: Array[(Long, Array[Float])] = nonDegenerate(queries, vecCol)
       .select(col(idCol).cast("long"), lutUdf(col(vecCol)))
@@ -921,6 +959,7 @@ object Similarity {
     val m = model.m
     val ksub = model.ksub
     val partialCands = encoded
+      .select(col("neighbor_id").cast("long"), col("code"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val luts = bcLuts.value
@@ -957,18 +996,7 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine")
     val cands = topKReduce(partialCands, kk).select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the small candidate set
-    val rescored = cands
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")), "neighbor_id")
-      .join(
-        broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
-        "query_id",
-      )
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"),
-      )
-    topKReduce(rescored, k)
+    rerankShortlist(corpusVecs, queries, cands, idCol, vecCol, k)
   }
 
   // --------------------------------------------------------------- OPQ

@@ -347,6 +347,39 @@ object TextAnalysis {
     df.withColumn("redacted", r).withColumn("pii_found", r =!= col(textCol))
   }
 
+  /** In-DOCUMENT repeated-PARAGRAPH trimming — [[dedupLinesInDoc]] at
+    * the [[Dedup.paragraphDedup]] granularity (units split on
+    * `\n{2,}`, rebuilt with `\n\n`, first spelling kept, trimmed-form
+    * comparison, short units always kept): repeated whole blocks
+    * within one document (pasted duplicates, per-page banners in a
+    * concatenated capture) collapse without touching any other
+    * document. Pure per-row map, streams as-is — the streaming
+    * pipeline's paragraph-granularity stage, where the corpus-wide
+    * winner aggregation of the batch operator cannot run.
+    */
+  def dedupParagraphsInDoc(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "text_para_deduped",
+      minParagraphChars: Int = 5,
+  ): DataFrame = {
+    val u = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        text
+          .split("\n{2,}", -1)
+          .iterator
+          .filter { p =>
+            val k = p.trim
+            k.length < minParagraphChars || seen.add(k)
+          }
+          .mkString("\n\n")
+      }
+    }
+    df.withColumn(outCol, u(col(textCol)))
+  }
+
   /** In-DOCUMENT repeated-line trimming (the MassiveText/Gopher
     * in-doc counterpart of the corpus-wide [[Dedup.lineDedup]]):
     * within each document, keep only the FIRST occurrence of every

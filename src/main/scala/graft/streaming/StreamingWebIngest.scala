@@ -161,10 +161,12 @@ object StreamingWebIngest {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -198,10 +200,12 @@ object StreamingWebIngest {
       redactPii: Boolean = false,
       mainContent: Boolean = false,
       stripTracking: Boolean = false,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
     val deduped = EventStreams
       .dedupStreamTws(lined, "id", "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -233,14 +237,26 @@ object StreamingWebIngest {
       redactPii: Boolean,
       mainContent: Boolean,
       stripTracking: Boolean,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
   ): DataFrame = {
     val quality = graft.operators.CorpusPipeline.cleanedCrawlPrefix(
       docs, idCol, Some(tsCol), htmlCol, urlCol, langs, blocklist,
-      canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking)
-    TextAnalysis
+      canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking,
+      paragraphBreaks)
+    val lineDeduped = TextAnalysis
       .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
       .drop("text")
       .withColumnRenamed("text_deduped", "text")
+    // the streaming paragraph stage is the IN-DOC twin (the corpus-
+    // wide winner aggregation of the batch operator cannot run in a
+    // stream); same relative position as batch webIngest's — after
+    // line dedup, before the exact-dedup state
+    if (!paragraphDedup) lineDeduped
+    else TextAnalysis
+      .dedupParagraphsInDoc(lineDeduped, "text", outCol = "text_pd")
+      .drop("text")
+      .withColumnRenamed("text_pd", "text")
   }
 
   /** [[webIngestStream]] plus a NEAR-DUP VICTIM side stream: the
@@ -458,10 +474,12 @@ object StreamingWebIngest {
       numHashes: Int = 128,
       bands: Int = 32,
       estThreshold: Double = 0.7,
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
     inlineDedupAndCap(lined, "id", "ts", "text", "url_host", maxPerHost,
       numHashes = numHashes, bands = bands, estThreshold = estThreshold,
       watermarkDelay = watermarkDelay)
@@ -487,10 +505,12 @@ object StreamingWebIngest {
       bands: Int = 32,
       estThreshold: Double = 0.7,
       nearDupWatermark: String = "10 minutes",
+      paragraphBreaks: Boolean = false,
+      paragraphDedup: Boolean = false,
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

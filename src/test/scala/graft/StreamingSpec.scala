@@ -1266,6 +1266,59 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("webIngestStream paragraph options: stream ≡ batch, in-doc repeated block collapses, structure kept") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs"
+    val banner = "subscribe to the weekly newsletter for updates and news today"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    // concatenated-capture shape: the banner LINE repeats (in-doc line
+    // dedup eats the second), and a block of SHORT lines repeats —
+    // each line is under the line-dedup exemption floor, so ONLY the
+    // paragraph stage can drop the repeated block as a unit
+    val html = s"<html><body><div>$banner</div><div>ab<br>cd</div><p>$prose</p>" +
+      s"<div>$banner</div><div>ab<br>cd</div>" +
+      s"<p>$prose extra tail words here</p></body></html>"
+    val rows = Seq(WebDoc(70L, new java.sql.Timestamp(t0 + 1000), html, "http://good.com/p"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
+        paragraphBreaks = true, paragraphDedup = true)
+      .writeStream.format("memory").queryName("wis_para").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wis_para").select($"id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(stream.keySet == Set(70L))
+      val txt = stream(70L)
+      assert(txt.split("\n{2,}").count(_ == banner) == 1,
+        s"repeated banner must collapse to one occurrence: $txt")
+      assert(txt.split("\n{2,}").count(_ == "ab\ncd") == 1,
+        s"the short-lines block must drop as a PARAGRAPH unit: $txt")
+      assert(txt.contains("\n\n"), "paragraph structure must survive the stream path")
+      assert(txt.split("\n{2,}").length == 4, s"expected 4 surviving blocks: $txt")
+      val batch = StreamingWebIngest
+        .webIngestStream(rows.toDF(), "doc_id", "ts", "html", "url",
+          paragraphBreaks = true, paragraphDedup = true)
+        .select($"id", $"text").as[(Long, String)].collect().toMap
+      assert(batch == stream, "batch evaluation of the paragraph face must agree")
+      // default flags stay byte-stable: no blank lines in the output
+      val q2in = MemoryStream[WebDoc](spark)
+      val q2 = StreamingWebIngest
+        .webIngestStream(q2in.toDS().toDF(), "doc_id", "ts", "html", "url")
+        .writeStream.format("memory").queryName("wis_para_def").outputMode("append").start()
+      try {
+        q2in.addData(rows: _*)
+        q2.processAllAvailable()
+        val def0 = spark.table("wis_para_def").select($"text").as[String].head()
+        assert(!def0.contains("\n\n"), "default path must stay byte-stable (no blank lines)")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("webIngestStream pii/soft404 options: stream ≡ batch, contact variants collapse, parking page drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingWebIngest

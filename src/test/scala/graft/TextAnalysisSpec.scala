@@ -825,6 +825,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(skewSafe = true) == rows(skewSafe = false))
   }
 
+  test("dedupParagraphsInDoc: first block survives, short blocks exempt, docs independent") {
+    val doc1 = "alpha block one\nsecond line\n\nbeta unique\n\nalpha block one\nsecond line\n\n--\n\n--"
+    val doc2 = "alpha block one\nsecond line" // other docs untouched
+    val out = TextAnalysis
+      .dedupParagraphsInDoc(Seq((1L, doc1), (2L, doc2)).toDF("id", "text"), "text")
+      .select($"id", $"text_para_deduped").as[(Long, String)].collect().toMap
+    // the repeated two-line block drops as a UNIT; the short "--"
+    // separators are under the exemption floor and both survive
+    assert(out(1L) == "alpha block one\nsecond line\n\nbeta unique\n\n--\n\n--", out(1L))
+    assert(out(2L) == doc2, "per-doc state: another doc keeps its copy")
+    assert(TextAnalysis.dedupParagraphsInDoc(
+      Seq((3L, null.asInstanceOf[String])).toDF("id", "text"), "text")
+      .select($"text_para_deduped").head().isNullAt(0))
+  }
+
   test("dedupLinesInDoc: first spelling survives, whitespace variants collapse, docs independent") {
     val cases = Seq(
       (1L, "header\nbody one\nheader\nbody two\n  header  \nfooter"),

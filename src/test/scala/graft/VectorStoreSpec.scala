@@ -59,6 +59,13 @@ class VectorStoreSpec extends SparkTestBase {
     assert(rows(fromStorePq) == rows(fromFloatsPq),
       "store-served IVF-PQ must equal the from-floats face")
 
+    val fromFloatsFlat = Similarity
+      .pqTopK(df, queries, "vec_id", "embedding", k = 5, pq, refine = 4)
+    val fromStoreFlat = Similarity
+      .pqTopKFromStore(store, queries, "vec_id", "embedding", k = 5, refine = 4)
+    assert(rows(fromStoreFlat) == rows(fromFloatsFlat),
+      "store-served flat PQ must equal the from-floats face")
+
     val fromFloatsHam = Similarity
       .ivfHammingTopK(df, queries, "vec_id", "embedding", k = 5, ivf, nprobe = 2, refine = 4)
     val fromStoreHam = Similarity
