@@ -47,18 +47,28 @@ object Lexical {
   private def perDocPostings(
       df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
     df.select(col(idCol).as("doc_id"), tokens(textCol).as("__toks"))
       .select(
         col("doc_id"),
         size(col("__toks")).cast("bigint").as("dl"),
-        transform(
-          array_intersect(array_distinct(col("__toks")), qTerms),
-          t => struct(
-            t.as("term"),
-            size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
-        ).as("__tt"),
+        matchedTermStructs(col("__toks"), terms).as("__tt"),
       )
+  }
+
+  /** The matched-(term, tf) struct array of a token-array column for a
+    * fixed query-term set — the ONE Column builder [[perDocPostings]]
+    * and [[termStats]] share, so the two faces cannot drift on
+    * matching semantics (the shapes around it differ deliberately:
+    * see [[postingStream]]'s eager-vs-generator caveat).
+    */
+  private def matchedTermStructs(
+      toks: org.apache.spark.sql.Column, terms: Seq[String]): org.apache.spark.sql.Column = {
+    val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
+    transform(
+      array_intersect(array_distinct(toks), qTerms),
+      t => struct(
+        t.as("term"),
+        size(filter(toks, x => x === t)).cast("bigint").as("tf")))
   }
 
   /** Explode [[perDocPostings]] to the narrow (doc_id, dl, term, tf)
@@ -78,7 +88,6 @@ object Lexical {
 
   def termStats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val qTerms = array(terms.distinct.map(t => lit(t.toLowerCase)): _*)
     // the (term, tf) transform sits INSIDE the generator of the SAME
     // select that computes dl — the one shape where the token array is
     // provably evaluated once per document (see [[postingStream]]'s
@@ -89,13 +98,7 @@ object Lexical {
       .select(
         col("doc_id"),
         size(col("__toks")).cast("bigint").as("dl"),
-        explode(
-          transform(
-            array_intersect(array_distinct(col("__toks")), qTerms),
-            t => struct(
-              t.as("term"),
-              size(filter(col("__toks"), x => x === t)).cast("bigint").as("tf")),
-          )).as("__tt"),
+        explode(matchedTermStructs(col("__toks"), terms)).as("__tt"),
       )
       .select(col("doc_id"), col("dl"), col("__tt.term").as("term"), col("__tt.tf").as("tf"))
     val termDf = perDoc.groupBy("term").agg(count(lit(1)).as("df"))

@@ -1244,8 +1244,8 @@ object Similarity {
       encodeUdf(col(vecCol)).as("code"),
     )
     val corpusVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    ivfPqSearchIndexed(indexed, corpusVecs, queries, idCol, vecCol, k, ivf, pq,
-      nprobe, refine, broadcastQueries)
+    ivfPqSearchBc(indexed, corpusVecs, queries, idCol, vecCol, k, bcIvf, bcPq,
+      pq.ksub, nprobe, refine, broadcastQueries)
   }
 
   /** Encode one vector with `mdl`'s codebooks (cosine-normalized
@@ -1290,8 +1290,30 @@ object Similarity {
       broadcastQueries: Boolean,
   ): DataFrame = {
     val sc = queries.sparkSession.sparkContext
-    val bcIvf = sc.broadcast(ivf.centroids)
-    val bcPq = sc.broadcast(pq)
+    ivfPqSearchBc(indexed, corpusVecs, queries, idCol, vecCol, k,
+      sc.broadcast(ivf.centroids), sc.broadcast(pq), pq.ksub, nprobe, refine,
+      broadcastQueries)
+  }
+
+  /** [[ivfPqSearchIndexed]] over ALREADY-BROADCAST models — the
+    * from-floats face reuses its encode-side broadcasts here instead
+    * of shipping a second copy of the centroid matrix and codebooks
+    * to every executor.
+    */
+  private def ivfPqSearchBc(
+      indexed: DataFrame,
+      corpusVecs: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bcIvf: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      bcPq: org.apache.spark.broadcast.Broadcast[PqModel],
+      ksub: Int,
+      nprobe: Int,
+      refine: Int,
+      broadcastQueries: Boolean,
+  ): DataFrame = {
     val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bcPq.value
@@ -1330,7 +1352,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        graft.functions.VectorExpressions.pqAdcScore(col("code"), col("lut"), pq.ksub).as("cosine"),
+        graft.functions.VectorExpressions.pqAdcScore(col("code"), col("lut"), ksub).as("cosine"),
       )
     val cands = topKReduce(adc, k * refine).select(col("query_id"), col("neighbor_id"))
     // the re-rank must honor the same bound as the probe join: with

@@ -61,10 +61,42 @@ object VectorStore {
       numBuckets: Int,
   )
 
+  /** The ONE encode projection shared by [[write]] and [[merge]]:
+    * (id, vec, cell, code, hcode) per non-degenerate input vector —
+    * degenerate rows (null/empty/zero-norm) excluded exactly as the
+    * search faces exclude them, ids cast to BIGINT, codes from the
+    * same kernels the from-floats searches use.
+    */
+  private def encodedProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivf: IvfModel,
+      pq: PqModel,
+  ): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bcIvf = sc.broadcast(ivf.centroids)
+    val bcPq = sc.broadcast(pq)
+    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
+    Similarity.nonDegenerate(df, vecCol).select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      assignUdf(col(vecCol)).as("cell"),
+      encodeUdf(col(vecCol)).as("code"),
+      Quantize.signPack(col(vecCol)).as("hcode"))
+  }
+
   /** Encode + persist `corpus` as a [[CodedVectorStore]] at `path`
-    * under catalog names `<name>_coded` / `<name>_vecs`. One corpus
-    * scan computes cell, PQ code, and packed sign code per vector;
-    * degenerate vectors (null/empty/zero-norm) are excluded exactly
+    * under catalog names `<name>_coded` / `<name>_vecs`. ONE corpus
+    * scan computes cell, PQ code, and packed sign code per vector and
+    * LANDS the projection (`materialize` — the repo-wide stage-
+    * boundary contract; default LocalCheckpoint, pass
+    * [[Materialize.ParquetDir]] on preemptible executors); both
+    * bucketed tables are then written from the landed blocks, so an
+    * expensive or nondeterministic upstream plan is never executed
+    * twice and the coded/vecs sides can never diverge row-wise.
+    * Degenerate vectors (null/empty/zero-norm) are excluded exactly
     * as the search faces exclude them. Ids are persisted as BIGINT.
     */
   def write(
@@ -76,23 +108,14 @@ object VectorStore {
       ivf: IvfModel,
       pq: PqModel,
       numBuckets: Int = 64,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): Unit = {
-    val spark = corpus.sparkSession
-    val sc = spark.sparkContext
-    val bcIvf = sc.broadcast(ivf.centroids)
-    val bcPq = sc.broadcast(pq)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
-    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
-    val clean = Similarity.nonDegenerate(corpus, vecCol)
-    val coded = clean.select(
-      assignUdf(col(vecCol)).as("cell"),
-      col(idCol).cast("long").as("id"),
-      encodeUdf(col(vecCol)).as("code"),
-      Quantize.signPack(col(vecCol)).as("hcode"))
-    val vecs = clean.select(
-      col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
-    writeFrames(spark, coded, vecs, ivf, pq, path, name, numBuckets)
+    val landed = Materialize(
+      encodedProjection(corpus, idCol, vecCol, ivf, pq), materialize)
+    writeFrames(corpus.sparkSession,
+      landed.select("cell", "id", "code", "hcode"),
+      landed.select("id", "vec"),
+      ivf, pq, path, name, numBuckets)
   }
 
   /** The shared persist tail of [[write]] and [[merge]] — takes
@@ -199,27 +222,21 @@ object VectorStore {
       "VectorStore.merge: dstPath must differ from srcPath (epoch directories) — " +
         "an in-place rewrite would clobber the files it is reading")
     val src = read(spark, srcPath, srcName)
-    val sc = spark.sparkContext
-    val bcIvf = sc.broadcast(src.ivf.centroids)
-    val bcPq = sc.broadcast(src.pq)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
-    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
-    val clean = Similarity.nonDegenerate(newVecs, vecCol)
-    val addVecs = clean.select(
-      col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<float>").as("vec"))
+    // ONE execution of the increment plan: encode with the SOURCE
+    // models (shared projection with [[write]] — the two faces cannot
+    // drift) and land it; the disjointness check, both table writes,
+    // and the union all read the landed blocks. The standing store's
+    // sides are parquet-backed reads — cheap to scan, never re-encoded.
+    val landed = Materialize(
+      encodedProjection(newVecs, idCol, vecCol, src.ivf, src.pq),
+      Materialize.LocalCheckpoint)
     require(
-      addVecs.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
+      landed.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
       "VectorStore.merge: new-batch ids overlap the standing store — the sides " +
         "must be disjoint; search-dedup the increment first and merge survivors")
-    val addCoded = clean.select(
-      assignUdf(col(vecCol)).as("cell"),
-      col(idCol).cast("long").as("id"),
-      encodeUdf(col(vecCol)).as("code"),
-      Quantize.signPack(col(vecCol)).as("hcode"))
     writeFrames(spark,
-      src.coded.unionByName(addCoded),
-      src.vecs.unionByName(addVecs),
+      src.coded.unionByName(landed.select("cell", "id", "code", "hcode")),
+      src.vecs.unionByName(landed.select("id", "vec")),
       src.ivf, src.pq, dstPath, dstName, src.numBuckets)
     read(spark, dstPath, dstName)
   }

@@ -163,10 +163,12 @@ object StreamingWebIngest {
       stripTracking: Boolean = false,
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+      minParagraphChars)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -202,10 +204,12 @@ object StreamingWebIngest {
       stripTracking: Boolean = false,
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+      minParagraphChars)
     val deduped = EventStreams
       .dedupStreamTws(lined, "id", "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -239,6 +243,7 @@ object StreamingWebIngest {
       stripTracking: Boolean,
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val quality = graft.operators.CorpusPipeline.cleanedCrawlPrefix(
       docs, idCol, Some(tsCol), htmlCol, urlCol, langs, blocklist,
@@ -254,7 +259,8 @@ object StreamingWebIngest {
     // line dedup, before the exact-dedup state
     if (!paragraphDedup) lineDeduped
     else TextAnalysis
-      .dedupParagraphsInDoc(lineDeduped, "text", outCol = "text_pd")
+      .dedupParagraphsInDoc(lineDeduped, "text", outCol = "text_pd",
+        minParagraphChars = minParagraphChars)
       .drop("text")
       .withColumnRenamed("text_pd", "text")
   }
@@ -476,10 +482,12 @@ object StreamingWebIngest {
       estThreshold: Double = 0.7,
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+      minParagraphChars)
     inlineDedupAndCap(lined, "id", "ts", "text", "url_host", maxPerHost,
       numHashes = numHashes, bands = bands, estThreshold = estThreshold,
       watermarkDelay = watermarkDelay)
@@ -507,10 +515,12 @@ object StreamingWebIngest {
       nearDupWatermark: String = "10 minutes",
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
+      minParagraphChars: Int = 5,
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
-      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup)
+      soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
+      minParagraphChars)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

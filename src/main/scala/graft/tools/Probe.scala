@@ -100,7 +100,17 @@ object Probe {
               nprobe = 4, refine = 8).count())
         }
       }
+      // the probe store holds full coded+vecs tables for the 100k-row
+      // replicated corpus — delete it (the gate-fixture leak class)
+      spark.sql("DROP TABLE IF EXISTS probe_vs_coded")
+      spark.sql("DROP TABLE IF EXISTS probe_vs_vecs")
       spark.stop()
+      val root = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
       return
     }
 
