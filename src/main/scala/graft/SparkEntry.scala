@@ -2125,9 +2125,10 @@ object SparkEntry {
 
   /** Paragraph-granular webIngest gate — the Dolma web-dedup shape
     * END-TO-END: `paragraphBreaks = true` extraction +
-    * `paragraphDedup = true`, with line dedup neutralized
-    * (`minLineChars = 10000`) so the paragraph stage is the dedup
-    * under test. Every page carries three blocks:
+    * `paragraphDedup = true`, with line dedup SKIPPED
+    * (`minLineChars = -1`, the paragraph-only Dolma config — no
+    * corpus-wide line pass at all) so the paragraph stage is the
+    * dedup under test. Every page carries three blocks:
     *
     *   - a boilerplate block B (two lines, IDENTICAL on every page) —
     *     drops WHOLE everywhere except the minimum doc_id (the
@@ -2155,7 +2156,7 @@ object SparkEntry {
       .select(col("doc_id"), html.as("html"), url.as("url"))
     graft.operators.CorpusPipeline
       .webIngest(pages, "doc_id", "html", "url",
-        langs = Seq("en"), seqLen = 128, minLineChars = 10000,
+        langs = Seq("en"), seqLen = 128, minLineChars = -1,
         paragraphBreaks = true, paragraphDedup = true)
       .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
         col("n_chunk_tokens"), col("pos"), col("start_offset"),

@@ -189,7 +189,9 @@ object CorpusPipeline {
     *      differing only in contact details collapse to one kept doc
     *      instead of surviving as "distinct" content
     *   5. corpus-wide line dedup ([[Dedup.lineDedup]] — boilerplate
-    *      lines drop; fully-boilerplate docs drop)
+    *      lines drop; fully-boilerplate docs drop). `minLineChars < 0`
+    *      SKIPS this stage (no corpus pass at all) — pair with
+    *      `paragraphDedup` for the paragraph-only Dolma recipe
     *   5b. optional corpus-wide PARAGRAPH dedup
     *      ([[Dedup.paragraphDedup]], `paragraphDedup = true`, default
     *      off): repeated whole blocks drop as units — the Dolma web
@@ -269,11 +271,18 @@ object CorpusPipeline {
   ): DataFrame = {
     val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
     val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
-    val lined0 = Dedup
-      .lineDedup(landedQuality, "id", "text", minLineChars)
-      .where(length(trim(col("clean_text"))) > 0)
-      .select(col("id"), col("clean_text").as("text"))
-      .join(attrs, "id")
+    // minLineChars < 0 SKIPS the corpus-wide line stage entirely — the
+    // Dolma-style paragraph-only recipe; a large floor would make the
+    // stage a semantic no-op but still pay its full corpus pass
+    // (posexplode + winner aggregation + anti-join + rebuild), which
+    // at 100 TB is a real scan nobody asked for
+    val lined0 =
+      if (minLineChars < 0) landedQuality
+      else Dedup
+        .lineDedup(landedQuality, "id", "text", minLineChars)
+        .where(length(trim(col("clean_text"))) > 0)
+        .select(col("id"), col("clean_text").as("text"))
+        .join(attrs, "id")
     // optional corpus-wide PARAGRAPH dedup between line dedup and the
     // exact/near stage (default off, byte-stable): with
     // `paragraphBreaks` extraction upstream, repeated whole blocks
@@ -320,7 +329,8 @@ object CorpusPipeline {
     * stages that transform but never drop (URL parts, NFC, PII
     * redaction, chunk/pack) carry no row. Stage names: `extract`,
     * `c4`, `soft404`, `blocklist`, `lang_filter`, `gopher`,
-    * `line_dedup`, `paragraph_dedup` (only with `paragraphDedup`),
+    * `line_dedup` (absent when `minLineChars < 0` skips the stage),
+    * `paragraph_dedup` (only with `paragraphDedup`),
     * `exact_dedup`, `near_dup`, `host_cap`.
     *
     * Mechanics: this RUNS the pipeline — each boundary is the SAME
@@ -528,12 +538,13 @@ object CorpusPipeline {
         .withColumn("text", col("redacted"))
         .drop("redacted", "pii_found")
     val attrs = cur.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
-    cur = land("line_dedup",
-      Dedup
-        .lineDedup(cur, "id", "text", minLineChars)
-        .where(length(trim(col("clean_text"))) > 0)
-        .select(col("id"), col("clean_text").as("text"))
-        .join(attrs, "id"))
+    if (minLineChars >= 0)
+      cur = land("line_dedup",
+        Dedup
+          .lineDedup(cur, "id", "text", minLineChars)
+          .where(length(trim(col("clean_text"))) > 0)
+          .select(col("id"), col("clean_text").as("text"))
+          .join(attrs, "id"))
     if (paragraphDedup)
       cur = land("paragraph_dedup",
         Dedup

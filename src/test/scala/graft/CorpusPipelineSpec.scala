@@ -319,7 +319,7 @@ class CorpusPipelineSpec extends SparkTestBase {
       .toDF("doc_id", "html", "url")
     val out = graft.operators.CorpusPipeline
       .webIngest(rows, "doc_id", "html", "url", langs = Seq("en"), seqLen = 512,
-        minLineChars = 10000, paragraphBreaks = true, paragraphDedup = true)
+        minLineChars = -1, paragraphBreaks = true, paragraphDedup = true)
       .select("id", "chunk_text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.keySet == (1L to 5L).toSet, "every planted doc survives to one chunk")
@@ -335,12 +335,13 @@ class CorpusPipelineSpec extends SparkTestBase {
     // the funnel grows a paragraph_dedup stage, chained and green
     val funnel = graft.operators.CorpusPipeline
       .webIngestFunnel(rows, "doc_id", "html", "url", langs = Seq("en"),
-        minLineChars = 10000, paragraphBreaks = true, paragraphDedup = true)
+        minLineChars = -1, paragraphBreaks = true, paragraphDedup = true)
       .orderBy("stage_ix").collect()
       .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs_in"),
         r.getAs[Long]("docs_dropped"), r.getAs[Long]("docs_out")))
+    // minLineChars < 0 skips the line stage: no line_dedup row at all
     assert(funnel.map(_._1).toSeq == Seq("extract", "lang_filter", "gopher",
-      "line_dedup", "paragraph_dedup", "exact_dedup", "near_dup", "host_cap"))
+      "paragraph_dedup", "exact_dedup", "near_dup", "host_cap"))
     funnel.foreach { case (st, in, d, o) => assert(in - d == o, s"$st: $in-$d!=$o") }
     assert(funnel.forall(_._3 == 0L), s"no planted doc fully drops: ${funnel.toSeq}")
   }
