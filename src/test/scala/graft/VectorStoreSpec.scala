@@ -120,6 +120,12 @@ class VectorStoreSpec extends SparkTestBase {
       assert(storeScans.nonEmpty, s"expected bucketed store scans in:\n$plan")
       assert(storeScans.collect { case f: FileSourceScanExec => f }
         .forall(_.bucketedScan), s"store scans must be bucketed:\n$plan")
+      // the corpus-vs-corpus path must also agree on RESULTS: the
+      // merge-join formulation equals the broadcast one, from the store
+      val viaBroadcast = Similarity.ivfPqTopKFromStore(store, queries, "vec_id",
+        "embedding", k = 5, nprobe = 2, refine = 4, broadcastQueries = true)
+      assert(rows(hits) == rows(viaBroadcast),
+        "store-served merge-join path must equal the broadcast path")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", saved._1)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._2)
