@@ -444,6 +444,10 @@ object Dedup {
     require(dstPath != srcPath,
       "mergeSignatures: dstPath must differ from srcPath (epoch directories) — " +
         "an in-place rewrite would clobber the files it is reading")
+    require(dstName != srcName,
+      "mergeSignatures: dstName must differ from srcName — the destination write " +
+        "would overwrite catalog tables the merge is reading; use a distinct name " +
+        "per store path (epoch-suffixed names, e.g. <base>_e<n>)")
     val src = readSignatures(spark, srcPath, srcName)
     val srcDocs = src.grams.select(col("id"), col("sig"), col("grams"))
     val add = newSigs.select(col("id"), col("sig"), col("grams"))

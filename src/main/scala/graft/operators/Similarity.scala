@@ -857,30 +857,18 @@ object Similarity {
       model: PqModel,
       refine: Int = 4,
   ): DataFrame = {
+    // ONE broadcast of the model, shared by the encode UDF and the
+    // LUT side of the search tail, and ONE encode kernel ([[pqEncode]]
+    // — the store write path uses the same one, so the flat face
+    // cannot drift from store-vs-from-floats parity)
     val bc = corpus.sparkSession.sparkContext.broadcast(model)
-    // a row NARROWER than the model's dim is a model/corpus mismatch,
-    // not a routine malformed row — fail with a NAMED error (the
-    // decontaminateEmbedding ragged-vector policy) instead of an
-    // unattributed ArrayIndexOutOfBounds deep in nearestCode
-    val encodeUdf = udf { (v: Seq[Float]) =>
-      val mdl = bc.value
-      require(v.length >= mdl.m * mdl.dsub,
-        s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-      val x = normalize(v.toArray)
-      val out = new Array[Byte](mdl.m)
-      var j = 0
-      while (j < mdl.m) {
-        out(j) = PqModel.nearestCode(mdl.codebooks, j, mdl.ksub, mdl.dsub, x).toByte
-        j += 1
-      }
-      out
-    }
+    val encodeUdf = udf((v: Seq[Float]) => pqEncode(bc.value, v))
     val encoded = nonDegenerate(corpus, vecCol).select(
       col(idCol).cast("long").as("neighbor_id"),
       encodeUdf(col(vecCol)).as("code"),
     )
     val corpusVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    pqSearchEncoded(encoded, corpusVecs, queries, idCol, vecCol, k, model, refine)
+    pqSearchEncoded(encoded, corpusVecs, queries, idCol, vecCol, k, bc, refine)
   }
 
   /** [[pqTopK]] served from a persisted
@@ -900,11 +888,14 @@ object Similarity {
     pqSearchEncoded(
       store.coded.select(col("id").as("neighbor_id"), col("code")),
       store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
-      queries, idCol, vecCol, k, store.pq, refine)
+      queries, idCol, vecCol, k,
+      queries.sparkSession.sparkContext.broadcast(store.pq), refine)
 
   /** The flat ADC scan + exact re-rank tail of [[pqTopK]] over an
     * ALREADY-ENCODED corpus ((neighbor_id, code) + (neighbor_id,
-    * cvec)).
+    * cvec)). Takes the ALREADY-BROADCAST model so the from-floats
+    * face reuses its encode-side broadcast (the [[ivfPqSearchBc]]
+    * discipline).
     */
   private def pqSearchEncoded(
       encoded: DataFrame,
@@ -913,10 +904,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      model: PqModel,
+      bc: org.apache.spark.broadcast.Broadcast[PqModel],
       refine: Int,
   ): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(model)
+    val model = bc.value
     val lutUdf = udf { (v: Seq[Float]) =>
       val mdl = bc.value
       require(v.length >= mdl.m * mdl.dsub,

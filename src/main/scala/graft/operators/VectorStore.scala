@@ -47,6 +47,24 @@ import graft.operators.Similarity.{IvfModel, PqModel}
   */
 object VectorStore {
 
+  /** Shared argument validation for every face that builds catalog
+    * DDL or filesystem paths from caller strings. The table name is
+    * interpolated into `CREATE TABLE` / `saveAsTable` statements and
+    * the path into a `LOCATION '…'` clause — an unvalidated quote
+    * would break the statement or silently re-point the registration,
+    * so both are rejected up front with the store's own message
+    * instead of a parser error.
+    */
+  private def validateNameAndPath(name: String, path: String, face: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"VectorStore.$face: store name '$name' must be a plain SQL identifier " +
+        "([A-Za-z_][A-Za-z0-9_]*) — it is registered as catalog tables " +
+        "<name>_coded / <name>_vecs")
+    require(!path.contains("'"),
+      s"VectorStore.$face: store path must not contain a single quote " +
+        s"(it is embedded in a LOCATION '…' DDL clause): $path")
+  }
+
   /** Handle to an open store: `coded` (cell, id, code, hcode) bucketed
     * by cell, `vecs` (id, vec) bucketed by id, plus the models whose
     * assignments the codes were produced under. The models pin the
@@ -110,6 +128,17 @@ object VectorStore {
       numBuckets: Int = 64,
       materialize: Materialize = Materialize.LocalCheckpoint,
   ): Unit = {
+    // Lazy is rejected, not honored: under Lazy `landed` IS the
+    // unlanded encode projection, so the two saveAsTable writes below
+    // would each re-execute the corpus plan — a nondeterministic
+    // upstream (sample/limit/AQE-dependent ids) could then produce
+    // row-divergent coded/vecs tables, and coded rows without a
+    // matching float row silently vanish in the re-rank join. The
+    // 'sides can never diverge row-wise' invariant REQUIRES a landing.
+    require(materialize != Materialize.Lazy,
+      "VectorStore.write: Materialize.Lazy would execute the corpus plan once per " +
+        "table write and the coded/vecs sides could diverge row-wise — pass " +
+        "LocalCheckpoint or ParquetDir (the write is eager either way)")
     val landed = Materialize(
       encodedProjection(corpus, idCol, vecCol, ivf, pq), materialize)
     writeFrames(corpus.sparkSession,
@@ -122,6 +151,18 @@ object VectorStore {
     * ALREADY-CODED frames so compaction never re-encodes the standing
     * corpus.
     */
+  /** The parquet location a catalog table is registered at, or None
+    * if the table doesn't exist — the shared input of [[read]]'s and
+    * [[writeFrames]]'s collision guards.
+    */
+  private def registeredLocation(
+      spark: SparkSession, table: String): Option[org.apache.hadoop.fs.Path] =
+    if (!spark.catalog.tableExists(table)) None
+    else Some(new org.apache.hadoop.fs.Path(
+      spark.sql(s"DESCRIBE FORMATTED $table")
+        .where(col("col_name") === "Location")
+        .select("data_type").head().getString(0)))
+
   private def writeFrames(
       spark: SparkSession,
       coded: DataFrame,
@@ -133,6 +174,24 @@ object VectorStore {
       numBuckets: Int,
   ): Unit = {
     import spark.implicits._
+    validateNameAndPath(name, path, "write")
+    // the same collision guard as [[read]], on the write side: a name
+    // already registered at a DIFFERENT location means two stores are
+    // sharing a catalog name — overwriting would silently re-point
+    // every open reader of the old store at the new files. Same-path
+    // overwrite (rewriting a store in place) stays legal.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("coded", "vecs"); table = s"${name}_$sub") {
+      registeredLocation(spark, table).foreach { registered =>
+        val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        def norm(p: org.apache.hadoop.fs.Path): String =
+          Dedup.normalizeStoreLocation(p, hadoopConf)
+        require(norm(registered) == norm(expected),
+          s"VectorStore.write: table $table is already registered at ${norm(registered)}, " +
+            s"not ${norm(expected)} — use a distinct name per store path " +
+            "(epoch-suffixed names) or DROP TABLE the stale registration first")
+      }
+    }
     IndexStore.saveIvf(spark, ivf, s"$path/model")
     IndexStore.savePq(spark, pq, s"$path/model")
     coded
@@ -167,26 +226,24 @@ object VectorStore {
     * workflow, as [[Dedup.readSignatures]].
     */
   def read(spark: SparkSession, path: String, name: String): CodedVectorStore = {
+    validateNameAndPath(name, path, "read")
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     def ensure(table: String, sub: String, schema: String, key: String): DataFrame = {
-      if (!spark.catalog.tableExists(table)) {
-        spark.sql(
-          s"CREATE TABLE $table ($schema) USING PARQUET " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
-            s"LOCATION '$path/$sub'")
-      } else {
-        val hadoopConf = spark.sparkContext.hadoopConfiguration
-        def norm(p: org.apache.hadoop.fs.Path): String =
-          Dedup.normalizeStoreLocation(p, hadoopConf)
-        val registered = new org.apache.hadoop.fs.Path(
-          spark.sql(s"DESCRIBE FORMATTED $table")
-            .where(col("col_name") === "Location")
-            .select("data_type").head().getString(0))
-        val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        require(norm(registered) == norm(expected),
-          s"VectorStore.read: table $table is already registered at ${norm(registered)}, " +
-            s"not ${norm(expected)} — use a distinct name per store path " +
-            "(epoch-suffixed names) or DROP TABLE the stale registration first")
+      registeredLocation(spark, table) match {
+        case None =>
+          spark.sql(
+            s"CREATE TABLE $table ($schema) USING PARQUET " +
+              s"CLUSTERED BY ($key) SORTED BY ($key) INTO $numBuckets BUCKETS " +
+              s"LOCATION '$path/$sub'")
+        case Some(registered) =>
+          val hadoopConf = spark.sparkContext.hadoopConfiguration
+          def norm(p: org.apache.hadoop.fs.Path): String =
+            Dedup.normalizeStoreLocation(p, hadoopConf)
+          val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          require(norm(registered) == norm(expected),
+            s"VectorStore.read: table $table is already registered at ${norm(registered)}, " +
+              s"not ${norm(expected)} — use a distinct name per store path " +
+              "(epoch-suffixed names) or DROP TABLE the stale registration first")
       }
       spark.table(table)
     }
@@ -217,19 +274,30 @@ object VectorStore {
       vecCol: String,
       dstPath: String,
       dstName: String,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): CodedVectorStore = {
     require(dstPath != srcPath,
       "VectorStore.merge: dstPath must differ from srcPath (epoch directories) — " +
         "an in-place rewrite would clobber the files it is reading")
+    require(dstName != srcName,
+      "VectorStore.merge: dstName must differ from srcName — the destination write " +
+        "would overwrite catalog tables the merge is reading; use a distinct name " +
+        "per store path (epoch-suffixed names, e.g. <name>_e<n>)")
+    require(materialize != Materialize.Lazy,
+      "VectorStore.merge: Materialize.Lazy would execute the increment plan once per " +
+        "consumer and the coded/vecs sides could diverge row-wise — pass " +
+        "LocalCheckpoint or ParquetDir (the [[write]] invariant)")
     val src = read(spark, srcPath, srcName)
     // ONE execution of the increment plan: encode with the SOURCE
     // models (shared projection with [[write]] — the two faces cannot
-    // drift) and land it; the disjointness check, both table writes,
-    // and the union all read the landed blocks. The standing store's
-    // sides are parquet-backed reads — cheap to scan, never re-encoded.
+    // drift) and land it (`materialize` — pass ParquetDir on
+    // preemptible executors, mirroring [[write]]); the disjointness
+    // check, both table writes, and the union all read the landed
+    // blocks. The standing store's sides are parquet-backed reads —
+    // cheap to scan, never re-encoded.
     val landed = Materialize(
       encodedProjection(newVecs, idCol, vecCol, src.ivf, src.pq),
-      Materialize.LocalCheckpoint)
+      materialize)
     require(
       landed.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
       "VectorStore.merge: new-batch ids overlap the standing store — the sides " +

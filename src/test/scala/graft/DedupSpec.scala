@@ -651,6 +651,14 @@ class DedupSpec extends SparkTestBase {
         Dedup.minHashSignatures(batch2, "doc_id", "text"), s"$root/epoch1", "sigmerge_e1b")
     }
     assert(eSelf.getMessage.contains("dstPath"), eSelf.getMessage)
+    // same NAME at a new path: the destination write would overwrite
+    // catalog tables the merge reads — fail with the store's message,
+    // not Spark's generic cannot-overwrite analysis error
+    val eName = intercept[IllegalArgumentException] {
+      Dedup.mergeSignatures(spark, s"$root/epoch1", "sigmerge_e1",
+        Dedup.minHashSignatures(batch2, "doc_id", "text"), s"$root/epoch2", "sigmerge_e1")
+    }
+    assert(eName.getMessage.contains("dstName"), eName.getMessage)
     // a registered name pointing at a DIFFERENT path fails instead of
     // silently serving the stale registration
     val eStale = intercept[IllegalArgumentException] {

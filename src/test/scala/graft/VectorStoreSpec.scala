@@ -167,4 +167,44 @@ class VectorStoreSpec extends SparkTestBase {
     }
     assert(err2.getMessage.contains("already registered"))
   }
+
+  test("guards: Lazy rejected, same-name merge rejected, write collision, identifier/path validation") {
+    val (df, _) = fixture(41)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    // Lazy would run the corpus plan once per table write — the
+    // coded/vecs row-parity invariant requires a landing
+    val lazyErr = intercept[IllegalArgumentException] {
+      VectorStore.write(df, "vec_id", "embedding", tmp("lazy"), "vs_lazy", ivf, pq,
+        numBuckets = 4, materialize = graft.operators.Materialize.Lazy)
+    }
+    assert(lazyErr.getMessage.contains("Lazy"))
+    val dg = tmp("guards")
+    VectorStore.write(df, "vec_id", "embedding", dg, "vs_guards", ivf, pq, numBuckets = 4)
+    // a same-NAME epoch merge must fail with the store's own message
+    // (not Spark's generic cannot-overwrite-read-table analysis error)
+    val nameErr = intercept[IllegalArgumentException] {
+      VectorStore.merge(spark, dg, "vs_guards",
+        df.select(($"vec_id" + 10000L).as("vec_id"), $"embedding").limit(5),
+        "vec_id", "embedding", tmp("guards2"), "vs_guards")
+    }
+    assert(nameErr.getMessage.contains("dstName"))
+    // overwriting a registered name from a DIFFERENT path must fail
+    // instead of silently re-pointing the registration
+    val collideErr = intercept[IllegalArgumentException] {
+      VectorStore.write(df, "vec_id", "embedding", tmp("elsewhere"), "vs_guards",
+        ivf, pq, numBuckets = 4)
+    }
+    assert(collideErr.getMessage.contains("already registered"))
+    // DDL-injection surface: non-identifier names and quoted paths are
+    // rejected up front with the store's message
+    val idErr = intercept[IllegalArgumentException] {
+      VectorStore.read(spark, dg, "vs; DROP TABLE x")
+    }
+    assert(idErr.getMessage.contains("identifier"))
+    val quoteErr = intercept[IllegalArgumentException] {
+      VectorStore.write(df, "vec_id", "embedding", "/tmp/it's-a-path", "vs_q", ivf, pq)
+    }
+    assert(quoteErr.getMessage.contains("quote"))
+  }
 }
