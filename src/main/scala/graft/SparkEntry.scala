@@ -2075,6 +2075,58 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Store-served IVF-OPQ planted recall — q99's gate through an
+    * OPQ-coded store ([[graft.operators.VectorStore.writeOpq]] →
+    * [[graft.operators.Similarity.ivfOpqTopKFromStore]]): the
+    * rotation, rotated PQ codes, and rotated floats are persisted
+    * ONCE at write (the from-floats q99 path re-rotates AND re-encodes
+    * the corpus every search job — the most expensive per-job encode
+    * in the ANN tree); the search rotates only the queries. The SAME
+    * planted truth as q99 must come back — any drift across the
+    * persist/reopen/rotate-queries seam hash-fails the identical
+    * closed-form oracle.
+    */
+  private def q161OpqStorePlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val (ivf, opq) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 16,
+          m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q161").toString
+        graft.operators.VectorStore
+          .writeOpq(corpus, "vec_id", "embedding", storeDir, "q161_vs", ivf, opq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q161_vs")
+        Similarity.ivfOpqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+          nprobe = 4, refine = 4)
+      })
+
+  /** Store-served CORPUS-vs-CORPUS kNN gate — the one ANN shape where
+    * the query side is as big as the corpus, so nothing may broadcast:
+    * the ENTIRE store (reopened `vecs` table) becomes the query set and
+    * [[graft.operators.Similarity.ivfPqTopKFromStore]] runs with
+    * `broadcastQueries = false` — the probe join and the re-rank
+    * qvec fetch are both sort-merge joins (PlanShapeSpec asserts no
+    * BroadcastExchange survives on exactly this shape), so neither
+    * side ever needs to fit in one executor. Per-query independence
+    * makes the planted rows' recovery identical to q157's, so the
+    * same closed-form oracle pins the results.
+    */
+  private def q162StoreCorpusKnn(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, _) => {
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q162").toString
+        graft.operators.VectorStore
+          .write(corpus, "vec_id", "embedding", storeDir, "q162_vs", ivf, pq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q162_vs")
+        val allQueries = store.vecs.select(
+          col("id").as("vec_id"), col("vec").as("embedding"))
+        Similarity.ivfPqTopKFromStore(store, allQueries, "vec_id", "embedding",
+          k = 5, nprobe = 4, refine = 4, broadcastQueries = false)
+      })
+
   private val q160Oracle =
     """WITH c AS (
       |  SELECT doc_id,
@@ -5803,6 +5855,8 @@ object SparkEntry {
     "q158_vecstore_hamming_planted" -> (q158VecStoreHammingPlanted _),
     "q159_reagg_event_time" -> (q159ReaggEventTime _),
     "q160_wet_prepare_e2e" -> (q160WetPrepareE2e _),
+    "q161_opqstore_planted" -> (q161OpqStorePlanted _),
+    "q162_store_corpus_knn" -> (q162StoreCorpusKnn _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -5953,5 +6007,7 @@ object SparkEntry {
     "q158_vecstore_hamming_planted" -> annPlantedOracle,
     "q159_reagg_event_time" -> q159Oracle,
     "q160_wet_prepare_e2e" -> q160Oracle,
+    "q161_opqstore_planted" -> annPlantedOracle,
+    "q162_store_corpus_knn" -> annPlantedOracle,
   )
 }

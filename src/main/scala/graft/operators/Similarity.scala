@@ -884,12 +884,44 @@ object Similarity {
       vecCol: String,
       k: Int,
       refine: Int = 4,
-  ): DataFrame =
+  ): DataFrame = {
+    require(store.opq.isEmpty,
+      "pqTopKFromStore: this store is OPQ-coded (every artifact lives in rotated " +
+        "space) — use opqTopKFromStore, which rotates the query side to match")
     pqSearchEncoded(
       store.coded.select(col("id").as("neighbor_id"), col("code")),
       store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
       queries, idCol, vecCol, k,
       queries.sparkSession.sparkContext.broadcast(store.pq), refine)
+  }
+
+  /** [[opqTopK]] served from an OPQ-coded
+    * [[VectorStore.CodedVectorStore]] ([[VectorStore.writeOpq]]): the
+    * store's codes AND floats already live in rotated space, so only
+    * the QUERY side rotates (one d×d mat-vec per query) and the flat
+    * ADC + exact-re-rank tail runs unchanged — the corpus-side
+    * rotation + re-encode that [[opqTopK]] pays per search job never
+    * happens. Row-for-row equal to the from-floats face by
+    * construction (one shared rotation kernel, one shared encode
+    * kernel; VectorStoreSpec locks the parity).
+    */
+  def opqTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 4,
+  ): DataFrame = {
+    val opq = store.opq.getOrElse(throw new IllegalArgumentException(
+      "opqTopKFromStore: this store is plain-PQ-coded (no persisted rotation) — " +
+        "use pqTopKFromStore, or rebuild the store with VectorStore.writeOpq"))
+    pqSearchEncoded(
+      store.coded.select(col("id").as("neighbor_id"), col("code")),
+      store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec")),
+      rotateColumn(queries, vecCol, opq), idCol, vecCol, k,
+      queries.sparkSession.sparkContext.broadcast(store.pq), refine)
+  }
 
   /** The flat ADC scan + exact re-rank tail of [[pqTopK]] over an
     * ALREADY-ENCODED corpus ((neighbor_id, code) + (neighbor_id,
@@ -1108,7 +1140,7 @@ object Similarity {
     * broadcast-model-plus-udf lifecycle lives (three call sites; a
     * rotation-path fix must not be appliable to only some of them).
     */
-  private def rotateColumn(df: DataFrame, vecCol: String, opq: OpqModel): DataFrame = {
+  private[graft] def rotateColumn(df: DataFrame, vecCol: String, opq: OpqModel): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(opq)
     // empty rows rotate to NULL (not a width error): degenerate
     // embeddings are routine corpus rows, and every downstream face
@@ -1381,11 +1413,43 @@ object Similarity {
       refine: Int = 4,
       broadcastQueries: Boolean = true,
   ): DataFrame = {
+    require(store.opq.isEmpty,
+      "ivfPqTopKFromStore: this store is OPQ-coded (every artifact lives in rotated " +
+        "space) — use ivfOpqTopKFromStore, which rotates the query side to match")
     val indexed = store.coded.select(
       col("id").as("neighbor_id"), col("cell"), col("code"))
     val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
     ivfPqSearchIndexed(indexed, corpusVecs, queries, idCol, vecCol, k,
       store.ivf, store.pq, nprobe, refine, broadcastQueries)
+  }
+
+  /** [[ivfOpqTopK]] served from an OPQ-coded
+    * [[VectorStore.CodedVectorStore]] — the full billion-scale
+    * composition (FAISS `OPQ..,IVF..,PQ..`) with the per-job corpus
+    * rotation + cell assignment + re-encode all paid ONCE at write:
+    * only the query side rotates, then the [[ivfPqTopKFromStore]]
+    * probe/ADC/re-rank tail runs unchanged over the cell-bucketed
+    * coded table. Supports the same `broadcastQueries = false`
+    * merge-join path for corpus-sized query sets.
+    */
+  def ivfOpqTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+  ): DataFrame = {
+    val opq = store.opq.getOrElse(throw new IllegalArgumentException(
+      "ivfOpqTopKFromStore: this store is plain-PQ-coded (no persisted rotation) — " +
+        "use ivfPqTopKFromStore, or rebuild the store with VectorStore.writeOpq"))
+    val indexed = store.coded.select(
+      col("id").as("neighbor_id"), col("cell"), col("code"))
+    val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    ivfPqSearchIndexed(indexed, corpusVecs, rotateColumn(queries, vecCol, opq),
+      idCol, vecCol, k, store.ivf, store.pq, nprobe, refine, broadcastQueries)
   }
 
   /** ANN top-k via IVF: corpus rows join only the `nprobe` probed
@@ -1602,6 +1666,12 @@ object Similarity {
     * the id-bucketed `vecs` table — no per-job sign-pack or centroid
     * assignment of the corpus. Results equal the from-floats face
     * (one shared sign-pack expression at write time).
+    *
+    * On an OPQ store the queries are rotated into the store's space
+    * first (there is no separately-named OPQ-Hamming face — the
+    * stored sign codes ARE rotated-space codes, and the result equals
+    * [[ivfHammingTopK]] over the rotated corpus and queries, i.e. the
+    * same ranking contract under a norm-preserving rotation).
     */
   def ivfHammingTopKFromStore(
       store: VectorStore.CodedVectorStore,
@@ -1615,7 +1685,8 @@ object Similarity {
     val codedCorpus = store.coded.select(
       col("id").as("neighbor_id"), col("hcode").as("code"), col("cell"))
     val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
-    ivfHammingSearchCoded(codedCorpus, corpusVecs, queries, idCol, vecCol, k,
+    val q = store.opq.map(o => rotateColumn(queries, vecCol, o)).getOrElse(queries)
+    ivfHammingSearchCoded(codedCorpus, corpusVecs, q, idCol, vecCol, k,
       store.ivf, nprobe, refine)
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity.{IvfModel, PqModel}
+import graft.operators.Similarity.{IvfModel, OpqModel, PqModel}
 
 /** A persisted, PRE-CODED inverted-file corpus for ANN search — the
   * embedding analogue of the near-dup signature store
@@ -70,6 +70,17 @@ object VectorStore {
     * assignments the codes were produced under. The models pin the
     * recipe — searches MUST probe with these centroids or cell
     * membership silently stops matching the stored rows.
+    *
+    * `opq` marks an OPQ-CODED store ([[writeOpq]]): EVERY persisted
+    * artifact — cells, PQ codes, packed sign codes, AND the `vecs`
+    * floats — lives in the learned rotated space (`pq` is then
+    * `opq.get.pq`, the rotated-space codebooks). Rotations preserve
+    * norms and angles, so exact cosine re-ranks over the rotated
+    * floats equal original-space cosines; the only caller obligation
+    * is to rotate the QUERY side, which the
+    * [[Similarity.opqTopKFromStore]] / [[Similarity.ivfOpqTopKFromStore]]
+    * faces do. The plain faces refuse an OPQ store (and vice versa)
+    * rather than silently searching across spaces.
     */
   final case class CodedVectorStore(
       coded: DataFrame,
@@ -77,6 +88,7 @@ object VectorStore {
       ivf: IvfModel,
       pq: PqModel,
       numBuckets: Int,
+      opq: Option[OpqModel] = None,
   )
 
   /** The ONE encode projection shared by [[write]] and [[merge]]:
@@ -144,7 +156,44 @@ object VectorStore {
     writeFrames(corpus.sparkSession,
       landed.select("cell", "id", "code", "hcode"),
       landed.select("id", "vec"),
-      ivf, pq, path, name, numBuckets)
+      ivf, pq, path, name, numBuckets, opq = None)
+  }
+
+  /** [[write]] for the OPQ recipe (Ge et al.'s rotated product
+    * quantization — the highest-recall ANN face in the tree): the
+    * corpus column is rotated ONCE up front
+    * ([[Similarity.rotateColumn]], the same kernel
+    * [[Similarity.opqTopK]] uses) and then the EXACT plain recipe runs
+    * in rotated space — one shared [[encodedProjection]], so the OPQ
+    * and plain encode paths cannot drift. The persisted `vecs` floats
+    * are ROTATED (see [[CodedVectorStore.opq]]); `ivf` must have been
+    * trained over the rotated corpus ([[Similarity.trainIvfOpq]] does
+    * exactly that) or cell membership will not match query probes.
+    * The rotation matrix lands in `model/` next to the codebooks, so
+    * a reopened store reproduces the original assignments exactly.
+    */
+  def writeOpq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      name: String,
+      ivf: IvfModel,
+      opq: OpqModel,
+      numBuckets: Int = 64,
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): Unit = {
+    require(materialize != Materialize.Lazy,
+      "VectorStore.writeOpq: Materialize.Lazy would execute the corpus plan once per " +
+        "table write and the coded/vecs sides could diverge row-wise — pass " +
+        "LocalCheckpoint or ParquetDir (the write is eager either way)")
+    val rotated = Similarity.rotateColumn(corpus, vecCol, opq)
+    val landed = Materialize(
+      encodedProjection(rotated, idCol, vecCol, ivf, opq.pq), materialize)
+    writeFrames(corpus.sparkSession,
+      landed.select("cell", "id", "code", "hcode"),
+      landed.select("id", "vec"),
+      ivf, opq.pq, path, name, numBuckets, opq = Some(opq))
   }
 
   /** The shared persist tail of [[write]] and [[merge]] — takes
@@ -172,6 +221,7 @@ object VectorStore {
       path: String,
       name: String,
       numBuckets: Int,
+      opq: Option[OpqModel],
   ): Unit = {
     import spark.implicits._
     validateNameAndPath(name, path, "write")
@@ -193,7 +243,13 @@ object VectorStore {
       }
     }
     IndexStore.saveIvf(spark, ivf, s"$path/model")
-    IndexStore.savePq(spark, pq, s"$path/model")
+    // saveOpq persists the rotation AND its codebooks (pq == opq.pq
+    // for an OPQ store); the rotation dir's presence is what [[read]]
+    // dispatches the store's recipe on
+    opq match {
+      case Some(o) => IndexStore.saveOpq(spark, o, s"$path/model")
+      case None => IndexStore.savePq(spark, pq, s"$path/model")
+    }
     coded
       .select("cell", "id", "code", "hcode")
       .write
@@ -247,13 +303,21 @@ object VectorStore {
       }
       spark.table(table)
     }
+    // recipe dispatch: a persisted rotation marks an OPQ store (every
+    // artifact in rotated space); loadOpq reads the codebooks from the
+    // same model dir, so pq == opq.pq by construction
+    val rotPath = new org.apache.hadoop.fs.Path(s"$path/model/rotation")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val opq = if (fs.exists(rotPath)) Some(IndexStore.loadOpq(spark, s"$path/model"))
+              else None
     CodedVectorStore(
       ensure(s"${name}_coded", "coded",
         "cell INT, id BIGINT, code BINARY, hcode ARRAY<BIGINT>", "cell"),
       ensure(s"${name}_vecs", "vecs", "id BIGINT, vec ARRAY<FLOAT>", "id"),
       IndexStore.loadIvf(spark, s"$path/model"),
-      IndexStore.loadPq(spark, s"$path/model"),
-      numBuckets)
+      opq.map(_.pq).getOrElse(IndexStore.loadPq(spark, s"$path/model")),
+      numBuckets,
+      opq)
   }
 
   /** GROW a standing store: encode `newVecs` (disjoint ids required)
@@ -290,13 +354,17 @@ object VectorStore {
     val src = read(spark, srcPath, srcName)
     // ONE execution of the increment plan: encode with the SOURCE
     // models (shared projection with [[write]] — the two faces cannot
-    // drift) and land it (`materialize` — pass ParquetDir on
-    // preemptible executors, mirroring [[write]]); the disjointness
-    // check, both table writes, and the union all read the landed
-    // blocks. The standing store's sides are parquet-backed reads —
-    // cheap to scan, never re-encoded.
+    // drift; an OPQ source rotates the increment with ITS standing
+    // rotation first, keeping every epoch in one space) and land it
+    // (`materialize` — pass ParquetDir on preemptible executors,
+    // mirroring [[write]]); the disjointness check, both table writes,
+    // and the union all read the landed blocks. The standing store's
+    // sides are parquet-backed reads — cheap to scan, never re-encoded.
+    val incoming = src.opq
+      .map(o => Similarity.rotateColumn(newVecs, vecCol, o))
+      .getOrElse(newVecs)
     val landed = Materialize(
-      encodedProjection(newVecs, idCol, vecCol, src.ivf, src.pq),
+      encodedProjection(incoming, idCol, vecCol, src.ivf, src.pq),
       materialize)
     require(
       landed.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
@@ -305,7 +373,7 @@ object VectorStore {
     writeFrames(spark,
       src.coded.unionByName(landed.select("cell", "id", "code", "hcode")),
       src.vecs.unionByName(landed.select("id", "vec")),
-      src.ivf, src.pq, dstPath, dstName, src.numBuckets)
+      src.ivf, src.pq, dstPath, dstName, src.numBuckets, src.opq)
     read(spark, dstPath, dstName)
   }
 }

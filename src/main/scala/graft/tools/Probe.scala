@@ -114,6 +114,109 @@ object Probe {
       return
     }
 
+    if (names.contains("opqstore")) {
+      // OPQ store-served vs from-floats: ivfOpqTopK re-rotates AND
+      // re-encodes the corpus every job — the most expensive per-job
+      // encode in the ANN tree (d×d mat-vec + m sub-quantizer scans
+      // per vector); the OPQ store pays it once at write. Same 100k
+      // replicated corpus recipe as the `vecstore` probe.
+      val emb0 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val emb = (0 until 50)
+        .map(i => emb0.select(
+          (col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, ix) => when(ix === 0, (x + lit(i * 0.001f)).cast("float")).otherwise(x))
+            .as("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .localCheckpoint(true)
+      println("[probe] corpus=" + emb.count())
+      val queries = emb.where(col("vec_id") % 100 === 0).localCheckpoint(true)
+      println("[probe] queries=" + queries.count())
+      val (ivf, opq) = timed("trainIvfOpq (once per corpus)") {
+        graft.operators.Similarity.trainIvfOpq(emb, "embedding", nlist = 16,
+          m = 8, ksub = 16)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-probe-opqstore").toString
+      timed("OPQ store write (once per corpus/epoch)") {
+        graft.operators.VectorStore.writeOpq(emb, "vec_id", "embedding", dir,
+          "probe_opqvs", ivf, opq)
+      }
+      val store = graft.operators.VectorStore.read(spark, dir, "probe_opqvs")
+      (1 to 2).foreach { round =>
+        timed(s"round $round: ivfOpqTopK from floats (re-rotates + re-encodes corpus per job)") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfOpqTopK(emb, queries, "vec_id", "embedding", k = 5, ivf, opq,
+              nprobe = 4, refine = 4).count())
+        }
+        timed(s"round $round: ivfOpqTopKFromStore (rotates queries only)") {
+          println("[probe] rows=" + graft.operators.Similarity
+            .ivfOpqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+              nprobe = 4, refine = 4).count())
+        }
+      }
+      spark.sql("DROP TABLE IF EXISTS probe_opqvs_coded")
+      spark.sql("DROP TABLE IF EXISTS probe_opqvs_vecs")
+      spark.stop()
+      val root = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+      return
+    }
+
+    if (names.contains("vecstore_merge")) {
+      // the merge (epoch compaction) claim is "one narrow
+      // parquet-to-parquet pass over index rows — cost linear in
+      // STANDING CORPUS SIZE, encode paid only by the increment":
+      // measure a fixed 2k-vector increment folding into a 1x (2k)
+      // vs 10x (20k) standing store; superlinear growth would mean
+      // the standing rows are being re-encoded
+      val emb0 = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      def replicate(mult: Int, base: Long) = (0 until mult)
+        .map(i => emb0.select(
+          (col("vec_id") + lit(base + i * 100000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, ix) => when(ix === 0, (x + lit(i * 0.001f)).cast("float")).otherwise(x))
+            .as("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(32)
+        .localCheckpoint(true)
+      val increment = replicate(1, 5000000000L)
+      println("[probe] increment=" + increment.count())
+      Seq(1, 10).foreach { mult =>
+        val standing = replicate(mult, 0L)
+        println(s"[probe] standing(${mult}x)=" + standing.count())
+        val ivf = graft.operators.Similarity.trainIvf(standing, "embedding", nlist = 16)
+        val pq = graft.operators.Similarity.trainPq(standing, "embedding", m = 8, ksub = 16)
+        val d0 = java.nio.file.Files.createTempDirectory(s"graft-probe-vsm-e0-$mult").toString
+        val d1 = java.nio.file.Files.createTempDirectory(s"graft-probe-vsm-e1-$mult").toString
+        graft.operators.VectorStore.write(standing, "vec_id", "embedding", d0,
+          s"probe_vsm_${mult}_e0", ivf, pq)
+        timed(s"merge fixed 2k increment into ${mult}x standing store") {
+          graft.operators.VectorStore.merge(spark, d0, s"probe_vsm_${mult}_e0",
+            increment, "vec_id", "embedding", d1, s"probe_vsm_${mult}_e1")
+        }
+        Seq("e0", "e1").foreach { e =>
+          spark.sql(s"DROP TABLE IF EXISTS probe_vsm_${mult}_${e}_coded")
+          spark.sql(s"DROP TABLE IF EXISTS probe_vsm_${mult}_${e}_vecs")
+        }
+        import scala.jdk.CollectionConverters._
+        Seq(d0, d1).foreach { d =>
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+          finally walk.close()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("para_scale")) {
       // the optional webIngest paragraph stage at 1x and 10x docs —
       // the claim is "one line-dedup-sized pass, nothing superlinear"

@@ -138,6 +138,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"huge-query-set path must not broadcast anything:\n$parted")
   }
 
+  test("store-served corpus-vs-corpus kNN (q162 shape) never broadcasts anything") {
+    // exactly the q162 gate shape: the reopened store's OWN vecs table
+    // is the query set (as big as the corpus — nothing may broadcast),
+    // broadcastQueries = false; probe join AND re-rank qvec fetch must
+    // both be sort-merge joins
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 4, seed = 1L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-planshape-vecstore").toString
+    graft.operators.VectorStore.write(df, "vec_id", "embedding", dir, "ps_ccknn",
+      ivf, pq, numBuckets = 4)
+    val store = graft.operators.VectorStore.read(spark, dir, "ps_ccknn")
+    val allQueries = store.vecs.select(col("id").as("vec_id"), col("vec").as("embedding"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the hint FORBIDS broadcasting the query side regardless, but tiny
+    // test tables could still auto-broadcast the un-hinted corpus side
+    // of the re-rank join — pin the at-scale planner decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Similarity.ivfPqTopKFromStore(store, allQueries, "vec_id",
+        "embedding", k = 5, nprobe = 2, refine = 4, broadcastQueries = false))
+      assert(!p.contains("BroadcastExchange"),
+        s"corpus-as-queries path must not broadcast anything:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("nearDupKeepBest: ranking window is partitioned and nothing goes cartesian") {
     val plans = scala.collection.mutable.ArrayBuffer.empty[String]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {

@@ -168,6 +168,91 @@ class VectorStoreSpec extends SparkTestBase {
     assert(err2.getMessage.contains("already registered"))
   }
 
+  test("OPQ store: store-served opq/ivfOpq equal the from-floats faces; merge keeps the rotated space; faces refuse the wrong recipe") {
+    val (df, queries) = fixture(43)
+    val (ivf, opq) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dir = tmp("opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dir, "vs_opq", ivf, opq,
+      numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_opq")
+    assert(store.opq.nonEmpty, "reopened store must detect the persisted rotation")
+    assert(store.opq.get.r.toSeq == opq.r.toSeq, "rotation must roundtrip bit-exact")
+    assert(store.pq.codebooks.toSeq == opq.pq.codebooks.toSeq,
+      "store.pq must be the rotated-space codebooks")
+
+    val fromFloatsIvfOpq = Similarity
+      .ivfOpqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, opq,
+        nprobe = 2, refine = 4)
+    val fromStoreIvfOpq = Similarity
+      .ivfOpqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+        nprobe = 2, refine = 4)
+    assert(rows(fromStoreIvfOpq) == rows(fromFloatsIvfOpq),
+      "store-served IVF-OPQ must equal the from-floats face")
+
+    val fromFloatsOpq = Similarity
+      .opqTopK(df, queries, "vec_id", "embedding", k = 5, opq, refine = 4)
+    val fromStoreOpq = Similarity
+      .opqTopKFromStore(store, queries, "vec_id", "embedding", k = 5, refine = 4)
+    assert(rows(fromStoreOpq) == rows(fromFloatsOpq),
+      "store-served flat OPQ must equal the from-floats face")
+
+    // hamming on an OPQ store = from-floats hamming over the ROTATED
+    // corpus/queries (sign codes were packed in rotated space)
+    val rotAll = Similarity.rotateColumn(df, "embedding", opq)
+    val rotQ = Similarity.rotateColumn(queries, "embedding", opq)
+    val fromFloatsHam = Similarity
+      .ivfHammingTopK(rotAll, rotQ, "vec_id", "embedding", k = 5, ivf,
+        nprobe = 2, refine = 4)
+    val fromStoreHam = Similarity
+      .ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+        nprobe = 2, refine = 4)
+    assert(rows(fromStoreHam).map(t => (t._1, t._2, t._3)) ==
+      rows(fromFloatsHam).map(t => (t._1, t._2, t._3)),
+      "store-served hamming on an OPQ store must equal the rotated from-floats face")
+
+    // merge rotates the increment with the STANDING rotation: the
+    // grown store equals a from-floats IVF-OPQ search over the union
+    val epoch0 = df.where($"vec_id" < 150L)
+    val increment = df.where($"vec_id" >= 150L)
+    val d0 = tmp("opq-e0")
+    val d1 = tmp("opq-e1")
+    VectorStore.writeOpq(epoch0, "vec_id", "embedding", d0, "vs_opq_e0", ivf, opq,
+      numBuckets = 4)
+    val e1 = VectorStore.merge(spark, d0, "vs_opq_e0", increment, "vec_id",
+      "embedding", d1, "vs_opq_e1")
+    assert(e1.opq.nonEmpty, "merged store must carry the rotation forward")
+    val unionFloats = Similarity
+      .ivfOpqTopK(df, queries, "vec_id", "embedding", k = 5, ivf, opq,
+        nprobe = 8, refine = 8)
+    val unionStore = Similarity
+      .ivfOpqTopKFromStore(e1, queries, "vec_id", "embedding", k = 5,
+        nprobe = 8, refine = 8)
+    assert(rows(unionStore) == rows(unionFloats),
+      "epoch-1 OPQ store must equal the from-floats union search")
+
+    // recipe guards: plain faces refuse an OPQ store and vice versa
+    val wrongPlain = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5)
+    }
+    assert(wrongPlain.getMessage.contains("OPQ-coded"))
+    val wrongFlat = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromStore(store, queries, "vec_id", "embedding", k = 5)
+    }
+    assert(wrongFlat.getMessage.contains("OPQ-coded"))
+    val (dfP, queriesP) = fixture(29)
+    val ivfP = Similarity.trainIvf(dfP, "embedding", nlist = 8, seed = 3L)
+    val pqP = Similarity.trainPq(dfP, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dirP = tmp("plainguard")
+    VectorStore.write(dfP, "vec_id", "embedding", dirP, "vs_plainguard", ivfP, pqP,
+      numBuckets = 4)
+    val plainStore = VectorStore.read(spark, dirP, "vs_plainguard")
+    val wrongOpq = intercept[IllegalArgumentException] {
+      Similarity.ivfOpqTopKFromStore(plainStore, queriesP, "vec_id", "embedding", k = 5)
+    }
+    assert(wrongOpq.getMessage.contains("plain-PQ-coded"))
+  }
+
   test("guards: Lazy rejected, same-name merge rejected, write collision, identifier/path validation") {
     val (df, _) = fixture(41)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
