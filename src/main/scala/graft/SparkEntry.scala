@@ -2127,6 +2127,59 @@ object SparkEntry {
           k = 5, nprobe = 4, refine = 4, broadcastQueries = false)
       })
 
+  /** Session-replay gate ([[graft.streaming.EventStreams
+    * .reaggregateSessions]] — q159's companion for the sessionize
+    * family's OWN key): two simulated landed sessionize sinks of the
+    * SAME assignments — cadence A with `emit_ts = ts`, cadence B with
+    * watermark-shifted `emit_ts` AND at-least-once retry duplicates —
+    * re-aggregate on (user, session ordinal) + carried event time to
+    * IDENTICAL per-session frames, pinned by the agree flags and by
+    * the closed-form lag/cumsum session oracle. StreamingSpec runs the
+    * same helper over two real TWS trigger cadences.
+    */
+  private def q163SessionReplay(s: SparkSession, dir: String): DataFrame = {
+    val assigned = EventStreams
+      .sessionize(load(s, dir, "events"), gapSeconds = 1800L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+    val a = assigned.withColumn("emit_ts", col("ts"))
+    val b0 = assigned.withColumn("emit_ts",
+      timestamp_micros(unix_micros(col("ts")) + (col("event_id") % 3) * 60000000L))
+    val b = b0.unionByName(
+      b0.where(col("event_id") % 5 === 0)
+        .withColumn("emit_ts", timestamp_micros(unix_micros(col("ts")) + 120000000L)))
+    def re(df: DataFrame): DataFrame =
+      graft.streaming.EventStreams.reaggregateSessions(df)
+    val ra = re(a)
+    val rb = re(b)
+      .withColumnRenamed("session_start", "s_b")
+      .withColumnRenamed("session_end", "e_b")
+      .withColumnRenamed("n_events", "n_b")
+    ra.join(rb, Seq("user_id", "session_seq"), "full")
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"),
+        coalesce(col("session_start") === col("s_b"), lit(false)).as("s_agree"),
+        coalesce(col("session_end") === col("e_b"), lit(false)).as("e_agree"),
+        coalesce(col("n_events") === col("n_b"), lit(false)).as("n_agree"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val q163Oracle =
+    """WITH assigned AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |      CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |             OR epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 1800000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+      |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, true AS s_agree, true AS e_agree, true AS n_agree
+      |FROM assigned GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   private val q160Oracle =
     """WITH c AS (
       |  SELECT doc_id,
@@ -5857,6 +5910,7 @@ object SparkEntry {
     "q160_wet_prepare_e2e" -> (q160WetPrepareE2e _),
     "q161_opqstore_planted" -> (q161OpqStorePlanted _),
     "q162_store_corpus_knn" -> (q162StoreCorpusKnn _),
+    "q163_session_replay" -> (q163SessionReplay _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6009,5 +6063,6 @@ object SparkEntry {
     "q160_wet_prepare_e2e" -> q160Oracle,
     "q161_opqstore_planted" -> annPlantedOracle,
     "q162_store_corpus_knn" -> annPlantedOracle,
+    "q163_session_replay" -> q163Oracle,
   )
 }

@@ -187,7 +187,9 @@ object EventStreams {
     * `emit_ts`-windowed aggregates over watermark-clamped rows
     * depend on microbatch boundaries; group on the carried `ts` for
     * replay-deterministic offline re-aggregation —
-    * [[reaggregateByEventTime]] is that face.
+    * [[reaggregateByEventTime]] for windowed rollups,
+    * [[reaggregateSessions]] for per-(user, session ordinal) rollups
+    * over this sink's own key.
     */
   final case class SessionAssignmentEmit(
       event_id: Long, user_id: Long, ts: Timestamp, session_seq: Long,
@@ -617,6 +619,51 @@ object EventStreams {
     agged.select(
       Seq(col("window.start").as("window_start"), col("window.end").as("window_end"))
         ++ rest: _*)
+  }
+
+  /** Replay-deterministic OFFLINE re-aggregation of a LANDED
+    * sessionize sink ([[SessionAssignmentEmit]] rows from
+    * [[sessionizeStream]] / [[sessionizeStreamTws]] /
+    * [[sessionizeStreamEventTime]], or the batch [[sessionize]]
+    * output) into per-session rollups — the session-family companion
+    * of [[reaggregateByEventTime]]. A sessionize emit's `emit_ts` is
+    * at-resolution-time metadata: the same input under two trigger
+    * cadences lands identical (user, event, session_seq) assignments
+    * with DIFFERENT emit stamps, so any rollup keyed on `emit_ts`
+    * is cadence-dependent. This helper groups on the CARRIED
+    * (user, session ordinal) key and event time only —
+    * (session_start = min ts, session_end = max ts, n_events) plus
+    * `extraAggs` — so any two cadences of the same input produce
+    * identical frames (StreamingSpec pins two real TWS cadences;
+    * q163 gates the arithmetic against the closed-form oracle).
+    *
+    * `dedupIdCol` folds at-least-once sink retries (rows differing
+    * only in `emit_ts`) exactly as [[reaggregateByEventTime]] does —
+    * deterministic precisely because this helper never reads
+    * `emit_ts`.
+    *
+    * Batch-only by design; scale shape is one hash aggregation with
+    * map-side partials over (user, session) — the exchange any
+    * per-session rollup pays.
+    */
+  def reaggregateSessions(
+      emitted: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      sessionCol: String = "session_seq",
+      dedupIdCol: Option[String] = Some("event_id"),
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil,
+  ): DataFrame = {
+    require(!emitted.isStreaming,
+      "reaggregateSessions replays a LANDED sink table — batch frames only")
+    val base = dedupIdCol.map(id => emitted.dropDuplicates(Seq(id))).getOrElse(emitted)
+    val aggs = Seq(
+      max(col(tsCol)).as("session_end"),
+      count(lit(1)).as("n_events"),
+    ) ++ extraAggs
+    base
+      .groupBy(col(userCol), col(sessionCol))
+      .agg(min(col(tsCol)).as("session_start"), aggs: _*)
   }
 
   /** [[asofBackwardStream]]'s per-key step under `transformWithState`:

@@ -164,11 +164,12 @@ object StreamingWebIngest {
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
       minParagraphChars: Int = 5,
+      minLineChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
       soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
-      minParagraphChars)
+      minParagraphChars, minLineChars)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -205,11 +206,12 @@ object StreamingWebIngest {
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
       minParagraphChars: Int = 5,
+      minLineChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
       soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
-      minParagraphChars)
+      minParagraphChars, minLineChars)
     val deduped = EventStreams
       .dedupStreamTws(lined, "id", "ts", "text", dedupWatermark)
       .drop("content_fp")
@@ -244,15 +246,23 @@ object StreamingWebIngest {
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
       minParagraphChars: Int = 5,
+      minLineChars: Int = 5,
   ): DataFrame = {
     val quality = graft.operators.CorpusPipeline.cleanedCrawlPrefix(
       docs, idCol, Some(tsCol), htmlCol, urlCol, langs, blocklist,
       canonicalizeNfc, c4, soft404, redactPii, mainContent, stripTracking,
       paragraphBreaks)
-    val lineDeduped = TextAnalysis
-      .dedupLinesInDoc(quality, "text", outCol = "text_deduped")
-      .drop("text")
-      .withColumnRenamed("text_deduped", "text")
+    // minLineChars < 0 SKIPS the line stage entirely — the streaming
+    // twin of batch webIngest's Dolma-style paragraph-only config
+    // (CorpusPipeline.webIngest, same sentinel; a real skip, not a
+    // floored no-op that still pays the per-row pass)
+    val lineDeduped =
+      if (minLineChars < 0) quality
+      else TextAnalysis
+        .dedupLinesInDoc(quality, "text", outCol = "text_deduped",
+          minLineChars = minLineChars)
+        .drop("text")
+        .withColumnRenamed("text_deduped", "text")
     // the streaming paragraph stage is the IN-DOC twin (the corpus-
     // wide winner aggregation of the batch operator cannot run in a
     // stream); same relative position as batch webIngest's — after
@@ -483,11 +493,12 @@ object StreamingWebIngest {
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
       minParagraphChars: Int = 5,
+      minLineChars: Int = 5,
   ): DataFrame = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
       soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
-      minParagraphChars)
+      minParagraphChars, minLineChars)
     inlineDedupAndCap(lined, "id", "ts", "text", "url_host", maxPerHost,
       numHashes = numHashes, bands = bands, estThreshold = estThreshold,
       watermarkDelay = watermarkDelay)
@@ -516,11 +527,12 @@ object StreamingWebIngest {
       paragraphBreaks: Boolean = false,
       paragraphDedup: Boolean = false,
       minParagraphChars: Int = 5,
+      minLineChars: Int = 5,
   ): (DataFrame, DataFrame) = {
     val lined = cleanedFrontEnd(
       docs, idCol, tsCol, htmlCol, urlCol, langs, blocklist, canonicalizeNfc, c4,
       soft404, redactPii, mainContent, stripTracking, paragraphBreaks, paragraphDedup,
-      minParagraphChars)
+      minParagraphChars, minLineChars)
     val deduped = EventStreams
       .dedupStream(lined, "ts", "text", dedupWatermark)
       .drop("content_fp")

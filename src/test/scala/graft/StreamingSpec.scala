@@ -405,6 +405,66 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("reaggregateSessions: two TWS cadences + sink retries replay to identical per-session rollups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def ev(id: Long, offsetSec: Long, user: Long = 1L) =
+      EventStreams.Event(id, new java.sql.Timestamp(t0 + offsetSec * 1000), user, "view", id.toDouble)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // user-1: session 1 = e1@0, e2@60; session 2 = e3@4000, e4@4030
+    // (always delivered in ONE batch — watermark expiry between
+    // batches would legitimately restart ordinals, the documented
+    // returns-after-expiry behavior); user-9's events span batches
+    // in cadence B. NOTE sessionize emits assignments the moment a
+    // row arrives, and rows passing the late-record filter satisfy
+    // ts >= watermark — so unlike the as-of family's pending-state
+    // resolutions, REAL emit stamps never diverge across cadences
+    // here; the divergence this helper folds away comes from
+    // at-least-once SINK retries re-landing rows with fresh stamps,
+    // which the test synthesizes below.
+    val evs = Seq(ev(1L, 0), ev(2L, 60), ev(3L, 4000), ev(4L, 4030),
+      ev(900L, 8000, 9L), ev(901L, 20000, 9L))
+    def run(name: String, batches: Seq[Seq[EventStreams.Event]])
+        : org.apache.spark.sql.DataFrame = {
+      val in = MemoryStream[EventStreams.Event](spark)
+      val q = EventStreams
+        .sessionizeStreamTws(in.toDS(), gapSeconds = 1800L, watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name)
+    }
+    try {
+      val a = run("sreagg_a", Seq(evs))
+      val b = run("sreagg_b", Seq(evs.take(5), evs.drop(5)))
+      def assigns(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"user_id", $"session_seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(assigns(a) == assigns(b), "assignments themselves are cadence-invariant")
+      // landed-sink divergence: cadence B's sink re-landed every other
+      // row with a fresh emit stamp (at-least-once retry) — the replay
+      // must fold the retries and never read emit_ts
+      def re(df: org.apache.spark.sql.DataFrame) = EventStreams
+        .reaggregateSessions(df).collect().map(_.toSeq).toSet
+      val retries = b.where($"event_id" % 2 === 0).withColumn("emit_ts",
+        org.apache.spark.sql.functions.expr("emit_ts + INTERVAL 2 MINUTES"))
+      val (ra, rb) = (re(a), re(b.unionByName(retries)))
+      assert(ra == rb, s"per-session replay must be cadence-invariant: $ra vs $rb")
+      // closed-form: user 1 has two sessions of 2 events each
+      // (row shape: user_id, session_seq, session_start, session_end, n_events)
+      val u1 = ra.filter(_.head == 1L).map(r => (r(1), r(4))).toSet
+      assert(u1 == Set((1L, 2L), (2L, 2L)), s"sessions: $ra")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming forward as-of join equals batch asofForward with tolerance (bounded input)") {
     val tolSec = 3600L
     // fixture = events + one far-future flush view (beyond tolerance of
@@ -1316,6 +1376,74 @@ class StreamingSpec extends SparkTestBase {
         val def0 = spark.table("wis_para_def").select($"text").as[String].head()
         assert(!def0.contains("\n\n"), "default path must stay byte-stable (no blank lines)")
       } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("webIngestStream paragraph face at the q156 plant shape: stream ≡ batch; in-doc vs corpus-wide granularity pinned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingWebIngest
+    import graft.streaming.StreamingWebIngest.WebDoc
+    // the q156 plant, per page: boilerplate block B (two lines,
+    // IDENTICAL on every page), partial-overlap block P sharing B's
+    // first line with a doc-unique tail, and a doc-unique content
+    // block. Cross-doc semantics differ BY DESIGN between the faces:
+    // the batch corpus-wide stage keeps B only on the minimum doc,
+    // the streaming face dedups IN-DOC (B survives per page) — this
+    // spec pins both sides so neither can drift silently.
+    val boiler1 = "all rights reserved - generated boilerplate paragraph"
+    val boiler2 = "all rights reserved and more details follow here"
+    def content(id: Long) = (0 until 20)
+      .map(k => s"the item${id}x$k words")
+      .mkString(" ")
+    def html(id: Long) =
+      s"<html><body><div>$boiler1<br>$boiler2</div>" +
+        s"<div>$boiler1<br>overlap item${id}y0 continues here</div>" +
+        s"<p>${content(id)}</p></body></html>"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(1L, 2L, 3L).map(i =>
+      WebDoc(i, new java.sql.Timestamp(t0 + i * 1000), html(i), s"http://good.com/p$i"))
+    val in = MemoryStream[WebDoc](spark)
+    val q = StreamingWebIngest
+      .webIngestStream(in.toDS().toDF(), "doc_id", "ts", "html", "url",
+        paragraphBreaks = true, paragraphDedup = true, minLineChars = -1)
+      .writeStream.format("memory").queryName("wis_q156").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wis_q156").select($"id", $"text")
+        .as[(Long, String)].collect().toMap
+      assert(stream.keySet == Set(1L, 2L, 3L), s"all pages survive: ${stream.keySet}")
+      // bounded-frame evaluation of the SAME face must agree row-for-row
+      val batch = StreamingWebIngest
+        .webIngestStream(rows.toDF(), "doc_id", "ts", "html", "url",
+          paragraphBreaks = true, paragraphDedup = true, minLineChars = -1)
+        .select($"id", $"text").as[(Long, String)].collect().toMap
+      assert(batch == stream, "stream ≡ batch on the q156 plant shape")
+      // in-doc granularity: B survives on EVERY page (it appears once
+      // per page — nothing in-doc to fold), and P survives INTACT,
+      // shared first line included (the coarser-unit guarantee)
+      rows.foreach { d =>
+        val txt = stream(d.doc_id)
+        val paras = txt.split("\n{2,}").toSeq
+        assert(paras.count(_ == s"$boiler1\n$boiler2") == 1,
+          s"in-doc face keeps the cross-doc boilerplate once per page: $txt")
+        assert(paras.exists(p => p.startsWith(boiler1 + "\n") &&
+          p.contains(s"overlap item${d.doc_id}y0")),
+          s"partial-overlap block must survive intact: $txt")
+      }
+      // corpus-wide granularity over the SAME landed texts: B folds to
+      // its first occurrence (min doc), P still survives intact — the
+      // q156/q154 batch semantics, pinned against the stream output
+      val landed = stream.toSeq.toDF("doc_id", "text")
+      val corpusWide = graft.operators.Dedup
+        .paragraphDedup(landed, "doc_id", "text")
+        .select($"id", $"clean_text").as[(Long, String)].collect().toMap
+      val keepsB = corpusWide.filter(_._2.contains(s"$boiler1\n$boiler2")).keySet
+      assert(keepsB == Set(1L),
+        s"corpus-wide face keeps the boilerplate block only on the min doc: $keepsB")
+      assert(Seq(1L, 2L, 3L).forall(i =>
+        corpusWide(i).contains(s"overlap item${i}y0")),
+        s"partial-overlap tails survive corpus-wide too: $corpusWide")
     } finally q.stop()
   }
 
