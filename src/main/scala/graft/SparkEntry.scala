@@ -2163,6 +2163,56 @@ object SparkEntry {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Ingest-dedup lifecycle gate ([[graft.operators.VectorStore
+    * .ingestDedup]] — the composed "search-dedup the increment, merge
+    * survivors" epoch verb): epoch 0 = the embeddings corpus as a
+    * coded store; the increment plants every 10th vector TWICE — a
+    * perturbed near-copy (cosine ≈ 1 to its standing original, must
+    * drop with `kept = false`) and a deterministic ±1 sign-pattern
+    * vector (cosine ≲ 0.6 to ANY natural embedding at 64 dims, must
+    * survive). The gate emits each increment id's kept flag read back
+    * from the epoch-1 store, so the whole
+    * write→read→search→threshold→anti-join→merge→reopen chain
+    * hash-fails against the closed-form oracle if any seam drifts.
+    */
+  private def q164VecstoreIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val root = tempFixtureDir("graft_vecstore_q164").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q164_vs_e0", ivf, pq)
+    val tenth = emb.where(col("vec_id") % 10 === 0)
+    val copies = tenth.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+        .as("embedding"))
+    val fresh = tenth.select(
+      (col("vec_id") + lit(2000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(pmod(hash(col("vec_id") + lit(2000000L), i), lit(2)) === 0,
+          lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+    val increment = copies.unionByName(fresh).localCheckpoint(true)
+    val (grown, _) = graft.operators.VectorStore.ingestDedup(s,
+      s"$root/epoch0", "q164_vs_e0", increment, "vec_id", "embedding",
+      s"$root/epoch1", "q164_vs_e1", threshold = 0.9, searchK = 4,
+      nprobe = 4, refine = 4)
+    increment.select(col("vec_id").as("id"))
+      .join(grown.vecs.select(col("id"), lit(true).as("kept")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q164Oracle =
+    """SELECT vec_id + 1000000 AS id, false AS kept
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |UNION ALL
+      |SELECT vec_id + 2000000 AS id, true AS kept
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |ORDER BY id""".stripMargin
+
   private val q163Oracle =
     """WITH assigned AS (
       |  SELECT event_id, user_id, ts,
@@ -5911,6 +5961,7 @@ object SparkEntry {
     "q161_opqstore_planted" -> (q161OpqStorePlanted _),
     "q162_store_corpus_knn" -> (q162StoreCorpusKnn _),
     "q163_session_replay" -> (q163SessionReplay _),
+    "q164_vecstore_ingest_dedup" -> (q164VecstoreIngestDedup _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6064,5 +6115,6 @@ object SparkEntry {
     "q161_opqstore_planted" -> annPlantedOracle,
     "q162_store_corpus_knn" -> annPlantedOracle,
     "q163_session_replay" -> q163Oracle,
+    "q164_vecstore_ingest_dedup" -> q164Oracle,
   )
 }

@@ -376,4 +376,98 @@ object VectorStore {
       src.ivf, src.pq, dstPath, dstName, src.numBuckets, src.opq)
     read(spark, dstPath, dstName)
   }
+
+  /** The COMPOSED daily-ingest verb — exactly the workflow [[merge]]'s
+    * disjointness error prescribes ("search-dedup the increment first
+    * and merge survivors"), as one face so no caller reinvents the
+    * seam: search the STANDING store for each increment vector's
+    * nearest neighbors (store-served, the store's own recipe — plain
+    * or OPQ — so the corpus is never re-encoded), drop increment rows
+    * whose best hit reaches `threshold` (the SemDeDup ε applied at
+    * the ingest boundary), and [[merge]] the survivors to the next
+    * epoch. Returns the grown store plus the victim ledger
+    * (id, dup_of, cosine) — the audit trail a provenance pipeline
+    * keeps.
+    *
+    * Scale shape: the increment lands ONCE (`materialize`) and the
+    * search/anti-join/merge all read the landed blocks; the standing
+    * side costs one bucketed coded-table scan per ingest, bounded by
+    * `nprobe/nlist`. Within-increment near-dups are NOT folded here
+    * (the search runs increment-vs-store only) — run
+    * [[Similarity.semanticDedup]] over the batch first if increments
+    * can self-duplicate; successive epochs need nothing extra, since
+    * yesterday's survivors ARE in today's standing store.
+    *
+    * `threshold` is exact-cosine semantics (hits are re-ranked exact
+    * before the cut); recall below 1 is the ANN trade — raise
+    * `nprobe`/`searchK` to tighten, like every store-served search.
+    */
+  def ingestDedup(
+      spark: SparkSession,
+      srcPath: String,
+      srcName: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dstPath: String,
+      dstName: String,
+      threshold: Double = 0.92,
+      searchK: Int = 4,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): (CodedVectorStore, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ingestDedup: threshold must be in (0, 1], got $threshold")
+    require(materialize != Materialize.Lazy,
+      "ingestDedup: Materialize.Lazy would re-execute the increment plan per " +
+        "consumer (search, anti-join, merge) — pass LocalCheckpoint or ParquetDir")
+    val src = read(spark, srcPath, srcName)
+    val landed = Materialize(newVecs.select(col(idCol), col(vecCol)), materialize)
+    val hits =
+      if (src.opq.nonEmpty)
+        Similarity.ivfOpqTopKFromStore(src, landed, idCol, vecCol, searchK, nprobe, refine)
+      else
+        Similarity.ivfPqTopKFromStore(src, landed, idCol, vecCol, searchK, nprobe, refine)
+    // rank 1 is the max-cosine hit (shared comparator: score desc, id
+    // asc) — if ANY hit clears the threshold, rank 1 does
+    val victims = hits
+      .where(col("rank") === 1 && col("cosine") >= threshold)
+      .select(col("query_id").as("id"), col("neighbor_id").as("dup_of"), col("cosine"))
+      .localCheckpoint(true)
+    val survivors = landed.join(
+      victims.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val grown = merge(spark, srcPath, srcName, survivors, idCol, vecCol,
+      dstPath, dstName, materialize)
+    (grown, victims)
+  }
+
+  /** Retention for [[merge]] / [[ingestDedup]] destination directories
+    * — the exact [[Dedup.pruneSignatureEpochs]] contract applied to
+    * vector-store epochs: under `rootDir`, epochs live as
+    * `<prefix><n>` children; keep the `keepLatest` numerically-highest
+    * (bounded by `upTo` — pass the epoch you just wrote, so a stale
+    * higher-numbered dir from an aborted run can never count as
+    * "latest"), delete the rest, AND retire each deleted epoch's
+    * catalog registrations (`<baseName>_e<n>_coded` / `_vecs`, the
+    * epoch-suffixed naming the merge guards prescribe) in the same
+    * turn — a persistent metastore otherwise strands two dead table
+    * pointers per retired epoch. Returns the deleted epoch indices.
+    */
+  def pruneEpochs(
+      spark: SparkSession,
+      rootDir: String,
+      baseName: String,
+      keepLatest: Int,
+      prefix: String = "epoch",
+      upTo: Long = Long.MaxValue,
+  ): Seq[Long] = {
+    validateNameAndPath(baseName, rootDir, "pruneEpochs")
+    val removed = Dedup.pruneSignatureEpochs(spark, rootDir, keepLatest, prefix, upTo)
+    removed.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_coded")
+      spark.sql(s"DROP TABLE IF EXISTS ${baseName}_e${n}_vecs")
+    }
+    removed
+  }
 }

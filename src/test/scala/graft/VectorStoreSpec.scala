@@ -253,6 +253,77 @@ class VectorStoreSpec extends SparkTestBase {
     assert(wrongOpq.getMessage.contains("plain-PQ-coded"))
   }
 
+  test("ingestDedup: near-dup increments drop with a victim ledger, fresh rows merge; pruneEpochs retires dirs AND catalog entries") {
+    // 32 dims, not the 8-dim shared fixture: cosine concentrates as
+    // 1/√d, so at d=8 a deterministic ±1 "fresh" pattern can land
+    // within 0.9 of a corpus vector (observed at seed 47); at d=32
+    // the max spurious cosine over this fixture is ≈0.6
+    val rng = new scala.util.Random(47)
+    val df = (0 until 8).flatMap { c =>
+      val center = Array.fill(32)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }.toDF("vec_id", "embedding").repartition(5)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val root = java.nio.file.Files.createTempDirectory("graft-vs-ingest").toString
+    VectorStore.write(df, "vec_id", "embedding", s"$root/epoch0", "vsing_e0",
+      ivf, pq, numBuckets = 4)
+    // increment: 3 perturbed copies (near-dups of standing rows, must
+    // drop with dup_of = their original) + 3 far sign-pattern rows
+    // (must survive into epoch 1)
+    val copies = df.where($"vec_id".isin(0L, 25L, 50L))
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val fresh = df.where($"vec_id".isin(75L, 100L, 125L))
+      .select(($"vec_id" + 2000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(pmod(hash($"vec_id", i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+    val (grown, victims) = VectorStore.ingestDedup(spark, s"$root/epoch0", "vsing_e0",
+      copies.unionByName(fresh), "vec_id", "embedding", s"$root/epoch1", "vsing_e1",
+      threshold = 0.9, searchK = 4, nprobe = 8, refine = 8)
+    val vrows = victims.select($"id", $"dup_of").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vrows == Map(1000L -> 0L, 1025L -> 25L, 1050L -> 50L),
+      s"victim ledger must name each copy's original: $vrows")
+    val grownIds = grown.vecs.select($"id").collect().map(_.getLong(0)).toSet
+    assert(Seq(2075L, 2100L, 2125L).forall(grownIds.contains),
+      "fresh rows must survive into the epoch-1 store")
+    assert(Seq(1000L, 1025L, 1050L).forall(id => !grownIds.contains(id)),
+      "near-dup copies must not reach the epoch-1 store")
+    assert(grown.vecs.count() == df.count() + 3)
+    // a grown store serves searches like any other (parity contract)
+    val q = df.where($"vec_id" % 50 === 0)
+    assert(rows(Similarity.ivfPqTopKFromStore(grown, q, "vec_id", "embedding",
+      k = 3, nprobe = 8, refine = 8)).nonEmpty)
+    // retention: epoch0 dir is deleted and its catalog entries retired;
+    // epoch1 (the live store) is untouched
+    assert(spark.catalog.tableExists("vsing_e0_coded"))
+    val removed = VectorStore.pruneEpochs(spark, root, "vsing", keepLatest = 1, upTo = 1L)
+    assert(removed == Seq(0L), s"pruned epochs: $removed")
+    assert(!spark.catalog.tableExists("vsing_e0_coded") &&
+      !spark.catalog.tableExists("vsing_e0_vecs"),
+      "retired epoch's catalog registrations must drop with the dir")
+    assert(spark.catalog.tableExists("vsing_e1_coded"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/epoch0")))
+    val reread = VectorStore.read(spark, s"$root/epoch1", "vsing_e1")
+    assert(reread.vecs.count() == df.count() + 3, "live epoch survives pruning")
+    // recipe dispatch: against an OPQ store the search face is the
+    // rotated one — the same copies must still drop
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    VectorStore.writeOpq(df, "vec_id", "embedding", s"$root/oe0", "vsingo_e0",
+      ivfO, opqO, numBuckets = 4)
+    val (grownO, victimsO) = VectorStore.ingestDedup(spark, s"$root/oe0", "vsingo_e0",
+      copies, "vec_id", "embedding", s"$root/oe1", "vsingo_e1",
+      threshold = 0.9, searchK = 4, nprobe = 8, refine = 8)
+    assert(victimsO.count() == 3 && grownO.vecs.count() == df.count(),
+      "OPQ-store ingest must drop the same near-dup copies")
+  }
+
   test("guards: Lazy rejected, same-name merge rejected, write collision, identifier/path validation") {
     val (df, _) = fixture(41)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
