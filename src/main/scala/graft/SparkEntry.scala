@@ -2213,6 +2213,61 @@ object SparkEntry {
       |FROM embeddings WHERE vec_id % 10 = 0
       |ORDER BY id""".stripMargin
 
+  /** Stream-vs-standing-store semantic-hit gate ([[graft.streaming
+    * .StreamingVectorStore.corpusSemanticHits]], evaluated on its
+    * bounded twin — the stream≡batch spec pins the streaming plan):
+    * the q164 plant through the HIT face instead of the ingest verb —
+    * perturbed copies must flag their standing originals
+    * (`hit_original`), far sign-pattern rows must produce ZERO hits
+    * (`clean`). Pins the probe → cell equi-join → ADC prefilter →
+    * exact-verify chain against the closed-form oracle.
+    */
+  private def q165StoreSemanticHits(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q165").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", storeDir, "q165_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q165_vs")
+    val tenth = emb.where(col("vec_id") % 10 === 0)
+    val copies = tenth.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+        .as("embedding"))
+    val fresh = tenth.select(
+      (col("vec_id") + lit(2000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(pmod(hash(col("vec_id") + lit(2000000L), i), lit(2)) === 0,
+          lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+    val incoming = copies.unionByName(fresh)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+      .localCheckpoint(true)
+    val hits = graft.streaming.StreamingVectorStore
+      .corpusSemanticHits(incoming, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, nprobe = 4)
+      .toDF()
+    val agg = hits.groupBy("id").agg(
+      max(col("corpus_id") === col("id") - lit(1000000L)).as("ho"),
+      count(lit(1)).as("n"))
+    incoming.select(col("vec_id").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ho"), lit(false)).as("hit_original"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("clean"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q165Oracle =
+    """SELECT vec_id + 1000000 AS id, true AS hit_original, false AS clean
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |UNION ALL
+      |SELECT vec_id + 2000000 AS id, false AS hit_original, true AS clean
+      |FROM embeddings WHERE vec_id % 10 = 0
+      |ORDER BY id""".stripMargin
+
   private val q163Oracle =
     """WITH assigned AS (
       |  SELECT event_id, user_id, ts,
@@ -5962,6 +6017,7 @@ object SparkEntry {
     "q162_store_corpus_knn" -> (q162StoreCorpusKnn _),
     "q163_session_replay" -> (q163SessionReplay _),
     "q164_vecstore_ingest_dedup" -> (q164VecstoreIngestDedup _),
+    "q165_store_semantic_hits" -> (q165StoreSemanticHits _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6116,5 +6172,6 @@ object SparkEntry {
     "q162_store_corpus_knn" -> annPlantedOracle,
     "q163_session_replay" -> q163Oracle,
     "q164_vecstore_ingest_dedup" -> q164Oracle,
+    "q165_store_semantic_hits" -> q165Oracle,
   )
 }

@@ -940,27 +940,7 @@ object Similarity {
       refine: Int,
   ): DataFrame = {
     val model = bc.value
-    val lutUdf = udf { (v: Seq[Float]) =>
-      val mdl = bc.value
-      require(v.length >= mdl.m * mdl.dsub,
-        s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-      val q = normalize(v.toArray)
-      val lut = new Array[Float](mdl.m * mdl.ksub)
-      var j = 0
-      while (j < mdl.m) {
-        var c = 0
-        while (c < mdl.ksub) {
-          val base = (j * mdl.ksub + c) * mdl.dsub
-          var dot = 0.0
-          var i = 0
-          while (i < mdl.dsub) { dot += q(j * mdl.dsub + i) * mdl.codebooks(base + i); i += 1 }
-          lut(j * mdl.ksub + c) = dot.toFloat
-          c += 1
-        }
-        j += 1
-      }
-      lut
-    }
+    val lutUdf = udf((v: Seq[Float]) => adcLut(bc.value, v))
     // FAISS-style flat ADC scan: query LUTs broadcast once
     // (queries were already an implicit broadcast in the join
     // formulation — Q × m·ksub floats), each partition streams its
@@ -1277,6 +1257,40 @@ object Similarity {
     * ([[VectorStore.write]]), so stored codes are bit-identical to
     * what a from-floats search would compute.
     */
+  /** Per-query ADC lookup table (m·ksub subspace dot products against
+    * the cosine-normalized query) — the ONE kernel behind every ADC
+    * face's LUT UDF ([[pqSearchEncoded]], [[ivfPqSearchBc]]),
+    * extracted for the same no-drift reason as [[pqEncode]].
+    * Width-checked with the named model/corpus mismatch error.
+    */
+  private[graft] def adcLut(mdl: PqModel, v: Seq[Float]): Array[Float] = {
+    require(v.length >= mdl.m * mdl.dsub,
+      s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
+    val q = normalize(v.toArray)
+    val lut = new Array[Float](mdl.m * mdl.ksub)
+    var j = 0
+    while (j < mdl.m) {
+      var c = 0
+      while (c < mdl.ksub) {
+        val base = (j * mdl.ksub + c) * mdl.dsub
+        var dot = 0.0
+        var i = 0
+        while (i < mdl.dsub) { dot += q(j * mdl.dsub + i) * mdl.codebooks(base + i); i += 1 }
+        lut(j * mdl.ksub + c) = dot.toFloat
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** Probed cells for a query under broadcast centroids — the probe
+    * UDF body shared with the streaming store face.
+    */
+  private[graft] def probeCells(
+      centroids: Array[Array[Float]], v: Seq[Float], nprobe: Int): Seq[Int] =
+    IvfModel.nearestK(centroids, v, nprobe)
+
   private[operators] def pqEncode(mdl: PqModel, v: Seq[Float]): Array[Byte] = {
     require(v.length >= mdl.m * mdl.dsub,
       s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
@@ -1338,27 +1352,7 @@ object Similarity {
       broadcastQueries: Boolean,
   ): DataFrame = {
     val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
-    val lutUdf = udf { (v: Seq[Float]) =>
-      val mdl = bcPq.value
-      require(v.length >= mdl.m * mdl.dsub,
-        s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-      val q = normalize(v.toArray)
-      val lut = new Array[Float](mdl.m * mdl.ksub)
-      var j = 0
-      while (j < mdl.m) {
-        var c = 0
-        while (c < mdl.ksub) {
-          val base = (j * mdl.ksub + c) * mdl.dsub
-          var dot = 0.0
-          var i = 0
-          while (i < mdl.dsub) { dot += q(j * mdl.dsub + i) * mdl.codebooks(base + i); i += 1 }
-          lut(j * mdl.ksub + c) = dot.toFloat
-          c += 1
-        }
-        j += 1
-      }
-      lut
-    }
+    val lutUdf = udf((v: Seq[Float]) => adcLut(bcPq.value, v))
     val probed = nonDegenerate(queries, vecCol).select(
       col(idCol).as("query_id"),
       lutUdf(col(vecCol)).as("lut"),

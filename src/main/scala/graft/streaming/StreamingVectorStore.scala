@@ -1,0 +1,288 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.{Similarity, VectorStore}
+
+/** The STREAMING half of the persisted coded-corpus ANN store's
+  * lambda lifecycle — the embedding twin of the near-dup signature
+  * machinery ([[StreamingDedup.corpusNearDupHits]] /
+  * [[StreamingDedup.signatureIncrementSink]] /
+  * [[StreamingDedup.compactSignatureStore]]):
+  *
+  *   - [[corpusSemanticHits]] flags incoming vectors that are
+  *     semantic near-dups of the STANDING store (stream-static,
+  *     stateless, append-safe);
+  *   - [[vectorIncrementSink]] lands each microbatch's survivors as a
+  *     parquet increment epoch;
+  *   - [[compactVectorStore]] periodically folds landed increments
+  *     into the next store epoch via
+  *     [[graft.operators.VectorStore.ingestDedup]] (which
+  *     re-threshold-checks the increment against the standing corpus,
+  *     so cross-epoch near-dups that landed before the corpus knew
+  *     about their originals still fold away), then prunes folded
+  *     increments and retires old epochs + catalog registrations.
+  *
+  * Same crash-recovery protocol as the signature compaction
+  * (foldmark-before-fold, meta-lands-last, prune capped at the
+  * listed snapshot) — one discipline for both stores, so an operator
+  * who learned one runs the other.
+  */
+object StreamingVectorStore {
+
+  final case class SemanticHit(id: Long, corpus_id: Long, cosine: Double, ts: Timestamp)
+
+  /** STREAM-vs-STANDING-STORE semantic near-dup hits — the embedding
+    * analogue of [[StreamingDedup.corpusNearDupHits]], served from a
+    * persisted [[graft.operators.VectorStore.CodedVectorStore]]: each
+    * incoming vector probes its `nprobe` nearest cells (broadcast
+    * centroids — rotated first on an OPQ store, matching the stored
+    * codes' space), equi-joins the cell-bucketed `coded` table
+    * (stream-static — stateless, no watermark, and the static side
+    * scans its own bucketing key with no exchange), prefilters
+    * candidates by PACKED SIGN-CODE Hamming distance against the
+    * store's `hcode` words, and verifies survivors with EXACT cosine
+    * against the id-bucketed `vecs` floats. A hit row means "this
+    * incoming vector has a standing neighbor at ≥ threshold exact
+    * cosine".
+    *
+    * Why the Hamming prefilter and NOT an absolute ADC floor: the ADC
+    * score is `q · decode(x)` and `‖decode(x)‖ < 1` (quantization
+    * shrinkage), so a true cosine-0.999 pair can score far below the
+    * threshold — the deflation is data- and codebook-dependent, so no
+    * fixed ADC margin is safe (measured: a 0.5 margin still dropped a
+    * third of planted ≈1.0 pairs on 64-d embeddings at m=8/ksub=16).
+    * The sign-code estimator is DISTRIBUTION-FREE (Charikar SRP:
+    * `E[hamming]/bits = angle/π`), so the cut calibrates directly
+    * from the threshold: keep candidates with
+    * `hamming ≤ bits · (acos(threshold)/π + hammingMargin)`. At
+    * `hammingMargin = 0.15` and ≥64-bit codes that is a > 3σ
+    * allowance on the estimator (σ ≈ 0.5/√bits); a true ≈1.0 pair
+    * sits near hamming 0 and always survives. `hammingMargin ≥ 1`
+    * disables the prefilter (every candidate reaches the exact
+    * verify).
+    *
+    * Why hits, not suppression: same sink-side policy as
+    * [[StreamingDedup.corpusNearDupHits]] — dropping flagged rows
+    * in-stream would anti-join the stream against its own derived
+    * output (not an append-supported plan); land the hit stream and
+    * anti-join at the sink or in the periodic compaction. Works on
+    * bounded frames too (plain joins — the spec and driver gate
+    * evaluate that twin).
+    *
+    * Scale shape per incoming row: `nprobe/nlist` of the corpus
+    * CODES read (one packed word per 64 dims, bucketed scan), exact
+    * floats fetched only for Hamming survivors.
+    */
+  def corpusSemanticHits(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      vecCol: String,
+      store: VectorStore.CodedVectorStore,
+      threshold: Double,
+      nprobe: Int = 4,
+      hammingMargin: Double = 0.15,
+  ): Dataset[SemanticHit] = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"corpusSemanticHits: threshold must be in (0, 1], got $threshold")
+    require(hammingMargin >= 0.0,
+      s"corpusSemanticHits: hammingMargin must be >= 0, got $hammingMargin")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bcIvf = sc.broadcast(store.ivf.centroids)
+    val probeUdf = udf((v: Seq[Float]) => Similarity.probeCells(bcIvf.value, v, nprobe))
+    val side = store.opq
+      .map(o => Similarity.rotateColumn(docs, vecCol, o))
+      .getOrElse(docs)
+    // SRP calibration: cosine threshold → max angle → max expected
+    // hamming fraction, plus the estimator allowance
+    val cutFrac = math.acos(math.min(1.0, threshold)) / math.Pi + hammingMargin
+    val probed = side
+      .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        graft.functions.VectorExpressions.vecNorm(col(vecCol)) > 0.0)
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        col(vecCol).cast("array<float>").as("qvec"),
+        graft.functions.VectorExpressions.signPack(col(vecCol)).as("qcode"),
+        size(col(vecCol)).cast("double").as("bits"),
+        explode(probeUdf(col(vecCol))).as("cell"))
+    val cands = probed
+      .join(store.coded.select(col("cell"), col("id").as("corpus_id"),
+        col("hcode")), "cell")
+      .where(col("corpus_id") =!= col("id"))
+      .where(graft.functions.VectorExpressions.hammingDist(col("hcode"), col("qcode"))
+        .cast("double") <= col("bits") * lit(cutFrac))
+      .select(col("id"), col("ts"), col("qvec"), col("corpus_id"))
+    cands
+      .join(store.vecs.select(col("id").as("corpus_id"), col("vec").as("cvec")), "corpus_id")
+      .withColumn("cosine",
+        graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")))
+      .where(col("cosine") >= threshold)
+      .select(col("id"), col("corpus_id"), col("cosine"), col("ts"))
+      .as[SemanticHit]
+  }
+
+  /** `foreachBatch` sink body landing each microbatch's vectors as a
+    * parquet increment epoch `dir/inc_<batchId>` of (id, vec) — the
+    * embedding twin of [[StreamingDedup.signatureIncrementSink]],
+    * and the stream side of the [[compactVectorStore]] fold.
+    * Idempotent under microbatch REPLAY (epoch keyed by batchId,
+    * written with Overwrite — the standard exactly-once `foreachBatch`
+    * recipe). Land SURVIVORS (rows a [[corpusSemanticHits]] sink-side
+    * anti-join kept, or raw rows if the compaction's own
+    * threshold-dedup is the only dedup wanted — unlike the signature
+    * sink, the fold here re-checks the increment against the standing
+    * corpus, so pre-deduping is an optimization, not a contract).
+    */
+  def vectorIncrementSink(
+      dir: String,
+      idCol: String,
+      vecCol: String,
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    batch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/inc_$batchId")
+  }
+
+  /** All vector increments landed by [[vectorIncrementSink]] under
+    * `dir`, as one (id, vec) frame. Empty (schema-correct) when no
+    * epoch has landed. Same job-committed `_SUCCESS` gate as the
+    * signature listing — an in-flight microbatch's directory is
+    * invisible until its commit.
+    */
+  def readVectorIncrements(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = StreamingDedup.listSignatureIncrements(spark, dir).map(_._2)
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("vec", ArrayType(FloatType)))))
+    else spark.read.parquet(epochs: _*)
+  }
+
+  /** ONE full compaction turn of the standing vector store — the
+    * batch half of the lambda loop, the
+    * [[StreamingDedup.compactSignatureStore]] protocol verbatim with
+    * [[graft.operators.VectorStore.ingestDedup]] as the fold (so the
+    * increment is threshold-deduped against the standing corpus
+    * inside the turn — near-dups that landed before their originals
+    * reached the store still fold away) and
+    * [[graft.operators.VectorStore.pruneEpochs]] as the retirement:
+    * fold all landed increments into `epoch<srcEpoch+1>` under
+    * `epochRoot` (names `<baseName>_e<n>` — the read-guard
+    * convention), then prune folded increments and retire old epoch
+    * dirs + catalog registrations, keep-latest-`keepEpochs`.
+    *
+    * CRASH RECOVERY is decided from metadata alone, exactly as the
+    * signature turn documents (read that scaladoc for the window
+    * analysis): foldmark lands before the fold, the epoch's `meta`
+    * lands LAST ([[graft.operators.VectorStore]] writes coded, vecs,
+    * then meta), a complete next epoch with a foldmark below a listed
+    * batchId means the caller's `srcEpoch` is stale and the turn
+    * fails actionably, and increments a crashed turn already folded
+    * are skipped by batchId — never re-encoded, never deadlocked on
+    * the merge's id-disjointness check. With no landed increments the
+    * turn is a no-op returning the live store (no copy epoch).
+    *
+    * Returns (store every subsequent search/ingest should use,
+    * victim ledger of THIS turn's fold — empty when nothing folded).
+    */
+  def compactVectorStore(
+      spark: SparkSession,
+      epochRoot: String,
+      baseName: String,
+      srcEpoch: Int,
+      incDir: String,
+      threshold: Double = 0.92,
+      searchK: Int = 4,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      keepEpochs: Int = 2,
+      upToBatchId: Long = Long.MaxValue,
+  ): (VectorStore.CodedVectorStore, DataFrame) = {
+    import spark.implicits._
+    val srcPath = s"$epochRoot/epoch$srcEpoch"
+    val srcName = s"${baseName}_e$srcEpoch"
+    val nextPath = s"$epochRoot/epoch${srcEpoch + 1}"
+    val nextName = s"${baseName}_e${srcEpoch + 1}"
+    def emptyLedger: DataFrame =
+      Seq.empty[(Long, Long, Double)].toDF("id", "dup_of", "cosine")
+    def nextEpochComplete: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // retirement: epoch dirs capped at the epoch just written, then
+    // catalog-vs-directory diff (crash-safe where
+    // drop-what-I-just-deleted is not — see the signature twin)
+    def finishTurn(dst: VectorStore.CodedVectorStore): VectorStore.CodedVectorStore = {
+      graft.operators.Dedup.pruneSignatureEpochs(
+        spark, epochRoot, keepEpochs, upTo = srcEpoch + 1L)
+      val fs = new org.apache.hadoop.fs.Path(epochRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val epochTable =
+        s"^${java.util.regex.Pattern.quote(baseName)}_e(\\d+)_(?:coded|vecs)$$".r
+      spark.sql(s"SHOW TABLES LIKE '${baseName}_e*'").collect().foreach { row =>
+        val t = row.getString(1)
+        epochTable.findFirstMatchIn(t).map(_.group(1).toLong).foreach { n =>
+          if (n <= srcEpoch + 1L &&
+              !fs.exists(new org.apache.hadoop.fs.Path(s"$epochRoot/epoch$n")))
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+        }
+      }
+      dst
+    }
+    val listed = StreamingDedup.listSignatureIncrements(spark, incDir)
+    if (listed.isEmpty) {
+      if (nextEpochComplete)
+        (finishTurn(VectorStore.read(spark, nextPath, nextName)), emptyLedger)
+      else
+        (VectorStore.read(spark, srcPath, srcName), emptyLedger)
+    } else {
+      val pruneCap = math.min(upToBatchId, listed.map(_._1).max)
+      if (nextEpochComplete) {
+        val mark = StreamingDedup.readFoldmark(spark, nextPath)
+        val unFolded = listed.map(_._1).filter(_ > mark)
+        require(unFolded.isEmpty,
+          s"compactVectorStore: $nextPath already holds a complete epoch whose " +
+            s"foldmark ($mark) predates landed increments ${unFolded.mkString(",")} — " +
+            s"srcEpoch=$srcEpoch is stale (the live store is epoch ${srcEpoch + 1} " +
+            "or later); re-run with the current epoch index, or the fold would " +
+            "clobber the live epoch")
+        StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
+        (finishTurn(VectorStore.read(spark, nextPath, nextName)), emptyLedger)
+      } else {
+        val srcMark = StreamingDedup.readFoldmark(spark, srcPath)
+        val freshPaths = listed.collect { case (b, p) if b > srcMark => p }
+        if (freshPaths.isEmpty) {
+          StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
+          (finishTurn(VectorStore.read(spark, srcPath, srcName)), emptyLedger)
+        } else {
+          val inc = spark.read.parquet(freshPaths: _*)
+          if (inc.isEmpty) {
+            StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
+            (VectorStore.read(spark, srcPath, srcName), emptyLedger)
+          } else {
+            StreamingDedup.writeFoldmark(spark, nextPath, listed.map(_._1).max)
+            val (dst, victims) = VectorStore.ingestDedup(spark, srcPath, srcName,
+              inc, "id", "vec", nextPath, nextName,
+              threshold = threshold, searchK = searchK, nprobe = nprobe,
+              refine = refine)
+            StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
+            (finishTurn(dst), victims)
+          }
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorStore}
+import graft.streaming.StreamingVectorStore
+
+/** Top-level (not nested in the suite): MemoryStream needs a product
+  * encoder, and inner case classes capture the suite's outer pointer.
+  */
+final case class SvsVecEvent(doc_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
+
+/** The vector store's streaming lambda lifecycle: stream-vs-standing
+  * semantic hits (stateless stream-static), increment sink →
+  * compaction fold (threshold-dedup inside the turn), retention, and
+  * the crash-window behaviors shared with the signature compaction.
+  */
+class StreamingVectorStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+
+  /** 8 clusters × 25 members in 32 dims (the ingestDedup fixture
+    * recipe — at 32 dims spurious cosines stay ≈0.6, far from the
+    * 0.9 threshold).
+    */
+  private def corpus(seed: Int): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until 8).flatMap { c =>
+      val center = Array.fill(32)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }.toDF("vec_id", "embedding").repartition(5)
+  }
+
+  private def copiesOf(df: DataFrame, ids: Seq[Long], offset: Long): DataFrame =
+    df.where($"vec_id".isin(ids: _*))
+      .select(($"vec_id" + offset).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+          .as("embedding"))
+
+  private def freshRows(df: DataFrame, ids: Seq[Long], offset: Long): DataFrame =
+    df.where($"vec_id".isin(ids: _*))
+      .select(($"vec_id" + offset).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(pmod(hash($"vec_id" + offset, i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", lit(new java.sql.Timestamp(t0)).cast("timestamp"))
+
+  test("corpusSemanticHits: stream ≡ batch, planted copies flag their originals, fresh rows stay clean, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val df = corpus(53)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs-hits").toString
+    VectorStore.write(df, "vec_id", "embedding", dir, "svs_hits", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "svs_hits")
+    val incoming = withTs(
+      copiesOf(df, Seq(0L, 25L, 50L), 1000L)
+        .unionByName(freshRows(df, Seq(75L, 100L), 2000L)))
+    // default hammingMargin: the SRP-calibrated prefilter must keep
+    // a true 0.999 pair (hamming ~ 0) without any extra slack
+    def run(in: DataFrame) = StreamingVectorStore
+      .corpusSemanticHits(in, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, nprobe = 8)
+    val rows = incoming.collect().map(r =>
+      SvsVecEvent(r.getLong(0), r.getTimestamp(2), r.getSeq[Float](1)))
+    val in = MemoryStream[SvsVecEvent](spark)
+    val q = run(in.toDS().toDF().withColumnRenamed("doc_id", "vec_id"))
+      .writeStream.format("memory").queryName("svs_hits_q").outputMode("append").start()
+    val stream =
+      try {
+        in.addData(rows.toSeq)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.isEmpty,
+          "stream-static hits must be stateless")
+        spark.table("svs_hits_q")
+          .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    val batch = run(incoming)
+      .toDF().select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(stream == batch, s"stream ≡ batch: $stream vs $batch")
+    assert(Seq(1000L -> 0L, 1025L -> 25L, 1050L -> 50L).forall(batch.contains),
+      s"each copy must flag its original: $batch")
+    assert(!batch.exists(_._1 >= 2000L), s"fresh rows must not flag anything: $batch")
+  }
+
+  test("lifecycle: sink increments → compact folds with threshold-dedup → retention; re-run and stale turns behave") {
+    val df = corpus(59)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val root = java.nio.file.Files.createTempDirectory("graft-svs-life").toString
+    val incDir = s"$root/inc"
+    VectorStore.write(df, "vec_id", "embedding", s"$root/epoch0", "svsl_e0",
+      ivf, pq, numBuckets = 4)
+    // two committed microbatches: batch 0 = one near-dup + one fresh,
+    // batch 1 = two fresh (the sink is the exactly-once foreachBatch
+    // body — calling it directly IS what the engine does per batch)
+    val sink = StreamingVectorStore.vectorIncrementSink(incDir, "vec_id", "embedding")
+    sink(copiesOf(df, Seq(0L), 1000L).unionByName(freshRows(df, Seq(75L), 2000L)), 0L)
+    sink(freshRows(df, Seq(100L, 125L), 3000L), 1L)
+    assert(StreamingVectorStore.readVectorIncrements(spark, incDir).count() == 4L)
+    val (e1, victims) = StreamingVectorStore.compactVectorStore(
+      spark, root, "svsl", srcEpoch = 0, incDir = incDir,
+      threshold = 0.9, searchK = 4, nprobe = 8, refine = 8)
+    val vmap = victims.select($"id", $"dup_of").as[(Long, Long)].collect().toMap
+    assert(vmap == Map(1000L -> 0L), s"fold must drop the near-dup with a ledger: $vmap")
+    val ids = e1.vecs.select($"id").as[Long].collect().toSet
+    assert(Seq(2075L, 3100L, 3125L).forall(ids.contains) && !ids.contains(1000L),
+      s"epoch 1 holds corpus + fresh survivors: ${ids.size}")
+    assert(e1.vecs.count() == df.count() + 3)
+    // folded increments are pruned; a re-run of the SAME turn is the
+    // documented recovery no-op returning the live epoch-1 store
+    assert(StreamingVectorStore.readVectorIncrements(spark, incDir).isEmpty)
+    val (again, ledger2) = StreamingVectorStore.compactVectorStore(
+      spark, root, "svsl", srcEpoch = 0, incDir = incDir, threshold = 0.9)
+    assert(again.vecs.count() == e1.vecs.count() && ledger2.isEmpty,
+      "re-running the turn must return the live store without a copy epoch")
+    // a NEW increment landing while the caller still believes in
+    // epoch 0 → the stale-srcEpoch guard fires actionably
+    sink(freshRows(df, Seq(150L), 4000L), 2L)
+    val stale = intercept[IllegalArgumentException] {
+      StreamingVectorStore.compactVectorStore(
+        spark, root, "svsl", srcEpoch = 0, incDir = incDir, threshold = 0.9)
+    }
+    assert(stale.getMessage.contains("stale"), stale.getMessage)
+    // the advised re-run with the CURRENT epoch succeeds and retires
+    // epoch 0 (dir pruned at keepEpochs=1) plus its catalog entries
+    val (e2, _) = StreamingVectorStore.compactVectorStore(
+      spark, root, "svsl", srcEpoch = 1, incDir = incDir,
+      threshold = 0.9, keepEpochs = 1)
+    assert(e2.vecs.count() == df.count() + 4)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/epoch0")))
+    assert(!spark.catalog.tableExists("svsl_e0_coded") &&
+      !spark.catalog.tableExists("svsl_e0_vecs"),
+      "retired epoch's catalog registrations must drop")
+    assert(spark.catalog.tableExists("svsl_e2_coded"))
+  }
+}
