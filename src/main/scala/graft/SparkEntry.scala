@@ -2260,6 +2260,49 @@ object SparkEntry {
       .localCheckpoint(true)
   }
 
+  /** Store-served SemDeDup gate ([[graft.operators.Similarity
+    * .semanticDedupFromStore]] — q77's plant over a persisted store's
+    * OWN corpus): the training, input scans, and per-row assignment
+    * the from-floats operator pays are skipped (cells come from the
+    * coded table); the planted ε-ball contract must hold identically —
+    * each (original, copy) pair in one component with exactly one
+    * member kept.
+    */
+  private def q166SemdedupStorePlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x),
+        ).as("embedding"))
+    val corpus = emb.unionByName(copies)
+    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q166").toString
+    graft.operators.VectorStore
+      .write(corpus, "vec_id", "embedding", storeDir, "q166_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q166_vs")
+    val out = Similarity.semanticDedupFromStore(store, eps = 0.99)
+      .select(col("id"), col("component"), col("is_kept"))
+    val planted = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + lit(1000000L)).as("id_b"))
+    planted
+      .join(out.select(col("id").as("id_a"), col("component").as("__ca"),
+        col("is_kept").as("__ka")), "id_a")
+      .join(out.select(col("id").as("id_b"), col("component").as("__cb"),
+        col("is_kept").as("__kb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("__ca") === col("__cb")).as("same_component"),
+        (col("__ka") =!= col("__kb")).as("one_kept"))
+      .orderBy("id_a")
+      .localCheckpoint(true)
+  }
+
   private val q165Oracle =
     """SELECT vec_id + 1000000 AS id, true AS hit_original, false AS clean
       |FROM embeddings WHERE vec_id % 10 = 0
@@ -6018,6 +6061,7 @@ object SparkEntry {
     "q163_session_replay" -> (q163SessionReplay _),
     "q164_vecstore_ingest_dedup" -> (q164VecstoreIngestDedup _),
     "q165_store_semantic_hits" -> (q165StoreSemanticHits _),
+    "q166_semdedup_store_planted" -> (q166SemdedupStorePlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6173,5 +6217,6 @@ object SparkEntry {
     "q163_session_replay" -> q163Oracle,
     "q164_vecstore_ingest_dedup" -> q164Oracle,
     "q165_store_semantic_hits" -> q165Oracle,
+    "q166_semdedup_store_planted" -> q77Oracle, // same planted-pair truth
   )
 }

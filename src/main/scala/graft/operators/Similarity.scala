@@ -686,6 +686,28 @@ object Similarity {
         when(col("cell") === -1, lit(0.0))
           .otherwise(centSimUdf(col("vec"), col("cell"))))
       .persist()
+    val landed = semanticDedupTail(assigned, eps, maxClusterSize, materialize)
+    assigned.unpersist(blocking = false)
+    if (autoNlist) input.unpersist(blocking = false)
+    landed
+  }
+
+  /** The ε-ball/keep-rank tail EVERY SemDeDup face shares ([[Dedup
+    * .lineDedup]]'s one-kernel discipline): candidate pairs within a
+    * cell (skew-capped), exact-cosine verify at `eps`, connected
+    * components, keep the lowest-centroid-similarity member per
+    * component (SemDeDup's keep rule — the most "representative"
+    * outlier — tie-broken by id). `assigned` is (id, vec, cell,
+    * cent_sim), persisted by the caller (this tail scans it four
+    * times); cell −1 rows (degenerate embeddings) bypass pairing and
+    * survive as singletons.
+    */
+  private def semanticDedupTail(
+      assigned: DataFrame,
+      eps: Double,
+      maxClusterSize: Int,
+      materialize: graft.operators.Materialize,
+  ): DataFrame = {
     val (pairs, bucketHandle) =
       Dedup.bucketedCandidatePairs(
         assigned.where(col("cell") =!= -1)
@@ -721,9 +743,50 @@ object Similarity {
         coalesce(col("is_kept"), lit(true)).as("is_kept"),
       )
     val landed = graft.operators.Materialize(out, materialize)
-    assigned.unpersist(blocking = false)
     bucketHandle.unpersist(blocking = false)
-    if (autoNlist) input.unpersist(blocking = false)
+    landed
+  }
+
+  /** [[semanticDedup]] over a persisted
+    * [[VectorStore.CodedVectorStore]]'s OWN corpus — "dedup my
+    * standing store in place": the k-means training, the three
+    * auto-nlist input scans, and the per-row cell assignment that
+    * [[semanticDedup]] pays are ALL skipped — cells come from the
+    * store's `coded` table (assigned once at write), floats from
+    * `vecs`, centroids from the persisted model. The only new
+    * per-row work is one centroid cosine for the keep rank. Returns
+    * the same (id, cell, cent_sim, component, is_kept) frame; feed
+    * `is_kept = false` ids to a retention job, or write the kept
+    * subset as the next epoch.
+    *
+    * On an OPQ store everything (vecs, centroids) lives in rotated
+    * space — cosines are rotation-invariant, so `eps` means exactly
+    * what it means from floats.
+    *
+    * Scale note: the one exchange this face adds over the write-time
+    * layout is the coded⋈vecs id-join (index-sized rows hash to the
+    * vecs side's id bucketing); the ε-ball pair cost is the same
+    * cell-bounded, skew-capped machinery as [[semanticDedup]].
+    */
+  def semanticDedupFromStore(
+      store: VectorStore.CodedVectorStore,
+      eps: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
+  ): DataFrame = {
+    val spark = store.coded.sparkSession
+    val bc = spark.sparkContext.broadcast(store.ivf.centroids)
+    val centSimUdf = udf { (v: Seq[Float], c: Int) =>
+      val cs = bc.value
+      if (cs.isEmpty) 0.0 else -IvfModel.negCos(cs(c), v)
+    }
+    val assigned = store.coded
+      .select(col("id"), col("cell"))
+      .join(store.vecs.select(col("id"), col("vec")), "id")
+      .withColumn("cent_sim", centSimUdf(col("vec"), col("cell")))
+      .persist()
+    val landed = semanticDedupTail(assigned, eps, maxClusterSize, materialize)
+    assigned.unpersist(blocking = false)
     landed
   }
 

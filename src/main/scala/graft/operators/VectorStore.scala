@@ -225,23 +225,14 @@ object VectorStore {
   ): Unit = {
     import spark.implicits._
     validateNameAndPath(name, path, "write")
-    // the same collision guard as [[read]], on the write side: a name
-    // already registered at a DIFFERENT location means two stores are
-    // sharing a catalog name — overwriting would silently re-point
-    // every open reader of the old store at the new files. Same-path
-    // overwrite (rewriting a store in place) stays legal.
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    for (sub <- Seq("coded", "vecs"); table = s"${name}_$sub") {
-      registeredLocation(spark, table).foreach { registered =>
-        val expected = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        def norm(p: org.apache.hadoop.fs.Path): String =
-          Dedup.normalizeStoreLocation(p, hadoopConf)
-        require(norm(registered) == norm(expected),
-          s"VectorStore.write: table $table is already registered at ${norm(registered)}, " +
-            s"not ${norm(expected)} — use a distinct name per store path " +
-            "(epoch-suffixed names) or DROP TABLE the stale registration first")
-      }
-    }
+    // NOTE write is the store-CREATION verb and deliberately carries
+    // no location-collision guard (unlike [[read]]): re-writing a
+    // registered name at a new path re-points the registration — the
+    // standard Spark saveAsTable(Overwrite) semantics, the
+    // [[Dedup.writeSignatures]] symmetry, and what keeps a re-run of
+    // the same job idempotent. Open READERS of the old path are
+    // protected where it matters: a reopen through [[read]] fails
+    // actionably if the name no longer matches the path it expects.
     IndexStore.saveIvf(spark, ivf, s"$path/model")
     // saveOpq persists the rotation AND its codebooks (pq == opq.pq
     // for an OPQ store); the rotation dir's presence is what [[read]]

@@ -324,6 +324,59 @@ class VectorStoreSpec extends SparkTestBase {
       "OPQ-store ingest must drop the same near-dup copies")
   }
 
+  test("semanticDedupFromStore: planted ε-balls collapse to one kept member; plain and OPQ stores agree on the contract") {
+    val (df, _) = fixture(61)
+    // the planted ε-ball lives on an OUTLIER (a ±1 sign pattern far
+    // from every natural cluster — the fixture's own 0.1-noise
+    // cluster members sit ≈0.992 cosine apart, ABOVE eps 0.99, so a
+    // ball planted on a member would merge into its whole cluster's
+    // component and the keeper could be any member): outlier A with
+    // three near-identical copies = one 4-member component; outlier
+    // B untouched = a kept singleton
+    def pattern(seedId: Long) = df.limit(1)
+      .select(lit(seedId).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(pmod(hash(lit(seedId), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+    val outlierA = pattern(9000L)
+    val outlierB = pattern(9100L)
+    val copies = (1 to 3).map(j =>
+      outlierA.select(lit(9000L + j).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, (x + lit(0.001f * j)).cast("float")).otherwise(x))
+          .as("embedding")))
+      .reduce(_ unionByName _)
+    val corpus = df.unionByName(outlierA).unionByName(outlierB).unionByName(copies)
+    def contract(out: org.apache.spark.sql.DataFrame): Unit = {
+      val ball = out.where($"id".isin(9000L, 9001L, 9002L, 9003L))
+        .select($"id", $"component", $"is_kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(ball.map(_._2).distinct.length == 1,
+        s"planted copies must share one component: ${ball.toSeq}")
+      assert(ball.count(_._3) == 1,
+        s"exactly one ε-ball member is kept: ${ball.toSeq}")
+      val singleton = out.where($"id" === 9100L)
+        .select($"is_kept").head().getBoolean(0)
+      assert(singleton, "an untouched outlier survives as kept")
+      assert(out.count() == corpus.count(), "every corpus row gets a verdict")
+    }
+    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(corpus, "embedding", m = 4, ksub = 16, seed = 3L)
+    val d1 = tmp("semdedup")
+    VectorStore.write(corpus, "vec_id", "embedding", d1, "vs_sd", ivf, pq, numBuckets = 4)
+    contract(Similarity.semanticDedupFromStore(
+      VectorStore.read(spark, d1, "vs_sd"), eps = 0.99))
+    // the OPQ store's rotated space changes nothing: cosines are
+    // rotation-invariant, so the ε-ball contract holds unchanged
+    val (ivfO, opqO) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val d2 = tmp("semdedup-opq")
+    VectorStore.writeOpq(corpus, "vec_id", "embedding", d2, "vs_sd_opq", ivfO, opqO,
+      numBuckets = 4)
+    contract(Similarity.semanticDedupFromStore(
+      VectorStore.read(spark, d2, "vs_sd_opq"), eps = 0.99))
+  }
+
   test("guards: Lazy rejected, same-name merge rejected, write collision, identifier/path validation") {
     val (df, _) = fixture(41)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
@@ -345,13 +398,23 @@ class VectorStoreSpec extends SparkTestBase {
         "vec_id", "embedding", tmp("guards2"), "vs_guards")
     }
     assert(nameErr.getMessage.contains("dstName"))
-    // overwriting a registered name from a DIFFERENT path must fail
-    // instead of silently re-pointing the registration
-    val collideErr = intercept[IllegalArgumentException] {
-      VectorStore.write(df, "vec_id", "embedding", tmp("elsewhere"), "vs_guards",
-        ivf, pq, numBuckets = 4)
+    // write is the store-CREATION verb: re-writing a registered name
+    // at a NEW path re-points the registration (saveAsTable Overwrite
+    // semantics, the writeSignatures symmetry — this is what keeps a
+    // re-run of the same gate/job idempotent in one session), and the
+    // reopened store serves the new path's rows
+    val elsewhere = tmp("elsewhere")
+    VectorStore.write(df.where($"vec_id" < 50L), "vec_id", "embedding", elsewhere,
+      "vs_guards", ivf, pq, numBuckets = 4)
+    val repointed = VectorStore.read(spark, elsewhere, "vs_guards")
+    assert(repointed.vecs.count() == 50L,
+      "re-created store must serve the new path's rows")
+    // ...while reopening the name against the OLD path now fails
+    // actionably instead of silently serving stale rows
+    val staleErr = intercept[IllegalArgumentException] {
+      VectorStore.read(spark, dg, "vs_guards")
     }
-    assert(collideErr.getMessage.contains("already registered"))
+    assert(staleErr.getMessage.contains("already registered"))
     // DDL-injection surface: non-identifier names and quoted paths are
     // rejected up front with the store's message
     val idErr = intercept[IllegalArgumentException] {
