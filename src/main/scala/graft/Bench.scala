@@ -41,9 +41,20 @@ object Bench {
       * queries 5-17× vs isolated runs (BENCH_r02: q29 48 s vs 2.7 s
       * isolated). Each query is an independent job; clear between them.
       */
-    def runOnce(fn: (SparkSession, String) => DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a FAILED run must never enter the best-of-2 min: it aborts
+      // early, so its wall time reads as an impossibly FAST run and
+      // silently replaces the honest number (observed in round 16: a
+      // guard regression made store gates throw on their second
+      // in-session run, and best-of-2 recorded the fast failure)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] query run FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // checkpointed outputs (the no-CacheManager-leak convention)
@@ -53,13 +64,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc() // lets ContextCleaner reap unreferenced broadcasts
-      dt
+      (dt, ok)
+    }
+
+    /** Best-of-N over SUCCESSFUL runs only; if every run failed the
+      * query records -1.0 — visible in the JSON instead of a bogus
+      * fast number.
+      */
+    def bestOf(n: Int, fn: (SparkSession, String) => DataFrame): Double = {
+      val runs = (1 to n).map(_ => runOnce(fn))
+      val good = runs.collect { case (dt, true) => dt }
+      if (good.isEmpty) -1.0 else good.min
     }
 
     // best-of-2 per query: the second run measures steady-state (JIT'd
     // codegen, cached file listings) rather than first-touch noise
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, (1 to 2).map(_ => runOnce(fn)).min)
+      (name, fn, bestOf(2, fn))
     }
 
     // Session-noise guard (BENCH_r07: q16 recorded 7.59 s in-session vs
@@ -110,8 +131,9 @@ object Bench {
         case Some(why) =>
           System.err.println(f"[bench] $name: $t%.2f s > $why — re-measuring fresh")
           remeasured += name
-          val fresh = (1 to 2).map(_ => runOnce(fn)).min
-          name -> math.min(t, fresh)
+          val fresh = bestOf(2, fn)
+          // -1 (all-failed) never wins the min over a real measurement
+          name -> (if (t < 0) fresh else if (fresh < 0) t else math.min(t, fresh))
         case None => name -> t
       }
     }

@@ -433,6 +433,31 @@ object VectorStore {
     (grown, victims)
   }
 
+  /** Operational skew diagnostics for a standing store — ONE row of
+    * cell-population shape: total rows, trained cell count, cells
+    * actually used, empties, min/avg/max population and the hottest
+    * cell's id. The numbers to watch at scale: `max_cell_rows` bounds
+    * every probe join's worst task (a probed query scans whole cells),
+    * and a large `empty_cells` count means the centroids were trained
+    * on a sample that no longer matches the corpus — retrain and
+    * rewrite at the next epoch rather than re-pointing nprobe at a
+    * skewed geometry. One aggregation over the coded table's (cell)
+    * column; the floats are never read.
+    */
+  def stats(store: CodedVectorStore): DataFrame = {
+    val per = store.coded.groupBy("cell").agg(count(lit(1)).as("n"))
+    val nlist = store.ivf.centroids.length
+    per.agg(
+      sum(col("n")).as("n_rows"),
+      lit(nlist).as("nlist"),
+      count(lit(1)).as("cells_used"),
+      (lit(nlist) - count(lit(1))).as("empty_cells"),
+      min(col("n")).as("min_cell_rows"),
+      (sum(col("n")) / count(lit(1))).as("avg_cell_rows"),
+      max(col("n")).as("max_cell_rows"),
+      max_by(col("cell"), struct(col("n"), col("cell") * -1)).as("max_cell_id"))
+  }
+
   /** Retention for [[merge]] / [[ingestDedup]] destination directories
     * — the exact [[Dedup.pruneSignatureEpochs]] contract applied to
     * vector-store epochs: under `rootDir`, epochs live as

@@ -377,6 +377,26 @@ class VectorStoreSpec extends SparkTestBase {
       VectorStore.read(spark, d2, "vs_sd_opq"), eps = 0.99))
   }
 
+  test("stats: one row of cell-population shape, consistent with the coded table") {
+    val (df, _) = fixture(67)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("stats")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_stats", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_stats")
+    val r = VectorStore.stats(store).head()
+    val per = store.coded.groupBy($"cell").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r.getAs[Long]("n_rows") == 200L)
+    assert(r.getAs[Int]("nlist") == 8)
+    assert(r.getAs[Long]("cells_used") == per.size.toLong)
+    assert(r.getAs[Long]("empty_cells") == 8L - per.size)
+    assert(r.getAs[Long]("min_cell_rows") == per.values.min)
+    assert(r.getAs[Long]("max_cell_rows") == per.values.max)
+    val hottest = r.getAs[Int]("max_cell_id")
+    assert(per(hottest) == per.values.max, s"hottest=$hottest per=$per")
+  }
+
   test("guards: Lazy rejected, same-name merge rejected, write collision, identifier/path validation") {
     val (df, _) = fixture(41)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
