@@ -2303,6 +2303,63 @@ object SparkEntry {
       .localCheckpoint(true)
   }
 
+  /** TEXT→VECTOR-STORE end-to-end gate ([[graft.operators.TextAnalysis
+    * .hashEmbed]] → [[graft.operators.VectorStore.ingestDedup]]): the
+    * model-free bridge run as one composition — the q122 role corpus
+    * becomes bigram-hashed embeddings (every bigram carries an
+    * id-unique item token, so distinct docs sit near cosine 0 while a
+    * copy with four appended tokens sits at √(53/57) ≈ 0.96), epoch 0
+    * is the coded store, and the increment's near-copy TEXTS must
+    * drop while fresh token-soup texts survive — the whole
+    * tokenize→hash→encode→search→threshold→merge chain against the
+    * closed-form kept-flag oracle.
+    */
+  private def q167HashEmbedIngest(s: SparkSession, dir: String): DataFrame = {
+    val texts = load(s, dir, "documents")
+      .select(col("doc_id"), q122Content(col("doc_id"), 27).as("text"))
+    val emb = graft.operators.TextAnalysis
+      .hashEmbed(texts, "text", dim = 256, ngrams = 2)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val root = tempFixtureDir("graft_vecstore_q167").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q167_vs_e0", ivf, pq)
+    val tenth = texts.where(col("doc_id") % 10 === 0)
+    val copies = tenth.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text"), lit(" zz extra trailing marker")).as("text"))
+    val fresh = tenth.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      array_join(
+        transform(sequence(lit(0), lit(29)),
+          k => concat(lit("u"), col("doc_id").cast("string"), lit("x"),
+            k.cast("string"))),
+        " ").as("text"))
+    val increment = graft.operators.TextAnalysis
+      .hashEmbed(copies.unionByName(fresh), "text", dim = 256, ngrams = 2)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val (grown, _) = graft.operators.VectorStore.ingestDedup(s,
+      s"$root/epoch0", "q167_vs_e0", increment, "vec_id", "embedding",
+      s"$root/epoch1", "q167_vs_e1", threshold = 0.8, searchK = 4,
+      nprobe = 8, refine = 8)
+    increment.select(col("vec_id").as("id"))
+      .join(grown.vecs.select(col("id"), lit(true).as("kept")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q167Oracle =
+    """SELECT doc_id + 1000000 AS id, false AS kept
+      |FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000 AS id, true AS kept
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY id""".stripMargin
+
   private val q165Oracle =
     """SELECT vec_id + 1000000 AS id, true AS hit_original, false AS clean
       |FROM embeddings WHERE vec_id % 10 = 0
@@ -6062,6 +6119,7 @@ object SparkEntry {
     "q164_vecstore_ingest_dedup" -> (q164VecstoreIngestDedup _),
     "q165_store_semantic_hits" -> (q165StoreSemanticHits _),
     "q166_semdedup_store_planted" -> (q166SemdedupStorePlanted _),
+    "q167_hash_embed_ingest" -> (q167HashEmbedIngest _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6218,5 +6276,6 @@ object SparkEntry {
     "q164_vecstore_ingest_dedup" -> q164Oracle,
     "q165_store_semantic_hits" -> q165Oracle,
     "q166_semdedup_store_planted" -> q77Oracle, // same planted-pair truth
+    "q167_hash_embed_ingest" -> q167Oracle,
   )
 }

@@ -1040,6 +1040,79 @@ object TextAnalysis {
     fields.foldLeft(flagged)((d, f) => d.withColumn(f, col(s"__ue.$f"))).drop("__ue")
   }
 
+  /** Feature-hashed text embedding kernel (the hashing trick with
+    * sign hashing — Weinberger et al., ICML'09): each word n-gram of
+    * order exactly `ngrams` hashes to a dimension
+    * (`mix64(fnv64(gram) ^ seed)`, high bits mod `dim`) and a ±1 sign
+    * (low bit), occurrence counts accumulate signed, and the vector
+    * L2-normalizes. Deterministic, model-free, and the estimator is
+    * unbiased for the n-gram-count inner product — so the cosine of
+    * two hashed embeddings tracks the n-gram overlap of the texts.
+    * Null/empty/sub-n-token texts (and the measure-zero all-cancelled
+    * accumulation) return null — the degenerate-vector convention
+    * every ANN face's nonDegenerate guard drops.
+    */
+  private[graft] def hashEmbedKernel(
+      text: String, dim: Int, ngrams: Int, seed: Long): Array[Float] = {
+    if (text == null) return null
+    val toks = graft.textutil.TextHash.tokenize(text)
+    if (toks.length < ngrams) return null
+    val acc = new Array[Double](dim)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + ngrams <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < ngrams) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = graft.textutil.TextHash.mix64(
+        graft.textutil.TextHash.fnv64(sb.toString) ^ seed)
+      val idx = (((h >>> 1) % dim).toInt + dim) % dim
+      acc(idx) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+      i += 1
+    }
+    var norm2 = 0.0
+    var k = 0
+    while (k < dim) { norm2 += acc(k) * acc(k); k += 1 }
+    if (norm2 == 0.0) return null
+    val inv = 1.0 / math.sqrt(norm2)
+    val out = new Array[Float](dim)
+    k = 0
+    while (k < dim) { out(k) = (acc(k) * inv).toFloat; k += 1 }
+    out
+  }
+
+  /** Add a deterministic, model-free `outCol` embedding per document
+    * via [[hashEmbedKernel]] — the bridge from the TEXT pipeline to
+    * the vector machinery ([[Similarity]], [[VectorStore]]) when no
+    * learned encoder is in the loop: near-duplicate texts land at
+    * cosine ≈ their n-gram overlap, so semantic-dedup/ANN recipes run
+    * end-to-end on text alone (q167 gates exactly that composition).
+    * `ngrams = 2` (default) makes cross-document similarity track
+    * SHARED PHRASES rather than shared vocabulary — unigram hashing
+    * scores two unrelated documents of similar word stock high.
+    * Pure per-row map, scan-bound; `dim` floats per row downstream.
+    */
+  def hashEmbed(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "embedding",
+      dim: Int = 256,
+      ngrams: Int = 2,
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(dim > 0, s"hashEmbed: dim must be positive, got $dim")
+    require(ngrams >= 1, s"hashEmbed: ngrams must be >= 1, got $ngrams")
+    val u = udf { (t: String) =>
+      val v = hashEmbedKernel(t, dim, ngrams, seed)
+      if (v == null) null else v.toSeq
+    }
+    df.withColumn(outCol, u(col(textCol)))
+  }
+
   final case class TextSignals(
       n_words_rd: Long,
       n_sentences_rd: Long,

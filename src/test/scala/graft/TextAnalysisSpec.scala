@@ -1014,4 +1014,58 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.withTextSignals(docs, "text", deflateLevel = 10)
     }
   }
+
+  test("hashEmbed: deterministic unit vectors, overlap tracks cosine, degenerate rows null, kernel ≡ face") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def base(id: Int) = (0 until 27)
+      .map(k => Seq("the", "and", "that", "this", "have")(k % 5) + s" item${id}x$k")
+      .mkString(" ")
+    val k1 = TextAnalysis.hashEmbedKernel(base(1), 256, 2, 42L)
+    // unit norm + determinism
+    assert(math.abs(cos(k1, k1) - 1.0) < 1e-5)
+    assert(k1.toSeq == TextAnalysis.hashEmbedKernel(base(1), 256, 2, 42L).toSeq)
+    // a near-copy (four appended tokens) keeps ~53/57 of its bigrams
+    val copy = TextAnalysis.hashEmbedKernel(base(1) + " zz extra trailing marker", 256, 2, 42L)
+    assert(cos(k1, copy) > 0.85, s"copy cosine ${cos(k1, copy)}")
+    // distinct docs share NO bigram (every bigram carries an id-unique
+    // item token) — cosine is hash-collision noise only
+    val k2 = TextAnalysis.hashEmbedKernel(base(2), 256, 2, 42L)
+    assert(math.abs(cos(k1, k2)) < 0.4, s"disjoint cosine ${cos(k1, k2)}")
+    // a different seed is a different hash family
+    assert(TextAnalysis.hashEmbedKernel(base(1), 256, 2, 43L).toSeq != k1.toSeq)
+    // degenerate rows: null / empty / sub-n-token texts yield null
+    assert(TextAnalysis.hashEmbedKernel(null, 256, 2, 42L) == null)
+    assert(TextAnalysis.hashEmbedKernel("", 256, 2, 42L) == null)
+    assert(TextAnalysis.hashEmbedKernel("single", 256, 2, 42L) == null)
+    assert(TextAnalysis.hashEmbedKernel("single", 256, 1, 42L) != null,
+      "one token IS a unigram")
+    // the DataFrame face runs the same kernel and lands nulls as nulls
+    val df = Seq((1L, base(1)), (2L, base(2)), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextAnalysis.hashEmbed(df, "text", dim = 256, ngrams = 2)
+      .orderBy("id").select($"embedding").collect()
+    assert(out(0).getSeq[Float](0).toSeq == k1.toSeq)
+    assert(out(1).getSeq[Float](0).toSeq == k2.toSeq)
+    assert(out(2).isNullAt(0))
+    intercept[IllegalArgumentException] { TextAnalysis.hashEmbed(df, "text", dim = 0) }
+    intercept[IllegalArgumentException] { TextAnalysis.hashEmbed(df, "text", ngrams = 0) }
+    // end-to-end: hashed embeddings drive the ANN machinery — the
+    // copy is its original's nearest neighbor
+    val corpus = TextAnalysis.hashEmbed(
+      (1 to 20).map(i => (i.toLong, base(i))).toDF("id", "text") ,
+      "text", dim = 256, ngrams = 2)
+      .select($"id".as("vec_id"), $"embedding")
+    val queries = TextAnalysis.hashEmbed(
+      Seq((100L, base(7) + " zz extra trailing marker")).toDF("id", "text"),
+      "text", dim = 256, ngrams = 2)
+      .select($"id".as("vec_id"), $"embedding")
+    val top = graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 1)
+      .select($"neighbor_id").head().getLong(0)
+    assert(top == 7L, s"nearest neighbor of the near-copy must be its original, got $top")
+  }
 }
