@@ -2315,17 +2315,25 @@ object SparkEntry {
     * closed-form kept-flag oracle.
     */
   private def q167HashEmbedIngest(s: SparkSession, dir: String): DataFrame = {
+    // gate-scale economy: half the corpus (every planted %10 id is
+    // even, so the oracle is untouched) and dim 128 — the full-width
+    // margins are spec'd; the gate pins the COMPOSITION
     val texts = load(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), q122Content(col("doc_id"), 27).as("text"))
     val emb = graft.operators.TextAnalysis
-      .hashEmbed(texts, "text", dim = 256, ngrams = 2)
+      .hashEmbed(texts, "text", dim = 128, ngrams = 2)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
     val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
     val root = tempFixtureDir("graft_vecstore_q167").toString
+    // numBuckets sized to the gate corpus (2.5k rows) — the default 64
+    // is a cluster-scale setting whose file spray dominates a toy
+    // write; bucket-count-scales-with-data is itself the scale lesson
     graft.operators.VectorStore
-      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q167_vs_e0", ivf, pq)
+      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q167_vs_e0", ivf, pq,
+        numBuckets = 8)
     val tenth = texts.where(col("doc_id") % 10 === 0)
     val copies = tenth.select(
       (col("doc_id") + lit(1000000L)).as("doc_id"),
@@ -2338,7 +2346,7 @@ object SparkEntry {
             k.cast("string"))),
         " ").as("text"))
     val increment = graft.operators.TextAnalysis
-      .hashEmbed(copies.unionByName(fresh), "text", dim = 256, ngrams = 2)
+      .hashEmbed(copies.unionByName(fresh), "text", dim = 128, ngrams = 2)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val (grown, _) = graft.operators.VectorStore.ingestDedup(s,

@@ -217,6 +217,46 @@ object Probe {
       return
     }
 
+    if (names.contains("q167_stages")) {
+      // stage breakdown of the q167 gate shape — which lifecycle leg
+      // dominates a text→store→ingest gate at sf0.1
+      val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(26)),
+            k => concat(lit("the item"), col("doc_id").cast("string"), lit("x"),
+              k.cast("string")))).as("text"))
+      (1 to 2).foreach { round =>
+        val emb = timed(s"round $round: hashEmbed + checkpoint") {
+          graft.operators.TextAnalysis.hashEmbed(texts, "text", dim = 128, ngrams = 2)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .localCheckpoint(true)
+        }
+        val ivf = timed(s"round $round: trainIvf") {
+          graft.operators.Similarity.trainIvf(emb, "embedding", nlist = 16)
+        }
+        val pq = timed(s"round $round: trainPq") {
+          graft.operators.Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+        }
+        val root = java.nio.file.Files.createTempDirectory(s"probe-q167-$round").toString
+        timed(s"round $round: store write") {
+          graft.operators.VectorStore.write(emb, "vec_id", "embedding",
+            s"$root/epoch0", s"p167_${round}_e0", ivf, pq, numBuckets = 8)
+        }
+        val inc = emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        timed(s"round $round: ingestDedup") {
+          graft.operators.VectorStore.ingestDedup(spark, s"$root/epoch0",
+            s"p167_${round}_e0", inc, "vec_id", "embedding",
+            s"$root/epoch1", s"p167_${round}_e1", threshold = 0.8,
+            searchK = 4, nprobe = 8, refine = 8)
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("para_scale")) {
       // the optional webIngest paragraph stage at 1x and 10x docs —
       // the claim is "one line-dedup-sized pass, nothing superlinear"

@@ -89,6 +89,45 @@ class StreamingVectorStoreSpec extends SparkTestBase {
     assert(!batch.exists(_._1 >= 2000L), s"fresh rows must not flag anything: $batch")
   }
 
+  test("text → hashEmbed → corpusSemanticHits composes in one stateless streaming query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    // standing corpus: 20 hashed docs; stream: a near-copy of doc 7
+    // and a fresh token-soup doc — the LIVE text-dedup front door
+    def base(id: Int) = (0 until 27)
+      .map(k => Seq("the", "and", "that", "this", "have")(k % 5) + s" item${id}x$k")
+      .mkString(" ")
+    val texts = (1 to 20).map(i => (i.toLong, base(i))).toDF("doc_id", "text")
+    val emb = TextAnalysis.hashEmbed(texts, "text", dim = 256, ngrams = 2)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 4, seed = 3L)
+    val pq = Similarity.trainPq(emb, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs-text").toString
+    VectorStore.write(emb, "vec_id", "embedding", dir, "svs_text", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "svs_text")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val streamDocs = in.toDS().toDF("doc_id", "ts", "text")
+    val q = StreamingVectorStore
+      .corpusSemanticHits(
+        TextAnalysis.hashEmbed(streamDocs, "text", dim = 256, ngrams = 2),
+        "doc_id", "ts", "embedding", store, threshold = 0.8, nprobe = 4)
+      .writeStream.format("memory").queryName("svs_text_q").outputMode("append").start()
+    try {
+      in.addData(
+        (107L, new java.sql.Timestamp(t0), base(7) + " zz extra trailing marker"),
+        (200L, new java.sql.Timestamp(t0),
+          (0 until 30).map(k => s"u200x$k").mkString(" ")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "hashEmbed + semantic hits must stay stateless in-stream")
+      val hits = spark.table("svs_text_q")
+        .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+      assert(hits.contains(107L -> 7L),
+        s"the near-copy TEXT must flag its standing original: $hits")
+      assert(!hits.exists(_._1 == 200L), s"fresh text must not flag anything: $hits")
+    } finally q.stop()
+  }
+
   test("lifecycle: sink increments → compact folds with threshold-dedup → retention; re-run and stale turns behave") {
     val df = corpus(59)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
