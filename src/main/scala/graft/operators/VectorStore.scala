@@ -414,7 +414,16 @@ object VectorStore {
       "ingestDedup: Materialize.Lazy would re-execute the increment plan per " +
         "consumer (search, anti-join, merge) — pass LocalCheckpoint or ParquetDir")
     val src = read(spark, srcPath, srcName)
-    val landed = Materialize(newVecs.select(col(idCol), col(vecCol)), materialize)
+    // TWO landings happen in this verb (the increment here, the encode
+    // projection inside [[merge]]) — under ParquetDir they must write
+    // DISTINCT directories, or merge's landing would overwrite the
+    // files the survivors frame is still reading
+    val (landMode, mergeMode) = materialize match {
+      case Materialize.ParquetDir(p) =>
+        (Materialize.ParquetDir(s"$p/increment"), Materialize.ParquetDir(s"$p/encoded"))
+      case m => (m, m)
+    }
+    val landed = Materialize(newVecs.select(col(idCol), col(vecCol)), landMode)
     val hits =
       if (src.opq.nonEmpty)
         Similarity.ivfOpqTopKFromStore(src, landed, idCol, vecCol, searchK, nprobe, refine)
@@ -429,7 +438,7 @@ object VectorStore {
     val survivors = landed.join(
       victims.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     val grown = merge(spark, srcPath, srcName, survivors, idCol, vecCol,
-      dstPath, dstName, materialize)
+      dstPath, dstName, mergeMode)
     (grown, victims)
   }
 

@@ -96,7 +96,16 @@ object StreamingVectorStore {
     import spark.implicits._
     val sc = spark.sparkContext
     val bcIvf = sc.broadcast(store.ivf.centroids)
-    val probeUdf = udf((v: Seq[Float]) => Similarity.probeCells(bcIvf.value, v, nprobe))
+    // named width check in the ONE per-row UDF this path runs: on the
+    // plain-store path nothing else validates the query width (the OPQ
+    // path's rotate does), and a narrower vector would otherwise
+    // silently probe/hamming over a truncated prefix
+    val dim = store.pq.m * store.pq.dsub
+    val probeUdf = udf { (v: Seq[Float]) =>
+      require(v.length >= dim,
+        s"corpusSemanticHits: vector width ${v.length} < store dim $dim")
+      Similarity.probeCells(bcIvf.value, v, nprobe)
+    }
     val side = store.opq
       .map(o => Similarity.rotateColumn(docs, vecCol, o))
       .getOrElse(docs)
@@ -195,8 +204,12 @@ object StreamingVectorStore {
     * the merge's id-disjointness check. With no landed increments the
     * turn is a no-op returning the live store (no copy epoch).
     *
-    * Returns (store every subsequent search/ingest should use,
-    * victim ledger of THIS turn's fold — empty when nothing folded).
+    * `materialize` threads to the fold's landings (pass
+    * [[graft.operators.Materialize.ParquetDir]] on preemptible
+    * executors — ingestDedup derives distinct subdirectories for its
+    * two landings). Returns (store every subsequent search/ingest
+    * should use, victim ledger of THIS turn's fold — empty when
+    * nothing folded).
     */
   def compactVectorStore(
       spark: SparkSession,
@@ -210,6 +223,7 @@ object StreamingVectorStore {
       refine: Int = 4,
       keepEpochs: Int = 2,
       upToBatchId: Long = Long.MaxValue,
+      materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
   ): (VectorStore.CodedVectorStore, DataFrame) = {
     import spark.implicits._
     val srcPath = s"$epochRoot/epoch$srcEpoch"
@@ -277,7 +291,7 @@ object StreamingVectorStore {
             val (dst, victims) = VectorStore.ingestDedup(spark, srcPath, srcName,
               inc, "id", "vec", nextPath, nextName,
               threshold = threshold, searchK = searchK, nprobe = nprobe,
-              refine = refine)
+              refine = refine, materialize = materialize)
             StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
             (finishTurn(dst), victims)
           }

@@ -295,6 +295,17 @@ class VectorStoreSpec extends SparkTestBase {
     assert(Seq(1000L, 1025L, 1050L).forall(id => !grownIds.contains(id)),
       "near-dup copies must not reach the epoch-1 store")
     assert(grown.vecs.count() == df.count() + 3)
+    // ParquetDir mode: the verb's TWO landings (increment + merge's
+    // encode projection) must use distinct directories — a shared one
+    // would be overwritten while the survivors frame still reads it;
+    // the durable-landing run must reproduce the default run exactly
+    val (grownP, victimsP) = VectorStore.ingestDedup(spark, s"$root/epoch0", "vsing_e0",
+      copies.unionByName(fresh), "vec_id", "embedding", s"$root/epoch1p", "vsing_e1p",
+      threshold = 0.9, searchK = 4, nprobe = 8, refine = 8,
+      materialize = graft.operators.Materialize.ParquetDir(tmp("ingest-land")))
+    assert(victimsP.select($"id").as[Long].collect().toSet == vrows.keySet &&
+      grownP.vecs.count() == grown.vecs.count(),
+      "ParquetDir landing must reproduce the LocalCheckpoint run")
     // a grown store serves searches like any other (parity contract)
     val q = df.where($"vec_id" % 50 === 0)
     assert(rows(Similarity.ivfPqTopKFromStore(grown, q, "vec_id", "embedding",
