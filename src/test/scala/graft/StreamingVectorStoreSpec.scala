@@ -87,6 +87,34 @@ class StreamingVectorStoreSpec extends SparkTestBase {
     assert(Seq(1000L -> 0L, 1025L -> 25L, 1050L -> 50L).forall(batch.contains),
       s"each copy must flag its original: $batch")
     assert(!batch.exists(_._1 >= 2000L), s"fresh rows must not flag anything: $batch")
+    // the OPQ branch rotates the query side into the store's space:
+    // same flags against an OPQ-coded store of the same corpus
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = java.nio.file.Files.createTempDirectory("graft-svs-hits-opq").toString
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "svs_hits_opq", ivfO, opqO,
+      numBuckets = 4)
+    val storeO = VectorStore.read(spark, dirO, "svs_hits_opq")
+    val batchO = StreamingVectorStore
+      .corpusSemanticHits(incoming, "vec_id", "ts", "embedding", storeO,
+        threshold = 0.9, nprobe = 8)
+      .toDF().select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(Seq(1000L -> 0L, 1025L -> 25L, 1050L -> 50L).forall(batchO.contains),
+      s"OPQ store: each copy must flag its original: $batchO")
+    assert(!batchO.exists(_._1 >= 2000L),
+      s"OPQ store: fresh rows must not flag anything: $batchO")
+    // narrower-than-store queries fail with the NAMED width error,
+    // not a silent truncated probe (plain-store path)
+    val narrow = spark.createDataFrame(Seq(
+      (9999L, new java.sql.Timestamp(t0), Seq(1.0f, 2.0f))))
+      .toDF("vec_id", "ts", "embedding")
+    val err = intercept[org.apache.spark.SparkException] {
+      StreamingVectorStore.corpusSemanticHits(narrow, "vec_id", "ts", "embedding",
+        store, threshold = 0.9).count()
+    }
+    assert(err.getMessage.contains("vector width") ||
+      Option(err.getCause).exists(_.getMessage.contains("vector width")),
+      s"expected the named width error: ${err.getMessage}")
   }
 
   test("text → hashEmbed → corpusSemanticHits composes in one stateless streaming query") {
