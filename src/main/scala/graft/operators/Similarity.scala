@@ -378,15 +378,67 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
     val ps = if (poolSize <= 0) 4 * k else poolSize
     require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
-    val spark = corpus.sparkSession
+    val pool = bruteForceTopK(corpus, queries, idCol, vecCol, ps)
+    mmrGreedyTail(
+      pool.join(
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__nvec")),
+        "neighbor_id"),
+      k, lambda)
+  }
+
+  /** [[mmrTopK]] with the relevance-pool pass served from a persisted
+    * [[VectorStore.CodedVectorStore]] — the "swap in IVF upstream at
+    * corpus scale" sentence of [[mmrTopK]]'s contract made a face:
+    * the pool comes from [[ivfPqTopKFromStore]] (or the OPQ twin on a
+    * rotated store — relevances and pairwise cosines are
+    * rotation-invariant, so the greedy is untouched), pool members'
+    * vectors fetch through the id-bucketed `vecs` scan, and the SAME
+    * greedy tail re-ranks — the corpus is never re-encoded, scanned,
+    * or broadcast. Pool recall < 1 is the ANN trade (`nprobe`/
+    * `refine`); the diversification itself is exact over the pool.
+    */
+  def mmrTopKFromStore(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int = 0,
+      lambda: Double = 0.5,
+      nprobe: Int = 4,
+      refine: Int = 4,
+  ): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
+    val ps = if (poolSize <= 0) 4 * k else poolSize
+    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    val pool =
+      if (store.opq.nonEmpty)
+        ivfOpqTopKFromStore(store, queries, idCol, vecCol, ps, nprobe, refine)
+      else
+        ivfPqTopKFromStore(store, queries, idCol, vecCol, ps, nprobe, refine)
+    mmrGreedyTail(
+      pool.join(
+        store.vecs.select(col("id").as("neighbor_id"), col("vec").as("__nvec")),
+        "neighbor_id"),
+      k, lambda)
+  }
+
+  /** The per-query greedy MMR re-rank shared by [[mmrTopK]] and
+    * [[mmrTopKFromStore]] (one tail, so the selection rule cannot
+    * drift between the faces): input is the pool joined with its
+    * members' vectors — (query_id, neighbor_id, cosine, __nvec).
+    */
+  private def mmrGreedyTail(
+      poolWithVecs: DataFrame,
+      k: Int,
+      lambda: Double,
+  ): DataFrame = {
+    val spark = poolWithVecs.sparkSession
     import spark.implicits._
     val lam = lambda
     val kk = k
-    val pool = bruteForceTopK(corpus, queries, idCol, vecCol, ps)
-    pool
-      .join(
-        corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__nvec")),
-        "neighbor_id")
+    poolWithVecs
       .select(
         col("query_id").cast("long"),
         col("neighbor_id"),

@@ -388,6 +388,45 @@ class VectorStoreSpec extends SparkTestBase {
       VectorStore.read(spark, d2, "vs_sd_opq"), eps = 0.99))
   }
 
+  test("mmrTopKFromStore: exhaustive pool equals the from-floats MMR; OPQ store preserves the selection") {
+    val (df, queries) = fixture(71)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("mmr")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_mmr", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_mmr")
+    // nprobe = nlist and refine·poolSize ≥ corpus make the store pool
+    // EXACT (provably equal to brute force) — the greedy then sees the
+    // identical pool and must reproduce the from-floats selection
+    // row-for-row, scores included
+    def sel(out: org.apache.spark.sql.DataFrame) = out
+      .select($"query_id", $"neighbor_id", $"mmr_rank", $"relevance", $"mmr_score")
+      .orderBy("query_id", "mmr_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val fromFloats = Similarity
+      .mmrTopK(df, queries, "vec_id", "embedding", k = 4, poolSize = 12, lambda = 0.5)
+    val fromStore = Similarity
+      .mmrTopKFromStore(store, queries, "vec_id", "embedding", k = 4, poolSize = 12,
+        lambda = 0.5, nprobe = 8, refine = 17)
+    assert(sel(fromStore) == sel(fromFloats),
+      "store-served MMR with an exact pool must equal the from-floats face")
+    // OPQ store: relevances and pairwise cosines are rotation-invariant
+    // up to float error — the SELECTION (ids + ranks) must match
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("mmr-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_mmr_opq", ivfO, opqO,
+      numBuckets = 4)
+    val storeO = VectorStore.read(spark, dirO, "vs_mmr_opq")
+    val fromStoreO = Similarity
+      .mmrTopKFromStore(storeO, queries, "vec_id", "embedding", k = 4, poolSize = 12,
+        lambda = 0.5, nprobe = 8, refine = 17)
+    assert(sel(fromStoreO).map(t => (t._1, t._2, t._3)) ==
+      sel(fromFloats).map(t => (t._1, t._2, t._3)),
+      "OPQ-store MMR must select the same ids in the same order")
+  }
+
   test("stats: one row of cell-population shape, consistent with the coded table") {
     val (df, _) = fixture(67)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
