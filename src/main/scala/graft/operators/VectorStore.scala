@@ -44,6 +44,21 @@ import graft.operators.Similarity.{IvfModel, OpqModel, PqModel}
   * — and the union is rewritten to a fresh epoch directory. Cost is
   * one narrow parquet-to-parquet pass over index rows plus the float
   * copy; text/embedding recomputation never happens.
+  *
+  * The lifecycle around the core write/read/merge trio:
+  *   - [[writeOpq]] — the OPQ recipe (rotation persisted, every
+  *     artifact in rotated space; [[read]] dispatches on it);
+  *   - [[ingestDedup]] — the composed epoch verb: search-dedup the
+  *     increment against the standing corpus, merge survivors,
+  *     return the victim ledger;
+  *   - [[pruneEpochs]] — keep-latest-N retention of epoch dirs AND
+  *     their catalog registrations;
+  *   - [[stats]] — cell-population skew diagnostics;
+  *   - [[graft.streaming.StreamingVectorStore]] — the streaming half
+  *     (live semantic hits, increment sink, compaction turn).
+  * Store-served search faces live in [[Similarity]]
+  * (`*FromStore`: ivfPq, ivfHamming, flat pq, opq, ivfOpq, MMR,
+  * semanticDedup).
   */
 object VectorStore {
 
