@@ -1043,9 +1043,9 @@ object TextAnalysis {
   /** Feature-hashed text embedding kernel (the hashing trick with
     * sign hashing — Weinberger et al., ICML'09): each word n-gram of
     * order exactly `ngrams` hashes to a dimension
-    * (`mix64(fnv64(gram) ^ seed)`, high bits mod `dim`) and a ±1 sign
-    * (low bit), occurrence counts accumulate signed, and the vector
-    * L2-normalizes. Deterministic, model-free, and the estimator is
+    * (`mix64(fnv64(gram) ^ seed)`, bits 1..63 mod `dim`) and a ±1
+    * sign (bit 0), occurrence counts accumulate signed, and the
+    * vector L2-normalizes. Deterministic, model-free, and the estimator is
     * unbiased for the n-gram-count inner product — so the cosine of
     * two hashed embeddings tracks the n-gram overlap of the texts.
     * Null/empty/sub-n-token texts (and the measure-zero all-cancelled
@@ -1070,7 +1070,7 @@ object TextAnalysis {
       }
       val h = graft.textutil.TextHash.mix64(
         graft.textutil.TextHash.fnv64(sb.toString) ^ seed)
-      val idx = (((h >>> 1) % dim).toInt + dim) % dim
+      val idx = ((h >>> 1) % dim).toInt // h >>> 1 is non-negative
       acc(idx) += (if ((h & 1L) == 0L) 1.0 else -1.0)
       i += 1
     }

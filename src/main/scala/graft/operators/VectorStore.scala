@@ -171,7 +171,7 @@ object VectorStore {
     writeFrames(corpus.sparkSession,
       landed.select("cell", "id", "code", "hcode"),
       landed.select("id", "vec"),
-      ivf, pq, path, name, numBuckets, opq = None)
+      ivf, pq, path, name, numBuckets, opq = None, face = "write")
   }
 
   /** [[write]] for the OPQ recipe (Ge et al.'s rotated product
@@ -208,7 +208,7 @@ object VectorStore {
     writeFrames(corpus.sparkSession,
       landed.select("cell", "id", "code", "hcode"),
       landed.select("id", "vec"),
-      ivf, opq.pq, path, name, numBuckets, opq = Some(opq))
+      ivf, opq.pq, path, name, numBuckets, opq = Some(opq), face = "writeOpq")
   }
 
   /** The shared persist tail of [[write]] and [[merge]] — takes
@@ -237,9 +237,13 @@ object VectorStore {
       name: String,
       numBuckets: Int,
       opq: Option[OpqModel],
+      face: String,
   ): Unit = {
     import spark.implicits._
-    validateNameAndPath(name, path, "write")
+    // validate under the CALLER's face name, so an invalid dstName /
+    // dstPath reaching this tail through merge or ingestDedup names
+    // the operator the user actually invoked, not "write"
+    validateNameAndPath(name, path, face)
     // NOTE write is the store-CREATION verb and deliberately carries
     // no location-collision guard (unlike [[read]]): re-writing a
     // registered name at a new path re-points the registration — the
@@ -379,7 +383,7 @@ object VectorStore {
     writeFrames(spark,
       src.coded.unionByName(landed.select("cell", "id", "code", "hcode")),
       src.vecs.unionByName(landed.select("id", "vec")),
-      src.ivf, src.pq, dstPath, dstName, src.numBuckets, src.opq)
+      src.ivf, src.pq, dstPath, dstName, src.numBuckets, src.opq, face = "merge")
     read(spark, dstPath, dstName)
   }
 
@@ -425,6 +429,9 @@ object VectorStore {
   ): (CodedVectorStore, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"ingestDedup: threshold must be in (0, 1], got $threshold")
+    // validate the destination up front under THIS face's name — the
+    // same strings would otherwise only fail inside merge's write tail
+    validateNameAndPath(dstName, dstPath, "ingestDedup")
     require(materialize != Materialize.Lazy,
       "ingestDedup: Materialize.Lazy would re-execute the increment plan per " +
         "consumer (search, anti-join, merge) — pass LocalCheckpoint or ParquetDir")

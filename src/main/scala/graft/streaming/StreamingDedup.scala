@@ -461,9 +461,15 @@ object StreamingDedup {
     // either this turn is a crash-recovery re-run or the caller's
     // srcEpoch is stale; both cases are distinguished below, and
     // neither may be answered with the srcEpoch store (resurrecting
-    // it would let tomorrow's fold clobber the live epoch)
+    // it would let tomorrow's fold clobber the live epoch).
+    // Completeness is the meta JOB COMMIT (`meta/_SUCCESS`), not the
+    // directory: Spark creates the output dir at job setup, so a crash
+    // DURING the meta write leaves an empty meta dir that a bare
+    // existence test would trust — pruning the increments and wedging
+    // the next turn on the empty read. Same marker the increment
+    // listing gates on.
     def nextEpochComplete: Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta")
+      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta/_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     // the retirement steps every turn ends with: prune epoch dirs
@@ -545,9 +551,13 @@ object StreamingDedup {
             // fresh epochs exist but hold zero rows (batches with no
             // survivors): nothing to fold — drop the empties, keep
             // the store as-is (a copy epoch would double storage for
-            // nothing)
+            // nothing). The turn still COMPLETES, so retirement runs
+            // exactly as on the freshPaths.isEmpty no-op (symmetric
+            // no-op branches; a crash-stranded old epoch dir or
+            // catalog pair heals here instead of waiting for the next
+            // non-empty fold)
             pruneSignatureIncrements(spark, incDir, pruneCap)
-            graft.operators.Dedup.readSignatures(spark, srcPath, srcName)
+            finishTurn(graft.operators.Dedup.readSignatures(spark, srcPath, srcName))
           } else {
             // foldmark FIRST, then the fold: a crash in between
             // leaves an incomplete epoch whose foldmark the re-run

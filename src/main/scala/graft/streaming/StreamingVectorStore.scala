@@ -98,12 +98,16 @@ object StreamingVectorStore {
     val bcIvf = sc.broadcast(store.ivf.centroids)
     // named width check in the ONE per-row UDF this path runs: on the
     // plain-store path nothing else validates the query width (the OPQ
-    // path's rotate does), and a narrower vector would otherwise
-    // silently probe/hamming over a truncated prefix
+    // path's rotate does). EXACT equality, not >=: a narrower vector
+    // would silently probe/hamming over a truncated prefix, and a
+    // WIDER one is just as wrong — hammingDist truncates to the
+    // store's code words while `bits` is taken from the query's own
+    // length (loosening the SRP cut), and the exact vecCosine verify
+    // truncates too — so both mismatches fail with the named error
     val dim = store.pq.m * store.pq.dsub
     val probeUdf = udf { (v: Seq[Float]) =>
-      require(v.length >= dim,
-        s"corpusSemanticHits: vector width ${v.length} < store dim $dim")
+      require(v.length == dim,
+        s"corpusSemanticHits: vector width ${v.length} != store dim $dim")
       Similarity.probeCells(bcIvf.value, v, nprobe)
     }
     val side = store.opq
@@ -232,8 +236,14 @@ object StreamingVectorStore {
     val nextName = s"${baseName}_e${srcEpoch + 1}"
     def emptyLedger: DataFrame =
       Seq.empty[(Long, Long, Double)].toDF("id", "dup_of", "cosine")
+    // completeness is the meta JOB COMMIT (`meta/_SUCCESS`), not the
+    // meta directory: Spark creates the output dir at job setup, so a
+    // crash DURING the meta write leaves an empty meta dir — a bare
+    // existence test would then treat the epoch as complete, prune the
+    // increments, and wedge the next turn on reading the empty meta.
+    // Same marker the increment listing gates on.
     def nextEpochComplete: Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta")
+      val p = new org.apache.hadoop.fs.Path(s"$nextPath/meta/_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     // retirement: epoch dirs capped at the epoch just written, then
@@ -284,8 +294,14 @@ object StreamingVectorStore {
         } else {
           val inc = spark.read.parquet(freshPaths: _*)
           if (inc.isEmpty) {
+            // fresh-but-empty increments (batches with no survivors):
+            // nothing to fold, no copy epoch — but the turn still
+            // COMPLETES, so retirement runs exactly as on the
+            // freshPaths.isEmpty no-op (symmetric no-op branches; a
+            // crash-stranded old epoch dir or catalog pair heals here
+            // instead of waiting for the next non-empty fold)
             StreamingDedup.pruneSignatureIncrements(spark, incDir, pruneCap)
-            (VectorStore.read(spark, srcPath, srcName), emptyLedger)
+            (finishTurn(VectorStore.read(spark, srcPath, srcName)), emptyLedger)
           } else {
             StreamingDedup.writeFoldmark(spark, nextPath, listed.map(_._1).max)
             val (dst, victims) = VectorStore.ingestDedup(spark, srcPath, srcName,

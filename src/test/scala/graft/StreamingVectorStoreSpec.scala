@@ -115,6 +115,21 @@ class StreamingVectorStoreSpec extends SparkTestBase {
     assert(err.getMessage.contains("vector width") ||
       Option(err.getCause).exists(_.getMessage.contains("vector width")),
       s"expected the named width error: ${err.getMessage}")
+    // ... and so do WIDER-than-store queries: hammingDist would
+    // truncate to the store's code words while `bits` came from the
+    // query's own length (loosening the SRP cut), and the exact
+    // cosine verify would truncate too — silently wrong, so the same
+    // named error must fire
+    val wide = spark.createDataFrame(Seq(
+      (9998L, new java.sql.Timestamp(t0), Seq.fill(40)(1.0f))))
+      .toDF("vec_id", "ts", "embedding")
+    val errW = intercept[org.apache.spark.SparkException] {
+      StreamingVectorStore.corpusSemanticHits(wide, "vec_id", "ts", "embedding",
+        store, threshold = 0.9).count()
+    }
+    assert(errW.getMessage.contains("vector width") ||
+      Option(errW.getCause).exists(_.getMessage.contains("vector width")),
+      s"expected the named width error for an over-wide query: ${errW.getMessage}")
   }
 
   test("text → hashEmbed → corpusSemanticHits composes in one stateless streaming query") {
@@ -206,5 +221,47 @@ class StreamingVectorStoreSpec extends SparkTestBase {
       !spark.catalog.tableExists("svsl_e0_vecs"),
       "retired epoch's catalog registrations must drop")
     assert(spark.catalog.tableExists("svsl_e2_coded"))
+  }
+
+  test("crash windows: an empty meta dir is NOT a complete epoch; zero-row increments still run retirement") {
+    val df = corpus(61)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val root = java.nio.file.Files.createTempDirectory("graft-svs-crash").toString
+    val incDir = s"$root/inc"
+    VectorStore.write(df, "vec_id", "embedding", s"$root/epoch0", "svsc_e0",
+      ivf, pq, numBuckets = 4)
+    val sink = StreamingVectorStore.vectorIncrementSink(incDir, "vec_id", "embedding")
+    sink(freshRows(df, Seq(75L), 2000L), 0L)
+    // simulate a turn that crashed DURING the next epoch's meta write:
+    // Spark creates the output directory at job setup, so the dir
+    // exists but holds no committed files — completeness is gated on
+    // meta/_SUCCESS, so this turn must treat epoch 1 as INCOMPLETE and
+    // run a normal fold (a bare-existence gate would instead prune the
+    // increments and wedge the next read on the empty meta)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/epoch1/meta"))
+    val (e1, _) = StreamingVectorStore.compactVectorStore(
+      spark, root, "svsc", srcEpoch = 0, incDir = incDir, threshold = 0.9)
+    assert(e1.vecs.count() == df.count() + 1,
+      "the fold must run despite the crash-stranded empty meta dir")
+    // zero-row increment turn (a batch with no survivors): no fold, no
+    // copy epoch — but the turn COMPLETES, so retirement runs exactly
+    // as on the other no-op branches (symmetric no-op turns): at
+    // keepEpochs=1 the now-stale epoch 0 dir AND its catalog pair
+    // retire on THIS turn, not on the next non-empty fold
+    sink(df.where(lit(false)).select($"vec_id", $"embedding"), 1L)
+    val (still, ledger) = StreamingVectorStore.compactVectorStore(
+      spark, root, "svsc", srcEpoch = 1, incDir = incDir,
+      threshold = 0.9, keepEpochs = 1)
+    assert(still.vecs.count() == e1.vecs.count() && ledger.isEmpty,
+      "zero-row increments fold nothing and write no copy epoch")
+    assert(StreamingVectorStore.readVectorIncrements(spark, incDir).isEmpty,
+      "the empty increment must still prune")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/epoch0")),
+      "retirement must run on the zero-row no-op turn")
+    assert(!spark.catalog.tableExists("svsc_e0_coded") &&
+      !spark.catalog.tableExists("svsc_e0_vecs"),
+      "catalog retirement must run on the zero-row no-op turn")
   }
 }
