@@ -2368,6 +2368,79 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY id""".stripMargin
 
+  /** Store-served FLAT-ADC planted recall — q73's gate through the
+    * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
+    * codes come from the store's coded table with CELLS IGNORED (the
+    * flat scan path, machinery q157's IVF-pruned gate does not touch),
+    * re-rank floats from the id-bucketed `vecs`; no per-job encode.
+    * Same planted truth, identical closed-form oracle.
+    */
+  private def q168PqStoreFlatPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q168").toString
+        graft.operators.VectorStore
+          .write(corpus, "vec_id", "embedding", storeDir, "q168_vs", ivf, pq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q168_vs")
+        Similarity.pqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+          refine = 4)
+      })
+
+  /** Store-served FLAT-OPQ planted recall — q85's gate through an
+    * OPQ-coded store ([[graft.operators.Similarity.opqTopKFromStore]]):
+    * only the QUERY side rotates (the store's codes and floats are
+    * already in rotated space); the flat ADC + exact-re-rank tail runs
+    * with cells ignored. Completes the store-served matrix's flat rows
+    * driver-visibly (q161 gates the IVF-pruned OPQ row).
+    */
+  private def q169OpqStoreFlatPlanted(s: SparkSession, dir: String): DataFrame =
+    annPlantedGate(
+      load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      (corpus, queries) => {
+        val (ivf, opq) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 16,
+          m = 8, ksub = 16)
+        val storeDir = tempFixtureDir("graft_vecstore_q169").toString
+        graft.operators.VectorStore
+          .writeOpq(corpus, "vec_id", "embedding", storeDir, "q169_vs", ivf, opq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "q169_vs")
+        Similarity.opqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+          refine = 4)
+      })
+
+  /** Store-served MMR gate — q140's block-diagonal selection truth
+    * with the relevance pool served from the persisted store
+    * ([[graft.operators.Similarity.mmrTopKFromStore]]): the pool pass
+    * is the store's IVF-PQ search instead of the brute-force scan,
+    * pool vectors fetch through the id-bucketed `vecs` table, and the
+    * SAME greedy tail must produce the identical (A1, B) selection per
+    * query. The plant's corpus is ≤150 rows at every scale (capped
+    * groups), so `refine = 64` makes the ADC shortlist cover the
+    * corpus — pool ≡ exact top-3 by the flat-face contract — and any
+    * store-path drift (write, reopen, pool seam, vec fetch) hash-fails
+    * the identical closed-form oracle rather than hiding behind ANN
+    * recall slack.
+    */
+  private def q170MmrStorePlanted(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = q140Plant(s, dir)
+    // m=4: the block-diagonal dim is 4·groups — always divisible by 4,
+    // but only by 8 when the group count is even (it varies with sf)
+    val ivf = Similarity.trainIvf(corpus, "vec", nlist = 16)
+    val pq = Similarity.trainPq(corpus, "vec", m = 4, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q170").toString
+    graft.operators.VectorStore
+      .write(corpus, "id", "vec", storeDir, "q170_vs", ivf, pq, numBuckets = 4)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q170_vs")
+    Similarity
+      .mmrTopKFromStore(store, queries, "id", "vec", k = 2, poolSize = 3,
+        lambda = 0.5, nprobe = 16, refine = 64)
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"))
+      .orderBy("query_id", "mmr_rank")
+      .localCheckpoint(true)
+  }
+
   private val q165Oracle =
     """SELECT vec_id + 1000000 AS id, true AS hit_original, false AS clean
       |FROM embeddings WHERE vec_id % 10 = 0
@@ -5362,7 +5435,11 @@ object SparkEntry {
     * top-2 (A1, A2) gets wrong. Margins are ~0.03, far above float
     * noise.
     */
-  private def q140MmrPlanted(s: SparkSession, dir: String): DataFrame = {
+  /** The q140 block-diagonal MMR plant — (corpus, queries) — shared
+    * with the store-served face's gate (q170), so both run against
+    * the identical closed-form selection truth.
+    */
+  private def q140Plant(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // the plant is capped at 50 query groups (ids < 5000) so the
     // block-diagonal dimension stays ≤ 200 at EVERY scale — without
     // the cap dim grows with the corpus and the gate's own fixture
@@ -5391,7 +5468,11 @@ object SparkEntry {
       .select(col("id"), vecOf(Seq((g * 4, 0.949), (g * 4 + 1, 0.315))).as("vec"))
     val b = docs.where(col("id") % 100 === 3)
       .select(col("id"), vecOf(Seq((g * 4, 0.5), (g * 4 + 2, 0.866))).as("vec"))
-    val corpus = a1.unionByName(a2).unionByName(b)
+    (a1.unionByName(a2).unionByName(b), queries)
+  }
+
+  private def q140MmrPlanted(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = q140Plant(s, dir)
     graft.operators.Similarity
       .mmrTopK(corpus, queries, "id", "vec", k = 2, poolSize = 3, lambda = 0.5)
       .select(col("query_id"), col("mmr_rank"), col("neighbor_id"))
@@ -6128,6 +6209,9 @@ object SparkEntry {
     "q165_store_semantic_hits" -> (q165StoreSemanticHits _),
     "q166_semdedup_store_planted" -> (q166SemdedupStorePlanted _),
     "q167_hash_embed_ingest" -> (q167HashEmbedIngest _),
+    "q168_pqstore_flat_planted" -> (q168PqStoreFlatPlanted _),
+    "q169_opqstore_flat_planted" -> (q169OpqStoreFlatPlanted _),
+    "q170_mmrstore_planted" -> (q170MmrStorePlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6285,5 +6369,8 @@ object SparkEntry {
     "q165_store_semantic_hits" -> q165Oracle,
     "q166_semdedup_store_planted" -> q77Oracle, // same planted-pair truth
     "q167_hash_embed_ingest" -> q167Oracle,
+    "q168_pqstore_flat_planted" -> annPlantedOracle,
+    "q169_opqstore_flat_planted" -> annPlantedOracle,
+    "q170_mmrstore_planted" -> q140Oracle, // same selection truth, store-served pool
   )
 }
