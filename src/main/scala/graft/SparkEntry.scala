@@ -2368,6 +2368,97 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY id""".stripMargin
 
+  /** Closed-form gate for the FULL streaming vector-store lifecycle
+    * ([[graft.streaming.StreamingVectorStore.vectorIncrementSink]] →
+    * [[graft.streaming.StreamingVectorStore.compactVectorStore]] —
+    * the embedding twin of q144's signature lifecycle): epoch-0 store
+    * over half the embeddings corpus → increment batch 0 (perturbed
+    * near-copies of `% 10 = 0` originals must FOLD AWAY, deterministic
+    * ±1 sign-pattern rows must survive) → compaction turn 1 folds into
+    * epoch 1 and retires epoch 0 (keepEpochs = 1) → increment batch 1
+    * against the FOLDED store (near-copies of `% 10 = 4` originals
+    * drop, fresh sign rows keep) → turn 2 folds into epoch 2 → a
+    * THIRD increment lands and a deliberately stale `srcEpoch = 1`
+    * turn must fail on the named stale-epoch guard instead of
+    * clobbering the live epoch. Every verdict is read back from the
+    * FINAL reopened store's vecs table, plus two protocol sentinels:
+    * id −1 = the stale require fired, id −2 = exactly {epoch2}
+    * remains on disk after retention — so a fold, prune, retirement,
+    * or crash-protocol regression anywhere in the lifecycle
+    * hash-fails the closed-form oracle.
+    */
+  private def q171VecstoreStreamLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // half the corpus (both planted roles are even ids, so the oracle
+    // is untouched) — the lifecycle, not the corpus size, is under test
+    val emb = load(s, dir, "embeddings")
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val root = tempFixtureDir("graft_vecstore_q171").toString
+    val incDir = tempFixtureDir("graft_vecstore_q171_inc").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q171_vs_e0", ivf, pq,
+        numBuckets = 8)
+    def copiesOf(role: Int, offset: Long): DataFrame = emb
+      .where(col("vec_id") % 10 === role)
+      .select((col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+          .as("embedding"))
+    def freshOf(role: Int, offset: Long): DataFrame = emb
+      .where(col("vec_id") % 10 === role)
+      .select((col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(pmod(hash(col("vec_id") + lit(offset), i), lit(2)) === 0,
+            lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+    val sink = graft.streaming.StreamingVectorStore
+      .vectorIncrementSink(incDir, "vec_id", "embedding")
+    val inc1 = copiesOf(0, 1000000L).unionByName(freshOf(0, 2000000L))
+    sink(inc1, 0L)
+    graft.streaming.StreamingVectorStore.compactVectorStore(
+      s, root, "q171_vs", srcEpoch = 0, incDir = incDir,
+      threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
+    val inc2 = copiesOf(4, 3000000L).unionByName(freshOf(4, 4000000L))
+    sink(inc2, 1L)
+    val (store2, _) = graft.streaming.StreamingVectorStore.compactVectorStore(
+      s, root, "q171_vs", srcEpoch = 1, incDir = incDir,
+      threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
+    sink(freshOf(0, 5000000L).limit(2), 2L)
+    val staleFired =
+      try {
+        graft.streaming.StreamingVectorStore.compactVectorStore(
+          s, root, "q171_vs", srcEpoch = 1, incDir = incDir,
+          threshold = 0.9, keepEpochs = 1)
+        false
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("stale")
+      }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val epochsLeft = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("epoch")).toSet
+    val sentinels = Seq(
+      (-1L, staleFired),
+      (-2L, epochsLeft == Set("epoch2"))).toDF("id", "kept")
+    inc1.unionByName(inc2).select(col("vec_id").as("id"))
+      .join(store2.vecs.select(col("id"), lit(true).as("kept")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .unionByName(sentinels)
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q171Oracle =
+    """SELECT CAST(-1 AS BIGINT) AS id, true AS kept
+      |UNION ALL SELECT -2, true
+      |UNION ALL SELECT vec_id + 1000000, false FROM embeddings WHERE vec_id % 10 = 0
+      |UNION ALL SELECT vec_id + 2000000, true FROM embeddings WHERE vec_id % 10 = 0
+      |UNION ALL SELECT vec_id + 3000000, false FROM embeddings WHERE vec_id % 10 = 4
+      |UNION ALL SELECT vec_id + 4000000, true FROM embeddings WHERE vec_id % 10 = 4
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6212,6 +6303,7 @@ object SparkEntry {
     "q168_pqstore_flat_planted" -> (q168PqStoreFlatPlanted _),
     "q169_opqstore_flat_planted" -> (q169OpqStoreFlatPlanted _),
     "q170_mmrstore_planted" -> (q170MmrStorePlanted _),
+    "q171_vecstore_stream_lifecycle" -> (q171VecstoreStreamLifecycle _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6372,5 +6464,6 @@ object SparkEntry {
     "q168_pqstore_flat_planted" -> annPlantedOracle,
     "q169_opqstore_flat_planted" -> annPlantedOracle,
     "q170_mmrstore_planted" -> q140Oracle, // same selection truth, store-served pool
+    "q171_vecstore_stream_lifecycle" -> q171Oracle,
   )
 }
