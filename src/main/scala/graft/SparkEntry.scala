@@ -2459,6 +2459,71 @@ object SparkEntry {
       |UNION ALL SELECT vec_id + 4000000, true FROM embeddings WHERE vec_id % 10 = 4
       |ORDER BY id""".stripMargin
 
+  /** Weighted-vs-unweighted hashEmbed gate ([[graft.operators
+    * .TextAnalysis.hashEmbedIdf]] — hashed-space IDF): the
+    * shared-boilerplate plant where UNWEIGHTED gram hashing
+    * demonstrably mis-ranks and IDF weighting recovers. Every
+    * `% 10 = 0` doc spawns three planted texts over a 100-token
+    * corpus-universal boilerplate: A = bp + uniqueTail(a), B = bp +
+    * uniqueTail(b), C = bp + uniqueTail(a) + one extra token. The
+    * boilerplate dominates the bigram counts, so unweighted
+    * cosine(A, B) ≈ 99/111 ≈ 0.89 — two documents sharing ONLY
+    * boilerplate read as near-dups (`unweighted_misranks`, the
+    * driver-visible demonstration that the plant distinguishes the
+    * faces). Under IDF the boilerplate buckets carry df = N → weight
+    * exactly 0, so cosine(A, B) collapses to hash-collision noise ≈ 0
+    * (`weighted_separates`) while the true near-dup pair (A, C) keeps
+    * cosine ≈ 0.95 (`weighted_keeps_dup`). All three flags are
+    * closed-form true per planted id; thresholds at 0.7 sit ≥ 0.19
+    * from every population.
+    */
+  private def q172HashEmbedIdf(s: SparkSession, dir: String): DataFrame = {
+    val bp = (0 until 100).map(k => s"common$k").mkString(" ")
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def tail(prefix: String): Column = array_join(
+      transform(sequence(lit(0), lit(11)),
+        k => concat(lit(prefix), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val docs = ids
+      .select(col("id"), lit("a").as("role"),
+        concat(lit(bp), lit(" "), tail("a")).as("text"))
+      .unionByName(ids.select(col("id"), lit("b").as("role"),
+        concat(lit(bp), lit(" "), tail("b")).as("text")))
+      .unionByName(ids.select(col("id"), lit("c").as("role"),
+        concat(lit(bp), lit(" "), tail("a"), lit(" zz")).as("text")))
+    // dim 512: ~100 boilerplate-occupied buckets leave every tail gram
+    // an ~0.8 survival rate — P(a doc's whole tail dies to collisions)
+    // is ~3e-9, so the flags are deterministic in practice
+    val uw = graft.operators.TextAnalysis
+      .hashEmbed(docs, "text", dim = 512, ngrams = 2)
+    val w = graft.operators.TextAnalysis
+      .hashEmbedIdf(docs, "text", dim = 512, ngrams = 2)
+    def byRole(df: DataFrame, role: String, name: String): DataFrame = df
+      .where(col("role") === role)
+      .select(col("id"), col("embedding").as(name))
+    val cos = graft.functions.VectorExpressions.vecCosine _
+    ids
+      .join(byRole(uw, "a", "ua"), "id").join(byRole(uw, "b", "ub"), "id")
+      .join(byRole(w, "a", "wa"), "id").join(byRole(w, "b", "wb"), "id")
+      .join(byRole(w, "c", "wc"), "id")
+      .select(col("id"),
+        coalesce(cos(col("ua"), col("ub")) >= 0.7, lit(false))
+          .as("unweighted_misranks"),
+        coalesce(cos(col("wa"), col("wb")) < 0.7, lit(false))
+          .as("weighted_separates"),
+        coalesce(cos(col("wa"), col("wc")) >= 0.7, lit(false))
+          .as("weighted_keeps_dup"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q172Oracle =
+    """SELECT doc_id AS id, true AS unweighted_misranks,
+      |  true AS weighted_separates, true AS weighted_keeps_dup
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6304,6 +6369,7 @@ object SparkEntry {
     "q169_opqstore_flat_planted" -> (q169OpqStoreFlatPlanted _),
     "q170_mmrstore_planted" -> (q170MmrStorePlanted _),
     "q171_vecstore_stream_lifecycle" -> (q171VecstoreStreamLifecycle _),
+    "q172_hash_embed_idf" -> (q172HashEmbedIdf _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6465,5 +6531,6 @@ object SparkEntry {
     "q169_opqstore_flat_planted" -> annPlantedOracle,
     "q170_mmrstore_planted" -> q140Oracle, // same selection truth, store-served pool
     "q171_vecstore_stream_lifecycle" -> q171Oracle,
+    "q172_hash_embed_idf" -> q172Oracle,
   )
 }

@@ -1042,44 +1042,72 @@ object TextAnalysis {
 
   /** Feature-hashed text embedding kernel (the hashing trick with
     * sign hashing — Weinberger et al., ICML'09): each word n-gram of
-    * order exactly `ngrams` hashes to a dimension
-    * (`mix64(fnv64(gram) ^ seed)`, bits 1..63 mod `dim`) and a ±1
-    * sign (bit 0), occurrence counts accumulate signed, and the
-    * vector L2-normalizes. Deterministic, model-free, and the estimator is
-    * unbiased for the n-gram-count inner product — so the cosine of
-    * two hashed embeddings tracks the n-gram overlap of the texts.
+    * order `ngramsMin..ngrams` (default: exactly `ngrams`) hashes to
+    * a dimension (`mix64(fnv64(gram) ^ seed)`, bits 1..63 mod `dim`)
+    * and a ±1 sign (bit 0), occurrence counts accumulate signed —
+    * damped to `1 + ln(tf)` per distinct gram when `sublinearTf` (the
+    * classic sublinear-TF retrieval weighting, so a 50×-repeated
+    * boilerplate phrase counts ~5×, not 50×) — and the vector
+    * L2-normalizes (`normalize = false` returns the RAW signed
+    * accumulation, the [[hashEmbedIdf]] face's pre-weighting input).
+    * Deterministic, model-free, and the estimator is unbiased for the
+    * (damped) n-gram-count inner product — so the cosine of two
+    * hashed embeddings tracks the n-gram overlap of the texts.
     * Null/empty/sub-n-token texts (and the measure-zero all-cancelled
     * accumulation) return null — the degenerate-vector convention
     * every ANN face's nonDegenerate guard drops.
     */
   private[graft] def hashEmbedKernel(
-      text: String, dim: Int, ngrams: Int, seed: Long): Array[Float] = {
+      text: String,
+      dim: Int,
+      ngrams: Int,
+      seed: Long,
+      ngramsMin: Int = 0,
+      sublinearTf: Boolean = false,
+      normalize: Boolean = true): Array[Float] = {
     if (text == null) return null
+    val lo = if (ngramsMin <= 0) ngrams else ngramsMin
     val toks = graft.textutil.TextHash.tokenize(text)
-    if (toks.length < ngrams) return null
+    if (toks.length < lo) return null
     val acc = new Array[Double](dim)
+    // the sublinear damp needs per-gram counts BEFORE folding into the
+    // (much smaller) dim array, so that path buckets by the full
+    // 64-bit gram hash first; the linear path accumulates directly.
+    // LongMap iteration order is a pure function of the insertion
+    // sequence, so the fold stays deterministic per text.
+    val tf = if (sublinearTf) new scala.collection.mutable.LongMap[Int]() else null
     val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i + ngrams <= toks.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < ngrams) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
+    var n = lo
+    while (n <= ngrams) {
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val h = graft.textutil.TextHash.mix64(
+          graft.textutil.TextHash.fnv64(sb.toString) ^ seed)
+        if (sublinearTf) tf(h) = tf.getOrElse(h, 0) + 1
+        else { // h >>> 1 is non-negative
+          acc(((h >>> 1) % dim).toInt) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+        }
+        i += 1
       }
-      val h = graft.textutil.TextHash.mix64(
-        graft.textutil.TextHash.fnv64(sb.toString) ^ seed)
-      val idx = ((h >>> 1) % dim).toInt // h >>> 1 is non-negative
-      acc(idx) += (if ((h & 1L) == 0L) 1.0 else -1.0)
-      i += 1
+      n += 1
+    }
+    if (sublinearTf) tf.foreach { case (h, c) =>
+      val w = 1.0 + math.log(c.toDouble)
+      acc(((h >>> 1) % dim).toInt) += (if ((h & 1L) == 0L) w else -w)
     }
     var norm2 = 0.0
     var k = 0
     while (k < dim) { norm2 += acc(k) * acc(k); k += 1 }
     if (norm2 == 0.0) return null
-    val inv = 1.0 / math.sqrt(norm2)
     val out = new Array[Float](dim)
+    val inv = if (normalize) 1.0 / math.sqrt(norm2) else 1.0
     k = 0
     while (k < dim) { out(k) = (acc(k) * inv).toFloat; k += 1 }
     out
@@ -1093,8 +1121,15 @@ object TextAnalysis {
     * end-to-end on text alone (q167 gates exactly that composition).
     * `ngrams = 2` (default) makes cross-document similarity track
     * SHARED PHRASES rather than shared vocabulary — unigram hashing
-    * scores two unrelated documents of similar word stock high.
+    * scores two unrelated documents of similar word stock high; set
+    * `ngramsMin < ngrams` to MIX orders (e.g. 1..2 blends vocabulary
+    * and phrase overlap — the classic retrieval recipe when texts are
+    * too short for pure bigrams to overlap at all). `sublinearTf`
+    * damps each distinct gram to `1 + ln(tf)` so a repeated phrase
+    * cannot dominate the vector by count alone.
     * Pure per-row map, scan-bound; `dim` floats per row downstream.
+    * Corpus-level term weighting (the other classic upgrade) is the
+    * two-pass [[hashEmbedIdf]] face.
     */
   def hashEmbed(
       df: DataFrame,
@@ -1103,14 +1138,117 @@ object TextAnalysis {
       dim: Int = 256,
       ngrams: Int = 2,
       seed: Long = 42L,
+      ngramsMin: Int = 0,
+      sublinearTf: Boolean = false,
   ): DataFrame = {
     require(dim > 0, s"hashEmbed: dim must be positive, got $dim")
     require(ngrams >= 1, s"hashEmbed: ngrams must be >= 1, got $ngrams")
+    require(ngramsMin <= ngrams,
+      s"hashEmbed: ngramsMin must be <= ngrams, got $ngramsMin > $ngrams")
     val u = udf { (t: String) =>
-      val v = hashEmbedKernel(t, dim, ngrams, seed)
+      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf)
       if (v == null) null else v.toSeq
     }
     df.withColumn(outCol, u(col(textCol)))
+  }
+
+  /** [[hashEmbed]] with CORPUS-LEVEL inverse-document-frequency
+    * weighting, computed in the HASHED space (per-dimension IDF over
+    * the `dim` hash buckets, not per-gram — the aggregation state is
+    * `dim + 1` longs regardless of corpus size, so the weighting
+    * costs one treeAggregate pass and a broadcast of `dim` doubles
+    * at ANY scale): dimension j of the raw signed-count vector is
+    * scaled by `ln(N / df_j)` (df_j = documents with a nonzero count
+    * in bucket j; never-seen buckets weight 0) and the result
+    * L2-normalizes. A gram every document carries — shared
+    * boilerplate, the navigation chrome of a crawled site — lands in
+    * buckets with df_j = N and weights to EXACTLY zero, so document
+    * similarity is driven by each document's distinctive content; the
+    * unweighted face scores two documents that share only boilerplate
+    * as near-duplicates (q172 gates exactly that separation).
+    * Classic TF-IDF (Salton & Buckley '88) composed with the hashing
+    * trick (Weinberger et al., ICML'09); `sublinearTf` adds the
+    * `1 + ln(tf)` damp on the TF side.
+    *
+    * Two passes over the input by construction (IDF is a corpus
+    * statistic): the raw projection lands ONCE (`materialize` — the
+    * repo-wide stage-boundary contract; ParquetDir on preemptible
+    * executors), the DF aggregate and the weighting both read the
+    * landed blocks. Rows whose weighted vector is all-zero (documents
+    * containing ONLY corpus-universal grams) return null, like every
+    * other degenerate embedding.
+    */
+  def hashEmbedIdf(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "embedding",
+      dim: Int = 256,
+      ngrams: Int = 2,
+      seed: Long = 42L,
+      ngramsMin: Int = 0,
+      sublinearTf: Boolean = false,
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): DataFrame = {
+    require(dim > 0, s"hashEmbedIdf: dim must be positive, got $dim")
+    require(ngrams >= 1, s"hashEmbedIdf: ngrams must be >= 1, got $ngrams")
+    require(ngramsMin <= ngrams,
+      s"hashEmbedIdf: ngramsMin must be <= ngrams, got $ngramsMin > $ngrams")
+    require(materialize != Materialize.Lazy,
+      "hashEmbedIdf: Materialize.Lazy would re-execute the raw hashing pass for " +
+        "the DF aggregate AND the weighting — pass LocalCheckpoint or ParquetDir")
+    val rawU = udf { (t: String) =>
+      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
+        normalize = false)
+      if (v == null) null else v.toSeq
+    }
+    val landed = Materialize(df.withColumn(outCol, rawU(col(textCol))), materialize)
+    // ONE distributed pass for the whole IDF model: slot j < dim is
+    // df_j, slot dim is N — treeAggregate clones the zero per task
+    val agg = landed.select(col(outCol)).where(col(outCol).isNotNull)
+      .rdd.treeAggregate(new Array[Long](dim + 1))(
+        (acc, row) => {
+          val v = row.getSeq[Float](0)
+          var j = 0
+          while (j < dim) { if (v(j) != 0f) acc(j) += 1L; j += 1 }
+          acc(dim) += 1L
+          acc
+        },
+        (a, b) => {
+          var j = 0
+          while (j <= dim) { a(j) += b(j); j += 1 }
+          a
+        })
+    val n = math.max(agg(dim), 1L).toDouble
+    val idf = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      idf(j) = if (agg(j) == 0L) 0.0 else math.log(n / agg(j))
+      j += 1
+    }
+    val bcIdf = df.sparkSession.sparkContext.broadcast(idf)
+    val weightU = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val w = bcIdf.value
+        val tmp = new Array[Double](dim)
+        var norm2 = 0.0
+        var k = 0
+        while (k < dim) {
+          tmp(k) = v(k) * w(k)
+          norm2 += tmp(k) * tmp(k)
+          k += 1
+        }
+        if (norm2 == 0.0) null
+        else {
+          val inv = 1.0 / math.sqrt(norm2)
+          val out = new Array[Float](dim)
+          k = 0
+          while (k < dim) { out(k) = (tmp(k) * inv).toFloat; k += 1 }
+          out.toSeq
+        }
+      }
+    }
+    landed.withColumn(outCol, weightU(col(outCol)))
   }
 
   final case class TextSignals(

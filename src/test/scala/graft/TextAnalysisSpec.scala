@@ -1068,4 +1068,85 @@ class TextAnalysisSpec extends SparkTestBase {
       .select($"neighbor_id").head().getLong(0)
     assert(top == 7L, s"nearest neighbor of the near-copy must be its original, got $top")
   }
+
+  test("hashEmbed weighting: sublinear TF damps repetition, mixed orders blend vocabulary, IDF kills corpus-universal boilerplate") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // --- sublinearTf: each distinct gram weights 1 + ln(tf), so a
+    // text that is ONE phrase repeated 50× equals the same phrase
+    // said once (same distinct-gram set → identical unit vector
+    // direction), while linear counting is also direction-identical
+    // here — distinguish via a MIX: doc with phrase A ×50 + phrase B
+    // ×1; linear TF buries B, sublinear keeps it visible
+    val spam = (Seq.fill(50)("click here now") :+ "unique payload marker").mkString(" ")
+    val bOnly = TextAnalysis.hashEmbedKernel("unique payload marker", 64, 2, 42L)
+    val lin = TextAnalysis.hashEmbedKernel(spam, 64, 2, 42L)
+    val sub = TextAnalysis.hashEmbedKernel(spam, 64, 2, 42L, sublinearTf = true)
+    assert(cos(sub.toSeq, bOnly.toSeq) > cos(lin.toSeq, bOnly.toSeq) + 0.1,
+      s"sublinear TF must keep the rare phrase visible: " +
+        s"sub=${cos(sub.toSeq, bOnly.toSeq)} lin=${cos(lin.toSeq, bOnly.toSeq)}")
+    // determinism of the damped path (LongMap fold order is fixed)
+    assert(sub.toSeq ==
+      TextAnalysis.hashEmbedKernel(spam, 64, 2, 42L, sublinearTf = true).toSeq)
+    // --- mixed orders: two texts sharing vocabulary but NO bigram
+    // read cosine ≈ 0 under pure bigrams, > 0.3 under orders 1..2
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "zeta epsilon delta gamma beta alpha"
+    val big1 = TextAnalysis.hashEmbedKernel(t1, 256, 2, 42L)
+    val big2 = TextAnalysis.hashEmbedKernel(t2, 256, 2, 42L)
+    assert(math.abs(cos(big1.toSeq, big2.toSeq)) < 0.3,
+      s"pure bigrams share nothing: ${cos(big1.toSeq, big2.toSeq)}")
+    val mix1 = TextAnalysis.hashEmbedKernel(t1, 256, 2, 42L, ngramsMin = 1)
+    val mix2 = TextAnalysis.hashEmbedKernel(t2, 256, 2, 42L, ngramsMin = 1)
+    assert(cos(mix1.toSeq, mix2.toSeq) > 0.3,
+      s"mixed orders must see the shared vocabulary: ${cos(mix1.toSeq, mix2.toSeq)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashEmbed(Seq((1L, t1)).toDF("id", "text"), "text",
+        ngrams = 2, ngramsMin = 3)
+    }
+    // --- hashEmbedIdf: corpus-universal boilerplate weights to zero
+    val bp = (0 until 40).map(k => s"common$k").mkString(" ")
+    val docs = (1 to 12).map(i =>
+      (i.toLong, bp + " " + (0 until 6).map(k => s"u${i}x$k").mkString(" ")))
+      .toDF("id", "text")
+    val weighted = TextAnalysis.hashEmbedIdf(docs, "text", dim = 512, ngrams = 2)
+      .orderBy("id").select($"embedding").collect()
+      .map(_.getSeq[Float](0))
+    val unweighted = TextAnalysis.hashEmbed(docs, "text", dim = 512, ngrams = 2)
+      .orderBy("id").select($"embedding").collect()
+      .map(_.getSeq[Float](0))
+    // every doc pair shares ONLY the boilerplate: unweighted cosine is
+    // dominated by it (≈ 39/45), weighted collapses to collision noise
+    assert(cos(unweighted(0), unweighted(1)) > 0.7,
+      s"unweighted is boilerplate-dominated: ${cos(unweighted(0), unweighted(1))}")
+    assert(math.abs(cos(weighted(0), weighted(1))) < 0.3,
+      s"IDF must kill corpus-universal grams: ${cos(weighted(0), weighted(1))}")
+    // unit norm + determinism of the weighted face
+    assert(math.abs(cos(weighted(0), weighted(0)) - 1.0) < 1e-5)
+    val again = TextAnalysis.hashEmbedIdf(docs, "text", dim = 512, ngrams = 2)
+      .orderBy("id").select($"embedding").collect().map(_.getSeq[Float](0))
+    assert(weighted(3).toSeq == again(3).toSeq, "hashEmbedIdf must be deterministic")
+    // a corpus where every doc is the SAME text: every occupied
+    // bucket has df = N → idf 0 everywhere → all-zero vectors → null
+    // (in the mixed corpus above a pure-boilerplate doc is only
+    // NEAR-null: a unique gram colliding into a bp bucket with
+    // opposite sign cancels that doc's count, nudging df below N)
+    val uniform = (1 to 5).map(i => (i.toLong, bp)).toDF("id", "text")
+    val uniRows = TextAnalysis.hashEmbedIdf(uniform, "text", dim = 512, ngrams = 2)
+      .select($"embedding").collect()
+    assert(uniRows.forall(_.isNullAt(0)),
+      "documents with only corpus-universal grams must embed to null")
+    // null text stays null; Lazy is rejected
+    val withNull = docs.unionByName(
+      Seq((100L, null.asInstanceOf[String])).toDF("id", "text"))
+    assert(TextAnalysis.hashEmbedIdf(withNull, "text", dim = 512, ngrams = 2)
+      .where($"id" === 100L).select($"embedding").head().isNullAt(0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashEmbedIdf(docs, "text",
+        materialize = graft.operators.Materialize.Lazy)
+    }
+  }
 }
