@@ -2415,33 +2415,43 @@ object SparkEntry {
             lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
     val sink = graft.streaming.StreamingVectorStore
       .vectorIncrementSink(incDir, "vec_id", "embedding")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the live epoch after a turn is read the way the protocol itself
+    // reads it (meta/_SUCCESS): a turn whose increments were all empty
+    // is a no-op that does NOT advance the epoch — assuming it did
+    // would crash this gate on a degenerate (empty-table) world
+    def epochComplete(n: Int): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/epoch$n/meta/_SUCCESS"))
     val inc1 = copiesOf(0, 1000000L).unionByName(freshOf(0, 2000000L))
     sink(inc1, 0L)
     graft.streaming.StreamingVectorStore.compactVectorStore(
       s, root, "q171_vs", srcEpoch = 0, incDir = incDir,
       threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
+    val e1 = if (epochComplete(1)) 1 else 0
     val inc2 = copiesOf(4, 3000000L).unionByName(freshOf(4, 4000000L))
     sink(inc2, 1L)
     val (store2, _) = graft.streaming.StreamingVectorStore.compactVectorStore(
-      s, root, "q171_vs", srcEpoch = 1, incDir = incDir,
+      s, root, "q171_vs", srcEpoch = e1, incDir = incDir,
       threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
+    val e2 = if (epochComplete(e1 + 1)) e1 + 1 else e1
     sink(freshOf(0, 5000000L).limit(2), 2L)
     val staleFired =
-      try {
-        graft.streaming.StreamingVectorStore.compactVectorStore(
-          s, root, "q171_vs", srcEpoch = 1, incDir = incDir,
-          threshold = 0.9, keepEpochs = 1)
-        false
-      } catch {
-        case e: IllegalArgumentException => e.getMessage.contains("stale")
-      }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (e2 == e1) true // vacuous: nothing ever folded (empty world) — no live next epoch exists to be stale against
+      else
+        try {
+          graft.streaming.StreamingVectorStore.compactVectorStore(
+            s, root, "q171_vs", srcEpoch = e2 - 1, incDir = incDir,
+            threshold = 0.9, keepEpochs = 1)
+          false
+        } catch {
+          case e: IllegalArgumentException => e.getMessage.contains("stale")
+        }
     val epochsLeft = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName).filter(_.startsWith("epoch")).toSet
     val sentinels = Seq(
       (-1L, staleFired),
-      (-2L, epochsLeft == Set("epoch2"))).toDF("id", "kept")
+      (-2L, epochsLeft == Set(s"epoch$e2"))).toDF("id", "kept")
     inc1.unionByName(inc2).select(col("vec_id").as("id"))
       .join(store2.vecs.select(col("id"), lit(true).as("kept")), Seq("id"), "left")
       .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
