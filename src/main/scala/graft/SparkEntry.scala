@@ -2378,9 +2378,10 @@ object SparkEntry {
     * epoch 1 and retires epoch 0 (keepEpochs = 1) → increment batch 1
     * against the FOLDED store (near-copies of `% 10 = 4` originals
     * drop, fresh sign rows keep) → turn 2 folds into epoch 2 → a
-    * THIRD increment lands and a deliberately stale `srcEpoch = 1`
-    * turn must fail on the named stale-epoch guard instead of
-    * clobbering the live epoch. Every verdict is read back from the
+    * THIRD increment lands and a deliberately stale turn (srcEpoch
+    * one behind the live epoch) must fail on the named stale-epoch
+    * guard instead of clobbering the live epoch. Every verdict is
+    * read back from the
     * FINAL reopened store's vecs table, plus two protocol sentinels:
     * id −1 = the stale require fired, id −2 = exactly {epoch2}
     * remains on disk after retention — so a fold, prune, retirement,

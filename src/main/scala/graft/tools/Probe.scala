@@ -657,6 +657,40 @@ object Probe {
       return
     }
 
+    if (names.contains("hashembed_idf")) {
+      import graft.operators.TextAnalysis
+      // the IDF face's scale claim: the weighting costs one extra scan
+      // over the landed raw projection plus a dim+1-long treeAggregate
+      // whose state is corpus-size-independent — so hashEmbedIdf stays
+      // a constant factor over hashEmbed at ANY corpus size. Measure
+      // both at 1x and 10x real document text.
+      val docs0 = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      Seq(10, 100).foreach { mult =>
+        val docs = (0 until mult)
+          .map(i => docs0.select(
+            (col("doc_id") + lit(i * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+          .repartition(32)
+          .localCheckpoint(true)
+        val label = s"${mult}x (${docs.count()} docs)"
+        (1 to 2).foreach { round =>
+          timed(s"$label hashEmbed round $round") {
+            println("[probe] rows=" + TextAnalysis
+              .hashEmbed(docs, "text", dim = 256, ngrams = 2)
+              .where(col("embedding").isNotNull).count())
+          }
+          timed(s"$label hashEmbedIdf round $round") {
+            println("[probe] rows=" + TextAnalysis
+              .hashEmbedIdf(docs, "text", dim = 256, ngrams = 2)
+              .where(col("embedding").isNotNull).count())
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>
