@@ -1645,6 +1645,39 @@ class StreamingSpec extends SparkTestBase {
       "doc_id", "text", e2, threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept2 == Set(31L), s"kept2=$kept2")
+    // CRASH WINDOW — an empty meta dir (a turn died DURING the meta
+    // write; Spark creates the output dir at job setup) is NOT a
+    // complete epoch: completeness is gated on meta/_SUCCESS, so this
+    // turn must run a normal fold into the same dir instead of
+    // trusting the empty meta, pruning the increment, and wedging the
+    // next read
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "epoch3", "meta"))
+    sink(Seq(fresh(14L)).toDF("doc_id", "text"), 6L)
+    val e3 = StreamingDedup.compactSignatureStore(
+      spark, root, "csl", srcEpoch = 2, incDir = incDir, keepEpochs = 1)
+    assert(e3.grams.count() == 6L,
+      "the fold must run despite the crash-stranded empty meta dir")
+    // a ZERO-ROW increment (a committed batch with no survivors)
+    // folds nothing and writes no copy epoch — but the turn
+    // COMPLETES: retirement runs exactly as on the other no-op
+    // branches, healing a crash-stranded older epoch dir + its
+    // catalog pair on THIS turn rather than the next non-empty fold
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(
+        Seq(fresh(1L)).toDF("doc_id", "text"), "doc_id", "text"),
+      s"$root/epoch2", "csl_e2") // stand-in for an unretired strand
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 7L)
+    val still = StreamingDedup.compactSignatureStore(
+      spark, root, "csl", srcEpoch = 3, incDir = incDir, keepEpochs = 1)
+    assert(still.grams.count() == 6L, "zero-row turn must not write a copy epoch")
+    assert(new java.io.File(incDir).listFiles().count(_.getName.startsWith("inc_")) == 0,
+      "the empty increment must still prune")
+    val afterZero = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(afterZero == Set("epoch3", "epoch99"),
+      s"zero-row turn must retire the stranded epoch 2: $afterZero")
+    assert(cslTables() == Set("csl_e3_banded", "csl_e3_grams"),
+      s"catalog after the zero-row turn: ${cslTables()}")
   }
 
   test("compactSignatureStore: every crash window resumes to the live epoch; a stale srcEpoch cannot clobber it") {
