@@ -2535,6 +2535,98 @@ object SparkEntry {
       |  true AS weighted_separates, true AS weighted_keeps_dup
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
 
+  /** Sublinear-TF gate ([[graft.operators.TextAnalysis.hashEmbed]]
+    * `sublinearTf` — the 1+ln(tf) damp): the spam-repetition plant
+    * where LINEAR counting demonstrably buries content. Per `% 10 =
+    * 0` doc: SPAM = a 3-token phrase repeated 50× plus a 24-token
+    * unique tail; REF = the tail alone. Under linear TF the phrase
+    * counts dominate the norm (cos(SPAM, REF) = 23/(√7425·√23) ≈
+    * 0.06 — the shared content is invisible,
+    * `linear_buries_content`); the damp shrinks each repeated gram
+    * to 1+ln(50) ≈ 4.9, so the same pair reads ≈ 0.49
+    * (`sublinear_sees_content`). Closed-form counts, thresholds at
+    * 0.2/0.25 sit ≥ 0.14 from both populations — ≥ 11 dot-units of
+    * collision slack at dim 512 (a 12-token tail left only ~1 unit
+    * and one sf0.01 id actually crossed it; the longer tail is the
+    * fix, not a shaved threshold).
+    */
+  private def q173HashEmbedSubTf(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def tail: Column = array_join(
+      transform(sequence(lit(0), lit(23)),
+        k => concat(lit("s"), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val phrase = Seq.fill(50)("click here now").mkString(" ")
+    val spam = ids.select(col("id"),
+      concat(lit(phrase), lit(" "), tail).as("text"))
+    val ref = ids.select(col("id"), tail.as("text"))
+    def emb(df: DataFrame, sub: Boolean, name: String): DataFrame =
+      graft.operators.TextAnalysis
+        .hashEmbed(df, "text", dim = 512, ngrams = 2, sublinearTf = sub)
+        .select(col("id"), col("embedding").as(name))
+    val cos = graft.functions.VectorExpressions.vecCosine _
+    ids
+      .join(emb(spam, sub = false, "ls"), "id").join(emb(ref, sub = false, "lr"), "id")
+      .join(emb(spam, sub = true, "ss"), "id").join(emb(ref, sub = true, "sr"), "id")
+      .select(col("id"),
+        coalesce(cos(col("ls"), col("lr")) < 0.2, lit(false))
+          .as("linear_buries_content"),
+        coalesce(cos(col("ss"), col("sr")) >= 0.25, lit(false))
+          .as("sublinear_sees_content"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q173Oracle =
+    """SELECT doc_id AS id, true AS linear_buries_content,
+      |  true AS sublinear_sees_content
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
+  /** Mixed-n-gram-order gate ([[graft.operators.TextAnalysis
+    * .hashEmbed]] `ngramsMin` — orders 1..2 in one vector): the
+    * word-permutation plant where pure bigrams are demonstrably
+    * blind. Per `% 10 = 0` doc: A = 24 id-unique tokens in order,
+    * B = the SAME tokens reversed — no bigram survives reversal
+    * (cos ≈ 0, `bigrams_blind`), while the shared vocabulary gives
+    * the mixed-order vectors cos = 24/47 ≈ 0.51
+    * (`mixed_sees_vocabulary`). Closed-form counts; thresholds at
+    * 0.2/0.3 sit ≥ 0.2 from both populations. dim 4096 for THIS
+    * plant: the blind-side signal is pure collision noise, so
+    * crossing 0.2 needs ≥ 5 same-sign collisions among 23 grams —
+    * P ≈ 3e-7 per id (at dim 512 with 11 grams, 2 collisions
+    * sufficed and one sf0.1 id actually crossed).
+    */
+  private def q174HashEmbedMixed(s: SparkSession, dir: String): DataFrame = {
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def toks: Column = transform(sequence(lit(0), lit(23)),
+      k => concat(lit("m"), col("id").cast("string"), lit("x"), k.cast("string")))
+    val fwd = ids.select(col("id"), array_join(toks, " ").as("text"))
+    val rev = ids.select(col("id"), array_join(reverse(toks), " ").as("text"))
+    def emb(df: DataFrame, lo: Int, name: String): DataFrame =
+      graft.operators.TextAnalysis
+        .hashEmbed(df, "text", dim = 4096, ngrams = 2, ngramsMin = lo)
+        .select(col("id"), col("embedding").as(name))
+    val cos = graft.functions.VectorExpressions.vecCosine _
+    ids
+      .join(emb(fwd, lo = 0, "bf"), "id").join(emb(rev, lo = 0, "br"), "id")
+      .join(emb(fwd, lo = 1, "mf"), "id").join(emb(rev, lo = 1, "mr"), "id")
+      .select(col("id"),
+        coalesce(abs(cos(col("bf"), col("br"))) < 0.2, lit(false))
+          .as("bigrams_blind"),
+        coalesce(cos(col("mf"), col("mr")) >= 0.3, lit(false))
+          .as("mixed_sees_vocabulary"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q174Oracle =
+    """SELECT doc_id AS id, true AS bigrams_blind, true AS mixed_sees_vocabulary
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6381,6 +6473,8 @@ object SparkEntry {
     "q170_mmrstore_planted" -> (q170MmrStorePlanted _),
     "q171_vecstore_stream_lifecycle" -> (q171VecstoreStreamLifecycle _),
     "q172_hash_embed_idf" -> (q172HashEmbedIdf _),
+    "q173_hash_embed_subtf" -> (q173HashEmbedSubTf _),
+    "q174_hash_embed_mixed" -> (q174HashEmbedMixed _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6543,5 +6637,7 @@ object SparkEntry {
     "q170_mmrstore_planted" -> q140Oracle, // same selection truth, store-served pool
     "q171_vecstore_stream_lifecycle" -> q171Oracle,
     "q172_hash_embed_idf" -> q172Oracle,
+    "q173_hash_embed_subtf" -> q173Oracle,
+    "q174_hash_embed_mixed" -> q174Oracle,
   )
 }
