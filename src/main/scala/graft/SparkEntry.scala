@@ -2627,6 +2627,82 @@ object SparkEntry {
     """SELECT doc_id AS id, true AS bigrams_blind, true AS mixed_sees_vocabulary
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
 
+  /** Frozen-IDF model gate ([[graft.operators.TextAnalysis
+    * .fitHashIdf]] → [[graft.operators.IndexStore.saveHashIdf]] /
+    * `loadHashIdf` → [[graft.operators.TextAnalysis.applyHashIdf]]):
+    * the batch-drift plant the refitting [[graft.operators
+    * .TextAnalysis.hashEmbedIdf]] face fails. Fit corpus A = one doc
+    * per `% 10 = 0` id over a 200-token corpus-universal boilerplate
+    * plus a 12-token unique tail; the fitted statistics persist to
+    * disk and RELOAD before every use, so the save/load path is inside
+    * the gate. Three closed-form flags per id:
+    * `loaded_matches_inline` — fit→save→load→apply on the fit corpus
+    * is BIT-identical (null-safe array equality, no threshold) to the
+    * in-line refitting face; `frozen_consistent` — the SAME text
+    * re-embedded through the loaded model while batched among 9×
+    * novel-vocabulary filler docs equals its stored embedding exactly
+    * (the embedding is a pure function of the text, which is also what
+    * lets applyHashIdf run in a streaming plan); `refit_drifts` — the
+    * refitting face embeds that identical text at cosine < 0.9 to its
+    * own stored vector once the batch composition shifts (bp df drops
+    * from N/N to N/10N → its buckets revive at ln 10 and dominate the
+    * norm: cos ≈ 0.47, and because BOTH corpora's bucket-df ratios
+    * scale with N the value is sf-free — margins ≥ 0.4 both sides).
+    */
+  private def q175HashIdfFrozen(s: SparkSession, dir: String): DataFrame = {
+    val bp = (0 until 200).map(k => s"common$k").mkString(" ")
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def tail: Column = array_join(
+      transform(sequence(lit(0), lit(11)),
+        k => concat(lit("a"), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val corpusA = ids.select(col("id"),
+      concat(lit(bp), lit(" "), tail).as("text"))
+    val model = graft.operators.TextAnalysis
+      .fitHashIdf(corpusA, "text", dim = 2048, ngrams = 2)
+    val modelDir = tempFixtureDir("graft_hashidf_q175").toString
+    graft.operators.IndexStore.saveHashIdf(s, model, modelDir)
+    val loaded = graft.operators.IndexStore.loadHashIdf(s, modelDir)
+    val stored = graft.operators.TextAnalysis
+      .applyHashIdf(corpusA, "text", loaded)
+      .select(col("id"), col("embedding").as("stored"))
+    val inline = graft.operators.TextAnalysis
+      .hashEmbedIdf(corpusA, "text", dim = 2048, ngrams = 2)
+      .select(col("id"), col("embedding").as("inl"))
+    // batch B: the identical planted texts among 9 novel-vocabulary
+    // filler docs per id — composition shift, same content
+    def filler(j: Int): DataFrame = ids.select(col("id"), lit(s"f$j").as("role"),
+      array_join(transform(sequence(lit(0), lit(12)),
+        k => concat(lit(s"f${j}y"), col("id").cast("string"), lit("z"),
+          k.cast("string"))), " ").as("text"))
+    val batchB = corpusA.select(col("id"), lit("p").as("role"), col("text"))
+      .unionByName((0 until 9).map(filler).reduce(_ unionByName _))
+    val frozenB = graft.operators.TextAnalysis
+      .applyHashIdf(batchB, "text", loaded)
+      .where(col("role") === "p")
+      .select(col("id"), col("embedding").as("frozen_b"))
+    val refitB = graft.operators.TextAnalysis
+      .hashEmbedIdf(batchB, "text", dim = 2048, ngrams = 2)
+      .where(col("role") === "p")
+      .select(col("id"), col("embedding").as("refit_b"))
+    val cos = graft.functions.VectorExpressions.vecCosine _
+    stored.join(inline, "id").join(frozenB, "id").join(refitB, "id")
+      .select(col("id"),
+        (col("stored") <=> col("inl")).as("loaded_matches_inline"),
+        (col("frozen_b") <=> col("stored")).as("frozen_consistent"),
+        coalesce(cos(col("refit_b"), col("stored")) < 0.9, lit(false))
+          .as("refit_drifts"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q175Oracle =
+    """SELECT doc_id AS id, true AS loaded_matches_inline,
+      |  true AS frozen_consistent, true AS refit_drifts
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6475,6 +6551,7 @@ object SparkEntry {
     "q172_hash_embed_idf" -> (q172HashEmbedIdf _),
     "q173_hash_embed_subtf" -> (q173HashEmbedSubTf _),
     "q174_hash_embed_mixed" -> (q174HashEmbedMixed _),
+    "q175_hash_idf_frozen" -> (q175HashIdfFrozen _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6639,5 +6716,6 @@ object SparkEntry {
     "q172_hash_embed_idf" -> q172Oracle,
     "q173_hash_embed_subtf" -> q173Oracle,
     "q174_hash_embed_mixed" -> q174Oracle,
+    "q175_hash_idf_frozen" -> q175Oracle,
   )
 }

@@ -97,4 +97,30 @@ object IndexStore {
     val rot = spark.read.parquet(s"$path/rotation").head()
     OpqModel(rot.getInt(0), rot.getSeq[Float](1).toArray, loadPq(spark, path))
   }
+
+  /** Persist a frozen [[TextAnalysis.HashIdfModel]] — the hashing
+    * parameters travel WITH the statistics (a model applied under
+    * different ngrams/seed would weight a different space; load
+    * restores all of them, and [[TextAnalysis.HashIdfModel.merged]]
+    * refuses mismatches). df counts stay longs, so save→load→merge
+    * chains are exact, not float-rounded.
+    */
+  def saveHashIdf(
+      spark: SparkSession, model: TextAnalysis.HashIdfModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.dim, model.ngrams, model.seed, model.ngramsMin,
+        model.sublinearTf, model.nDocs, model.df.toSeq))
+      .toDF("dim", "ngrams", "seed", "ngrams_min", "sublinear_tf", "n_docs", "df")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/hashidf")
+  }
+
+  def loadHashIdf(spark: SparkSession, path: String): TextAnalysis.HashIdfModel = {
+    val r = spark.read.parquet(s"$path/hashidf").head()
+    TextAnalysis.HashIdfModel(
+      r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4),
+      r.getLong(5), r.getSeq[Long](6).toArray)
+  }
 }

@@ -1177,6 +1177,13 @@ object TextAnalysis {
     * landed blocks. Rows whose weighted vector is all-zero (documents
     * containing ONLY corpus-universal grams) return null, like every
     * other degenerate embedding.
+    *
+    * The statistics REFIT on every call — right for one-shot corpus
+    * analysis, wrong across batches that must share an embedding space
+    * (a persisted [[VectorStore]], a streaming query side): there, fit
+    * once with [[fitHashIdf]] and embed every batch with the frozen
+    * [[applyHashIdf]] face (bit-identical to this one on the fit
+    * corpus; q175 gates the drift the refit face suffers).
     */
   def hashEmbedIdf(
       df: DataFrame,
@@ -1202,9 +1209,100 @@ object TextAnalysis {
       if (v == null) null else v.toSeq
     }
     val landed = Materialize(df.withColumn(outCol, rawU(col(textCol))), materialize)
-    // ONE distributed pass for the whole IDF model: slot j < dim is
-    // df_j, slot dim is N — treeAggregate clones the zero per task
-    val agg = landed.select(col(outCol)).where(col(outCol).isNotNull)
+    val agg = dfAggregate(landed, outCol, dim)
+    val model = HashIdfModel(dim, ngrams, seed, ngramsMin, sublinearTf,
+      nDocs = agg(dim), df = agg.take(dim))
+    val bcIdf = df.sparkSession.sparkContext.broadcast(model.idf)
+    val weightU = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = idfWeightKernel(v, bcIdf.value, dim)
+        if (out == null) null else out.toSeq
+      }
+    }
+    landed.withColumn(outCol, weightU(col(outCol)))
+  }
+
+  /** Frozen corpus-level term statistics for the [[hashEmbed]] hashed
+    * space — the FIT-ONCE / APPLY-EVERYWHERE form of [[hashEmbedIdf]],
+    * which refits its statistics from whatever corpus each call sees.
+    * That refit is the right default for one-shot corpus analysis and
+    * WRONG for anything persisted: a vector store built from batch-1
+    * embeddings serves batch-2 queries embedded with batch-2's
+    * statistics, so the same text embeds differently as the batch
+    * composition shifts and store-side cosines silently drift (q175
+    * plants exactly that failure: the refit face un-hits a stored
+    * document's own text). Freezing the statistics makes the embedding
+    * a pure function of the text again — and therefore stateless,
+    * which is what lets [[applyHashIdf]] run inside a Structured
+    * Streaming plan where a two-pass corpus aggregate cannot.
+    *
+    * State is `dim` per-bucket document frequencies plus the corpus
+    * size — `dim + 1` longs at ANY corpus scale, the same bounded
+    * shape the in-line face aggregates. `df(j)` counts documents whose
+    * RAW signed accumulation is nonzero in bucket j (a bucket whose
+    * signs cancel within a document does not count that document);
+    * weights are `ln(nDocs / df_j)`, never-seen buckets weight exactly
+    * 0 — identical conventions to [[hashEmbedIdf]], locked by the
+    * fit⇄inline parity spec. Persistence via
+    * [[IndexStore.saveHashIdf]] / [[IndexStore.loadHashIdf]] is
+    * bit-exact (plain parquet, the [[IndexStore]] contract).
+    */
+  final case class HashIdfModel(
+      dim: Int,
+      ngrams: Int,
+      seed: Long,
+      ngramsMin: Int,
+      sublinearTf: Boolean,
+      nDocs: Long,
+      df: Array[Long]) {
+    require(df.length == dim,
+      s"HashIdfModel: df length ${df.length} != dim $dim")
+
+    /** Per-dimension weights `ln(nDocs / df_j)`; never-seen buckets
+      * (df 0) weight exactly 0, corpus-universal buckets (df = nDocs)
+      * likewise (ln 1). Recomputed per call — callers broadcast once.
+      */
+    def idf: Array[Double] = {
+      val n = math.max(nDocs, 1L).toDouble
+      val out = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (df(j) == 0L) 0.0 else math.log(n / df(j))
+        j += 1
+      }
+      out
+    }
+
+    /** Combine statistics fit on DISJOINT document sets — df counts
+      * and corpus sizes add, so `fit(a) merged fit(b)` equals
+      * `fit(a ∪ b)` exactly (spec-locked). The incremental-epoch form:
+      * fit each ingest batch, fold into the standing model, re-freeze —
+      * no pass over the standing corpus. Hash parameters must match;
+      * mixing spaces is a hard error, not a silent re-weighting.
+      */
+    def merged(other: HashIdfModel): HashIdfModel = {
+      require(dim == other.dim && ngrams == other.ngrams &&
+        seed == other.seed && ngramsMin == other.ngramsMin &&
+        sublinearTf == other.sublinearTf,
+        "HashIdfModel.merged: models were fit with different hashing " +
+          s"parameters — ($dim,$ngrams,$seed,$ngramsMin,$sublinearTf) vs " +
+          s"(${other.dim},${other.ngrams},${other.seed},${other.ngramsMin}," +
+          s"${other.sublinearTf})")
+      val d = new Array[Long](dim)
+      var j = 0
+      while (j < dim) { d(j) = df(j) + other.df(j); j += 1 }
+      copy(nDocs = nDocs + other.nDocs, df = d)
+    }
+  }
+
+  /** The one distributed pass behind every IDF fit: slot j < dim is
+    * df_j over the raw signed-count vectors in `vecCol`, slot dim is
+    * the non-null document count — treeAggregate clones the zero per
+    * task, state is `dim + 1` longs regardless of corpus size.
+    */
+  private def dfAggregate(vecs: DataFrame, vecCol: String, dim: Int): Array[Long] =
+    vecs.select(col(vecCol)).where(col(vecCol).isNotNull)
       .rdd.treeAggregate(new Array[Long](dim + 1))(
         (acc, row) => {
           val v = row.getSeq[Float](0)
@@ -1218,37 +1316,99 @@ object TextAnalysis {
           while (j <= dim) { a(j) += b(j); j += 1 }
           a
         })
-    val n = math.max(agg(dim), 1L).toDouble
-    val idf = new Array[Double](dim)
-    var j = 0
-    while (j < dim) {
-      idf(j) = if (agg(j) == 0L) 0.0 else math.log(n / agg(j))
-      j += 1
+
+  /** Weight a RAW signed-count vector by per-dimension IDF and
+    * L2-normalize; all-zero weighted vectors (documents of ONLY
+    * corpus-universal or never-seen grams) return null — the shared
+    * degenerate convention. The single weighting implementation behind
+    * [[hashEmbedIdf]] and [[applyHashIdf]], so fit-then-apply is
+    * bit-identical to the in-line face by construction.
+    */
+  private def idfWeightKernel(
+      v: scala.collection.Seq[Float],
+      w: Array[Double],
+      dim: Int): Array[Float] = {
+    val tmp = new Array[Double](dim)
+    var norm2 = 0.0
+    var k = 0
+    while (k < dim) {
+      tmp(k) = v(k) * w(k)
+      norm2 += tmp(k) * tmp(k)
+      k += 1
     }
-    val bcIdf = df.sparkSession.sparkContext.broadcast(idf)
-    val weightU = udf { (v: Seq[Float]) =>
-      if (v == null) null
+    if (norm2 == 0.0) null
+    else {
+      val inv = 1.0 / math.sqrt(norm2)
+      val out = new Array[Float](dim)
+      k = 0
+      while (k < dim) { out(k) = (tmp(k) * inv).toFloat; k += 1 }
+      out
+    }
+  }
+
+  /** Fit a [[HashIdfModel]] over `textCol` in ONE distributed pass
+    * (raw-hash each document and fold nonzero-bucket flags into the
+    * `dim + 1`-long aggregate — no landing, because unlike
+    * [[hashEmbedIdf]] nothing downstream re-reads the raw vectors).
+    * Null / sub-n-token documents don't count, matching the in-line
+    * face. The returned model is driver-sized (`dim` longs) at any
+    * corpus scale.
+    */
+  def fitHashIdf(
+      df: DataFrame,
+      textCol: String,
+      dim: Int = 256,
+      ngrams: Int = 2,
+      seed: Long = 42L,
+      ngramsMin: Int = 0,
+      sublinearTf: Boolean = false,
+  ): HashIdfModel = {
+    require(dim > 0, s"fitHashIdf: dim must be positive, got $dim")
+    require(ngrams >= 1, s"fitHashIdf: ngrams must be >= 1, got $ngrams")
+    require(ngramsMin <= ngrams,
+      s"fitHashIdf: ngramsMin must be <= ngrams, got $ngramsMin > $ngrams")
+    val rawU = udf { (t: String) =>
+      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
+        normalize = false)
+      if (v == null) null else v.toSeq
+    }
+    val agg = dfAggregate(df.select(rawU(col(textCol)).as("__raw")), "__raw", dim)
+    HashIdfModel(dim, ngrams, seed, ngramsMin, sublinearTf,
+      nDocs = agg(dim), df = agg.take(dim))
+  }
+
+  /** Embed `textCol` with a FROZEN [[HashIdfModel]] — hash, weight,
+    * and normalize fused into one per-row pass (the fit's two-pass
+    * structure collapses once the statistics are frozen), so the face
+    * is scan-bound, needs no materialization, and runs unchanged
+    * inside a Structured Streaming plan (stateless — the stream≡batch
+    * parity spec locks it). On the model's OWN fit corpus the output
+    * is bit-identical to [[hashEmbedIdf]]; on any other batch it is
+    * the CONSISTENT embedding the refitting face cannot give (q175).
+    * The `dim`-double weight vector broadcasts once per plan.
+    */
+  def applyHashIdf(
+      df: DataFrame,
+      textCol: String,
+      model: HashIdfModel,
+      outCol: String = "embedding",
+  ): DataFrame = {
+    val bcIdf = df.sparkSession.sparkContext.broadcast(model.idf)
+    val dim = model.dim
+    val ngrams = model.ngrams
+    val seed = model.seed
+    val ngramsMin = model.ngramsMin
+    val sublinearTf = model.sublinearTf
+    val u = udf { (t: String) =>
+      val raw = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
+        normalize = false)
+      if (raw == null) null
       else {
-        val w = bcIdf.value
-        val tmp = new Array[Double](dim)
-        var norm2 = 0.0
-        var k = 0
-        while (k < dim) {
-          tmp(k) = v(k) * w(k)
-          norm2 += tmp(k) * tmp(k)
-          k += 1
-        }
-        if (norm2 == 0.0) null
-        else {
-          val inv = 1.0 / math.sqrt(norm2)
-          val out = new Array[Float](dim)
-          k = 0
-          while (k < dim) { out(k) = (tmp(k) * inv).toFloat; k += 1 }
-          out.toSeq
-        }
+        val out = idfWeightKernel(raw, bcIdf.value, dim)
+        if (out == null) null else out.toSeq
       }
     }
-    landed.withColumn(outCol, weightU(col(outCol)))
+    df.withColumn(outCol, u(col(textCol)))
   }
 
   final case class TextSignals(

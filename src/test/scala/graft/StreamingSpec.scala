@@ -2280,4 +2280,46 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("applyHashIdf: frozen-model embedding runs in a streaming plan and equals batch across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    // fit on a standing corpus; stream a SECOND batch through the
+    // frozen model — statelessness is the point (the refitting
+    // hashEmbedIdf face cannot run here: its corpus aggregate has no
+    // streaming plan), so the stream must emit bit-identical vectors
+    // to the batch face row-for-row, across microbatch boundaries
+    val bp = (0 until 20).map(k => s"base$k").mkString(" ")
+    val standing = (1 to 10).map(i =>
+      (i.toLong, bp + " " + (0 until 5).map(k => s"w${i}x$k").mkString(" ")))
+      .toDF("id", "text")
+    val model = TextAnalysis.fitHashIdf(standing, "text", dim = 128, ngrams = 2)
+    val rows = (11 to 16).map(i =>
+      (i.toLong, bp + " " + (0 until 5).map(k => s"w${i}x$k").mkString(" "))) :+
+      (17L, null.asInstanceOf[String]) // null text flows through as null embedding
+    val batch = TextAnalysis
+      .applyHashIdf(rows.toDF("id", "text"), "text", model)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+      .toMap
+    val in = MemoryStream[(Long, String)](spark)
+    val q = TextAnalysis
+      .applyHashIdf(in.toDS().toDF("id", "text"), "text", model)
+      .writeStream.format("memory").queryName("hashidf_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hashidf_stream")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, v) =>
+        assert(v == batch(id), s"stream≡batch embedding mismatch for id $id")
+      }
+    } finally q.stop()
+  }
 }

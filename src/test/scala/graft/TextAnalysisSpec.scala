@@ -1149,4 +1149,86 @@ class TextAnalysisSpec extends SparkTestBase {
         materialize = graft.operators.Materialize.Lazy)
     }
   }
+
+  test("HashIdfModel: fit⇄inline parity, save/load roundtrip, disjoint merge, frozen consistency across batches") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val bp = (0 until 40).map(k => s"common$k").mkString(" ")
+    val docs = (1 to 12).map(i =>
+      (i.toLong, bp + " " + (0 until 6).map(k => s"u${i}x$k").mkString(" ")))
+      .toDF("id", "text")
+    // fit-then-apply on the fit corpus is BIT-identical to the
+    // in-line refitting face — same df semantics, same weighting
+    val model = TextAnalysis.fitHashIdf(docs, "text", dim = 512, ngrams = 2)
+    assert(model.nDocs == 12L)
+    val applied = TextAnalysis.applyHashIdf(docs, "text", model)
+      .orderBy("id").select($"embedding").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
+    val inline = TextAnalysis.hashEmbedIdf(docs, "text", dim = 512, ngrams = 2)
+      .orderBy("id").select($"embedding").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
+    assert(applied.length == inline.length)
+    applied.zip(inline).foreach { case (a, b) =>
+      assert(a == b, "fit-then-apply must equal the inline face bit-for-bit")
+    }
+    // save → load is exact (params AND statistics)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashidf").toString
+    graft.operators.IndexStore.saveHashIdf(spark, model, dir)
+    val loaded = graft.operators.IndexStore.loadHashIdf(spark, dir)
+    assert(loaded.dim == model.dim && loaded.ngrams == model.ngrams &&
+      loaded.seed == model.seed && loaded.ngramsMin == model.ngramsMin &&
+      loaded.sublinearTf == model.sublinearTf && loaded.nDocs == model.nDocs)
+    assert(loaded.df.toSeq == model.df.toSeq)
+    // fit on disjoint halves then merge == fit on the union, exactly
+    val m1 = TextAnalysis.fitHashIdf(docs.where($"id" <= 6), "text", dim = 512, ngrams = 2)
+    val m2 = TextAnalysis.fitHashIdf(docs.where($"id" > 6), "text", dim = 512, ngrams = 2)
+    val folded = m1.merged(m2)
+    assert(folded.nDocs == model.nDocs)
+    assert(folded.df.toSeq == model.df.toSeq)
+    // mismatched hash parameters refuse to merge
+    intercept[IllegalArgumentException] {
+      m1.merged(TextAnalysis.fitHashIdf(docs, "text", dim = 512, ngrams = 2, seed = 43L))
+    }
+    // frozen consistency: the SAME text embeds identically regardless
+    // of the batch it arrives in (a different-composition batch here),
+    // while the refitting face drifts with the batch composition
+    val strangers = (100 to 130).map(i =>
+      (i.toLong, (0 until 8).map(k => s"s${i}x$k").mkString(" ")))
+    val batch2 = Seq((1L, bp + " " + (0 until 6).map(k => "u1x" + k).mkString(" ")))
+      .++(strangers).toDF("id", "text")
+    val frozen2 = TextAnalysis.applyHashIdf(batch2, "text", loaded)
+      .where($"id" === 1L).select($"embedding").head().getSeq[Float](0)
+    assert(frozen2.toSeq == applied(0).toSeq,
+      "frozen embedding must be a pure function of the text")
+    val refit2 = TextAnalysis.hashEmbedIdf(batch2, "text", dim = 512, ngrams = 2)
+      .where($"id" === 1L).select($"embedding").head().getSeq[Float](0)
+    assert(cos(refit2, applied(0)) < 0.9,
+      s"the refit face must drift when the batch composition shifts: ${cos(refit2, applied(0))}")
+    // never-seen grams weight 0 under the frozen model: a doc of
+    // entirely novel vocabulary embeds to (near-)null — here dim 512
+    // with ~110 occupied buckets leaves most novel grams in df=0
+    // buckets; the survivors are collision noise, so cosine to any
+    // fit-corpus doc stays far from a hit
+    val novel = TextAnalysis.applyHashIdf(
+      Seq((200L, (0 until 8).map(k => s"novel${k}word$k").mkString(" ")))
+        .toDF("id", "text"), "text", loaded)
+      .select($"embedding").head()
+    if (!novel.isNullAt(0))
+      assert(math.abs(cos(novel.getSeq[Float](0), applied(0))) < 0.5)
+    // degenerate fits: an empty corpus gives nDocs 0 / df all zero,
+    // and applying it nulls every row (all weights 0)
+    val empty = TextAnalysis.fitHashIdf(docs.where($"id" < 0), "text", dim = 64)
+    assert(empty.nDocs == 0L && empty.df.forall(_ == 0L))
+    val nulled = TextAnalysis.applyHashIdf(docs, "text", empty)
+      .select($"embedding").collect()
+    assert(nulled.forall(_.isNullAt(0)))
+    // parameter validation mirrors the inline faces
+    intercept[IllegalArgumentException] { TextAnalysis.fitHashIdf(docs, "text", dim = 0) }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fitHashIdf(docs, "text", ngrams = 2, ngramsMin = 3)
+    }
+  }
 }
