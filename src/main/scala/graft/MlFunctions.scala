@@ -364,13 +364,13 @@ object MlFunctions {
   }
 
   private def predUdf(bc: Broadcast[Map[String, Mlp]]): UserDefinedFunction =
-    udf { (name: String, feats: Seq[Float]) =>
+    udf { (name: String, feats: Array[Float]) =>
       val model = bc.value.getOrElse(
         name,
         throw new IllegalArgumentException(s"ml_pred: model '$name' not found"),
       )
       if (feats == null) null
-      else model.predict(seqToFloats(feats, "features"))
+      else model.predict(feats)
     }
 
   /** SQL-callable whole-relation training: `ml_train(name, feats,

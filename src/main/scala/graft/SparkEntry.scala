@@ -2703,6 +2703,84 @@ object SparkEntry {
       |  true AS frozen_consistent, true AS refit_drifts
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
 
+  /** Boilerplate-immune TEXT→store semantic hits ([[graft.operators
+    * .TextAnalysis.applyHashIdf]] → [[graft.streaming
+    * .StreamingVectorStore.corpusSemanticHits]], bounded twin — the
+    * stream≡batch spec pins the streaming plan): the live text front
+    * door with the FROZEN-IDF embedding in the hit path. Standing
+    * corpus = half the documents ids over a 100-token shared
+    * boilerplate plus 12-token unique tails; the model fits on it
+    * (bp buckets df = N → weight 0) and embeds BOTH sides, so
+    * incoming near-copy texts flag their standing originals
+    * (`hit_original` — cos ≈ √(12/13) in the zeroed-bp space) while
+    * incoming texts that share ONLY the boilerplate produce zero hits
+    * (`clean` — their cosine to every standing doc is collision noise
+    * ≈ 0.1; the UNWEIGHTED face would score them ≈ 0.89 against
+    * every standing doc and false-hit, the q172 mis-rank inside the
+    * serving path — the streaming spec pins that contrast in-stream).
+    * Frozen statistics are what make the composition sound: a refit
+    * on each micro-batch would embed queries in a batch-dependent
+    * space (q175), and cannot run in a streaming plan at all.
+    */
+  private def q176TextIdfStreamHits(s: SparkSession, dir: String): DataFrame = {
+    val bp = (0 until 100).map(k => s"common$k").mkString(" ")
+    def tail(prefix: String): Column = array_join(
+      transform(sequence(lit(0), lit(11)),
+        k => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
+          k.cast("string"))),
+      " ")
+    val texts = load(s, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), concat(lit(bp), lit(" "), tail("a")).as("text"))
+    val model = graft.operators.TextAnalysis
+      .fitHashIdf(texts, "text", dim = 2048, ngrams = 2)
+    val emb = graft.operators.TextAnalysis
+      .applyHashIdf(texts, "text", model)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q176").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", storeDir, "q176_vs", ivf, pq,
+        numBuckets = 8)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q176_vs")
+    val tenth = texts.where(col("doc_id") % 10 === 0)
+    val copies = tenth.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val bpOnly = tenth.select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat(lit(bp), lit(" "), tail("b")).as("text"))
+    val incoming = graft.operators.TextAnalysis
+      .applyHashIdf(copies.unionByName(bpOnly), "text", model)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+      .localCheckpoint(true)
+    val hits = graft.streaming.StreamingVectorStore
+      .corpusSemanticHits(incoming, "vec_id", "ts", "embedding", store,
+        threshold = 0.8, nprobe = 8)
+      .toDF()
+    val agg = hits.groupBy("id").agg(
+      max(col("corpus_id") === col("id") - lit(1000000L)).as("ho"),
+      count(lit(1)).as("n"))
+    incoming.select(col("vec_id").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ho"), lit(false)).as("hit_original"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("clean"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q176Oracle =
+    """SELECT doc_id + 1000000 AS id, true AS hit_original, false AS clean
+      |FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000 AS id, false AS hit_original, true AS clean
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6552,6 +6630,7 @@ object SparkEntry {
     "q173_hash_embed_subtf" -> (q173HashEmbedSubTf _),
     "q174_hash_embed_mixed" -> (q174HashEmbedMixed _),
     "q175_hash_idf_frozen" -> (q175HashIdfFrozen _),
+    "q176_text_idf_stream_hits" -> (q176TextIdfStreamHits _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6717,5 +6796,6 @@ object SparkEntry {
     "q173_hash_embed_subtf" -> q173Oracle,
     "q174_hash_embed_mixed" -> q174Oracle,
     "q175_hash_idf_frozen" -> q175Oracle,
+    "q176_text_idf_stream_hits" -> q176Oracle,
   )
 }

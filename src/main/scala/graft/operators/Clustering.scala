@@ -41,7 +41,7 @@ object Clustering {
     */
   final case class KmeansModel(centroids: Array[Array[Float]]) {
     def k: Int = centroids.length
-    def nearestCentroid(v: Seq[Float]): Int = Similarity.IvfModel.nearest(centroids, v)
+    def nearestCentroid(v: Array[Float]): Int = Similarity.IvfModel.nearest(centroids, v)
   }
 
   /** Cosine distance on normalized vectors — the single kernel every
@@ -151,7 +151,7 @@ object Clustering {
       outCol: String = "cluster",
   ): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
+    val assignUdf = udf { (v: Array[Float]) =>
       if (v == null) 0 else Similarity.IvfModel.nearest(bc.value, v)
     }
     df.withColumn(outCol, assignUdf(col(vecCol)))
@@ -167,7 +167,7 @@ object Clustering {
       model: KmeansModel,
   ): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
-    val simUdf = udf { (v: Seq[Float], c: Int) =>
+    val simUdf = udf { (v: Array[Float], c: Int) =>
       if (v == null) 0.0 else -Similarity.IvfModel.negCos(bc.value(c), v)
     }
     assignClusters(df, vecCol, model)
@@ -238,9 +238,9 @@ object Clustering {
           val bc = spark.sparkContext.broadcast(model.centroids)
           // (a, b) = cosine distance to own / nearest-other centroid;
           // vectors normalized to match the training geometry.
-          val abUdf = udf { (v: Seq[Float]) =>
+          val abUdf = udf { (v: Array[Float]) =>
             val cs = bc.value
-            val x = normalize(v.toArray)
+            val x = normalize(v)
             var best = Double.MaxValue
             var second = Double.MaxValue
             var i = 0

@@ -916,7 +916,7 @@ object Dedup {
       val rng = new scala.util.Random(seed)
       Array.fill(numBits, dim)((rng.nextGaussian()).toFloat)
     }
-    udf { (v: Seq[Float]) =>
+    udf { (v: Array[Float]) =>
       var sig = 0L
       var b = 0
       while (b < numBits) {
@@ -1214,10 +1214,10 @@ object Dedup {
         "large should not broadcast; quantize it (signPack + hammingTopK) and threshold " +
         "the re-ranked cosine instead")
     val bc = spark.sparkContext.broadcast(pool)
-    val maxCos = udf { (v: Seq[Float]) =>
+    val maxCos = udf { (v: Array[Float]) =>
       if (v == null) 0.0
       else {
-        val x = v.toArray
+        val x = v
         // true max (not clamped at 0) so the column replays SQL max()
         // even when every benchmark similarity is negative
         var best = Double.NegativeInfinity

@@ -527,20 +527,28 @@ object Similarity {
     * than a groupless map).
     */
   final case class IvfModel(centroids: Array[Array[Float]]) {
-    def nearestCentroid(v: Seq[Float]): Int = IvfModel.nearest(centroids, v)
-    def nearestCentroids(v: Seq[Float], nprobe: Int): Seq[Int] =
+    def nearestCentroid(v: Array[Float]): Int = IvfModel.nearest(centroids, v)
+    def nearestCentroids(v: Array[Float], nprobe: Int): Seq[Int] =
       IvfModel.nearestK(centroids, v, nprobe)
   }
 
   object IvfModel {
-    private[operators] def negCos(c: Array[Float], v: Seq[Float]): Double = {
+    // Per-row kernels take Array[Float], NEVER Seq[Float]: a
+    // `Seq[Float]` UDF parameter deserializes to an immutable List
+    // (measured — Spark 4's Seq deserializer builds cons cells), so
+    // every indexed access walks the list and an indexed while-loop
+    // kernel goes O(dim²) per row. An `Array[Float]` parameter arrives
+    // as the primitive float[] (one bulk copy, no boxing): the same
+    // dim-2048 indexed loop measured 43 s (Seq) vs 0.33 s (Array)
+    // over 20k rows. Repo-wide UDF convention, not a local fix.
+    private[operators] def negCos(c: Array[Float], v: Array[Float]): Double = {
       var dot = 0.0; var nc = 0.0; var nv = 0.0
       var i = 0
       val n = math.min(c.length, v.length)
       while (i < n) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
       if (nc == 0 || nv == 0) 0.0 else -dot / math.sqrt(nc * nv)
     }
-    private[operators] def nearest(cs: Array[Array[Float]], v: Seq[Float]): Int = {
+    private[operators] def nearest(cs: Array[Array[Float]], v: Array[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var i = 0
       while (i < cs.length) {
@@ -554,7 +562,7 @@ object Similarity {
     /** The `k` nearest centroid indices by cosine — static so per-row
       * probing allocates no model wrapper.
       */
-    private[operators] def nearestK(cs: Array[Array[Float]], v: Seq[Float], k: Int): Seq[Int] =
+    private[operators] def nearestK(cs: Array[Array[Float]], v: Array[Float], k: Int): Seq[Int] =
       cs.indices
         .map(i => (negCos(cs(i), v), i))
         .sorted
@@ -718,8 +726,8 @@ object Similarity {
     // the sample must comfortably exceed the centroid count
     val model = trainIvf(input, vecCol, cells, sampleRows = math.max(20000, cells * 8), seed = seed)
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bc.value, v))
-    val centSimUdf = udf { (v: Seq[Float], c: Int) =>
+    val assignUdf = udf((v: Array[Float]) => IvfModel.nearest(bc.value, v))
+    val centSimUdf = udf { (v: Array[Float], c: Int) =>
       val cs = bc.value
       if (cs.isEmpty) 0.0 else -IvfModel.negCos(cs(c), v)
     }
@@ -828,7 +836,7 @@ object Similarity {
   ): DataFrame = {
     val spark = store.coded.sparkSession
     val bc = spark.sparkContext.broadcast(store.ivf.centroids)
-    val centSimUdf = udf { (v: Seq[Float], c: Int) =>
+    val centSimUdf = udf { (v: Array[Float], c: Int) =>
       val cs = bc.value
       if (cs.isEmpty) 0.0 else -IvfModel.negCos(cs(c), v)
     }
@@ -977,7 +985,7 @@ object Similarity {
     // — the store write path uses the same one, so the flat face
     // cannot drift from store-vs-from-floats parity)
     val bc = corpus.sparkSession.sparkContext.broadcast(model)
-    val encodeUdf = udf((v: Seq[Float]) => pqEncode(bc.value, v))
+    val encodeUdf = udf((v: Array[Float]) => pqEncode(bc.value, v))
     val encoded = nonDegenerate(corpus, vecCol).select(
       col(idCol).cast("long").as("neighbor_id"),
       encodeUdf(col(vecCol)).as("code"),
@@ -1055,7 +1063,7 @@ object Similarity {
       refine: Int,
   ): DataFrame = {
     val model = bc.value
-    val lutUdf = udf((v: Seq[Float]) => adcLut(bc.value, v))
+    val lutUdf = udf((v: Array[Float]) => adcLut(bc.value, v))
     // FAISS-style flat ADC scan: query LUTs broadcast once
     // (queries were already an implicit broadcast in the join
     // formulation — Q × m·ksub floats), each partition streams its
@@ -1240,8 +1248,8 @@ object Similarity {
     // empty rows rotate to NULL (not a width error): degenerate
     // embeddings are routine corpus rows, and every downstream face
     // drops NULL vectors via its nonDegenerate guard
-    val rotUdf = udf { (v: Seq[Float]) =>
-      if (v == null || v.isEmpty) null else bc.value.rotate(v.toArray).toSeq
+    val rotUdf = udf { (v: Array[Float]) =>
+      if (v == null || v.isEmpty) null else bc.value.rotate(v)
     }
     df.withColumn(vecCol, rotUdf(col(vecCol)))
   }
@@ -1353,8 +1361,8 @@ object Similarity {
     val sc = corpus.sparkSession.sparkContext
     val bcIvf = sc.broadcast(ivf.centroids)
     val bcPq = sc.broadcast(pq)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
-    val encodeUdf = udf((v: Seq[Float]) => pqEncode(bcPq.value, v))
+    val assignUdf = udf((v: Array[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val encodeUdf = udf((v: Array[Float]) => pqEncode(bcPq.value, v))
     // one corpus scan produces (cell, code) — the ANN "index row"
     val indexed = nonDegenerate(corpus, vecCol).select(
       col(idCol).as("neighbor_id"),
@@ -1378,10 +1386,10 @@ object Similarity {
     * extracted for the same no-drift reason as [[pqEncode]].
     * Width-checked with the named model/corpus mismatch error.
     */
-  private[graft] def adcLut(mdl: PqModel, v: Seq[Float]): Array[Float] = {
+  private[graft] def adcLut(mdl: PqModel, v: Array[Float]): Array[Float] = {
     require(v.length >= mdl.m * mdl.dsub,
       s"pq lut: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-    val q = normalize(v.toArray)
+    val q = normalize(v)
     val lut = new Array[Float](mdl.m * mdl.ksub)
     var j = 0
     while (j < mdl.m) {
@@ -1403,13 +1411,13 @@ object Similarity {
     * UDF body shared with the streaming store face.
     */
   private[graft] def probeCells(
-      centroids: Array[Array[Float]], v: Seq[Float], nprobe: Int): Seq[Int] =
+      centroids: Array[Array[Float]], v: Array[Float], nprobe: Int): Seq[Int] =
     IvfModel.nearestK(centroids, v, nprobe)
 
-  private[operators] def pqEncode(mdl: PqModel, v: Seq[Float]): Array[Byte] = {
+  private[operators] def pqEncode(mdl: PqModel, v: Array[Float]): Array[Byte] = {
     require(v.length >= mdl.m * mdl.dsub,
       s"pq encode: vector width ${v.length} < model dim ${mdl.m * mdl.dsub}")
-    val x = normalize(v.toArray)
+    val x = normalize(v)
     val out = new Array[Byte](mdl.m)
     var j = 0
     while (j < mdl.m) {
@@ -1466,8 +1474,8 @@ object Similarity {
       refine: Int,
       broadcastQueries: Boolean,
   ): DataFrame = {
-    val probeUdf = udf((v: Seq[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
-    val lutUdf = udf((v: Seq[Float]) => adcLut(bcPq.value, v))
+    val probeUdf = udf((v: Array[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
+    val lutUdf = udf((v: Array[Float]) => adcLut(bcPq.value, v))
     val probed = nonDegenerate(queries, vecCol).select(
       col(idCol).as("query_id"),
       lutUdf(col(vecCol)).as("lut"),
@@ -1584,8 +1592,8 @@ object Similarity {
       broadcastQueries: Boolean = true,
   ): DataFrame = {
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
-    val probeUdf = udf { (v: Seq[Float]) =>
+    val assignUdf = udf((v: Array[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    val probeUdf = udf { (v: Array[Float]) =>
       IvfModel.nearestK(bcCentroids.value, v, nprobe)
     }
     val assigned = nonDegenerate(corpus, vecCol).select(
@@ -1759,7 +1767,7 @@ object Similarity {
       refine: Int = 4,
   ): DataFrame = {
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(model.centroids)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcCentroids.value, v))
+    val assignUdf = udf((v: Array[Float]) => IvfModel.nearest(bcCentroids.value, v))
     val codedCorpus = nonDegenerate(corpus, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"),
         Quantize.signPack(col(vecCol)).as("code"),
@@ -1831,7 +1839,7 @@ object Similarity {
     // the executor loop touches only a cell's probers
     val qProbes: Map[Long, Seq[Int]] =
       qRows.map(r => r.getLong(0) ->
-        IvfModel.nearestK(model.centroids, r.getSeq[Float](1), nprobe)).toMap
+        IvfModel.nearestK(model.centroids, r.getSeq[Float](1).toArray, nprobe)).toMap
     val byCell: Map[Int, Array[Int]] = qCodes.zipWithIndex
       .flatMap { case ((qid, _), qi) => qProbes(qid).map(_ -> qi) }
       .groupBy(_._1)

@@ -1146,8 +1146,7 @@ object TextAnalysis {
     require(ngramsMin <= ngrams,
       s"hashEmbed: ngramsMin must be <= ngrams, got $ngramsMin > $ngrams")
     val u = udf { (t: String) =>
-      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf)
-      if (v == null) null else v.toSeq
+      hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf)
     }
     df.withColumn(outCol, u(col(textCol)))
   }
@@ -1204,21 +1203,16 @@ object TextAnalysis {
       "hashEmbedIdf: Materialize.Lazy would re-execute the raw hashing pass for " +
         "the DF aggregate AND the weighting — pass LocalCheckpoint or ParquetDir")
     val rawU = udf { (t: String) =>
-      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
+      hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
         normalize = false)
-      if (v == null) null else v.toSeq
     }
     val landed = Materialize(df.withColumn(outCol, rawU(col(textCol))), materialize)
     val agg = dfAggregate(landed, outCol, dim)
     val model = HashIdfModel(dim, ngrams, seed, ngramsMin, sublinearTf,
       nDocs = agg(dim), df = agg.take(dim))
     val bcIdf = df.sparkSession.sparkContext.broadcast(model.idf)
-    val weightU = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val out = idfWeightKernel(v, bcIdf.value, dim)
-        if (out == null) null else out.toSeq
-      }
+    val weightU = udf { (v: Array[Float]) =>
+      if (v == null) null else idfWeightKernel(v, bcIdf.value, dim)
     }
     landed.withColumn(outCol, weightU(col(outCol)))
   }
@@ -1325,7 +1319,7 @@ object TextAnalysis {
     * bit-identical to the in-line face by construction.
     */
   private def idfWeightKernel(
-      v: scala.collection.Seq[Float],
+      v: Array[Float],
       w: Array[Double],
       dim: Int): Array[Float] = {
     val tmp = new Array[Double](dim)
@@ -1368,9 +1362,8 @@ object TextAnalysis {
     require(ngramsMin <= ngrams,
       s"fitHashIdf: ngramsMin must be <= ngrams, got $ngramsMin > $ngrams")
     val rawU = udf { (t: String) =>
-      val v = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
+      hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
         normalize = false)
-      if (v == null) null else v.toSeq
     }
     val agg = dfAggregate(df.select(rawU(col(textCol)).as("__raw")), "__raw", dim)
     HashIdfModel(dim, ngrams, seed, ngramsMin, sublinearTf,
@@ -1402,11 +1395,7 @@ object TextAnalysis {
     val u = udf { (t: String) =>
       val raw = hashEmbedKernel(t, dim, ngrams, seed, ngramsMin, sublinearTf,
         normalize = false)
-      if (raw == null) null
-      else {
-        val out = idfWeightKernel(raw, bcIdf.value, dim)
-        if (out == null) null else out.toSeq
-      }
+      if (raw == null) null else idfWeightKernel(raw, bcIdf.value, dim)
     }
     df.withColumn(outCol, u(col(textCol)))
   }

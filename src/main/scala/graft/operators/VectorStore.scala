@@ -122,8 +122,11 @@ object VectorStore {
     val sc = df.sparkSession.sparkContext
     val bcIvf = sc.broadcast(ivf.centroids)
     val bcPq = sc.broadcast(pq)
-    val assignUdf = udf((v: Seq[Float]) => IvfModel.nearest(bcIvf.value, v))
-    val encodeUdf = udf((v: Seq[Float]) => Similarity.pqEncode(bcPq.value, v))
+    // Array[Float] params, not Seq — the repo-wide UDF convention
+    // (a Seq parameter deserializes to a List and indexed kernels go
+    // O(dim²) per row; see IvfModel's scaladoc for the measurement)
+    val assignUdf = udf((v: Array[Float]) => IvfModel.nearest(bcIvf.value, v))
+    val encodeUdf = udf((v: Array[Float]) => Similarity.pqEncode(bcPq.value, v))
     Similarity.nonDegenerate(df, vecCol).select(
       col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"),

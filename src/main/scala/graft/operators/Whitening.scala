@@ -117,7 +117,7 @@ object Whitening {
   ) {
     def dim: Int = mean.length
 
-    def transformOne(v: Seq[Float]): Array[Float] = {
+    def transformOne(v: Array[Float]): Array[Float] = {
       // named width check, matching the fit path's ragged-vector
       // policy: a LONGER vector would silently whiten its first dim
       // components into plausible garbage, a shorter one would throw
@@ -192,7 +192,7 @@ object Whitening {
       outCol: String = "white",
   ): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val t = udf { (v: Seq[Float]) => if (v == null) null else bc.value.transformOne(v) }
+    val t = udf { (v: Array[Float]) => if (v == null) null else bc.value.transformOne(v) }
     df.withColumn(outCol, t(col(vecCol)))
   }
 }

@@ -105,7 +105,7 @@ object StreamingVectorStore {
     // length (loosening the SRP cut), and the exact vecCosine verify
     // truncates too — so both mismatches fail with the named error
     val dim = store.pq.m * store.pq.dsub
-    val probeUdf = udf { (v: Seq[Float]) =>
+    val probeUdf = udf { (v: Array[Float]) =>
       require(v.length == dim,
         s"corpusSemanticHits: vector width ${v.length} != store dim $dim")
       Similarity.probeCells(bcIvf.value, v, nprobe)

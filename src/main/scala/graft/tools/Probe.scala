@@ -257,6 +257,58 @@ object Probe {
       return
     }
 
+    if (names.contains("q176_stages")) {
+      // stage breakdown of the q176 gate shape — where a dim-2048
+      // frozen-IDF text→store→hits gate spends its time at sf0.1
+      val bp = (0 until 100).map(k => s"common$k").mkString(" ")
+      val texts = graft.sources.Tables.load(spark, sfDir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          concat(lit(bp), lit(" "),
+            concat_ws(" ", transform(sequence(lit(0), lit(11)),
+              k => concat(lit("a"), col("doc_id").cast("string"), lit("x"),
+                k.cast("string"))))).as("text"))
+      (1 to 2).foreach { round =>
+        val model = timed(s"round $round: fitHashIdf") {
+          graft.operators.TextAnalysis.fitHashIdf(texts, "text", dim = 2048, ngrams = 2)
+        }
+        val emb = timed(s"round $round: applyHashIdf + checkpoint") {
+          graft.operators.TextAnalysis.applyHashIdf(texts, "text", model)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .localCheckpoint(true)
+        }
+        val ivf = timed(s"round $round: trainIvf") {
+          graft.operators.Similarity.trainIvf(emb, "embedding", nlist = 16)
+        }
+        val pq = timed(s"round $round: trainPq") {
+          graft.operators.Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+        }
+        val root = java.nio.file.Files.createTempDirectory(s"probe-q176-$round").toString
+        val store = timed(s"round $round: store write + read") {
+          graft.operators.VectorStore.write(emb, "vec_id", "embedding",
+            root, s"p176_${round}", ivf, pq, numBuckets = 8)
+          graft.operators.VectorStore.read(spark, root, s"p176_${round}")
+        }
+        val incoming = timed(s"round $round: incoming embed") {
+          graft.operators.TextAnalysis
+            .applyHashIdf(texts.where(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+                concat(col("text"), lit(" zz")).as("text")), "text", model)
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+            .localCheckpoint(true)
+        }
+        timed(s"round $round: corpusSemanticHits") {
+          graft.streaming.StreamingVectorStore
+            .corpusSemanticHits(incoming, "vec_id", "ts", "embedding", store,
+              threshold = 0.8, nprobe = 8)
+            .toDF().count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("para_scale")) {
       // the optional webIngest paragraph stage at 1x and 10x docs —
       // the claim is "one line-dedup-sized pass, nothing superlinear"
@@ -540,8 +592,8 @@ object Probe {
       def joinFace(corpus: org.apache.spark.sql.DataFrame,
                    model: Similarity.IvfModel, k: Int, nprobe: Int, refine: Int) = {
         val bcM = spark.sparkContext.broadcast(model)
-        val assignU = udf((v: Seq[Float]) => bcM.value.nearestCentroid(v))
-        val probeU = udf((v: Seq[Float]) => bcM.value.nearestCentroids(v, nprobe))
+        val assignU = udf((v: Array[Float]) => bcM.value.nearestCentroid(v))
+        val probeU = udf((v: Array[Float]) => bcM.value.nearestCentroids(v, nprobe))
         val c = corpus.select(col("vec_id").as("neighbor_id"),
           Quantize.signPack(col("embedding")).as("ccode"), assignU(col("embedding")).as("cell"))
         val q = queries.select(col("vec_id").as("query_id"),

@@ -171,6 +171,66 @@ class StreamingVectorStoreSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frozen-IDF text hits in-stream: boilerplate-only texts stay clean where the unweighted face false-hits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    // every standing doc shares a 40-token boilerplate; the q172
+    // mis-rank inside the SERVING path: a streamed text sharing ONLY
+    // the boilerplate false-hits under unweighted hashing and stays
+    // clean under the frozen-IDF embedding (bp buckets df = N → 0)
+    val bp = (0 until 40).map(k => s"cmn$k").mkString(" ")
+    def doc(i: Int) = bp + " " + (0 until 8).map(k => s"d${i}x$k").mkString(" ")
+    val texts = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val model = TextAnalysis.fitHashIdf(texts, "text", dim = 1024, ngrams = 2)
+    def buildStore(emb: DataFrame, name: String): VectorStore.CodedVectorStore = {
+      val ivf = Similarity.trainIvf(emb, "embedding", nlist = 4, seed = 3L)
+      val pq = Similarity.trainPq(emb, "embedding", m = 4, ksub = 16, seed = 3L)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-svs-$name").toString
+      VectorStore.write(emb, "vec_id", "embedding", dir, name, ivf, pq, numBuckets = 4)
+      VectorStore.read(spark, dir, name)
+    }
+    val storeW = buildStore(
+      TextAnalysis.applyHashIdf(texts, "text", model)
+        .select($"doc_id".as("vec_id"), $"embedding"), "svs_idf_w")
+    val storeU = buildStore(
+      TextAnalysis.hashEmbed(texts, "text", dim = 1024, ngrams = 2)
+        .select($"doc_id".as("vec_id"), $"embedding"), "svs_idf_u")
+    // streamed rows: 107 = near-copy of doc 7 (must hit under BOTH),
+    // 300 = boilerplate + a new tail (must hit ONLY unweighted)
+    val rows = Seq(
+      (107L, new java.sql.Timestamp(t0), doc(7) + " zz"),
+      (300L, new java.sql.Timestamp(t0),
+        bp + " " + (0 until 8).map(k => s"n300x$k").mkString(" ")))
+    def run(weighted: Boolean, store: VectorStore.CodedVectorStore,
+        sink: String): Set[(Long, Long)] = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val streamDocs = in.toDS().toDF("doc_id", "ts", "text")
+      val embedded =
+        if (weighted) TextAnalysis.applyHashIdf(streamDocs, "text", model)
+        else TextAnalysis.hashEmbed(streamDocs, "text", dim = 1024, ngrams = 2)
+      val q = StreamingVectorStore
+        .corpusSemanticHits(embedded, "doc_id", "ts", "embedding", store,
+          threshold = 0.8, nprobe = 4)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.isEmpty,
+          "applyHashIdf + semantic hits must stay stateless in-stream")
+        spark.table(sink).select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val weightedHits = run(weighted = true, storeW, "svs_idf_w_q")
+    assert(weightedHits.contains(107L -> 7L),
+      s"near-copy must hit its original under frozen IDF: $weightedHits")
+    assert(!weightedHits.exists(_._1 == 300L),
+      s"boilerplate-only text must stay clean under frozen IDF: $weightedHits")
+    val unweightedHits = run(weighted = false, storeU, "svs_idf_u_q")
+    assert(unweightedHits.exists(_._1 == 300L),
+      s"the unweighted face false-hits on shared boilerplate (the contrast " +
+        s"this spec pins): $unweightedHits")
+  }
+
   test("lifecycle: sink increments → compact folds with threshold-dedup → retention; re-run and stale turns behave") {
     val df = corpus(59)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
