@@ -1271,9 +1271,18 @@ object TextAnalysis {
     /** Combine statistics fit on DISJOINT document sets — df counts
       * and corpus sizes add, so `fit(a) merged fit(b)` equals
       * `fit(a ∪ b)` exactly (spec-locked). The incremental-epoch form:
-      * fit each ingest batch, fold into the standing model, re-freeze —
-      * no pass over the standing corpus. Hash parameters must match;
-      * mixing spaces is a hard error, not a silent re-weighting.
+      * fit each ingest batch, fold into the standing model — no pass
+      * over the standing corpus. Hash parameters must match; mixing
+      * spaces is a hard error, not a silent re-weighting.
+      *
+      * RE-FREEZING IS AN EPOCH EVENT, not a rolling update: vectors
+      * embedded under the old statistics live in a different weighted
+      * space, so adopting a merged model means re-embedding the
+      * standing corpus into a NEW store epoch (the
+      * [[VectorStore.merge]]/compaction machinery exists for exactly
+      * this) — the same posture as an OPQ rotation retrain. Between
+      * refreezes, keep serving the frozen model; its weights only go
+      * stale as fast as corpus-level term frequencies drift.
       */
     def merged(other: HashIdfModel): HashIdfModel = {
       require(dim == other.dim && ngrams == other.ngrams &&
