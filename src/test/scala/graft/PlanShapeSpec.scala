@@ -29,6 +29,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles(plan(redacted)) == 0, "PII redaction must not shuffle")
   }
 
+  test("hashEmbed / applyHashIdf are pure projections; fitHashIdf is the only pass that aggregates") {
+    val emb = TextAnalysis.hashEmbed(docs, "text", dim = 64, ngrams = 2)
+    assert(shuffles(plan(emb)) == 0, "hashEmbed must not shuffle")
+    val model = TextAnalysis.fitHashIdf(docs.limit(50), "text", dim = 64)
+    // the frozen-model apply is one scan-bound map — NO landing, no
+    // aggregate, no exchange (the refitting hashEmbedIdf face pays a
+    // landing + treeAggregate by construction; freezing removes both)
+    val applied = TextAnalysis.applyHashIdf(docs, "text", model)
+    assert(shuffles(plan(applied)) == 0, s"applyHashIdf must not shuffle:\n${plan(applied)}")
+  }
+
   test("model scoring is a pure map (broadcast model, no shuffle)") {
     QualityClassifier.train(
       docs.withColumn("label", lit(1)).limit(50), "text", "label", "plan_q", dim = 32,
