@@ -2781,6 +2781,61 @@ object SparkEntry {
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY id""".stripMargin
 
+  /** Span-excision decontamination gate ([[graft.operators.Dedup
+    * .decontaminateSpans]] — contamination SURGERY, not doc
+    * dropping): per planted id, a contaminated doc embeds the
+    * benchmark's 13-gram between a 10-token unique prefix and a
+    * 10-token unique suffix — the quoted window (and ONLY it: every
+    * other window carries an id-unique token) must excise, the
+    * surrounding prose must survive verbatim — and a clean doc of 20
+    * unique tokens must pass through untouched. The oracle
+    * reconstructs the expected CLEAN TEXT closed-form (DuckDB string
+    * synthesis), so the hash compare pins the rebuilt text
+    * byte-for-byte, not just the counts.
+    */
+  private def q177DecontamSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benchTokens = (0 until 13).map(k => s"bq$k").mkString(" ")
+    val bench = Seq(Tuple1(benchTokens)).toDF("text")
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def run(prefix: String, count: Int): Column = array_join(
+      transform(sequence(lit(0), lit(count - 1)),
+        k => concat(lit(prefix), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val contaminated = ids.select(col("id"),
+      concat(run("p", 10), lit(" "), lit(benchTokens), lit(" "), run("s", 10)).as("text"))
+    // two-step projection: the token run must read the ORIGINAL id
+    // (a same-select alias would shadow it via lateral resolution)
+    val clean = ids.select(col("id"), run("c", 20).as("text"))
+      .select((col("id") + lit(1000000L)).as("id"), col("text"))
+    graft.operators.Dedup
+      .decontaminateSpans(contaminated.unionByName(clean), bench, "text", "text", n = 13)
+      .select(col("id"), col("clean_text"), col("n_kept_tokens"),
+        col("n_excised_tokens"), col("n_matched_windows").cast("long"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q177Oracle =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id,
+      |  array_to_string(list_transform(generate_series(0, 9), k -> 'p' || id || 'x' || k), ' ')
+      |    || ' ' ||
+      |  array_to_string(list_transform(generate_series(0, 9), k -> 's' || id || 'x' || k), ' ')
+      |    AS clean_text,
+      |  CAST(20 AS BIGINT) AS n_kept_tokens,
+      |  CAST(13 AS BIGINT) AS n_excised_tokens,
+      |  CAST(1 AS BIGINT) AS n_matched_windows
+      |FROM ids
+      |UNION ALL
+      |SELECT id + 1000000,
+      |  array_to_string(list_transform(generate_series(0, 19), k -> 'c' || id || 'x' || k), ' '),
+      |  20, 0, 0
+      |FROM ids
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6631,6 +6686,7 @@ object SparkEntry {
     "q174_hash_embed_mixed" -> (q174HashEmbedMixed _),
     "q175_hash_idf_frozen" -> (q175HashIdfFrozen _),
     "q176_text_idf_stream_hits" -> (q176TextIdfStreamHits _),
+    "q177_decontam_spans" -> (q177DecontamSpans _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6797,5 +6853,6 @@ object SparkEntry {
     "q174_hash_embed_mixed" -> q174Oracle,
     "q175_hash_idf_frozen" -> q175Oracle,
     "q176_text_idf_stream_hits" -> q176Oracle,
+    "q177_decontam_spans" -> q177Oracle,
   )
 }

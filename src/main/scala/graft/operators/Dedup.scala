@@ -1158,6 +1158,91 @@ object Dedup {
       .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
   }
 
+  /** Decontamination by SPAN EXCISION — remove the contaminated
+    * n-gram windows and KEEP the document, instead of flagging or
+    * dropping it whole ([[decontaminate]]): the contamination-surgery
+    * recipe of the large open pipelines (a crawled page quoting one
+    * benchmark question is stripped of the quote, not discarded with
+    * its surrounding prose). Every corpus token covered by a window
+    * whose shingle hash appears in the benchmark pool — widened by
+    * `pad` tokens each side, clamped to the document — is excised;
+    * overlapping and adjacent matches merge naturally through the
+    * per-token cover mask. Output: every input row +
+    * `clean_text` (kept tokens joined by single spaces — the same
+    * whitespace/punctuation NORMALIZATION as [[spanDedup]]'s rebuild,
+    * because excision is token-level by construction),
+    * `n_kept_tokens`, `n_excised_tokens`, and `n_matched_windows`
+    * (pre-merge match count, the audit column). Null / sub-n-token
+    * documents pass through unmatched (their tokens all keep).
+    *
+    * Scale shape: strictly better than [[spanDedup]] — the pool side
+    * is bounded and BROADCAST (sorted distinct 64-bit hashes, the
+    * [[decontaminate]] contract), so the corpus side is ONE
+    * shuffle-free per-row kernel: tokenize, hash the windows in
+    * place, binary-search each against the pool, excise, rebuild.
+    * No explode, no groupBy rebuild, zero exchanges at any corpus
+    * size (PlanShapeSpec pins it). Matching semantics are
+    * position-aligned [[TextHash.hashedShingles]] + [[mix64]] —
+    * byte-identical to the pool build, so a window matches iff the
+    * flagging face would have counted it.
+    */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 13,
+      pad: Int = 0,
+  ): DataFrame = {
+    require(n >= 1, s"decontaminateSpans: n must be >= 1, got $n")
+    require(pad >= 0, s"decontaminateSpans: pad must be >= 0, got $pad")
+    val spark = corpus.sparkSession
+    val shingleHash = udf { (t: String) =>
+      hashedShingles(t, n).map(mix64).distinct
+    }
+    val pool: Array[Long] = benchmark
+      .select(explode(shingleHash(col(benchTextCol))).as("g"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val bc = spark.sparkContext.broadcast(pool)
+    val excise = udf { (t: String) =>
+      val p = bc.value
+      val toks = graft.textutil.TextHash.tokenize(if (t == null) "" else t)
+      val windows = graft.textutil.TextHash.hashedShingles(t, n) // position-aligned
+      val covered = new Array[Boolean](toks.length)
+      var matched = 0
+      var i = 0
+      while (i < windows.length) {
+        if (java.util.Arrays.binarySearch(p, mix64(windows(i))) >= 0) {
+          matched += 1
+          var j = math.max(0, i - pad)
+          val hi = math.min(toks.length - 1, i + n - 1 + pad)
+          while (j <= hi) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      var kept = 0L
+      i = 0
+      while (i < toks.length) {
+        if (!covered(i)) {
+          if (kept > 0) sb.append(' ')
+          sb.append(toks(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (sb.toString, kept, toks.length - kept, matched)
+    }
+    val fields = Seq("clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
+    val flagged = corpus.withColumn("__dx", excise(col(textCol)))
+    fields.zipWithIndex.foldLeft(flagged) { case (d, (f, ix)) =>
+      d.withColumn(f, col(s"__dx._${ix + 1}"))
+    }.drop("__dx")
+  }
+
   // ----------------------------------------------------------- span dedup
 
   /** EMBEDDING-space decontamination: flag corpus documents whose

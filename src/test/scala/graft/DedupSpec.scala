@@ -474,6 +474,61 @@ class DedupSpec extends SparkTestBase {
     assert(loose.where(!col("is_clean")).count() == 0)
   }
 
+  test("decontaminateSpans: excises matched windows, merges overlaps, pads with clamping, keeps the rest") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // one 5-gram
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quote in the middle: prefix/suffix survive, the 5 quoted tokens go
+      (10L, "one two three alpha beta gamma delta epsilon four five six"),
+      (11L, "completely unrelated content about databases and query engines"),
+      (12L, "tiny doc"), // < n tokens → no windows → untouched
+      // two overlapping matches (6-token run contains two matched
+      // 5-grams... not with a single pool gram; instead: quote at the
+      // very start (clamp at 0) and again at the very end (clamp at len)
+      (13L, "alpha beta gamma delta epsilon middle words alpha beta gamma delta epsilon"),
+      (14L, null.asInstanceOf[String]),
+      // fully contaminated doc → empty rebuild
+      (15L, "alpha beta gamma delta epsilon"),
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .decontaminateSpans(corpus, bench, "text", "text", n = 5)
+      .select("doc_id", "clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(out(10L) == (("one two three four five six", 6L, 5L, 1)))
+    assert(out(11L)._1 == "completely unrelated content about databases and query engines")
+    assert(out(11L)._3 == 0L && out(11L)._4 == 0)
+    assert(out(12L) == (("tiny doc", 2L, 0L, 0)))
+    assert(out(13L) == (("middle words", 2L, 10L, 2)))
+    assert(out(14L) == (("", 0L, 0L, 0)), "null text passes through as empty, not missing")
+    assert(out(15L) == (("", 0L, 5L, 1)))
+    // pad widens the excision window, clamped at the document bounds
+    val padded = Dedup
+      .decontaminateSpans(corpus, bench, "text", "text", n = 5, pad = 2)
+      .where(col("doc_id") === 10L)
+      .select("clean_text", "n_excised_tokens").head()
+    // match covers positions 3..7; pad 2 widens to 1..9 of 11 tokens
+    assert(padded.getString(0) == "one six", s"pad=2 strips 2 tokens each side: $padded")
+    assert(padded.getLong(1) == 9L)
+    // the excision face matches exactly the windows the flagging face counts
+    val flagged = Dedup.decontaminate(corpus.where(col("text").isNotNull), bench,
+      "text", "text", n = 5)
+      .select("doc_id", "n_contaminated_grams").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // distinct-gram counts vs positional window counts agree here (no
+    // doc repeats a DISTINCT matched gram except 13, which matches the
+    // SAME pool gram twice: 1 distinct, 2 windows)
+    assert(flagged(10L) == 1 && flagged(13L) == 1 && flagged(15L) == 1 && flagged(11L) == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateSpans(corpus, bench, "text", "text", n = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateSpans(corpus, bench, "text", "text", pad = -1)
+    }
+  }
+
   test("decontaminateBloom: agrees with exact on flagged docs; errs only toward dropping") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -27,6 +27,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles(plan(quality)) == 0, "quality score must not shuffle")
     val redacted = TextAnalysis.redactPii(docs, "text")
     assert(shuffles(plan(redacted)) == 0, "PII redaction must not shuffle")
+    // span-excision decontamination: broadcast pool + per-row kernel —
+    // zero exchanges on the corpus side at any size (unlike spanDedup,
+    // whose within-corpus matching must shuffle; the pool side is bounded)
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+    val excised = Dedup.decontaminateSpans(docs, bench, "text", "text", n = 5)
+    assert(shuffles(plan(excised)) == 0, s"decontaminateSpans must not shuffle:\n${plan(excised)}")
   }
 
   test("hashEmbed / applyHashIdf are pure projections; fitHashIdf is the only pass that aggregates") {
