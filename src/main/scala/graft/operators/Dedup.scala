@@ -1243,6 +1243,72 @@ object Dedup {
     }.drop("__dx")
   }
 
+  /** [[decontaminateSpans]] for benchmark pools too large to
+    * broadcast exactly — the same exact↔Bloom axis as
+    * [[decontaminate]]/[[decontaminateBloom]]: the pool reduces to a
+    * Bloom filter (map-side partials, no benchmark-side collect) and
+    * window membership overcounts at ~`fpp`, so excision can only err
+    * toward REMOVING a clean window (~`fpp · windows-per-doc` extra
+    * tokens lost per document) — never toward keeping a contaminated
+    * one, the safe direction for decontamination. Same per-token
+    * cover-mask kernel and output columns as the exact face
+    * (spec-locked superset relation on the excised sets).
+    */
+  def decontaminateSpansBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      expectedPoolShingles: Long,
+      n: Int = 13,
+      pad: Int = 0,
+      fpp: Double = 0.001,
+  ): DataFrame = {
+    require(n >= 1, s"decontaminateSpansBloom: n must be >= 1, got $n")
+    require(pad >= 0, s"decontaminateSpansBloom: pad must be >= 0, got $pad")
+    val spark = corpus.sparkSession
+    val shingleHash = udf { (t: String) => hashedShingles(t, n).map(mix64).distinct }
+    val bloom = benchmark
+      .select(explode(shingleHash(col(benchTextCol))).as("g"))
+      .stat
+      .bloomFilter("g", math.max(1L, expectedPoolShingles), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val excise = udf { (t: String) =>
+      val f = bc.value
+      val toks = graft.textutil.TextHash.tokenize(if (t == null) "" else t)
+      val windows = graft.textutil.TextHash.hashedShingles(t, n)
+      val covered = new Array[Boolean](toks.length)
+      var matched = 0
+      var i = 0
+      while (i < windows.length) {
+        if (f.mightContainLong(mix64(windows(i)))) {
+          matched += 1
+          var j = math.max(0, i - pad)
+          val hi = math.min(toks.length - 1, i + n - 1 + pad)
+          while (j <= hi) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      var kept = 0L
+      i = 0
+      while (i < toks.length) {
+        if (!covered(i)) {
+          if (kept > 0) sb.append(' ')
+          sb.append(toks(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (sb.toString, kept, toks.length - kept, matched)
+    }
+    val fields = Seq("clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
+    val flagged = corpus.withColumn("__dx", excise(col(textCol)))
+    fields.zipWithIndex.foldLeft(flagged) { case (d, (f, ix)) =>
+      d.withColumn(f, col(s"__dx._${ix + 1}"))
+    }.drop("__dx")
+  }
+
   // ----------------------------------------------------------- span dedup
 
   /** EMBEDDING-space decontamination: flag corpus documents whose

@@ -529,6 +529,43 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateSpansBloom: excised set is a superset of exact's; error direction is more excision") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "one two three alpha beta gamma delta epsilon four five six"),
+      (11L, "completely unrelated content about databases and query engines"),
+      (15L, "alpha beta gamma delta epsilon"),
+    ).toDF("doc_id", "text")
+    def collectOut(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "clean_text", "n_excised_tokens")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val exact = collectOut(Dedup.decontaminateSpans(corpus, bench, "text", "text", n = 5))
+    val bloomed = collectOut(Dedup.decontaminateSpansBloom(corpus, bench, "text", "text",
+      expectedPoolShingles = 10L, n = 5))
+    // at this pool size fpp is negligible → identical output; the
+    // contract under pressure is directional (≥ excision), asserted below
+    assert(bloomed == exact, s"tiny pool must agree exactly: $bloomed vs $exact")
+    // a deliberately undersized filter inflates fpp: every doc may lose
+    // MORE tokens than exact, never fewer — and the kept text is always
+    // a subsequence of exact's kept text (excision only grows)
+    val tight = collectOut(Dedup.decontaminateSpansBloom(corpus, bench, "text", "text",
+      expectedPoolShingles = 1L, n = 5, fpp = 0.5))
+    tight.foreach { case (id, (cleanT, nex)) =>
+      assert(nex >= exact(id)._2, s"doc $id: Bloom must never excise fewer tokens")
+      val exTok = exact(id)._1.split(" ").filter(_.nonEmpty)
+      val tTok = cleanT.split(" ").filter(_.nonEmpty)
+      // subsequence check: Bloom's kept tokens appear in exact's kept order
+      var i = 0
+      tTok.foreach { tok =>
+        while (i < exTok.length && exTok(i) != tok) i += 1
+        assert(i < exTok.length, s"doc $id: Bloom kept '$tok' that exact excised")
+        i += 1
+      }
+    }
+  }
+
   test("decontaminateBloom: agrees with exact on flagged docs; errs only toward dropping") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val corpus = Seq(
