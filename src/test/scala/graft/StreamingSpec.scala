@@ -2281,6 +2281,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateSpans: broadcast-pool excision runs in a streaming plan and equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    // the pool side is a bounded BATCH frame (the decontaminate
+    // contract); the corpus side is a pure per-row kernel, so the
+    // same call works on a streaming DataFrame — live-ingest surgery
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+    val rows = Seq(
+      (1L, "one two three alpha beta gamma delta epsilon four five six"),
+      (2L, "clean content with nothing quoted from any benchmark here"),
+      (3L, null.asInstanceOf[String]))
+    val batch = Dedup
+      .decontaminateSpans(rows.toDF("doc_id", "text"), bench, "text", "text", n = 5)
+      .select($"doc_id", $"clean_text", $"n_excised_tokens")
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup
+      .decontaminateSpans(in.toDS().toDF("doc_id", "text"), bench, "text", "text", n = 5)
+      .select($"doc_id", $"clean_text", $"n_excised_tokens")
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty, "excision must stay stateless in-stream")
+      val streamed = spark.table("decontam_stream").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"stream≡batch excision mismatch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("applyHashIdf: frozen-model embedding runs in a streaming plan and equals batch across microbatches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
