@@ -2813,7 +2813,7 @@ object SparkEntry {
     graft.operators.Dedup
       .decontaminateSpans(contaminated.unionByName(clean), bench, "text", "text", n = 13)
       .select(col("id"), col("clean_text"), col("n_kept_tokens"),
-        col("n_excised_tokens"), col("n_matched_windows").cast("long"))
+        col("n_excised_tokens"), col("n_matched_windows"))
       .orderBy("id")
       .localCheckpoint(true)
   }

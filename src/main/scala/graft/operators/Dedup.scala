@@ -1207,35 +1207,62 @@ object Dedup {
       .map(_.getLong(0))
       .sorted
     val bc = spark.sparkContext.broadcast(pool)
-    val excise = udf { (t: String) =>
-      val p = bc.value
-      val toks = graft.textutil.TextHash.tokenize(if (t == null) "" else t)
-      val windows = graft.textutil.TextHash.hashedShingles(t, n) // position-aligned
-      val covered = new Array[Boolean](toks.length)
-      var matched = 0
-      var i = 0
-      while (i < windows.length) {
-        if (java.util.Arrays.binarySearch(p, mix64(windows(i))) >= 0) {
-          matched += 1
-          var j = math.max(0, i - pad)
-          val hi = math.min(toks.length - 1, i + n - 1 + pad)
-          while (j <= hi) { covered(j) = true; j += 1 }
-        }
-        i += 1
+    exciseColumns(corpus, textCol, n, pad,
+      h => java.util.Arrays.binarySearch(bc.value, h) >= 0)
+  }
+
+  /** The ONE excision kernel behind [[decontaminateSpans]] and
+    * [[decontaminateSpansBloom]] — only the pool-membership predicate
+    * differs between the faces, and DedupSpec locks their relation
+    * (Bloom's excised set ⊇ exact's), so a single implementation is
+    * what keeps a future pad/mask/rebuild fix from breaking that
+    * locked relation one-sidedly. Tokenizes ONCE (the window hashes
+    * stream off the same token array).
+    */
+  private def exciseKernel(
+      t: String,
+      n: Int,
+      pad: Int,
+      inPool: Long => Boolean): (String, Long, Long, Long) = {
+    val toks = graft.textutil.TextHash.tokenize(if (t == null) "" else t)
+    val windows = graft.textutil.TextHash.hashedShinglesFromToks(toks, n) // position-aligned
+    val covered = new Array[Boolean](toks.length)
+    var matched = 0L
+    var i = 0
+    while (i < windows.length) {
+      if (inPool(mix64(windows(i)))) {
+        matched += 1
+        var j = math.max(0, i - pad)
+        val hi = math.min(toks.length - 1, i + n - 1 + pad)
+        while (j <= hi) { covered(j) = true; j += 1 }
       }
-      val sb = new java.lang.StringBuilder
-      var kept = 0L
-      i = 0
-      while (i < toks.length) {
-        if (!covered(i)) {
-          if (kept > 0) sb.append(' ')
-          sb.append(toks(i))
-          kept += 1
-        }
-        i += 1
-      }
-      (sb.toString, kept, toks.length - kept, matched)
+      i += 1
     }
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    i = 0
+    while (i < toks.length) {
+      if (!covered(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    (sb.toString, kept, toks.length - kept, matched)
+  }
+
+  /** Shared output plumbing of the excision faces: run
+    * [[exciseKernel]] per row and expand the struct into the four
+    * audit columns (all counts BIGINT, schema-uniform).
+    */
+  private def exciseColumns(
+      corpus: DataFrame,
+      textCol: String,
+      n: Int,
+      pad: Int,
+      inPool: Long => Boolean): DataFrame = {
+    val excise = udf { (t: String) => exciseKernel(t, n, pad, inPool) }
     val fields = Seq("clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
     val flagged = corpus.withColumn("__dx", excise(col(textCol)))
     fields.zipWithIndex.foldLeft(flagged) { case (d, (f, ix)) =>
@@ -1273,40 +1300,7 @@ object Dedup {
       .stat
       .bloomFilter("g", math.max(1L, expectedPoolShingles), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val excise = udf { (t: String) =>
-      val f = bc.value
-      val toks = graft.textutil.TextHash.tokenize(if (t == null) "" else t)
-      val windows = graft.textutil.TextHash.hashedShingles(t, n)
-      val covered = new Array[Boolean](toks.length)
-      var matched = 0
-      var i = 0
-      while (i < windows.length) {
-        if (f.mightContainLong(mix64(windows(i)))) {
-          matched += 1
-          var j = math.max(0, i - pad)
-          val hi = math.min(toks.length - 1, i + n - 1 + pad)
-          while (j <= hi) { covered(j) = true; j += 1 }
-        }
-        i += 1
-      }
-      val sb = new java.lang.StringBuilder
-      var kept = 0L
-      i = 0
-      while (i < toks.length) {
-        if (!covered(i)) {
-          if (kept > 0) sb.append(' ')
-          sb.append(toks(i))
-          kept += 1
-        }
-        i += 1
-      }
-      (sb.toString, kept, toks.length - kept, matched)
-    }
-    val fields = Seq("clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
-    val flagged = corpus.withColumn("__dx", excise(col(textCol)))
-    fields.zipWithIndex.foldLeft(flagged) { case (d, (f, ix)) =>
-      d.withColumn(f, col(s"__dx._${ix + 1}"))
-    }.drop("__dx")
+    exciseColumns(corpus, textCol, n, pad, h => bc.value.mightContainLong(h))
   }
 
   // ----------------------------------------------------------- span dedup

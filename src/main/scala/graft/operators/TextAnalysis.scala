@@ -1308,7 +1308,9 @@ object TextAnalysis {
     vecs.select(col(vecCol)).where(col(vecCol).isNotNull)
       .rdd.treeAggregate(new Array[Long](dim + 1))(
         (acc, row) => {
-          val v = row.getSeq[Float](0)
+          // executor-side indexed loop → primitive array first (the
+          // repo-wide convention; getSeq yields a boxed ArraySeq)
+          val v = row.getSeq[Float](0).toArray
           var j = 0
           while (j < dim) { if (v(j) != 0f) acc(j) += 1L; j += 1 }
           acc(dim) += 1L

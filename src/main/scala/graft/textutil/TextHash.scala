@@ -98,7 +98,14 @@ object TextHash {
     */
   def hashedShingles(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.emptyLongArray
-    val toks = tokenize(text)
+    hashedShinglesFromToks(tokenize(text), n)
+  }
+
+  /** [[hashedShingles]] from an already-tokenized array — for kernels
+    * that need the token array AND its window hashes (span excision),
+    * so the text is tokenized once, not twice. Bit-identical stream.
+    */
+  def hashedShinglesFromToks(toks: Array[String], n: Int): Array[Long] = {
     if (toks.length < n) return Array.emptyLongArray
     val out = new Array[Long](toks.length - n + 1)
     var i = 0

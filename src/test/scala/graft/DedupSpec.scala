@@ -495,15 +495,15 @@ class DedupSpec extends SparkTestBase {
       .decontaminateSpans(corpus, bench, "text", "text", n = 5)
       .select("doc_id", "clean_text", "n_kept_tokens", "n_excised_tokens", "n_matched_windows")
       .collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(out(10L) == (("one two three four five six", 6L, 5L, 1)))
+    assert(out(10L) == (("one two three four five six", 6L, 5L, 1L)))
     assert(out(11L)._1 == "completely unrelated content about databases and query engines")
-    assert(out(11L)._3 == 0L && out(11L)._4 == 0)
-    assert(out(12L) == (("tiny doc", 2L, 0L, 0)))
-    assert(out(13L) == (("middle words", 2L, 10L, 2)))
-    assert(out(14L) == (("", 0L, 0L, 0)), "null text passes through as empty, not missing")
-    assert(out(15L) == (("", 0L, 5L, 1)))
+    assert(out(11L)._3 == 0L && out(11L)._4 == 0L)
+    assert(out(12L) == (("tiny doc", 2L, 0L, 0L)))
+    assert(out(13L) == (("middle words", 2L, 10L, 2L)))
+    assert(out(14L) == (("", 0L, 0L, 0L)), "null text passes through as empty, not missing")
+    assert(out(15L) == (("", 0L, 5L, 1L)))
     // pad widens the excision window, clamped at the document bounds
     val padded = Dedup
       .decontaminateSpans(corpus, bench, "text", "text", n = 5, pad = 2)
