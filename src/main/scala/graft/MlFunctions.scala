@@ -254,8 +254,10 @@ object MlFunctions {
               val yb = new Array[Float](n * outDim)
               var r = 0
               chunk.foreach { row =>
-                val f = row.getSeq[Float](0)
-                val tg = row.getSeq[Float](1)
+                // .toArray before the indexed copy loops — the repo-wide
+                // kernel convention (SCALE.md "UDF vector parameters")
+                val f = row.getSeq[Float](0).toArray
+                val tg = row.getSeq[Float](1).toArray
                 require(f.length == inDim && tg.length == outDim,
                   s"row width (${f.length},${tg.length}) != model ($inDim,$outDim)")
                 var i = 0
@@ -389,7 +391,7 @@ object MlFunctions {
     * are not returned inline (an aggregate yields one row); follow
     * with `ml_pred` after re-publish.
     */
-  private type TrainBuf = (String, String, List[(Seq[Float], Seq[Float])])
+  private type TrainBuf = (String, String, List[(Array[Float], Array[Float])])
 
   private def finishTrain(b: TrainBuf): String = {
     val (name, cfg, rows) = b
@@ -400,8 +402,8 @@ object MlFunctions {
         .getOrElse(throw new IllegalArgumentException(s"ml_train: model '$name' not found"))
       val ordered = rows.reverse
       model.fit(
-        ordered.map(r => r._1.toArray).toArray,
-        ordered.map(r => r._2.toArray).toArray,
+        ordered.map(_._1).toArray,
+        ordered.map(_._2).toArray,
         TrainConfig.parse(cfg),
         trainFraction = 0.3, // reference-observed split (src/nn/mod.rs:104-109)
       )
@@ -413,13 +415,17 @@ object MlFunctions {
   private def mergeBuf(a: TrainBuf, b: TrainBuf): TrainBuf =
     (if (a._1.nonEmpty) a._1 else b._1, if (a._2.nonEmpty) a._2 else b._2, a._3 ::: b._3)
 
-  /** 3-arg form — reference default config (functions.test:10). */
+  /** 3-arg form — reference default config (functions.test:10).
+    * Input vectors are `Array[Float]` (the repo-wide kernel
+    * convention): the aggregate's deserializer then hands reduce the
+    * primitive float[] directly instead of a per-row element List.
+    */
   private final class TrainAgg3
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Seq[Float], Seq[Float]), TrainBuf, String,
+        (String, Array[Float], Array[Float]), TrainBuf, String,
       ] {
     override def zero: TrainBuf = ("", "", Nil)
-    override def reduce(b: TrainBuf, row: (String, Seq[Float], Seq[Float])): TrainBuf =
+    override def reduce(b: TrainBuf, row: (String, Array[Float], Array[Float])): TrainBuf =
       (row._1, b._2, (row._2, row._3) :: b._3)
     override def merge(a: TrainBuf, b: TrainBuf): TrainBuf = mergeBuf(a, b)
     override def finish(b: TrainBuf): String = finishTrain(b)
@@ -430,10 +436,10 @@ object MlFunctions {
   /** 4-arg form with a JSON config (autompg.test:22). */
   private final class TrainAgg4
       extends org.apache.spark.sql.expressions.Aggregator[
-        (String, Seq[Float], Seq[Float], String), TrainBuf, String,
+        (String, Array[Float], Array[Float], String), TrainBuf, String,
       ] {
     override def zero: TrainBuf = ("", "", Nil)
-    override def reduce(b: TrainBuf, row: (String, Seq[Float], Seq[Float], String)): TrainBuf =
+    override def reduce(b: TrainBuf, row: (String, Array[Float], Array[Float], String)): TrainBuf =
       (row._1, row._4, (row._2, row._3) :: b._3)
     override def merge(a: TrainBuf, b: TrainBuf): TrainBuf = mergeBuf(a, b)
     override def finish(b: TrainBuf): String = finishTrain(b)

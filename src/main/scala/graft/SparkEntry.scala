@@ -2836,6 +2836,62 @@ object SparkEntry {
       |FROM ids
       |ORDER BY id""".stripMargin
 
+  /** Bloom-face span-excision gate ([[graft.operators.Dedup
+    * .decontaminateSpansBloom]]) — q177's plant pushed through the
+    * SKETCHED pool: the benchmark reduces to a Bloom filter instead
+    * of the exact broadcast array, and the SAME closed-form
+    * kept/excised oracle must hold byte-for-byte. The filter is sized
+    * generously (1000 expected / fpp 1e-9) so its deterministic
+    * false-positive set is empty on the planted windows at every SF —
+    * which is exactly the operating regime the Bloom face promises
+    * ("~fpp extra excision"): any drift in the pool build, the
+    * sketch membership, or the shared [[Dedup]] excision kernel
+    * hash-fails against the exact-face arithmetic. The
+    * under-provisioned (fpp-pressure) direction is DedupSpec's
+    * superset test; this gate pins the driver-visible contract.
+    */
+  private def q178DecontamSpansBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val benchTokens = (0 until 13).map(k => s"wq$k").mkString(" ")
+    val bench = Seq(Tuple1(benchTokens)).toDF("text")
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def run(prefix: String, count: Int): Column = array_join(
+      transform(sequence(lit(0), lit(count - 1)),
+        k => concat(lit(prefix), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val contaminated = ids.select(col("id"),
+      concat(run("u", 10), lit(" "), lit(benchTokens), lit(" "), run("v", 10)).as("text"))
+    val clean = ids.select(col("id"), run("w", 20).as("text"))
+      .select((col("id") + lit(1000000L)).as("id"), col("text"))
+    graft.operators.Dedup
+      .decontaminateSpansBloom(contaminated.unionByName(clean), bench, "text", "text",
+        expectedPoolShingles = 1000L, n = 13, fpp = 1e-9)
+      .select(col("id"), col("clean_text"), col("n_kept_tokens"),
+        col("n_excised_tokens"), col("n_matched_windows"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q178Oracle =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id,
+      |  array_to_string(list_transform(generate_series(0, 9), k -> 'u' || id || 'x' || k), ' ')
+      |    || ' ' ||
+      |  array_to_string(list_transform(generate_series(0, 9), k -> 'v' || id || 'x' || k), ' ')
+      |    AS clean_text,
+      |  CAST(20 AS BIGINT) AS n_kept_tokens,
+      |  CAST(13 AS BIGINT) AS n_excised_tokens,
+      |  CAST(1 AS BIGINT) AS n_matched_windows
+      |FROM ids
+      |UNION ALL
+      |SELECT id + 1000000,
+      |  array_to_string(list_transform(generate_series(0, 19), k -> 'w' || id || 'x' || k), ' '),
+      |  20, 0, 0
+      |FROM ids
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -4191,8 +4247,8 @@ object SparkEntry {
       .select("embedding")
       .take(1)
       .headOption
-      .map(_.getSeq[Float](0))
-      .getOrElse(Seq(0f))
+      .map(_.getSeq[Float](0).toArray)
+      .getOrElse(Array(0f))
     graft.operators.Lexical
       .hybridTopK(corpus, "doc_id", "text", "embedding",
         Seq("spark", "hash", "window", "vector"), qvec, k = 15, poolSize = 50)
@@ -6687,6 +6743,7 @@ object SparkEntry {
     "q175_hash_idf_frozen" -> (q175HashIdfFrozen _),
     "q176_text_idf_stream_hits" -> (q176TextIdfStreamHits _),
     "q177_decontam_spans" -> (q177DecontamSpans _),
+    "q178_decontam_spans_bloom" -> (q178DecontamSpansBloom _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6854,5 +6911,6 @@ object SparkEntry {
     "q175_hash_idf_frozen" -> q175Oracle,
     "q176_text_idf_stream_hits" -> q176Oracle,
     "q177_decontam_spans" -> q177Oracle,
+    "q178_decontam_spans_bloom" -> q178Oracle,
   )
 }

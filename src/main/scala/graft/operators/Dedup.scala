@@ -1077,11 +1077,55 @@ object Dedup {
     * one sorted array (8 B per distinct benchmark shingle — a few MB
     * for every public benchmark together); the corpus side is then a
     * single shuffle-free scan with a binary-search membership count
-    * per shingle. No join, no shuffle, no corpus-side state.
+    * per shingle. No join, no shuffle, no corpus-side state. A pool
+    * beyond `maxPoolShingles` is a NAMED error pointing at
+    * [[decontaminateBloom]], never a silent driver OOM.
     *
     * Output: every corpus row + `n_contaminated_grams` +
     * `is_clean`; filter on `is_clean` to drop.
     */
+  /** Ceiling on the exact faces' broadcast shingle pools
+    * ([[decontaminate]], [[decontaminateSpans]]): 8 B per distinct
+    * 64-bit shingle hash → 80 MB sorted array at the default — the
+    * practical upper end of a comfortable broadcast. Beyond it the
+    * collect stops being "a few MB of eval suites" and becomes a
+    * driver-memory hazard, so it is REJECTED with a named error
+    * steering callers to the Bloom faces (same posture as
+    * [[decontaminateEmbedding]]'s `maxBenchmarkRows`).
+    */
+  val MaxExactPoolShingles: Long = 10000000L
+
+  /** The exact faces' shared pool build: distinct benchmark shingle
+    * hashes, collected ONCE with a limit of `max + 1` and a
+    * materialized-length check (count-then-collect would evaluate the
+    * benchmark frame twice and let a nondeterministic frame slip the
+    * ceiling between the two jobs), sorted for binary search.
+    */
+  private def collectShinglePool(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      max: Long,
+      caller: String,
+      bloomFace: String,
+  ): Array[Long] = {
+    val shingleHash = udf { (t: String) =>
+      hashedShingles(t, n).map(mix64).distinct
+    }
+    val pool = benchmark
+      .select(explode(shingleHash(col(benchTextCol))).as("g"))
+      .distinct()
+      .limit(math.min(max + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+      .map(_.getLong(0))
+    require(pool.length <= max,
+      s"$caller: benchmark pool exceeds $max distinct $n-gram shingles — a pool this " +
+        s"large should not broadcast exactly; use $bloomFace (the Bloom face errs only " +
+        "toward extra removal, the safe direction for decontamination)")
+    java.util.Arrays.sort(pool)
+    pool
+  }
+
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -1089,17 +1133,11 @@ object Dedup {
       benchTextCol: String,
       n: Int = 5,
       maxSharedShingles: Int = 0,
+      maxPoolShingles: Long = MaxExactPoolShingles,
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val shingleHash = udf { (t: String) =>
-      hashedShingles(t, n).map(mix64).distinct
-    }
-    val pool: Array[Long] = benchmark
-      .select(explode(shingleHash(col(benchTextCol))).as("g"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .sorted
+    val pool = collectShinglePool(benchmark, benchTextCol, n, maxPoolShingles,
+      "decontaminate", "decontaminateBloom")
     val bc = spark.sparkContext.broadcast(pool)
     val countShared = udf { (t: String) =>
       val p = bc.value
@@ -1193,19 +1231,13 @@ object Dedup {
       benchTextCol: String,
       n: Int = 13,
       pad: Int = 0,
+      maxPoolShingles: Long = MaxExactPoolShingles,
   ): DataFrame = {
     require(n >= 1, s"decontaminateSpans: n must be >= 1, got $n")
     require(pad >= 0, s"decontaminateSpans: pad must be >= 0, got $pad")
     val spark = corpus.sparkSession
-    val shingleHash = udf { (t: String) =>
-      hashedShingles(t, n).map(mix64).distinct
-    }
-    val pool: Array[Long] = benchmark
-      .select(explode(shingleHash(col(benchTextCol))).as("g"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .sorted
+    val pool = collectShinglePool(benchmark, benchTextCol, n, maxPoolShingles,
+      "decontaminateSpans", "decontaminateSpansBloom")
     val bc = spark.sparkContext.broadcast(pool)
     exciseColumns(corpus, textCol, n, pad,
       h => java.util.Arrays.binarySearch(bc.value, h) >= 0)

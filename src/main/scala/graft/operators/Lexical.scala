@@ -202,7 +202,7 @@ object Lexical {
       textCol: String,
       vecCol: String,
       terms: Seq[String],
-      queryVec: Seq[Float],
+      queryVec: Array[Float],
       k: Int = 10,
       poolSize: Int = 50,
       rrfC: Int = 60,

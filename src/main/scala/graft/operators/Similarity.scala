@@ -444,12 +444,14 @@ object Similarity {
         col("neighbor_id"),
         col("cosine").cast("double"),
         col("__nvec"))
-      .as[(Long, Long, Double, Seq[Float])]
+      .as[(Long, Long, Double, Array[Float])]
       .groupByKey(_._1)
-      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Seq[Float])]) =>
-        // (relevance desc, id asc): deterministic scan order = tie order
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        // (relevance desc, id asc): deterministic scan order = tie order;
+        // vectors deserialize straight to primitive float[] (the
+        // Array[Float] encoder convention — no per-row element List)
         val cands = it
-          .map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .map { case (_, id, rel, v) => (id, rel, v) }
           .toArray
           .sortBy { case (id, rel, _) => (-rel, id) }
         val used = new Array[Boolean](cands.length)

@@ -52,7 +52,11 @@ object Whitening {
         var outer: Array[Double] = null // row-major d×d
         it.foreach { row =>
           if (!row.isNullAt(0)) {
-            val v = row.getSeq[Float](0)
+            // .toArray BEFORE the d² inner loop: the repo-wide kernel
+            // convention (SCALE.md "UDF vector parameters") — getSeq
+            // hands back a boxed ArraySeq, and indexing it inside the
+            // covariance loop pays a box per multiply
+            val v = row.getSeq[Float](0).toArray
             val d = v.length
             require(d <= MaxMomentsDim,
               s"embedding width $d exceeds Whitening.MaxMomentsDim ($MaxMomentsDim): " +

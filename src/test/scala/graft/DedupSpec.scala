@@ -566,6 +566,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("exact decontamination faces: oversized pool is a NAMED error steering to the Bloom face") {
+    // 5 docs × unique tokens → 5 distinct shingles; ceiling 3 must trip
+    val bench = (0 until 5).map(i =>
+      (i.toLong, (0 until 5).map(k => s"b${i}t$k").mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq((1L, "anything at all here")).toDF("doc_id", "text")
+    val eFlag = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(corpus, bench, "text", "text", n = 5, maxPoolShingles = 3L)
+    }
+    assert(eFlag.getMessage.contains("decontaminateBloom"),
+      s"flag-face error must name the Bloom escape hatch: ${eFlag.getMessage}")
+    val eSpan = intercept[IllegalArgumentException] {
+      Dedup.decontaminateSpans(corpus, bench, "text", "text", n = 5, maxPoolShingles = 3L)
+    }
+    assert(eSpan.getMessage.contains("decontaminateSpansBloom"),
+      s"span-face error must name the Bloom escape hatch: ${eSpan.getMessage}")
+    // at the ceiling exactly (5 shingles, max 5): no error, output intact
+    val ok = Dedup.decontaminate(corpus, bench, "text", "text", n = 5, maxPoolShingles = 5L)
+    assert(ok.where(col("is_clean")).count() == 1L)
+  }
+
   test("decontaminateBloom: agrees with exact on flagged docs; errs only toward dropping") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val corpus = Seq(

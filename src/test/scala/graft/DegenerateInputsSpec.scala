@@ -106,12 +106,12 @@ class DegenerateInputsSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "embedding")
     val semOnly = Lexical
       .hybridTopK(corpus, "doc_id", "text", "embedding",
-        Seq("nosuchterm"), Seq(1f, 0f), k = 2, poolSize = 2)
+        Seq("nosuchterm"), Array(1f, 0f), k = 2, poolSize = 2)
       .collect()
     assert(semOnly.length == 2 && semOnly.forall(_.isNullAt(1)), "lexical ranks must be null")
     val emptyCorpus = corpus.where(lit(false))
     assert(Lexical.hybridTopK(emptyCorpus, "doc_id", "text", "embedding",
-      Seq("alpha"), Seq(1f, 0f), k = 2, poolSize = 2).count() == 0L)
+      Seq("alpha"), Array(1f, 0f), k = 2, poolSize = 2).count() == 0L)
   }
 
   test("sampling/packing family: empty inputs produce empty outputs") {

@@ -83,7 +83,7 @@ class LexicalSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "embedding")
     val out = Lexical
       .hybridTopK(corpus, "doc_id", "text", "embedding",
-        Seq("spark", "window"), Seq(1f, 0f, 0f), k = 4, poolSize = 4)
+        Seq("spark", "window"), Array(1f, 0f, 0f), k = 4, poolSize = 4)
       .collect()
       .map(r => r.getLong(0) ->
         ((Option(r.get(1)).map(_.asInstanceOf[Long]),

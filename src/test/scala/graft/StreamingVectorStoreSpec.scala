@@ -9,7 +9,7 @@ import graft.streaming.StreamingVectorStore
 /** Top-level (not nested in the suite): MemoryStream needs a product
   * encoder, and inner case classes capture the suite's outer pointer.
   */
-final case class SvsVecEvent(doc_id: Long, ts: java.sql.Timestamp, embedding: Seq[Float])
+final case class SvsVecEvent(doc_id: Long, ts: java.sql.Timestamp, embedding: Array[Float])
 
 /** The vector store's streaming lambda lifecycle: stream-vs-standing
   * semantic hits (stateless stream-static), increment sink →
@@ -68,7 +68,7 @@ class StreamingVectorStoreSpec extends SparkTestBase {
       .corpusSemanticHits(in, "vec_id", "ts", "embedding", store,
         threshold = 0.9, nprobe = 8)
     val rows = incoming.collect().map(r =>
-      SvsVecEvent(r.getLong(0), r.getTimestamp(2), r.getSeq[Float](1)))
+      SvsVecEvent(r.getLong(0), r.getTimestamp(2), r.getSeq[Float](1).toArray))
     val in = MemoryStream[SvsVecEvent](spark)
     val q = run(in.toDS().toDF().withColumnRenamed("doc_id", "vec_id"))
       .writeStream.format("memory").queryName("svs_hits_q").outputMode("append").start()
