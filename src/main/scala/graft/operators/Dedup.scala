@@ -1065,25 +1065,6 @@ object Dedup {
 
   // ----------------------------------------------------- decontamination
 
-  /** Benchmark decontamination — the "don't train on the test set"
-    * stage: for every corpus doc, count its word `n`-gram shingles
-    * that appear ANYWHERE in the benchmark pool (the union of all
-    * benchmark docs' shingles — standard n-gram-pool semantics), and
-    * flag docs with more than `maxSharedShingles` as contaminated.
-    *
-    * Scale design: benchmarks are tiny next to the corpus (thousands
-    * of eval docs vs billions of training docs), so the pool's
-    * distinct 64-bit shingle hashes are collected and BROADCAST as
-    * one sorted array (8 B per distinct benchmark shingle — a few MB
-    * for every public benchmark together); the corpus side is then a
-    * single shuffle-free scan with a binary-search membership count
-    * per shingle. No join, no shuffle, no corpus-side state. A pool
-    * beyond `maxPoolShingles` is a NAMED error pointing at
-    * [[decontaminateBloom]], never a silent driver OOM.
-    *
-    * Output: every corpus row + `n_contaminated_grams` +
-    * `is_clean`; filter on `is_clean` to drop.
-    */
   /** Ceiling on the exact faces' broadcast shingle pools
     * ([[decontaminate]], [[decontaminateSpans]]): 8 B per distinct
     * 64-bit shingle hash → 80 MB sorted array at the default — the
@@ -1126,6 +1107,25 @@ object Dedup {
     pool
   }
 
+  /** Benchmark decontamination — the "don't train on the test set"
+    * stage: for every corpus doc, count its word `n`-gram shingles
+    * that appear ANYWHERE in the benchmark pool (the union of all
+    * benchmark docs' shingles — standard n-gram-pool semantics), and
+    * flag docs with more than `maxSharedShingles` as contaminated.
+    *
+    * Scale design: benchmarks are tiny next to the corpus (thousands
+    * of eval docs vs billions of training docs), so the pool's
+    * distinct 64-bit shingle hashes are collected and BROADCAST as
+    * one sorted array (8 B per distinct benchmark shingle — a few MB
+    * for every public benchmark together); the corpus side is then a
+    * single shuffle-free scan with a binary-search membership count
+    * per shingle. No join, no shuffle, no corpus-side state. A pool
+    * beyond `maxPoolShingles` is a NAMED error pointing at
+    * [[decontaminateBloom]], never a silent driver OOM.
+    *
+    * Output: every corpus row + `n_contaminated_grams` +
+    * `is_clean`; filter on `is_clean` to drop.
+    */
   def decontaminate(
       corpus: DataFrame,
       benchmark: DataFrame,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
@@ -77,6 +77,24 @@ object StreamingVectorStore {
     * Scale shape per incoming row: `nprobe/nlist` of the corpus
     * CODES read (one packed word per 64 dims, bucketed scan), exact
     * floats fetched only for Hamming survivors.
+    *
+    * Query-vector routing (measured, `Probe qvec_carry`, 200k corpus /
+    * 50k incoming): on a STREAM the dim-float query vector must ride
+    * through the cell explode (×nprobe) and the coded join — fetching
+    * it back after the Hamming cut would be a stream-stream self-join
+    * (watermark-bound, append-restricted). On a BOUNDED frame that
+    * rejoin is legal and measurably better at wide dim: carry-through
+    * vs cut-then-rejoin is a wash at dim 64 (4.6 vs 4.5 s) but 1.5–1.6×
+    * at dim 1024 in BOTH the flooded (nlist 16: 179 vs 109 s) and
+    * selective (nlist 256: 12.3 vs 7.4 s) regimes — the payload cost
+    * lives in the explode fan-out and the join shuffle, not the
+    * candidate count. So the bounded twin defers (ts, qvec) and
+    * re-joins them by id after the cut; both modes share the probe
+    * head, the Hamming cut, and the exact-verify tail, so the
+    * predicates cannot drift (the stream≡batch spec pins equality).
+    * Contract note: `idCol` is the row's identity in BOTH modes (the
+    * documented sink-side anti-join is id-keyed); frames with
+    * duplicate ids are outside the operator's contract either way.
     */
   def corpusSemanticHits(
       docs: DataFrame,
@@ -116,23 +134,37 @@ object StreamingVectorStore {
     // SRP calibration: cosine threshold → max angle → max expected
     // hamming fraction, plus the estimator allowance
     val cutFrac = math.acos(math.min(1.0, threshold)) / math.Pi + hammingMargin
-    val probed = side
+    val filtered = side
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
         graft.functions.VectorExpressions.vecNorm(col(vecCol)) > 0.0)
-      .select(
+    // stream: (ts, qvec) must ride the fan-out (see scaladoc); bounded:
+    // defer them and re-join by id after the Hamming cut
+    val carryThrough = docs.isStreaming
+    val carried =
+      if (carryThrough)
+        Seq(col(tsCol).as("ts"), col(vecCol).cast("array<float>").as("qvec"))
+      else Seq.empty[Column]
+    val probed = filtered
+      .select(Seq(
         col(idCol).cast("long").as("id"),
-        col(tsCol).as("ts"),
-        col(vecCol).cast("array<float>").as("qvec"),
         graft.functions.VectorExpressions.signPack(col(vecCol)).as("qcode"),
         size(col(vecCol)).cast("double").as("bits"),
-        explode(probeUdf(col(vecCol))).as("cell"))
-    val cands = probed
+        explode(probeUdf(col(vecCol))).as("cell")) ++ carried: _*)
+    val cut = probed
       .join(store.coded.select(col("cell"), col("id").as("corpus_id"),
         col("hcode")), "cell")
       .where(col("corpus_id") =!= col("id"))
       .where(graft.functions.VectorExpressions.hammingDist(col("hcode"), col("qcode"))
         .cast("double") <= col("bits") * lit(cutFrac))
-      .select(col("id"), col("ts"), col("qvec"), col("corpus_id"))
+    val cands =
+      if (carryThrough) cut.select(col("id"), col("ts"), col("qvec"), col("corpus_id"))
+      else cut
+        .select(col("id"), col("corpus_id"))
+        .join(filtered.select(
+          col(idCol).cast("long").as("id"),
+          col(tsCol).as("ts"),
+          col(vecCol).cast("array<float>").as("qvec")), "id")
+        .select(col("id"), col("ts"), col("qvec"), col("corpus_id"))
     cands
       .join(store.vecs.select(col("id").as("corpus_id"), col("vec").as("cvec")), "corpus_id")
       .withColumn("cosine",

@@ -709,6 +709,86 @@ object Probe {
       return
     }
 
+    if (names.contains("qvec_carry")) {
+      // corpusSemanticHits carries the dim-float query vector through
+      // the cell explode (×nprobe) and the coded join up to the
+      // Hamming cut; the alternative drops qvec from the probed frame
+      // and re-joins it by id AFTER the cut (one extra shuffle + join,
+      // but nprobe× less float traffic through the widest stage).
+      // Measure both at narrow and wide dim to find the crossover —
+      // verdict r17 #4: measure before touching. NOTE the alternative
+      // is BATCH-ONLY machinery: in a stream the rejoin is
+      // stream-stream (watermark-bound, append-restricted), so even a
+      // perf win here would only justify a bounded-frame fast path.
+      import graft.operators.{Similarity, VectorStore}
+      import graft.functions.VectorExpressions
+      val sc = spark.sparkContext
+      val threshold = 0.9
+      val nprobe = 8
+      val cutFrac = math.acos(math.min(1.0, threshold)) / math.Pi + 0.15
+      // (dim, nlist): nlist 16 floods the cell join (nprobe/nlist = half
+      // the corpus as candidates per query — the worst case for carried
+      // bytes); nlist 256 is the realistic-selectivity regime
+      for ((dim, nlist) <- Seq((64, 16), (1024, 16), (1024, 256))) {
+        val nCorpus = 200000L
+        val corpus = spark.range(nCorpus).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => ((hash(col("id"), i).cast("double") % 1000.0) / 500.0).cast("float"))
+            .as("embedding"))
+          .repartition(32)
+          .localCheckpoint(true)
+        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = nlist)
+        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-probe-qvec$dim").toString
+        VectorStore.write(corpus, "vec_id", "embedding", dir, "probe_qv", ivf, pq)
+        val store = VectorStore.read(spark, dir, "probe_qv")
+        // incoming = every 4th corpus vector, id-offset so no self-match
+        val incoming = corpus.where(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + lit(10000000L)).as("id"),
+            lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")).as("ts"),
+            col("embedding"))
+          .localCheckpoint(true)
+        println(s"[probe] dim=$dim nlist=$nlist corpus=${corpus.count()} incoming=${incoming.count()}")
+        val bcIvf = sc.broadcast(store.ivf.centroids)
+        val probeUdf = udf { (v: Array[Float]) =>
+          Similarity.probeCells(bcIvf.value, v, nprobe)
+        }
+        def rejoinFace(): Long = {
+          // probed WITHOUT qvec/ts: only (id, qcode, bits, cell)
+          val probed = incoming.select(
+            col("id"),
+            VectorExpressions.signPack(col("embedding")).as("qcode"),
+            size(col("embedding")).cast("double").as("bits"),
+            explode(probeUdf(col("embedding"))).as("cell"))
+          val cands = probed
+            .join(store.coded.select(col("cell"), col("id").as("corpus_id"), col("hcode")),
+              "cell")
+            .where(col("corpus_id") =!= col("id"))
+            .where(VectorExpressions.hammingDist(col("hcode"), col("qcode"))
+              .cast("double") <= col("bits") * lit(cutFrac))
+            .select(col("id"), col("corpus_id"))
+          cands
+            .join(incoming.select(col("id"), col("ts"), col("embedding").as("qvec")), "id")
+            .join(store.vecs.select(col("id").as("corpus_id"), col("vec").as("cvec")),
+              "corpus_id")
+            .where(VectorExpressions.vecCosine(col("cvec"), col("qvec")) >= threshold)
+            .count()
+        }
+        (1 to 2).foreach { round =>
+          timed(s"dim=$dim nlist=$nlist carry-through (shipped) round $round") {
+            println("[probe] hits=" + graft.streaming.StreamingVectorStore
+              .corpusSemanticHits(incoming, "id", "ts", "embedding", store,
+                threshold = threshold, nprobe = nprobe).toDF().count())
+          }
+          timed(s"dim=$dim nlist=$nlist hamming-cut-then-rejoin round $round") {
+            println("[probe] hits=" + rejoinFace())
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("hashembed_idf")) {
       import graft.operators.TextAnalysis
       // the IDF face's scale claim: the weighting costs one extra scan
