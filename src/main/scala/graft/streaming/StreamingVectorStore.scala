@@ -89,13 +89,21 @@ object StreamingVectorStore {
     * selective (nlist 256: 12.3 vs 7.4 s) regimes — the payload cost
     * lives in the explode fan-out and the join shuffle, not the
     * candidate count. So the bounded twin defers (ts, qvec) and
-    * re-joins them by id after the cut; both modes share the probe
-    * head, the Hamming cut, and the exact-verify tail, so the
-    * predicates cannot drift (the stream≡batch spec pins equality).
+    * re-joins them by id after the cut WHEN the store is wide
+    * (≥ [[QvecRejoinMinDim]] floats — narrower payloads don't repay
+    * the extra stage); all shapes share the probe head, the Hamming
+    * cut, and the exact-verify tail, so the predicates cannot drift
+    * (the stream≡batch spec pins equality).
     * Contract note: `idCol` is the row's identity in BOTH modes (the
     * documented sink-side anti-join is id-keyed); frames with
     * duplicate ids are outside the operator's contract either way.
     */
+  /** Minimum store width (floats) for [[corpusSemanticHits]]'s
+    * bounded-frame cut-then-rejoin plan; narrower payloads don't repay
+    * the extra join stage (measurement in the scaladoc above).
+    */
+  val QvecRejoinMinDim = 512
+
   def corpusSemanticHits(
       docs: DataFrame,
       idCol: String,
@@ -137,9 +145,15 @@ object StreamingVectorStore {
     val filtered = side
       .where(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
         graft.functions.VectorExpressions.vecNorm(col(vecCol)) > 0.0)
-    // stream: (ts, qvec) must ride the fan-out (see scaladoc); bounded:
-    // defer them and re-join by id after the Hamming cut
-    val carryThrough = docs.isStreaming
+    // stream: (ts, qvec) must ride the fan-out (see scaladoc); bounded
+    // AND wide: defer them and re-join by id after the Hamming cut.
+    // The rejoin trades one extra join stage for nprobe× less float
+    // payload through the widest shuffle — worth it only when the
+    // payload is real: measured wash-to-slightly-negative at dim 64
+    // (fixed stage overheads dominate on small frames: q165 2.5→3.4 s),
+    // 1.5–1.6× win at dim 1024 (probe) and confirmed on the dim-2048
+    // gate (q176 8.2→7.6 s). Crossover placed at 512 floats (2 KB/row).
+    val carryThrough = docs.isStreaming || dim < QvecRejoinMinDim
     val carried =
       if (carryThrough)
         Seq(col(tsCol).as("ts"), col(vecCol).cast("array<float>").as("qvec"))

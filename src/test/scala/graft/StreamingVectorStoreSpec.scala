@@ -132,6 +132,59 @@ class StreamingVectorStoreSpec extends SparkTestBase {
       s"expected the named width error for an over-wide query: ${errW.getMessage}")
   }
 
+  test("corpusSemanticHits: wide store (≥ QvecRejoinMinDim) — bounded cut-then-rejoin ≡ streaming carry-through") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // dim 512 crosses the rejoin gate, so the bounded twin runs the
+    // deferred-qvec plan while the stream keeps carry-through — this
+    // equality is the cross-SHAPE pin (the dim-32 test above compares
+    // carry against carry)
+    val dim = StreamingVectorStore.QvecRejoinMinDim
+    val rng = new scala.util.Random(7)
+    val df = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian().toFloat)
+      (0 until 10).map(m =>
+        (c * 10L + m, center.map(x => x + 0.05f * rng.nextGaussian().toFloat)))
+    }.toDF("vec_id", "embedding").repartition(3)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 4, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 8, ksub = 16, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs-wide").toString
+    VectorStore.write(df, "vec_id", "embedding", dir, "svs_wide", ivf, pq, numBuckets = 2)
+    val store = VectorStore.read(spark, dir, "svs_wide")
+    val incoming = withTs(
+      copiesOf(df, Seq(0L, 10L), 1000L)
+        .unionByName(freshRows(df, Seq(20L, 30L), 2000L)))
+    def run(in: DataFrame) = StreamingVectorStore
+      .corpusSemanticHits(in, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, nprobe = 4)
+    val rows = incoming.collect().map(r =>
+      SvsVecEvent(r.getLong(0), r.getTimestamp(2), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[SvsVecEvent](spark)
+    val q = run(in.toDS().toDF().withColumnRenamed("doc_id", "vec_id"))
+      .writeStream.format("memory").queryName("svs_wide_q").outputMode("append").start()
+    val stream =
+      try {
+        in.addData(rows.toSeq)
+        q.processAllAvailable()
+        spark.table("svs_wide_q")
+          .select($"id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    val batchDf = run(incoming).toDF()
+    // the bounded plan must actually BE the rejoin shape: qvec joins
+    // back by id, so the physical plan carries one more join than the
+    // streaming twin's 2 (coded + vecs)
+    val planStr = batchDf.queryExecution.executedPlan.toString
+    val joins =
+      "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(planStr).size
+    assert(joins == 3,
+      s"wide bounded plan must rejoin qvec (3 joins), got $joins:\n$planStr")
+    val batch = batchDf.select($"id", $"corpus_id", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stream == batch, s"wide stream ≡ batch (incl. exact cosine): $stream vs $batch")
+    assert(Seq(1000L -> 0L, 1010L -> 10L).forall(p => batch.exists(h => (h._1, h._2) == p)),
+      s"each copy must flag its original: $batch")
+    assert(!batch.exists(_._1 >= 2000L), s"fresh rows must not flag anything: $batch")
+  }
+
   test("text → hashEmbed → corpusSemanticHits composes in one stateless streaming query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
