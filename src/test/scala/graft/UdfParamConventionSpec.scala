@@ -54,17 +54,20 @@ class UdfParamConventionSpec extends SparkTestBase {
     walk(root).foreach { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(f.toPath), java.nio.charset.StandardCharsets.UTF_8)
-      // (a) every getSeq[Float](…) must see .toArray within the next
-      // 200 chars (covers the null-check-then-convert shape) or sit
-      // inside a seqToFloats(...) call
-      val needle = "getSeq[Float]"
-      var ix = text.indexOf(needle)
-      while (ix >= 0) {
-        val after = text.substring(ix, math.min(text.length, ix + needle.length + 200))
-        val before = text.substring(math.max(0, ix - 40), ix)
-        if (!after.contains(".toArray") && !before.contains("seqToFloats("))
-          offenders += s"${f.getPath}: getSeq[Float] without .toArray at char $ix"
-        ix = text.indexOf(needle, ix + 1)
+      // (a) every getSeq[Float]/getSeq[Long](…) — the two hot vector
+      // element types (embeddings; minhash signatures / packed codes)
+      // — must see .toArray within the next 200 chars (covers the
+      // null-check-then-convert shape) or sit inside a
+      // seqToFloats(...) call
+      for (needle <- Seq("getSeq[Float]", "getSeq[Long]")) {
+        var ix = text.indexOf(needle)
+        while (ix >= 0) {
+          val after = text.substring(ix, math.min(text.length, ix + needle.length + 200))
+          val before = text.substring(math.max(0, ix - 40), ix)
+          if (!after.contains(".toArray") && !before.contains("seqToFloats("))
+            offenders += s"${f.getPath}: $needle without .toArray at char $ix"
+          ix = text.indexOf(needle, ix + 1)
+        }
       }
       // (b) `Seq[Float]` only in comments or the seqToFloats converter
       text.linesIterator.zipWithIndex.foreach { case (line, n) =>
