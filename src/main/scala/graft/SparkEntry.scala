@@ -2892,6 +2892,73 @@ object SparkEntry {
       |FROM ids
       |ORDER BY id""".stripMargin
 
+  /** Frozen-pool decontamination serving gate
+    * ([[graft.operators.Dedup.fitShinglePool]] →
+    * [[graft.operators.IndexStore.saveShinglePool]] → load →
+    * [[graft.operators.Dedup.ShinglePoolModel.merged]] →
+    * [[graft.operators.Dedup.decontaminateSpansWithPool]]) — the
+    * fit-once / persist / fold-updates / serve-everywhere lifecycle
+    * that q175/q176 pin for the hash-IDF model, applied to
+    * decontamination: TWO benchmark suites are fit as separate pools,
+    * the first roundtrips through the store, the merged pool excises
+    * BOTH quoted 13-grams from every contaminated doc (prefix, middle
+    * and suffix runs survive verbatim), clean docs pass untouched.
+    * The oracle reconstructs the expected clean text closed-form, so
+    * the hash compare pins the fit, the persisted longs, the exact
+    * merge, and the shared excision kernel byte-for-byte.
+    */
+  private def q179DecontamPoolServed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gramA = (0 until 13).map(k => s"aq$k").mkString(" ")
+    val gramB = (0 until 13).map(k => s"bq$k").mkString(" ")
+    val poolA0 = graft.operators.Dedup
+      .fitShinglePool(Seq(Tuple1(gramA)).toDF("text"), "text", n = 13)
+    val poolB = graft.operators.Dedup
+      .fitShinglePool(Seq(Tuple1(gramB)).toDF("text"), "text", n = 13)
+    val storeDir = tempFixtureDir("graft_shinglepool_q179").toString
+    graft.operators.IndexStore.saveShinglePool(s, poolA0, storeDir)
+    val poolA = graft.operators.IndexStore.loadShinglePool(s, storeDir)
+    val pool = poolA.merged(poolB)
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def run(prefix: String, count: Int): Column = array_join(
+      transform(sequence(lit(0), lit(count - 1)),
+        k => concat(lit(prefix), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val contaminated = ids.select(col("id"),
+      concat(run("g", 5), lit(" "), lit(gramA), lit(" "), run("h", 5),
+        lit(" "), lit(gramB), lit(" "), run("i", 5)).as("text"))
+    val clean = ids.select(col("id"), run("j", 20).as("text"))
+      .select((col("id") + lit(1000000L)).as("id"), col("text"))
+    graft.operators.Dedup
+      .decontaminateSpansWithPool(contaminated.unionByName(clean), pool, "text")
+      .select(col("id"), col("clean_text"), col("n_kept_tokens"),
+        col("n_excised_tokens"), col("n_matched_windows"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q179Oracle =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id,
+      |  array_to_string(list_transform(generate_series(0, 4), k -> 'g' || id || 'x' || k), ' ')
+      |    || ' ' ||
+      |  array_to_string(list_transform(generate_series(0, 4), k -> 'h' || id || 'x' || k), ' ')
+      |    || ' ' ||
+      |  array_to_string(list_transform(generate_series(0, 4), k -> 'i' || id || 'x' || k), ' ')
+      |    AS clean_text,
+      |  CAST(15 AS BIGINT) AS n_kept_tokens,
+      |  CAST(26 AS BIGINT) AS n_excised_tokens,
+      |  CAST(2 AS BIGINT) AS n_matched_windows
+      |FROM ids
+      |UNION ALL
+      |SELECT id + 1000000,
+      |  array_to_string(list_transform(generate_series(0, 19), k -> 'j' || id || 'x' || k), ' '),
+      |  20, 0, 0
+      |FROM ids
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6744,6 +6811,7 @@ object SparkEntry {
     "q176_text_idf_stream_hits" -> (q176TextIdfStreamHits _),
     "q177_decontam_spans" -> (q177DecontamSpans _),
     "q178_decontam_spans_bloom" -> (q178DecontamSpansBloom _),
+    "q179_decontam_pool_served" -> (q179DecontamPoolServed _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6912,5 +6980,6 @@ object SparkEntry {
     "q176_text_idf_stream_hits" -> q176Oracle,
     "q177_decontam_spans" -> q177Oracle,
     "q178_decontam_spans_bloom" -> q178Oracle,
+    "q179_decontam_pool_served" -> q179Oracle,
   )
 }

@@ -1076,12 +1076,82 @@ object Dedup {
     */
   val MaxExactPoolShingles: Long = 10000000L
 
-  /** The exact faces' shared pool build: distinct benchmark shingle
-    * hashes, collected ONCE with a limit of `max + 1` and a
+  /** A FROZEN benchmark shingle pool — the fit-once / apply-everywhere
+    * contract for exact decontamination, the
+    * [[TextAnalysis.HashIdfModel]] pattern applied to the "don't train
+    * on the test set" stage: benchmark suites change rarely while the
+    * corpus ingests continuously, so the pool is built ONCE
+    * ([[fitShinglePool]] — one benchmark scan), persisted
+    * ([[IndexStore.saveShinglePool]], longs are exact — save→load→apply
+    * is bit-identical), and served to every batch job and every
+    * streaming microbatch without re-scanning the benchmark
+    * ([[decontaminateWithPool]] / [[decontaminateSpansWithPool]] are
+    * stateless per-row kernels, so they run unchanged inside a
+    * Structured Streaming plan). Benchmark updates fold in exactly
+    * through [[ShinglePoolModel.merged]] (sorted-set union — no
+    * refit-the-world).
+    *
+    * `hashes` are the sorted distinct `mix64(fnv64(n-gram))` values —
+    * the SAME hash chain as the one-shot faces, so a pool-served
+    * membership decision is byte-identical to theirs; `n` travels with
+    * the hashes because a pool applied at a different window width
+    * would match a different space (apply faces re-derive windows from
+    * the model's own `n`).
+    */
+  final case class ShinglePoolModel(n: Int, hashes: Array[Long]) {
+    require(n >= 1, s"ShinglePoolModel: n must be >= 1, got $n")
+
+    def size: Int = hashes.length
+
+    def contains(h: Long): Boolean =
+      java.util.Arrays.binarySearch(hashes, h) >= 0
+
+    /** Exact fold of two pools over the SAME n-gram width: the union
+      * of two sorted distinct sets is merged in one pass, so chaining
+      * `fit(A) merged fit(B)` equals `fit(A ∪ B)` exactly (DedupSpec
+      * locks the equivalence).
+      */
+    def merged(other: ShinglePoolModel): ShinglePoolModel = {
+      require(other.n == n,
+        s"ShinglePoolModel.merged: window widths differ ($n vs ${other.n}) — " +
+          "pools over different n-gram spaces cannot fold")
+      val a = hashes; val b = other.hashes
+      val out = new Array[Long](a.length + b.length)
+      var i = 0; var j = 0; var k = 0
+      while (i < a.length && j < b.length) {
+        val v = if (a(i) <= b(j)) a(i) else b(j)
+        if (a(i) == v) i += 1
+        if (j < b.length && b(j) == v) j += 1
+        if (k == 0 || out(k - 1) != v) { out(k) = v; k += 1 }
+      }
+      while (i < a.length) {
+        if (k == 0 || out(k - 1) != a(i)) { out(k) = a(i); k += 1 }; i += 1
+      }
+      while (j < b.length) {
+        if (k == 0 || out(k - 1) != b(j)) { out(k) = b(j); k += 1 }; j += 1
+      }
+      ShinglePoolModel(n, java.util.Arrays.copyOf(out, k))
+    }
+  }
+
+  /** Build a [[ShinglePoolModel]] from a benchmark frame: distinct
+    * shingle hashes, collected ONCE with a limit of `max + 1` and a
     * materialized-length check (count-then-collect would evaluate the
     * benchmark frame twice and let a nondeterministic frame slip the
     * ceiling between the two jobs), sorted for binary search.
     */
+  def fitShinglePool(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      maxPoolShingles: Long = MaxExactPoolShingles,
+  ): ShinglePoolModel = {
+    require(n >= 1, s"fitShinglePool: n must be >= 1, got $n")
+    ShinglePoolModel(n,
+      collectShinglePool(benchmark, benchTextCol, n, maxPoolShingles,
+        "fitShinglePool", "the Bloom faces (decontaminateBloom / decontaminateSpansBloom)"))
+  }
+
   private def collectShinglePool(
       benchmark: DataFrame,
       benchTextCol: String,
@@ -1105,6 +1175,53 @@ object Dedup {
         "toward extra removal, the safe direction for decontamination)")
     java.util.Arrays.sort(pool)
     pool
+  }
+
+  /** [[decontaminate]] served from a frozen pool: the same
+    * binary-search membership count per shingle, with the benchmark
+    * scan replaced by the persisted model — stateless, shuffle-free,
+    * streaming-safe.
+    */
+  def decontaminateWithPool(
+      corpus: DataFrame,
+      pool: ShinglePoolModel,
+      textCol: String,
+      maxSharedShingles: Int = 0,
+  ): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(pool.hashes)
+    val nn = pool.n
+    val countShared = udf { (t: String) =>
+      val p = bc.value
+      var c = 0
+      val grams = hashedShingles(t, nn).map(mix64).distinct
+      var i = 0
+      while (i < grams.length) {
+        if (java.util.Arrays.binarySearch(p, grams(i)) >= 0) c += 1
+        i += 1
+      }
+      c
+    }
+    corpus
+      .withColumn("n_contaminated_grams", countShared(col(textCol)))
+      .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
+  }
+
+  /** [[decontaminateSpans]] served from a frozen pool: the ONE
+    * [[exciseKernel]] with the persisted sorted-hash membership
+    * predicate — stateless per-row surgery, so it excises inside a
+    * Structured Streaming plan exactly as in batch (StreamingSpec pins
+    * stream ≡ batch).
+    */
+  def decontaminateSpansWithPool(
+      corpus: DataFrame,
+      pool: ShinglePoolModel,
+      textCol: String,
+      pad: Int = 0,
+  ): DataFrame = {
+    require(pad >= 0, s"decontaminateSpansWithPool: pad must be >= 0, got $pad")
+    val bc = corpus.sparkSession.sparkContext.broadcast(pool.hashes)
+    exciseColumns(corpus, textCol, pool.n, pad,
+      h => java.util.Arrays.binarySearch(bc.value, h) >= 0)
   }
 
   /** Benchmark decontamination — the "don't train on the test set"
@@ -1134,26 +1251,14 @@ object Dedup {
       n: Int = 5,
       maxSharedShingles: Int = 0,
       maxPoolShingles: Long = MaxExactPoolShingles,
-  ): DataFrame = {
-    val spark = corpus.sparkSession
-    val pool = collectShinglePool(benchmark, benchTextCol, n, maxPoolShingles,
-      "decontaminate", "decontaminateBloom")
-    val bc = spark.sparkContext.broadcast(pool)
-    val countShared = udf { (t: String) =>
-      val p = bc.value
-      var c = 0
-      val grams = hashedShingles(t, n).map(mix64).distinct
-      var i = 0
-      while (i < grams.length) {
-        if (java.util.Arrays.binarySearch(p, grams(i)) >= 0) c += 1
-        i += 1
-      }
-      c
-    }
-    corpus
-      .withColumn("n_contaminated_grams", countShared(col(textCol)))
-      .withColumn("is_clean", col("n_contaminated_grams") <= maxSharedShingles)
-  }
+  ): DataFrame =
+    // one-shot face = fit + pool-served apply (ONE kernel family, so
+    // the frozen-pool path cannot drift from this one)
+    decontaminateWithPool(
+      corpus,
+      ShinglePoolModel(n, collectShinglePool(benchmark, benchTextCol, n,
+        maxPoolShingles, "decontaminate", "decontaminateBloom")),
+      textCol, maxSharedShingles)
 
   /** [[decontaminate]] for benchmark pools too large to broadcast as
     * an exact array: the pool is reduced to a Bloom filter (mergeable
@@ -1235,12 +1340,11 @@ object Dedup {
   ): DataFrame = {
     require(n >= 1, s"decontaminateSpans: n must be >= 1, got $n")
     require(pad >= 0, s"decontaminateSpans: pad must be >= 0, got $pad")
-    val spark = corpus.sparkSession
-    val pool = collectShinglePool(benchmark, benchTextCol, n, maxPoolShingles,
-      "decontaminateSpans", "decontaminateSpansBloom")
-    val bc = spark.sparkContext.broadcast(pool)
-    exciseColumns(corpus, textCol, n, pad,
-      h => java.util.Arrays.binarySearch(bc.value, h) >= 0)
+    decontaminateSpansWithPool(
+      corpus,
+      ShinglePoolModel(n, collectShinglePool(benchmark, benchTextCol, n,
+        maxPoolShingles, "decontaminateSpans", "decontaminateSpansBloom")),
+      textCol, pad)
   }
 
   /** The ONE excision kernel behind [[decontaminateSpans]] and

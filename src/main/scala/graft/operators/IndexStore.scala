@@ -123,4 +123,48 @@ object IndexStore {
       r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4),
       r.getLong(5), r.getSeq[Long](6).toArray)
   }
+
+  /** Persist a frozen [[Dedup.ShinglePoolModel]] — the benchmark
+    * decontamination pool, fit once and served to every batch job and
+    * streaming microbatch. The window width `n` travels with the
+    * hashes (a pool applied at a different width would match a
+    * different space); hashes are 64-bit longs, so save→load→apply and
+    * save→load→[[Dedup.ShinglePoolModel.merged]] chains are exact.
+    * Unlike the KB-sized codebooks above, a pool can reach
+    * [[Dedup.MaxExactPoolShingles]] longs (80 MB), so it is written as
+    * ROWS (one `g` per distinct hash, plus a 1-row meta) rather than a
+    * single array cell, and loaded with a sort on the driver — same
+    * sorted-array invariant as the fit path.
+    */
+  def saveShinglePool(
+      spark: SparkSession, pool: Dedup.ShinglePoolModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((pool.n, pool.hashes.length.toLong))
+      .toDF("n", "n_hashes")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/shingle_pool_meta")
+    pool.hashes.toSeq
+      .toDF("g")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/shingle_pool")
+  }
+
+  def loadShinglePool(spark: SparkSession, path: String): Dedup.ShinglePoolModel = {
+    val meta = spark.read.parquet(s"$path/shingle_pool_meta").head()
+    val hashes = spark.read
+      .parquet(s"$path/shingle_pool")
+      .collect()
+      .map(_.getLong(0))
+    // defense against a partially-written or foreign directory: the
+    // meta count must match the materialized rows
+    require(hashes.length.toLong == meta.getLong(1),
+      s"loadShinglePool: $path holds ${hashes.length} hashes but meta says " +
+        s"${meta.getLong(1)} — incomplete or foreign pool directory")
+    java.util.Arrays.sort(hashes)
+    Dedup.ShinglePoolModel(meta.getInt(0), hashes)
+  }
 }

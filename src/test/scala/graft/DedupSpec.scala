@@ -566,6 +566,48 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("frozen shingle pool: pool-served faces ≡ one-shot faces; merged folds exactly") {
+    val benchA = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+    val benchB = Seq(Tuple1("zeta eta theta iota kappa")).toDF("text")
+    val corpus = Seq(
+      (10L, "one two three alpha beta gamma delta epsilon four five six"),
+      (11L, "zeta eta theta iota kappa leading quote then clean prose here"),
+      (12L, "completely unrelated content about databases and query engines"),
+    ).toDF("doc_id", "text")
+    val pA = Dedup.fitShinglePool(benchA, "text", n = 5)
+    assert(pA.size == 1, "one 5-gram benchmark → one distinct shingle")
+    // pool-served ≡ one-shot, both faces (same fixtures, full rows)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.decontaminateWithPool(corpus, pA, "text"))
+      == rows(Dedup.decontaminate(corpus, benchA, "text", "text", n = 5)))
+    assert(rows(Dedup.decontaminateSpansWithPool(corpus, pA, "text"))
+      == rows(Dedup.decontaminateSpans(corpus, benchA, "text", "text", n = 5)))
+    // merged = fit of the union, EXACTLY (hash-array equality), and
+    // commutes
+    val pB = Dedup.fitShinglePool(benchB, "text", n = 5)
+    val merged = pA.merged(pB)
+    val union = Dedup.fitShinglePool(benchA.unionByName(benchB), "text", n = 5)
+    assert(merged.hashes.toSeq == union.hashes.toSeq, "merged must equal fit-of-union")
+    assert(pB.merged(pA).hashes.toSeq == merged.hashes.toSeq, "merge must commute")
+    // overlapping pools fold without duplicates
+    assert(pA.merged(pA).hashes.toSeq == pA.hashes.toSeq)
+    // the merged pool excises BOTH benchmarks' quotes
+    val both = Dedup.decontaminateSpansWithPool(corpus, merged, "text")
+      .orderBy("doc_id").select("n_excised_tokens").collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(5L, 5L, 0L), s"merged pool must excise both quotes: $both")
+    // width mismatch is a named error, not a silent cross-space match
+    val e = intercept[IllegalArgumentException] {
+      pA.merged(Dedup.fitShinglePool(benchB, "text", n = 3))
+    }
+    assert(e.getMessage.contains("window widths differ"), e.getMessage)
+    // the fit ceiling names the Bloom faces
+    val eFit = intercept[IllegalArgumentException] {
+      Dedup.fitShinglePool(benchA.unionByName(benchB), "text", n = 5, maxPoolShingles = 1L)
+    }
+    assert(eFit.getMessage.contains("decontaminateSpansBloom"), eFit.getMessage)
+  }
+
   test("exact decontamination faces: oversized pool is a NAMED error steering to the Bloom face") {
     // 5 docs × unique tokens → 5 distinct shingles; ceiling 3 must trip
     val bench = (0 until 5).map(i =>

@@ -74,4 +74,43 @@ class IndexStoreSpec extends SparkTestBase {
       .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(a.sameElements(b))
   }
+
+  test("shingle pool roundtrip: n and hashes bit-exact, excision identical; corrupt meta is a named error") {
+    import graft.operators.Dedup
+    val bench = Seq(
+      Tuple1("alpha beta gamma delta epsilon"),
+      Tuple1("zeta eta theta iota kappa"),
+    ).toDF("text")
+    val corpus = Seq(
+      (1L, "pre text alpha beta gamma delta epsilon post text here"),
+      (2L, "nothing quoted in this clean document at all today"),
+    ).toDF("doc_id", "text")
+    val pool = Dedup.fitShinglePool(bench, "text", n = 5)
+    val dir = tmp()
+    IndexStore.saveShinglePool(spark, pool, dir)
+    val loaded = IndexStore.loadShinglePool(spark, dir)
+    assert(loaded.n == pool.n)
+    assert(java.util.Arrays.equals(loaded.hashes, pool.hashes),
+      "hashes must roundtrip bit-exact (longs, sorted)")
+    val a = Dedup.decontaminateSpansWithPool(corpus, pool, "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Dedup.decontaminateSpansWithPool(corpus, loaded, "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "loaded pool must excise identically")
+    // a meta/hashes count mismatch (partial write, foreign dir) is a
+    // named error, not a silently-smaller pool
+    val dir2 = tmp()
+    IndexStore.saveShinglePool(spark, pool, dir2)
+    IndexStore.saveShinglePool(spark,
+      Dedup.ShinglePoolModel(pool.n, pool.hashes.take(1)), dir2)
+    // overwrite hashes only, keep the 2-hash meta → mismatch
+    spark.createDataFrame(Seq(Tuple1(pool.hashes.head))).toDF("g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/shingle_pool")
+    spark.createDataFrame(Seq((pool.n, 2L))).toDF("n", "n_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/shingle_pool_meta")
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.loadShinglePool(spark, dir2)
+    }
+    assert(e.getMessage.contains("incomplete or foreign pool directory"), e.getMessage)
+  }
 }

@@ -2311,6 +2311,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("decontaminateSpansWithPool: a LOADED frozen pool excises in-stream, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, IndexStore}
+    // the serving contract: fit the pool once, persist it, and the
+    // loaded model runs the same stateless surgery inside a streaming
+    // plan — no benchmark re-scan per job or per microbatch
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon")).toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pool-stream").toString
+    IndexStore.saveShinglePool(spark, Dedup.fitShinglePool(bench, "text", n = 5), dir)
+    val pool = IndexStore.loadShinglePool(spark, dir)
+    val rows = Seq(
+      (1L, "one two three alpha beta gamma delta epsilon four five six"),
+      (2L, "clean content with nothing quoted from any benchmark here"))
+    val batch = Dedup
+      .decontaminateSpansWithPool(rows.toDF("doc_id", "text"), pool, "text")
+      .select($"doc_id", $"clean_text", $"n_excised_tokens")
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup
+      .decontaminateSpansWithPool(in.toDS().toDF("doc_id", "text"), pool, "text")
+      .select($"doc_id", $"clean_text", $"n_excised_tokens")
+      .writeStream.format("memory").queryName("pool_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "pool-served excision must stay stateless in-stream")
+      val streamed = spark.table("pool_stream").collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"loaded-pool stream≡batch mismatch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("applyHashIdf: frozen-model embedding runs in a streaming plan and equals batch across microbatches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.TextAnalysis
