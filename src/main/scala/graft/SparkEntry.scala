@@ -2959,6 +2959,70 @@ object SparkEntry {
       |FROM ids
       |ORDER BY id""".stripMargin
 
+  /** FILTERED store-served ANN gate
+    * ([[graft.operators.Similarity.ivfPqTopKFromStoreFiltered]] —
+    * "top-k among the documents the metadata predicate allows"): each
+    * planted id gets TWO perturbed copies — a +0.01 decoy (id+1e6)
+    * and a +0.02 query (id+2e6) — and the allowed set is the BASE
+    * corpus only. Three driver-checked booleans per query: the decoy
+    * is a top-k neighbor of the UNFILTERED search (proving the filter
+    * has something real to remove), the filtered search recovers the
+    * allowed original, and NO filtered-out id leaks into the filtered
+    * top-k (the exactness half — post-filter-after-search would pass
+    * recovery but show degraded k, pre-filter passes both).
+    */
+  private def q180FilteredAnnPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def shifted(offset: Long, delta: Float) = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(delta)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val decoys = shifted(1000000L, 0.01f)
+    val queries = shifted(2000000L, 0.02f).localCheckpoint(true)
+    val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
+    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q180").toString
+    graft.operators.VectorStore
+      .write(corpus, "vec_id", "embedding", storeDir, "q180_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q180_vs")
+    val allowed = emb.select(col("vec_id"))
+    val unfiltered = Similarity
+      .ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+        nprobe = 4, refine = 4)
+    val filtered = Similarity
+      .ivfPqTopKFromStoreFiltered(store, queries, "vec_id", "embedding", k = 5,
+        allowed, "vec_id", nprobe = 4, refine = 4)
+    val planted = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(2000000L)).as("query_id"),
+        col("vec_id").as("expected_id"))
+    planted
+      .join(unfiltered
+        .where(col("neighbor_id") === col("query_id") - lit(1000000L))
+        .select(col("query_id"), lit(true).as("ud")), Seq("query_id"), "left")
+      .join(filtered
+        .where(col("neighbor_id") === col("query_id") - lit(2000000L))
+        .select(col("query_id"), lit(true).as("fr")), Seq("query_id"), "left")
+      .join(filtered
+        .where(col("neighbor_id") >= 1000000L)
+        .select(col("query_id"), lit(true).as("fl")).distinct(), Seq("query_id"), "left")
+      .select(col("query_id"), col("expected_id"),
+        coalesce(col("ud"), lit(false)).as("unfiltered_has_decoy"),
+        coalesce(col("fr"), lit(false)).as("filtered_recovers_original"),
+        coalesce(col("fl"), lit(false)).as("filtered_leaks"))
+      .orderBy("query_id")
+      .localCheckpoint(true)
+  }
+
+  private val q180Oracle =
+    """SELECT vec_id + 2000000 AS query_id, vec_id AS expected_id,
+      |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
+      |  false AS filtered_leaks
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6812,6 +6876,7 @@ object SparkEntry {
     "q177_decontam_spans" -> (q177DecontamSpans _),
     "q178_decontam_spans_bloom" -> (q178DecontamSpansBloom _),
     "q179_decontam_pool_served" -> (q179DecontamPoolServed _),
+    "q180_filtered_ann_planted" -> (q180FilteredAnnPlanted _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -6981,5 +7046,6 @@ object SparkEntry {
     "q177_decontam_spans" -> q177Oracle,
     "q178_decontam_spans_bloom" -> q178Oracle,
     "q179_decontam_pool_served" -> q179Oracle,
+    "q180_filtered_ann_planted" -> q180Oracle,
   )
 }

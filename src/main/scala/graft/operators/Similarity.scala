@@ -1571,6 +1571,99 @@ object Similarity {
       idCol, vecCol, k, store.ivf, store.pq, nprobe, refine, broadcastQueries)
   }
 
+  /** FILTERED store-served ANN — "top-k among the documents a
+    * metadata predicate allows", the table-stakes vector-store
+    * operation (language = en only, license-clean only, post-cutoff
+    * only…). Semantics: exactly [[ivfPqTopKFromStore]] run over the
+    * allowed subset — the coded table is PRE-filtered with a semi-join
+    * on id BEFORE the cell join and ADC, so the `k·refine` shortlist
+    * is spent entirely on eligible candidates. The tempting cheap
+    * alternative — search unfiltered, drop disallowed rows after —
+    * is WRONG twice at scale: a selective filter leaves < k results
+    * (the shortlist filled up with ineligible neighbors), and the
+    * recall contract silently degrades with the filter's selectivity.
+    *
+    * Scale shape: `broadcastAllowed = true` (default) broadcasts the
+    * allowed-id set and PRESERVES the coded table's cell bucketing
+    * (no exchange added — right whenever the filter side is a bounded
+    * id list). For allowed sets at corpus scale (a predicate over a
+    * metadata table) pass `false`: the semi-join becomes a shuffle on
+    * id — the honest price of an arbitrary filter — and the probe
+    * join re-buckets by cell after. The re-rank side needs NO filter:
+    * the shortlist is already allowed-only, and the id-bucketed
+    * `vecs` join fetches only shortlisted floats.
+    */
+  def ivfPqTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    require(store.opq.isEmpty,
+      "ivfPqTopKFromStoreFiltered: this store is OPQ-coded — use " +
+        "ivfOpqTopKFromStoreFiltered, which rotates the query side to match")
+    ivfPqSearchIndexed(filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed),
+      storeVecs(store), queries, idCol, vecCol, k,
+      store.ivf, store.pq, nprobe, refine, broadcastQueries)
+  }
+
+  /** [[ivfPqTopKFromStoreFiltered]] for an OPQ-coded store: only the
+    * query side rotates (store artifacts already live in rotated
+    * space), then the identical pre-filtered probe/ADC/re-rank tail.
+    */
+  def ivfOpqTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    val opq = store.opq.getOrElse(throw new IllegalArgumentException(
+      "ivfOpqTopKFromStoreFiltered: this store is plain-PQ-coded (no persisted " +
+        "rotation) — use ivfPqTopKFromStoreFiltered"))
+    ivfPqSearchIndexed(filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed),
+      storeVecs(store), rotateColumn(queries, vecCol, opq), idCol, vecCol, k,
+      store.ivf, store.pq, nprobe, refine, broadcastQueries)
+  }
+
+  /** The filtered faces' shared pre-filter: allowed ids semi-joined
+    * against the coded table (broadcast by default — no exchange on
+    * the bucketed coded side). No distinct() on the allowed side: a
+    * LEFT SEMI join already returns each coded row at most once, and
+    * the dedup aggregation would cost an exchange the join does not
+    * need (PlanShapeSpec pins the filtered plan's shuffle count equal
+    * to the unfiltered face's).
+    */
+  private def filteredIndexed(
+      store: VectorStore.CodedVectorStore,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      broadcastAllowed: Boolean,
+  ): DataFrame = {
+    val allow = allowed
+      .select(col(allowedIdCol).cast("long").as("neighbor_id"))
+    store.coded
+      .select(col("id").as("neighbor_id"), col("cell"), col("code"))
+      .join(if (broadcastAllowed) broadcast(allow) else allow.hint("merge"),
+        Seq("neighbor_id"), "left_semi")
+  }
+
+  private def storeVecs(store: VectorStore.CodedVectorStore): DataFrame =
+    store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+
   /** ANN top-k via IVF: corpus rows join only the `nprobe` probed
     * cells per query (equi-join on cell id — hash join, no cartesian),
     * then the same bounded-heap top-k. Recall < 1 by construction;

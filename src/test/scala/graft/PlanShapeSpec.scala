@@ -180,6 +180,22 @@ class PlanShapeSpec extends SparkTestBase {
         "embedding", k = 5, nprobe = 2, refine = 4, broadcastQueries = false))
       assert(!p.contains("BroadcastExchange"),
         s"corpus-as-queries path must not broadcast anything:\n$p")
+      // filtered face, broadcast-allowed path: the semi-join must ride
+      // the broadcast (explicit broadcast() call — immune to the -1
+      // threshold) and add NO shuffle beyond the unfiltered face's —
+      // the coded side keeps its bucketed scan
+      val allowed = df.where(col("vec_id") % 2 === 0).select(col("vec_id"))
+      val pu = plan(Similarity.ivfPqTopKFromStore(store, allQueries, "vec_id",
+        "embedding", k = 5, nprobe = 2, refine = 4, broadcastQueries = false))
+      val pf = plan(Similarity.ivfPqTopKFromStoreFiltered(store, allQueries, "vec_id",
+        "embedding", k = 5, allowed, "vec_id", nprobe = 2, refine = 4,
+        broadcastQueries = false))
+      def shuffles(p: String) = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      assert(pf.contains("BroadcastExchange"),
+        s"broadcast-allowed filter must broadcast the id set:\n$pf")
+      assert(shuffles(pf) == shuffles(pu),
+        s"the broadcast filter must add no shuffle (unfiltered ${shuffles(pu)}, " +
+          s"filtered ${shuffles(pf)}):\n$pf")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 

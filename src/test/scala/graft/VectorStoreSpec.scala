@@ -83,6 +83,66 @@ class VectorStoreSpec extends SparkTestBase {
       k = 5, nprobe = 2, refine = 4)) == rows(fromFloatsPq))
   }
 
+  test("filtered store-served ANN: top-k among allowed ids only, exact vs brute force at full coverage") {
+    val (df, queries) = fixture(37)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("filtered")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_filt", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_filt")
+    val allowed = df.where($"vec_id" % 2 === 0).select($"vec_id")
+    // full coverage (nprobe = nlist, shortlist ⊇ allowed corpus): the
+    // filtered face must equal EXACT brute force over the allowed
+    // subset — the "top-k among allowed" semantics, not "top-k then
+    // filter"
+    val filtered = Similarity.ivfPqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 8, refine = 50)
+    val brute = Similarity.bruteForceTopK(
+      df.where($"vec_id" % 2 === 0), queries, "vec_id", "embedding", k = 5)
+    assert(rows(filtered) == rows(brute),
+      "filtered store search must equal brute force over the allowed subset")
+    // no disallowed id may leak at stock (recall-limited) settings
+    val stock = Similarity.ivfPqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 2, refine = 4)
+    assert(stock.where($"neighbor_id" % 2 =!= 0).count() == 0,
+      "a filtered-out id must never appear in results")
+    // the shuffle-path filter (corpus-scale allowed sets) agrees with
+    // the broadcast path
+    val shuffled = Similarity.ivfPqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 8, refine = 50,
+      broadcastAllowed = false)
+    assert(rows(shuffled) == rows(filtered))
+    // an all-allowed filter degrades to the unfiltered face exactly
+    val all = Similarity.ivfPqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, df.select($"vec_id"), "vec_id", nprobe = 2, refine = 4)
+    val unfiltered = Similarity.ivfPqTopKFromStore(store, queries, "vec_id",
+      "embedding", k = 5, nprobe = 2, refine = 4)
+    assert(rows(all) == rows(unfiltered))
+    // face/store coding mismatches stay NAMED errors
+    intercept[IllegalArgumentException] {
+      Similarity.ivfOpqTopKFromStoreFiltered(store, queries, "vec_id", "embedding",
+        k = 5, allowed, "vec_id")
+    }
+    // OPQ twin: allowed-only + all-allowed ≡ unfiltered parity
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("filtered-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_filt_opq", ivfO, opqO,
+      numBuckets = 4)
+    val storeO = VectorStore.read(spark, dirO, "vs_filt_opq")
+    val filtO = Similarity.ivfOpqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 2, refine = 4)
+    assert(filtO.where($"neighbor_id" % 2 =!= 0).count() == 0)
+    assert(rows(Similarity.ivfOpqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 5, df.select($"vec_id"), "vec_id", nprobe = 2, refine = 4))
+      == rows(Similarity.ivfOpqTopKFromStore(storeO, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2, refine = 4)))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKFromStoreFiltered(storeO, queries, "vec_id", "embedding",
+        k = 5, allowed, "vec_id")
+    }
+  }
+
   test("store tables: static side joins with NO shuffle exchange and bucketed scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
