@@ -3023,6 +3023,45 @@ object SparkEntry {
       |  false AS filtered_leaks
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
+  /** Frozen-tokenizer gate ([[graft.operators.Bpe.train]] →
+    * [[graft.operators.IndexStore.saveBpe]] → load →
+    * [[graft.operators.Bpe.withBpeTokens]]): the tokenizer is the
+    * most frozen artifact in a training pipeline (every token count,
+    * packing boundary, and budget decision is defined against ONE
+    * tokenizer), so its persistence must be rank-exact. The plant
+    * makes the single learned merge closed-form: every planted doc is
+    * "zq zqk" ×3, so pair (z,q) has strictly the highest frequency
+    * (2 per repetition vs 1 for every other pair — no tie-break
+    * reliance) and numMerges = 1 must learn exactly ("z","q").
+    * Applying the LOADED model then yields a fixed token stream —
+    * "zq"→[zq,</w>], "zqk"→[zq,k,</w>] — which the oracle states as
+    * a literal, pinning train determinism, merge-rank persistence,
+    * and the encode kernel in one hash compare.
+    */
+  private def q181BpeFrozen(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("zq zqk zq zqk zq zqk").as("text"))
+      .localCheckpoint(true)
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 1)
+    val storeDir = tempFixtureDir("graft_bpe_q181").toString
+    graft.operators.IndexStore.saveBpe(s, model, storeDir)
+    val loaded = graft.operators.IndexStore.loadBpe(s, storeDir)
+    graft.operators.Bpe
+      .withBpeTokens(docs, "text", loaded)
+      .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+  }
+
+  private val q181Oracle =
+    """SELECT doc_id,
+      |  ['zq', '</w>', 'zq', 'k', '</w>',
+      |   'zq', '</w>', 'zq', 'k', '</w>',
+      |   'zq', '</w>', 'zq', 'k', '</w>'] AS bpe_tokens,
+      |  CAST(15 AS INT) AS n_bpe_tokens
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6877,6 +6916,7 @@ object SparkEntry {
     "q178_decontam_spans_bloom" -> (q178DecontamSpansBloom _),
     "q179_decontam_pool_served" -> (q179DecontamPoolServed _),
     "q180_filtered_ann_planted" -> (q180FilteredAnnPlanted _),
+    "q181_bpe_frozen" -> (q181BpeFrozen _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7047,5 +7087,6 @@ object SparkEntry {
     "q178_decontam_spans_bloom" -> q178Oracle,
     "q179_decontam_pool_served" -> q179Oracle,
     "q180_filtered_ann_planted" -> q180Oracle,
+    "q181_bpe_frozen" -> q181Oracle,
   )
 }

@@ -124,6 +124,36 @@ object IndexStore {
       r.getLong(5), r.getSeq[Long](6).toArray)
   }
 
+  /** Persist a frozen [[Bpe.BpeModel]] — the tokenizer is the MOST
+    * frozen artifact in a training pipeline (every token count,
+    * packing boundary, and budget decision is defined relative to
+    * one tokenizer; retraining it mid-corpus silently re-segments
+    * everything downstream). Merge ORDER is the model — rank i
+    * applies before rank i+1 — so merges persist with their explicit
+    * rank and load re-sorts by it; strings roundtrip exactly, and the
+    * cached-encoder fingerprint of a loaded model equals the
+    * original's (IndexStoreSpec locks identical tokenization).
+    */
+  def saveBpe(
+      spark: SparkSession, model: Bpe.BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.toSeq
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/bpe_merges")
+  }
+
+  def loadBpe(spark: SparkSession, path: String): Bpe.BpeModel =
+    Bpe.BpeModel(
+      spark.read
+        .parquet(s"$path/bpe_merges")
+        .orderBy("rank")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2))))
+
   /** Persist a frozen [[Dedup.ShinglePoolModel]] — the benchmark
     * decontamination pool, fit once and served to every batch job and
     * streaming microbatch. The window width `n` travels with the

@@ -75,6 +75,28 @@ class IndexStoreSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("BPE roundtrip: merge order exact, loaded model tokenizes identically") {
+    import graft.operators.Bpe
+    val docs = Seq.fill(40)("the theme then there of that the other theory")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 12)
+    assert(model.merges.nonEmpty, "fixture must learn at least one merge")
+    val dir = tmp()
+    IndexStore.saveBpe(spark, model, dir)
+    val loaded = IndexStore.loadBpe(spark, dir)
+    // merge ORDER is the model: rank-for-rank equality, not set equality
+    assert(loaded.merges.toSeq == model.merges.toSeq,
+      "merge rules must roundtrip in rank order")
+    val probe = Seq((1L, "the theory thereof"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val a = Bpe.withBpeTokens(probe, "text", model)
+      .orderBy("doc_id").select("bpe_tokens").collect().map(_.getSeq[String](0)).toSeq
+    val b = Bpe.withBpeTokens(probe, "text", loaded)
+      .orderBy("doc_id").select("bpe_tokens").collect().map(_.getSeq[String](0)).toSeq
+    assert(a == b, "loaded model must tokenize identically")
+  }
+
   test("shingle pool roundtrip: n and hashes bit-exact, excision identical; corrupt meta is a named error") {
     import graft.operators.Dedup
     val bench = Seq(
