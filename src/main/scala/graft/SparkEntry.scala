@@ -3062,6 +3062,84 @@ object SparkEntry {
       |  CAST(15 AS INT) AS n_bpe_tokens
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Frozen-DSIR gate: q89's planted selection truth with the fitted
+    * importance model pushed through
+    * [[graft.operators.IndexStore.saveDsir]]/`loadDsir` — the LOADED
+    * model must select exactly the planted target set (its log-ratio
+    * doubles roundtrip bit-exact, so selection through the store
+    * cannot drift from the in-memory fit; IndexStoreSpec pins the
+    * per-document weight equality, this gate pins the end-to-end
+    * behavior driver-visibly).
+    */
+  private def q182DsirFrozen(s: SparkSession, dir: String): DataFrame = {
+    val targetMarks = "aurora quasar pulsar nebula photon graviton meson tachyon " +
+      "boson lepton hadron gluon neutrino axion muon positron"
+    val rawMarks = "granite basalt schist gneiss marble slate quartzite obsidian " +
+      "pumice shale flint chert gypsum mica feldspar olivine"
+    val docs = load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(
+          " ",
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit(targetMarks)).otherwise(lit(rawMarks)),
+        ).as("ptext"),
+      )
+    val k = docs.where(col("doc_id") % 5 === 0).count().toInt
+    if (k == 0) return docs.select(col("doc_id")).limit(0)
+    val fitSample = docs.where(col("doc_id") % 10 === 0)
+    val fitted = graft.operators.Dsir.fit(fitSample, docs, "ptext")
+    val storeDir = tempFixtureDir("graft_dsir_q182").toString
+    graft.operators.IndexStore.saveDsir(s, fitted, storeDir)
+    val loaded = graft.operators.IndexStore.loadDsir(s, storeDir)
+    graft.operators.Dsir
+      .select(docs, "doc_id", "ptext", k, loaded)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q182Oracle =
+    "SELECT doc_id FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
+
+  /** Frozen-LM gate: q94's fluent-beats-scrambled ordering truth with
+    * the trained bigram LM pushed through
+    * [[graft.operators.IndexStore.saveBigramLm]]/`loadBigramLm` — the
+    * LOADED model must rank every fluent variant above its scramble
+    * (counts are longs, so scoring through the store is bit-identical;
+    * IndexStoreSpec pins the avgLogProb equality).
+    */
+  private def q183LmFrozen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Array("the", "quick", "brown", "fox", "jumps",
+      "over", "lazy", "dog", "again", "today")
+    val fluentUdf = udf { (id: Long) =>
+      val r = (id % words.length).toInt
+      (words.drop(r) ++ words.take(r)).mkString(" ")
+    }
+    val scrambledUdf = udf { (id: Long) =>
+      val r = (id % words.length).toInt
+      (words.drop(r) ++ words.take(r)).reverse.mkString(" ")
+    }
+    val docs = load(s, dir, "documents").select(col("doc_id"))
+    if (docs.isEmpty) return Seq.empty[(Long, Boolean)].toDF("doc_id", "fluent_wins")
+    val fluent = docs.withColumn("t", fluentUdf(col("doc_id")))
+    val lm = graft.operators.LmQuality.train(fluent, "t", vocabSize = 100)
+    val storeDir = tempFixtureDir("graft_lm_q183").toString
+    graft.operators.IndexStore.saveBigramLm(s, lm, storeDir)
+    val loaded = graft.operators.IndexStore.loadBigramLm(s, storeDir)
+    val both = docs
+      .withColumn("tf", fluentUdf(col("doc_id")))
+      .withColumn("ts", scrambledUdf(col("doc_id")))
+    val sf1 = graft.operators.LmQuality.score(both, "tf", loaded, outCol = "lp_fluent")
+    val sf2 = graft.operators.LmQuality.score(sf1, "ts", loaded, outCol = "lp_scrambled")
+    sf2
+      .select(col("doc_id"), (col("lp_fluent") > col("lp_scrambled")).as("fluent_wins"))
+      .orderBy("doc_id")
+  }
+
+  private val q183Oracle =
+    "SELECT doc_id, true AS fluent_wins FROM documents ORDER BY doc_id"
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -6917,6 +6995,8 @@ object SparkEntry {
     "q179_decontam_pool_served" -> (q179DecontamPoolServed _),
     "q180_filtered_ann_planted" -> (q180FilteredAnnPlanted _),
     "q181_bpe_frozen" -> (q181BpeFrozen _),
+    "q182_dsir_frozen" -> (q182DsirFrozen _),
+    "q183_lm_frozen" -> (q183LmFrozen _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7088,5 +7168,7 @@ object SparkEntry {
     "q179_decontam_pool_served" -> q179Oracle,
     "q180_filtered_ann_planted" -> q180Oracle,
     "q181_bpe_frozen" -> q181Oracle,
+    "q182_dsir_frozen" -> q182Oracle,
+    "q183_lm_frozen" -> q183Oracle,
   )
 }

@@ -124,6 +124,55 @@ object IndexStore {
       r.getLong(5), r.getSeq[Long](6).toArray)
   }
 
+  /** Persist a frozen [[Dsir.DsirModel]] — the importance-resampling
+    * log-ratio table. All state is fixed-size (buckets doubles + three
+    * scalars); doubles travel as parquet doubles, so a loaded model's
+    * `logWeight` is bit-identical to the fitted one's (IndexStoreSpec
+    * locks per-document weight equality).
+    */
+  def saveDsir(spark: SparkSession, model: Dsir.DsirModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.buckets, model.seed, model.alpha, model.logRatio.toSeq))
+      .toDF("buckets", "seed", "alpha", "log_ratio")
+      .coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/dsir")
+  }
+
+  def loadDsir(spark: SparkSession, path: String): Dsir.DsirModel = {
+    val r = spark.read.parquet(s"$path/dsir").head()
+    Dsir.DsirModel(r.getInt(0), r.getInt(1), r.getDouble(2),
+      r.getSeq[Double](3).toArray)
+  }
+
+  /** Persist a frozen [[LmQuality.BigramLm]] — the CCNet-style
+    * reference language model. The three maps persist as plain rows
+    * (the bigram table can reach millions of entries — row storage,
+    * not a single array cell); every value is an int/long/string, so
+    * the roundtrip is exact and a loaded model's `avgLogProb` equals
+    * the trained one's bit-for-bit.
+    */
+  def saveBigramLm(
+      spark: SparkSession, model: LmQuality.BigramLm, path: String): Unit = {
+    import spark.implicits._
+    model.vocab.toSeq.toDF("tok", "id")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/lm_vocab")
+    model.contextTotals.toSeq.toDF("ctx", "total")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/lm_context")
+    model.bigrams.toSeq.toDF("key", "count")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/lm_bigrams")
+  }
+
+  def loadBigramLm(spark: SparkSession, path: String): LmQuality.BigramLm =
+    LmQuality.BigramLm(
+      spark.read.parquet(s"$path/lm_vocab").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap,
+      spark.read.parquet(s"$path/lm_context").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      spark.read.parquet(s"$path/lm_bigrams").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
   /** Persist a frozen [[Bpe.BpeModel]] — the tokenizer is the MOST
     * frozen artifact in a training pipeline (every token count,
     * packing boundary, and budget decision is defined relative to

@@ -75,6 +75,47 @@ class IndexStoreSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("DSIR roundtrip: log-ratio doubles bit-exact, per-document weights identical") {
+    import graft.operators.Dsir
+    val target = Seq.fill(30)("aurora quasar pulsar nebula photon common filler words")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = Seq.fill(30)("granite basalt schist gneiss marble common filler words")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = Dsir.fit(target, raw, "text")
+    val dir = tmp()
+    IndexStore.saveDsir(spark, model, dir)
+    val loaded = IndexStore.loadDsir(spark, dir)
+    assert(loaded.buckets == model.buckets && loaded.seed == model.seed
+      && loaded.alpha == model.alpha)
+    assert(java.util.Arrays.equals(loaded.logRatio, model.logRatio),
+      "log-ratio table must roundtrip bit-exact")
+    val probes = Seq("aurora photon text", "granite marble text", "", "unseen words only")
+    probes.foreach { t =>
+      assert(java.lang.Double.compare(loaded.logWeight(t), model.logWeight(t)) == 0,
+        s"logWeight must be bit-identical for '$t'")
+    }
+  }
+
+  test("bigram LM roundtrip: maps exact, avgLogProb bit-identical") {
+    import graft.operators.LmQuality
+    val ref = Seq.fill(20)("the quick brown fox jumps over the lazy dog")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = LmQuality.train(ref, "text", vocabSize = 50)
+    val dir = tmp()
+    IndexStore.saveBigramLm(spark, model, dir)
+    val loaded = IndexStore.loadBigramLm(spark, dir)
+    assert(loaded.vocab == model.vocab)
+    assert(loaded.contextTotals == model.contextTotals)
+    assert(loaded.bigrams == model.bigrams)
+    val probes = Seq("the quick brown fox", "fox brown quick the", "one", null)
+    probes.foreach { t =>
+      val (a, b) = (model.avgLogProb(t), loaded.avgLogProb(t))
+      assert(a.isDefined == b.isDefined &&
+        a.zip(b).forall { case (x, y) => java.lang.Double.compare(x, y) == 0 },
+        s"avgLogProb must be bit-identical for '$t'")
+    }
+  }
+
   test("BPE roundtrip: merge order exact, loaded model tokenizes identically") {
     import graft.operators.Bpe
     val docs = Seq.fill(40)("the theme then there of that the other theory")
