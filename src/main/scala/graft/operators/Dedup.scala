@@ -1100,6 +1100,15 @@ object Dedup {
     */
   final case class ShinglePoolModel(n: Int, hashes: Array[Long]) {
     require(n >= 1, s"ShinglePoolModel: n must be >= 1, got $n")
+    // the binary-search invariant is a CONSTRUCTION contract, not a
+    // convention: a hand-built unsorted pool would silently miss
+    // members instead of failing. One O(n) pass per construction
+    // (fit/load/merge each run once per job).
+    require({
+      var i = 1; var ok = true
+      while (ok && i < hashes.length) { ok = hashes(i - 1) < hashes(i); i += 1 }
+      ok
+    }, "ShinglePoolModel: hashes must be strictly increasing (sorted distinct)")
 
     def size: Int = hashes.length
 
