@@ -3036,7 +3036,12 @@ object SparkEntry {
     * Applying the LOADED model then yields a fixed token stream —
     * "zq"→[zq,</w>], "zqk"→[zq,k,</w>] — which the oracle states as
     * a literal, pinning train determinism, merge-rank persistence,
-    * and the encode kernel in one hash compare.
+    * and the encode kernel in one hash compare. The token stream is
+    * projected through `array_join` to a single space-joined string:
+    * oracle-checked outputs must be scalar-only (the driver
+    * comparator canonicalizes with pandas sort_values, which cannot
+    * hash array cells — r18's q181 shipped red on exactly this;
+    * QueriesSpec now pins the convention for every gate).
     */
   private def q181BpeFrozen(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
@@ -3049,16 +3054,16 @@ object SparkEntry {
     val loaded = graft.operators.IndexStore.loadBpe(s, storeDir)
     graft.operators.Bpe
       .withBpeTokens(docs, "text", loaded)
-      .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"))
+      .select(col("doc_id"),
+        array_join(col("bpe_tokens"), " ").as("bpe_text"),
+        col("n_bpe_tokens"))
       .orderBy("doc_id")
       .localCheckpoint(true)
   }
 
   private val q181Oracle =
     """SELECT doc_id,
-      |  ['zq', '</w>', 'zq', 'k', '</w>',
-      |   'zq', '</w>', 'zq', 'k', '</w>',
-      |   'zq', '</w>', 'zq', 'k', '</w>'] AS bpe_tokens,
+      |  'zq </w> zq k </w> zq </w> zq k </w> zq </w> zq k </w>' AS bpe_text,
       |  CAST(15 AS INT) AS n_bpe_tokens
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 

@@ -1169,13 +1169,21 @@ object Dedup {
       caller: String,
       bloomFace: String,
   ): Array[Long] = {
+    // ceiling must be CHECKABLE: the limit(max + 1) probe collects at
+    // most Int.MaxValue rows, so a max at or above it could never be
+    // seen exceeded (and Long.MaxValue + 1 overflows negative) — any
+    // exact pool near 2^31 hashes (16 GB broadcast) belongs on the
+    // Bloom face anyway
+    require(max >= 0 && max < Int.MaxValue.toLong,
+      s"$caller: maxPoolShingles must be in [0, ${Int.MaxValue}), got $max — " +
+        s"an exact pool that large cannot broadcast; use $bloomFace")
     val shingleHash = udf { (t: String) =>
       hashedShingles(t, n).map(mix64).distinct
     }
     val pool = benchmark
       .select(explode(shingleHash(col(benchTextCol))).as("g"))
       .distinct()
-      .limit(math.min(max + 1, Int.MaxValue.toLong).toInt)
+      .limit((max + 1).toInt)
       .collect()
       .map(_.getLong(0))
     require(pool.length <= max,

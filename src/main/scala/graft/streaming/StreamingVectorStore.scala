@@ -36,6 +36,12 @@ object StreamingVectorStore {
 
   final case class SemanticHit(id: Long, corpus_id: Long, cosine: Double, ts: Timestamp)
 
+  /** Minimum store width (floats) for [[corpusSemanticHits]]'s
+    * bounded-frame cut-then-rejoin plan; narrower payloads don't repay
+    * the extra join stage (measurement in that operator's scaladoc).
+    */
+  val QvecRejoinMinDim = 512
+
   /** STREAM-vs-STANDING-STORE semantic near-dup hits — the embedding
     * analogue of [[StreamingDedup.corpusNearDupHits]], served from a
     * persisted [[graft.operators.VectorStore.CodedVectorStore]]: each
@@ -96,14 +102,14 @@ object StreamingVectorStore {
     * (the stream≡batch spec pins equality).
     * Contract note: `idCol` is the row's identity in BOTH modes (the
     * documented sink-side anti-join is id-keyed); frames with
-    * duplicate ids are outside the operator's contract either way.
+    * duplicate ids are outside the operator's contract either way —
+    * and on the bounded rejoin plan the input must additionally be
+    * DETERMINISTIC under re-evaluation (no un-seeded sample/rand
+    * upstream): the rejoin re-reads the source frame to fetch
+    * (ts, qvec) by id, so a nondeterministic input could pair a query
+    * code with a vector from a different evaluation. The rejoin
+    * localCheckpoints the filtered frame to pin one evaluation.
     */
-  /** Minimum store width (floats) for [[corpusSemanticHits]]'s
-    * bounded-frame cut-then-rejoin plan; narrower payloads don't repay
-    * the extra join stage (measurement in the scaladoc above).
-    */
-  val QvecRejoinMinDim = 512
-
   def corpusSemanticHits(
       docs: DataFrame,
       idCol: String,
@@ -158,7 +164,14 @@ object StreamingVectorStore {
       if (carryThrough)
         Seq(col(tsCol).as("ts"), col(vecCol).cast("array<float>").as("qvec"))
       else Seq.empty[Column]
-    val probed = filtered
+    // rejoin path reads `filtered` TWICE (probe side + (ts, qvec)
+    // fetch-back): pin ONE evaluation with a lazy localCheckpoint so a
+    // nondeterministic input (un-seeded sample/rand upstream) cannot
+    // pair a query code with a vector from a different evaluation —
+    // lineage truncation means an evicted block fails loudly instead
+    // of silently recomputing
+    val pinned = if (carryThrough) filtered else filtered.localCheckpoint(false)
+    val probed = pinned
       .select(Seq(
         col(idCol).cast("long").as("id"),
         graft.functions.VectorExpressions.signPack(col(vecCol)).as("qcode"),
@@ -174,7 +187,7 @@ object StreamingVectorStore {
       if (carryThrough) cut.select(col("id"), col("ts"), col("qvec"), col("corpus_id"))
       else cut
         .select(col("id"), col("corpus_id"))
-        .join(filtered.select(
+        .join(pinned.select(
           col(idCol).cast("long").as("id"),
           col(tsCol).as("ts"),
           col(vecCol).cast("array<float>").as("qvec")), "id")

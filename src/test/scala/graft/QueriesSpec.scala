@@ -34,8 +34,23 @@ class QueriesSpec extends SparkTestBase {
       val df = fn(spark, Sf0001)
       val n = df.count()
       assert(n >= 0)
-      if (SparkEntry.oracleSql.contains(name))
+      if (SparkEntry.oracleSql.contains(name)) {
         assert(n > 0, s"oracle-compared query $name returned 0 rows")
+        // The driver comparator canonicalizes with pandas sort_values,
+        // which cannot hash array/map/struct cells (r18 q181 shipped
+        // red on an array column): oracle-checked outputs are
+        // scalar-only. Project nested values through array_join /
+        // element_at / to_json before returning.
+        val nested = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+        assert(nested.isEmpty,
+          s"oracle-compared query $name returns non-scalar columns ${nested.mkString(", ")} " +
+            "— the driver comparator cannot canonicalize them")
+      }
     }
   }
 }

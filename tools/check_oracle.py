@@ -64,6 +64,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ spark={spark_cols} oracle={ocols}")
             failures += 1
             continue
+        # the DRIVER comparator canonicalizes with pandas sort_values,
+        # which cannot hash array/map/struct cells (r18 q181 shipped red
+        # on exactly this) — mirror that restriction here so a nested
+        # column fails locally before it fails at the driver
+        nested = [
+            f"{c}: {t}"
+            for c, t in zip(spark_rel.columns, [str(t) for t in spark_rel.types])
+            if "[" in str(t) or str(t).startswith(("STRUCT", "MAP", "LIST"))
+        ]
+        if nested:
+            print(f"FAIL {name}: non-scalar output columns ({', '.join(nested)}) — "
+                  "the driver comparator cannot canonicalize them")
+            failures += 1
+            continue
         # dtype drift is a warning: value-hash parity may still hold, but
         # a type-sensitive comparator would flag it
         stypes = dict(zip(spark_rel.columns, [str(t) for t in spark_rel.types]))
