@@ -3145,6 +3145,150 @@ object SparkEntry {
   private val q183Oracle =
     "SELECT doc_id, true AS fluent_wins FROM documents ORDER BY doc_id"
 
+  /** q180's filtered-ANN truth through the SIGN-CODE (Hamming) store
+    * face ([[graft.operators.Similarity.ivfHammingTopKFromStoreFiltered]]
+    * — the license-clean-only lookup on a binary-quantized store):
+    * same decoy/query/allowed plant, same three booleans — the decoy
+    * IS an unfiltered top-k hit, the filtered search recovers the
+    * allowed original, and no filtered-out id leaks. The corpus is
+    * the even half of the embeddings (every planted id is `% 10 = 0`,
+    * hence even — the oracle set is q180's exactly); the pre-filter
+    * is the SAME shared semi-join as q180's, so this gate pins the
+    * `hcode`-reading composition, not a new mechanism.
+    */
+  private def q184FilteredHammingAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    def shifted(offset: Long, delta: Float) = emb
+      .where(col("vec_id") % 10 === 0)
+      .select(
+        (col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(delta)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val decoys = shifted(1000000L, 0.01f)
+    val queries = shifted(2000000L, 0.02f).localCheckpoint(true)
+    val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
+    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q184").toString
+    graft.operators.VectorStore
+      .write(corpus, "vec_id", "embedding", storeDir, "q184_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q184_vs")
+    val allowed = emb.select(col("vec_id"))
+    val unfiltered = Similarity
+      .ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
+        nprobe = 4, refine = 4)
+    val filtered = Similarity
+      .ivfHammingTopKFromStoreFiltered(store, queries, "vec_id", "embedding",
+        k = 5, allowed, "vec_id", nprobe = 4, refine = 4)
+    val planted = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(2000000L)).as("query_id"),
+        col("vec_id").as("expected_id"))
+    planted
+      .join(unfiltered
+        .where(col("neighbor_id") === col("query_id") - lit(1000000L))
+        .select(col("query_id"), lit(true).as("ud")), Seq("query_id"), "left")
+      .join(filtered
+        .where(col("neighbor_id") === col("query_id") - lit(2000000L))
+        .select(col("query_id"), lit(true).as("fr")), Seq("query_id"), "left")
+      .join(filtered
+        .where(col("neighbor_id") >= 1000000L)
+        .select(col("query_id"), lit(true).as("fl")).distinct(), Seq("query_id"), "left")
+      .select(col("query_id"), col("expected_id"),
+        coalesce(col("ud"), lit(false)).as("unfiltered_has_decoy"),
+        coalesce(col("fr"), lit(false)).as("filtered_recovers_original"),
+        coalesce(col("fl"), lit(false)).as("filtered_leaks"))
+      .orderBy("query_id")
+      .localCheckpoint(true)
+  }
+
+  private val q184Oracle =
+    """SELECT vec_id + 2000000 AS query_id, vec_id AS expected_id,
+      |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
+      |  false AS filtered_leaks
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+
+  /** Typed row for the in-stream decontamination gate's MemoryStream
+    * source (q185).
+    */
+  final case class PoolDoc(id: Long, text: String)
+
+  /** IN-STREAM frozen-pool excision gate — q179's serving claim
+    * driven inside a RUNNING streaming query: the pool fits and
+    * roundtrips through [[graft.operators.IndexStore.saveShinglePool]],
+    * then [[graft.operators.Dedup.decontaminateSpansWithPool]] runs
+    * over a MemoryStream of contaminated + clean docs into a memory
+    * sink (stateless per-row kernel → append-mode, no watermark —
+    * exactly the shape a live ingest pipeline serves the frozen pool
+    * in). Per planted id the quoted 13-gram (and only it) excises
+    * mid-stream and the surrounding prose survives verbatim; clean
+    * docs pass untouched. The oracle reconstructs the expected clean
+    * text closed-form, so the hash compare pins the persisted pool,
+    * the streaming plan, and the shared excision kernel
+    * byte-for-byte.
+    */
+  private def q185PoolStreamExcision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gram = (0 until 13).map(k => s"dq$k").mkString(" ")
+    val pool0 = graft.operators.Dedup
+      .fitShinglePool(Seq(Tuple1(gram)).toDF("text"), "text", n = 13)
+    val storeDir = tempFixtureDir("graft_shinglepool_q185").toString
+    graft.operators.IndexStore.saveShinglePool(s, pool0, storeDir)
+    val pool = graft.operators.IndexStore.loadShinglePool(s, storeDir)
+    val ids = load(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"))
+    def run(prefix: String, count: Int): Column = array_join(
+      transform(sequence(lit(0), lit(count - 1)),
+        k => concat(lit(prefix), col("id").cast("string"), lit("x"), k.cast("string"))),
+      " ")
+    val contaminated = ids.select(col("id"),
+      concat(run("n", 5), lit(" "), lit(gram), lit(" "), run("o", 5)).as("text"))
+    val clean = ids.select(col("id"), run("r", 20).as("text"))
+      .select((col("id") + lit(1000000L)).as("id"), col("text"))
+    val rows = contaminated.unionByName(clean).collect()
+      .map(r => PoolDoc(r.getLong(0), r.getString(1)))
+    val in = MemoryStream[PoolDoc](s)
+    val out = graft.operators.Dedup
+      .decontaminateSpansWithPool(in.toDF(), pool, "text")
+      .select(col("id"), col("clean_text"), col("n_kept_tokens"),
+        col("n_excised_tokens"), col("n_matched_windows"))
+    val qname = "q185_pool_stream_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toSeq)
+      q.processAllAvailable()
+      val result = s.table(qname).orderBy("id").localCheckpoint(true)
+      result
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(qname)
+    }
+  }
+
+  private val q185Oracle =
+    """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
+      |SELECT id,
+      |  array_to_string(list_transform(generate_series(0, 4), k -> 'n' || id || 'x' || k), ' ')
+      |    || ' ' ||
+      |  array_to_string(list_transform(generate_series(0, 4), k -> 'o' || id || 'x' || k), ' ')
+      |    AS clean_text,
+      |  CAST(10 AS BIGINT) AS n_kept_tokens,
+      |  CAST(13 AS BIGINT) AS n_excised_tokens,
+      |  CAST(1 AS BIGINT) AS n_matched_windows
+      |FROM ids
+      |UNION ALL
+      |SELECT id + 1000000,
+      |  array_to_string(list_transform(generate_series(0, 19), k -> 'r' || id || 'x' || k), ' '),
+      |  20, 0, 0
+      |FROM ids
+      |ORDER BY id""".stripMargin
+
   /** Store-served FLAT-ADC planted recall — q73's gate through the
     * persisted store ([[graft.operators.Similarity.pqTopKFromStore]]):
     * codes come from the store's coded table with CELLS IGNORED (the
@@ -7002,6 +7146,8 @@ object SparkEntry {
     "q181_bpe_frozen" -> (q181BpeFrozen _),
     "q182_dsir_frozen" -> (q182DsirFrozen _),
     "q183_lm_frozen" -> (q183LmFrozen _),
+    "q184_filtered_hamming_ann" -> (q184FilteredHammingAnn _),
+    "q185_pool_stream_excision" -> (q185PoolStreamExcision _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7175,5 +7321,7 @@ object SparkEntry {
     "q181_bpe_frozen" -> q181Oracle,
     "q182_dsir_frozen" -> q182Oracle,
     "q183_lm_frozen" -> q183Oracle,
+    "q184_filtered_hamming_ann" -> q184Oracle,
+    "q185_pool_stream_excision" -> q185Oracle,
   )
 }

@@ -1048,6 +1048,59 @@ object Similarity {
       queries.sparkSession.sparkContext.broadcast(store.pq), refine)
   }
 
+  /** [[pqTopKFromStore]] restricted to an allowed-id subset — the
+    * flat-ADC row of the filtered matrix
+    * ([[ivfPqTopKFromStoreFiltered]] holds the full semantics
+    * rationale: PRE-filter before the scan, because post-filtering
+    * returns < k and degrades recall with the filter's selectivity).
+    * Composition over the same shared [[filteredIndexed]] semi-join;
+    * the ADC scan then streams only allowed codes, so the `k·refine`
+    * shortlist is spent entirely on eligible candidates.
+    */
+  def pqTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      refine: Int = 4,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    require(store.opq.isEmpty,
+      "pqTopKFromStoreFiltered: this store is OPQ-coded — use " +
+        "opqTopKFromStoreFiltered, which rotates the query side to match")
+    pqSearchEncoded(
+      filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed),
+      storeVecs(store), queries, idCol, vecCol, k,
+      queries.sparkSession.sparkContext.broadcast(store.pq), refine)
+  }
+
+  /** [[opqTopKFromStore]] restricted to an allowed-id subset: only
+    * the query side rotates (store artifacts already live in rotated
+    * space), then the identical pre-filtered flat-ADC tail.
+    */
+  def opqTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      refine: Int = 4,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    val opq = store.opq.getOrElse(throw new IllegalArgumentException(
+      "opqTopKFromStoreFiltered: this store is plain-PQ-coded (no persisted " +
+        "rotation) — use pqTopKFromStoreFiltered"))
+    pqSearchEncoded(
+      filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed),
+      storeVecs(store), rotateColumn(queries, vecCol, opq), idCol, vecCol, k,
+      queries.sparkSession.sparkContext.broadcast(store.pq), refine)
+  }
+
   /** The flat ADC scan + exact re-rank tail of [[pqTopK]] over an
     * ALREADY-ENCODED corpus ((neighbor_id, code) + (neighbor_id,
     * cvec)). Takes the ALREADY-BROADCAST model so the from-floats
@@ -1652,11 +1705,12 @@ object Similarity {
       allowed: DataFrame,
       allowedIdCol: String,
       broadcastAllowed: Boolean,
+      codeCol: String = "code",
   ): DataFrame = {
     val allow = allowed
       .select(col(allowedIdCol).cast("long").as("neighbor_id"))
     store.coded
-      .select(col("id").as("neighbor_id"), col("cell"), col("code"))
+      .select(col("id").as("neighbor_id"), col("cell"), col(codeCol).as("code"))
       .join(if (broadcastAllowed) broadcast(allow) else allow.hint("merge"),
         Seq("neighbor_id"), "left_semi")
   }
@@ -1899,6 +1953,36 @@ object Similarity {
     val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
     val q = store.opq.map(o => rotateColumn(queries, vecCol, o)).getOrElse(queries)
     ivfHammingSearchCoded(codedCorpus, corpusVecs, q, idCol, vecCol, k,
+      store.ivf, nprobe, refine)
+  }
+
+  /** [[ivfHammingTopKFromStore]] restricted to an allowed-id subset —
+    * the license-clean-only / language-only lookup on a sign-coded
+    * store ([[ivfPqTopKFromStoreFiltered]] holds the full semantics
+    * rationale: PRE-filter before the Hamming scan, because
+    * post-filtering returns < k and degrades recall with the filter's
+    * selectivity). Same shared [[filteredIndexed]] semi-join, reading
+    * the store's `hcode` words; the per-partition Hamming heaps then
+    * see only allowed rows, so the `k·refine` shortlist is spent
+    * entirely on eligible candidates, and the exact re-rank fetches
+    * only shortlisted (hence allowed) floats.
+    */
+  def ivfHammingTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    val codedCorpus =
+      filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed, codeCol = "hcode")
+    val q = store.opq.map(o => rotateColumn(queries, vecCol, o)).getOrElse(queries)
+    ivfHammingSearchCoded(codedCorpus, storeVecs(store), q, idCol, vecCol, k,
       store.ivf, nprobe, refine)
   }
 

@@ -143,6 +143,71 @@ class VectorStoreSpec extends SparkTestBase {
     }
   }
 
+  test("filtered Hamming and flat store faces: allowed-only semantics via the shared pre-filter") {
+    val (df, queries) = fixture(41)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("filtered-ham")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_filt_ham", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_filt_ham")
+    val allowedDf = df.where($"vec_id" % 2 === 0)
+    val allowed = allowedDf.select($"vec_id")
+    val brute = rows(Similarity.bruteForceTopK(
+      allowedDf, queries, "vec_id", "embedding", k = 5))
+    // full coverage (nprobe = nlist, shortlist ⊇ allowed corpus):
+    // "top-k among allowed", not "top-k then filter"
+    assert(rows(Similarity.ivfHammingTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 8, refine = 50)) == brute,
+      "filtered Hamming face must equal brute force over the allowed subset")
+    assert(rows(Similarity.pqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", refine = 50)) == brute,
+      "filtered flat-PQ face must equal brute force over the allowed subset")
+    // no disallowed id may leak at stock (recall-limited) settings
+    assert(Similarity.ivfHammingTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 2, refine = 4)
+      .where($"neighbor_id" % 2 =!= 0).count() == 0)
+    assert(Similarity.pqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", refine = 4)
+      .where($"neighbor_id" % 2 =!= 0).count() == 0)
+    // an all-allowed filter degrades to the unfiltered face exactly;
+    // the shuffle-path (corpus-scale) filter agrees with broadcast
+    val allIds = df.select($"vec_id")
+    assert(rows(Similarity.ivfHammingTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allIds, "vec_id", nprobe = 2, refine = 4))
+      == rows(Similarity.ivfHammingTopKFromStore(store, queries, "vec_id",
+        "embedding", k = 5, nprobe = 2, refine = 4)))
+    assert(rows(Similarity.pqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allIds, "vec_id", refine = 4))
+      == rows(Similarity.pqTopKFromStore(store, queries, "vec_id",
+        "embedding", k = 5, refine = 4)))
+    assert(rows(Similarity.ivfHammingTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", nprobe = 8, refine = 50,
+      broadcastAllowed = false)) == brute)
+    // coding mismatches stay NAMED errors; the OPQ flat twin serves a
+    // rotated store with the same allowed-only + degradation contract
+    intercept[IllegalArgumentException] {
+      Similarity.opqTopKFromStoreFiltered(store, queries, "vec_id", "embedding",
+        k = 5, allowed, "vec_id")
+    }
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("filtered-ham-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_fho", ivfO, opqO,
+      numBuckets = 4)
+    val storeO = VectorStore.read(spark, dirO, "vs_fho")
+    assert(Similarity.opqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 5, allowed, "vec_id", refine = 4)
+      .where($"neighbor_id" % 2 =!= 0).count() == 0)
+    assert(rows(Similarity.opqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 5, allIds, "vec_id", refine = 4))
+      == rows(Similarity.opqTopKFromStore(storeO, queries, "vec_id",
+        "embedding", k = 5, refine = 4)))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromStoreFiltered(storeO, queries, "vec_id", "embedding",
+        k = 5, allowed, "vec_id")
+    }
+  }
+
   test("store tables: static side joins with NO shuffle exchange and bucketed scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
