@@ -424,6 +424,49 @@ object Similarity {
       k, lambda)
   }
 
+  /** [[mmrTopKFromStore]] restricted to an allowed-id subset —
+    * "diverse top-k among the documents the metadata predicate
+    * allows": the relevance POOL comes from the filtered search faces
+    * (pre-filter semi-join, [[ivfPqTopKFromStoreFiltered]] holds the
+    * rationale), so the greedy re-rank diversifies over eligible
+    * candidates only — filtering AFTER MMR would both lose recall and
+    * re-shape the diversity penalty around disallowed picks. The same
+    * shared [[mmrGreedyTail]]; pool vectors fetch through the
+    * id-bucketed `vecs` scan (shortlist members are allowed by
+    * construction, so the fetch needs no second filter).
+    */
+  def mmrTopKFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      poolSize: Int = 0,
+      lambda: Double = 0.5,
+      nprobe: Int = 4,
+      refine: Int = 4,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
+    val ps = if (poolSize <= 0) 4 * k else poolSize
+    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    val pool =
+      if (store.opq.nonEmpty)
+        ivfOpqTopKFromStoreFiltered(store, queries, idCol, vecCol, ps,
+          allowed, allowedIdCol, nprobe, refine, broadcastAllowed = broadcastAllowed)
+      else
+        ivfPqTopKFromStoreFiltered(store, queries, idCol, vecCol, ps,
+          allowed, allowedIdCol, nprobe, refine, broadcastAllowed = broadcastAllowed)
+    mmrGreedyTail(
+      pool.join(
+        store.vecs.select(col("id").as("neighbor_id"), col("vec").as("__nvec")),
+        "neighbor_id"),
+      k, lambda)
+  }
+
   /** The per-query greedy MMR re-rank shared by [[mmrTopK]] and
     * [[mmrTopKFromStore]] (one tail, so the selection rule cannot
     * drift between the faces): input is the pool joined with its

@@ -550,6 +550,29 @@ class VectorStoreSpec extends SparkTestBase {
     assert(sel(fromStoreO).map(t => (t._1, t._2, t._3)) ==
       sel(fromFloats).map(t => (t._1, t._2, t._3)),
       "OPQ-store MMR must select the same ids in the same order")
+
+    // filtered MMR: with an exact pool over the allowed subset the
+    // selection equals the from-floats MMR run on ONLY the allowed
+    // rows — "diversify among allowed", not "diversify then filter"
+    val allowedDf = df.where($"vec_id" % 2 === 0)
+    val filtF = Similarity.mmrTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 4, allowedDf.select($"vec_id"), "vec_id", poolSize = 12,
+      lambda = 0.5, nprobe = 8, refine = 17)
+    val floatsAllowed = Similarity
+      .mmrTopK(allowedDf, queries, "vec_id", "embedding", k = 4, poolSize = 12,
+        lambda = 0.5)
+    assert(sel(filtF) == sel(floatsAllowed),
+      "filtered store MMR must equal the from-floats MMR over the allowed subset")
+    assert(filtF.where($"neighbor_id" % 2 =!= 0).count() == 0)
+    // all-allowed degrades to the unfiltered face exactly; the OPQ
+    // store routes through its filtered pool recipe
+    assert(sel(Similarity.mmrTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 4, df.select($"vec_id"), "vec_id", poolSize = 12,
+      lambda = 0.5, nprobe = 8, refine = 17)) == sel(fromStore))
+    assert(Similarity.mmrTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 4, allowedDf.select($"vec_id"), "vec_id", poolSize = 12,
+      lambda = 0.5, nprobe = 8, refine = 17)
+      .where($"neighbor_id" % 2 =!= 0).count() == 0)
   }
 
   test("stats: one row of cell-population shape, consistent with the coded table") {
