@@ -196,6 +196,25 @@ class PlanShapeSpec extends SparkTestBase {
       assert(shuffles(pf) == shuffles(pu),
         s"the broadcast filter must add no shuffle (unfiltered ${shuffles(pu)}, " +
           s"filtered ${shuffles(pf)}):\n$pf")
+      // the Hamming and flat filtered faces share filteredIndexed —
+      // same pin: broadcast semi-join, zero added shuffles over their
+      // unfiltered twins
+      val phu = plan(Similarity.ivfHammingTopKFromStore(store, allQueries,
+        "vec_id", "embedding", k = 5, nprobe = 2, refine = 4))
+      val phf = plan(Similarity.ivfHammingTopKFromStoreFiltered(store, allQueries,
+        "vec_id", "embedding", k = 5, allowed, "vec_id", nprobe = 2, refine = 4))
+      assert(phf.contains("BroadcastExchange"),
+        s"Hamming broadcast-allowed filter must broadcast the id set:\n$phf")
+      assert(shuffles(phf) == shuffles(phu),
+        s"the Hamming filter must add no shuffle (unfiltered ${shuffles(phu)}, " +
+          s"filtered ${shuffles(phf)}):\n$phf")
+      val pqu = plan(Similarity.pqTopKFromStore(store, allQueries,
+        "vec_id", "embedding", k = 5, refine = 4))
+      val pqf = plan(Similarity.pqTopKFromStoreFiltered(store, allQueries,
+        "vec_id", "embedding", k = 5, allowed, "vec_id", refine = 4))
+      assert(shuffles(pqf) == shuffles(pqu),
+        s"the flat-PQ filter must add no shuffle (unfiltered ${shuffles(pqu)}, " +
+          s"filtered ${shuffles(pqf)}):\n$pqf")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
