@@ -69,6 +69,31 @@ class DegenerateInputsSpec extends SparkTestBase {
     assert(Similarity.semanticDedup(emptyEmb, "vec_id", "embedding", nlist = 4).count() == 0L)
   }
 
+  test("filtered store faces: an EMPTY allowed set searches empty, never crashes") {
+    // a metadata predicate that matches nothing is routine (wrong
+    // license tag, empty language slice) — every filtered face must
+    // return zero rows, not throw
+    val rng = new scala.util.Random(5)
+    val df = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 4, seed = 1L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-degenerate-filt").toString
+    VectorStore.write(df, "vec_id", "embedding", dir, "dg_filt", ivf, pq, numBuckets = 2)
+    val store = VectorStore.read(spark, dir, "dg_filt")
+    val queries = df.where($"vec_id" < 3)
+    val noneAllowed = df.select($"vec_id").where(lit(false))
+    assert(Similarity.ivfPqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+    assert(Similarity.ivfHammingTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+    assert(Similarity.pqTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+    assert(Similarity.mmrTopKFromStoreFiltered(store, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+  }
+
   test("text analysis family: empty and null-text inputs pass through typed") {
     assert(TextAnalysis.qualityScore(emptyDocs, "text").count() == 0L)
     assert(TextAnalysis.tokenQuantiles(emptyDocs, "text", Seq("doc_id")).count() == 0L)
