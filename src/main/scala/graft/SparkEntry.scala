@@ -3271,6 +3271,40 @@ object SparkEntry {
     }
   }
 
+  /** Recall-measurement gate
+    * ([[graft.operators.Similarity.recallAtK]] — the knob-tuning loop:
+    * brute-force a query sample for ground truth, measure an
+    * approximate index's recall, raise nprobe/refine until the budget
+    * meets): exact truth comes from [[graft.operators.Similarity
+    * .bruteForceTopK]] at k = 4, and the measured frame is that truth
+    * with every EVEN rank's neighbor remapped to a nonexistent id —
+    * so per query exactly 2 of 4 rows survive the intersection and
+    * (n_exact, n_matched, recall) = (4, 2, 0.5) closed-form,
+    * whatever the data's actual neighbors are. This pins the
+    * measurement arithmetic driver-visibly; SimilaritySpec pins the
+    * live composition (full-coverage IVF-PQ measures exactly 1.0
+    * against brute force, crippled settings measure below it).
+    */
+  private def q186AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val exact = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 4)
+      .localCheckpoint(true)
+    val approx = exact.withColumn("neighbor_id",
+      when(col("rank") % 2 === 0, col("neighbor_id") + lit(1000000000L))
+        .otherwise(col("neighbor_id")))
+    Similarity.recallAtK(approx, exact, k = 4)
+      .orderBy("query_id")
+      .localCheckpoint(true)
+  }
+
+  private val q186Oracle =
+    """SELECT vec_id + 1000000 AS query_id, CAST(4 AS BIGINT) AS n_exact,
+      |  CAST(2 AS BIGINT) AS n_matched, CAST(0.5 AS DOUBLE) AS recall
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+
   private val q185Oracle =
     """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
       |SELECT id,
@@ -7148,6 +7182,7 @@ object SparkEntry {
     "q183_lm_frozen" -> (q183LmFrozen _),
     "q184_filtered_hamming_ann" -> (q184FilteredHammingAnn _),
     "q185_pool_stream_excision" -> (q185PoolStreamExcision _),
+    "q186_ann_recall" -> (q186AnnRecall _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7323,5 +7358,6 @@ object SparkEntry {
     "q183_lm_frozen" -> q183Oracle,
     "q184_filtered_hamming_ann" -> q184Oracle,
     "q185_pool_stream_excision" -> q185Oracle,
+    "q186_ann_recall" -> q186Oracle,
   )
 }

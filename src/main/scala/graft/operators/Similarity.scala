@@ -256,6 +256,45 @@ object Similarity {
       .where(col("id_a") =!= col("id_b") && col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------------ recall measurement
+
+  /** Per-query recall@k of an approximate ANN result against an exact
+    * one — the tuning loop every approximate index needs at corpus
+    * scale: brute-force a SAMPLE of queries for ground truth, measure,
+    * and raise `nprobe`/`refine` until recall meets the budget
+    * (guessing knob values on 100 TB wastes either recall or a
+    * corpus scan — measure on the sample, deploy the knobs).
+    *
+    * Both inputs are the shared ANN output shape (query_id,
+    * neighbor_id, rank, …); rows with rank > k are ignored on both
+    * sides, so one exact run at large k serves every smaller-k
+    * measurement. Output: (query_id, n_exact, n_matched, recall) with
+    * recall = |approx ∩ exact| / |exact| per query — denominator is
+    * the EXACT side's row count (≤ k on small or degenerate corpora),
+    * so a query the exact side answered fully with fewer than k
+    * neighbors is not penalized for the missing rows. Queries absent
+    * from the exact side don't appear (no truth, no measurement).
+    *
+    * Scale shape: one left-semi join on (query_id, neighbor_id) plus
+    * two aggs keyed by query_id — everything is queries×k-sized,
+    * nothing touches the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k must be > 0, got $k")
+    val a = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   // --------------------------------------------------------- brute force knn
 
   /** Exact top-k cosine neighbors of each query vector against the

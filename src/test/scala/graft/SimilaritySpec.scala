@@ -373,6 +373,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(parted == pruned)
   }
 
+  test("recallAtK: measures intersection fractions exactly; the tuning loop reads 1.0 at full coverage") {
+    val rng = new scala.util.Random(43)
+    val vecs = (0 until 8).flatMap { c =>
+      val center = Array.fill(8)(rng.nextGaussian().toFloat)
+      (0 until 25).map(m =>
+        (c * 25L + m, center.map(x => x + 0.1f * rng.nextGaussian().toFloat).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 4)
+      .localCheckpoint(true)
+    def recalls(out: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      out.orderBy("query_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // truth vs itself: 1.0 everywhere
+    assert(recalls(Similarity.recallAtK(exact, exact, 4))
+      .forall { case (_, ne, nm, r) => ne == 4L && nm == 4L && r == 1.0 })
+    // half-corrupted: exactly 0.5 everywhere (the q186 plant)
+    val corrupted = exact.withColumn("neighbor_id",
+      when($"rank" % 2 === 0, $"neighbor_id" + 1000000000L).otherwise($"neighbor_id"))
+    assert(recalls(Similarity.recallAtK(corrupted, exact, 4))
+      .forall { case (_, ne, nm, r) => ne == 4L && nm == 2L && r == 0.5 })
+    // empty approx: 0.0, queries still reported (truth side drives)
+    val none = recalls(Similarity.recallAtK(exact.where(lit(false)), exact, 4))
+    assert(none.length == 8 && none.forall { case (_, ne, nm, r) =>
+      ne == 4L && nm == 0L && r == 0.0 })
+    // rank > k rows are ignored on BOTH sides: measuring at k = 2
+    // against the k = 4 truth uses only each side's top-2
+    assert(recalls(Similarity.recallAtK(exact, exact, 2))
+      .forall { case (_, ne, nm, r) => ne == 2L && nm == 2L && r == 1.0 })
+    // the live loop: full-coverage IVF-PQ measures exactly 1.0 against
+    // brute force; crippled settings measure strictly below average
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val fullCoverage = Similarity.ivfPqTopK(df, queries, "vec_id", "embedding",
+      k = 4, ivf, pq, nprobe = 8, refine = 50)
+    assert(recalls(Similarity.recallAtK(fullCoverage, exact, 4)).forall(_._4 == 1.0),
+      "full-coverage IVF-PQ must measure recall 1.0 against brute force")
+    val crippled = Similarity.ivfPqTopK(df, queries, "vec_id", "embedding",
+      k = 4, ivf, pq, nprobe = 1, refine = 1)
+    val meanCrippled = recalls(Similarity.recallAtK(crippled, exact, 4))
+      .map(_._4).sum / 8.0
+    assert(meanCrippled < 1.0,
+      s"nprobe=1/refine=1 should measure below 1.0, got $meanCrippled")
+  }
+
   test("ivf-opq ANN: full probe + exhaustive refine equals brute force; pruned keeps recall") {
     val rng = new scala.util.Random(31)
     // cross-subspace-correlated bundles — the geometry OPQ exists for
