@@ -917,6 +917,48 @@ object Similarity {
       eps: Double = 0.95,
       maxClusterSize: Int = 100000,
       materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
+  ): DataFrame =
+    semanticDedupCoded(store, store.coded.select(col("id"), col("cell")),
+      eps, maxClusterSize, materialize)
+
+  /** [[semanticDedupFromStore]] restricted to an allowed-id subset —
+    * "dedup this SLICE of my standing store in place" (one language,
+    * one license class, one ingest window) without touching the rest:
+    * the same left-semi pre-filter discipline as the filtered search
+    * faces, applied to the coded table before the vecs join, so the
+    * ε-ball machinery only ever pairs allowed rows and the verdict
+    * frame covers exactly the slice. Cross-slice near-dups are out of
+    * scope by definition here — run the unfiltered face when the
+    * dedup domain is the whole store.
+    */
+  def semanticDedupFromStoreFiltered(
+      store: VectorStore.CodedVectorStore,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      eps: Double = 0.95,
+      maxClusterSize: Int = 100000,
+      materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
+      broadcastAllowed: Boolean = true,
+  ): DataFrame = {
+    val allow = allowed.select(col(allowedIdCol).cast("long").as("id"))
+    semanticDedupCoded(store,
+      store.coded.select(col("id"), col("cell"))
+        .join(if (broadcastAllowed) broadcast(allow) else allow.hint("merge"),
+          Seq("id"), "left_semi"),
+      eps, maxClusterSize, materialize)
+  }
+
+  /** The shared store-served SemDeDup body: (id, cell) rows (already
+    * filtered, when filtering applies) joined to the id-bucketed
+    * floats, one centroid cosine for the keep rank, then the
+    * every-face [[semanticDedupTail]].
+    */
+  private def semanticDedupCoded(
+      store: VectorStore.CodedVectorStore,
+      coded: DataFrame,
+      eps: Double,
+      maxClusterSize: Int,
+      materialize: graft.operators.Materialize,
   ): DataFrame = {
     val spark = store.coded.sparkSession
     val bc = spark.sparkContext.broadcast(store.ivf.centroids)
@@ -924,8 +966,7 @@ object Similarity {
       val cs = bc.value
       if (cs.isEmpty) 0.0 else -IvfModel.negCos(cs(c), v)
     }
-    val assigned = store.coded
-      .select(col("id"), col("cell"))
+    val assigned = coded
       .join(store.vecs.select(col("id"), col("vec")), "id")
       .withColumn("cent_sim", centSimUdf(col("vec"), col("cell")))
       .persist()

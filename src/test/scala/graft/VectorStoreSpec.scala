@@ -511,6 +511,28 @@ class VectorStoreSpec extends SparkTestBase {
       numBuckets = 4)
     contract(Similarity.semanticDedupFromStore(
       VectorStore.read(spark, d2, "vs_sd_opq"), eps = 0.99))
+    // filtered slice dedup: exclude copy 9001 from the allowed set —
+    // the verdict frame covers exactly the slice, the remaining ball
+    // members still collapse to one keeper, and the excluded id never
+    // appears (neither as a row nor as a component anchor)
+    val store1 = VectorStore.read(spark, d1, "vs_sd")
+    val allowed = corpus.select($"vec_id").where($"vec_id" =!= 9001L)
+    val filt = Similarity.semanticDedupFromStoreFiltered(
+      store1, allowed, "vec_id", eps = 0.99)
+    assert(filt.count() == corpus.count() - 1, "verdicts cover exactly the allowed slice")
+    assert(filt.where($"id" === 9001L).isEmpty)
+    val ballF = filt.where($"id".isin(9000L, 9002L, 9003L))
+      .select($"component", $"is_kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(ballF.map(_._1).distinct.length == 1 && ballF.count(_._2) == 1,
+      s"allowed ball members still collapse to one keeper: ${ballF.toSeq}")
+    // all-allowed degrades to the unfiltered face exactly
+    def verdicts(out: org.apache.spark.sql.DataFrame) = out
+      .select($"id", $"component", $"is_kept").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(verdicts(Similarity.semanticDedupFromStoreFiltered(
+      store1, corpus.select($"vec_id"), "vec_id", eps = 0.99))
+      == verdicts(Similarity.semanticDedupFromStore(store1, eps = 0.99)))
   }
 
   test("mmrTopKFromStore: exhaustive pool equals the from-floats MMR; OPQ store preserves the selection") {
