@@ -281,18 +281,20 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAtK: k must be > 0, got $k")
+    // distinct() makes the measurement robust to a malformed approx
+    // frame with repeated (query, neighbor) rows — without it the left
+    // join would multiply exact rows and inflate BOTH counts
     val a = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    val e = exact.where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val matched = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
-    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-      .join(matched, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        (coalesce(col("n_matched"), lit(0L)).cast("double") /
-          col("n_exact").cast("double")).as("recall"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_matched"))
+      .select(col("query_id"), col("n_exact"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
   }
 
   // --------------------------------------------------------- brute force knn
@@ -447,21 +449,40 @@ object Similarity {
       nprobe: Int = 4,
       refine: Int = 4,
   ): DataFrame = {
-    require(k > 0, s"k must be > 0: $k")
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
-    val ps = if (poolSize <= 0) 4 * k else poolSize
-    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    val ps = mmrValidatedPoolSize(k, lambda, poolSize)
     val pool =
       if (store.opq.nonEmpty)
         ivfOpqTopKFromStore(store, queries, idCol, vecCol, ps, nprobe, refine)
       else
         ivfPqTopKFromStore(store, queries, idCol, vecCol, ps, nprobe, refine)
+    mmrOverStorePool(store, pool, k, lambda)
+  }
+
+  /** Shared MMR-face validation: k/lambda domain checks and the
+    * 4k pool default.
+    */
+  private def mmrValidatedPoolSize(k: Int, lambda: Double, poolSize: Int): Int = {
+    require(k > 0, s"k must be > 0: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
+    val ps = if (poolSize <= 0) 4 * k else poolSize
+    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    ps
+  }
+
+  /** Shared store-served MMR body: fetch the pool members' floats
+    * through the id-bucketed `vecs` scan, then the every-face greedy.
+    */
+  private def mmrOverStorePool(
+      store: VectorStore.CodedVectorStore,
+      pool: DataFrame,
+      k: Int,
+      lambda: Double,
+  ): DataFrame =
     mmrGreedyTail(
       pool.join(
         store.vecs.select(col("id").as("neighbor_id"), col("vec").as("__nvec")),
         "neighbor_id"),
       k, lambda)
-  }
 
   /** [[mmrTopKFromStore]] restricted to an allowed-id subset —
     * "diverse top-k among the documents the metadata predicate
@@ -488,10 +509,7 @@ object Similarity {
       refine: Int = 4,
       broadcastAllowed: Boolean = true,
   ): DataFrame = {
-    require(k > 0, s"k must be > 0: $k")
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1]: $lambda")
-    val ps = if (poolSize <= 0) 4 * k else poolSize
-    require(ps >= k, s"poolSize must be ≥ k: $ps < $k")
+    val ps = mmrValidatedPoolSize(k, lambda, poolSize)
     val pool =
       if (store.opq.nonEmpty)
         ivfOpqTopKFromStoreFiltered(store, queries, idCol, vecCol, ps,
@@ -499,11 +517,7 @@ object Similarity {
       else
         ivfPqTopKFromStoreFiltered(store, queries, idCol, vecCol, ps,
           allowed, allowedIdCol, nprobe, refine, broadcastAllowed = broadcastAllowed)
-    mmrGreedyTail(
-      pool.join(
-        store.vecs.select(col("id").as("neighbor_id"), col("vec").as("__nvec")),
-        "neighbor_id"),
-      k, lambda)
+    mmrOverStorePool(store, pool, k, lambda)
   }
 
   /** The per-query greedy MMR re-rank shared by [[mmrTopK]] and
@@ -939,14 +953,12 @@ object Similarity {
       maxClusterSize: Int = 100000,
       materialize: graft.operators.Materialize = graft.operators.Materialize.LocalCheckpoint,
       broadcastAllowed: Boolean = true,
-  ): DataFrame = {
-    val allow = allowed.select(col(allowedIdCol).cast("long").as("id"))
+  ): DataFrame =
+    // the ONE shared pre-filter (column pruning drops the unused code)
     semanticDedupCoded(store,
-      store.coded.select(col("id"), col("cell"))
-        .join(if (broadcastAllowed) broadcast(allow) else allow.hint("merge"),
-          Seq("id"), "left_semi"),
+      filteredIndexed(store, allowed, allowedIdCol, broadcastAllowed)
+        .select(col("neighbor_id").as("id"), col("cell")),
       eps, maxClusterSize, materialize)
-  }
 
   /** The shared store-served SemDeDup body: (id, cell) rows (already
     * filtered, when filtering applies) joined to the id-bucketed

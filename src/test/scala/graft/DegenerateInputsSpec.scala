@@ -92,6 +92,19 @@ class DegenerateInputsSpec extends SparkTestBase {
       "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
     assert(Similarity.mmrTopKFromStoreFiltered(store, queries, "vec_id",
       "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+    assert(Similarity.semanticDedupFromStoreFiltered(store, noneAllowed, "vec_id")
+      .count() == 0L)
+    // OPQ twins drive the rotated-store path through the same empty set
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 4, m = 4,
+      ksub = 16, seed = 1L)
+    val dirO = java.nio.file.Files.createTempDirectory("graft-degenerate-filt-o").toString
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "dg_filt_o", ivfO, opqO,
+      numBuckets = 2)
+    val storeO = VectorStore.read(spark, dirO, "dg_filt_o")
+    assert(Similarity.ivfOpqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
+    assert(Similarity.opqTopKFromStoreFiltered(storeO, queries, "vec_id",
+      "embedding", k = 3, noneAllowed, "vec_id").count() == 0L)
   }
 
   test("text analysis family: empty and null-text inputs pass through typed") {
