@@ -297,6 +297,71 @@ object Similarity {
           .as("recall"))
   }
 
+  /** The measured nprobe-tuning loop over a persisted store, packaged:
+    * brute-force the SAMPLE queries for ground truth (one bounded
+    * pass — at corpus scale the sample is hundreds of queries, so the
+    * truth costs one corpus scan), then walk nprobe by doubling
+    * (1, 2, 4, …, nlist), measuring mean [[recallAtK]] of the
+    * store-served search at each step, stopping at the first value
+    * that meets `targetRecall`. Returns the measured CURVE — one row
+    * (nprobe, mean_recall, met_target) per probed value — not just
+    * the winner, so the caller sees the recall/cost trade it is
+    * buying before committing the knob to a full-corpus job.
+    *
+    * OPQ stores measure in rotated space on both sides (rotation
+    * preserves cosine, so the truth is the same truth). Probed cells
+    * are NESTED in nprobe, so at exhaustive `refine` the curve is
+    * monotone non-decreasing; at stock refine small dips are real
+    * measurement, not error. An empty or fully-degenerate sample
+    * returns an empty curve (nothing to measure).
+    */
+  def tuneNprobe(
+      store: VectorStore.CodedVectorStore,
+      sampleQueries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      refine: Int = 4,
+  ): DataFrame = {
+    require(k > 0, s"tuneNprobe: k must be > 0, got $k")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"tuneNprobe: targetRecall must be in (0, 1], got $targetRecall")
+    val spark = sampleQueries.sparkSession
+    import spark.implicits._
+    val nlist = store.ivf.centroids.length
+    // truth in the store's own space: OPQ corpora persist rotated, so
+    // rotate the query side once and brute-force against the stored
+    // floats — cosines are rotation-invariant, same truth
+    val truthQueries = store.opq
+      .map(o => rotateColumn(sampleQueries, vecCol, o))
+      .getOrElse(sampleQueries)
+    val corpus = store.vecs.select(col("id").as(idCol), col("vec").as(vecCol))
+    val exact = bruteForceTopK(corpus, truthQueries, idCol, vecCol, k)
+      .localCheckpoint(true)
+    if (exact.isEmpty)
+      return Seq.empty[(Int, Double, Boolean)]
+        .toDF("nprobe", "mean_recall", "met_target")
+    val candidates =
+      (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator.single(nlist)).toSeq
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+    var met = false
+    val it = candidates.iterator
+    while (it.hasNext && !met) {
+      val np = it.next()
+      val approx =
+        if (store.opq.nonEmpty)
+          ivfOpqTopKFromStore(store, sampleQueries, idCol, vecCol, k, np, refine)
+        else
+          ivfPqTopKFromStore(store, sampleQueries, idCol, vecCol, k, np, refine)
+      val mean = recallAtK(approx, exact, k)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      met = mean >= targetRecall
+      curve += ((np, mean, met))
+    }
+    curve.toSeq.toDF("nprobe", "mean_recall", "met_target")
+  }
+
   // --------------------------------------------------------- brute force knn
 
   /** Exact top-k cosine neighbors of each query vector against the

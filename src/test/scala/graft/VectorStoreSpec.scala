@@ -597,6 +597,47 @@ class VectorStoreSpec extends SparkTestBase {
       .where($"neighbor_id" % 2 =!= 0).count() == 0)
   }
 
+  test("tuneNprobe: doubling walk measures the recall curve and stops at the target") {
+    val (df, queries) = fixture(83)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("tune")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_tune", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_tune")
+    def curve(target: Double, refine: Int) = Similarity
+      .tuneNprobe(store, queries, "vec_id", "embedding", k = 4, target, refine)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    // exhaustive refine: nested probe sets make the curve monotone and
+    // the full-probe endpoint equals brute force → recall exactly 1.0
+    val full = curve(1.0, refine = 50)
+    assert(full.map(_._1) == Seq(1, 2, 4, 8).take(full.length),
+      s"doubling walk capped at nlist: $full")
+    assert(full.map(_._2) == full.map(_._2).sorted,
+      s"monotone at exhaustive refine: $full")
+    assert(full.last._2 == 1.0 && full.last._3,
+      s"the curve must END met — full probe + exhaustive refine IS brute force: $full")
+    assert(full.init.forall(!_._3), s"only the stopping row is met: $full")
+    // a modest target stops the walk early (each step is a measured
+    // distributed job — the loop must not keep spending after meeting)
+    val early = curve(0.05, refine = 50)
+    assert(early.length == 1 && early.head._3, s"0.05 target met at nprobe=1: $early")
+    // empty sample: nothing to measure, empty curve
+    assert(Similarity.tuneNprobe(store, df.where(lit(false)), "vec_id",
+      "embedding", k = 4, targetRecall = 1.0).isEmpty)
+    // OPQ store: truth measured in rotated space, same 1.0 endpoint
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("tune-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_tune_opq", ivfO, opqO,
+      numBuckets = 4)
+    val curveO = Similarity
+      .tuneNprobe(VectorStore.read(spark, dirO, "vs_tune_opq"), queries,
+        "vec_id", "embedding", k = 4, targetRecall = 1.0, refine = 50)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(curveO.last._2 == 1.0 && curveO.last._3,
+      s"OPQ tuner must also end at measured 1.0: $curveO")
+  }
+
   test("stats: one row of cell-population shape, consistent with the coded table") {
     val (df, _) = fixture(67)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
