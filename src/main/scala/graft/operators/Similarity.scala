@@ -330,12 +330,18 @@ object Similarity {
     val spark = sampleQueries.sparkSession
     import spark.implicits._
     val nlist = store.ivf.centroids.length
+    // pin ONE evaluation of the sample up front: the truth pass and
+    // every per-nprobe search re-evaluate the query plan, so an
+    // un-seeded sample(...) — the typical way a tuning sample is drawn
+    // — would otherwise measure recall between MISMATCHED query draws
+    // and return a garbage curve with no error
+    val sample = sampleQueries.localCheckpoint(true)
     // truth in the store's own space: OPQ corpora persist rotated, so
     // rotate the query side once and brute-force against the stored
     // floats — cosines are rotation-invariant, same truth
     val truthQueries = store.opq
-      .map(o => rotateColumn(sampleQueries, vecCol, o))
-      .getOrElse(sampleQueries)
+      .map(o => rotateColumn(sample, vecCol, o))
+      .getOrElse(sample)
     val corpus = store.vecs.select(col("id").as(idCol), col("vec").as(vecCol))
     val exact = bruteForceTopK(corpus, truthQueries, idCol, vecCol, k)
       .localCheckpoint(true)
@@ -351,9 +357,9 @@ object Similarity {
       val np = it.next()
       val approx =
         if (store.opq.nonEmpty)
-          ivfOpqTopKFromStore(store, sampleQueries, idCol, vecCol, k, np, refine)
+          ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
         else
-          ivfPqTopKFromStore(store, sampleQueries, idCol, vecCol, k, np, refine)
+          ivfPqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
       val mean = recallAtK(approx, exact, k)
         .agg(avg(col("recall"))).head().getDouble(0)
       met = mean >= targetRecall

@@ -165,12 +165,17 @@ object StreamingVectorStore {
         Seq(col(tsCol).as("ts"), col(vecCol).cast("array<float>").as("qvec"))
       else Seq.empty[Column]
     // rejoin path reads `filtered` TWICE (probe side + (ts, qvec)
-    // fetch-back): pin ONE evaluation with a lazy localCheckpoint so a
-    // nondeterministic input (un-seeded sample/rand upstream) cannot
-    // pair a query code with a vector from a different evaluation —
-    // lineage truncation means an evicted block fails loudly instead
-    // of silently recomputing
-    val pinned = if (carryThrough) filtered else filtered.localCheckpoint(false)
+    // fetch-back): pin ONE evaluation with an EAGER localCheckpoint so
+    // a nondeterministic input (un-seeded sample/rand upstream) cannot
+    // pair a query code with a vector from a different evaluation.
+    // Eager, not lazy: a lazy localCheckpoint only truncates lineage at
+    // the END of the first job that computes it — until then it has
+    // plain persist semantics, and the probe and fetch-back sides are
+    // concurrent stages of the SAME job, so both could still recompute
+    // the input independently. Materializing first closes that window;
+    // after it, an evicted block fails loudly instead of silently
+    // recomputing.
+    val pinned = if (carryThrough) filtered else filtered.localCheckpoint(true)
     val probed = pinned
       .select(Seq(
         col(idCol).cast("long").as("id"),
