@@ -3305,6 +3305,65 @@ object SparkEntry {
       |  CAST(2 AS BIGINT) AS n_matched, CAST(0.5 AS DOUBLE) AS recall
       |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
+  /** Filtered stream-vs-store hits gate
+    * ([[graft.streaming.StreamingVectorStore.corpusSemanticHitsFiltered]]
+    * — flag incoming rows against the license-clean SLICE of the
+    * standing store only): the standing corpus is one deterministic
+    * ±1 sign pattern per id (distinct patterns are near-orthogonal —
+    * cross cosines ≈ 1/√dim — so each incoming near-copy's ONLY
+    * standing neighbor at 0.9 is its own original, making the hit set
+    * closed-form exclusive, unlike the clustered fixtures). Every
+    * `% 10 = 0` id sends a nudged copy; the allowed slice excludes
+    * the `% 20 = 0` originals. Per incoming row the oracle states
+    * BOTH directions: allowed originals are hit (`hit_original`),
+    * disallowed originals produce ZERO hits (`clean`) — recall can't
+    * fake the latter because the unfiltered twin q165 proves these
+    * copies do flag their originals through the same engine.
+    */
+  private def q187FilteredStreamHits(s: SparkSession, dir: String): DataFrame = {
+    val standing = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(pmod(hash(col("vec_id"), i), lit(2)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).as("embedding"))
+      .localCheckpoint(true)
+    val ivf = Similarity.trainIvf(standing, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(standing, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q187").toString
+    graft.operators.VectorStore
+      .write(standing, "vec_id", "embedding", storeDir, "q187_vs", ivf, pq,
+        numBuckets = 8)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q187_vs")
+    val incoming = standing.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
+          .as("embedding"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+      .localCheckpoint(true)
+    val allowed = standing.where(col("vec_id") % 20 =!= 0).select(col("vec_id"))
+    val hits = graft.streaming.StreamingVectorStore
+      .corpusSemanticHitsFiltered(incoming, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, allowed, "vec_id", nprobe = 8)
+      .toDF()
+    val agg = hits.groupBy("id").agg(
+      max(col("corpus_id") === col("id") - lit(1000000L)).as("ho"),
+      count(lit(1)).as("n"))
+    incoming.select(col("vec_id").as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ho"), lit(false)).as("hit_original"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("clean"))
+      .orderBy("id")
+      .localCheckpoint(true)
+  }
+
+  private val q187Oracle =
+    """SELECT vec_id + 1000000 AS id,
+      |  vec_id % 20 <> 0 AS hit_original,
+      |  vec_id % 20 = 0 AS clean
+      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id""".stripMargin
+
   private val q185Oracle =
     """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
       |SELECT id,
@@ -7183,6 +7242,7 @@ object SparkEntry {
     "q184_filtered_hamming_ann" -> (q184FilteredHammingAnn _),
     "q185_pool_stream_excision" -> (q185PoolStreamExcision _),
     "q186_ann_recall" -> (q186AnnRecall _),
+    "q187_filtered_stream_hits" -> (q187FilteredStreamHits _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7359,5 +7419,6 @@ object SparkEntry {
     "q184_filtered_hamming_ann" -> q184Oracle,
     "q185_pool_stream_excision" -> q185Oracle,
     "q186_ann_recall" -> q186Oracle,
+    "q187_filtered_stream_hits" -> q187Oracle,
   )
 }

@@ -119,6 +119,59 @@ object StreamingVectorStore {
       threshold: Double,
       nprobe: Int = 4,
       hammingMargin: Double = 0.15,
+  ): Dataset[SemanticHit] =
+    semanticHitsAgainst(docs, idCol, tsCol, vecCol, store, store.coded,
+      threshold, nprobe, hammingMargin)
+
+  /** [[corpusSemanticHits]] restricted to an allowed-id SLICE of the
+    * standing store — "flag incoming rows against license-clean (or
+    * one-language, or post-cutoff) standing docs only": the coded
+    * table is pre-filtered with the same left-semi discipline as the
+    * batch filtered faces, BEFORE the cell join, so disallowed
+    * standing rows can never surface as hits and never cost Hamming
+    * work. Both join sides stay static (allowed ⋈ coded is
+    * static-static), so the streaming plan is exactly the unfiltered
+    * stream-static shape — still stateless, still append-safe. The
+    * exact-verify float fetch needs no second filter: candidates are
+    * allowed-only by construction. `broadcastAllowed = false` takes
+    * the merge-join path for corpus-scale filters (the static side
+    * then re-shuffles once per microbatch — the honest price of an
+    * arbitrary predicate on a stream).
+    */
+  def corpusSemanticHitsFiltered(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      vecCol: String,
+      store: VectorStore.CodedVectorStore,
+      threshold: Double,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      nprobe: Int = 4,
+      hammingMargin: Double = 0.15,
+      broadcastAllowed: Boolean = true,
+  ): Dataset[SemanticHit] = {
+    val allow = allowed.select(col(allowedIdCol).cast("long").as("id"))
+    val coded = store.coded.join(
+      if (broadcastAllowed) broadcast(allow) else allow.hint("merge"),
+      Seq("id"), "left_semi")
+    semanticHitsAgainst(docs, idCol, tsCol, vecCol, store, coded,
+      threshold, nprobe, hammingMargin)
+  }
+
+  /** The shared hit engine: `coded` is the standing coded table,
+    * already sliced when a filter applies.
+    */
+  private def semanticHitsAgainst(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      vecCol: String,
+      store: VectorStore.CodedVectorStore,
+      coded: DataFrame,
+      threshold: Double,
+      nprobe: Int,
+      hammingMargin: Double,
   ): Dataset[SemanticHit] = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"corpusSemanticHits: threshold must be in (0, 1], got $threshold")
@@ -183,7 +236,7 @@ object StreamingVectorStore {
         size(col(vecCol)).cast("double").as("bits"),
         explode(probeUdf(col(vecCol))).as("cell")) ++ carried: _*)
     val cut = probed
-      .join(store.coded.select(col("cell"), col("id").as("corpus_id"),
+      .join(coded.select(col("cell"), col("id").as("corpus_id"),
         col("hcode")), "cell")
       .where(col("corpus_id") =!= col("id"))
       .where(graft.functions.VectorExpressions.hammingDist(col("hcode"), col("qcode"))

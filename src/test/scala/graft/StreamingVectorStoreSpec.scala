@@ -51,6 +51,60 @@ class StreamingVectorStoreSpec extends SparkTestBase {
   private def withTs(df: DataFrame): DataFrame =
     df.withColumn("ts", lit(new java.sql.Timestamp(t0)).cast("timestamp"))
 
+  test("corpusSemanticHitsFiltered: hits only among the allowed slice, stream ≡ batch, contrast vs unfiltered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val df = corpus(53)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 8, ksub = 16, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-svs-filt").toString
+    VectorStore.write(df, "vec_id", "embedding", dir, "svs_filt", ivf, pq, numBuckets = 2)
+    val store = VectorStore.read(spark, dir, "svs_filt")
+    // cluster 0 (ids 0-24) is DISALLOWED entirely: a copy of id 0 has
+    // its whole near-neighborhood in the disallowed slice (siblings
+    // are near-dups too in this fixture), so it must come back clean;
+    // a copy of id 25 (cluster 1, allowed) must still flag its
+    // original, and every hit must be allowed
+    val incoming = withTs(copiesOf(df, Seq(0L, 25L), 1000L))
+    val allowed = df.where($"vec_id" >= 25L).select($"vec_id")
+    def run(in: DataFrame, bc: Boolean = true) = StreamingVectorStore
+      .corpusSemanticHitsFiltered(in, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, allowed, "vec_id", nprobe = 8, broadcastAllowed = bc)
+    val batch = run(incoming).toDF()
+      .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(batch.contains(1025L -> 25L),
+      s"the allowed copy must flag its original: $batch")
+    assert(batch.forall(_._2 >= 25L),
+      s"no disallowed standing id may surface as a hit: $batch")
+    assert(!batch.exists(_._1 == 1000L),
+      s"a copy whose whole neighborhood is disallowed stays clean: $batch")
+    // the unfiltered face DOES flag the disallowed original — the
+    // contrast proving the filter (not recall) produced the clean row
+    val unfiltered = StreamingVectorStore
+      .corpusSemanticHits(incoming, "vec_id", "ts", "embedding", store,
+        threshold = 0.9, nprobe = 8)
+      .toDF().select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(unfiltered.contains(1000L -> 0L),
+      s"unfiltered must flag the disallowed original: $unfiltered")
+    // merge-join (corpus-scale filter) path agrees with broadcast
+    assert(run(incoming, bc = false).toDF()
+      .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet == batch)
+    // stream ≡ batch: the filter is static-static, the plan stays
+    // stream-static and stateless
+    val rows = incoming.collect().map(r =>
+      SvsVecEvent(r.getLong(0), r.getTimestamp(2), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[SvsVecEvent](spark)
+    val q = run(in.toDS().toDF().withColumnRenamed("doc_id", "vec_id"))
+      .writeStream.format("memory").queryName("svs_filt_q").outputMode("append").start()
+    val stream =
+      try {
+        in.addData(rows.toSeq)
+        q.processAllAvailable()
+        spark.table("svs_filt_q")
+          .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    assert(stream == batch, s"filtered stream ≡ batch: $stream vs $batch")
+  }
+
   test("corpusSemanticHits: stream ≡ batch, planted copies flag their originals, fresh rows stay clean, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val df = corpus(53)
