@@ -2392,7 +2392,9 @@ object SparkEntry {
     import s.implicits._
     // half the corpus (both planted roles are even ids, so the oracle
     // is untouched) — the lifecycle, not the corpus size, is under test
-    val emb = load(s, dir, "embeddings")
+    val embTable = load(s, dir, "embeddings")
+    val unit = plantUnit(embTable, "vec_id")
+    val emb = embTable
       .where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
     val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
@@ -2424,19 +2426,19 @@ object SparkEntry {
     // would crash this gate on a degenerate (empty-table) world
     def epochComplete(n: Int): Boolean = fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/epoch$n/meta/_SUCCESS"))
-    val inc1 = copiesOf(0, 1000000L).unionByName(freshOf(0, 2000000L))
+    val inc1 = copiesOf(0, unit).unionByName(freshOf(0, 2L * unit))
     sink(inc1, 0L)
     graft.streaming.StreamingVectorStore.compactVectorStore(
       s, root, "q171_vs", srcEpoch = 0, incDir = incDir,
       threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
     val e1 = if (epochComplete(1)) 1 else 0
-    val inc2 = copiesOf(4, 3000000L).unionByName(freshOf(4, 4000000L))
+    val inc2 = copiesOf(4, 3L * unit).unionByName(freshOf(4, 4L * unit))
     sink(inc2, 1L)
     val (store2, _) = graft.streaming.StreamingVectorStore.compactVectorStore(
       s, root, "q171_vs", srcEpoch = e1, incDir = incDir,
       threshold = 0.9, searchK = 4, nprobe = 4, refine = 4, keepEpochs = 1)
     val e2 = if (epochComplete(e1 + 1)) e1 + 1 else e1
-    sink(freshOf(0, 5000000L).limit(2), 2L)
+    sink(freshOf(0, 5L * unit).limit(2), 2L)
     val staleFired =
       if (e2 == e1) true // vacuous: nothing ever folded (empty world) — no live next epoch exists to be stale against
       else
@@ -2462,12 +2464,13 @@ object SparkEntry {
   }
 
   private val q171Oracle =
-    """SELECT CAST(-1 AS BIGINT) AS id, true AS kept
+    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+      |SELECT CAST(-1 AS BIGINT) AS id, true AS kept
       |UNION ALL SELECT -2, true
-      |UNION ALL SELECT vec_id + 1000000, false FROM embeddings WHERE vec_id % 10 = 0
-      |UNION ALL SELECT vec_id + 2000000, true FROM embeddings WHERE vec_id % 10 = 0
-      |UNION ALL SELECT vec_id + 3000000, false FROM embeddings WHERE vec_id % 10 = 4
-      |UNION ALL SELECT vec_id + 4000000, true FROM embeddings WHERE vec_id % 10 = 4
+      |UNION ALL SELECT vec_id + 1 * u.u, false FROM embeddings, u WHERE vec_id % 10 = 0
+      |UNION ALL SELECT vec_id + 2 * u.u, true FROM embeddings, u WHERE vec_id % 10 = 0
+      |UNION ALL SELECT vec_id + 3 * u.u, false FROM embeddings, u WHERE vec_id % 10 = 4
+      |UNION ALL SELECT vec_id + 4 * u.u, true FROM embeddings, u WHERE vec_id % 10 = 4
       |ORDER BY id""".stripMargin
 
   /** Weighted-vs-unweighted hashEmbed gate ([[graft.operators
@@ -2729,7 +2732,9 @@ object SparkEntry {
         k => concat(lit(prefix), col("doc_id").cast("string"), lit("x"),
           k.cast("string"))),
       " ")
-    val texts = load(s, dir, "documents")
+    val docsTable = load(s, dir, "documents")
+    val unit = plantUnit(docsTable, "doc_id")
+    val texts = docsTable
       .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), concat(lit(bp), lit(" "), tail("a")).as("text"))
     val model = graft.operators.TextAnalysis
@@ -2747,10 +2752,10 @@ object SparkEntry {
     val store = graft.operators.VectorStore.read(s, storeDir, "q176_vs")
     val tenth = texts.where(col("doc_id") % 10 === 0)
     val copies = tenth.select(
-      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      (col("doc_id") + lit(unit)).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text"))
     val bpOnly = tenth.select(
-      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      (col("doc_id") + lit(2L * unit)).as("doc_id"),
       concat(lit(bp), lit(" "), tail("b")).as("text"))
     val incoming = graft.operators.TextAnalysis
       .applyHashIdf(copies.unionByName(bpOnly), "text", model)
@@ -2762,7 +2767,7 @@ object SparkEntry {
         threshold = 0.8, nprobe = 8)
       .toDF()
     val agg = hits.groupBy("id").agg(
-      max(col("corpus_id") === col("id") - lit(1000000L)).as("ho"),
+      max(col("corpus_id") === col("id") - lit(unit)).as("ho"),
       count(lit(1)).as("n"))
     incoming.select(col("vec_id").as("id"))
       .join(agg, Seq("id"), "left")
@@ -2774,11 +2779,12 @@ object SparkEntry {
   }
 
   private val q176Oracle =
-    """SELECT doc_id + 1000000 AS id, true AS hit_original, false AS clean
-      |FROM documents WHERE doc_id % 10 = 0
+    """WITH u AS (SELECT ((max(doc_id) // 1000000) + 1) * 1000000 AS u FROM documents)
+      |SELECT doc_id + u.u AS id, true AS hit_original, false AS clean
+      |FROM documents, u WHERE doc_id % 10 = 0
       |UNION ALL
-      |SELECT doc_id + 2000000 AS id, false AS hit_original, true AS clean
-      |FROM documents WHERE doc_id % 10 = 0
+      |SELECT doc_id + 2 * u.u AS id, false AS hit_original, true AS clean
+      |FROM documents, u WHERE doc_id % 10 = 0
       |ORDER BY id""".stripMargin
 
   /** Span-excision decontamination gate ([[graft.operators.Dedup
@@ -2962,9 +2968,9 @@ object SparkEntry {
   /** FILTERED store-served ANN gate
     * ([[graft.operators.Similarity.ivfPqTopKFromStoreFiltered]] —
     * "top-k among the documents the metadata predicate allows"): each
-    * planted id gets TWO perturbed copies — a +0.01 decoy (id+1e6)
-    * and a +0.02 query (id+2e6) — and the allowed set is the BASE
-    * corpus only. Three driver-checked booleans per query: the decoy
+    * planted id gets TWO perturbed copies — a +0.01 decoy
+    * (id + unit) and a +0.02 query (id + 2·unit, unit =
+    * [[plantUnit]]) — and the allowed set is the BASE corpus only. Three driver-checked booleans per query: the decoy
     * is a top-k neighbor of the UNFILTERED search (proving the filter
     * has something real to remove), the filtered search recovers the
     * allowed original, and NO filtered-out id leaks into the filtered
@@ -2972,7 +2978,9 @@ object SparkEntry {
     * recovery but show degraded k, pre-filter passes both).
     */
   private def q180FilteredAnnPlanted(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val embTable = load(s, dir, "embeddings")
+    val unit = plantUnit(embTable, "vec_id")
+    val emb = embTable.select(col("vec_id"), col("embedding"))
     def shifted(offset: Long, delta: Float) = emb
       .where(col("vec_id") % 10 === 0)
       .select(
@@ -2980,8 +2988,8 @@ object SparkEntry {
         transform(col("embedding"),
           (x, i) => when(i === 0, (x + lit(delta)).cast("float")).otherwise(x))
           .as("embedding"))
-    val decoys = shifted(1000000L, 0.01f)
-    val queries = shifted(2000000L, 0.02f).localCheckpoint(true)
+    val decoys = shifted(unit, 0.01f)
+    val queries = shifted(2L * unit, 0.02f).localCheckpoint(true)
     val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
     val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
     val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
@@ -2997,17 +3005,17 @@ object SparkEntry {
       .ivfPqTopKFromStoreFiltered(store, queries, "vec_id", "embedding", k = 5,
         allowed, "vec_id", nprobe = 4, refine = 4)
     val planted = emb.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(2000000L)).as("query_id"),
+      .select((col("vec_id") + lit(2L * unit)).as("query_id"),
         col("vec_id").as("expected_id"))
     planted
       .join(unfiltered
-        .where(col("neighbor_id") === col("query_id") - lit(1000000L))
+        .where(col("neighbor_id") === col("query_id") - lit(unit))
         .select(col("query_id"), lit(true).as("ud")), Seq("query_id"), "left")
       .join(filtered
-        .where(col("neighbor_id") === col("query_id") - lit(2000000L))
+        .where(col("neighbor_id") === col("query_id") - lit(2L * unit))
         .select(col("query_id"), lit(true).as("fr")), Seq("query_id"), "left")
       .join(filtered
-        .where(col("neighbor_id") >= 1000000L)
+        .where(col("neighbor_id") >= unit)
         .select(col("query_id"), lit(true).as("fl")).distinct(), Seq("query_id"), "left")
       .select(col("query_id"), col("expected_id"),
         coalesce(col("ud"), lit(false)).as("unfiltered_has_decoy"),
@@ -3018,10 +3026,11 @@ object SparkEntry {
   }
 
   private val q180Oracle =
-    """SELECT vec_id + 2000000 AS query_id, vec_id AS expected_id,
+    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+      |SELECT vec_id + 2 * u.u AS query_id, vec_id AS expected_id,
       |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
       |  false AS filtered_leaks
-      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+      |FROM embeddings, u WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
   /** Frozen-tokenizer gate ([[graft.operators.Bpe.train]] →
     * [[graft.operators.IndexStore.saveBpe]] → load →
@@ -3157,7 +3166,11 @@ object SparkEntry {
     * `hcode`-reading composition, not a new mechanism.
     */
   private def q184FilteredHammingAnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings")
+    val embTable = load(s, dir, "embeddings")
+    // unit from the FULL table (the oracle's max() sees every row),
+    // not the even-filtered gate corpus
+    val unit = plantUnit(embTable, "vec_id")
+    val emb = embTable
       .where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
     def shifted(offset: Long, delta: Float) = emb
@@ -3167,8 +3180,8 @@ object SparkEntry {
         transform(col("embedding"),
           (x, i) => when(i === 0, (x + lit(delta)).cast("float")).otherwise(x))
           .as("embedding"))
-    val decoys = shifted(1000000L, 0.01f)
-    val queries = shifted(2000000L, 0.02f).localCheckpoint(true)
+    val decoys = shifted(unit, 0.01f)
+    val queries = shifted(2L * unit, 0.02f).localCheckpoint(true)
     val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
     val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
     val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
@@ -3184,17 +3197,17 @@ object SparkEntry {
       .ivfHammingTopKFromStoreFiltered(store, queries, "vec_id", "embedding",
         k = 5, allowed, "vec_id", nprobe = 4, refine = 4)
     val planted = emb.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(2000000L)).as("query_id"),
+      .select((col("vec_id") + lit(2L * unit)).as("query_id"),
         col("vec_id").as("expected_id"))
     planted
       .join(unfiltered
-        .where(col("neighbor_id") === col("query_id") - lit(1000000L))
+        .where(col("neighbor_id") === col("query_id") - lit(unit))
         .select(col("query_id"), lit(true).as("ud")), Seq("query_id"), "left")
       .join(filtered
-        .where(col("neighbor_id") === col("query_id") - lit(2000000L))
+        .where(col("neighbor_id") === col("query_id") - lit(2L * unit))
         .select(col("query_id"), lit(true).as("fr")), Seq("query_id"), "left")
       .join(filtered
-        .where(col("neighbor_id") >= 1000000L)
+        .where(col("neighbor_id") >= unit)
         .select(col("query_id"), lit(true).as("fl")).distinct(), Seq("query_id"), "left")
       .select(col("query_id"), col("expected_id"),
         coalesce(col("ud"), lit(false)).as("unfiltered_has_decoy"),
@@ -3205,10 +3218,11 @@ object SparkEntry {
   }
 
   private val q184Oracle =
-    """SELECT vec_id + 2000000 AS query_id, vec_id AS expected_id,
+    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+      |SELECT vec_id + 2 * u.u AS query_id, vec_id AS expected_id,
       |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
       |  false AS filtered_leaks
-      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+      |FROM embeddings, u WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
   /** Typed row for the in-stream decontamination gate's MemoryStream
     * source (q185).
@@ -3286,14 +3300,18 @@ object SparkEntry {
     * against brute force, crippled settings measure below it).
     */
   private def q186AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val embTable = load(s, dir, "embeddings")
+    val unit = plantUnit(embTable, "vec_id")
+    val emb = embTable.select(col("vec_id"), col("embedding"))
     val queries = emb.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + lit(unit)).as("vec_id"), col("embedding"))
     val exact = Similarity
       .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 4)
       .localCheckpoint(true)
+    // remap target just needs to be a NONEXISTENT id: corpus ids are
+    // < unit and query ids < 2·unit, so 1000·unit collides with nothing
     val approx = exact.withColumn("neighbor_id",
-      when(col("rank") % 2 === 0, col("neighbor_id") + lit(1000000000L))
+      when(col("rank") % 2 === 0, col("neighbor_id") + lit(1000L * unit))
         .otherwise(col("neighbor_id")))
     Similarity.recallAtK(approx, exact, k = 4)
       .orderBy("query_id")
@@ -3301,9 +3319,10 @@ object SparkEntry {
   }
 
   private val q186Oracle =
-    """SELECT vec_id + 1000000 AS query_id, CAST(4 AS BIGINT) AS n_exact,
+    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+      |SELECT vec_id + u.u AS query_id, CAST(4 AS BIGINT) AS n_exact,
       |  CAST(2 AS BIGINT) AS n_matched, CAST(0.5 AS DOUBLE) AS recall
-      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
+      |FROM embeddings, u WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
 
   /** Filtered stream-vs-store hits gate
     * ([[graft.streaming.StreamingVectorStore.corpusSemanticHitsFiltered]]
@@ -3321,7 +3340,9 @@ object SparkEntry {
     * copies do flag their originals through the same engine.
     */
   private def q187FilteredStreamHits(s: SparkSession, dir: String): DataFrame = {
-    val standing = load(s, dir, "embeddings")
+    val embTable = load(s, dir, "embeddings")
+    val unit = plantUnit(embTable, "vec_id")
+    val standing = embTable
       .select(col("vec_id"),
         transform(col("embedding"),
           (x, i) => when(pmod(hash(col("vec_id"), i), lit(2)) === 0, lit(1.0f))
@@ -3335,7 +3356,7 @@ object SparkEntry {
         numBuckets = 8)
     val store = graft.operators.VectorStore.read(s, storeDir, "q187_vs")
     val incoming = standing.where(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(unit)).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x))
           .as("embedding"))
@@ -3347,7 +3368,7 @@ object SparkEntry {
         threshold = 0.9, allowed, "vec_id", nprobe = 8)
       .toDF()
     val agg = hits.groupBy("id").agg(
-      max(col("corpus_id") === col("id") - lit(1000000L)).as("ho"),
+      max(col("corpus_id") === col("id") - lit(unit)).as("ho"),
       count(lit(1)).as("n"))
     incoming.select(col("vec_id").as("id"))
       .join(agg, Seq("id"), "left")
@@ -3359,10 +3380,78 @@ object SparkEntry {
   }
 
   private val q187Oracle =
-    """SELECT vec_id + 1000000 AS id,
+    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+      |SELECT vec_id + u.u AS id,
       |  vec_id % 20 <> 0 AS hit_original,
       |  vec_id % 20 = 0 AS clean
-      |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id""".stripMargin
+      |FROM embeddings, u WHERE vec_id % 10 = 0 ORDER BY id""".stripMargin
+
+  /** Knob-tuning gate ([[graft.operators.Similarity.tuneNprobe]] —
+    * the packaged "raise nprobe until recall meets the budget" loop a
+    * real ANN deployment runs before committing the knob to a
+    * full-corpus job): build a store at nlist = 16, tune against a
+    * query sample with `targetRecall = 1.0` and EXHAUSTIVE refine
+    * (`refine·k ≥ corpus`, so every probed candidate is re-ranked
+    * with exact cosines). Probed cells are NESTED in nprobe, so the
+    * walk's ENDPOINT (nprobe = nlist probes every cell → the search
+    * IS brute force over the stored floats) measures recall exactly
+    * 1.0 whatever the data — but the nprobe VALUE the loop stops at
+    * is data-dependent (early stop fires at the first curve point
+    * that already reads 1.0), so the driver-checked row states the
+    * walk's INVARIANTS, not the stopping knob: the final curve row's
+    * recall is exactly 1.0 with `met_target` true, the curve has
+    * 1..log2(nlist)+1 rows, the probed values are the doubling
+    * sequence walked in order, and (exhaustive refine ⇒ candidates
+    * grow with nprobe) the measured curve is monotone non-decreasing.
+    * SimilaritySpec pins the live composition (below-1.0 interior
+    * points at crippled settings, early stop, empty sample, the
+    * degenerate-store named error).
+    */
+  private def q188TuneNprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embTable = load(s, dir, "embeddings")
+    val unit = plantUnit(embTable, "vec_id")
+    val emb = embTable.select(col("vec_id"), col("embedding"))
+    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val storeDir = tempFixtureDir("graft_vecstore_q188").toString
+    graft.operators.VectorStore
+      .write(emb, "vec_id", "embedding", storeDir, "q188_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, "q188_vs")
+    // sample ids are offset so no query can self-match a corpus row
+    // on either the truth or the measured side
+    val sample = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(unit)).as("vec_id"), col("embedding"))
+    val k = 4
+    val corpusN = store.vecs.count()
+    val exhaustive = math.max(1L, (corpusN + k - 1) / k.toLong).toInt
+    val curve = Similarity
+      .tuneNprobe(store, sample, "vec_id", "embedding", k,
+        targetRecall = 1.0, refine = exhaustive)
+      .collect() // bounded: ≤ log2(nlist)+1 = 5 rows by construction
+    if (curve.isEmpty)
+      return Seq((0.0, false, false, false, false)).toDF(
+        "final_mean_recall", "final_met_target", "curve_len_ok",
+        "curve_walk_ok", "recall_monotone")
+    val last = curve.last
+    val nprobes = curve.map(_.getInt(0)).toSeq
+    val recalls = curve.map(_.getDouble(1)).toSeq
+    val doubling = Seq(1, 2, 4, 8, 16)
+    Seq((
+      last.getDouble(1),
+      last.getBoolean(2),
+      curve.length >= 1 && curve.length <= 5,
+      nprobes == doubling.take(curve.length),
+      recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+    )).toDF("final_mean_recall", "final_met_target", "curve_len_ok",
+      "curve_walk_ok", "recall_monotone")
+      .localCheckpoint(true)
+  }
+
+  private val q188Oracle =
+    """SELECT CAST(1.0 AS DOUBLE) AS final_mean_recall,
+      |  true AS final_met_target, true AS curve_len_ok,
+      |  true AS curve_walk_ok, true AS recall_monotone""".stripMargin
 
   private val q185Oracle =
     """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
@@ -5362,6 +5451,29 @@ object SparkEntry {
     t
   }
 
+  /** Plant-offset UNIT for the synthetic-id plants the ANN and
+    * streaming gates build (q171/q176/q180/q184/q186/q187): the
+    * smallest positive multiple of 1,000,000 STRICTLY greater than
+    * the table's max id, so role r's planted ids (`id + r·unit`)
+    * can never collide with base ids at ANY scale dir — the old
+    * fixed `+1e6` convention was silently wrong the day a scale dir
+    * reached 1M rows (q184's leak predicate `neighbor_id >= 1e6`
+    * would have flagged real corpus rows as leaks). The DuckDB
+    * oracles mirror the same closed form
+    * (`((max(id) // 1000000) + 1) * 1000000`), so both sides derive
+    * the SAME unit whatever the scale; at the driver's SFs
+    * (max id < 1e6) the unit is exactly 1,000,000 — plants identical
+    * to the pre-derivation gates. An empty table yields the base
+    * unit (such gates emit zero planted rows either way).
+    * PlantOffsetSpec pins unit > max id, multiple-of-1e6, and
+    * no-collision across the role range.
+    */
+  private[graft] def plantUnit(table: DataFrame, idCol: String): Long = {
+    val row = table.agg(max(col(idCol)).cast("long")).head()
+    val mx = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
+    (mx / 1000000L + 1L) * 1000000L
+  }
+
   /** Create a gate-fixture temp dir that is deleted at JVM exit. */
   private def tempFixtureDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
@@ -7243,6 +7355,7 @@ object SparkEntry {
     "q185_pool_stream_excision" -> (q185PoolStreamExcision _),
     "q186_ann_recall" -> (q186AnnRecall _),
     "q187_filtered_stream_hits" -> (q187FilteredStreamHits _),
+    "q188_tune_nprobe" -> (q188TuneNprobe _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7420,5 +7533,6 @@ object SparkEntry {
     "q185_pool_stream_excision" -> q185Oracle,
     "q186_ann_recall" -> q186Oracle,
     "q187_filtered_stream_hits" -> q187Oracle,
+    "q188_tune_nprobe" -> q188Oracle,
   )
 }

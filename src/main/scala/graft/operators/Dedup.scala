@@ -1148,6 +1148,8 @@ object Dedup {
     * materialized-length check (count-then-collect would evaluate the
     * benchmark frame twice and let a nondeterministic frame slip the
     * ceiling between the two jobs), sorted for binary search.
+    * `maxPoolShingles` must lie in [0, Int.MaxValue) — see
+    * [[decontaminate]] for the checkability rationale.
     */
   def fitShinglePool(
       benchmark: DataFrame,
@@ -1256,6 +1258,12 @@ object Dedup {
     * per shingle. No join, no shuffle, no corpus-side state. A pool
     * beyond `maxPoolShingles` is a NAMED error pointing at
     * [[decontaminateBloom]], never a silent driver OOM.
+    * `maxPoolShingles` must lie in [0, Int.MaxValue): the ceiling is
+    * enforced with a limit-probe that can only observe up to 2^31−1
+    * rows, so a larger value could never be seen exceeded — and an
+    * exact pool that large (16 GB+ broadcast) belongs on the Bloom
+    * face anyway. Passing e.g. `Long.MaxValue` as "uncapped" is a
+    * NAMED error, not a silently unchecked limit.
     *
     * Output: every corpus row + `n_contaminated_grams` +
     * `is_clean`; filter on `is_clean` to drop.
@@ -1345,6 +1353,11 @@ object Dedup {
     * position-aligned [[TextHash.hashedShingles]] + [[mix64]] —
     * byte-identical to the pool build, so a window matches iff the
     * flagging face would have counted it.
+    *
+    * `maxPoolShingles` must lie in [0, Int.MaxValue) — see
+    * [[decontaminate]] for why the ceiling must stay below 2^31
+    * (checkability of the limit-probe; a pool that large belongs on
+    * [[decontaminateSpansBloom]]).
     */
   def decontaminateSpans(
       corpus: DataFrame,

@@ -330,6 +330,12 @@ object Similarity {
     val spark = sampleQueries.sparkSession
     import spark.implicits._
     val nlist = store.ivf.centroids.length
+    // a store with no IVF cells has nothing to walk: the doubling
+    // candidates would degenerate to Seq(0) and the loop would
+    // "measure" an all-zero curve at nprobe = 0 — fail loudly like
+    // the other degenerate paths instead
+    require(nlist > 0,
+      s"tuneNprobe: store has no IVF centroids (nlist = 0) — nothing to tune")
     // pin ONE evaluation of the sample up front: the truth pass and
     // every per-nprobe search re-evaluate the query plan, so an
     // un-seeded sample(...) — the typical way a tuning sample is drawn

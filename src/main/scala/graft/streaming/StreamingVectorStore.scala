@@ -108,7 +108,12 @@ object StreamingVectorStore {
     * upstream): the rejoin re-reads the source frame to fetch
     * (ts, qvec) by id, so a nondeterministic input could pair a query
     * code with a vector from a different evaluation. The rejoin
-    * localCheckpoints the filtered frame to pin one evaluation.
+    * localCheckpoints the filtered frame to pin one evaluation — an
+    * EAGER checkpoint, so on the BATCH rejoin path (non-streaming
+    * input at dim ≥ 512) calling this method materializes the
+    * projected (id, ts, vec) frame as a Spark job AT CALL TIME rather
+    * than returning a purely lazy plan; streaming inputs and
+    * narrower vectors keep the lazy carry-through shape.
     */
   def corpusSemanticHits(
       docs: DataFrame,
@@ -227,8 +232,15 @@ object StreamingVectorStore {
     // concurrent stages of the SAME job, so both could still recompute
     // the input independently. Materializing first closes that window;
     // after it, an evicted block fails loudly instead of silently
-    // recomputing.
-    val pinned = if (carryThrough) filtered else filtered.localCheckpoint(true)
+    // recomputing. Project to the three columns the rejoin actually
+    // reads FIRST: the caller's frame may carry arbitrarily wide
+    // payload columns (raw text, binary blobs) that would otherwise
+    // ride the materialized blocks for nothing.
+    val pinned =
+      if (carryThrough) filtered
+      else filtered
+        .select(col(idCol), col(tsCol), col(vecCol))
+        .localCheckpoint(true)
     val probed = pinned
       .select(Seq(
         col(idCol).cast("long").as("id"),

@@ -103,6 +103,31 @@ class StreamingVectorStoreSpec extends SparkTestBase {
           .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
       } finally q.stop()
     assert(stream == batch, s"filtered stream ≡ batch: $stream vs $batch")
+    // merge-join twin INSIDE a streaming plan (broadcastAllowed=false,
+    // the corpus-scale-filter path): the allow ⋈ coded semi-join is
+    // static-static so the plan must stay stream-legal (append mode
+    // started, zero state operators), reach the coded table as a
+    // merge SEMI join — not a BroadcastExchange smuggled in by the
+    // planner — and return the broadcast leg's exact hit set
+    val inM = MemoryStream[SvsVecEvent](spark)
+    val qM = run(inM.toDS().toDF().withColumnRenamed("doc_id", "vec_id"), bc = false)
+      .writeStream.format("memory").queryName("svs_filt_qm")
+      .outputMode("append").start()
+    val streamM =
+      try {
+        inM.addData(rows.toSeq)
+        qM.processAllAvailable()
+        assert(qM.lastProgress.stateOperators.isEmpty,
+          "merge-hinted filtered hits must stay stateless")
+        val planM = qM
+          .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .explainInternal(false)
+        assert(planM.contains("SortMergeJoin") && planM.contains("LeftSemi"),
+          s"the allow slice must reach the coded table as a merge semi-join:\n$planM")
+        spark.table("svs_filt_qm")
+          .select($"id", $"corpus_id").as[(Long, Long)].collect().toSet
+      } finally qM.stop()
+    assert(streamM == batch, s"merge-join filtered stream ≡ batch: $streamM vs $batch")
   }
 
   test("corpusSemanticHits: stream ≡ batch, planted copies flag their originals, fresh rows stay clean, stateless") {

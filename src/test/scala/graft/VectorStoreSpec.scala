@@ -624,6 +624,13 @@ class VectorStoreSpec extends SparkTestBase {
     // empty sample: nothing to measure, empty curve
     assert(Similarity.tuneNprobe(store, df.where(lit(false)), "vec_id",
       "embedding", k = 4, targetRecall = 1.0).isEmpty)
+    // a store with ZERO IVF centroids is a NAMED error, not a silent
+    // all-zero curve measured at nprobe = 0
+    val errNoCells = intercept[IllegalArgumentException] {
+      Similarity.tuneNprobe(store.copy(ivf = Similarity.IvfModel(Array.empty)),
+        queries, "vec_id", "embedding", k = 4, targetRecall = 1.0)
+    }
+    assert(errNoCells.getMessage.contains("no IVF centroids"))
     // OPQ store: truth measured in rotated space, same 1.0 endpoint
     val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
       ksub = 16, seed = 3L)
