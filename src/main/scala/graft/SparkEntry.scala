@@ -3409,10 +3409,16 @@ object SparkEntry {
     */
   private def q188TuneNprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def sentinel(ok: Boolean) = Seq((if (ok) 1.0 else 0.0, ok, ok, ok, ok))
+      .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
+        "curve_walk_ok", "recall_monotone")
     val embTable = load(s, dir, "embeddings")
     val unit = plantUnit(embTable, "vec_id")
     val emb = embTable.select(col("vec_id"), col("embedding"))
     val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    // degenerate (empty-table) world: no centroids to walk — the
+    // tuner's named error is correct there, the GATE must not crash
+    if (ivf.centroids.isEmpty) return sentinel(false)
     val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q188").toString
     graft.operators.VectorStore
@@ -3429,10 +3435,7 @@ object SparkEntry {
       .tuneNprobe(store, sample, "vec_id", "embedding", k,
         targetRecall = 1.0, refine = exhaustive)
       .collect() // bounded: ≤ log2(nlist)+1 = 5 rows by construction
-    if (curve.isEmpty)
-      return Seq((0.0, false, false, false, false)).toDF(
-        "final_mean_recall", "final_met_target", "curve_len_ok",
-        "curve_walk_ok", "recall_monotone")
+    if (curve.isEmpty) return sentinel(false)
     val last = curve.last
     val nprobes = curve.map(_.getInt(0)).toSeq
     val recalls = curve.map(_.getDouble(1)).toSeq
