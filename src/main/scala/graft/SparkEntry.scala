@@ -3407,59 +3407,123 @@ object SparkEntry {
     * points at crippled settings, early stop, empty sample, the
     * degenerate-store named error).
     */
-  private def q188TuneNprobe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def sentinel(ok: Boolean) = Seq((if (ok) 1.0 else 0.0, ok, ok, ok, ok))
-      .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
-        "curve_walk_ok", "recall_monotone")
+  /** Shared fixture + invariant-row plumbing for the two knob-tuning
+    * gates (q188 nprobe / q189 refine): store at nlist 16 over the
+    * even corpus half (the gates' invariants are corpus-size-
+    * independent, and every tuning step at exhaustive refine costs a
+    * corpus-sized re-rank per sample query — the full corpus measured
+    * 10.7 s vs 6.5 s halved, bench sf0.1), sample ids offset by
+    * [[plantUnit]] so no query can self-match a corpus row on either
+    * the truth or the measured side (% 100 keeps the sample inside
+    * the even half). Returns None on the degenerate (empty-table)
+    * world — no centroids to walk; the tuner's named error is correct
+    * there, the GATES must not crash.
+    */
+  private def tuneGateFixture(s: SparkSession, dir: String, tag: String)
+      : Option[(graft.operators.VectorStore.CodedVectorStore, DataFrame, Long)] = {
     val embTable = load(s, dir, "embeddings")
     val unit = plantUnit(embTable, "vec_id")
-    // half the corpus (q184's recipe): the gate's invariants are
-    // corpus-size-independent, and every tuning step at exhaustive
-    // refine costs a corpus-sized re-rank per sample query — the
-    // full corpus made this the most expensive gate on the board
-    // (measured 10.7 s full vs 6.5 s halved, bench sf0.1)
     val emb = embTable
       .where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
     val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    // degenerate (empty-table) world: no centroids to walk — the
-    // tuner's named error is correct there, the GATE must not crash
-    if (ivf.centroids.isEmpty) return sentinel(false)
+    if (ivf.centroids.isEmpty) return None
     val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
-    val storeDir = tempFixtureDir("graft_vecstore_q188").toString
+    val storeDir = tempFixtureDir(s"graft_vecstore_$tag").toString
     graft.operators.VectorStore
-      .write(emb, "vec_id", "embedding", storeDir, "q188_vs", ivf, pq)
-    val store = graft.operators.VectorStore.read(s, storeDir, "q188_vs")
-    // sample ids are offset so no query can self-match a corpus row
-    // on either the truth or the measured side; % 100 keeps the
-    // sample inside the even corpus half
+      .write(emb, "vec_id", "embedding", storeDir, s"${tag}_vs", ivf, pq)
+    val store = graft.operators.VectorStore.read(s, storeDir, s"${tag}_vs")
     val sample = emb.where(col("vec_id") % 100 === 0)
       .select((col("vec_id") + lit(unit)).as("vec_id"), col("embedding"))
-    val k = 4
-    val corpusN = store.vecs.count()
-    val exhaustive = math.max(1L, (corpusN + k - 1) / k.toLong).toInt
-    val curve = Similarity
-      .tuneNprobe(store, sample, "vec_id", "embedding", k,
-        targetRecall = 1.0, refine = exhaustive)
-      .collect() // bounded: ≤ log2(nlist)+1 = 5 rows by construction
-    if (curve.isEmpty) return sentinel(false)
+    Some((store, sample, store.vecs.count()))
+  }
+
+  /** The five-scalar invariant row both tuning gates reduce their
+    * measured curve to (see q188's scaladoc for why the stopping knob
+    * itself is NOT oracle-expressible): endpoint recall and met flag,
+    * length within the doubling walk's bound, the walked values being
+    * exactly the expected prefix, and monotonicity.
+    */
+  private def tuneGateRow(
+      s: SparkSession,
+      curve: Array[org.apache.spark.sql.Row],
+      expectedWalk: Seq[Int],
+  ): DataFrame = {
+    import s.implicits._
+    def row(vals: (Double, Boolean, Boolean, Boolean, Boolean)) = Seq(vals)
+      .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
+        "curve_walk_ok", "recall_monotone")
+    if (curve.isEmpty) return row((0.0, false, false, false, false))
     val last = curve.last
-    val nprobes = curve.map(_.getInt(0)).toSeq
+    val knobs = curve.map(_.getInt(0)).toSeq
     val recalls = curve.map(_.getDouble(1)).toSeq
-    val doubling = Seq(1, 2, 4, 8, 16)
-    Seq((
+    row((
       last.getDouble(1),
       last.getBoolean(2),
-      curve.length >= 1 && curve.length <= 5,
-      nprobes == doubling.take(curve.length),
+      curve.length >= 1 && curve.length <= expectedWalk.length,
+      knobs == expectedWalk.take(curve.length),
       recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
-    )).toDF("final_mean_recall", "final_met_target", "curve_len_ok",
-      "curve_walk_ok", "recall_monotone")
-      .localCheckpoint(true)
+    )).localCheckpoint(true)
+  }
+
+  private def q188TuneNprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tuneGateFixture(s, dir, "q188") match {
+      case None => Seq((0.0, false, false, false, false))
+        .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
+          "curve_walk_ok", "recall_monotone")
+      case Some((store, sample, corpusN)) =>
+        val k = 4
+        val exhaustive = math.max(1L, (corpusN + k - 1) / k.toLong).toInt
+        val curve = Similarity
+          .tuneNprobe(store, sample, "vec_id", "embedding", k,
+            targetRecall = 1.0, refine = exhaustive)
+          .collect() // bounded: ≤ log2(nlist)+1 = 5 rows by construction
+        tuneGateRow(s, curve, Seq(1, 2, 4, 8, 16))
+    }
   }
 
   private val q188Oracle =
+    """SELECT CAST(1.0 AS DOUBLE) AS final_mean_recall,
+      |  true AS final_met_target, true AS curve_len_ok,
+      |  true AS curve_walk_ok, true AS recall_monotone""".stripMargin
+
+  /** Knob-tuning gate #2 ([[graft.operators.Similarity.tuneRefine]] —
+    * the exact-re-rank budget walk at a FIXED nprobe, the knob a
+    * session raises when nprobe is pinned by a latency budget and the
+    * target is still missed): q188's fixture, the refine walk at
+    * nprobe = nlist. Full probe makes the probed pool the whole
+    * corpus, so the EXHAUSTIVE endpoint (refine·k ≥ corpus) is brute
+    * force and measures recall exactly 1.0 whatever the data; at a
+    * fixed nprobe the re-ranked pool only ever GROWS with refine and
+    * a truth member in the pool always survives exact re-rank, so the
+    * measured curve is monotone BY CONSTRUCTION (not merely by
+    * nesting, as in q188). Same invariant-row shape and oracle as
+    * q188; the stopping refine value is data-dependent under early
+    * stop and stays out of the row. VectorStoreSpec additionally pins
+    * the pinned-nprobe CEILING semantics (endpoint = probed-cell
+    * truth fraction, measured independently from the coded table).
+    */
+  private def q189TuneRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tuneGateFixture(s, dir, "q189") match {
+      case None => Seq((0.0, false, false, false, false))
+        .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
+          "curve_walk_ok", "recall_monotone")
+      case Some((store, sample, corpusN)) =>
+        val k = 4
+        val exhaustive = math.max(1L, (corpusN + k - 1) / k.toLong).toInt
+        val expected = (Iterator.iterate(1)(_ * 2).takeWhile(_ < exhaustive) ++
+          Iterator.single(exhaustive)).toSeq
+        val curve = Similarity
+          .tuneRefine(store, sample, "vec_id", "embedding", k,
+            targetRecall = 1.0, nprobe = 16)
+          .collect() // bounded: ≤ log2(exhaustive)+2 rows by construction
+        tuneGateRow(s, curve, expected)
+    }
+  }
+
+  private val q189Oracle =
     """SELECT CAST(1.0 AS DOUBLE) AS final_mean_recall,
       |  true AS final_met_target, true AS curve_len_ok,
       |  true AS curve_walk_ok, true AS recall_monotone""".stripMargin
@@ -7367,6 +7431,7 @@ object SparkEntry {
     "q186_ann_recall" -> (q186AnnRecall _),
     "q187_filtered_stream_hits" -> (q187FilteredStreamHits _),
     "q188_tune_nprobe" -> (q188TuneNprobe _),
+    "q189_tune_refine" -> (q189TuneRefine _),
   )
 
   /** DuckDB oracles for every SQL-expressible query above. Omitted
@@ -7545,5 +7610,6 @@ object SparkEntry {
     "q186_ann_recall" -> q186Oracle,
     "q187_filtered_stream_hits" -> q187Oracle,
     "q188_tune_nprobe" -> q188Oracle,
+    "q189_tune_refine" -> q189Oracle,
   )
 }

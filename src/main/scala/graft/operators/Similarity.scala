@@ -313,7 +313,9 @@ object Similarity {
     * are NESTED in nprobe, so at exhaustive `refine` the curve is
     * monotone non-decreasing; at stock refine small dips are real
     * measurement, not error. An empty or fully-degenerate sample
-    * returns an empty curve (nothing to measure).
+    * returns an empty curve (nothing to measure). [[tuneRefine]] is
+    * the same walker over the other knob (the re-rank budget at a
+    * fixed nprobe).
     */
   def tuneNprobe(
       store: VectorStore.CodedVectorStore,
@@ -324,54 +326,143 @@ object Similarity {
       targetRecall: Double,
       refine: Int = 4,
   ): DataFrame = {
-    require(k > 0, s"tuneNprobe: k must be > 0, got $k")
-    require(targetRecall > 0.0 && targetRecall <= 1.0,
-      s"tuneNprobe: targetRecall must be in (0, 1], got $targetRecall")
     val spark = sampleQueries.sparkSession
     import spark.implicits._
-    val nlist = store.ivf.centroids.length
+    val (sample, exact) =
+      tuneTruth(store, sampleQueries, idCol, vecCol, k, targetRecall, "tuneNprobe")
+    if (exact.isEmpty)
+      return Seq.empty[(Int, Double, Boolean)]
+        .toDF("nprobe", "mean_recall", "met_target")
+    walkKnobCurve(spark, "nprobe", doublingTo(store.ivf.centroids.length),
+      exact, k, targetRecall) { np =>
+      if (store.opq.nonEmpty)
+        ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
+      else
+        ivfPqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
+    }
+  }
+
+  /** The refine twin of [[tuneNprobe]] — walk the exact-re-rank
+    * budget at a FIXED nprobe: the knob a tuning session raises when
+    * nprobe is pinned (by a latency budget or cell-population
+    * constraint) and the target is still missed. Candidates double
+    * from 1 up to the EXHAUSTIVE budget (`refine·k ≥ corpus rows` —
+    * beyond it a larger budget cannot change the candidate set).
+    *
+    * At a fixed nprobe the probed ADC pool is fixed; raising refine
+    * only GROWS the subset re-ranked with exact cosines, and a
+    * global-truth member present in the re-rank set always survives
+    * exact re-rank (nothing outside the truth can out-score it) — so
+    * this curve is monotone non-decreasing BY CONSTRUCTION, and its
+    * ceiling is the fraction of truth living in the probed cells:
+    * exactly 1.0 at `nprobe = nlist`, below full probe a MEASUREMENT
+    * of the cell assignment, not an error. Same output shape,
+    * early-stop, truth prep, and empty-sample contract as
+    * [[tuneNprobe]], with `refine` as the knob column.
+    */
+  def tuneRefine(
+      store: VectorStore.CodedVectorStore,
+      sampleQueries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      nprobe: Int,
+  ): DataFrame = {
+    require(nprobe >= 1, s"tuneRefine: nprobe must be >= 1, got $nprobe")
+    val spark = sampleQueries.sparkSession
+    import spark.implicits._
+    val (sample, exact) =
+      tuneTruth(store, sampleQueries, idCol, vecCol, k, targetRecall, "tuneRefine")
+    if (exact.isEmpty)
+      return Seq.empty[(Int, Double, Boolean)]
+        .toDF("refine", "mean_recall", "met_target")
+    // exhaustive cap: one count job against the bucketed vecs table —
+    // a tuning session is a deliberate measured run, the count is the
+    // cheapest job in it
+    val corpusN = store.vecs.count()
+    val exhaustive =
+      math.min(Int.MaxValue.toLong, math.max(1L, (corpusN + k - 1) / k.toLong)).toInt
+    walkKnobCurve(spark, "refine", doublingTo(exhaustive),
+      exact, k, targetRecall) { rf =>
+      if (store.opq.nonEmpty)
+        ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, nprobe, rf)
+      else
+        ivfPqTopKFromStore(store, sample, idCol, vecCol, k, nprobe, rf)
+    }
+  }
+
+  /** Shared truth prep for the knob tuners: validate, pin ONE
+    * evaluation of the sample (the truth pass and every per-knob
+    * search re-evaluate the query plan, so an un-seeded `sample(...)`
+    * — the typical way a tuning sample is drawn — would otherwise
+    * measure recall between MISMATCHED query draws and return a
+    * garbage curve with no error), rotate the query side once for
+    * OPQ corpora (stored floats persist rotated; cosines are
+    * rotation-invariant, same truth), and brute-force the store's
+    * own floats for exact truth. Returns (pinned sample, pinned
+    * truth).
+    */
+  private def tuneTruth(
+      store: VectorStore.CodedVectorStore,
+      sampleQueries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      caller: String,
+  ): (DataFrame, DataFrame) = {
+    require(k > 0, s"$caller: k must be > 0, got $k")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"$caller: targetRecall must be in (0, 1], got $targetRecall")
     // a store with no IVF cells has nothing to walk: the doubling
     // candidates would degenerate to Seq(0) and the loop would
-    // "measure" an all-zero curve at nprobe = 0 — fail loudly like
-    // the other degenerate paths instead
-    require(nlist > 0,
-      s"tuneNprobe: store has no IVF centroids (nlist = 0) — nothing to tune")
-    // pin ONE evaluation of the sample up front: the truth pass and
-    // every per-nprobe search re-evaluate the query plan, so an
-    // un-seeded sample(...) — the typical way a tuning sample is drawn
-    // — would otherwise measure recall between MISMATCHED query draws
-    // and return a garbage curve with no error
+    // "measure" an all-zero curve at knob = 0 — fail loudly like the
+    // other degenerate paths instead
+    require(store.ivf.centroids.nonEmpty,
+      s"$caller: store has no IVF centroids (nlist = 0) — nothing to tune")
     val sample = sampleQueries.localCheckpoint(true)
-    // truth in the store's own space: OPQ corpora persist rotated, so
-    // rotate the query side once and brute-force against the stored
-    // floats — cosines are rotation-invariant, same truth
     val truthQueries = store.opq
       .map(o => rotateColumn(sample, vecCol, o))
       .getOrElse(sample)
     val corpus = store.vecs.select(col("id").as(idCol), col("vec").as(vecCol))
     val exact = bruteForceTopK(corpus, truthQueries, idCol, vecCol, k)
       .localCheckpoint(true)
-    if (exact.isEmpty)
-      return Seq.empty[(Int, Double, Boolean)]
-        .toDF("nprobe", "mean_recall", "met_target")
-    val candidates =
-      (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++ Iterator.single(nlist)).toSeq
+    (sample, exact)
+  }
+
+  /** The doubling candidate walk both tuners share: 1, 2, 4, …
+    * capped at (and always ending on) `cap`.
+    */
+  private def doublingTo(cap: Int): Seq[Int] =
+    (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap) ++ Iterator.single(cap)).toSeq
+
+  /** Shared curve walker: measure mean [[recallAtK]] of `search(v)`
+    * at each candidate IN ORDER, stopping at the first value meeting
+    * the target; one (knob, mean_recall, met_target) row per
+    * measured value.
+    */
+  private def walkKnobCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      knobCol: String,
+      candidates: Seq[Int],
+      exact: DataFrame,
+      k: Int,
+      targetRecall: Double,
+  )(search: Int => DataFrame): DataFrame = {
+    val sp = spark
+    import sp.implicits._
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
     var met = false
     val it = candidates.iterator
     while (it.hasNext && !met) {
-      val np = it.next()
-      val approx =
-        if (store.opq.nonEmpty)
-          ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
-        else
-          ivfPqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
-      val mean = recallAtK(approx, exact, k)
+      val v = it.next()
+      val mean = recallAtK(search(v), exact, k)
         .agg(avg(col("recall"))).head().getDouble(0)
       met = mean >= targetRecall
-      curve += ((np, mean, met))
+      curve += ((v, mean, met))
     }
-    curve.toSeq.toDF("nprobe", "mean_recall", "met_target")
+    curve.toSeq.toDF(knobCol, "mean_recall", "met_target")
   }
 
   // --------------------------------------------------------- brute force knn

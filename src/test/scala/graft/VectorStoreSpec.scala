@@ -645,6 +645,68 @@ class VectorStoreSpec extends SparkTestBase {
       s"OPQ tuner must also end at measured 1.0: $curveO")
   }
 
+  test("tuneRefine: fixed-nprobe budget walk — monotone by construction, exhaustive cap, ceiling = probed-cell truth") {
+    val (df, queries) = fixture(89)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("tune-refine")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_tune_rf", ivf, pq, numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_tune_rf")
+    def curve(target: Double, nprobe: Int) = Similarity
+      .tuneRefine(store, queries, "vec_id", "embedding", k = 4, target, nprobe)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val ex = ((store.vecs.count() + 3) / 4).toInt // exhaustive: refine·k ≥ corpus
+    val doubling = Iterator.iterate(1)(_ * 2).takeWhile(_ < ex).toSeq :+ ex
+    // full probe: the probed pool is the whole corpus, so the
+    // exhaustive endpoint IS brute force — recall exactly 1.0
+    val full = curve(1.0, nprobe = 8)
+    assert(full.map(_._1) == doubling.take(full.length),
+      s"doubling walk capped at the exhaustive budget: $full")
+    assert(full.map(_._2) == full.map(_._2).sorted,
+      s"monotone BY CONSTRUCTION at fixed nprobe (the pool only grows): $full")
+    assert(full.last._2 == 1.0 && full.last._3,
+      s"full probe + exhaustive budget must measure exactly 1.0: $full")
+    assert(full.init.forall(!_._3), s"only the stopping row is met: $full")
+    // a modest target stops the walk on the first measured row
+    val early = curve(0.05, nprobe = 8)
+    assert(early.length == 1 && early.head._3, s"0.05 target met at refine=1: $early")
+    // the pinned-nprobe CEILING claim, verified independently: at
+    // nprobe = 1 the endpoint recall must equal the mean fraction of
+    // each query's exact truth that lives in its single probed cell —
+    // computed here from the coded table + probeCells directly, no
+    // search involved
+    val pinned = curve(1.0, nprobe = 1)
+    assert(pinned.map(_._2) == pinned.map(_._2).sorted,
+      s"pinned-nprobe curve is monotone too: $pinned")
+    val cellOf = store.coded.select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Similarity
+      .bruteForceTopK(df, queries, "vec_id", "embedding", k = 4)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val qcells = queries.select($"vec_id", $"embedding").collect().map { r =>
+      r.getLong(0) -> Similarity
+        .probeCells(ivf.centroids, r.getSeq[Float](1).toArray, 1).head
+    }.toMap
+    val ceiling = exact.map { case (q, truth) =>
+      truth.count(n => cellOf(n) == qcells(q)).toDouble / truth.size
+    }.sum / exact.size
+    assert(pinned.last._2 == ceiling,
+      s"nprobe=1 exhaustive endpoint ${pinned.last._2} must equal the " +
+        s"probed-cell truth fraction $ceiling — the ceiling is the cell " +
+        "assignment, not the budget")
+    // degenerate knob: a named error, not a zero-candidate walk
+    val errNp = intercept[IllegalArgumentException] {
+      Similarity.tuneRefine(store, queries, "vec_id", "embedding", k = 4,
+        targetRecall = 1.0, nprobe = 0)
+    }
+    assert(errNp.getMessage.contains("nprobe must be >= 1"))
+    // empty sample: nothing to measure, empty curve
+    assert(Similarity.tuneRefine(store, df.where(lit(false)), "vec_id",
+      "embedding", k = 4, targetRecall = 1.0, nprobe = 8).isEmpty)
+  }
+
   test("stats: one row of cell-population shape, consistent with the coded table") {
     val (df, _) = fixture(67)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
