@@ -399,6 +399,13 @@ class SimilaritySpec extends SparkTestBase {
     val none = recalls(Similarity.recallAtK(exact.where(lit(false)), exact, 4))
     assert(none.length == 8 && none.forall { case (_, ne, nm, r) =>
       ne == 4L && nm == 0L && r == 0.0 })
+    // the documented malformed-approx robustness: repeated
+    // (query, neighbor) rows must not inflate EITHER count — without
+    // the internal distinct the left join would multiply exact rows
+    val doubled = exact.unionByName(exact)
+    assert(recalls(Similarity.recallAtK(doubled, exact, 4)) ==
+      recalls(Similarity.recallAtK(exact, exact, 4)),
+      "duplicated approx rows must measure identically to the clean frame")
     // rank > k rows are ignored on BOTH sides: measuring at k = 2
     // against the k = 4 truth uses only each side's top-2
     assert(recalls(Similarity.recallAtK(exact, exact, 2))

@@ -705,6 +705,19 @@ class VectorStoreSpec extends SparkTestBase {
     // empty sample: nothing to measure, empty curve
     assert(Similarity.tuneRefine(store, df.where(lit(false)), "vec_id",
       "embedding", k = 4, targetRecall = 1.0, nprobe = 8).isEmpty)
+    // OPQ store: the dispatch branch rotates queries into the store's
+    // space — same full-probe exhaustive endpoint of exactly 1.0
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("tune-refine-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_tune_rf_opq", ivfO,
+      opqO, numBuckets = 4)
+    val curveO = Similarity
+      .tuneRefine(VectorStore.read(spark, dirO, "vs_tune_rf_opq"), queries,
+        "vec_id", "embedding", k = 4, targetRecall = 1.0, nprobe = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(curveO.last._2 == 1.0 && curveO.last._3,
+      s"OPQ refine tuner must also end at measured 1.0: $curveO")
   }
 
   test("stats: one row of cell-population shape, consistent with the coded table") {
