@@ -1568,8 +1568,7 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+        val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
         Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", k = 5, ivf, pq,
           nprobe = 4, refine = 4)
       })
@@ -1968,16 +1967,31 @@ object SparkEntry {
     * drift (write, register, read, or the search seam) hash-fails
     * against the identical closed-form oracle.
     */
+  /** The PQ store fixture over the [[annPlantedGate]] corpus
+    * (embeddings ∪ perturbed copies), shared by the four store-served
+    * recall gates that used to build it independently with only the
+    * dir tag differing (q157 IVF-pruned, q158 Hamming, q162
+    * corpus-vs-corpus, q168 flat): IVF nlist 16, PQ m 8 / ksub 16,
+    * default buckets — byte-identical in all four, so one build per
+    * session serves the family ([[cachedStoreFixture]]).
+    */
+  private def annPqStoreFixture(s: SparkSession, dir: String, corpus: => DataFrame)
+      : graft.operators.VectorStore.CodedVectorStore =
+    cachedStoreFixture[graft.operators.VectorStore.CodedVectorStore](
+        s, dir, "annpq") {
+      val c = corpus // by-name: a cache hit never constructs the corpus plan
+      val (ivf, pq) = Similarity.trainIvfPq(c, "embedding", nlist = 16, m = 8, ksub = 16)
+      val storeDir = tempFixtureDir("graft_vecstore_annpq").toString
+      graft.operators.VectorStore
+        .write(c, "vec_id", "embedding", storeDir, "annpq_vs", ivf, pq)
+      graft.operators.VectorStore.read(s, storeDir, "annpq_vs")
+    }
+
   private def q157VecStorePqPlanted(s: SparkSession, dir: String): DataFrame =
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q157").toString
-        graft.operators.VectorStore
-          .write(corpus, "vec_id", "embedding", storeDir, "q157_vs", ivf, pq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q157_vs")
+        val store = annPqStoreFixture(s, dir, corpus)
         Similarity.ivfPqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
           nprobe = 4, refine = 4)
       })
@@ -1992,12 +2006,7 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q158").toString
-        graft.operators.VectorStore
-          .write(corpus, "vec_id", "embedding", storeDir, "q158_vs", ivf, pq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q158_vs")
+        val store = annPqStoreFixture(s, dir, corpus)
         Similarity.ivfHammingTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
           nprobe = 4, refine = 8)
       })
@@ -2090,15 +2099,28 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val (ivf, opq) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 16,
-          m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q161").toString
-        graft.operators.VectorStore
-          .writeOpq(corpus, "vec_id", "embedding", storeDir, "q161_vs", ivf, opq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q161_vs")
+        val store = annOpqStoreFixture(s, dir, corpus)
         Similarity.ivfOpqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
           nprobe = 4, refine = 4)
       })
+
+  /** The OPQ twin of [[annPqStoreFixture]] — the store-served OPQ
+    * gates (q161 IVF-pruned, q169 flat) built byte-identical
+    * OPQ-coded stores over the same [[annPlantedGate]] corpus; one
+    * build per session serves both ([[cachedStoreFixture]]).
+    */
+  private def annOpqStoreFixture(s: SparkSession, dir: String, corpus: => DataFrame)
+      : graft.operators.VectorStore.CodedVectorStore =
+    cachedStoreFixture[graft.operators.VectorStore.CodedVectorStore](
+        s, dir, "annopq") {
+      val c = corpus // by-name: a cache hit never constructs the corpus plan
+      val (ivf, opq) = Similarity.trainIvfOpq(c, "embedding", nlist = 16,
+        m = 8, ksub = 16)
+      val storeDir = tempFixtureDir("graft_vecstore_annopq").toString
+      graft.operators.VectorStore
+        .writeOpq(c, "vec_id", "embedding", storeDir, "annopq_vs", ivf, opq)
+      graft.operators.VectorStore.read(s, storeDir, "annopq_vs")
+    }
 
   /** Store-served CORPUS-vs-CORPUS kNN gate — the one ANN shape where
     * the query side is as big as the corpus, so nothing may broadcast:
@@ -2115,12 +2137,7 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, _) => {
-        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q162").toString
-        graft.operators.VectorStore
-          .write(corpus, "vec_id", "embedding", storeDir, "q162_vs", ivf, pq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q162_vs")
+        val store = annPqStoreFixture(s, dir, corpus)
         val allQueries = store.vecs.select(
           col("id").as("vec_id"), col("vec").as("embedding"))
         Similarity.ivfPqTopKFromStore(store, allQueries, "vec_id", "embedding",
@@ -2175,13 +2192,29 @@ object SparkEntry {
     * write→read→search→threshold→anti-join→merge→reopen chain
     * hash-fails against the closed-form oracle if any seam drifts.
     */
+  /** The PQ store fixture over the FULL embeddings corpus, shared by
+    * q164 (its epoch-0 ingest source) and q165 (its standing store) —
+    * the two gates built byte-identical stores independently; one
+    * build per session serves both ([[cachedStoreFixture]]). Returns
+    * (path, name, store) because the ingest verb takes the source by
+    * path+name, not by handle.
+    */
+  private def fullPqStoreFixture(s: SparkSession, dir: String)
+      : (String, String, graft.operators.VectorStore.CodedVectorStore) =
+    cachedStoreFixture[(String, String, graft.operators.VectorStore.CodedVectorStore)](
+        s, dir, "fullpq") {
+      val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
+      val storeDir = tempFixtureDir("graft_vecstore_fullpq").toString
+      graft.operators.VectorStore
+        .write(emb, "vec_id", "embedding", storeDir, "fullpq_vs", ivf, pq)
+      (storeDir, "fullpq_vs", graft.operators.VectorStore.read(s, storeDir, "fullpq_vs"))
+    }
+
   private def q164VecstoreIngestDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val (srcPath, srcName, _) = fullPqStoreFixture(s, dir)
     val root = tempFixtureDir("graft_vecstore_q164").toString
-    graft.operators.VectorStore
-      .write(emb, "vec_id", "embedding", s"$root/epoch0", "q164_vs_e0", ivf, pq)
     val tenth = emb.where(col("vec_id") % 10 === 0)
     val copies = tenth.select(
       (col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -2195,7 +2228,7 @@ object SparkEntry {
           lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
     val increment = copies.unionByName(fresh).localCheckpoint(true)
     val (grown, _) = graft.operators.VectorStore.ingestDedup(s,
-      s"$root/epoch0", "q164_vs_e0", increment, "vec_id", "embedding",
+      srcPath, srcName, increment, "vec_id", "embedding",
       s"$root/epoch1", "q164_vs_e1", threshold = 0.9, searchK = 4,
       nprobe = 4, refine = 4)
     increment.select(col("vec_id").as("id"))
@@ -2224,12 +2257,7 @@ object SparkEntry {
     */
   private def q165StoreSemanticHits(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
-    val storeDir = tempFixtureDir("graft_vecstore_q165").toString
-    graft.operators.VectorStore
-      .write(emb, "vec_id", "embedding", storeDir, "q165_vs", ivf, pq)
-    val store = graft.operators.VectorStore.read(s, storeDir, "q165_vs")
+    val (_, _, store) = fullPqStoreFixture(s, dir)
     val tenth = emb.where(col("vec_id") % 10 === 0)
     val copies = tenth.select(
       (col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -2279,8 +2307,7 @@ object SparkEntry {
           (x, i) => when(i === 0, (x + lit(0.001f)).cast("float")).otherwise(x),
         ).as("embedding"))
     val corpus = emb.unionByName(copies)
-    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q166").toString
     graft.operators.VectorStore
       .write(corpus, "vec_id", "embedding", storeDir, "q166_vs", ivf, pq)
@@ -2325,8 +2352,7 @@ object SparkEntry {
       .hashEmbed(texts, "text", dim = 128, ngrams = 2)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
     val root = tempFixtureDir("graft_vecstore_q167").toString
     // numBuckets sized to the gate corpus (2.5k rows) — the default 64
     // is a cluster-scale setting whose file spray dominates a toy
@@ -2397,8 +2423,7 @@ object SparkEntry {
     val emb = embTable
       .where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
     val root = tempFixtureDir("graft_vecstore_q171").toString
     val incDir = tempFixtureDir("graft_vecstore_q171_inc").toString
     graft.operators.VectorStore
@@ -2464,7 +2489,7 @@ object SparkEntry {
   }
 
   private val q171Oracle =
-    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+    """WITH u AS (SELECT ((GREATEST(max(vec_id), 0) // 1000000) + 1) * 1000000 AS u FROM embeddings)
       |SELECT CAST(-1 AS BIGINT) AS id, true AS kept
       |UNION ALL SELECT -2, true
       |UNION ALL SELECT vec_id + 1 * u.u, false FROM embeddings, u WHERE vec_id % 10 = 0
@@ -2743,8 +2768,7 @@ object SparkEntry {
       .applyHashIdf(texts, "text", model)
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q176").toString
     graft.operators.VectorStore
       .write(emb, "vec_id", "embedding", storeDir, "q176_vs", ivf, pq,
@@ -2779,7 +2803,7 @@ object SparkEntry {
   }
 
   private val q176Oracle =
-    """WITH u AS (SELECT ((max(doc_id) // 1000000) + 1) * 1000000 AS u FROM documents)
+    """WITH u AS (SELECT ((GREATEST(max(doc_id), 0) // 1000000) + 1) * 1000000 AS u FROM documents)
       |SELECT doc_id + u.u AS id, true AS hit_original, false AS clean
       |FROM documents, u WHERE doc_id % 10 = 0
       |UNION ALL
@@ -2991,8 +3015,7 @@ object SparkEntry {
     val decoys = shifted(unit, 0.01f)
     val queries = shifted(2L * unit, 0.02f).localCheckpoint(true)
     val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
-    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q180").toString
     graft.operators.VectorStore
       .write(corpus, "vec_id", "embedding", storeDir, "q180_vs", ivf, pq)
@@ -3026,7 +3049,7 @@ object SparkEntry {
   }
 
   private val q180Oracle =
-    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+    """WITH u AS (SELECT ((GREATEST(max(vec_id), 0) // 1000000) + 1) * 1000000 AS u FROM embeddings)
       |SELECT vec_id + 2 * u.u AS query_id, vec_id AS expected_id,
       |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
       |  false AS filtered_leaks
@@ -3183,8 +3206,7 @@ object SparkEntry {
     val decoys = shifted(unit, 0.01f)
     val queries = shifted(2L * unit, 0.02f).localCheckpoint(true)
     val corpus = emb.unionByName(decoys).unionByName(queries).localCheckpoint(true)
-    val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q184").toString
     graft.operators.VectorStore
       .write(corpus, "vec_id", "embedding", storeDir, "q184_vs", ivf, pq)
@@ -3218,7 +3240,7 @@ object SparkEntry {
   }
 
   private val q184Oracle =
-    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+    """WITH u AS (SELECT ((GREATEST(max(vec_id), 0) // 1000000) + 1) * 1000000 AS u FROM embeddings)
       |SELECT vec_id + 2 * u.u AS query_id, vec_id AS expected_id,
       |  true AS unfiltered_has_decoy, true AS filtered_recovers_original,
       |  false AS filtered_leaks
@@ -3319,7 +3341,7 @@ object SparkEntry {
   }
 
   private val q186Oracle =
-    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+    """WITH u AS (SELECT ((GREATEST(max(vec_id), 0) // 1000000) + 1) * 1000000 AS u FROM embeddings)
       |SELECT vec_id + u.u AS query_id, CAST(4 AS BIGINT) AS n_exact,
       |  CAST(2 AS BIGINT) AS n_matched, CAST(0.5 AS DOUBLE) AS recall
       |FROM embeddings, u WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin
@@ -3348,8 +3370,7 @@ object SparkEntry {
           (x, i) => when(pmod(hash(col("vec_id"), i), lit(2)) === 0, lit(1.0f))
             .otherwise(lit(-1.0f))).as("embedding"))
       .localCheckpoint(true)
-    val ivf = Similarity.trainIvf(standing, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(standing, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(standing, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q187").toString
     graft.operators.VectorStore
       .write(standing, "vec_id", "embedding", storeDir, "q187_vs", ivf, pq,
@@ -3380,7 +3401,7 @@ object SparkEntry {
   }
 
   private val q187Oracle =
-    """WITH u AS (SELECT ((max(vec_id) // 1000000) + 1) * 1000000 AS u FROM embeddings)
+    """WITH u AS (SELECT ((GREATEST(max(vec_id), 0) // 1000000) + 1) * 1000000 AS u FROM embeddings)
       |SELECT vec_id + u.u AS id,
       |  vec_id % 20 <> 0 AS hit_original,
       |  vec_id % 20 = 0 AS clean
@@ -3415,27 +3436,40 @@ object SparkEntry {
     * 10.7 s vs 6.5 s halved, bench sf0.1), sample ids offset by
     * [[plantUnit]] so no query can self-match a corpus row on either
     * the truth or the measured side (% 100 keeps the sample inside
-    * the even half). Returns None on the degenerate (empty-table)
-    * world — no centroids to walk; the tuner's named error is correct
-    * there, the GATES must not crash.
+    * the even half). The built store is shared through
+    * [[cachedStoreFixture]] — the two gates' fixtures are byte-identical,
+    * so the second gate (and a best-of-N re-run of either) reopens
+    * the landed store instead of re-training and re-writing it; each
+    * gate still builds from scratch when run in isolation. Returns
+    * None on the degenerate (empty-table) world — no centroids to
+    * walk; the tuner's named error is correct there, the GATES must
+    * not crash.
     */
-  private def tuneGateFixture(s: SparkSession, dir: String, tag: String)
+  private def tuneGateFixture(s: SparkSession, dir: String)
       : Option[(graft.operators.VectorStore.CodedVectorStore, DataFrame, Long)] = {
     val embTable = load(s, dir, "embeddings")
     val unit = plantUnit(embTable, "vec_id")
     val emb = embTable
       .where(col("vec_id") % 2 === 0)
       .select(col("vec_id"), col("embedding"))
-    val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
-    if (ivf.centroids.isEmpty) return None
-    val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
-    val storeDir = tempFixtureDir(s"graft_vecstore_$tag").toString
-    graft.operators.VectorStore
-      .write(emb, "vec_id", "embedding", storeDir, s"${tag}_vs", ivf, pq)
-    val store = graft.operators.VectorStore.read(s, storeDir, s"${tag}_vs")
-    val sample = emb.where(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + lit(unit)).as("vec_id"), col("embedding"))
-    Some((store, sample, store.vecs.count()))
+    val cached = cachedStoreFixture[Option[
+        (graft.operators.VectorStore.CodedVectorStore, Long)]](s, dir, "tune") {
+      val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8,
+        ksub = 16)
+      if (ivf.centroids.isEmpty) None
+      else {
+        val storeDir = tempFixtureDir("graft_vecstore_tune").toString
+        graft.operators.VectorStore
+          .write(emb, "vec_id", "embedding", storeDir, "tune_vs", ivf, pq)
+        val store = graft.operators.VectorStore.read(s, storeDir, "tune_vs")
+        Some((store, store.vecs.count()))
+      }
+    }
+    cached.map { case (store, n) =>
+      val sample = emb.where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + lit(unit)).as("vec_id"), col("embedding"))
+      (store, sample, n)
+    }
   }
 
   /** The five-scalar invariant row both tuning gates reduce their
@@ -3468,7 +3502,7 @@ object SparkEntry {
 
   private def q188TuneNprobe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tuneGateFixture(s, dir, "q188") match {
+    tuneGateFixture(s, dir) match {
       case None => Seq((0.0, false, false, false, false))
         .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
           "curve_walk_ok", "recall_monotone")
@@ -3506,7 +3540,7 @@ object SparkEntry {
     */
   private def q189TuneRefine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    tuneGateFixture(s, dir, "q189") match {
+    tuneGateFixture(s, dir) match {
       case None => Seq((0.0, false, false, false, false))
         .toDF("final_mean_recall", "final_met_target", "curve_len_ok",
           "curve_walk_ok", "recall_monotone")
@@ -3557,12 +3591,7 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val ivf = Similarity.trainIvf(corpus, "embedding", nlist = 16)
-        val pq = Similarity.trainPq(corpus, "embedding", m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q168").toString
-        graft.operators.VectorStore
-          .write(corpus, "vec_id", "embedding", storeDir, "q168_vs", ivf, pq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q168_vs")
+        val store = annPqStoreFixture(s, dir, corpus)
         Similarity.pqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
           refine = 4)
       })
@@ -3578,12 +3607,7 @@ object SparkEntry {
     annPlantedGate(
       load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       (corpus, queries) => {
-        val (ivf, opq) = Similarity.trainIvfOpq(corpus, "embedding", nlist = 16,
-          m = 8, ksub = 16)
-        val storeDir = tempFixtureDir("graft_vecstore_q169").toString
-        graft.operators.VectorStore
-          .writeOpq(corpus, "vec_id", "embedding", storeDir, "q169_vs", ivf, opq)
-        val store = graft.operators.VectorStore.read(s, storeDir, "q169_vs")
+        val store = annOpqStoreFixture(s, dir, corpus)
         Similarity.opqTopKFromStore(store, queries, "vec_id", "embedding", k = 5,
           refine = 4)
       })
@@ -3605,8 +3629,7 @@ object SparkEntry {
     val (corpus, queries) = q140Plant(s, dir)
     // m=4: the block-diagonal dim is 4·groups — always divisible by 4,
     // but only by 8 when the group count is even (it varies with sf)
-    val ivf = Similarity.trainIvf(corpus, "vec", nlist = 16)
-    val pq = Similarity.trainPq(corpus, "vec", m = 4, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(corpus, "vec", nlist = 16, m = 4, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q170").toString
     graft.operators.VectorStore
       .write(corpus, "id", "vec", storeDir, "q170_vs", ivf, pq, numBuckets = 4)
@@ -3855,8 +3878,7 @@ object SparkEntry {
     */
   private def q56IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
-    val ivf = Similarity.trainIvf(e, "embedding", nlist = 16)
-    val pq = Similarity.trainPq(e, "embedding", m = 8, ksub = 16)
+    val (ivf, pq) = Similarity.trainIvfPq(e, "embedding", nlist = 16, m = 8, ksub = 16)
     Similarity
       .ivfPqTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 10, ivf, pq,
         nprobe = 4, refine = 4)
@@ -5483,6 +5505,53 @@ object SparkEntry {
   private val gateBoundaryCache = scala.collection.mutable.HashMap
     .empty[(String, String), (SparkSession, java.nio.file.Path, Seq[(String, DataFrame)])]
 
+  /** Session-cached gate STORE fixtures (the [[cachedBoundaries]]
+    * idea applied to persisted vector/signature stores): several gate
+    * families build byte-identical store fixtures independently —
+    * same corpus construction, same deterministic seeded training,
+    * same write params, only the dir tag and catalog name differed —
+    * so each family used to pay the IVF/PQ train (two sampled corpus
+    * scans + driver k-means) and the bucketed two-table store write
+    * once PER GATE per sweep. Whichever gate of a family runs first
+    * builds the store; the rest reopen the landed parquet through the
+    * same [[graft.operators.VectorStore.read]] seam a production
+    * session uses. Families sharing a fixture (r20 VERDICT item 1
+    * prescribed the mechanism for q188/q189; the others are the same
+    * byte-identical-fixture fact):
+    *   - "tune": q188/q189 (even-half PQ store, nlist 16)
+    *   - "annpq": q157/q158/q162/q168 (PQ store over the
+    *     [[annPlantedGate]] corpus = embeddings ∪ perturbed copies)
+    *   - "annopq": q161/q169 (OPQ store over the same corpus)
+    *   - "fullpq": q164-epoch0/q165 (PQ store over the full corpus)
+    * (q180/q184 look like a family but are NOT byte-identical — q184
+    * deliberately indexes only the even corpus half — so they keep
+    * independent builds.)
+    * Session-bound recompute contract as [[cachedBoundaries]] (a
+    * frame from a stopped session fails every action); store dirs
+    * ride the normal [[tempFixtureDir]] JVM-exit hook; every gate
+    * still builds from scratch when run in isolation, and results are
+    * bit-identical because the fixtures were already byte-identical.
+    */
+  private val storeFixtureCache = scala.collection.mutable.HashMap
+    .empty[(String, String), (SparkSession, Any)]
+
+  /** Lookup-or-compute on [[storeFixtureCache]] — one coarse lock,
+    * like [[cachedBoundaries]] (gates run sequentially under the
+    * bench; coarseness costs nothing and closes the check-then-act
+    * race).
+    */
+  private def cachedStoreFixture[T](s: SparkSession, dir: String, key: String)(
+      build: => T): T =
+    storeFixtureCache.synchronized {
+      storeFixtureCache.get((dir, key)) match {
+        case Some((sess, v)) if sess eq s => v.asInstanceOf[T]
+        case _ =>
+          val v = build
+          storeFixtureCache((dir, key)) = (s, v)
+          v
+      }
+    }
+
   private def deleteDirTree(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
@@ -5534,8 +5603,11 @@ object SparkEntry {
     * fixed `+1e6` convention was silently wrong the day a scale dir
     * reached 1M rows (q184's leak predicate `neighbor_id >= 1e6`
     * would have flagged real corpus rows as leaks). The DuckDB
-    * oracles mirror the same closed form
-    * (`((max(id) // 1000000) + 1) * 1000000`), so both sides derive
+    * oracles mirror the same closed form INCLUDING the non-negative
+    * clamp (`((GREATEST(max(id), 0) // 1000000) + 1) * 1000000` —
+    * DuckDB's `//` floors negatives, so an unclamped oracle over a
+    * negative-id table would derive a DIFFERENT unit than this
+    * clamped Scala side, even unit 0), so both sides derive
     * the SAME unit whatever the scale; at the driver's SFs
     * (max id < 1e6) the unit is exactly 1,000,000 — plants identical
     * to the pre-derivation gates. An empty table yields the base

@@ -292,13 +292,29 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Int = 1000,
       numBuckets: Int = 64,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): Unit = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val banded0 = sigs.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
-    val counts = banded0.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    // Land the signature projection ONCE before fanning out to the two
+    // table writes (the [[VectorStore.write]] convention): `sigs` is
+    // typically the UNLANDED [[minHashSignatures]] plan — tokenize +
+    // shingle + numHashes MinHash per document — and the banded write,
+    // its bucket-count aggregation, and the grams write would each
+    // re-execute that corpus pass (3 executions measured in the
+    // pre-r21 plan). Landing also guarantees the banded/grams sides
+    // can never diverge row-wise under a nondeterministic upstream.
+    // Pass [[Materialize.Lazy]] when `sigs` is already parquet-backed
+    // (the [[mergeSignatures]] shape) to skip the extra copy.
+    val landed = Materialize(sigs.select("id", "sig", "grams"), materialize)
+    val banded0 = landed.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
+    // per-bucket population via ONE window over the banded explode —
+    // the former groupBy+self-join spelling shuffled the banded rows
+    // twice (aggregate leg + join leg) for the same (bucket, id,
+    // bucket_n) output rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     banded0
-      .join(counts, "bucket")
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .where(col("bucket_n") <= maxBucketSize.toLong)
       .select("bucket", "id", "bucket_n")
       .write
@@ -310,8 +326,7 @@ object Dedup {
     // the doc side keeps sig TOO (numHashes longs/doc): grams alone
     // serve the verify join, but compaction ([[mergeSignatures]])
     // must re-band without re-reading corpus text
-    sigs
-      .select("id", "sig", "grams")
+    landed
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/grams")
@@ -455,8 +470,12 @@ object Dedup {
       add.select(col("id")).join(srcDocs.select(col("id")), "id").isEmpty,
       "mergeSignatures: new-batch ids overlap the standing store — the sides must " +
         "be disjoint; dedup the increment first (nearDupNewDocs) and merge survivors")
+    // Lazy: both sides are already landed (src is the store's parquet,
+    // the increment comes from a sink/checkpoint dir) — the default
+    // landing would pay one redundant corpus copy
     writeSignatures(srcDocs.unionByName(add), dstPath, dstName,
-      src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets)
+      src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets,
+      materialize = Materialize.Lazy)
     readSignatures(spark, dstPath, dstName)
   }
 

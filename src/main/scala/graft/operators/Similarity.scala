@@ -432,10 +432,14 @@ object Similarity {
   }
 
   /** The doubling candidate walk both tuners share: 1, 2, 4, …
-    * capped at (and always ending on) `cap`.
+    * capped at (and always ending on) `cap`. Doubles in Long: an Int
+    * doubling past 2^30 wraps negative and `takeWhile(_ < cap)` never
+    * terminates when cap > 2^30 (tuneRefine's exhaustive cap on a
+    * multi-billion-row corpus) — the Long walk hits 2^31 and stops.
     */
   private def doublingTo(cap: Int): Seq[Int] =
-    (Iterator.iterate(1)(_ * 2).takeWhile(_ < cap) ++ Iterator.single(cap)).toSeq
+    (Iterator.iterate(1L)(_ * 2).takeWhile(_ < cap).map(_.toInt) ++
+      Iterator.single(cap)).toSeq
 
   /** Shared curve walker: measure mean [[recallAtK]] of `search(v)`
     * at each candidate IN ORDER, stopping at the first value meeting
@@ -889,8 +893,48 @@ object Similarity {
       sampleRows: Int = 20000,
       iterations: Int = 8,
       seed: Long = 42L,
-  ): IvfModel = {
+  ): IvfModel =
+    trainIvfOnSample(sampleVectors(df, vecCol, sampleRows, seed), nlist,
+      iterations, seed)
+
+  /** Train IVF and PQ from ONE reservoir sample. [[trainIvf]] and
+    * [[trainPq]] draw the IDENTICAL seeded sample (same df, same
+    * sampleRows, same seed → same per-partition reservoir draws), so
+    * calling them separately pays a second full corpus-sample scan
+    * for the same rows — at corpus scale that is a whole extra pass
+    * over the data per index build. This samples once and runs both
+    * driver-side trainers on it; each consumes the sample with its
+    * own fresh seeded RNG, so the returned models are BIT-IDENTICAL
+    * to the separate calls (SimilaritySpec pins the equality).
+    */
+  def trainIvfPq(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      sampleRows: Int = 20000,
+      iterations: Int = 8,
+      seed: Long = 42L,
+  ): (IvfModel, PqModel) = {
+    require(ksub <= 256, "codes are single bytes: ksub ≤ 256")
     val sample = sampleVectors(df, vecCol, sampleRows, seed)
+    val ivf = trainIvfOnSample(sample, nlist, iterations, seed)
+    val pq =
+      if (sample.isEmpty) PqModel(1, 1, 1, Array(0f))
+      else trainPqOnSample(sample.map(normalize), m, ksub, iterations, seed)
+    (ivf, pq)
+  }
+
+  /** The driver-side Lloyd core of [[trainIvf]] over an
+    * already-collected sample (shared with [[trainIvfPq]]).
+    */
+  private def trainIvfOnSample(
+      sample: Array[Array[Float]],
+      nlist: Int,
+      iterations: Int,
+      seed: Long,
+  ): IvfModel = {
     // empty corpus → EXPLICIT empty model (no centroids): callers test
     // `model.centroids.isEmpty` instead of inferring emptiness from a
     // degenerate shape (a genuine 1-dim k=1 corpus is indistinguishable
@@ -1439,7 +1483,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val bcLuts = spark.sparkContext.broadcast(qLuts)
-    val kk = k * refine
+    val kk = math.min(Int.MaxValue.toLong, k.toLong * refine).toInt // k*refine can overflow Int at exhaustive refine on a billion-row corpus; a saturated shortlist bound is still exhaustive
     val m = model.m
     val ksub = model.ksub
     val partialCands = encoded
@@ -1852,7 +1896,7 @@ object Similarity {
         col("neighbor_id"),
         graft.functions.VectorExpressions.pqAdcScore(col("code"), col("lut"), ksub).as("cosine"),
       )
-    val cands = topKReduce(adc, k * refine).select(col("query_id"), col("neighbor_id"))
+    val cands = topKReduce(adc, math.min(Int.MaxValue.toLong, k.toLong * refine).toInt).select(col("query_id"), col("neighbor_id"))
     // the re-rank must honor the same bound as the probe join: with
     // broadcastQueries=false the query set is too big to broadcast
     // ANYWHERE, so fetch qvecs through a shuffle join instead
@@ -2120,7 +2164,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val bcCodes = spark.sparkContext.broadcast(qCodes)
-    val kk = k * refine
+    val kk = math.min(Int.MaxValue.toLong, k.toLong * refine).toInt // k*refine can overflow Int at exhaustive refine on a billion-row corpus; a saturated shortlist bound is still exhaustive
     val partialCands = nonDegenerate(corpus, vecCol)
       .select(col(idCol).cast("long").as("neighbor_id"), Quantize.signPack(col(vecCol)).as("code"))
       .as[(Long, Array[Long])]
@@ -2328,7 +2372,7 @@ object Similarity {
       .map { case (cell, xs) => cell -> xs.map(_._2).sorted }
     val bcCodes = spark.sparkContext.broadcast(qCodes)
     val bcByCell = spark.sparkContext.broadcast(byCell)
-    val kk = k * refine
+    val kk = math.min(Int.MaxValue.toLong, k.toLong * refine).toInt // k*refine can overflow Int at exhaustive refine on a billion-row corpus; a saturated shortlist bound is still exhaustive
     val partialCands = codedCorpus
       .select(col("neighbor_id").cast("long"), col("code"), col("cell").cast("int"))
       .as[(Long, Array[Long], Int)]

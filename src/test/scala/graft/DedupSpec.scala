@@ -976,4 +976,36 @@ class DedupSpec extends SparkTestBase {
     }
     assert(eKeep.getMessage.contains("keepLatest"), eKeep.getMessage)
   }
+
+  test("signature store: banded table carries the exact bucket population and the write-time skew cap drops oversized buckets") {
+    // pins the r21 single-window rewrite of writeSignatures' bucket
+    // counting (was groupBy + self-join): bucket_n must equal the
+    // bucket's corpus population EXACTLY (readers evaluate union caps
+    // per-row against it), and buckets over maxBucketSize must be
+    // ABSENT, not just flagged. Three identical docs share every band
+    // bucket (population 3); one fresh doc populates its own buckets
+    // (population 1); maxBucketSize = 2 must drop the shared buckets
+    // and keep the fresh ones.
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, shared), (2L, shared), (3L, shared),
+      (4L, (0 until 30).map(k => s"u4x$k").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigcap").toString
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text"), dir, "sigcap_a",
+      maxBucketSize = 2)
+    val store = Dedup.readSignatures(spark, dir, "sigcap_a")
+    val banded = store.banded.select($"bucket", $"id", $"bucket_n")
+      .as[(String, Long, Long)].collect()
+    assert(banded.nonEmpty, "fresh doc's buckets must survive the cap")
+    // no shared-doc bucket survives (population 3 > cap 2) …
+    assert(banded.forall(_._2 == 4L),
+      s"oversized buckets leaked ids: ${banded.filter(_._2 != 4L).take(3).toSeq}")
+    // … and the carried population is the true per-bucket count
+    val recounted = banded.groupBy(_._1).map { case (_, rows) => rows.length.toLong }.toSet
+    assert(banded.forall(r => r._3 == banded.count(_._1 == r._1).toLong),
+      "bucket_n must equal the bucket's surviving population")
+    assert(recounted.forall(_ == 1L), s"fresh doc buckets are singletons: $recounted")
+  }
 }

@@ -484,4 +484,30 @@ class SimilaritySpec extends SparkTestBase {
       .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(out == Seq(1L, 2L), s"ties must resolve by ascending id: $out")
   }
+
+  test("trainIvfPq: one shared sample, models bit-identical to the separate trainIvf/trainPq calls") {
+    // the r21 single-scan optimization's contract: trainIvf and
+    // trainPq draw the IDENTICAL seeded reservoir sample, so the
+    // combined trainer (one corpus-sample scan instead of two) must
+    // return byte-equal models — any drift here would silently move
+    // every store-served gate
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (ivfC, pqC) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
+    val ivfS = Similarity.trainIvf(emb, "embedding", nlist = 16)
+    val pqS = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+    assert(ivfC.centroids.length == ivfS.centroids.length)
+    ivfC.centroids.zip(ivfS.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "IVF centroid drift between combined and separate training")
+    }
+    assert(pqC.m == pqS.m && pqC.ksub == pqS.ksub && pqC.dsub == pqS.dsub)
+    assert(java.util.Arrays.equals(pqC.codebooks, pqS.codebooks),
+      "PQ codebook drift between combined and separate training")
+    // the empty-corpus contract carries over unchanged: explicit empty
+    // IVF model, degenerate 1×1 PQ model
+    val (ivfE, pqE) = Similarity.trainIvfPq(
+      emb.where(col("vec_id") < 0), "embedding", nlist = 16, m = 8, ksub = 16)
+    assert(ivfE.centroids.isEmpty)
+    assert(pqE.m == 1 && pqE.ksub == 1)
+  }
 }
