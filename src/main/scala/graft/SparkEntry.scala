@@ -1983,7 +1983,8 @@ object SparkEntry {
       val (ivf, pq) = Similarity.trainIvfPq(c, "embedding", nlist = 16, m = 8, ksub = 16)
       val storeDir = tempFixtureDir("graft_vecstore_annpq").toString
       graft.operators.VectorStore
-        .write(c, "vec_id", "embedding", storeDir, "annpq_vs", ivf, pq)
+        .write(c, "vec_id", "embedding", storeDir, "annpq_vs", ivf, pq,
+          numBuckets = 8) // sized to the gate corpus (q167's documented lesson)
       graft.operators.VectorStore.read(s, storeDir, "annpq_vs")
     }
 
@@ -2118,7 +2119,8 @@ object SparkEntry {
         m = 8, ksub = 16)
       val storeDir = tempFixtureDir("graft_vecstore_annopq").toString
       graft.operators.VectorStore
-        .writeOpq(c, "vec_id", "embedding", storeDir, "annopq_vs", ivf, opq)
+        .writeOpq(c, "vec_id", "embedding", storeDir, "annopq_vs", ivf, opq,
+          numBuckets = 8)
       graft.operators.VectorStore.read(s, storeDir, "annopq_vs")
     }
 
@@ -2207,7 +2209,8 @@ object SparkEntry {
       val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
       val storeDir = tempFixtureDir("graft_vecstore_fullpq").toString
       graft.operators.VectorStore
-        .write(emb, "vec_id", "embedding", storeDir, "fullpq_vs", ivf, pq)
+        .write(emb, "vec_id", "embedding", storeDir, "fullpq_vs", ivf, pq,
+          numBuckets = 8)
       (storeDir, "fullpq_vs", graft.operators.VectorStore.read(s, storeDir, "fullpq_vs"))
     }
 
@@ -2310,7 +2313,8 @@ object SparkEntry {
     val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q166").toString
     graft.operators.VectorStore
-      .write(corpus, "vec_id", "embedding", storeDir, "q166_vs", ivf, pq)
+      .write(corpus, "vec_id", "embedding", storeDir, "q166_vs", ivf, pq,
+        numBuckets = 8)
     val store = graft.operators.VectorStore.read(s, storeDir, "q166_vs")
     val out = Similarity.semanticDedupFromStore(store, eps = 0.99)
       .select(col("id"), col("component"), col("is_kept"))
@@ -3018,7 +3022,8 @@ object SparkEntry {
     val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q180").toString
     graft.operators.VectorStore
-      .write(corpus, "vec_id", "embedding", storeDir, "q180_vs", ivf, pq)
+      .write(corpus, "vec_id", "embedding", storeDir, "q180_vs", ivf, pq,
+        numBuckets = 8)
     val store = graft.operators.VectorStore.read(s, storeDir, "q180_vs")
     val allowed = emb.select(col("vec_id"))
     val unfiltered = Similarity
@@ -3209,7 +3214,8 @@ object SparkEntry {
     val (ivf, pq) = Similarity.trainIvfPq(corpus, "embedding", nlist = 16, m = 8, ksub = 16)
     val storeDir = tempFixtureDir("graft_vecstore_q184").toString
     graft.operators.VectorStore
-      .write(corpus, "vec_id", "embedding", storeDir, "q184_vs", ivf, pq)
+      .write(corpus, "vec_id", "embedding", storeDir, "q184_vs", ivf, pq,
+        numBuckets = 8)
     val store = graft.operators.VectorStore.read(s, storeDir, "q184_vs")
     val allowed = emb.select(col("vec_id"))
     val unfiltered = Similarity
@@ -3460,7 +3466,8 @@ object SparkEntry {
       else {
         val storeDir = tempFixtureDir("graft_vecstore_tune").toString
         graft.operators.VectorStore
-          .write(emb, "vec_id", "embedding", storeDir, "tune_vs", ivf, pq)
+          .write(emb, "vec_id", "embedding", storeDir, "tune_vs", ivf, pq,
+            numBuckets = 8)
         val store = graft.operators.VectorStore.read(s, storeDir, "tune_vs")
         Some((store, store.vecs.count()))
       }
@@ -6343,7 +6350,8 @@ object SparkEntry {
     val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
     val storeDir = tempFixtureDir("graft_sigstore_gate").toString
     Dedup.writeSignatures(
-      Dedup.minHashSignatures(docs, "doc_id", "text"), storeDir, "q132_sigs")
+      Dedup.minHashSignatures(docs, "doc_id", "text"), storeDir, "q132_sigs",
+      numBuckets = 8)
     val store = Dedup.readSignatures(s, storeDir, "q132_sigs")
     val copies = docs
       .where(col("doc_id") % 10 === 0)

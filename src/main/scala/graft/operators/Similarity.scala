@@ -950,14 +950,29 @@ object Similarity {
       normed(rng.nextInt(normed.length)).clone(),
     )
     var it = 0
+    val assign = new Array[Int](normed.length)
     while (it < iterations) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
-      normed.foreach { v =>
-        val c = IvfModel.nearest(centroids, v)
+      // The assignment step is the hot part (samples × nlist × dim
+      // flops per iteration — ~2 s single-threaded at dim 2048) and is
+      // PURE per-element reads, so it parallelizes without touching
+      // the result; the float accumulation below stays SEQUENTIAL in
+      // sample order, so the trained model is BIT-IDENTICAL to the
+      // single-threaded loop (a parallel sum would reorder float adds
+      // and drift the centroids' low bits — deterministic models are
+      // what keep every store-served gate reproducible).
+      val cur = centroids
+      java.util.stream.IntStream.range(0, normed.length).parallel()
+        .forEach(i => assign(i) = IvfModel.nearest(cur, normed(i)))
+      var si = 0
+      while (si < normed.length) {
+        val c = assign(si)
         counts(c) += 1
+        val v = normed(si)
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        si += 1
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
@@ -1284,14 +1299,22 @@ object Similarity {
         c += 1
       }
       var it = 0
+      val assign = new Array[Int](normed.length)
       while (it < iterations) {
         val sums = Array.fill(effKsub)(new Array[Double](dsub))
         val counts = new Array[Int](effKsub)
-        normed.foreach { v =>
-          val cc = PqModel.nearestCode(cb, j, effKsub, dsub, v)
+        // parallel assignment + sequential accumulation — same
+        // bit-identical-parallelism contract as the IVF loop above
+        java.util.stream.IntStream.range(0, normed.length).parallel()
+          .forEach(i => assign(i) = PqModel.nearestCode(cb, j, effKsub, dsub, normed(i)))
+        var si = 0
+        while (si < normed.length) {
+          val cc = assign(si)
+          val v = normed(si)
           counts(cc) += 1
           var i = 0
           while (i < dsub) { sums(cc)(i) += v(j * dsub + i); i += 1 }
+          si += 1
         }
         c = 0
         while (c < effKsub) {
