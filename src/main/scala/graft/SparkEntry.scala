@@ -3743,7 +3743,10 @@ object SparkEntry {
     * in the extraction mode, the paragraph stage, its webIngest
     * threading, or the downstream chunk/pack replay hash-fails.
     */
-  private def q156ParaIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+  /** q156's page frame, split out for the stage probe (see
+    * [[q104PlantedPages]]).
+    */
+  private[graft] def q156PlantedPages(s: SparkSession, dir: String): DataFrame = {
     val ptail = concat(
       lit("overlap item"), col("doc_id").cast("string"), lit("y0 continues here"))
     val html = concat(
@@ -3751,8 +3754,12 @@ object SparkEntry {
       ptail,
       lit("</div><p>"), q122Content(col("doc_id"), 27), lit("</p></body></html>"))
     val url = concat(lit("http://site0.example.com/p/"), col("doc_id").cast("string"))
-    val pages = load(s, dir, "documents")
+    load(s, dir, "documents")
       .select(col("doc_id"), html.as("html"), url.as("url"))
+  }
+
+  private def q156ParaIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    val pages = q156PlantedPages(s, dir)
     graft.operators.CorpusPipeline
       .webIngest(pages, "doc_id", "html", "url",
         langs = Seq("en"), seqLen = 128, minLineChars = -1,
@@ -4675,15 +4682,23 @@ object SparkEntry {
     * dedup of planted copies, host caps, ParquetDir threading — are
     * locked in CorpusPipelineSpec.
     */
-  private def q104WebIngest(s: SparkSession, dir: String): DataFrame = {
+  /** q104's page frame, split out so the stage probe
+    * (tools/Probe `funnel_stages`) can time the gate's chain piecewise
+    * against the exact corpus the gate runs.
+    */
+  private[graft] def q104PlantedPages(s: SparkSession, dir: String): DataFrame = {
     val html = concat(
       lit("<html><head><title>t</title><script>var x = 1 < 2;</script></head><body><p>"),
       col("text"), lit("</p></body></html>"))
     val url = concat(
       lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
       lit(".Example.COM:80/p/"), col("doc_id").cast("string"), lit("?q=1#frag"))
-    val pages = load(s, dir, "documents")
+    load(s, dir, "documents")
       .select(col("doc_id"), html.as("html"), url.as("url"))
+  }
+
+  private def q104WebIngest(s: SparkSession, dir: String): DataFrame = {
+    val pages = q104PlantedPages(s, dir)
     graft.operators.CorpusPipeline
       .webIngest(pages, "doc_id", "html", "url", maxPerHost = 40, seqLen = 128)
       .select(col("id"), col("chunk_idx"), col("n_chunk_tokens"), col("pos"),
@@ -5697,12 +5712,16 @@ object SparkEntry {
     }
 
   private def q122WebIngestPlanted(s: SparkSession, dir: String): DataFrame = {
-    // the staged chain's gopher boundary IS cleanedCrawlPrefix's
-    // output for this corpus+config (the funnel ≡ prefix spec pins
-    // that); webIngestFromCleaned runs the real post-prefix pipeline
-    val gopher = q122IngestBoundaries(s, dir).find(_._1 == "gopher").get._2
+    // the staged chain's host_cap boundary IS the fused pipeline's
+    // pre-chunk survivor frame for this corpus+config (the staged
+    // exact+near split restates cleanCorpus's fused pass — the
+    // funnel ≡ pipeline spec pins frame equality, r22), so the gate
+    // rides the shared boundary cache through the cap and runs the
+    // real chunk→pack layout tail (webIngestFromCapped — the same
+    // code path webIngestFromCleaned delegates to)
+    val capped = q122IngestBoundaries(s, dir).find(_._1 == "host_cap").get._2
     graft.operators.CorpusPipeline
-      .webIngestFromCleaned(gopher, maxPerHost = 80, seqLen = 64)
+      .webIngestFromCapped(capped, seqLen = 64, shuffleSalt = "epoch0")
       .select(col("id"), col("chunk_id"), col("chunk_idx"), col("chunk_text"),
         col("n_chunk_tokens"), col("pos"), col("start_offset"),
         col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
@@ -5771,7 +5790,10 @@ object SparkEntry {
     * option's stage position (redacting after dedup, or skipping the
     * soft-404 drop) hash-fails the gate.
     */
-  private def q123PiiIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+  /** q123's page frame, split out for the stage probe (see
+    * [[q104PlantedPages]]).
+    */
+  private[graft] def q123PlantedPages(s: SparkSession, dir: String): DataFrame = {
     val r = col("doc_id") % 10
     def contactFor(d: Column): Column = concat(
       lit(" contact mail"), d.cast("string"), lit("@example.org or 10.0.0."),
@@ -5782,8 +5804,12 @@ object SparkEntry {
       .otherwise(concat(q122Content(col("doc_id"), 27), contactFor(col("doc_id"))))
     val html = concat(lit("<html><body><p>"), content, lit("</p></body></html>"))
     val url = concat(lit("http://site0.example.com/p/"), col("doc_id").cast("string"))
-    val pages = load(s, dir, "documents")
+    load(s, dir, "documents")
       .select(col("doc_id"), html.as("html"), url.as("url"))
+  }
+
+  private def q123PiiIngestPlanted(s: SparkSession, dir: String): DataFrame = {
+    val pages = q123PlantedPages(s, dir)
     graft.operators.CorpusPipeline
       .webIngest(pages, "doc_id", "html", "url",
         langs = Seq("en"), seqLen = 128, soft404 = true, redactPii = true)

@@ -270,49 +270,81 @@ object CorpusPipeline {
       minParagraphChars: Int = 5,
   ): DataFrame = {
     val landedQuality = Materialize(quality, stageMaterialize(materialize, "quality"))
-    val attrs = landedQuality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+    val attrCols = Seq("url_norm", "url_host", "lang_pred")
     // minLineChars < 0 SKIPS the corpus-wide line stage entirely — the
     // Dolma-style paragraph-only recipe; a large floor would make the
     // stage a semantic no-op but still pay its full corpus pass
-    // (posexplode + winner aggregation + anti-join + rebuild), which
+    // (posexplode + winner aggregation + rebuild), which
     // at 100 TB is a real scan nobody asked for
+    // r22 (guide §2.4): the url/lang attr columns are CARRIED through
+    // every stage (dedup rebuild joins, chunk fan-out) instead of
+    // being re-attached by id-keyed corpus joins after each stage —
+    // the former shape paid two extra exchanges per dedup stage plus
+    // a chunk-frame-sized attrs join at the end
     val lined0 =
       if (minLineChars < 0) landedQuality
       else Dedup
-        .lineDedup(landedQuality, "id", "text", minLineChars)
+        .lineDedupCarry(landedQuality, "id", "text", minLineChars, attrCols)
         .where(length(trim(col("clean_text"))) > 0)
-        .select(col("id"), col("clean_text").as("text"))
-        .join(attrs, "id")
+        .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*)
     // optional corpus-wide PARAGRAPH dedup between line dedup and the
     // exact/near stage (default off, byte-stable): with
     // `paragraphBreaks` extraction upstream, repeated whole blocks
     // (cookie banners, footers shared across a site) drop as units —
     // the Dolma web recipe's granularity — while a block only
     // partially shared between pages survives intact. Same shuffle
-    // shape as line dedup (one winner aggregation + anti-join), so
+    // shape as line dedup (one winner aggregation + rebuild), so
     // enabling it adds one line-dedup-sized pass, nothing superlinear.
     val lined =
       if (!paragraphDedup) lined0
       else Dedup
-        .paragraphDedup(lined0, "id", "text", minParagraphChars)
+        .paragraphDedupCarry(lined0, "id", "text", minParagraphChars, attrCols)
         .where(length(trim(col("clean_text"))) > 0)
-        .select(col("id"), col("clean_text").as("text"))
-        .join(attrs, "id")
+        .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*)
     val deduped = Dedup.cleanCorpus(lined, "id", "text", jaccardThreshold,
       transitive = true, materialize = stageMaterialize(materialize, "dedup"))
     val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
+    webIngestFromCapped(capped, seqLen, shuffleSalt, materialize)
+  }
+
+  /** [[webIngestFromCleaned]]'s chunk→pack→join layout TAIL over an
+    * ALREADY-CAPPED survivor frame ((id, text, url_norm, url_host,
+    * lang_pred) — [[Sampling.capPerStratum]]'s output in the fused
+    * chain, or the staged chain's `host_cap` boundary, which the
+    * funnel ≡ pipeline specs pin to the same rows). Split out so a
+    * gate suite holding a landed host_cap boundary can reuse it
+    * instead of re-running line dedup + exact/near dedup + the cap;
+    * [[webIngestFromCleaned]] itself delegates here, so the two can
+    * never diverge.
+    */
+  private[graft] def webIngestFromCapped(
+      capped: DataFrame,
+      seqLen: Int,
+      shuffleSalt: String,
+      materialize: Materialize = Materialize.LocalCheckpoint,
+  ): DataFrame = {
+    val attrCols = Seq("url_norm", "url_host", "lang_pred")
     val chunks = TextAnalysis
-      .chunkTokens(capped, "id", "text", window = seqLen, stride = seqLen)
+      .chunkTokensCarry(capped, "id", "text", window = seqLen, stride = seqLen,
+        carry = attrCols)
       .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
     val landedChunks = Materialize(chunks, stageMaterialize(materialize, "chunks"))
+    // unordered layout: the equi-join below destroys row order, so the
+    // public face's global orderBy(pos) (sampling job + range exchange
+    // + sort) would be pure overhead here
     val layout = Packing
-      .shuffleAndPack(landedChunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
+      .shuffleAndPackUnordered(landedChunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
     val out = landedChunks
       .join(
         layout.select(col("chunk_id"), col("pos"), col("start_offset"),
           col("pack_first"), col("pack_last")),
         "chunk_id")
-      .join(attrs, "id")
+      // documented output column order (the attrs now arrive carried,
+      // not via a trailing join — same rows, same values)
+      .select(col("chunk_id"), col("id"), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"), col("pos"), col("start_offset"),
+        col("pack_first"), col("pack_last"), col("url_norm"), col("url_host"),
+        col("lang_pred"))
     Materialize(out, stageMaterialize(materialize, "layout"))
   }
 
@@ -537,21 +569,19 @@ object CorpusPipeline {
         .redactPii(cur, "text")
         .withColumn("text", col("redacted"))
         .drop("redacted", "pii_found")
-    val attrs = cur.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+    val attrCols = Seq("url_norm", "url_host", "lang_pred")
     if (minLineChars >= 0)
       cur = land("line_dedup",
         Dedup
-          .lineDedup(cur, "id", "text", minLineChars)
+          .lineDedupCarry(cur, "id", "text", minLineChars, attrCols)
           .where(length(trim(col("clean_text"))) > 0)
-          .select(col("id"), col("clean_text").as("text"))
-          .join(attrs, "id"))
+          .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*))
     if (paragraphDedup)
       cur = land("paragraph_dedup",
         Dedup
-          .paragraphDedup(cur, "id", "text", minParagraphChars)
+          .paragraphDedupCarry(cur, "id", "text", minParagraphChars, attrCols)
           .where(length(trim(col("clean_text"))) > 0)
-          .select(col("id"), col("clean_text").as("text"))
-          .join(attrs, "id"))
+          .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*))
     cur = land("exact_dedup",
       Dedup
         .exactDedup(cur, "id", "text")
@@ -757,8 +787,10 @@ object CorpusPipeline {
       transitive = true, window = seqLen, stride = seqLen, materialize = materialize)
       .withColumn("chunk_id", concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
       .persist()
+    // unordered: the join below destroys row order — the public
+    // shuffleAndPack's global orderBy(pos) would be pure overhead
     val layout =
-      Packing.shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
+      Packing.shuffleAndPackUnordered(chunks, "chunk_id", "n_chunk_tokens", seqLen, shuffleSalt)
     // boundary, not persist: corpus-sized frame handed to the
     // caller — no CacheManager entry to leak; layout is already
     // checkpoint-backed (shuffleAndPack), chunks released here. A

@@ -89,7 +89,7 @@ object Dedup {
     * operator at corpus scale, and any false positives the
     * densification adds are killed by the exact-Jaccard verify.
     */
-  private def minHashPrep(text: Column, numHashes: Int, shingleSize: Int): Column =
+  private[graft] def minHashPrep(text: Column, numHashes: Int, shingleSize: Int): Column =
     graft.functions.TextSignatures.minhashPrep(text, shingleSize, numHashes)
 
   /** The densified-OPH signature of a (distinct) shingle-hash set —
@@ -1747,7 +1747,23 @@ object Dedup {
       textCol: String,
       minLineChars: Int = 5,
   ): DataFrame =
-    unitDedup(df, idCol, textCol, minLineChars, "\n", "\n", "n_kept_lines")
+    unitDedup(df, idCol, textCol, minLineChars, "\n", "\n", "n_kept_lines", Nil)
+
+  /** [[lineDedup]] carrying extra per-document columns of `df`
+    * through to the output (r22, guide §2.4): the rebuild's final
+    * join against the input already exchanges both sides on id, so a
+    * pipeline that needs attribute columns back (webIngest re-attaches
+    * url/lang metadata) rides that join instead of paying a second
+    * id-keyed join of the corpus against an attrs projection.
+    */
+  private[graft] def lineDedupCarry(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int,
+      carry: Seq[String],
+  ): DataFrame =
+    unitDedup(df, idCol, textCol, minLineChars, "\n", "\n", "n_kept_lines", carry)
 
   /** PARAGRAPH-level exact dedup — the Dolma-recipe granularity
     * (Soldaini et al. 2024 dedup paragraphs corpus-wide; boilerplate
@@ -1764,14 +1780,40 @@ object Dedup {
       minParagraphChars: Int = 5,
   ): DataFrame =
     unitDedup(df, idCol, textCol, minParagraphChars, "\\n{2,}", "\n\n",
-      "n_kept_paragraphs")
+      "n_kept_paragraphs", Nil)
+
+  /** [[paragraphDedup]] with carried columns — see [[lineDedupCarry]]. */
+  private[graft] def paragraphDedupCarry(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minParagraphChars: Int,
+      carry: Seq[String],
+  ): DataFrame =
+    unitDedup(df, idCol, textCol, minParagraphChars, "\\n{2,}", "\n\n",
+      "n_kept_paragraphs", carry)
 
   /** The shared unit-granular exact-dedup machinery behind
     * [[lineDedup]] / [[paragraphDedup]]: posexplode on `splitRe`,
     * first-occurrence winner per trimmed unit (global (doc, position)
-    * order, map-side partial min), anti-join back, per-doc ordered
-    * rebuild joined with `joinSep`. Units shorter than `minChars`
-    * after trimming are always kept.
+    * order, map-side partial min), keep-decision by a LEFT join of
+    * the units against the winner table ON THE SAME exchange the
+    * winner aggregation consumed, per-doc ordered rebuild joined with
+    * `joinSep`. Units shorter than `minChars` after trimming are
+    * always kept.
+    *
+    * Join-once shape (r22, guide §2.4): winners and the keep-decision
+    * both hang off ONE exchange of the exploded units keyed by the
+    * trimmed text — the former spelling exploded the corpus once for
+    * the winner aggregation and AGAIN for a (key)-join plus an
+    * (id, p) anti-join, i.e. three exchanges of the exploded corpus
+    * and two extra passes. A unit is kept iff its key has no winner
+    * row (unique, or under `minChars`) or it IS the winner
+    * (first-occurrence (id, p)) — exactly the old anti-join
+    * semantics, restated as one streaming filter on the joined rows
+    * (the winner side is one row per duplicated key; no per-key
+    * buffering anywhere, so the hot-boilerplate-line skew behavior is
+    * unchanged).
     */
   private def unitDedup(
       df: DataFrame,
@@ -1781,23 +1823,26 @@ object Dedup {
       splitRe: String,
       joinSep: String,
       nKeptCol: String,
+      carry: Seq[String],
   ): DataFrame = {
     val lines = df
       .select(col(idCol).as("id"), posexplode(split(col(textCol), splitRe)))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "line")
       .withColumn("key", trim(col("line")))
-    val dedupable = lines.where(length(col("key")) >= minChars)
-    val winners = dedupable
+    // winner per DEDUPABLE unit key: the `length(key) >= minChars`
+    // guard lives in the post-agg filter (key is the group key, so the
+    // predicate is group-constant) — keeping the aggregation input
+    // identical to the join input below lets the two share one
+    // exchange instead of exchanging a filtered copy separately
+    val winners = lines
       .groupBy("key")
       .agg(min(struct(col("id"), col("p"))).as("keep"), count(lit(1)).as("occ"))
-      .where(col("occ") > 1) // unique units never drop anything
+      .where(col("occ") > 1 && length(col("key")) >= minChars)
       .select(col("key"), col("keep"))
-    val removed = dedupable
-      .join(winners, "key")
-      .where(struct(col("id"), col("p")) =!= col("keep"))
-      .select(col("id"), col("p"))
-    val kept = lines.join(removed, Seq("id", "p"), "left_anti")
+    val kept = lines
+      .join(winners, Seq("key"), "left")
+      .where(col("keep").isNull || struct(col("id"), col("p")) === col("keep"))
     val rebuilt = kept
       .groupBy("id")
       .agg(
@@ -1807,14 +1852,17 @@ object Dedup {
         ).as("clean_text"),
         count(lit(1)).as(nKeptCol),
       )
-    // every input doc surfaces — fully-dropped docs come back empty
-    df.select(col(idCol).as("id"))
+    // every input doc surfaces — fully-dropped docs come back empty;
+    // carried columns ride this join (both sides already exchange on
+    // id), so callers re-attaching metadata pay no second corpus join
+    df.select(col(idCol).as("id") +: carry.map(col): _*)
       .join(rebuilt, Seq("id"), "left")
       .select(
-        col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col(nKeptCol), lit(0L)).as(nKeptCol),
-      )
+        Seq(
+          col("id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col(nKeptCol), lit(0L)).as(nKeptCol),
+        ) ++ carry.map(col): _*)
   }
 
   // ------------------------------------------------- connected components
@@ -2208,19 +2256,27 @@ object Dedup {
     * cheaper per candidate than a full-candidate-set shuffle and
     * dedupe after the (selective) verify filter instead.
     *
-    * Skew safety (the 100 TB property): bucket populations are first
-    * aggregated as plain COUNTS — map-side partial aggregation,
-    * constant memory per bucket — and oversized buckets are dropped
-    * before any id list exists anywhere. Pair expansion is then a
-    * self-equi-join ON bucket, which streams pairs out of each bucket
-    * in parallel instead of exploding a driver-sized array out of a
-    * single aggregation row. No task ever holds a whole bucket.
+    * Skew safety (the 100 TB property): bucket populations come from
+    * ONE window count over the bucket-keyed exchange and oversized
+    * buckets are dropped before any id list exists anywhere. Pair
+    * expansion is then a self-equi-join ON bucket, which streams
+    * pairs out of each bucket in parallel instead of exploding a
+    * driver-sized array out of a single aggregation row. No task ever
+    * holds a whole bucket beyond the window's count buffer, which the
+    * cap bounds for every SURVIVING bucket; an over-cap bucket's rows
+    * are buffered once in its window partition before the filter
+    * drops them (spill-backed — the same trade [[writeSignatures]]
+    * took in r21 for the same exchange saving).
     *
-    * The (id, bucket) frame feeds three plan subtrees (the count
-    * aggregation + both self-join sides), so it is persisted here —
-    * signature/banding UDFs upstream run once, not three times (AQE
-    * does not reliably reuse the exchanges). Returned as the second
-    * element for the caller to release.
+    * Exchange shape (r22, guide §2.4): the former spelling persisted
+    * the (id, bucket) frame and ran THREE bucket-keyed exchanges over
+    * it (count aggregation + both self-join legs) plus a counts join;
+    * the window form keys the exchange once — both self-join legs
+    * canonicalize to the same shuffle, which AQE's stage cache
+    * deduplicates at runtime — and drops the cache materialization of
+    * the banded corpus entirely. The second element of the returned
+    * pair is the caller-release handle (kept for API stability; with
+    * no persist it is now a no-op unpersist).
     *
     * NOTE the cap is a RECALL-LOSING approximation on skewed corpora:
     * a qualifying pair whose only shared bucket is oversized (e.g.
@@ -2232,22 +2288,19 @@ object Dedup {
       idBucket: DataFrame,
       maxBucketSize: Int,
   ): (DataFrame, DataFrame) = {
-    val b = idBucket.persist()
     // every generator in this file emits DISTINCT (id, bucket) rows,
     // so count(*) per bucket == distinct-id count per bucket
-    val kept = b.join(
-      b.groupBy("bucket")
-        .agg(count(lit(1)).as("bucket_n"))
-        .where(col("bucket_n").between(2L, maxBucketSize.toLong))
-        .select("bucket"),
-      "bucket",
-    )
+    val w = Window.partitionBy(col("bucket"))
+    val kept = idBucket
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .where(col("__bucket_n").between(2L, maxBucketSize.toLong))
+      .select(col("bucket"), col("id"))
     val pairs = kept
       .select(col("bucket"), col("id").as("id_a"))
       .join(kept.select(col("bucket"), col("id").as("id_b")), "bucket")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    (pairs, b)
+    (pairs, idBucket)
   }
 
   /** Observability for the skew cap: one row per OVERSIZED bucket

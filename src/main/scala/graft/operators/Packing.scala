@@ -263,6 +263,31 @@ object Packing {
       countCol: String,
       seqLen: Int,
       salt: String,
+  ): DataFrame = shuffleAndPackImpl(df, idCol, countCol, seqLen, salt, ordered = true)
+
+  /** [[shuffleAndPack]] WITHOUT the terminal global `orderBy(pos)` —
+    * for pipeline-internal consumers that immediately equi-join the
+    * layout back onto the chunk frame (webIngest, prepareSequences):
+    * the join destroys row order anyway, and the public face's
+    * ordered output costs a range-boundary sampling job plus a
+    * full-output range exchange + sort per call (r22, guide §2.4).
+    * Same rows, same values, same checkpointed landing.
+    */
+  private[graft] def shuffleAndPackUnordered(
+      df: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Int,
+      salt: String,
+  ): DataFrame = shuffleAndPackImpl(df, idCol, countCol, seqLen, salt, ordered = false)
+
+  private def shuffleAndPackImpl(
+      df: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Int,
+      salt: String,
+      ordered: Boolean,
   ): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val keyed = df.select(
@@ -293,7 +318,7 @@ object Packing {
       .select(col("__part"), col("__row_off"), col("__tok_off"))
     val w = Window.partitionBy(col("__part")).orderBy(col("shuffle_key"), col(idCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val out = parted
+    val cols = parted
       .join(broadcast(offsets), "__part")
       .withColumn("pos", row_number().over(w).cast("long") + col("__row_off"))
       .withColumn(
@@ -308,8 +333,7 @@ object Packing {
       .select(
         col(idCol), col("shuffle_key"), col("pos"), col("n_tokens"),
         col("start_offset"), col("pack_first"), col("pack_last"))
-      .orderBy("pos")
-      .localCheckpoint(true)
+    val out = (if (ordered) cols.orderBy("pos") else cols).localCheckpoint(true)
     parted.unpersist(blocking = false)
     out
   }

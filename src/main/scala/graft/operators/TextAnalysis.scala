@@ -434,37 +434,56 @@ object TextAnalysis {
       textCol: String,
       window: Int,
       stride: Int,
+  ): DataFrame = chunkTokensCarry(df, idCol, textCol, window, stride, Nil)
+
+  /** [[chunkTokens]] carrying extra per-document columns through to
+    * every chunk row (r22, guide §2.4): the chunk fan-out is a pure
+    * projection + posexplode — carried columns cost no exchange here,
+    * while re-attaching them downstream (webIngest's url/lang attrs)
+    * costs an id-keyed join of the whole chunk frame.
+    */
+  private[graft] def chunkTokensCarry(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int,
+      carry: Seq[String],
   ): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    val carried = carry.map(col)
     df.select(
-        col(idCol),
-        expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x != '')").as("w"),
-      )
+        Seq(
+          col(idCol),
+          expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x != '')").as("w"),
+        ) ++ carried: _*)
       .withColumn(
         "nchunks",
         when(size(col("w")) === 0, lit(0))
           .otherwise(expr(s"(size(w) - 1) div $stride").cast("int") + 1),
       )
       .select(
-        col(idCol),
-        col("w"),
-        posexplode(
-          expr(
-            s"""CASE WHEN nchunks = 0 THEN CAST(array() AS array<string>)
-               |ELSE transform(sequence(0, nchunks - 1),
-               |  i -> array_join(slice(w, i * $stride + 1, least($window, size(w) - i * $stride)), ' '))
-               |END""".stripMargin,
-          ),
-        ).as(Seq("chunk_idx", "chunk_text")),
-      )
+        Seq(
+          col(idCol),
+          col("w"),
+          posexplode(
+            expr(
+              s"""CASE WHEN nchunks = 0 THEN CAST(array() AS array<string>)
+                 |ELSE transform(sequence(0, nchunks - 1),
+                 |  i -> array_join(slice(w, i * $stride + 1, least($window, size(w) - i * $stride)), ' '))
+                 |END""".stripMargin,
+            ),
+          ).as(Seq("chunk_idx", "chunk_text")),
+        ) ++ carried: _*)
       .select(
-        col(idCol),
-        col("chunk_idx").cast("bigint").as("chunk_idx"),
-        col("chunk_text"),
-        least(lit(window), size(col("w")) - col("chunk_idx") * stride)
-          .cast("bigint")
-          .as("n_chunk_tokens"),
-      )
+        Seq(
+          col(idCol),
+          col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("chunk_text"),
+          least(lit(window), size(col("w")) - col("chunk_idx") * stride)
+            .cast("bigint")
+            .as("n_chunk_tokens"),
+        ) ++ carried: _*)
   }
 
   // ------------------------------------------------------- content sampling

@@ -823,6 +823,243 @@ object Probe {
       return
     }
 
+    if (names.contains("funnel_stages")) {
+      // VERDICT r21 item 1: per-stage seconds for the web-ingest funnel
+      // family's heavy gates (q104/q123/q156), each over ITS exact
+      // planted corpus and option set, with a localCheckpoint boundary
+      // after each stage so timings do not overlap
+      import graft.operators.{CorpusPipeline, Dedup, Sampling, TextAnalysis, Packing}
+      def chain(label: String, pages: org.apache.spark.sql.DataFrame,
+                langs: Seq[String], maxPerHost: Int, seqLen: Int,
+                minLineChars: Int, soft404: Boolean, redactPii: Boolean,
+                paragraphBreaks: Boolean, paragraphDedup: Boolean): Unit = {
+        println(s"[probe] === $label ===")
+        val quality = timed(s"$label 1. cleanedCrawlPrefix + checkpoint") {
+          val q = CorpusPipeline
+            .cleanedCrawlPrefix(pages, "doc_id", None, "html", "url",
+              langs = langs, blocklist = None, canonicalizeNfc = false,
+              c4 = false, soft404 = soft404, redactPii = redactPii,
+              mainContent = false, stripTracking = false,
+              paragraphBreaks = paragraphBreaks)
+            .localCheckpoint(true)
+          println("[probe] quality rows=" + q.count()); q
+        }
+        val attrs = quality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+        val lined0 =
+          if (minLineChars < 0) quality
+          else timed(s"$label 2. lineDedup + attrs join + checkpoint") {
+            val l = Dedup
+              .lineDedup(quality, "id", "text", minLineChars)
+              .where(length(trim(col("clean_text"))) > 0)
+              .select(col("id"), col("clean_text").as("text"))
+              .join(attrs, "id")
+              .localCheckpoint(true)
+            println("[probe] lined rows=" + l.count()); l
+          }
+        val lined =
+          if (!paragraphDedup) lined0
+          else timed(s"$label 2b. paragraphDedup + attrs join + checkpoint") {
+            val l = Dedup
+              .paragraphDedup(lined0, "id", "text", 5)
+              .where(length(trim(col("clean_text"))) > 0)
+              .select(col("id"), col("clean_text").as("text"))
+              .join(attrs, "id")
+              .localCheckpoint(true)
+            println("[probe] para rows=" + l.count()); l
+          }
+        val deduped = timed(s"$label 3. cleanCorpus (exact+minhash, transitive)") {
+          val d = Dedup.cleanCorpus(lined, "id", "text", 0.8, transitive = true)
+          println("[probe] deduped rows=" + d.count()); d
+        }
+        val chunks = timed(s"$label 4. capPerStratum + chunkTokens + checkpoint") {
+          val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
+          val c = TextAnalysis
+            .chunkTokens(capped, "id", "text", window = seqLen, stride = seqLen)
+            .withColumn("chunk_id", concat(col("id").cast("string"), lit("#"), col("chunk_idx")))
+            .localCheckpoint(true)
+          println("[probe] chunks rows=" + c.count()); c
+        }
+        timed(s"$label 5. shuffleAndPack + final joins") {
+          val layout = Packing
+            .shuffleAndPack(chunks, "chunk_id", "n_chunk_tokens", seqLen, "epoch0")
+          val out = chunks
+            .join(layout.select(col("chunk_id"), col("pos"), col("start_offset"),
+              col("pack_first"), col("pack_last")), "chunk_id")
+            .join(attrs, "id")
+          println("[probe] out rows=" + out.count())
+        }
+      }
+      chain("q104", graft.SparkEntry.q104PlantedPages(spark, sfDir),
+        langs = Seq.empty, maxPerHost = 40, seqLen = 128, minLineChars = 5,
+        soft404 = false, redactPii = false, paragraphBreaks = false,
+        paragraphDedup = false)
+      chain("q123", graft.SparkEntry.q123PlantedPages(spark, sfDir),
+        langs = Seq("en"), maxPerHost = 100000, seqLen = 128, minLineChars = 5,
+        soft404 = true, redactPii = true, paragraphBreaks = false,
+        paragraphDedup = false)
+      chain("q156", graft.SparkEntry.q156PlantedPages(spark, sfDir),
+        langs = Seq("en"), maxPerHost = 100000, seqLen = 128, minLineChars = -1,
+        soft404 = false, redactPii = false, paragraphBreaks = true,
+        paragraphDedup = true)
+      spark.stop()
+      return
+    }
+
+    if (names.contains("cc_stages")) {
+      // cleanCorpus's per-action cost at gate scale: which of the ~4
+      // jobs owns the ~3.5 s every funnel gate pays. Replicates the
+      // operator's exact steps with a timing seam per action.
+      import graft.operators.Dedup
+      import org.apache.spark.sql.expressions.Window
+      val pages = graft.SparkEntry.q123PlantedPages(spark, sfDir)
+      val quality = graft.operators.CorpusPipeline
+        .cleanedCrawlPrefix(pages, "doc_id", None, "html", "url",
+          langs = Seq("en"), blocklist = None, canonicalizeNfc = false,
+          c4 = false, soft404 = true, redactPii = true,
+          mainContent = false, stripTracking = false)
+        .localCheckpoint(true)
+      val attrs = quality.select(col("id"), col("url_norm"), col("url_host"), col("lang_pred"))
+      val lined = Dedup
+        .lineDedup(quality, "id", "text", 5)
+        .where(length(trim(col("clean_text"))) > 0)
+        .select(col("id"), col("clean_text").as("text"))
+        .join(attrs, "id")
+        .localCheckpoint(true)
+      println("[probe] lined=" + lined.count())
+      val parts = sys.env.get("PROBE_SHUFFLE_PARTS")
+      parts.foreach { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        println(s"[probe] shuffle.partitions=$p")
+      }
+      (1 to 3).foreach { round =>
+        val grp = Window.partitionBy(col("__content_hash"))
+        val withSig = lined
+          .withColumn("__content_hash", md5(col("text")))
+          .withColumn("__canonical_id", min(col("id")).over(grp))
+          .where(col("id") === col("__canonical_id"))
+          .select(lined.columns.map(col) :+
+            graft.operators.Dedup.minHashPrep(col("text"), 128, 3).as("__p"): _*)
+          .persist()
+        timed(s"round $round A0. withSig materialize (md5 window + minHashPrep + persist)") {
+          println("[probe] withSig=" + withSig.count())
+        }
+        val sets = withSig
+          .select(col("id"), col("__p.sig").as("sig"), col("__p.grams").as("grams"))
+          .where(size(col("grams")) > 0)
+        timed(s"round $round A1. banded window count") {
+          println("[probe] kept-banded=" + {
+            val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+            sets.select(col("id"), explode(Dedup.bandKeysCol(128, 32)).as("bucket"))
+              .withColumn("__n", count(lit(1)).over(wb))
+              .where(col("__n").between(2L, 1000L)).count()
+          })
+        }
+        val (pairs0, handle) = Dedup.bucketedCandidatePairs(
+          sets.select(col("id"), explode(Dedup.bandKeysCol(128, 32)).as("bucket")), 1000)
+        val ga = sets.select(col("id").as("id_a"), col("grams").as("grams_a"), size(col("grams")).as("sz_a"))
+        val gb = sets.select(col("id").as("id_b"), col("grams").as("grams_b"), size(col("grams")).as("sz_b"))
+        val verified = pairs0
+          .join(ga, "id_a").join(gb, "id_b")
+          .withColumn("inter", graft.functions.VectorExpressions
+            .sortedIntersectCount(col("grams_a"), col("grams_b")))
+          .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        if (round == 1)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/tmp/probe_pairs_plan.txt"),
+            verified.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        val pairs = timed(s"round $round A. pairs compute + checkpoint (sig+band+join+verify)") {
+          val p = verified.localCheckpoint(true)
+          handle.unpersist(blocking = false)
+          p
+        }
+        val n = timed(s"round $round B. pairs.count()")(pairs.count())
+        println("[probe] pairs=" + n)
+        val cc = timed(s"round $round C. connectedComponents (collect + UF + createDF)") {
+          Dedup.connectedComponents(pairs)
+        }
+        val losers = cc.where(col("id") =!= col("component")).select(col("id").as("loser"))
+        timed(s"round $round D. anti-join + survivor checkpoint") {
+          val out = withSig
+            .join(losers, withSig("id") === losers("loser"), "left_anti")
+            .select(lined.columns.map(col): _*)
+            .localCheckpoint(true)
+          println("[probe] survivors=" + out.count())
+        }
+        withSig.unpersist(blocking = false)
+      }
+      spark.stop()
+      return
+    }
+
+    if (names.contains("e2e_split")) {
+      // q131/q160: driver-side archive fixture build vs archive read vs
+      // the ingest/prepare chain — which side owns the gate's seconds
+      import spark.implicits._
+      val ids = timed("q131 ids collect") {
+        graft.sources.Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+          .collect().map(_.getLong(0)).sorted
+      }
+      val warcDir = java.nio.file.Files.createTempDirectory("probe_warc_e2e")
+      timed("q131 WARC fixture build (8 shards, driver gzip loop)") {
+        (0L until 8L).foreach { shard =>
+          val recs = ids.toSeq.filter(_ % 8 == shard).map(id =>
+            (graft.SparkEntry.q122UrlScala(id), "2024-06-01T10:00:00Z",
+              graft.SparkEntry.q122HtmlScala(id)))
+          java.nio.file.Files.write(warcDir.resolve(s"shard$shard.warc.gz"),
+            graft.sources.Warc.buildWarc(recs, gzipPerRecord = true))
+        }
+      }
+      val pages = timed("q131 Warc.read + project + checkpoint") {
+        val p = graft.sources.Warc.read(spark, warcDir.toString + "/*")
+          .where(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("body").as("html"), col("url"))
+          .localCheckpoint(true)
+        println("[probe] pages=" + p.count()); p
+      }
+      timed("q131 webIngest chain over WARC pages") {
+        val blocklist = Seq("blocked.example.com").toDF("domain")
+        val n = graft.operators.CorpusPipeline
+          .webIngest(pages, "doc_id", "html", "url",
+            langs = Seq("en"), maxPerHost = 80, seqLen = 64, blocklist = Some(blocklist))
+          .count()
+        println("[probe] q131 out rows=" + n)
+      }
+      val texts = timed("q160 q142PlantedTexts collect") {
+        graft.SparkEntry.q142PlantedTexts(spark, sfDir).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+          .sortBy(_._1)
+      }
+      val wetDir = java.nio.file.Files.createTempDirectory("probe_wet_e2e")
+      timed("q160 WET fixture build (4 shards, driver gzip loop)") {
+        (0 until 4).foreach { shard =>
+          val recs = texts.toSeq.filter(_._1 % 4 == shard).map { case (id, text) =>
+            (s"http://wet.example.com/doc/$id", "2024-06-01T10:00:00Z", text)
+          }
+          java.nio.file.Files.write(wetDir.resolve(s"shard$shard.warc.wet.gz"),
+            graft.sources.Warc.buildWet(recs, gzipPerRecord = true))
+        }
+      }
+      val docs = timed("q160 readWet + project + checkpoint") {
+        val d = graft.sources.Warc.readWet(spark, wetDir.toString + "/*")
+          .select(
+            regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            col("text"))
+          .localCheckpoint(true)
+        println("[probe] docs=" + d.count()); d
+      }
+      timed("q160 prepare chain over WET docs") {
+        println("[probe] q160 out rows=" + graft.operators.CorpusPipeline
+          .prepare(docs, "doc_id", "text").count())
+      }
+      spark.stop()
+      return
+    }
+
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names.contains(n) }
       .foreach { case (name, fn) =>

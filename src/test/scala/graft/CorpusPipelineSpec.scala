@@ -304,6 +304,56 @@ class CorpusPipelineSpec extends SparkTestBase {
       s"funnel tokens_out=${toks.last} != chunked total=$chunkTokens")
   }
 
+  test("webIngestFromCapped over the staged host_cap boundary ≡ the fused pipeline (r22 gate seam)") {
+    // the q122 gate rides the staged chain's host_cap boundary and
+    // runs only the layout tail — this pins, row for row and column
+    // for column, that (a) the staged exact+near restatement of
+    // cleanCorpus's fused pass lands the same capped survivors, and
+    // (b) webIngestFromCapped over that boundary reproduces the full
+    // fused webIngest output. Corpus exercises every dropping stage:
+    // lang filter, line dedup (exact pair), NEAR-dup (20/21 differ by
+    // one trailing token), host cap.
+    val prose = "the data and model pipeline have that sort of careful work " +
+      "to be done with many diverse sources and long running jobs "
+    def distinctProse(i: Int) = (prose * 3).trim.split(" ").zipWithIndex
+      .map { case (w, j) => if (j % 4 == 3) s"$w$i" else w }.mkString(" ")
+    def page(body: String) =
+      s"<html><head><script>if (1 < 2) alert('x');</script></head><body><p>$body</p></body></html>"
+    val rows = (
+      (1 to 4).map(i => (i.toLong, page(distinctProse(i)), s"HTTP://A.com:80/p$i#f")) ++
+      Seq(
+        (10L, page(distinctProse(10)), "http://b.com/x"),
+        (11L, page(distinctProse(10)), "http://b.com/y"), // exact dup of 10
+        (12L, page(Seq.fill(60)("### 12345 …").mkString(" ")), "http://b.com/junk"),
+        (13L, page("今天天气很好我们一起去公园散步然后吃晚饭"), "http://b.com/zh"),
+        // NEAR-dup pair: 21 is 20 plus one trailing token (Jaccard ≈ 1)
+        (20L, page(distinctProse(20)), "http://c.com/n1"),
+        (21L, page(distinctProse(20) + " extra"), "http://c.com/n2"),
+      )
+    ).toDF("doc_id", "html", "url")
+    def rendered(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val boundaries = graft.operators.CorpusPipeline
+      .ingestBoundaries(rows, "doc_id", "html", "url", langs = Seq("en", "zh"),
+        maxPerHost = 2)
+    val capped = boundaries.find(_._1 == "host_cap").get._2
+    val viaBoundary = graft.operators.CorpusPipeline
+      .webIngestFromCapped(capped, seqLen = 32, shuffleSalt = "epoch0")
+    val fused = graft.operators.CorpusPipeline
+      .webIngest(rows, "doc_id", "html", "url", langs = Seq("en", "zh"),
+        maxPerHost = 2, seqLen = 32)
+    assert(viaBoundary.columns.toSeq == fused.columns.toSeq,
+      s"column order drifted: ${viaBoundary.columns.toSeq} vs ${fused.columns.toSeq}")
+    val a = rendered(viaBoundary)
+    val b = rendered(fused)
+    assert(a.nonEmpty, "equivalence corpus produced no output — the pin is vacuous")
+    // the near-dup pair must actually have collapsed (the stage under test)
+    val survivors = fused.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(Seq(20L, 21L).count(survivors) == 1, s"near-dup pair must collapse: $survivors")
+    assert(a == b, s"boundary-served layout diverged from the fused pipeline:\n${
+      a.diff(b).take(3)}\nvs\n${b.diff(a).take(3)}")
+  }
+
   test("webIngest paragraphDedup: repeated block drops whole, partial-overlap block survives intact") {
     val boiler = "subscribe to the weekly newsletter for updates and news from the site today"
     def prose(i: Int) = "the data and model pipeline have that sort of careful work " +
