@@ -333,12 +333,87 @@ object Similarity {
     if (exact.isEmpty)
       return Seq.empty[(Int, Double, Boolean)]
         .toDF("nprobe", "mean_recall", "met_target")
-    walkKnobCurve(spark, "nprobe", doublingTo(store.ivf.centroids.length),
-      exact, k, targetRecall) { np =>
-      if (store.opq.nonEmpty)
-        ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
-      else
-        ivfPqTopKFromStore(store, sample, idCol, vecCol, k, np, refine)
+    // r22 (guide §1.2-2): the walk's query-side preparation — ADC
+    // LUTs, model broadcasts, probe ranking — is step-invariant, and
+    // probed cells are NESTED in nprobe ([[IvfModel.nearestK]] sorts
+    // (distance, index) pairs, a total order, so nearestK(v, np) is
+    // exactly the np-prefix of nearestK(v, nlist)). Ranks are computed
+    // ONCE at the cap; each step ADC-scores only the newly-probed rank
+    // band and accumulates the landed deltas, so the walk's total
+    // probe-join work equals ONE search at the final nprobe instead of
+    // the sum over all steps (the former per-step ivfPqTopKFromStore
+    // re-derived LUTs, re-broadcast the models, and re-scored every
+    // previously-probed cell at each doubling). Results are
+    // bit-identical: same candidate multiset per step, same ADC
+    // kernel, same reducers (SimilaritySpec pins the curve against a
+    // per-step reference walk). The landed deltas total the same rows
+    // the final step's probe join already shuffles.
+    val sc = spark.sparkContext
+    val cap = store.ivf.centroids.length
+    val bcIvf = sc.broadcast(store.ivf.centroids)
+    val bcPq = sc.broadcast(store.pq)
+    val queries = store.opq.map(o => rotateColumn(sample, vecCol, o)).getOrElse(sample)
+    val probeAllUdf = udf((v: Array[Float]) => IvfModel.nearestK(bcIvf.value, v, cap))
+    val lutUdf = udf((v: Array[Float]) => adcLut(bcPq.value, v))
+    val probedAll = nonDegenerate(queries, vecCol)
+      .select(
+        col(idCol).as("query_id"),
+        lutUdf(col(vecCol)).as("lut"),
+        posexplode(probeAllUdf(col(vecCol))).as(Seq("cellrank", "cell")))
+      .localCheckpoint(true) // sample × nlist rows — the tuner's bounded query set
+    val indexed = store.coded.select(col("id").as("neighbor_id"), col("cell"), col("code"))
+    val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    // When k·refine ≥ corpus rows the per-step ADC cut is PROVABLY a
+    // no-op (a query's probed pool never exceeds the corpus — each
+    // corpus row lives in exactly one cell — so the bounded heap
+    // keeps everything): every pool candidate reaches the exact
+    // re-rank at every step, and exact cosines are step-invariant
+    // pure values. In that regime re-rank each delta band ONCE as it
+    // is probed and reduce the accumulated rescored rows — the former
+    // shape re-joined and re-scored the ENTIRE pool at every step
+    // (the q188-gate shape: exhaustive refine so the measured curve's
+    // ceiling is the cell assignment, walked over all of nlist).
+    // One cheap count against the bucketed vecs table decides.
+    val exhaustiveCut = k.toLong * refine >= store.vecs.count()
+    var scored = List.empty[DataFrame]
+    var prevNp = 0
+    walkKnobCurve(spark, "nprobe", doublingTo(cap), exact, k, targetRecall) { np =>
+      val band = probedAll
+        .where(col("cellrank") >= prevNp && col("cellrank") < np)
+        .select(col("query_id"), col("lut"), col("cell"))
+      prevNp = np
+      val joined = indexed
+        .join(broadcast(band), "cell")
+        .where(col("neighbor_id") =!= col("query_id"))
+      if (exhaustiveCut) {
+        val rescoredDelta = joined
+          .select(col("query_id"), col("neighbor_id"))
+          .join(corpusVecs, "neighbor_id")
+          .join(broadcast(qvecs), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"))
+          .localCheckpoint(true)
+        scored ::= rescoredDelta
+        topKReduce(scored.reduce(_ unionByName _), k)
+      } else {
+        val delta = joined
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.VectorExpressions
+              .pqAdcScore(col("code"), col("lut"), store.pq.ksub).as("cosine"))
+          .localCheckpoint(true)
+        scored ::= delta
+        val cands = topKReduce(
+          scored.reduce(_ unionByName _),
+          math.min(Int.MaxValue.toLong, k.toLong * refine).toInt)
+          .select(col("query_id"), col("neighbor_id"))
+        val rescored = cands
+          .join(corpusVecs, "neighbor_id")
+          .join(broadcast(qvecs), "query_id")
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"))
+        topKReduce(rescored, k)
+      }
     }
   }
 
@@ -383,12 +458,45 @@ object Similarity {
     val corpusN = store.vecs.count()
     val exhaustive =
       math.min(Int.MaxValue.toLong, math.max(1L, (corpusN + k - 1) / k.toLong)).toInt
+    // r22 (guide §1.2-2): at a FIXED nprobe the probed ADC pool is
+    // step-invariant — the former per-step ivfPqTopKFromStore re-ran
+    // the probe join and re-scored the same candidates at every
+    // refine doubling. Score the pool ONCE, land it, and walk only
+    // what the knob actually changes: the re-rank budget (bounded-heap
+    // reduce + exact re-rank per step). Results are bit-identical —
+    // same pool, same reducers (SimilaritySpec pins the curve against
+    // a per-step reference walk); the landed pool is the same row set
+    // every single step's probe join used to shuffle.
+    val sc = spark.sparkContext
+    val bcIvf = sc.broadcast(store.ivf.centroids)
+    val bcPq = sc.broadcast(store.pq)
+    val queries = store.opq.map(o => rotateColumn(sample, vecCol, o)).getOrElse(sample)
+    val probeUdf = udf((v: Array[Float]) => IvfModel.nearestK(bcIvf.value, v, nprobe))
+    val lutUdf = udf((v: Array[Float]) => adcLut(bcPq.value, v))
+    val probed = nonDegenerate(queries, vecCol).select(
+      col(idCol).as("query_id"),
+      lutUdf(col(vecCol)).as("lut"),
+      explode(probeUdf(col(vecCol))).as("cell"))
+    val adc = store.coded
+      .select(col("id").as("neighbor_id"), col("cell"), col("code"))
+      .join(broadcast(probed), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions
+          .pqAdcScore(col("code"), col("lut"), store.pq.ksub).as("cosine"))
+      .localCheckpoint(true)
+    val corpusVecs = store.vecs.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val qvecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     walkKnobCurve(spark, "refine", doublingTo(exhaustive),
       exact, k, targetRecall) { rf =>
-      if (store.opq.nonEmpty)
-        ivfOpqTopKFromStore(store, sample, idCol, vecCol, k, nprobe, rf)
-      else
-        ivfPqTopKFromStore(store, sample, idCol, vecCol, k, nprobe, rf)
+      val cands = topKReduce(adc, math.min(Int.MaxValue.toLong, k.toLong * rf).toInt)
+        .select(col("query_id"), col("neighbor_id"))
+      val rescored = cands
+        .join(corpusVecs, "neighbor_id")
+        .join(broadcast(qvecs), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VectorExpressions.vecCosine(col("cvec"), col("qvec")).as("cosine"))
+      topKReduce(rescored, k)
     }
   }
 

@@ -720,6 +720,112 @@ class VectorStoreSpec extends SparkTestBase {
       s"OPQ refine tuner must also end at measured 1.0: $curveO")
   }
 
+  test("tuner walks ≡ per-step reference searches (r22 hoisted prep is bit-identical)") {
+    // r22 hoists the step-invariant query prep out of both knob walks
+    // (tuneNprobe pools ADC deltas by probe rank; tuneRefine lands one
+    // fixed-nprobe ADC pool) — this pins the WHOLE measured curve,
+    // value for value, against the former formulation: one full
+    // ivfPqTopKFromStore search per knob value + recallAtK, walked
+    // with the same doubling and early-stop.
+    val (df, queries) = fixture(97)
+    val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
+    val pq = Similarity.trainPq(df, "embedding", m = 4, ksub = 16, seed = 3L)
+    val dir = tmp("tune-ref")
+    VectorStore.write(df, "vec_id", "embedding", dir, "vs_tune_ref", ivf, pq,
+      numBuckets = 4)
+    val store = VectorStore.read(spark, dir, "vs_tune_ref")
+    val k = 4
+    val sample = queries.localCheckpoint(true)
+    val exact = Similarity
+      .bruteForceTopK(
+        store.vecs.select($"id".as("vec_id"), $"vec".as("embedding")),
+        sample, "vec_id", "embedding", k)
+      .localCheckpoint(true)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, k)
+        .agg(avg($"recall")).head().getDouble(0)
+    def referenceWalk(candidates: Seq[Int], target: Double)(
+        search: Int => org.apache.spark.sql.DataFrame): Seq[(Int, Double, Boolean)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+      var met = false
+      val it = candidates.iterator
+      while (it.hasNext && !met) {
+        val v = it.next()
+        val m = meanRecall(search(v))
+        met = m >= target
+        buf += ((v, m, met))
+      }
+      buf.toSeq
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double, Boolean)] =
+      df.collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    // tuneNprobe vs reference at a mid target (exercises early stop)
+    for (target <- Seq(0.6, 1.0)) {
+      val ref = referenceWalk(Seq(1, 2, 4, 8), target) { np =>
+        Similarity.ivfPqTopKFromStore(store, sample, "vec_id", "embedding", k,
+          nprobe = np, refine = 4)
+      }
+      val got = rows(Similarity.tuneNprobe(store, sample, "vec_id", "embedding",
+        k, target, refine = 4))
+      assert(got == ref, s"tuneNprobe(target=$target) diverged:\n$got\nvs\n$ref")
+    }
+    // exhaustive-cut regime (k·refine ≥ corpus rows): the
+    // once-per-candidate re-rank path must reproduce the same curve
+    // as full per-step searches
+    val refEx = referenceWalk(Seq(1, 2, 4, 8), 1.0) { np =>
+      Similarity.ivfPqTopKFromStore(store, sample, "vec_id", "embedding", k,
+        nprobe = np, refine = 50)
+    }
+    val gotEx = rows(Similarity.tuneNprobe(store, sample, "vec_id", "embedding",
+      k, 1.0, refine = 50))
+    assert(gotEx == refEx, s"tuneNprobe exhaustive-cut diverged:\n$gotEx\nvs\n$refEx")
+    // tuneRefine vs reference (fixed nprobe = 2 so the pool is partial)
+    val ex = ((store.vecs.count() + k - 1) / k).toInt
+    val doubling = Iterator.iterate(1)(_ * 2).takeWhile(_ < ex).toSeq :+ ex
+    for (target <- Seq(0.5, 1.0)) {
+      val ref = referenceWalk(doubling, target) { rf =>
+        Similarity.ivfPqTopKFromStore(store, sample, "vec_id", "embedding", k,
+          nprobe = 2, refine = rf)
+      }
+      val got = rows(Similarity.tuneRefine(store, sample, "vec_id", "embedding",
+        k, target, nprobe = 2))
+      assert(got == ref, s"tuneRefine(target=$target) diverged:\n$got\nvs\n$ref")
+    }
+    // OPQ store: the hoisted prep rotates the sample once — curves must
+    // still match the per-step OPQ searches
+    val (ivfO, opqO) = Similarity.trainIvfOpq(df, "embedding", nlist = 8, m = 4,
+      ksub = 16, seed = 3L)
+    val dirO = tmp("tune-ref-opq")
+    VectorStore.writeOpq(df, "vec_id", "embedding", dirO, "vs_tune_ref_opq", ivfO,
+      opqO, numBuckets = 4)
+    val storeO = VectorStore.read(spark, dirO, "vs_tune_ref_opq")
+    val exactO = Similarity
+      .bruteForceTopK(
+        storeO.vecs.select($"id".as("vec_id"), $"vec".as("embedding")),
+        Similarity.rotateColumn(sample, "embedding", opqO),
+        "vec_id", "embedding", k)
+      .localCheckpoint(true)
+    def meanRecallO(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exactO, k)
+        .agg(avg($"recall")).head().getDouble(0)
+    val refO = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Boolean)]
+      var met = false
+      val it = Seq(1, 2, 4, 8).iterator
+      while (it.hasNext && !met) {
+        val np = it.next()
+        val m = meanRecallO(Similarity.ivfOpqTopKFromStore(storeO, sample,
+          "vec_id", "embedding", k, nprobe = np, refine = 4))
+        met = m >= 0.6
+        buf += ((np, m, met))
+      }
+      buf.toSeq
+    }
+    val gotO = rows(Similarity.tuneNprobe(storeO, sample, "vec_id", "embedding",
+      k, 0.6, refine = 4))
+    assert(gotO == refO, s"OPQ tuneNprobe diverged:\n$gotO\nvs\n$refO")
+  }
+
   test("stats: one row of cell-population shape, consistent with the coded table") {
     val (df, _) = fixture(67)
     val ivf = Similarity.trainIvf(df, "embedding", nlist = 8, seed = 3L)
