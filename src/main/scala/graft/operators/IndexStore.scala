@@ -32,28 +32,89 @@ import graft.operators.Clustering.KmeansModel
   */
 object IndexStore {
 
+  // ------------------------------------------------- hot-path binary codec
+  //
+  // r22 (guide §5 — the driver should do almost no data work, and a
+  // KB-sized model is not data): the IVF/PQ/OPQ artifacts are written
+  // and re-read on EVERY store write, reopen, and epoch compaction,
+  // and each parquet roundtrip was a full Spark job (~0.15 s of
+  // scheduling + commit per call — several seconds per lifecycle gate,
+  // and a real per-epoch tax at scale). These three hot artifacts now
+  // move through plain Hadoop filesystem streams on the driver: raw
+  // float BITS (floatToRawIntBits), so the roundtrip stays bit-exact
+  // (IndexStoreSpec's roundtrip locks hold unchanged). Loads fall back
+  // to the parquet layout for stores written by earlier versions.
+  // The store's `meta` frame deliberately STAYS a Spark parquet write:
+  // its job-commit `_SUCCESS` marker is the epoch-completeness signal
+  // the compaction protocol trusts. Model files land BEFORE meta, so
+  // a crash mid-model-write leaves an incomplete epoch exactly as
+  // before. The cold models below (kmeans/hashidf/dsir/lm/bpe/pool)
+  // are fit-once artifacts, not per-epoch traffic — they keep the
+  // engine-inspectable parquet layout.
+
+  private val BinMagic = 0x47524654 // "GRFT"
+
+  private def withBinOut(spark: SparkSession, path: String)(
+      f: java.io.DataOutputStream => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, true)))
+    try { out.writeInt(BinMagic); out.writeInt(1); f(out) } finally out.close()
+  }
+
+  /** Some(result) when the binary file exists, None → parquet fallback. */
+  private def withBinIn[T](spark: SparkSession, path: String)(
+      f: java.io.DataInputStream => T): Option[T] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p)))
+      try {
+        require(in.readInt() == BinMagic && in.readInt() == 1,
+          s"IndexStore: $path is not a v1 graft model file")
+        Some(f(in))
+      } finally in.close()
+    }
+  }
+
+  private def writeFloats(out: java.io.DataOutputStream, v: Array[Float]): Unit = {
+    out.writeInt(v.length)
+    var i = 0
+    while (i < v.length) { out.writeInt(java.lang.Float.floatToRawIntBits(v(i))); i += 1 }
+  }
+
+  private def readFloats(in: java.io.DataInputStream): Array[Float] = {
+    val n = in.readInt()
+    val v = new Array[Float](n)
+    var i = 0
+    while (i < n) { v(i) = java.lang.Float.intBitsToFloat(in.readInt()); i += 1 }
+    v
+  }
+
   private def writeVectors(
       spark: SparkSession,
       path: String,
       rows: Array[Array[Float]],
-  ): Unit = {
-    import spark.implicits._
-    rows.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }
-      .toSeq
-      .toDF("idx", "vec")
-      .coalesce(1)
-      .write
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
-  }
+  ): Unit =
+    withBinOut(spark, s"$path.bin") { out =>
+      out.writeInt(rows.length)
+      rows.foreach(writeFloats(out, _))
+    }
 
   private def readVectors(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read
-      .parquet(path)
-      .orderBy("idx")
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
+    withBinIn(spark, s"$path.bin") { in =>
+      Array.fill(in.readInt())(readFloats(in))
+    }.getOrElse {
+      // parquet fallback: store written before the binary codec
+      spark.read
+        .parquet(path)
+        .orderBy("idx")
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    }
 
   def saveIvf(spark: SparkSession, model: IvfModel, path: String): Unit =
     writeVectors(spark, s"$path/centroids", model.centroids)
@@ -67,36 +128,35 @@ object IndexStore {
   def loadKmeans(spark: SparkSession, path: String): KmeansModel =
     KmeansModel(readVectors(spark, s"$path/centroids"))
 
-  def savePq(spark: SparkSession, model: PqModel, path: String): Unit = {
-    import spark.implicits._
-    Seq((model.m, model.ksub, model.dsub, model.codebooks.toSeq))
-      .toDF("m", "ksub", "dsub", "codebooks")
-      .coalesce(1)
-      .write
-      .mode(SaveMode.Overwrite)
-      .parquet(s"$path/pq")
-  }
+  def savePq(spark: SparkSession, model: PqModel, path: String): Unit =
+    withBinOut(spark, s"$path/pq.bin") { out =>
+      out.writeInt(model.m); out.writeInt(model.ksub); out.writeInt(model.dsub)
+      writeFloats(out, model.codebooks)
+    }
 
-  def loadPq(spark: SparkSession, path: String): PqModel = {
-    val r = spark.read.parquet(s"$path/pq").head()
-    PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
-  }
+  def loadPq(spark: SparkSession, path: String): PqModel =
+    withBinIn(spark, s"$path/pq.bin") { in =>
+      PqModel(in.readInt(), in.readInt(), in.readInt(), readFloats(in))
+    }.getOrElse {
+      val r = spark.read.parquet(s"$path/pq").head()
+      PqModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
+    }
 
   def saveOpq(spark: SparkSession, model: OpqModel, path: String): Unit = {
-    import spark.implicits._
-    Seq((model.dim, model.r.toSeq))
-      .toDF("dim", "r")
-      .coalesce(1)
-      .write
-      .mode(SaveMode.Overwrite)
-      .parquet(s"$path/rotation")
+    withBinOut(spark, s"$path/rotation.bin") { out =>
+      out.writeInt(model.dim)
+      writeFloats(out, model.r)
+    }
     savePq(spark, model.pq, path)
   }
 
-  def loadOpq(spark: SparkSession, path: String): OpqModel = {
-    val rot = spark.read.parquet(s"$path/rotation").head()
-    OpqModel(rot.getInt(0), rot.getSeq[Float](1).toArray, loadPq(spark, path))
-  }
+  def loadOpq(spark: SparkSession, path: String): OpqModel =
+    withBinIn(spark, s"$path/rotation.bin") { in =>
+      OpqModel(in.readInt(), readFloats(in), loadPq(spark, path))
+    }.getOrElse {
+      val rot = spark.read.parquet(s"$path/rotation").head()
+      OpqModel(rot.getInt(0), rot.getSeq[Float](1).toArray, loadPq(spark, path))
+    }
 
   /** Persist a frozen [[TextAnalysis.HashIdfModel]] — the hashing
     * parameters travel WITH the statistics (a model applied under

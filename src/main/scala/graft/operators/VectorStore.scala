@@ -320,9 +320,12 @@ object VectorStore {
     // artifact in rotated space); loadOpq reads the codebooks from the
     // same model dir, so pq == opq.pq by construction
     val rotPath = new org.apache.hadoop.fs.Path(s"$path/model/rotation")
+    val rotBinPath = new org.apache.hadoop.fs.Path(s"$path/model/rotation.bin")
     val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val opq = if (fs.exists(rotPath)) Some(IndexStore.loadOpq(spark, s"$path/model"))
-              else None
+    val opq =
+      if (fs.exists(rotBinPath) || fs.exists(rotPath))
+        Some(IndexStore.loadOpq(spark, s"$path/model"))
+      else None
     CodedVectorStore(
       ensure(s"${name}_coded", "coded",
         "cell INT, id BIGINT, code BINARY, hcode ARRAY<BIGINT>", "cell"),
@@ -383,11 +386,53 @@ object VectorStore {
       landed.select(col("id")).join(src.vecs.select(col("id")), "id").isEmpty,
       "VectorStore.merge: new-batch ids overlap the standing store — the sides " +
         "must be disjoint; search-dedup the increment first and merge survivors")
+    // r22 (guide §6): write ONLY the increment through the bucketed
+    // table writer, then copy the standing tables' parquet part files
+    // into the destination dirs AT FILE GRANULARITY. A bucketed file's
+    // bucket membership is carried by its `_NNNNN` filename suffix,
+    // which the copy preserves, and the bucket spec (count + key) is
+    // identical by construction (the destination registers with
+    // src.numBuckets) — so the union table is byte-equivalent to the
+    // former rewrite while the standing corpus is never decoded,
+    // re-sorted, or re-encoded (compaction cost now scales with the
+    // increment plus a raw byte copy, not a parquet rewrite of the
+    // standing rows). Bucketed tables already hold several files per
+    // bucket (one per write task), so readers see the same layout
+    // class as before.
     writeFrames(spark,
-      src.coded.unionByName(landed.select("cell", "id", "code", "hcode")),
-      src.vecs.unionByName(landed.select("id", "vec")),
+      landed.select("cell", "id", "code", "hcode"),
+      landed.select("id", "vec"),
       src.ivf, src.pq, dstPath, dstName, src.numBuckets, src.opq, face = "merge")
+    copyBucketFiles(spark, s"$srcPath/coded", s"$dstPath/coded")
+    copyBucketFiles(spark, s"$srcPath/vecs", s"$dstPath/vecs")
+    spark.catalog.refreshTable(s"${dstName}_coded")
+    spark.catalog.refreshTable(s"${dstName}_vecs")
     read(spark, dstPath, dstName)
+  }
+
+  /** Copy a bucketed table directory's data files into another
+    * bucketed table directory of the SAME bucket spec — the standing
+    * side of [[merge]]'s compaction. Only `part-*` data files move
+    * (commit markers stay); names are kept verbatim — the `_NNNNN`
+    * bucket suffix is what assigns a file to its bucket, and name
+    * collisions cannot happen because every write job stamps a fresh
+    * UUID into its part names.
+    */
+  private[operators] def copyBucketFiles(
+      spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = srcPath.getFileSystem(conf)
+    fs.listStatus(srcPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-")) {
+        val ok = org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new org.apache.hadoop.fs.Path(dstPath, name),
+          false, false, conf)
+        require(ok, s"VectorStore.merge: failed to copy standing file $name to $dstDir")
+      }
+    }
   }
 
   /** The COMPOSED daily-ingest verb — exactly the workflow [[merge]]'s

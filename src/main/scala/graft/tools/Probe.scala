@@ -994,6 +994,85 @@ object Probe {
       return
     }
 
+    if (names.contains("model_io")) {
+      // per-call cost of the KB-sized model/meta artifacts moved
+      // through full Spark parquet jobs (saveIvf/savePq/meta + loads)
+      import graft.operators.{IndexStore, Similarity}
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val ivf = Similarity.trainIvf(emb, "embedding", nlist = 16)
+      val pq = Similarity.trainPq(emb, "embedding", m = 8, ksub = 16)
+      (1 to 3).foreach { round =>
+        val dir = java.nio.file.Files.createTempDirectory(s"probe-mio-$round").toString
+        timed(s"round $round saveIvf")(IndexStore.saveIvf(spark, ivf, dir))
+        timed(s"round $round savePq")(IndexStore.savePq(spark, pq, dir))
+        timed(s"round $round loadIvf")(IndexStore.loadIvf(spark, dir))
+        timed(s"round $round loadPq")(IndexStore.loadPq(spark, dir))
+        timed(s"round $round meta write") {
+          import spark.implicits._
+          Seq(8).toDF("num_buckets").coalesce(1).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/meta")
+        }
+        timed(s"round $round meta read") {
+          println("[probe] nb=" + spark.read.parquet(s"$dir/meta").head().getInt(0))
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    if (names.contains("q144_stages")) {
+      // the signature-store lifecycle's per-leg cost: epoch0 write,
+      // incremental near-dup, sink, compaction (mergeSignatures), and
+      // the second incremental pass — which leg owns q144's seconds
+      import graft.operators.Dedup
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      val r = col("doc_id") % 10
+      def content(d: org.apache.spark.sql.Column) = concat_ws(" ",
+        transform(sequence(lit(0), lit(26)),
+          k => concat(lit("the item"), d.cast("string"), lit("x"), k.cast("string"))))
+      (1 to 2).foreach { round =>
+        val corpus = docs.where(r === 3).select(col("doc_id"), content(col("doc_id")).as("text"))
+        val root = java.nio.file.Files.createTempDirectory(s"probe-q144-$round").toString
+        val incDir = java.nio.file.Files.createTempDirectory(s"probe-q144-inc-$round").toString
+        val sigs = timed(s"round $round 1. minHashSignatures plan (lazy)") {
+          Dedup.minHashSignatures(corpus, "doc_id", "text")
+        }
+        timed(s"round $round 2. writeSignatures epoch0") {
+          Dedup.writeSignatures(sigs, s"$root/epoch0", s"p144_${round}_e0", numBuckets = 8)
+        }
+        val e0 = Dedup.readSignatures(spark, s"$root/epoch0", s"p144_${round}_e0")
+        val inc1 = docs.where(r === 6 || r === 7).select(
+          col("doc_id"),
+          when(r === 6, concat(content(col("doc_id") - 3), lit(" graftinc")))
+            .otherwise(content(col("doc_id"))).as("text"))
+        val kept1 = timed(s"round $round 3. nearDupNewDocs + checkpoint") {
+          val kk = Dedup.nearDupNewDocs(inc1, "doc_id", "text", e0, threshold = 0.8)
+            .select(col("doc_id"), col("text")).localCheckpoint(true)
+          println("[probe] kept1=" + kk.count()); kk
+        }
+        timed(s"round $round 4. signatureIncrementSink") {
+          graft.streaming.StreamingDedup
+            .signatureIncrementSink(incDir, "doc_id", "text")(kept1, 0L)
+        }
+        val e1 = timed(s"round $round 5. compactSignatureStore (mergeSignatures)") {
+          graft.streaming.StreamingDedup
+            .compactSignatureStore(spark, root, s"p144_$round", srcEpoch = 0,
+              incDir = incDir, keepEpochs = 1)
+        }
+        timed(s"round $round 6. nearDupNewDocs vs e1") {
+          val inc2 = docs.where(r === 8 || r === 9).select(
+            col("doc_id"),
+            when(r === 8, concat(content(col("doc_id") - 1), lit(" graftinc2")))
+              .otherwise(content(col("doc_id"))).as("text"))
+          println("[probe] kept2=" + Dedup
+            .nearDupNewDocs(inc2, "doc_id", "text", e1, threshold = 0.8).count())
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (names.contains("e2e_split")) {
       // q131/q160: driver-side archive fixture build vs archive read vs
       // the ingest/prepare chain — which side owns the gate's seconds

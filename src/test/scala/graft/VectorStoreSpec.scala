@@ -270,6 +270,22 @@ class VectorStoreSpec extends SparkTestBase {
     val e1 = VectorStore.merge(spark, d0, "vs_e0", increment, "vec_id", "embedding",
       d1, "vs_e1")
     assert(e1.vecs.count() == df.count(), "merged store holds the full union")
+    // r22 file-granularity compaction: the standing tables' part files
+    // land in the destination VERBATIM (byte copy — the `_NNNNN`
+    // bucket suffix carries membership), and the union's ids are exact
+    def partNames(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+    }
+    assert(partNames(s"$d0/coded").subsetOf(partNames(s"$d1/coded")),
+      "standing coded part files must be copied verbatim into the next epoch")
+    assert(partNames(s"$d0/vecs").subsetOf(partNames(s"$d1/vecs")),
+      "standing vecs part files must be copied verbatim into the next epoch")
+    assert(e1.coded.select($"id").collect().map(_.getLong(0)).sorted.toSeq ==
+      df.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "merged coded table holds exactly the union's ids")
     // the grown store serves the union with the SOURCE models — equal
     // to a from-floats search over the union under those models
     val fromFloats = Similarity
