@@ -294,8 +294,6 @@ object Dedup {
       numBuckets: Int = 64,
       materialize: Materialize = Materialize.LocalCheckpoint,
   ): Unit = {
-    val spark = sigs.sparkSession
-    import spark.implicits._
     // Land the signature projection ONCE before fanning out to the two
     // table writes (the [[VectorStore.write]] convention): `sigs` is
     // typically the UNLANDED [[minHashSignatures]] plan — tokenize +
@@ -307,7 +305,30 @@ object Dedup {
     // Pass [[Materialize.Lazy]] when `sigs` is already parquet-backed
     // (the [[mergeSignatures]] shape) to skip the extra copy.
     val landed = Materialize(sigs.select("id", "sig", "grams"), materialize)
-    val banded0 = landed.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
+    writeBandedTable(landed, path, name, numHashes, bands, maxBucketSize, numBuckets)
+    writeGramsTable(landed, path, name, numBuckets)
+    writeSignatureMeta(landed.sparkSession, path,
+      numHashes, bands, shingleSize, maxBucketSize, numBuckets)
+  }
+
+  /** The banded-table write behind [[writeSignatures]] /
+    * [[mergeSignatures]]. `bandedSource` must be the FULL corpus —
+    * bucket populations (`bucket_n`) and the write-time skew cap are
+    * properties of the whole store — but only (id, sig) is read, so a
+    * parquet-backed source never moves its wide grams column through
+    * this pass.
+    */
+  private def writeBandedTable(
+      bandedSource: DataFrame,
+      path: String,
+      name: String,
+      numHashes: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      numBuckets: Int,
+  ): Unit = {
+    val banded0 =
+      bandedSource.select(col("id"), explode(bandKeysCol(numHashes, bands)).as("bucket"))
     // per-bucket population via ONE window over the banded explode —
     // the former groupBy+self-join spelling shuffled the banded rows
     // twice (aggregate leg + join leg) for the same (bucket, id,
@@ -323,16 +344,48 @@ object Dedup {
       .bucketBy(numBuckets, "bucket")
       .sortBy("bucket")
       .saveAsTable(s"${name}_banded")
-    // the doc side keeps sig TOO (numHashes longs/doc): grams alone
-    // serve the verify join, but compaction ([[mergeSignatures]])
-    // must re-band without re-reading corpus text
-    landed
+  }
+
+  /** The grams-table write behind [[writeSignatures]] /
+    * [[mergeSignatures]]: `gramsRows` is the (id, sig, grams) row set
+    * this write PUTS INTO the table — the whole corpus on a fresh
+    * write, the increment only under the merge's standing-file copy.
+    * The doc side keeps sig TOO (numHashes longs/doc): grams alone
+    * serve the verify join, but compaction ([[mergeSignatures]])
+    * must re-band without re-reading corpus text.
+    */
+  private def writeGramsTable(
+      gramsRows: DataFrame,
+      path: String,
+      name: String,
+      numBuckets: Int,
+  ): Unit =
+    gramsRows
+      .select("id", "sig", "grams")
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/grams")
       .bucketBy(numBuckets, "id")
       .sortBy("id")
       .saveAsTable(s"${name}_grams")
+
+  /** The meta write behind [[writeSignatures]] / [[mergeSignatures]].
+    * ALWAYS last: the meta job's `_SUCCESS` marker is the
+    * epoch-completeness signal the compaction protocol
+    * ([[graft.streaming.StreamingDedup.compactSignatureStore]])
+    * trusts, so every data file — including the merge's copied
+    * standing files — must be in place before it lands.
+    */
+  private def writeSignatureMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Int,
+      numBuckets: Int,
+  ): Unit = {
+    import spark.implicits._
     Seq((numHashes, bands, shingleSize, maxBucketSize, numBuckets))
       .toDF("num_hashes", "bands", "shingle_size", "max_bucket_size", "num_buckets")
       .coalesce(1)
@@ -440,13 +493,14 @@ object Dedup {
     * `bucket_n` populations and the write-time skew cap are only
     * correct for a complete write (appended rows would silently
     * stale every bucket count the per-row union caps rely on), and
-    * bucketed tables cannot change bucket spec incrementally. Cost is
-    * linear in CORPUS DOC COUNT, not corpus bytes — the doc side is
-    * numHashes + |shingles| longs per doc and text is never read —
-    * so a daily rewrite of even a billion-doc store is a narrow
-    * parquet-to-parquet pass. `dstPath` must differ from `srcPath`
-    * (epoch-style directories; self-overwrite would read and clobber
-    * the same files).
+    * bucketed tables cannot change bucket spec incrementally. Cost:
+    * the grams side (the store's dominant bytes — |shingles| longs
+    * per doc) moves as a RAW FILE COPY of the standing part files
+    * plus a bucketed write of the increment only; only the banded
+    * side pays a corpus-wide pass, and that pass reads (id, sig)
+    * alone — numHashes longs per doc, text never read. `dstPath`
+    * must differ from `srcPath` (epoch-style directories;
+    * self-overwrite would read and clobber the same files).
     */
   def mergeSignatures(
       spark: org.apache.spark.sql.SparkSession,
@@ -464,18 +518,38 @@ object Dedup {
         "would overwrite catalog tables the merge is reading; use a distinct name " +
         "per store path (epoch-suffixed names, e.g. <base>_e<n>)")
     val src = readSignatures(spark, srcPath, srcName)
-    val srcDocs = src.grams.select(col("id"), col("sig"), col("grams"))
-    val add = newSigs.select(col("id"), col("sig"), col("grams"))
+    // Land the increment ONCE (it feeds the disjointness check, the
+    // banded union, and the grams write; it is increment-sized, so the
+    // copy is cheap — unlike the pre-r22 shape, which kept the whole
+    // UNION lazy and re-executed the standing scan per table write).
+    val add = Materialize(
+      newSigs.select(col("id"), col("sig"), col("grams")),
+      Materialize.LocalCheckpoint)
     require(
-      add.select(col("id")).join(srcDocs.select(col("id")), "id").isEmpty,
+      add.select(col("id")).join(src.grams.select(col("id")), "id").isEmpty,
       "mergeSignatures: new-batch ids overlap the standing store — the sides must " +
         "be disjoint; dedup the increment first (nearDupNewDocs) and merge survivors")
-    // Lazy: both sides are already landed (src is the store's parquet,
-    // the increment comes from a sink/checkpoint dir) — the default
-    // landing would pay one redundant corpus copy
-    writeSignatures(srcDocs.unionByName(add), dstPath, dstName,
-      src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets,
-      materialize = Materialize.Lazy)
+    // r22 (guide §6, §2.3): a merge leaves every STANDING grams row
+    // byte-identical and the destination registers with the source's
+    // bucket spec, so the grams table is written from the INCREMENT
+    // only and the standing part files are copied verbatim (the
+    // [[VectorStore.merge]] mechanism — bucket membership rides the
+    // `_NNNNN` filename suffix). The banded table still needs the
+    // corpus-wide rebuild — bucket populations and the write-time skew
+    // cap are properties of the UNION — but its standing read prunes
+    // to (id, sig): the wide grams column (the store's dominant bytes)
+    // never moves through a merge at all. Meta lands LAST, after the
+    // copy — its `_SUCCESS` is the epoch-completeness marker the
+    // compaction protocol trusts.
+    writeBandedTable(
+      src.grams.select(col("id"), col("sig"))
+        .unionByName(add.select(col("id"), col("sig"))),
+      dstPath, dstName, src.numHashes, src.bands, src.maxBucketSize, src.numBuckets)
+    writeGramsTable(add, dstPath, dstName, src.numBuckets)
+    VectorStore.copyBucketFiles(spark, s"$srcPath/grams", s"$dstPath/grams")
+    spark.catalog.refreshTable(s"${dstName}_grams")
+    writeSignatureMeta(spark, dstPath,
+      src.numHashes, src.bands, src.shingleSize, src.maxBucketSize, src.numBuckets)
     readSignatures(spark, dstPath, dstName)
   }
 

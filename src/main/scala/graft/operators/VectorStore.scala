@@ -112,7 +112,7 @@ object VectorStore {
     * search faces exclude them, ids cast to BIGINT, codes from the
     * same kernels the from-floats searches use.
     */
-  private def encodedProjection(
+  private[graft] def encodedProjection(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -412,11 +412,12 @@ object VectorStore {
 
   /** Copy a bucketed table directory's data files into another
     * bucketed table directory of the SAME bucket spec — the standing
-    * side of [[merge]]'s compaction. Only `part-*` data files move
-    * (commit markers stay); names are kept verbatim — the `_NNNNN`
-    * bucket suffix is what assigns a file to its bucket, and name
-    * collisions cannot happen because every write job stamps a fresh
-    * UUID into its part names.
+    * side of a store compaction ([[merge]]'s coded/vecs tables,
+    * [[Dedup.mergeSignatures]]' grams table). Only `part-*` data
+    * files move (commit markers stay); names are kept verbatim — the
+    * `_NNNNN` bucket suffix is what assigns a file to its bucket, and
+    * name collisions cannot happen because every write job stamps a
+    * fresh UUID into its part names.
     */
   private[operators] def copyBucketFiles(
       spark: SparkSession, srcDir: String, dstDir: String): Unit = {
@@ -430,7 +431,7 @@ object VectorStore {
         val ok = org.apache.hadoop.fs.FileUtil.copy(
           fs, st.getPath, fs, new org.apache.hadoop.fs.Path(dstPath, name),
           false, false, conf)
-        require(ok, s"VectorStore.merge: failed to copy standing file $name to $dstDir")
+        require(ok, s"copyBucketFiles: failed to copy standing file $name to $dstDir")
       }
     }
   }

@@ -783,6 +783,32 @@ class DedupSpec extends SparkTestBase {
     val e1 = Dedup.mergeSignatures(spark, s"$root/epoch0", "sigmerge_e0",
       Dedup.minHashSignatures(kept1, "doc_id", "text"), s"$root/epoch1", "sigmerge_e1")
     assert(e1.grams.count() == 3L, "epoch-1 store = corpus + survivor")
+    // r22 file-granularity compaction: the standing grams part files
+    // land in the destination VERBATIM (byte copy — the `_NNNNN`
+    // bucket suffix carries membership), the merged grams rows are
+    // exactly the union, and the merged BANDED table — the side that
+    // still pays the corpus-wide rebuild, because bucket_n and the
+    // write-time cap are union properties — equals a full
+    // writeSignatures of the union value-for-value
+    def partNames(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+    }
+    assert(partNames(s"$root/epoch0/grams").subsetOf(partNames(s"$root/epoch1/grams")),
+      "standing grams part files must be copied verbatim into the next epoch")
+    assert(e1.grams.select($"id").as[Long].collect().toSet == Set(1L, 2L, 11L),
+      "merged grams table holds exactly the union's ids")
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(
+        corpus.unionByName(kept1.select($"doc_id", $"text")), "doc_id", "text"),
+      s"$root/ref", "sigmerge_ref")
+    val ref = Dedup.readSignatures(spark, s"$root/ref", "sigmerge_ref")
+    def bandedRows(s: Dedup.SignatureStore): Set[(String, Long, Long)] =
+      s.banded.as[(String, Long, Long)].collect().toSet
+    assert(bandedRows(e1) == bandedRows(ref),
+      "merged banded table must equal the full-rewrite reference value-for-value")
     // epoch 2: a near-copy of the epoch-1 SURVIVOR must now drop —
     // the grown store knows doc 11 — and match the frame path over
     // the union signatures
