@@ -289,6 +289,27 @@ object Packing {
       salt: String,
       ordered: Boolean,
   ): DataFrame = {
+    val (frame, parted) = shuffleAndPackFrame(df, idCol, countCol, seqLen, salt, ordered)
+    val out = frame.localCheckpoint(true)
+    parted.unpersist(blocking = false)
+    out
+  }
+
+  /** The un-checkpointed plan behind [[shuffleAndPack]] /
+    * [[shuffleAndPackUnordered]], plus the persisted range-partitioned
+    * handle the caller must unpersist after materializing. Split out so
+    * the optimization-round evidence dumps can explain the INTERIOR
+    * frame (the public faces checkpoint, which collapses the plan to a
+    * `Scan ExistingRDD`).
+    */
+  private[graft] def shuffleAndPackFrame(
+      df: DataFrame,
+      idCol: String,
+      countCol: String,
+      seqLen: Int,
+      salt: String,
+      ordered: Boolean,
+  ): (DataFrame, DataFrame) = {
     require(seqLen > 0, "seqLen must be positive")
     val keyed = df.select(
       col(idCol),
@@ -333,9 +354,7 @@ object Packing {
       .select(
         col(idCol), col("shuffle_key"), col("pos"), col("n_tokens"),
         col("start_offset"), col("pack_first"), col("pack_last"))
-    val out = (if (ordered) cols.orderBy("pos") else cols).localCheckpoint(true)
-    parted.unpersist(blocking = false)
-    out
+    (if (ordered) cols.orderBy("pos") else cols, parted)
   }
 
   /** Seeded deterministic corpus interleave — the reproducible global
