@@ -1981,11 +1981,11 @@ object SparkEntry {
         s, dir, "annpq") {
       val c = corpus // by-name: a cache hit never constructs the corpus plan
       val (ivf, pq) = Similarity.trainIvfPq(c, "embedding", nlist = 16, m = 8, ksub = 16)
-      val storeDir = tempFixtureDir("graft_vecstore_annpq").toString
+      val storeDir = tempFixtureDir("graft_vecstore_annpq")
       graft.operators.VectorStore
-        .write(c, "vec_id", "embedding", storeDir, "annpq_vs", ivf, pq,
+        .write(c, "vec_id", "embedding", storeDir.toString, "annpq_vs", ivf, pq,
           numBuckets = 8) // sized to the gate corpus (q167's documented lesson)
-      graft.operators.VectorStore.read(s, storeDir, "annpq_vs")
+      (graft.operators.VectorStore.read(s, storeDir.toString, "annpq_vs"), Seq(storeDir))
     }
 
   private def q157VecStorePqPlanted(s: SparkSession, dir: String): DataFrame =
@@ -2117,11 +2117,11 @@ object SparkEntry {
       val c = corpus // by-name: a cache hit never constructs the corpus plan
       val (ivf, opq) = Similarity.trainIvfOpq(c, "embedding", nlist = 16,
         m = 8, ksub = 16)
-      val storeDir = tempFixtureDir("graft_vecstore_annopq").toString
+      val storeDir = tempFixtureDir("graft_vecstore_annopq")
       graft.operators.VectorStore
-        .writeOpq(c, "vec_id", "embedding", storeDir, "annopq_vs", ivf, opq,
+        .writeOpq(c, "vec_id", "embedding", storeDir.toString, "annopq_vs", ivf, opq,
           numBuckets = 8)
-      graft.operators.VectorStore.read(s, storeDir, "annopq_vs")
+      (graft.operators.VectorStore.read(s, storeDir.toString, "annopq_vs"), Seq(storeDir))
     }
 
   /** Store-served CORPUS-vs-CORPUS kNN gate — the one ANN shape where
@@ -2207,11 +2207,13 @@ object SparkEntry {
         s, dir, "fullpq") {
       val emb = load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8, ksub = 16)
-      val storeDir = tempFixtureDir("graft_vecstore_fullpq").toString
+      val storeDir = tempFixtureDir("graft_vecstore_fullpq")
       graft.operators.VectorStore
-        .write(emb, "vec_id", "embedding", storeDir, "fullpq_vs", ivf, pq,
+        .write(emb, "vec_id", "embedding", storeDir.toString, "fullpq_vs", ivf, pq,
           numBuckets = 8)
-      (storeDir, "fullpq_vs", graft.operators.VectorStore.read(s, storeDir, "fullpq_vs"))
+      ((storeDir.toString, "fullpq_vs",
+        graft.operators.VectorStore.read(s, storeDir.toString, "fullpq_vs")),
+        Seq(storeDir))
     }
 
   private def q164VecstoreIngestDedup(s: SparkSession, dir: String): DataFrame = {
@@ -3462,14 +3464,14 @@ object SparkEntry {
         (graft.operators.VectorStore.CodedVectorStore, Long)]](s, dir, "tune") {
       val (ivf, pq) = Similarity.trainIvfPq(emb, "embedding", nlist = 16, m = 8,
         ksub = 16)
-      if (ivf.centroids.isEmpty) None
+      if (ivf.centroids.isEmpty) (None, Seq.empty)
       else {
-        val storeDir = tempFixtureDir("graft_vecstore_tune").toString
+        val storeDir = tempFixtureDir("graft_vecstore_tune")
         graft.operators.VectorStore
-          .write(emb, "vec_id", "embedding", storeDir, "tune_vs", ivf, pq,
+          .write(emb, "vec_id", "embedding", storeDir.toString, "tune_vs", ivf, pq,
             numBuckets = 8)
-        val store = graft.operators.VectorStore.read(s, storeDir, "tune_vs")
-        Some((store, store.vecs.count()))
+        val store = graft.operators.VectorStore.read(s, storeDir.toString, "tune_vs")
+        (Some((store, store.vecs.count())), Seq(storeDir))
       }
     }
     cached.map { case (store, n) =>
@@ -5550,26 +5552,47 @@ object SparkEntry {
     * independent builds.)
     * Session-bound recompute contract as [[cachedBoundaries]] (a
     * frame from a stopped session fails every action); store dirs
-    * ride the normal [[tempFixtureDir]] JVM-exit hook; every gate
-    * still builds from scratch when run in isolation, and results are
-    * bit-identical because the fixtures were already byte-identical.
+    * ride the normal [[tempFixtureDir]] JVM-exit hook AND are deleted
+    * eagerly when a session restart replaces their entry (the
+    * [[cachedBoundaries]] contract — without it, same-JVM restarts
+    * accumulate dead store dirs and stopped-session references until
+    * exit; ADVICE r21); every gate still builds from scratch when run
+    * in isolation, and results are bit-identical because the fixtures
+    * were already byte-identical.
+    *
+    * CONTRACT (ADVICE r21): the cache key is (sf dir, family key) —
+    * a by-name `corpus` argument at a fixture seam is IGNORED on a
+    * hit. Callers must therefore pass the family's byte-identical
+    * corpus construction and nothing else; a gate needing a different
+    * corpus needs a different family key, not a different argument.
     */
   private val storeFixtureCache = scala.collection.mutable.HashMap
-    .empty[(String, String), (SparkSession, Any)]
+    .empty[(String, String), (SparkSession, Any, Seq[java.nio.file.Path])]
 
   /** Lookup-or-compute on [[storeFixtureCache]] — one coarse lock,
     * like [[cachedBoundaries]] (gates run sequentially under the
     * bench; coarseness costs nothing and closes the check-then-act
-    * race).
+    * race). `build` returns the fixture plus the temp dirs it
+    * created, so a stale-session replacement can reclaim them.
     */
   private def cachedStoreFixture[T](s: SparkSession, dir: String, key: String)(
-      build: => T): T =
+      build: => (T, Seq[java.nio.file.Path])): T =
     storeFixtureCache.synchronized {
       storeFixtureCache.get((dir, key)) match {
-        case Some((sess, v)) if sess eq s => v.asInstanceOf[T]
-        case _ =>
-          val v = build
-          storeFixtureCache((dir, key)) = (s, v)
+        case Some((sess, v, _)) if sess eq s => v.asInstanceOf[T]
+        case stale =>
+          // session restarted: the superseded store dirs can never be
+          // read again (their frames belong to a stopped session) —
+          // reclaim them now instead of at JVM exit, and drop the
+          // stopped session reference with the entry
+          stale.foreach { case (_, _, dirs) =>
+            dirs.foreach { d =>
+              deleteDirTree(d)
+              fixtureDirs.synchronized { fixtureDirs -= d }
+            }
+          }
+          val (v, dirs) = build
+          storeFixtureCache((dir, key)) = (s, v, dirs)
           v
       }
     }

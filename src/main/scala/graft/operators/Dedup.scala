@@ -281,7 +281,23 @@ object Dedup {
     * at write replaces a per-run corpus-wide groupBy+filter. The
     * surviving rows carry their bucket population (`bucket_n`), which
     * is what lets readers evaluate union caps per-row instead of
-    * re-aggregating the corpus.
+    * re-aggregating the corpus. Skew note (ADVICE r21): the window
+    * that computes `bucket_n` buffers each band bucket's rows in one
+    * task before the cap filter runs, so a pathologically hot bucket
+    * lands in a single (spill-backed) window partition once at write
+    * time — the trade that removed the former groupBy+self-join's
+    * second corpus-wide exchange; if hot-bucket spill ever shows up
+    * at scale, a two-pass aggregate-then-broadcast-join over the
+    * landed frame avoids both.
+    *
+    * `materialize` (ADVICE r21 — a default worth knowing about): the
+    * default [[Materialize.LocalCheckpoint]] EAGERLY lands the
+    * corpus-sized (id, sig, grams) projection in executor memory/disk
+    * with no fault recovery — one lost executor fails the write and
+    * the pass must re-run. Pass [[Materialize.ParquetDir]] for
+    * corpus-scale runs on preemptible executors (the
+    * [[VectorStore.write]] / ingestDedup convention), or
+    * [[Materialize.Lazy]] when `sigs` is already parquet-backed.
     */
   def writeSignatures(
       sigs: DataFrame,
@@ -501,6 +517,15 @@ object Dedup {
     * alone — numHashes longs per doc, text never read. `dstPath`
     * must differ from `srcPath` (epoch-style directories;
     * self-overwrite would read and clobber the same files).
+    *
+    * `materialize` lands the INCREMENT (it feeds the disjointness
+    * check, the banded union, and the grams write). Pass
+    * [[Materialize.Lazy]] when `newSigs` is already parquet-backed
+    * (the [[graft.streaming.StreamingDedup.compactSignatureStore]]
+    * shape — increments land via the sink) to skip the redundant
+    * copy; under Lazy a NONDETERMINISTIC increment plan could
+    * produce row-divergent banded/grams sides, exactly the
+    * [[writeSignatures]] Lazy contract.
     */
   def mergeSignatures(
       spark: org.apache.spark.sql.SparkSession,
@@ -509,6 +534,7 @@ object Dedup {
       newSigs: DataFrame,
       dstPath: String,
       dstName: String,
+      materialize: Materialize = Materialize.LocalCheckpoint,
   ): SignatureStore = {
     require(dstPath != srcPath,
       "mergeSignatures: dstPath must differ from srcPath (epoch directories) — " +
@@ -518,13 +544,12 @@ object Dedup {
         "would overwrite catalog tables the merge is reading; use a distinct name " +
         "per store path (epoch-suffixed names, e.g. <base>_e<n>)")
     val src = readSignatures(spark, srcPath, srcName)
-    // Land the increment ONCE (it feeds the disjointness check, the
-    // banded union, and the grams write; it is increment-sized, so the
-    // copy is cheap — unlike the pre-r22 shape, which kept the whole
-    // UNION lazy and re-executed the standing scan per table write).
+    // Land the increment ONCE (default; see the `materialize` doc) —
+    // increment-sized, so the copy is cheap, unlike the pre-r22 shape,
+    // which kept the whole UNION lazy and re-executed the standing
+    // scan per table write.
     val add = Materialize(
-      newSigs.select(col("id"), col("sig"), col("grams")),
-      Materialize.LocalCheckpoint)
+      newSigs.select(col("id"), col("sig"), col("grams")), materialize)
     require(
       add.select(col("id")).join(src.grams.select(col("id")), "id").isEmpty,
       "mergeSignatures: new-batch ids overlap the standing store — the sides must " +

@@ -563,8 +563,13 @@ object StreamingDedup {
             // leaves an incomplete epoch whose foldmark the re-run
             // overwrites — it is only ever trusted once meta lands
             writeFoldmark(spark, nextPath, listed.map(_._1).max)
+            // Lazy increment landing: `inc` IS the landed increment
+            // parquet (listed by the `_SUCCESS`-gated directory scan
+            // above) — deterministic and already on disk, so the
+            // merge's default re-landing would be a redundant copy
             val dst = graft.operators.Dedup.mergeSignatures(
-              spark, srcPath, srcName, inc, nextPath, nextName)
+              spark, srcPath, srcName, inc, nextPath, nextName,
+              materialize = graft.operators.Materialize.Lazy)
             pruneSignatureIncrements(spark, incDir, pruneCap)
             finishTurn(dst)
           }

@@ -905,6 +905,75 @@ object Probe {
       return
     }
 
+    if (names.contains("funnel_stages_r22")) {
+      // the SHIPPED r22 chain's per-stage seconds, stage-for-stage
+      // comparable with `funnel_stages` (which deliberately keeps the
+      // pre-r22 spelling: lineDedup + attrs join, bare chunkTokens +
+      // trailing attrs join, ordered shuffleAndPack): attrs carried
+      // through dedup/chunk, unordered internal pack layout
+      import graft.operators.{CorpusPipeline, Dedup, Sampling, TextAnalysis, Packing}
+      val attrCols = Seq("url_norm", "url_host", "lang_pred")
+      def chain(label: String, pages: org.apache.spark.sql.DataFrame,
+                langs: Seq[String], maxPerHost: Int, seqLen: Int,
+                minLineChars: Int, soft404: Boolean, redactPii: Boolean,
+                paragraphBreaks: Boolean, paragraphDedup: Boolean): Unit = {
+        println(s"[probe] === $label (r22 chain) ===")
+        val quality = timed(s"$label 1. cleanedCrawlPrefix + checkpoint") {
+          val q = CorpusPipeline
+            .cleanedCrawlPrefix(pages, "doc_id", None, "html", "url",
+              langs = langs, blocklist = None, canonicalizeNfc = false,
+              c4 = false, soft404 = soft404, redactPii = redactPii,
+              mainContent = false, stripTracking = false,
+              paragraphBreaks = paragraphBreaks)
+            .localCheckpoint(true)
+          println("[probe] quality rows=" + q.count()); q
+        }
+        val lined0 =
+          if (minLineChars < 0) quality
+          else timed(s"$label 2. lineDedupCarry + checkpoint") {
+            val l = Dedup
+              .lineDedupCarry(quality, "id", "text", minLineChars, attrCols)
+              .where(length(trim(col("clean_text"))) > 0)
+              .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*)
+              .localCheckpoint(true)
+            println("[probe] lined rows=" + l.count()); l
+          }
+        val lined =
+          if (!paragraphDedup) lined0
+          else timed(s"$label 2b. paragraphDedupCarry + checkpoint") {
+            val l = Dedup
+              .paragraphDedupCarry(lined0, "id", "text", 5, attrCols)
+              .where(length(trim(col("clean_text"))) > 0)
+              .select(col("id") +: col("clean_text").as("text") +: attrCols.map(col): _*)
+              .localCheckpoint(true)
+            println("[probe] para rows=" + l.count()); l
+          }
+        val deduped = timed(s"$label 3. cleanCorpus (exact+minhash, transitive)") {
+          val d = Dedup.cleanCorpus(lined, "id", "text", 0.8, transitive = true)
+          println("[probe] deduped rows=" + d.count()); d
+        }
+        timed(s"$label 4+5. capPerStratum + webIngestFromCapped tail (carried attrs, unordered pack)") {
+          val capped = Sampling.capPerStratum(deduped, "url_host", "id", maxPerHost)
+          val out = CorpusPipeline.webIngestFromCapped(capped, seqLen, "epoch0")
+          println("[probe] out rows=" + out.count())
+        }
+      }
+      chain("q104", graft.SparkEntry.q104PlantedPages(spark, sfDir),
+        langs = Seq.empty, maxPerHost = 40, seqLen = 128, minLineChars = 5,
+        soft404 = false, redactPii = false, paragraphBreaks = false,
+        paragraphDedup = false)
+      chain("q123", graft.SparkEntry.q123PlantedPages(spark, sfDir),
+        langs = Seq("en"), maxPerHost = 100000, seqLen = 128, minLineChars = 5,
+        soft404 = true, redactPii = true, paragraphBreaks = false,
+        paragraphDedup = false)
+      chain("q156", graft.SparkEntry.q156PlantedPages(spark, sfDir),
+        langs = Seq("en"), maxPerHost = 100000, seqLen = 128, minLineChars = -1,
+        soft404 = false, redactPii = false, paragraphBreaks = true,
+        paragraphDedup = true)
+      spark.stop()
+      return
+    }
+
     if (names.contains("cc_stages")) {
       // cleanCorpus's per-action cost at gate scale: which of the ~4
       // jobs owns the ~3.5 s every funnel gate pays. Replicates the
